@@ -1,0 +1,101 @@
+"""Extraction pipelines: doc-per-row (no shuffle) and flattened-span
+(groupby re-stitch) variants.
+
+The doc-per-row path is the scale path: the whole reference chain is
+intra-document, so with one document per row the pipeline is a single
+actor-pool ``map_batches`` — streaming, no all-to-all exchange, linear
+scaling.  The flattened path exists for span-per-row inputs and
+demonstrates the groupby(doc_id) re-stitch (SURVEY.md section 7 step 3,
+the one mandatory shuffle when input arrives exploded).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import pyarrow as pa
+
+from doc_ocr_ray.config import PipelineConfig, DEFAULT_CONFIG
+from doc_ocr_ray.schema import QUESTIONS_SCHEMA, SPAN_STRUCT
+from doc_ocr_ray.stages.extract import ExtractStage, SplitStage
+
+
+def _pool_kwargs(config: PipelineConfig, concurrency):
+    if concurrency is None:
+        concurrency = (1, max(2, config.classifier_concurrency))
+    return {
+        "batch_format": "pyarrow",
+        "batch_size": config.batch_size,
+        "concurrency": concurrency,
+    }
+
+
+def extract_questions(ds, config: Optional[PipelineConfig] = None,
+                      verdicts: Optional[Dict[str, Any]] = None,
+                      concurrency=None):
+    """documents Dataset -> questions Dataset (lazy, streaming)."""
+    config = config or DEFAULT_CONFIG
+    return ds.map_batches(
+        ExtractStage,
+        fn_constructor_kwargs={"config": config, "verdicts": verdicts},
+        **_pool_kwargs(config, concurrency))
+
+
+def split_documents(ds, config: Optional[PipelineConfig] = None,
+                    concurrency=None):
+    """documents Dataset -> documents Dataset with split span lists."""
+    config = config or DEFAULT_CONFIG
+    return ds.map_batches(
+        SplitStage,
+        fn_constructor_kwargs={"config": config},
+        **_pool_kwargs(config, concurrency))
+
+
+def flatten_documents(ds):
+    """(doc_id, spans) rows -> one row per span (doc_id, kind, text,
+    media_ref, offset).  Zero-copy-ish Arrow list explode per batch."""
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()          # struct array of all spans
+        # repeat doc_id per span count
+        lengths = pa.compute.list_value_length(spans).to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        rep = pa.array(
+            [d for d, n in zip(doc_ids, lengths) for _ in range(n or 0)],
+            pa.string())
+        return pa.table({
+            "doc_id": rep,
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        })
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def restitch_documents(flat_ds):
+    """Inverse of flatten: groupby(doc_id) -> (doc_id, spans) rows with
+    spans sorted by offset.  This is the pipeline's only shuffle; the
+    key is doc_id (unique per doc -> even hash partitioning; mega-doc
+    skew is intra-row and bounded by the largest single document)."""
+    def stitch(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group, sort_keys=[("offset", "ascending")])
+        g = group.take(order)
+        spans = [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in zip(
+                g["kind"].to_pylist(), g["text"].to_pylist(),
+                g["media_ref"].to_pylist(), g["offset"].to_pylist())
+        ]
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.string()),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+        })
+    return flat_ds.groupby("doc_id").map_groups(stitch, batch_format="pyarrow")
+
+
+def extract_questions_flat(flat_ds, config: Optional[PipelineConfig] = None,
+                           verdicts: Optional[Dict[str, Any]] = None):
+    """Span-per-row input -> questions, via the groupby re-stitch."""
+    return extract_questions(restitch_documents(flat_ds), config, verdicts)
