@@ -1,0 +1,110 @@
+"""General relational operators demonstrated over the test tables.
+
+These exercise the engine's wide-operator patterns with exact DuckDB
+oracles: partial-aggregate-then-groupby (combiner before the shuffle),
+global sort + limit, and broadcast hash join (small side via ray.put,
+no shuffle).  Float aggregates are rounded in BOTH engines so value
+hashes match.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def events_by_type(ds):
+    """events -> (event_type, n, sum_value): per-batch partial
+    aggregation shrinks the shuffle to one row per key per batch."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", sort=False)["value"].agg(["count", "sum"])
+        g = g.reset_index()
+        g.columns = ["event_type", "n", "sum_value"]
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n": [int(group["n"].sum())],
+            "sum_value": [round(float(group["sum_value"].sum()), 2)],
+        })
+    return partials.groupby("event_type").map_groups(final, batch_format="pandas")
+
+
+def lineitem_pricing(ds):
+    """TPC-H Q1-shaped pricing summary (no date filter: whole table).
+
+    Columns: l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, n — rounded to 2 decimals.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = batch.append_column("disc_price", disc_price)
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "disc_price"]).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "count")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [group["l_returnflag"].iloc[0]],
+            "l_linestatus": [group["l_linestatus"].iloc[0]],
+            "sum_qty": [round(float(group["sum_qty"].sum()), 2)],
+            "sum_base_price": [round(float(group["sum_base_price"].sum()), 2)],
+            "sum_disc_price": [round(float(group["sum_disc_price"].sum()), 2)],
+            "n": [int(group["n"].sum())],
+        })
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas")
+
+
+def top_orders(ds, k: int = 10):
+    """Global top-k by total price (sort + limit; deterministic
+    tie-break by o_orderkey)."""
+    return (ds.select_columns(["o_orderkey", "o_totalprice"])
+              .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+              .limit(k))
+
+
+def supplier_count_by_nation(supplier_ds, nation_table: pa.Table):
+    """Broadcast hash join: the nation dimension rides in the object
+    store once (ray.put), every batch does a dict lookup — no shuffle
+    for the join itself, then a tiny groupby for the count."""
+    import ray
+    lookup = dict(zip(nation_table["n_nationkey"].to_pylist(),
+                      nation_table["n_name"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        out = pd.DataFrame({
+            "n_name": batch["s_nationkey"].map(lk),
+        })
+        g = out.groupby("n_name", sort=False).size().reset_index(name="n_suppliers")
+        return g
+
+    partials = supplier_ds.map_batches(join, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [group["n_name"].iloc[0]],
+            "n_suppliers": [int(group["n_suppliers"].sum())],
+        })
+    return partials.groupby("n_name").map_groups(final, batch_format="pandas")
+
+
+def filter_documents_by_lang(ds, lang: str):
+    """Predicate filter as a vectorized arrow mask inside map_batches."""
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["lang"], pa.scalar(lang)))
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -1,0 +1,135 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) travel through the engine as ``binary``
+columns with sidecar metadata, exactly as the span table carries
+``media_ref`` strings (axes A+B: interleaved payloads, no pixel
+processing in the invariant path — SURVEY.md section 1.3).
+
+The decode kernels themselves are STUBBED (no image/audio libraries in
+this environment): ``MediaDecodeStage`` raises ``NotImplementedError``
+from the real-decoder hook and, when ``use_fake_decoder=True``, runs a
+deterministic fake that exercises the full Ray-side plumbing — actor
+pool construction, small-batch sizing for fat binary rows, Arrow
+binary round-trip, typed feature output.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("doc_id", pa.string()),
+    ("media_type", pa.string()),       # image | audio | video
+    ("payload", pa.binary()),
+    ("payload_len", pa.int64()),
+])
+
+FEATURE_DIM = 16
+
+
+def synthesize_media_table(doc_ids, media_refs, seed: int = 42) -> pa.Table:
+    """Deterministic fake payloads for plumbing tests: payload bytes =
+    repeated md5 stream keyed by media_ref."""
+    payloads = []
+    types = []
+    for ref in media_refs:
+        h = hashlib.md5(f"{seed}:{ref}".encode()).digest()
+        payloads.append(h * 64)         # 1 KiB fake payload
+        types.append("image")
+    return pa.table({
+        "media_ref": pa.array(list(media_refs), pa.string()),
+        "doc_id": pa.array(list(doc_ids), pa.string()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    Real decoders load once per actor in ``__init__`` (model weights,
+    codec contexts); per-batch work in ``__call__``.  Use small
+    ``batch_size`` (e.g. 16-64) with fat payloads so batch x
+    concurrency fits worker heaps.
+    """
+
+    def __init__(self, use_fake_decoder: bool = True, seed: int = 42):
+        self.seed = seed
+        self.use_fake_decoder = use_fake_decoder
+        self.decoder = None             # real decoder would load here
+        try:
+            import PIL.Image               # noqa: F401  (absent here)
+            self.decoder = "pillow"
+        except ImportError:
+            self.decoder = None
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library not "
+            "present in this environment; run with use_fake_decoder=True")
+
+    def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
+        """Deterministic stand-in: feature = normalized bytes of
+        md5(payload), fixed FEATURE_DIM."""
+        h = hashlib.md5(payload).digest()
+        raw = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+        feat = np.resize(raw, FEATURE_DIM)
+        return feat / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        fn = self._decode_fake if (self.decoder is None and self.use_fake_decoder) \
+            else self._decode_real
+        feats = [fn(p or b"", t) for p, t in zip(payloads, types)]
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float64())),
+            "payload_len": batch["payload_len"],
+        })
+
+
+class FrameSampleStage:
+    """Video frame-sampling stub: emits every-nth "frame" reference
+    rows from a video payload — plumbing for one-row-in-N-rows-out
+    media transforms (flat map over fat binary rows)."""
+
+    def __init__(self, every_n: int = 10, use_fake_decoder: bool = True):
+        self.every_n = every_n
+        self.use_fake_decoder = use_fake_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, docs, frames, lens = [], [], [], []
+        for ref, doc, payload in zip(batch["media_ref"].to_pylist(),
+                                     batch["doc_id"].to_pylist(),
+                                     batch["payload"].to_pylist()):
+            if not self.use_fake_decoder:
+                raise NotImplementedError("real frame decoding unavailable")
+            n_frames = max(1, len(payload or b"") // 256)
+            for f in range(0, n_frames, self.every_n):
+                refs.append(f"{ref}#frame{f}")
+                docs.append(doc)
+                frames.append(f)
+                lens.append(len(payload or b""))
+        return pa.table({
+            "frame_ref": pa.array(refs, pa.string()),
+            "doc_id": pa.array(docs, pa.string()),
+            "frame_index": pa.array(frames, pa.int64()),
+            "payload_len": pa.array(lens, pa.int64()),
+        })
+
+
+def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    """documents-with-payload Dataset -> feature rows (actor pool)."""
+    return media_ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: exact cosine top-k — the query matrix is broadcast
+  once (``ray.put``), each batch does one f64 matmul and keeps a partial
+  top-k, the driver merges the tiny partials.  No shuffle.
+- ``knn_lsh``: random-hyperplane LSH bucketing — each vector gets a
+  sign-bit code; only vectors whose code matches a query code (within
+  ``probe_hamming``) are scored.  The scale path when brute force is
+  too expensive; approximate by construction.
+- ``embedding_neardup_pairs``: cosine near-duplicate pairs via the
+  same LSH blocking.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix(batch_col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in batch_col])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(ds, query_ids: List[int], k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k of every query id against the whole corpus.
+
+    Returns (query_id, rank, vec_id, score) with score rounded to 4
+    decimals; ties break by vec_id ascending.  Self-matches excluded.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def grab_queries(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].isin(qset)]
+    qrows = ds.map_batches(grab_queries, batch_format="pandas").take_all()
+    if not qrows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows])
+    Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
+    ref = ray.put((q_ids, Q))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, Qm = ray.get(ref)
+        X = _norm_rows(_matrix(batch[vec_col]))
+        vids = batch[id_col].to_numpy()
+        scores = Qm @ X.T                           # (n_q, n_batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, scores.shape[1])            # +1 to survive self-drop
+        for qi, qid in enumerate(ids):
+            row = scores[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if int(vids[j]) == int(qid):
+                    continue
+                out_q.append(int(qid)); out_v.append(int(vids[j]))
+                out_s.append(float(row[j]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").take_all()
+    # final merge: tiny (n_q * k * n_blocks rows)
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, s) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(round(s, 4))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
+class LshCoder:
+    """Sign-bit codes from fixed random hyperplanes (seeded)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_bits, dim))
+        self.n_bits = n_bits
+
+    def codes(self, X: np.ndarray) -> np.ndarray:
+        bits = (X @ self.planes.T) > 0
+        weights = (1 << np.arange(self.n_bits)).astype(np.int64)
+        return bits.astype(np.int64) @ weights
+
+
+def knn_lsh(ds, query_ids: List[int], k: int = 5, n_bits: int = 10,
+            probe_hamming: int = 1, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k: score only vectors whose LSH code is
+    within ``probe_hamming`` of some query's code (multi-probe)."""
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+    qrows = ds.map_batches(lambda b: b[b[id_col].isin(qset)],
+                           batch_format="pandas").take_all()
+    if not qrows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    qrows.sort(key=lambda r: int(r[id_col]))
+    Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
+    q_ids = np.array([int(r[id_col]) for r in qrows])
+    dim = Q.shape[1]
+    coder = LshCoder(dim, n_bits)
+    qcodes = coder.codes(Q)
+    # expand probe set: all codes within hamming distance
+    probes = set(int(c) for c in qcodes)
+    for _ in range(probe_hamming):
+        for c in list(probes):
+            for b in range(n_bits):
+                probes.add(c ^ (1 << b))
+    ref = ray.put((q_ids, Q, probes, coder.planes))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, Qm, probe_set, planes = ray.get(ref)
+        X = _norm_rows(_matrix(batch[vec_col]))
+        bits = (X @ planes.T) > 0
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        codes = bits.astype(np.int64) @ weights
+        mask = np.array([int(c) in probe_set for c in codes])
+        if not mask.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        Xc = X[mask]
+        vids = batch[id_col].to_numpy()[mask]
+        scores = Qm @ Xc.T
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, scores.shape[1])
+        for qi, qid in enumerate(ids):
+            row = scores[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            for j in idx:
+                if int(vids[j]) == int(qid):
+                    continue
+                out_q.append(int(qid)); out_v.append(int(vids[j]))
+                out_s.append(float(row[j]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    partials = ds.map_batches(partial, batch_format="pandas").take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(set(int(q) for q in query_ids)):
+        cand = sorted(best.get(qid, []), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, s) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(round(s, 4))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95, n_bits: int = 8,
+                            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cosine near-duplicate pairs via LSH-bucket blocking: vectors in
+    the same sign-bit bucket are compared pairwise (bucket sizes stay
+    small for spread data; documented approximation: cross-bucket pairs
+    are missed)."""
+    dim = len(ds.take(1)[0][vec_col])
+    coder = LshCoder(dim, n_bits)
+
+    def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        X = _norm_rows(_matrix(batch[vec_col]))
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "bucket": coder.codes(X),
+        })
+        out[vec_col] = [list(map(float, x)) for x in X]
+        return out
+
+    coded = ds.map_batches(code_batch, batch_format="pandas")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "score": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        X = np.asarray([np.asarray(v) for v in g[vec_col]])
+        S = X @ X.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = S[ii, jj] >= threshold
+        return pd.DataFrame({
+            "vec_a": ids[ii[hit]], "vec_b": ids[jj[hit]],
+            "score": np.round(S[ii, jj][hit], 4),
+        })
+
+    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
