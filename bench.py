@@ -1,0 +1,138 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Plain mode prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": ...}
+
+--scaling runs the headline extraction twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs
+plus scaling efficiency (the sandbox stand-in for the N-vs-4N-node
+cluster criterion; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_docs() -> int:
+    """Synthetic corpus size scaled to the sf dir (~20k docs at sf0.1)."""
+    if os.environ.get("GRAFT_BENCH_DOCS"):
+        return int(os.environ["GRAFT_BENCH_DOCS"])
+    import pyarrow.parquet as pq
+    lineitem_rows = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
+    return max(2000, lineitem_rows // 30)
+
+
+def run_benchmarks() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from doc_ocr_ray import synth
+    from doc_ocr_ray.pipelines import relational
+    from doc_ocr_ray.pipelines.extract import extract_questions
+    from doc_ocr_ray.stages import dedup, similarity, text_analysis
+    import ray.data
+
+    n_docs = _bench_docs()
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # warm the page cache (untimed) so reads measure compute, not cold disk
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    # --- headline: extraction docs/sec on the interleaved corpus
+    def bench_extract():
+        ds = synth.generate_dataset(n_docs, seed=42, mega_doc_every=997)
+        return extract_questions(ds).count()
+    n_questions = timed("extract", bench_extract)
+
+    # --- corpus curation over the documents table
+    docs = lambda cols: ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=cols)
+    timed("token_count", lambda: docs(["doc_id", "text"]).map_batches(
+        text_analysis.token_count_batch, batch_format="pandas").count())
+    timed("quality_score", lambda: docs(["doc_id", "text"]).map_batches(
+        text_analysis.quality_score_batch, batch_format="pandas").count())
+    timed("dedup_exact", lambda: dedup.exact_dedup(
+        docs(["doc_id", "text"])).count())
+    timed("dedup_minhash", lambda: dedup.minhash_dedup_pairs(
+        docs(["doc_id", "text"]), threshold=0.8).count())
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("similarity_topk", lambda: similarity.knn_brute(
+        emb, query_ids=list(range(20)), k=5).num_rows)
+
+    timed("lineitem_pricing", lambda: relational.lineitem_pricing(
+        ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])).count())
+    timed("events_by_type", lambda: relational.events_by_type(
+        ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                              columns=["event_type", "value"])).count())
+
+    out = {
+        "metric": "extraction seconds on deterministic interleaved corpus "
+                  "(plus per-operator seconds)",
+        "value": timings["extract"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "questions": n_questions,
+        "docs_per_sec": round(n_docs / timings["extract"], 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same headline job, fresh processes at 8 and 32 CPUs."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, extraction at num_cpus=8 vs 32",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": lo["docs"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -1,0 +1,70 @@
+"""Sources & sinks (S1/S4 of SURVEY.md section 2.1).
+
+Lance is the contract's table format but pylance is not installed in
+this environment, so the storage layer is format-agnostic: Lance when
+importable, Parquet (identical schema, fragment-per-file layout)
+otherwise.  Outputs are partitioned one directory per shard and written
+atomically (tmp + rename) so a restarted job skips committed shards —
+see state/manifest.py.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+
+def _have_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def read_documents(uri: str, columns: Optional[List[str]] = None):
+    """Interleaved-document table -> ray.data.Dataset.
+
+    Engine twin of the reference's layout-JSON reader
+    (extractor.py:63-74): the fixture converter (fixtures.py) turns
+    those JSONs into rows of this table.
+    """
+    import ray.data
+    if uri.endswith(".lance") or (os.path.isdir(uri) and _have_lance()
+                                  and os.path.exists(os.path.join(uri, "_versions"))):
+        return ray.data.read_lance(uri, columns=columns)
+    return ray.data.read_parquet(uri, columns=columns)
+
+
+def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
+    """Atomic partitioned write: stream into ``<out_dir>/.tmp-<id>``,
+    rename to ``<out_dir>/part-<id>`` on success.  The rename is the
+    commit point; a crashed write leaves only a tmp dir that a rerun
+    overwrites."""
+    name = f"part-{partition_id:05d}" if partition_id is not None else "part-00000"
+    tmp = os.path.join(out_dir, f".tmp-{name}")
+    final = os.path.join(out_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(final):
+        import shutil
+        shutil.rmtree(final)
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    if _have_lance():
+        ds.write_lance(tmp)
+    else:
+        ds.write_parquet(tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def read_questions(out_dir: str):
+    """Read back a partitioned questions output directory."""
+    import ray.data
+    parts = sorted(os.path.join(out_dir, d) for d in os.listdir(out_dir)
+                   if d.startswith("part-"))
+    if not parts:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return ray.data.read_parquet(parts) if not _have_lance() \
+        else ray.data.read_lance(parts[0]) if len(parts) == 1 \
+        else ray.data.read_parquet(parts)

@@ -29,6 +29,8 @@ import pyarrow as pa
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
 _MAXH = (1 << 32) - 1
+_SHINGLE_MOD = (1 << 31) - 1        # Mersenne prime 2^31-1
+_SHINGLE_BASE = 257
 
 
 def _normalize(series: pd.Series) -> pd.Series:
@@ -56,18 +58,23 @@ def exact_dedup(ds, text_col: str = "text"):
     hash-partition + per-group first (groupby on the 64-bit key, never
     on the text itself); within a key group, ties break by doc_id.
     """
-    keyed = ds.map_batches(add_text_key_batch, batch_format="pandas",
-                           fn_kwargs={"text_col": text_col})
+    def key_and_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = add_text_key_batch(batch, text_col)
+        # coarse shuffle key: same text -> same partition; a partition
+        # holds many texts so per-group call overhead amortizes
+        out["part"] = (out["text_key"] % 256).astype("int64")
+        return out
+
+    keyed = ds.map_batches(key_and_part, batch_format="pandas")
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id")
-        # guard against (astronomically unlikely) hash collisions: the
-        # representative is min doc_id per *text*, as the SQL oracle
-        # defines it
+        # representative is min doc_id per *text* (not per hash), as the
+        # SQL oracle defines it — robust to hash collisions
         return (g.groupby(_normalize(g[text_col]), sort=False)
-                 .head(1).drop(columns=["text_key"]))
+                 .head(1).drop(columns=["text_key", "part"]))
 
-    return keyed.groupby("text_key").map_groups(keep_first, batch_format="pandas")
+    return keyed.groupby("part").map_groups(keep_first, batch_format="pandas")
 
 
 def token_multiset_dedup(ds, text_col: str = "text"):
@@ -80,13 +87,17 @@ def token_multiset_dedup(ds, text_col: str = "text"):
                 for t in norm]
         out = batch.copy()
         out["ms_key"] = keys
-        return out.sort_values("doc_id").drop_duplicates("ms_key", keep="first")
+        out = out.sort_values("doc_id").drop_duplicates("ms_key", keep="first")
+        out["part"] = (out["ms_key"] % 256).astype("int64")
+        return out
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("doc_id").head(1).drop(columns=["ms_key"])
+        return (group.sort_values("doc_id")
+                     .drop_duplicates("ms_key", keep="first")
+                     .drop(columns=["ms_key", "part"]))
 
     return (ds.map_batches(key_batch, batch_format="pandas")
-              .groupby("ms_key").map_groups(keep_first, batch_format="pandas"))
+              .groupby("part").map_groups(keep_first, batch_format="pandas"))
 
 
 # ------------------------------------------------------------- minhash
@@ -98,23 +109,43 @@ def char_shingles(text: str, k: int = 5) -> Iterable[str]:
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    # multiply-shift hashing (Dietzfelbinger et al.): odd random 64-bit
+    # multipliers; the uint64 product wraps mod 2^64, which IS the
+    # scrambling — a modulus the product never reaches would leave the
+    # hash monotone in the input and every "permutation" would pick the
+    # same min shingle
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    a = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+         * np.uint64(2) + np.uint64(1))
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
     return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized k-gram rolling hashes: sliding window over codepoints,
+    polynomial hash mod 2^31-1 (one matmul, no per-shingle Python)."""
+    t = _WS.sub(" ", (text or "").strip().lower())
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    c = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+    if len(c) < k:
+        c = np.pad(c, (0, k - len(c)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(c, k)
+    powers = np.array([pow(_SHINGLE_BASE, k - 1 - j, _SHINGLE_MOD)
+                       for j in range(k)], dtype=np.int64)
+    # codepoint < 2^21, power < 2^31: products < 2^52, k-sum < 2^55 — exact
+    return (((win * powers).sum(axis=1)) % _SHINGLE_MOD).astype(np.uint64)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 5) -> np.ndarray:
-    hs = np.array([_md5_64(s) & _MAXH for s in char_shingles(text, k)],
-                  dtype=np.uint64)
+    hs = np.unique(shingle_hashes(text, k))
     if hs.size == 0:
         return np.full(len(a), _MAXH, dtype=np.uint64)
-    # universal hashing min over shingles, per permutation
-    hs_o = hs.astype(object)
-    sig = np.array([int(((ai * hs_o + bi) % _MERSENNE).min()) & _MAXH
-                    for ai, bi in zip(a, b)], dtype=np.uint64)
-    return sig
+    # multiply-shift min-hash per permutation (broadcast, wraps mod 2^64)
+    with np.errstate(over="ignore"):
+        prods = a[:, None] * hs[None, :] + b[:, None]
+    return (prods >> np.uint64(32)).min(axis=1)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -171,27 +202,47 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
     bands = sigs.map_batches(_explode_bands, batch_format="pandas",
                              fn_kwargs={"num_bands": num_bands})
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = group.sort_values("doc_id")
-        docs = g["doc_id"].tolist()
-        sgs = [np.asarray(s, dtype=np.uint64) for s in g["signature"]]
+    # Coarse shuffle key: the Ray-level groupby moves each bucket to one
+    # worker but keys on bucket_hash % P so a group is MANY buckets —
+    # per-group Python call overhead amortizes, the fine-grained
+    # bucketing happens vectorized inside the group fn.
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["band_hash"] % 256).astype("int64")
+        return batch
+    parts = bands.map_batches(add_part, batch_format="pandas")
+
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                est = estimate_jaccard(sgs[i], sgs[j])
-                if est >= threshold:
-                    out_a.append(docs[i]); out_b.append(docs[j]); out_j.append(round(est, 4))
+        seen = set()
+        for _, bucket in group.groupby(["band", "band_hash"], sort=False):
+            if len(bucket) < 2:
+                continue
+            g = bucket.sort_values("doc_id")
+            docs = g["doc_id"].tolist()
+            sgs = np.stack([np.asarray(s, dtype=np.uint64)
+                            for s in g["signature"]])
+            for i in range(len(docs)):
+                eq = (sgs[i + 1:] == sgs[i]).mean(axis=1)
+                for dj, est in zip(docs[i + 1:], eq):
+                    if est >= threshold and (docs[i], dj) not in seen:
+                        seen.add((docs[i], dj))
+                        out_a.append(docs[i]); out_b.append(dj)
+                        out_j.append(round(float(est), 4))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = parts.groupby("part").map_groups(part_pairs, batch_format="pandas")
 
-    # a pair can surface from several bands — keep one row
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    # a pair can still surface from buckets in different partitions —
+    # final dedupe, again on a coarse key
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ppart"] = ((batch["doc_a"] * 31 + batch["doc_b"]) % 64).astype("int64")
+        return batch
+
+    def drop_dup(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop_duplicates(["doc_a", "doc_b"])
+                     .drop(columns=["ppart"]))
+    return (pairs.map_batches(pair_part, batch_format="pandas")
+                 .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
 def drop_near_duplicates(ds, pairs_ds):
@@ -209,17 +260,35 @@ def drop_near_duplicates(ds, pairs_ds):
 
 
 # ------------------------------------------------------------- simhash
+_token_hash_cache: dict = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        h = _md5_64(tok)
+        if len(_token_hash_cache) < 1_000_000:
+            _token_hash_cache[tok] = h
+    return h
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (Charikar'02)."""
+    """64-bit SimHash over whitespace tokens (Charikar'02).
+
+    Token hashes are md5-based but cached per worker (corpus
+    vocabularies are Zipfian, so the cache hit rate is high); the
+    bit-vote accumulation is one vectorized reduction.
+    """
     t = _WS.sub(" ", (text or "").strip().lower())
     if not t:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in t.split(" "):
-        h = _md5_64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+    hs = np.array([_token_hash(tok) for tok in t.split(" ")], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.nonzero(acc > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -241,31 +310,48 @@ def simhash_dedup_pairs(ds, max_hamming: int = 3):
 
     hashed = ds.map_batches(simhash_batch, batch_format="pandas")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values("doc_id")
-        docs = g["doc_id"].tolist()
-        hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        a_, b_, d_ = [], [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    a_.append(docs[i]); b_.append(docs[j]); d_.append(d)
-        return pd.DataFrame({"doc_a": a_, "doc_b": b_, "hamming": d_})
+    def bucket_pairs_factory(band_col):
+        def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            a_, b_, d_ = [], [], []
+            for _, bucket in group.groupby(band_col, sort=False):
+                if len(bucket) < 2:
+                    continue
+                g = bucket.sort_values("doc_id")
+                docs = g["doc_id"].tolist()
+                hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+                for i in range(len(docs)):
+                    x = hs[i + 1:] ^ hs[i]
+                    # vectorized popcount via bit tricks
+                    d = np.array([bin(int(v)).count("1") for v in x])
+                    hit = d <= max_hamming
+                    for dj, dd in zip(np.array(docs[i + 1:])[hit], d[hit]):
+                        a_.append(docs[i]); b_.append(int(dj)); d_.append(int(dd))
+            return pd.DataFrame({"doc_a": a_, "doc_b": b_, "hamming": d_})
+        return part_pairs
 
     per_band = []
     for band in range(4):
         cols = hashed.select_columns(["doc_id", "simhash", f"band{band}"])
+
+        def add_part(batch: pd.DataFrame, band=band) -> pd.DataFrame:
+            batch["part"] = (batch[f"band{band}"] % 64).astype("int64")
+            return batch
         per_band.append(
-            cols.groupby(f"band{band}").map_groups(bucket_pairs,
-                                                   batch_format="pandas"))
+            cols.map_batches(add_part, batch_format="pandas")
+                .groupby("part").map_groups(bucket_pairs_factory(f"band{band}"),
+                                            batch_format="pandas")
+                .select_columns(["doc_a", "doc_b", "hamming"]))
     pairs = per_band[0].union(*per_band[1:])
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ppart"] = ((batch["doc_a"] * 31 + batch["doc_b"]) % 64).astype("int64")
+        return batch
+
+    def drop_dup(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop_duplicates(["doc_a", "doc_b"])
+                     .drop(columns=["ppart"]))
+    return (pairs.map_batches(pair_part, batch_format="pandas")
+                 .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
 # ----------------------------------------------- exact n-gram jaccard

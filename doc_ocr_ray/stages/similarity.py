@@ -23,6 +23,25 @@ def _matrix(batch_col) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in batch_col])
 
 
+def _matrix_from_arrow(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-copy-ish list<float> -> (n, dim) float64: flatten the Arrow
+    list buffer once instead of converting per row."""
+    col = tbl[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, -1)
+    # Ray tensor extension array (from_pandas list columns) or fallback
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack([np.asarray(v, dtype=np.float64) for v in arr])
+    return np.asarray(arr, dtype=np.float64).reshape(n, -1)
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -53,9 +72,9 @@ def knn_brute(ds, query_ids: List[int], k: int = 5,
     Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
     ref = ray.put((q_ids, Q))
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
         ids, Qm = ray.get(ref)
-        X = _norm_rows(_matrix(batch[vec_col]))
+        X = _norm_rows(_matrix_from_arrow(batch, vec_col))
         vids = batch[id_col].to_numpy()
         scores = Qm @ X.T                           # (n_q, n_batch)
         out_q, out_v, out_s = [], [], []
@@ -70,7 +89,8 @@ def knn_brute(ds, query_ids: List[int], k: int = 5,
                 out_s.append(float(row[j]))
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
 
-    partials = ds.map_batches(partial_topk, batch_format="pandas").take_all()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096).take_all()
     # final merge: tiny (n_q * k * n_blocks rows)
     best: dict = {}
     for r in partials:
@@ -132,9 +152,9 @@ def knn_lsh(ds, query_ids: List[int], k: int = 5, n_bits: int = 10,
                 probes.add(c ^ (1 << b))
     ref = ray.put((q_ids, Q, probes, coder.planes))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         ids, Qm, probe_set, planes = ray.get(ref)
-        X = _norm_rows(_matrix(batch[vec_col]))
+        X = _norm_rows(_matrix_from_arrow(batch, vec_col))
         bits = (X @ planes.T) > 0
         weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
         codes = bits.astype(np.int64) @ weights
@@ -156,7 +176,8 @@ def knn_lsh(ds, query_ids: List[int], k: int = 5, n_bits: int = 10,
                 out_s.append(float(row[j]))
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
 
-    partials = ds.map_batches(partial, batch_format="pandas").take_all()
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).take_all()
     best: dict = {}
     for r in partials:
         best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))

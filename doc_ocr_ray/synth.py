@@ -151,16 +151,18 @@ def generate_table(num_docs: int, seed: int = 42,
 
 
 def generate_dataset(num_docs: int, seed: int = 42, mega_doc_every: int = 0,
-                     override_num_blocks: int = None):
+                     override_num_blocks: int = None, start: int = 0):
     """Distributed generation: ray.data.range -> map_batches builder.
 
     Each task builds only its id-range, seeded per doc — identical
     output at any parallelism (needed for the N-vs-4N bench runs).
+    ``start`` offsets the id range so a sharded job generates disjoint
+    slices of the same corpus.
     """
     import ray.data
 
     def build(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_pylist()
+        ids = [i + start for i in batch["id"].to_pylist()]
         rows = [make_doc(i, seed,
                          mega=(mega_doc_every > 0 and i % mega_doc_every == 0))
                 for i in ids]
