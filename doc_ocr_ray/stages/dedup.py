@@ -161,25 +161,28 @@ class MinHashStage:
         self.a, self.b = _perm_params(num_perm, seed)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # signatures travel as packed uint32 bytes (num_perm*4 B), not
+        # Python int lists — an order of magnitude less shuffle volume
         sigs = [minhash_signature(t, self.a, self.b, self.shingle_k)
+                .astype(np.uint32).tobytes()
                 for t in batch["text"].fillna("")]
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
-            "signature": [s.tolist() for s in sigs],
+            "signature": sigs,
         })
 
 
 def _explode_bands(batch: pd.DataFrame, num_bands: int) -> pd.DataFrame:
     rows_doc, rows_band, rows_hash, rows_sig = [], [], [], []
     for doc, sig in zip(batch["doc_id"], batch["signature"]):
-        sig = list(sig)
-        rpb = len(sig) // num_bands
+        rpb = len(sig) // 4 // num_bands * 4        # bytes per band
         for band in range(num_bands):
-            chunk = tuple(int(x) for x in sig[band * rpb:(band + 1) * rpb])
+            chunk = sig[band * rpb:(band + 1) * rpb]
             rows_doc.append(doc)
             rows_band.append(band)
-            rows_hash.append(_md5_64(repr(chunk)))
-            rows_sig.append([int(x) for x in sig])
+            rows_hash.append(int.from_bytes(
+                hashlib.md5(chunk).digest()[:8], "big") >> 1)
+            rows_sig.append(sig)
     return pd.DataFrame({"doc_id": rows_doc, "band": rows_band,
                          "band_hash": rows_hash, "signature": rows_sig})
 
@@ -219,7 +222,7 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                 continue
             g = bucket.sort_values("doc_id")
             docs = g["doc_id"].tolist()
-            sgs = np.stack([np.asarray(s, dtype=np.uint64)
+            sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
                             for s in g["signature"]])
             for i in range(len(docs)):
                 eq = (sgs[i + 1:] == sgs[i]).mean(axis=1)

@@ -45,7 +45,9 @@ def main() -> int:
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = args.num_cpus
 
     from doc_ocr_ray import synth
     from doc_ocr_ray.pipelines.extract import extract_questions

@@ -1,0 +1,62 @@
+"""Checkpoint/resume: manifest, atomic writes, shard skipping."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_manifest_roundtrip(tmp_path):
+    from doc_ocr_ray.state.manifest import JobManifest
+    path = str(tmp_path / "m.json")
+    m = JobManifest(path)
+    assert not m.is_done(0)
+    m.mark_done(0, rows_in=10, rows_out=50, output="/x", wall_sec=1.2)
+    m2 = JobManifest(path)
+    assert m2.is_done(0) and not m2.is_done(1)
+    assert m2.summary()["rows_out"] == 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_table_atomic_and_readback(tmp_path):
+    import ray.data
+    from doc_ocr_ray import synth
+    from doc_ocr_ray.sources.io import write_table, read_questions
+    ds = ray.data.from_arrow(synth.generate_table(10, seed=42))
+    out = str(tmp_path / "out")
+    final = write_table(ds, out, partition_id=3)
+    assert final.endswith("part-00003")
+    assert not any(d.startswith(".tmp") for d in os.listdir(out))
+    back = read_questions(out)
+    assert back.count() == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_resume_recomputes_only_missing(tmp_path):
+    """Drop one shard from the manifest -> rerun recomputes only it."""
+    out = str(tmp_path / "job")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_extract.py"),
+           "--input", "synth:200", "--output", out, "--shards", "2",
+           "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    manifest_path = os.path.join(out, "manifest.json")
+    with open(manifest_path) as f:
+        records = json.load(f)
+    assert records["0"]["state"] == "done" and records["1"]["state"] == "done"
+    rows_out_0 = records["0"]["rows_out"]
+    # simulate a crash after shard 1 only
+    del records["0"]
+    with open(manifest_path, "w") as f:
+        json.dump(records, f)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "[shard 1] already committed, skipping" in r2.stdout
+    assert "[shard 0] docs_in=" in r2.stdout
+    with open(manifest_path) as f:
+        records2 = json.load(f)
+    assert records2["0"]["rows_out"] == rows_out_0    # deterministic recompute
