@@ -190,6 +190,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return out.map_batches(flat, batch_format="pyarrow")
 
+    # ---- rendering / metadata over the span corpus (rows-only)
+    def q_render_markdown(sf_dir):
+        from doc_ocr_ray.pipelines.render import render_markdown
+        return render_markdown(synth.generate_dataset(300, seed=42))
+
+    def q_exam_info(sf_dir):
+        from doc_ocr_ray.pipelines.render import extract_exam_info
+        return extract_exam_info(synth.generate_dataset(300, seed=42))
+
+    # ---- stream-shaped operators over events (SQL-checkable)
+    def q_events_tumbling(sf_dir):
+        from doc_ocr_ray.pipelines.events import tumbling_window
+        return tumbling_window(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+    def q_sessionize(sf_dir):
+        from doc_ocr_ray.pipelines.events import sessionize
+        return sessionize(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+            gap_minutes=30)
+
+    def q_top3_orders_per_cust(sf_dir):
+        from doc_ocr_ray.pipelines.events import top_k_per_group
+        return top_k_per_group(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+            key="o_custkey", order_col="o_totalprice",
+            tiebreak_col="o_orderkey", k=3)
+
+    def q_customers_without_events(sf_dir):
+        from doc_ocr_ray.pipelines.events import anti_join_broadcast
+        return anti_join_broadcast(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
+            _read(sf_dir, "events", ["user_id"]), "user_id")
+
     # ---- relational operators (SQL-checkable)
     def q_events_by_type(sf_dir):
         return relational.events_by_type(
@@ -236,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh": q_similarity_lsh,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
+        "render_markdown": q_render_markdown,
+        "exam_info": q_exam_info,
+        "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
+        "top3_orders_per_cust": q_top3_orders_per_cust,
+        "customers_without_events": q_customers_without_events,
         "events_by_type": q_events_by_type,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
@@ -328,6 +368,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "events_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            brk AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged),
+            sess AS (
+              SELECT user_id, event_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM brk)
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "top3_orders_per_cust": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rank
+              FROM orders)
+            SELECT o_custkey, o_orderkey, o_totalprice, rank
+            FROM r WHERE rank <= 3
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,110 @@
+"""Stream-shaped operators over the ordered events log.
+
+Ray Data has no event-time windowing; these implement the standard
+batch formulations (ray_guide: treat the log as partitioned by key and
+sorted by ts within each group):
+
+- ``tumbling_window``: fixed windows via truncated-timestamp keys —
+  a partial aggregate per batch, then one small groupby.
+- ``sessionize``: gap-based sessions per user — coarse hash partition
+  on user, per-user sort + gap-split inside the group fn.  Ordering
+  assumption: all events of one user reach one group (guaranteed by
+  the groupby); within-user order is (ts, event_id).
+- ``top_k_per_group``: per-key top-k without a global sort.
+- ``anti_join_broadcast``: NOT EXISTS via a broadcast key set.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+
+def tumbling_window(ds, freq: str = "h"):
+    """(event_type, window, n, sum_value): hourly tumbling counts."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(window=batch["ts"].dt.floor(freq))
+        g = (batch.groupby(["event_type", "window"], sort=False)["value"]
+                  .agg(["count", "sum"]).reset_index())
+        g.columns = ["event_type", "window", "n", "sum_value"]
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "window": [group["window"].iloc[0]],
+            "n": [int(group["n"].sum())],
+            "sum_value": [round(float(group["sum_value"].sum()), 2)],
+        })
+    return partials.groupby(["event_type", "window"]).map_groups(
+        final, batch_format="pandas")
+
+
+def sessionize(ds, gap_minutes: int = 30):
+    """Gap-based sessions: (user_id, session_id, n_events, start_ts,
+    end_ts); session_id is the 1-based ordinal within the user."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        return batch
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+            sid = brk.cumsum()
+            agg = g.groupby(sid).agg(n_events=("event_id", "count"),
+                                     start_ts=("ts", "min"),
+                                     end_ts=("ts", "max")).reset_index(drop=True)
+            agg.insert(0, "user_id", uid)
+            agg.insert(1, "session_id", range(1, len(agg) + 1))
+            out.append(agg)
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"user_id": [], "session_id": [],
+                                   "n_events": [], "start_ts": [],
+                                   "end_ts": []}))
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("part").map_groups(per_part, batch_format="pandas")
+              .select_columns(["user_id", "session_id", "n_events",
+                               "start_ts", "end_ts"]))
+
+
+def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,
+                    k: int = 3):
+    """Per-key top-k by order_col desc (ties by tiebreak asc), rank
+    column included.  Coarse hash partition on the key -> per-key
+    head(k) inside the group fn; no global sort."""
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch[key] % 128).astype("int64")
+        return batch
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, order_col, tiebreak_col],
+                              ascending=[True, False, True])
+        top = g.groupby(key, sort=False).head(k).copy()
+        top["rank"] = top.groupby(key, sort=False).cumcount() + 1
+        return top.drop(columns=["part"])
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
+    """Rows of ds whose key has NO match in other_ds: the other side's
+    distinct keys ride the object store once (semi/anti joins never
+    need a shuffle when one side's key set fits in memory; use a Bloom
+    filter at 10^12 scale)."""
+    import ray
+    keys = set()
+    for batch in other_ds.select_columns([other_key]).iter_batches(
+            batch_size=65536, batch_format="pandas"):
+        keys.update(batch[other_key].tolist())
+    ref = ray.put(keys)
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        return batch[~batch[key].isin(ks)]
+    return ds.map_batches(flt, batch_format="pandas")

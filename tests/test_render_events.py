@@ -1,0 +1,110 @@
+"""Tests for rendering, exam-info, geometry, and event operators."""
+import pandas as pd
+import pytest
+
+from doc_ocr_ray.functions import geometry
+
+
+def _span(kind, text, offset, media_ref=""):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def test_render_markdown_skips_boilerplate_and_links_media():
+    from doc_ocr_ray.pipelines.render import render_doc_markdown
+    spans = [
+        _span("header", "第1页", 0),
+        _span("doc_title", "六年级数学测试卷", 1),
+        _span("paragraph_title", "一、填空题", 2),
+        _span("text", "1.第一题内容。", 3),
+        _span("image", "", 4, "img:7"),
+        _span("footer", "共4页", 5),
+    ]
+    md = render_doc_markdown(spans)
+    assert md.splitlines()[0] == "# 六年级数学测试卷"
+    assert "## 一、填空题" in md
+    assert "![](img:7)" in md
+    assert "第1页" not in md and "共4页" not in md
+
+
+def test_exam_info_extraction():
+    from doc_ocr_ray.functions.textfns import extract_exam_info
+    spans = [
+        _span("doc_title", "六年级上册数学测试卷", 0),
+        _span("text", "时间：60分钟 满分：100分", 1),
+    ]
+    info = extract_exam_info(spans)
+    assert info == {"title": "六年级上册数学测试卷", "subject": "数学",
+                    "grade": "六年级", "time_limit": "60分钟",
+                    "total_score": "100"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exam_info_pipeline_on_fixture():
+    import ray.data
+    from doc_ocr_ray import fixtures
+    from doc_ocr_ray.pipelines.render import extract_exam_info
+    ds = ray.data.from_arrow(fixtures.load_fixture_documents())
+    rows = {r["doc_id"]: r for r in extract_exam_info(ds).take_all()}
+    m = rows["mifeng_doubao_1"]
+    assert m["subject"] == "数学" and m["grade"] == "六年级"
+    assert "测试卷" in m["title"]
+
+
+def test_geometry_kernels():
+    assert geometry.poly_to_bbox([[1, 2], [5, 2], [5, 8], [1, 8]],
+                                 [10, 20, 99, 99]) == [11, 22, 15, 28]
+    assert geometry.rescale_bbox_0_1000([500, 500, 1000, 1000], 200, 100) \
+        == [100, 50, 200, 100]
+    assert geometry.looks_normalized([100, 200, 300, 250], 2000, 1500)
+    assert not geometry.looks_normalized([900, 1200, 1800, 1400], 2000, 1500)
+    assert geometry.bbox_envelope([[0, 0, 5, 5], [3, 2, 9, 4]]) == [0, 0, 9, 5]
+    assert geometry.bbox_envelope([]) == [0, 0, 0, 0]
+    assert geometry.iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert geometry.iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    est = geometry.estimate_positions_linear([0, 50], 100, [0, 100, 50, 300])
+    assert est[0]["bbox"][1] == 100 and est[1]["bbox"][1] == 200
+    assert est[0]["confidence"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_gap_semantics():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import sessionize
+    ts = pd.to_datetime([
+        "2026-01-01 10:00", "2026-01-01 10:10",     # session 1
+        "2026-01-01 11:00",                          # gap 50min -> session 2
+        "2026-01-01 11:29",                          # 29min -> still session 2
+    ])
+    df = pd.DataFrame({"user_id": [7] * 4, "event_id": [1, 2, 3, 4], "ts": ts})
+    out = sessionize(ray.data.from_pandas(df), gap_minutes=30).take_all()
+    out.sort(key=lambda r: r["session_id"])
+    assert [r["n_events"] for r in out] == [2, 2]
+    assert out[0]["session_id"] == 1 and out[1]["session_id"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_k_per_group():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import top_k_per_group
+    df = pd.DataFrame({
+        "o_custkey": [1, 1, 1, 1, 2],
+        "o_orderkey": [10, 11, 12, 13, 20],
+        "o_totalprice": [5.0, 9.0, 9.0, 1.0, 3.0],
+    })
+    out = top_k_per_group(ray.data.from_pandas(df), key="o_custkey",
+                          order_col="o_totalprice",
+                          tiebreak_col="o_orderkey", k=2).take_all()
+    c1 = sorted([r for r in out if r["o_custkey"] == 1],
+                key=lambda r: r["rank"])
+    assert [r["o_orderkey"] for r in c1] == [11, 12]   # tie broken by key
+    assert len([r for r in out if r["o_custkey"] == 2]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_broadcast():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import anti_join_broadcast
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")}))
+    right = ray.data.from_pandas(pd.DataFrame({"fk": [2, 4, 4]}))
+    out = anti_join_broadcast(left, "k", right, "fk").take_all()
+    assert sorted(r["k"] for r in out) == [1, 3]
