@@ -38,17 +38,8 @@ def run_benchmarks() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    # shuffle partition count ~ CPU count: the 200-partition default
-    # makes every groupby pay ~200 near-empty reduce tasks at this
-    # scale (raise proportionally on a real multi-node cluster)
-    ctx.min_parallelism = NUM_CPUS
-    try:
-        ctx.read_op_min_num_blocks = NUM_CPUS
-    except AttributeError:
-        pass
+    from doc_ocr_ray.runtime import configure_data_context
+    configure_data_context(NUM_CPUS)
 
     from doc_ocr_ray import synth
     from doc_ocr_ray.pipelines import relational

@@ -54,12 +54,14 @@ class RelatednessClassifier:
         self._cache: Dict[str, Dict[str, Any]] = {}
         self.calls = 0          # lineage metric: uncached judgments
 
+    _MAX_CACHE = 1_000_000      # bound per-actor memory on huge corpora
+
     def judge(self, question_text: str, media_ref: str) -> Dict[str, Any]:
         key = f"{_md5(question_text)}_{_md5(media_ref)}"
         if self.config.enable_cache and key in self._cache:
             return self._cache[key]
         verdict = self._judge_uncached(question_text, media_ref)
-        if self.config.enable_cache:
+        if self.config.enable_cache and len(self._cache) < self._MAX_CACHE:
             self._cache[key] = verdict
         return verdict
 

@@ -44,10 +44,8 @@ def main() -> int:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.min_parallelism = args.num_cpus
+    from doc_ocr_ray.runtime import configure_data_context
+    configure_data_context(args.num_cpus)
 
     from doc_ocr_ray import synth
     from doc_ocr_ray.pipelines.extract import extract_questions

@@ -33,8 +33,8 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().min_parallelism = 8
+    from doc_ocr_ray.runtime import configure_data_context
+    configure_data_context(8)
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
