@@ -48,8 +48,10 @@ class QuestionNumberDetector:
         self._compiled = [re.compile(p, re.MULTILINE) for p in config.question_patterns]
 
     # -- M2 + M3 + M4 --------------------------------------------------
-    def detect(self, text: str, strict_line_start: bool = True) -> List[NumberMatch]:
-        """Scan all patterns, sort by position, dedup, validate."""
+    def _scan_and_dedup(self, text: str) -> List[NumberMatch]:
+        """Pattern scan + position sort + window dedup — identical for
+        strict and loose modes (strictness lives in validation), so the
+        arbiter computes this once and validates twice."""
         cfg = self.config
         found: List[NumberMatch] = []
         for pat, rx in zip(cfg.question_patterns, self._compiled):
@@ -69,8 +71,12 @@ class QuestionNumberDetector:
             if qn.position - last_pos > cfg.dedup_window:
                 filtered.append(qn)
                 last_pos = qn.position
+        return filtered
 
-        # sequence validation (question_splitter.py:134-163)
+    def _validate(self, filtered: Sequence[NumberMatch], text: str,
+                  strict_line_start: bool) -> List[NumberMatch]:
+        """Sequence validation (question_splitter.py:134-163)."""
+        cfg = self.config
         validated: List[NumberMatch] = []
         for qn in filtered:
             if strict_line_start and not self._is_at_line_start(qn.position, text):
@@ -81,6 +87,11 @@ class QuestionNumberDetector:
                 continue
             validated.append(qn)
         return validated
+
+    def detect(self, text: str, strict_line_start: bool = True) -> List[NumberMatch]:
+        """Scan all patterns, sort by position, dedup, validate."""
+        return self._validate(self._scan_and_dedup(text), text,
+                              strict_line_start)
 
     def _is_at_line_start(self, position: int, text: str) -> bool:
         """Line-start rule (question_splitter.py:165-180)."""
@@ -101,8 +112,18 @@ class QuestionNumberDetector:
         tie-break; tie-break failure -> strict.  Both outcomes then pass
         the locate validation (the OCR-abort stand-in).
         """
-        strict = self.detect(text, strict_line_start=True)
-        loose = self.detect(text, strict_line_start=False)
+        return self.analyze(text)[0]
+
+    def analyze(self, text: str):
+        """One scan, both outcomes: (split_matches_or_None, strict_matches).
+
+        The strict list is what single-match annotation needs
+        (question_splitter.py:58-63) — returning it here saves a third
+        full pattern scan per unsplit span.
+        """
+        filtered = self._scan_and_dedup(text)
+        strict = self._validate(filtered, text, strict_line_start=True)
+        loose = self._validate(filtered, text, strict_line_start=False)
 
         if len(strict) == len(loose):
             matches = strict
@@ -111,10 +132,10 @@ class QuestionNumberDetector:
             matches = tb if tb is not None else strict
 
         if len(matches) <= 1:
-            return None
+            return None, strict
         if not self.locate_validate(matches):
-            return None
-        return matches
+            return None, strict
+        return matches, strict
 
     def _tiebreak(self, loose: Sequence[NumberMatch]) -> Optional[List[NumberMatch]]:
         """Deterministic stand-in for the VL tie-break (tests/..._v2.py:502-594).

@@ -199,33 +199,42 @@ def assemble_questions(doc_id: str, spans: List[Span],
     text join " " (A1 envelope merge, tests/..._v2.py:1130-1166 — texts
     joined in member order, empties skipped), plus M10 type / M11 score.
     """
+    n_spans = len(spans)
     rows: List[Dict[str, Any]] = []
     for ordinal, g in enumerate(groups, start=1):
-        members = sorted(m for m in g["members"] if 0 <= m < len(spans))
-        member_spans = [spans[m] for m in members]
-        texts = [s["text"] for s in member_spans if s["text"]]
+        members = sorted(m for m in g["members"] if 0 <= m < n_spans)
+        texts: List[str] = []
+        out_spans: List[Dict[str, Any]] = []
+        qnum = -1
+        n_images = 0
+        split_any = False
+        for i, m in enumerate(members):
+            s = spans[m]
+            text = s["text"]
+            if text:
+                texts.append(text)
+            if qnum < 0:
+                sq = s.get("question_number", -1)
+                if sq is not None and sq >= 0:
+                    qnum = sq
+            if s["kind"] == "image":
+                n_images += 1
+            if s.get("split_from_merged", False):
+                split_any = True
+            out_spans.append({"kind": s["kind"], "text": text,
+                              "media_ref": s["media_ref"], "offset": i})
         merged_text = " ".join(texts)
-        qnums = [s.get("question_number", -1) for s in member_spans
-                 if s.get("question_number", -1) is not None
-                 and s.get("question_number", -1) >= 0]
-        out_spans = [
-            {"kind": s["kind"], "text": s["text"],
-             "media_ref": s["media_ref"], "offset": i}
-            for i, s in enumerate(member_spans)
-        ]
+        is_q = g["type"] == "question"
         rows.append({
             "doc_id": doc_id,
             "question_id": ordinal,
             "group_type": g["type"],
-            "question_number": qnums[0] if qnums else -1,
+            "question_number": qnum,
             "spans": out_spans,
             "merged_text": merged_text,
-            "qtype": textfns.identify_question_type(merged_text)
-                     if g["type"] == "question" else "",
-            "score": textfns.extract_score(merged_text)
-                     if g["type"] == "question" else 0,
-            "n_images": sum(1 for s in member_spans if s["kind"] == "image"),
-            "split_from_merged": any(s.get("split_from_merged", False)
-                                     for s in member_spans),
+            "qtype": textfns.identify_question_type(merged_text) if is_q else "",
+            "score": textfns.extract_score(merged_text) if is_q else 0,
+            "n_images": n_images,
+            "split_from_merged": split_any,
         })
     return rows

@@ -60,12 +60,11 @@ def split_doc_spans(spans: List[Dict[str, Any]],
         if span["kind"] != "text" or not span["text"]:
             out.append({**span, "question_number": -1, "split_from_merged": False})
             continue
-        matches = detector.arbitrate(span["text"])
+        matches, strict = detector.analyze(span["text"])
         if not matches:
             # single-match annotation, library behavior
             # (question_splitter.py:58-63): an unsplit span keeps its
             # number so downstream grouping can anchor on it.
-            strict = detector.detect(span["text"], strict_line_start=True)
             qnum = strict[0].number if strict else -1
             out.append({**span, "question_number": qnum, "split_from_merged": False})
             continue
