@@ -166,6 +166,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.knn_lsh(emb, query_ids=list(range(20)), k=5,
                                   n_bits=6, probe_hamming=1)
 
+    def q_similarity_ivf(sf_dir):
+        emb = _read(sf_dir, "embeddings")
+        return similarity.knn_ivf(emb, query_ids=list(range(20)), k=5,
+                                  n_centroids=16, nprobe=4)
+
+    def q_dedup_clusters(sf_dir):
+        docs = _dup_injected_docs(sf_dir)
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+        return dedup.dedup_clusters(pairs)
+
     def q_embedding_neardup(sf_dir):
         emb = _read(sf_dir, "embeddings")
         return similarity.embedding_neardup_pairs(emb, threshold=0.95)
@@ -268,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_verify": q_dedup_ngram_verify,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
         "render_markdown": q_render_markdown,

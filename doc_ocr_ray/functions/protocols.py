@@ -77,6 +77,14 @@ class TokenBucket:
             time.sleep((1.0 - self.tokens) / self.rate)
 
 
+def build_text_context(spans, max_chars: int = 80) -> str:
+    """M14: per-span context lines for a VL prompt —
+    ``ID {offset} [{kind}]: {text[:80]}`` (tests/..._v2.py:956-970)."""
+    return "\n".join(
+        f"ID {s['offset']} [{s['kind']}]: {(s['text'] or '')[:max_chars]}"
+        for s in sorted(spans, key=lambda x: x["offset"]))
+
+
 RELATEDNESS_PROMPT = """请分析以下数学题目是否需要这张图片来辅助解答：
 
 题目内容：

@@ -111,6 +111,25 @@ def split_documents(ds, config: Optional[PipelineConfig] = None,
         **_pool_kwargs(config, concurrency))
 
 
+def sort_questions(questions_ds):
+    """T1: totally-ordered sink — sort output rows by (doc_id,
+    question_number-with-None-last, question_id), the engine version of
+    ``sorted(key=question_id or 999)`` (extractor.py:210-214).  Only
+    needed when a consumer requires a globally ordered file; the
+    per-doc reading order is already encoded in question_id."""
+    import pyarrow as pa
+
+    def sort_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        qn = batch["question_number"]
+        key = pc.if_else(pc.less(qn, 0), pa.scalar(999, pa.int32()), qn)
+        return batch.append_column("qnum_key", key)
+
+    return (questions_ds.map_batches(sort_key, batch_format="pyarrow")
+            .sort(["doc_id", "qnum_key", "question_id"])
+            .drop_columns(["qnum_key"]))
+
+
 def flatten_documents(ds):
     """(doc_id, spans) rows -> one row per span (doc_id, kind, text,
     media_ref, offset).  Zero-copy-ish Arrow list explode per batch."""

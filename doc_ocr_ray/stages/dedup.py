@@ -248,6 +248,87 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                  .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
+def dedup_clusters(pairs_ds, max_iters: int = 10):
+    """Connected components over the duplicate-pair graph -> (doc_id,
+    cluster) with cluster = min doc_id of the component.
+
+    Distributed min-label propagation: each iteration unions the label
+    table with edge messages and takes the per-node min via one
+    groupby; converges in O(graph diameter) iterations.  Keeps
+    transitive duplicate chains together (keep-min pruning alone is not
+    transitive).  The pair graph is the CANDIDATE set — tiny relative
+    to the corpus — so iterating a few small shuffles is cheap.
+    """
+    import ray.data
+
+    pairs = pairs_ds.select_columns(["doc_a", "doc_b"])
+
+    def seed_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([batch["doc_a"], batch["doc_b"]]))
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    def node_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["node"] % 64).astype("int64")
+        return batch
+
+    def min_label(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("node", sort=False)["label"].min()
+                  .reset_index())
+        return g
+
+    labels = (pairs.map_batches(seed_labels, batch_format="pandas")
+                   .map_batches(node_part, batch_format="pandas")
+                   .groupby("part").map_groups(min_label, batch_format="pandas"))
+
+    def _compress(lab_map: dict) -> dict:
+        """Path compression: resolve label chains to their roots so each
+        broadcast round contracts whole paths (O(log diameter) rounds
+        instead of O(diameter))."""
+        out = {}
+        for node in lab_map:
+            root = lab_map[node]
+            seen = [node]
+            while root in lab_map and lab_map[root] != root:
+                seen.append(root)
+                root = lab_map[root]
+            for s in seen:
+                out[s] = root
+        return out
+
+    prev_map = None
+    for _ in range(max_iters):
+        labels_mat = labels.materialize()
+        lab_map = _compress(
+            {r["node"]: r["label"] for r in labels_mat.take_all()})
+        if lab_map == prev_map:
+            break
+        prev_map = lab_map
+        import ray
+        import ray.data as _rd
+        labels_mat = _rd.from_pandas(pd.DataFrame(
+            {"node": list(lab_map), "label": list(lab_map.values())}))
+        ref = ray.put(lab_map)
+
+        def messages(batch: pd.DataFrame) -> pd.DataFrame:
+            lm = ray.get(ref)
+            a, b = batch["doc_a"], batch["doc_b"]
+            la = a.map(lm)
+            lb = b.map(lm)
+            return pd.DataFrame({
+                "node": pd.concat([a, b], ignore_index=True),
+                "label": pd.concat([lb, la], ignore_index=True),
+            })
+
+        msgs = pairs.map_batches(messages, batch_format="pandas")
+        labels = (labels_mat.union(msgs)
+                  .map_batches(node_part, batch_format="pandas")
+                  .groupby("part")
+                  .map_groups(min_label, batch_format="pandas"))
+    return labels.map_batches(
+        lambda b: b.rename(columns={"node": "doc_id", "label": "cluster"}),
+        batch_format="pandas")
+
+
 def drop_near_duplicates(ds, pairs_ds):
     """Keep-min pruning: drop every doc that near-duplicates a
     smaller-id doc.  Victim set is small relative to the corpus ->

@@ -195,6 +195,102 @@ def knn_lsh(ds, query_ids: List[int], k: int = 5, n_bits: int = 10,
     })
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Plain seeded Lloyd's k-means on normalized vectors (driver-side,
+    runs on a SAMPLE — the classic IVF training step)."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def knn_ivf(ds, query_ids: List[int], k: int = 5, n_centroids: int = 16,
+            nprobe: int = 3, train_sample: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF approximate top-k: train a coarse quantizer on a sample
+    (driver-side k-means), then one distributed pass scores only the
+    vectors whose nearest centroid is among each query's top-``nprobe``
+    probed cells.  The scale path when brute force is too expensive:
+    cost drops by ~n_centroids/nprobe; recall is approximate by
+    construction (cross-cell neighbors are missed).
+    """
+    import ray
+
+    # train on a bounded sample (never the full corpus)
+    sample = ds.limit(train_sample).take_all()
+    Xs = _norm_rows(_matrix([r[vec_col] for r in sample]))
+    cents = _kmeans(Xs, n_centroids)
+
+    qset = set(int(q) for q in query_ids)
+    qrows = ds.map_batches(lambda b: b[b[id_col].isin(qset)],
+                           batch_format="pandas").take_all()
+    if not qrows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows])
+    Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
+    # per-query probed cells; the union drives the batch-side filter
+    probe_cells = np.argsort(-(Q @ cents.T), axis=1)[:, :nprobe]
+    probed_union = set(int(c) for c in probe_cells.ravel())
+    ref = ray.put((q_ids, Q, cents, probe_cells, probed_union))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, Qm, C, cells, union = ray.get(ref)
+        X = _norm_rows(_matrix_from_arrow(batch, vec_col))
+        assign = np.argmax(X @ C.T, axis=1)
+        mask = np.isin(assign, list(union))
+        if not mask.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        Xc, Ac = X[mask], assign[mask]
+        vids = batch[id_col].to_numpy()[mask]
+        scores = Qm @ Xc.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            cell_mask = np.isin(Ac, cells[qi])
+            idx = np.nonzero(cell_mask)[0]
+            if len(idx) == 0:
+                continue
+            row = scores[qi, idx]
+            kk = min(k + 1, len(idx))
+            top = idx[np.argpartition(-row, kk - 1)[:kk]] if kk < len(idx) else idx
+            for j in top:
+                if int(vids[j]) == int(qid):
+                    continue
+                out_q.append(int(qid)); out_v.append(int(vids[j]))
+                out_s.append(float(scores[qi, j]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(set(int(q) for q in query_ids)):
+        cand = sorted(best.get(qid, []), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, s) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(round(s, 4))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95, n_bits: int = 8,
                             id_col: str = "vec_id", vec_col: str = "embedding"):
     """Cosine near-duplicate pairs via LSH-bucket blocking: vectors in

@@ -1,0 +1,69 @@
+"""Tests: IVF similarity and connected-components dedup clustering."""
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_ivf_recall_vs_brute():
+    import ray.data
+    from doc_ocr_ray.stages.similarity import knn_brute, knn_ivf
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_pandas(df)
+    qids = list(range(10))
+    brute = {}
+    for r in knn_brute(ds, qids, k=5).to_pylist():
+        brute.setdefault(r["query_id"], []).append(r["vec_id"])
+    ivf = {}
+    for r in knn_ivf(ds, qids, k=5, n_centroids=8, nprobe=3).to_pylist():
+        ivf.setdefault(r["query_id"], []).append(r["vec_id"])
+    # top-1 recall@5: ivf's best hit should be in brute's top-5 usually
+    hits = sum(1 for q in qids if ivf.get(q) and ivf[q][0] in brute[q])
+    assert hits >= 6
+    # deterministic
+    ivf2 = {}
+    for r in knn_ivf(ds, qids, k=5, n_centroids=8, nprobe=3).to_pylist():
+        ivf2.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert ivf == ivf2
+
+
+def test_knn_ivf_full_probe_equals_brute():
+    """nprobe == n_centroids probes every cell -> exact results."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import knn_brute, knn_ivf
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_pandas(df)
+    qids = [0, 1, 2]
+    brute = knn_brute(ds, qids, k=4).to_pylist()
+    ivf = knn_ivf(ds, qids, k=4, n_centroids=4, nprobe=4).to_pylist()
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in brute] == \
+           [(r["query_id"], r["rank"], r["vec_id"]) for r in ivf]
+
+
+def test_dedup_clusters_transitive():
+    """A-B and B-C duplicate pairs must land in ONE cluster labeled by
+    the min id (keep-min pruning alone would miss A-C transitivity)."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_clusters
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [1, 2, 10, 20],
+        "doc_b": [2, 3, 11, 21],
+    }))
+    out = {r["doc_id"]: r["cluster"] for r in dedup_clusters(pairs).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_chain():
+    """A long chain converges (propagation, not single-hop)."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_clusters
+    n = 12
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": list(range(n - 1)),
+        "doc_b": list(range(1, n)),
+    }))
+    out = {r["doc_id"]: r["cluster"] for r in dedup_clusters(pairs).take_all()}
+    assert set(out.values()) == {0} and len(out) == n
