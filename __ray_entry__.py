@@ -95,22 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_split_spans(sf_dir):
         from doc_ocr_ray.pipelines.extract import split_documents
-        ds = split_documents(synth.generate_dataset(300, seed=42))
-        def flat(batch: pa.Table) -> pa.Table:
-            spans = batch["spans"]
-            if isinstance(spans, pa.ChunkedArray):
-                spans = spans.combine_chunks()
-            import pyarrow.compute as pc
-            lens = pc.list_value_length(spans).to_pylist()
-            docs = batch["doc_id"].to_pylist()
-            f = spans.flatten()
-            return pa.table({
-                "doc_id": pa.array([d for d, n in zip(docs, lens)
-                                    for _ in range(n or 0)], pa.string()),
-                "kind": f.field("kind"), "text": f.field("text"),
-                "media_ref": f.field("media_ref"), "offset": f.field("offset"),
-            })
-        return ds.map_batches(flat, batch_format="pyarrow")
+        return flatten_documents(
+            split_documents(synth.generate_dataset(300, seed=42)))
 
     # ---- text analysis (SQL-checkable)
     def q_token_count(sf_dir):

@@ -92,6 +92,14 @@ def run_benchmarks() -> dict:
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     timed("similarity_topk", lambda: similarity.knn_brute(
         emb, query_ids=list(range(20)), k=5).num_rows)
+    timed("similarity_ivf", lambda: similarity.knn_ivf(
+        emb, query_ids=list(range(20)), k=5, n_centroids=16,
+        nprobe=4).num_rows)
+
+    from doc_ocr_ray.pipelines.events import sessionize
+    timed("sessionize", lambda: sessionize(
+        ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                              columns=["user_id", "event_id", "ts"])).count())
 
     timed("lineitem_pricing", lambda: relational.lineitem_pricing(
         ray.data.read_parquet(
