@@ -106,6 +106,13 @@ class PipelineConfig:
     classifier_concurrency: int = 4     # actor pool size for the classifier
     classifier_batch_size: int = 128
 
+    # --- failure policy ---
+    # False (default): a document that raises inside the per-doc chain
+    # becomes a single "error" group row carrying the exception text —
+    # the batch, task, and job keep going (at 10^12 docs a poison doc
+    # must not kill a shard).  True: re-raise (debugging).
+    fail_fast: bool = False
+
     # --- cache (O7) ---
     # verdict cache key formula preserved from the reference:
     # md5(question_text) + "_" + md5(str(identity))

@@ -77,8 +77,22 @@ class ExtractStage:
         span_lists = batch["spans"].to_pylist()
         out: List[Dict[str, Any]] = []
         for doc_id, spans in zip(doc_ids, span_lists):
-            out.extend(extract_one_doc(doc_id, spans or [],
-                                       self.detector, self.aggregator))
+            try:
+                out.extend(extract_one_doc(doc_id, spans or [],
+                                           self.detector, self.aggregator))
+            except Exception as exc:
+                # poison-doc containment: one "error" row, job continues
+                # (engine analog of the reference's keep-original-on-
+                # failure ladders, tests/..._v2.py:1345-1347)
+                if self.config.fail_fast:
+                    raise
+                out.append({
+                    "doc_id": doc_id, "question_id": 1,
+                    "group_type": "error", "question_number": -1,
+                    "spans": [], "merged_text": f"{type(exc).__name__}: {exc}"[:500],
+                    "qtype": "", "score": 0, "n_images": 0,
+                    "split_from_merged": False,
+                })
         return _questions_to_table(out)
 
 

@@ -94,11 +94,27 @@ def main() -> int:
             rows_in = -1
         out = extract_questions(ds)
         final = write_table(out, args.output, partition_id=shard)
+        # per-partition lineage metrics computed from the committed
+        # output (group-type counts, split/image/error totals)
         import pyarrow.dataset as pads
-        rows_out = pads.dataset(final).count_rows()
+        import pyarrow.compute as pc
+        part = pads.dataset(final)
+        cols = part.to_table(columns=["group_type", "split_from_merged",
+                                      "n_images"])
+        rows_out = cols.num_rows
+        gt = cols["group_type"]
+        metrics = {
+            "questions": pc.sum(pc.cast(pc.equal(gt, "question"),
+                                        "int64")).as_py() or 0,
+            "errors": pc.sum(pc.cast(pc.equal(gt, "error"),
+                                     "int64")).as_py() or 0,
+            "splits": pc.sum(pc.cast(cols["split_from_merged"],
+                                     "int64")).as_py() or 0,
+            "images_claimed": pc.sum(cols["n_images"]).as_py() or 0,
+        }
         wall = time.time() - t0
         manifest.mark_done(shard, rows_in=rows_in, rows_out=rows_out,
-                           output=final, wall_sec=wall)
+                           output=final, wall_sec=wall, extra=metrics)
         total_in += max(0, rows_in)
         total_out += rows_out
         print(f"[shard {shard}] docs_in={rows_in} questions_out={rows_out} "

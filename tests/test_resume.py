@@ -60,3 +60,37 @@ def test_partial_resume_recomputes_only_missing(tmp_path):
     with open(manifest_path) as f:
         records2 = json.load(f)
     assert records2["0"]["rows_out"] == rows_out_0    # deterministic recompute
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_poison_doc_contained():
+    """A document whose spans break the chain becomes one 'error' row;
+    the rest of the batch still extracts."""
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.pipelines.extract import extract_questions
+    from doc_ocr_ray.config import PipelineConfig
+    from doc_ocr_ray.schema import SPAN_STRUCT
+
+    good = [{"kind": "text", "text": "1.这是一道完整的题目内容。",
+             "media_ref": "", "offset": 0}]
+    # None offsets make the offset sort compare None<int -> TypeError
+    poison = [{"kind": "text", "text": "x", "media_ref": "", "offset": None},
+              {"kind": "text", "text": "y", "media_ref": "", "offset": 1}]
+    tbl = pa.table({
+        "doc_id": pa.array(["good", "poison"], pa.string()),
+        "spans": pa.array([good, poison], pa.list_(SPAN_STRUCT)),
+    })
+    rows = extract_questions(ray.data.from_arrow(tbl)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert any(r["group_type"] == "question" for r in by_doc["good"])
+    err = by_doc["poison"]
+    assert len(err) == 1 and err[0]["group_type"] == "error"
+    assert "TypeError" in err[0]["merged_text"]
+    # fail_fast surfaces the exception instead
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        extract_questions(ray.data.from_arrow(tbl),
+                          config=PipelineConfig(fail_fast=True)).take_all()
