@@ -154,6 +154,27 @@ class QuestionNumberDetector:
             return list(loose)
         return None
 
+    def anchor_numbers(self, text: str,
+                       numbers: Sequence[int]) -> List[NumberMatch]:
+        """O3 offset re-anchoring: given question numbers returned by an
+        external (VL) detector, find each number's char offset by
+        substituting it into the pattern set and searching
+        (tests/test_exam_paper_analysis_vl_ocr_v2.py:560-588 — the
+        ``(\\d+)`` group replaced by the literal number, first pattern
+        that matches wins).  Numbers not found in the text are dropped,
+        as in the reference."""
+        anchored: List[NumberMatch] = []
+        for num in numbers:
+            for pat in self.config.question_patterns:
+                specific = pat.replace(r"(\d+)", str(int(num)))
+                m = re.search(specific, text)
+                if m:
+                    anchored.append(NumberMatch(int(num), m.start(),
+                                                m.group(0), pat))
+                    break
+        anchored.sort(key=lambda x: x.position)
+        return anchored
+
     def locate_validate(self, matches: Sequence[NumberMatch]) -> bool:
         """Stand-in for OCR line-locate success (tests/..._v2.py:209-247).
 

@@ -84,3 +84,12 @@ def test_patterns_user_extendable():
     matches = det.arbitrate(text)
     assert matches is not None
     assert [m.number for m in matches] == [1, 2]
+
+
+def test_anchor_numbers_reanchoring():
+    # O3: externally-detected numbers re-anchored to char offsets by
+    # literal substitution into the pattern set; unfindable numbers drop
+    text = "3.找一个点D，画出这个等腰梯形。(2分)4.在梯形中画一条线段。"
+    anchored = DET.anchor_numbers(text, [4, 3, 99])
+    assert [(m.number, m.position) for m in anchored] == [
+        (3, 0), (4, text.index("4."))]
