@@ -154,25 +154,48 @@ def flatten_documents(ds):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def restitch_documents(flat_ds):
-    """Inverse of flatten: groupby(doc_id) -> (doc_id, spans) rows with
-    spans sorted by offset.  This is the pipeline's only shuffle; the
-    key is doc_id (unique per doc -> even hash partitioning; mega-doc
-    skew is intra-row and bounded by the largest single document)."""
-    def stitch(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(group, sort_keys=[("offset", "ascending")])
+def restitch_documents(flat_ds, num_partitions: int = 256):
+    """Inverse of flatten: co-locate each doc's spans and rebuild the
+    (doc_id, spans) row, spans sorted by offset.
+
+    This is the pipeline's only shuffle.  The Ray-level key is
+    ``hash(doc_id) % num_partitions`` — a partition holds MANY docs, so
+    per-group call overhead amortizes; the per-doc stitch is a
+    vectorized pandas groupby inside the group fn.  doc_id hashing
+    spreads evenly (unique keys); mega-doc skew is intra-row and
+    bounded by the largest single document."""
+    import hashlib
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [int(hashlib.md5(d.encode()).hexdigest()[:8], 16)
+                 % num_partitions for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    def stitch_part(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")])
         g = group.take(order)
-        spans = [
-            {"kind": k, "text": t, "media_ref": m, "offset": o}
-            for k, t, m, o in zip(
-                g["kind"].to_pylist(), g["text"].to_pylist(),
-                g["media_ref"].to_pylist(), g["offset"].to_pylist())
-        ]
+        doc_ids = g["doc_id"].to_pylist()
+        kinds = g["kind"].to_pylist()
+        texts = g["text"].to_pylist()
+        refs = g["media_ref"].to_pylist()
+        offs = g["offset"].to_pylist()
+        out_docs, out_spans = [], []
+        cur = None
+        for i, d in enumerate(doc_ids):
+            if d != cur:
+                out_docs.append(d)
+                out_spans.append([])
+                cur = d
+            out_spans[-1].append({"kind": kinds[i], "text": texts[i],
+                                  "media_ref": refs[i], "offset": offs[i]})
         return pa.table({
-            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.string()),
-            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+            "doc_id": pa.array(out_docs, pa.string()),
+            "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
         })
-    return flat_ds.groupby("doc_id").map_groups(stitch, batch_format="pyarrow")
+
+    return (flat_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(stitch_part, batch_format="pyarrow"))
 
 
 def extract_questions_flat(flat_ds, config: Optional[PipelineConfig] = None,
