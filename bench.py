@@ -63,7 +63,7 @@ def run_benchmarks() -> dict:
     # corpus materialized to parquet ONCE (untimed, reused across runs):
     # the timed pipeline is read_parquet -> extract -> count, which is
     # what the production job does — not corpus synthesis
-    corpus = f"/tmp/bench_corpus_{n_docs}"
+    corpus = f"/tmp/bench_corpus_v{synth.SYNTH_VERSION}_{n_docs}"
     if not os.path.isdir(corpus) or not os.listdir(corpus):
         synth.generate_dataset(n_docs, seed=42,
                                mega_doc_every=997).write_parquet(corpus)

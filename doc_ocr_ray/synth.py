@@ -19,6 +19,9 @@ import pyarrow as pa
 
 from doc_ocr_ray.schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
 
+# bump when generation logic changes so cached bench corpora invalidate
+SYNTH_VERSION = 1
+
 _SUBJECTS = ["数学", "语文", "英语"]
 _GRADES = ["三年级", "四年级", "五年级", "六年级"]
 _SECTION_NAMES = ["一、填空题。", "二、判断题。", "三、选择题。", "四、计算题。", "五、解决问题。"]
