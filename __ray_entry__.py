@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="o_custkey", order_col="o_totalprice",
             tiebreak_col="o_orderkey", k=3)
 
+    def q_props_k_histogram(sf_dir):
+        from doc_ocr_ray.pipelines.events import parse_props_k
+        return parse_props_k(_read(sf_dir, "events", ["props"]))
+
     def q_customers_without_events(sf_dir):
         from doc_ocr_ray.pipelines.events import anti_join_broadcast
         return anti_join_broadcast(
@@ -274,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
+        "props_k_histogram": q_props_k_histogram,
         "events_by_type": q_events_by_type,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
@@ -410,6 +415,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "props_k_histogram": """
+            SELECT CAST(floor(coalesce(
+                       CAST(json_extract(props, '$.k') AS BIGINT), -1)
+                       / 10) AS BIGINT) AS k_bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -92,6 +92,32 @@ def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,
               .groupby("part").map_groups(per_part, batch_format="pandas"))
 
 
+def parse_props_k(ds):
+    """Structured-JSON field extraction from the ``props`` column
+    (vectorized per batch) + distribution of the extracted value bucket:
+    (k_bucket, n).  The engine's structured twin of the M13 JSON parse
+    ladder, applied columnar."""
+    import json
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for p in batch["props"]:
+            try:
+                ks.append(int(json.loads(p).get("k", -1)))
+            except (ValueError, TypeError, json.JSONDecodeError):
+                ks.append(-1)
+        out = pd.DataFrame({"k_bucket": pd.Series(ks, dtype="int64") // 10})
+        return (out.groupby("k_bucket", sort=False).size()
+                   .reset_index(name="n"))
+
+    partials = ds.map_batches(extract, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k_bucket": [group["k_bucket"].iloc[0]],
+                             "n": [int(group["n"].sum())]})
+    return partials.groupby("k_bucket").map_groups(final, batch_format="pandas")
+
+
 def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
     """Rows of ds whose key has NO match in other_ds: the other side's
     distinct keys ride the object store once (semi/anti joins never

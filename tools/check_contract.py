@@ -70,11 +70,25 @@ def main():
             # tolerant float compare after canonical sort
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
-            print(f"OK    {name}: {len(got)} rows ({dt:.1f}s)")
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch ({dt:.1f}s)")
             print(str(e)[:400])
             failures += 1
+            continue
+        # driver-style exactness: stringified sorted values must hash
+        # equal (a float differing in the 12th decimal passes the
+        # tolerant compare but breaks a value hash)
+        import hashlib
+
+        def vhash(df):
+            return hashlib.md5(
+                df.astype(str).to_csv(index=False).encode()).hexdigest()
+        if vhash(got) != vhash(want):
+            print(f"WARN  {name}: tolerant-equal but value-hash differs "
+                  f"({dt:.1f}s) — check float formatting")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(got)} rows ({dt:.1f}s)")
     print("failures:", failures)
     ray.shutdown()
     sys.exit(1 if failures else 0)
