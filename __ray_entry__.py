@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             text_analysis.token_count_batch, batch_format="pandas")
 
+    def q_bpe_token_count(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            text_analysis.bpe_token_count_batch, batch_format="pandas")
+
     def q_quality(sf_dir):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             text_analysis.quality_score_batch, batch_format="pandas")
@@ -257,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flat_restitch": q_extract_flat_restitch,
         "split_spans": q_split_spans,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,
@@ -310,6 +315,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id, {_NTOK} AS n_tokens,
                    length(text) AS n_chars
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
             FROM documents
         """,
         "quality_score": f"""

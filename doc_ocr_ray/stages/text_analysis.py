@@ -48,6 +48,22 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs, single
+# punctuation marks (a simplified GPT-2 pre-tokenizer whose semantics
+# are identical in Python re and RE2, so the SQL oracle can mirror it)
+_BPE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def bpe_token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_bpe_tokens — subword-style pre-tokenizer counts
+    (letter runs / digit runs / punctuation marks on lowered text)."""
+    text = batch["text"].fillna("").str.lower()
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": text.str.count(_BPE).astype("int64"),
+    })
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality signals.
 
