@@ -211,6 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
             gap_minutes=30)
 
+    def q_sessionize_streaming(sf_dir):
+        from doc_ocr_ray.pipelines.events import sessionize_streaming
+        return sessionize_streaming(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+            gap_minutes=30)
+
     def q_top3_orders_per_cust(sf_dir):
         from doc_ocr_ray.pipelines.events import top_k_per_group
         return top_k_per_group(
@@ -281,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exam_info": q_exam_info,
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
+        "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
         "props_k_histogram": q_props_k_histogram,
@@ -298,6 +305,32 @@ _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+SESSIONIZE_SQL = """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            brk AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged),
+            sess AS (
+              SELECT user_id, event_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM brk)
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -388,30 +421,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
-        "sessionize": """
-            WITH lagged AS (
-              SELECT user_id, event_id, ts,
-                     lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_ts
-              FROM events),
-            brk AS (
-              SELECT user_id, event_id, ts,
-                     CASE WHEN prev_ts IS NULL
-                               OR ts - prev_ts > INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS is_new
-              FROM lagged),
-            sess AS (
-              SELECT user_id, event_id, ts,
-                     CAST(sum(is_new) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING)
-                          AS BIGINT) AS session_id
-              FROM brk)
-            SELECT user_id, session_id,
-                   count(*) AS n_events,
-                   min(ts) AS start_ts, max(ts) AS end_ts
-            FROM sess GROUP BY user_id, session_id
-        """,
+        "sessionize": SESSIONIZE_SQL,
+        "sessionize_streaming": SESSIONIZE_SQL,
         "top3_orders_per_cust": """
             WITH r AS (
               SELECT o_custkey, o_orderkey, o_totalprice,

@@ -72,6 +72,83 @@ def sessionize(ds, gap_minutes: int = 30):
                                "start_ts", "end_ts"]))
 
 
+def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
+                         chunk_rows: int = 20000):
+    """Incremental sessionization with EXPLICIT actor state — the one
+    place the engine drops to raw Ray actors, because "open session per
+    user, updated as events arrive in time order" is mutable shared
+    state the Dataset API cannot express.
+
+    Topology: one ts-ordered stream (global sort) is consumed in
+    micro-batches on the driver and routed to ``num_buckets`` actors by
+    ``user_id % num_buckets``; each actor keeps its users' open
+    sessions, emits a session the moment the gap closes it, and flushes
+    the still-open remainder at end of stream.  Produces exactly the
+    batch ``sessionize`` output (asserted in tests), so the same SQL
+    oracle applies.
+    """
+    import ray
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    @ray.remote
+    class SessionActor:
+        def __init__(self):
+            self.open = {}          # user_id -> dict(start, end, n, sid)
+            self.counts = {}        # user_id -> sessions emitted so far
+
+        def process(self, df) -> list:
+            closed = []
+            for row in df.itertuples(index=False):
+                uid, ts = row.user_id, row.ts
+                cur = self.open.get(uid)
+                if cur is not None and ts - cur["end"] > gap:
+                    closed.append((uid, cur["sid"], cur["n"],
+                                   cur["start"], cur["end"]))
+                    cur = None
+                if cur is None:
+                    sid = self.counts.get(uid, 0) + 1
+                    self.counts[uid] = sid
+                    self.open[uid] = {"start": ts, "end": ts, "n": 1,
+                                      "sid": sid}
+                else:
+                    cur["end"] = ts
+                    cur["n"] += 1
+            return closed
+
+        def flush(self) -> list:
+            out = [(uid, c["sid"], c["n"], c["start"], c["end"])
+                   for uid, c in self.open.items()]
+            self.open.clear()
+            return out
+
+    actors = [SessionActor.remote() for _ in range(num_buckets)]
+    ordered = ds.sort(["ts", "event_id"])
+    rows = []
+    pending = []
+    for batch in ordered.iter_batches(batch_size=chunk_rows,
+                                      batch_format="pandas"):
+        # one in-flight round per micro-batch keeps per-user order
+        if pending:
+            for res in ray.get(pending):
+                rows.extend(res)
+            pending = []
+        for b in range(num_buckets):
+            part = batch[batch["user_id"] % num_buckets == b]
+            if len(part):
+                pending.append(actors[b].process.remote(part))
+    for res in ray.get(pending):
+        rows.extend(res)
+    for res in ray.get([a.flush.remote() for a in actors]):
+        rows.extend(res)
+    out = pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                      "start_ts", "end_ts"])
+    out = out.astype({"user_id": "int64", "session_id": "int64",
+                      "n_events": "int64"})
+    import ray.data
+    return ray.data.from_pandas(out)
+
+
 def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,
                     k: int = 3):
     """Per-key top-k by order_col desc (ties by tiebreak asc), rank

@@ -108,3 +108,19 @@ def test_anti_join_broadcast():
     right = ray.data.from_pandas(pd.DataFrame({"fk": [2, 4, 4]}))
     out = anti_join_broadcast(left, "k", right, "fk").take_all()
     assert sorted(r["k"] for r in out) == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_streaming_equals_batch():
+    """The actor-based incremental sessionizer reproduces the batch
+    groupby formulation exactly on real event data."""
+    import ray.data
+    from doc_ocr_ray.pipelines.events import sessionize, sessionize_streaming
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+    def canon(rows):
+        return sorted((r["user_id"], r["session_id"], r["n_events"],
+                       r["start_ts"], r["end_ts"]) for r in rows)
+    batch = canon(sessionize(ds).take_all())
+    stream = canon(sessionize_streaming(ds, chunk_rows=97).take_all())
+    assert batch == stream and len(batch) > 10
