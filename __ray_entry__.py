@@ -234,6 +234,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
             _read(sf_dir, "events", ["user_id"]), "user_id")
 
+    # ---- sketches / windows / quantiles
+    def q_distinct_tokens(sf_dir):
+        from doc_ocr_ray.stages.sketch import exact_distinct_tokens
+        return exact_distinct_tokens(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_distinct_tokens_kmv(sf_dir):
+        from doc_ocr_ray.stages.sketch import kmv_distinct_tokens
+        est = kmv_distinct_tokens(
+            _read(sf_dir, "documents", ["doc_id", "text"]), k=1024)
+        return pa.table({"estimate": pa.array([est["estimate"]], pa.float64()),
+                         "k": pa.array([est["k"]], pa.int64())})
+
+    def q_running_sum_per_user(sf_dir):
+        from doc_ocr_ray.stages.sketch import running_sum_per_user
+        return running_sum_per_user(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+    def q_median_value_by_type(sf_dir):
+        from doc_ocr_ray.stages.sketch import median_value_by_type
+        return median_value_by_type(
+            _read(sf_dir, "events", ["event_type", "value"]))
+
     # ---- relational operators (SQL-checkable)
     def q_events_by_type(sf_dir):
         return relational.events_by_type(
@@ -291,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
         "props_k_histogram": q_props_k_histogram,
+        "distinct_tokens": q_distinct_tokens,
+        "distinct_tokens_kmv": q_distinct_tokens_kmv,
+        "running_sum_per_user": q_running_sum_per_user,
+        "median_value_by_type": q_median_value_by_type,
         "events_by_type": q_events_by_type,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
@@ -437,6 +464,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "distinct_tokens": f"""
+            SELECT count(DISTINCT tok) AS n_distinct_tokens
+            FROM (SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+                  FROM documents WHERE trim(text) != '')
+        """,
+        "running_sum_per_user": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   floor(10000 * quantile_cont(value, 0.5)) / 10000
+                       AS median_value
+            FROM events GROUP BY event_type
         """,
         "props_k_histogram": """
             SELECT CAST(floor(coalesce(

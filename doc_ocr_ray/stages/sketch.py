@@ -1,0 +1,123 @@
+"""Mergeable sketches + distinct/quantile/running-window operators.
+
+The reference has no sketches (SURVEY.md section 2.5); these are the
+scale patterns a 10^12-doc pipeline needs: per-batch partial state that
+is MERGEABLE, so the exchange moves one small sketch per batch instead
+of the data.
+
+- ``kmv_distinct_tokens``: K-minimum-values distinct-count sketch
+  (Bar-Yossef et al. 2002): keep the k smallest 64-bit token hashes per
+  batch, merge by re-taking the k smallest, estimate (k-1)/max_kth.
+- ``exact_distinct_tokens``: the exact counterpart via hash-partitioned
+  distinct (oracle-checkable).
+- ``running_sum_per_user``: per-key ordered running aggregate (window
+  function) inside coarse partitions.
+- ``median_value_by_type``: exact quantile per group via per-group sort
+  (linear interpolation, matching SQL quantile_cont).
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_SCALE = float(1 << 64)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    t = _WS.sub(" ", (text or "").strip().lower())
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+         for tok in set(t.split(" "))], dtype=np.uint64)
+
+
+def kmv_distinct_tokens(ds, k: int = 1024, text_col: str = "text") -> dict:
+    """Approximate number of distinct tokens corpus-wide.
+
+    One KMV sketch (k smallest hashes) per batch; driver merge re-takes
+    the k smallest of the union — the merge is associative and
+    commutative, so any tree of partial merges gives the same sketch.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(np.concatenate(
+            [_token_hashes(t) for t in batch[text_col]] or
+            [np.empty(0, dtype=np.uint64)]))
+        smallest = np.sort(hs)[:k]
+        return pd.DataFrame({"sketch": [smallest.tobytes()]})
+
+    sketches = ds.map_batches(partial, batch_format="pandas").take_all()
+    merged = np.unique(np.concatenate(
+        [np.frombuffer(s["sketch"], dtype=np.uint64) for s in sketches] or
+        [np.empty(0, dtype=np.uint64)]))[:k]
+    if len(merged) < k:
+        estimate = float(len(merged))            # saw everything
+    else:
+        estimate = (k - 1) / (float(merged[-1]) / _SCALE)
+    return {"estimate": round(estimate, 1), "k": k,
+            "sketch_values": len(merged)}
+
+
+def exact_distinct_tokens(ds, text_col: str = "text"):
+    """(n_distinct_tokens,) — exact, via per-batch token sets then a
+    hash-partitioned distinct (the shuffle carries unique tokens only)."""
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in batch[text_col]:
+            norm = _WS.sub(" ", (t or "").strip().lower())
+            if norm:
+                toks.update(norm.split(" "))
+        out = pd.DataFrame({"tok": sorted(toks)})
+        out["part"] = out["tok"].map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 64)
+        return out
+
+    def count_unique(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [group["tok"].nunique()]})
+
+    parts = (ds.map_batches(explode, batch_format="pandas")
+               .groupby("part").map_groups(count_unique, batch_format="pandas")
+               .take_all())
+    import pyarrow as pa
+    return pa.table({"n_distinct_tokens":
+                     pa.array([int(sum(p["n"] for p in parts))], pa.int64())})
+
+
+def running_sum_per_user(ds):
+    """(user_id, event_id, running_cents): cumulative sum of ``value``
+    per user in (ts, event_id) order — the batch window-function
+    pattern: coarse hash partition on the key, per-user sort + cumsum
+    inside.  Accumulates in integer cents: float accumulation order
+    differs between engines and a long running sum lands exactly ON
+    rounding-grid boundaries (values are 2-decimal), so only integer
+    arithmetic hash-matches an independent implementation."""
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        return batch
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = (g["value"] * 100).round().astype("int64")
+        g["running_cents"] = cents.groupby(g["user_id"], sort=False).cumsum()
+        return g[["user_id", "event_id", "running_cents"]]
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def median_value_by_type(ds):
+    """(event_type, median_value): exact per-group median with linear
+    interpolation (same definition as SQL quantile_cont)."""
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        med = float(group["value"].quantile(0.5, interpolation="linear"))
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "median_value": [np.floor(10000 * med) / 10000],
+        })
+    return ds.groupby("event_type").map_groups(per_group,
+                                               batch_format="pandas")

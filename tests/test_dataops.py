@@ -183,3 +183,20 @@ def test_metrics_evaluate_self_is_perfect():
     scores = evaluate(extract_questions(ds), extract_questions(ds))
     assert scores["precision"] == 1.0 and scores["recall"] == 1.0
     assert scores["f1"] == 1.0 and scores["image_assoc_accuracy"] == 1.0
+
+
+def test_kmv_sketch_accuracy_and_mergeability():
+    import ray.data
+    from doc_ocr_ray.stages.sketch import kmv_distinct_tokens, exact_distinct_tokens
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    exact = exact_distinct_tokens(ds).to_pylist()[0]["n_distinct_tokens"]
+    est = kmv_distinct_tokens(ds, k=1024)["estimate"]
+    # corpus vocab is small (< k) -> sketch saw everything, exact match
+    assert est == exact
+    # force the estimation path with a tiny k
+    est_small = kmv_distinct_tokens(ds, k=16)["estimate"]
+    assert 0.3 * exact <= est_small <= 3 * exact
+    # mergeability: sketch of the whole equals merge of halves
+    half1 = kmv_distinct_tokens(ds.limit(250), k=1024)
+    assert half1["estimate"] <= est
