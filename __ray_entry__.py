@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return relational.events_by_type(
             _read(sf_dir, "events", ["event_type", "value"]))
 
+    def q_events_by_type_native(sf_dir):
+        return relational.events_by_type_native(
+            _read(sf_dir, "events", ["event_type", "value"]))
+
     def q_lineitem_pricing(sf_dir):
         return relational.lineitem_pricing(
             _read(sf_dir, "lineitem",
@@ -319,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_per_user": q_running_sum_per_user,
         "median_value_by_type": q_median_value_by_type,
         "events_by_type": q_events_by_type,
+        "events_by_type_native": q_events_by_type_native,
         "lineitem_pricing": q_lineitem_pricing,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
@@ -439,6 +444,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_by_type_native": """
             SELECT event_type, count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type

@@ -202,7 +202,11 @@ def assemble_questions(doc_id: str, spans: List[Span],
     n_spans = len(spans)
     rows: List[Dict[str, Any]] = []
     for ordinal, g in enumerate(groups, start=1):
-        members = sorted(m for m in g["members"] if 0 <= m < n_spans)
+        members = [m for m in g["members"] if 0 <= m < n_spans]
+        # members are produced in ascending rank order by both
+        # aggregators — sort only when an out-of-order list sneaks in
+        if any(b < a for a, b in zip(members, members[1:])):
+            members.sort()
         texts: List[str] = []
         out_spans: List[Dict[str, Any]] = []
         qnum = -1

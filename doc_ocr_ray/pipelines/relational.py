@@ -34,6 +34,21 @@ def events_by_type(ds):
     return partials.groupby("event_type").map_groups(final, batch_format="pandas")
 
 
+def events_by_type_native(ds):
+    """Same result as events_by_type but via Ray Data's native
+    aggregate API (Sum/Count with internal partial aggregation) —
+    the idiomatic one-liner when no custom combiner is needed."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value_raw"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["sum_value_raw"].astype(float).round(2)
+        return batch[["event_type", "n", "sum_value"]]
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def lineitem_pricing(ds):
     """TPC-H Q1-shaped pricing summary (no date filter: whole table).
 
