@@ -284,9 +284,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), nation)
 
     def q_docs_zh(sf_dir):
-        ds = relational.filter_documents_by_lang(
-            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), "zh")
-        return ds.select_columns(["doc_id", "n_chars"])
+        # predicate pushdown AT THE READ: only matching row groups
+        # leave storage (filter arg -> pyarrow dataset expression),
+        # plus column pruning — nothing else is scanned
+        import pyarrow.compute as pc
+        import ray.data
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars"],
+            filter=pc.field("lang") == "zh")
+        return ds
 
     return {
         "extract_questions": q_extract,
