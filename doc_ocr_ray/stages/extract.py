@@ -45,12 +45,42 @@ def extract_one_doc(doc_id: str, spans: List[Dict[str, Any]],
 
 
 def _questions_to_table(rows: List[Dict[str, Any]]) -> pa.Table:
-    cols: Dict[str, list] = {name: [] for name in QUESTIONS_SCHEMA.names}
+    """Row dicts -> Arrow table, building the nested spans column from
+    flat parallel arrays + list offsets (no per-span dict conversion)."""
+    n = len(rows)
+    doc_id, question_id, group_type, question_number = [], [], [], []
+    merged_text, qtype, score, n_images, split_fm = [], [], [], [], []
+    s_kind, s_text, s_ref, s_off = [], [], [], []
+    offsets = [0]
     for r in rows:
-        for name in cols:
-            cols[name].append(r[name])
-    arrays = [pa.array(cols[f.name], f.type) for f in QUESTIONS_SCHEMA]
-    return pa.Table.from_arrays(arrays, schema=QUESTIONS_SCHEMA)
+        doc_id.append(r["doc_id"])
+        question_id.append(r["question_id"])
+        group_type.append(r["group_type"])
+        question_number.append(r["question_number"])
+        merged_text.append(r["merged_text"])
+        qtype.append(r["qtype"])
+        score.append(r["score"])
+        n_images.append(r["n_images"])
+        split_fm.append(r["split_from_merged"])
+        for s in r["spans"]:
+            s_kind.append(s["kind"])
+            s_text.append(s["text"])
+            s_ref.append(s["media_ref"])
+            s_off.append(s["offset"])
+        offsets.append(len(s_kind))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(s_kind, pa.string()), pa.array(s_text, pa.string()),
+         pa.array(s_ref, pa.string()), pa.array(s_off, pa.int32())],
+        fields=list(SPAN_STRUCT))
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.Table.from_arrays(
+        [pa.array(doc_id, pa.string()), pa.array(question_id, pa.int32()),
+         pa.array(group_type, pa.string()),
+         pa.array(question_number, pa.int32()), spans,
+         pa.array(merged_text, pa.string()), pa.array(qtype, pa.string()),
+         pa.array(score, pa.int32()), pa.array(n_images, pa.int32()),
+         pa.array(split_fm, pa.bool_())],
+        schema=QUESTIONS_SCHEMA)
 
 
 class ExtractStage:
