@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return flatten_documents(
             split_documents(synth.generate_dataset(300, seed=42)))
 
+    def q_curate_corpus(sf_dir):
+        from doc_ocr_ray.pipelines.curate import curate_corpus
+        return curate_corpus(synth.generate_dataset(300, seed=42))
+
     # ---- text analysis (SQL-checkable)
     def q_token_count(sf_dir):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -300,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fixture_replay": q_extract_fixture_replay,
         "extract_flat_restitch": q_extract_flat_restitch,
         "split_spans": q_split_spans,
+        "curate_corpus": q_curate_corpus,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality,

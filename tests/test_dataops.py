@@ -200,3 +200,20 @@ def test_kmv_sketch_accuracy_and_mergeability():
     # mergeability: sketch of the whole equals merge of halves
     half1 = kmv_distinct_tokens(ds.limit(250), k=1024)
     assert half1["estimate"] <= est
+
+
+def test_curate_corpus_end_to_end():
+    import ray.data
+    from doc_ocr_ray import synth
+    from doc_ocr_ray.pipelines.curate import curate_corpus
+    ds = ray.data.from_arrow(synth.generate_table(80, seed=42))
+    rows = curate_corpus(ds).take_all()
+    assert rows
+    texts = [r["text"] for r in rows]
+    # dedup happened: normalized texts are unique
+    norm = [" ".join(t.strip().lower().split()) for t in texts]
+    assert len(norm) == len(set(norm))
+    # quality filter: no empty/tiny rows
+    assert all(r["n_tokens"] >= 2 for r in rows)
+    # question numbers preserved
+    assert any(r["question_number"] > 0 for r in rows)
