@@ -23,7 +23,7 @@ import json
 import os
 import re
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from doc_ocr_ray.config import PipelineConfig, DEFAULT_CONFIG
 from doc_ocr_ray.functions.merge import RelatednessClassifier

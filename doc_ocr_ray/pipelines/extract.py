@@ -10,12 +10,12 @@ the one mandatory shuffle when input arrives exploded).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import pyarrow as pa
 
 from doc_ocr_ray.config import PipelineConfig, DEFAULT_CONFIG
-from doc_ocr_ray.schema import QUESTIONS_SCHEMA, SPAN_STRUCT
+from doc_ocr_ray.schema import SPAN_STRUCT
 from doc_ocr_ray.stages.extract import ExtractStage, SplitStage
 
 

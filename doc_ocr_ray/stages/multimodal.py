@@ -15,10 +15,7 @@ binary round-trip, typed feature output.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema([

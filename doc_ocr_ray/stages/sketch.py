@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import List
-
 import numpy as np
 import pandas as pd
 

@@ -2,7 +2,6 @@
 analysis, multimodal plumbing, relational demos, metrics."""
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import pytest
 
 pytestmark = pytest.mark.usefixtures("ray_session")

@@ -1,5 +1,4 @@
 """Tests: IVF similarity and connected-components dedup clustering."""
-import numpy as np
 import pandas as pd
 import pytest
 

@@ -2,7 +2,6 @@
 import hypothesis.strategies as st
 from hypothesis import given, settings
 
-from doc_ocr_ray.config import PipelineConfig
 from doc_ocr_ray.functions.detect import QuestionNumberDetector
 from doc_ocr_ray.functions.merge import HeuristicAggregator, postprocess
 from doc_ocr_ray.functions.split import split_doc_spans, split_text
