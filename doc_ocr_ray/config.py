@@ -97,14 +97,13 @@ class PipelineConfig:
     )
 
     # --- boilerplate / titles (M1) ---
+    # boilerplate kinds route to "aside" groups; title kinds become
+    # doc_title/header groups (both consulted by the aggregator)
     boilerplate_kinds: Tuple[str, ...] = BOILERPLATE_KINDS
     title_kinds: Tuple[str, ...] = TITLE_KINDS
-    strip_boilerplate: bool = True
 
     # --- execution knobs ---
     batch_size: int = 256               # docs per batch in span stages
-    classifier_concurrency: int = 4     # actor pool size for the classifier
-    classifier_batch_size: int = 128
 
     # --- failure policy ---
     # False (default): a document that raises inside the per-doc chain

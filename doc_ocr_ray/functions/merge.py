@@ -119,11 +119,12 @@ class HeuristicAggregator:
 
         for rank, span in enumerate(spans):
             kind = span["kind"]
-            if kind == "doc_title":
-                groups.append({"type": "doc_title", "members": [rank]})
-                open_q = None
-            elif kind == "paragraph_title":
-                groups.append({"type": "header", "members": [rank]})
+            if kind in cfg.title_kinds:
+                # doc_title keeps its type; section headings (e.g.
+                # paragraph_title) group as "header", as the fixtures'
+                # VL labels them
+                gtype = "doc_title" if kind == "doc_title" else "header"
+                groups.append({"type": gtype, "members": [rank]})
                 open_q = None
             elif kind in cfg.boilerplate_kinds:
                 groups.append({"type": "aside", "members": [rank]})

@@ -63,9 +63,10 @@ def split_doc_spans(spans: List[Dict[str, Any]],
         matches, strict = detector.analyze(span["text"])
         if not matches:
             # single-match annotation, library behavior
-            # (question_splitter.py:58-63): an unsplit span keeps its
-            # number so downstream grouping can anchor on it.
-            qnum = strict[0].number if strict else -1
+            # (question_splitter.py:58-63): ONLY a span with exactly one
+            # detected number keeps it — a rejected multi-number span
+            # (garbage sequence) stays unannotated, as in the reference.
+            qnum = strict[0].number if len(strict) == 1 else -1
             out.append({**span, "question_number": qnum, "split_from_merged": False})
             continue
         for part in split_text(span["text"], matches, cfg):

@@ -82,14 +82,14 @@ def extract_exam_info(spans: List[Dict[str, Any]]) -> Dict[str, str]:
     for span in spans:
         if span["kind"] == "text":
             content = span["text"]
-            if not info["time_limit"]:
-                tm = _TIME.search(content)
-                if tm:
-                    info["time_limit"] = f"{tm.group(1)}分钟"
-            if not info["total_score"]:
-                sm = _TOTAL.search(content)
-                if sm:
-                    info["total_score"] = sm.group(1)
+            # each matching block OVERWRITES (reference semantics,
+            # extractor.py:176-191) until one block has left both set
+            tm = _TIME.search(content)
+            if tm:
+                info["time_limit"] = f"{tm.group(1)}分钟"
+            sm = _TOTAL.search(content)
+            if sm:
+                info["total_score"] = sm.group(1)
             if info["time_limit"] and info["total_score"]:
                 break
     return info

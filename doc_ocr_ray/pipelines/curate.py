@@ -33,12 +33,14 @@ def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
     questions = extract_questions(docs_ds, config=config)
 
     def to_text_rows(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(["doc_id", "question_number", "group_type",
-                           "merged_text"]).to_pandas()
+        df = batch.select(["doc_id", "question_id", "question_number",
+                           "group_type", "merged_text"]).to_pandas()
         q = df[(df["group_type"] == "question")
                & (df["merged_text"].str.len() > 0)].copy()
-        # unique id per question row so dedup keeps one representative
-        q["doc_id"] = q["doc_id"] + "#q" + q.groupby("doc_id").cumcount().astype(str)
+        # unique id per question row: question_id is the stable per-doc
+        # ordinal (a per-batch cumcount would collide when one doc's
+        # rows straddle a batch boundary)
+        q["doc_id"] = q["doc_id"] + "#q" + q["question_id"].astype(str)
         return q.rename(columns={"merged_text": "text"})[
             ["doc_id", "question_number", "text"]]
 

@@ -181,7 +181,11 @@ def parse_props_k(ds):
         for p in batch["props"]:
             try:
                 ks.append(int(json.loads(p).get("k", -1)))
-            except (ValueError, TypeError, json.JSONDecodeError):
+            except (ValueError, TypeError, AttributeError,
+                    json.JSONDecodeError):
+                # AttributeError: valid JSON that isn't an object
+                # ('[1]', '42', '"s"') has no .get — same -1 default as
+                # the oracle's json_extract returning NULL
                 ks.append(-1)
         out = pd.DataFrame({"k_bucket": pd.Series(ks, dtype="int64") // 10})
         return (out.groupby("k_bucket", sort=False).size()

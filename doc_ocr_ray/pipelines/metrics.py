@@ -73,23 +73,38 @@ def evaluate(extracted_ds, truth_ds) -> Dict[str, float]:
     tagged = (extracted_ds.map_batches(project("got"), batch_format="pyarrow")
               .union(truth_ds.map_batches(project("truth"), batch_format="pyarrow")))
 
-    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
-        got = group[group["tag"] == "got"]
-        truth = group[group["tag"] == "truth"]
-        got_n = set(got["question_number"])
-        truth_n = set(truth["question_number"])
-        tp = len(got_n & truth_n)
-        img_got = dict(zip(got["question_number"], got["images"]))
-        img_truth = dict(zip(truth["question_number"], truth["images"]))
-        img_ok = sum(1 for n in (got_n & truth_n)
-                     if img_got.get(n, "") == img_truth.get(n, ""))
-        return pd.DataFrame({
-            "tp": [tp], "n_got": [len(got_n)], "n_truth": [len(truth_n)],
-            "img_ok": [img_ok],
-        })
+    import hashlib
 
-    parts = tagged.groupby("doc_id").map_groups(per_doc,
-                                                batch_format="pandas").take_all()
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = batch["doc_id"].map(
+            lambda d: int(hashlib.md5(d.encode()).hexdigest()[:4], 16) % 128)
+        return batch
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key: many docs per Ray-level group, per-doc
+        # comparison vectorized inside
+        out = []
+        for _, g in group.groupby("doc_id", sort=False):
+            got = g[g["tag"] == "got"]
+            truth = g[g["tag"] == "truth"]
+            got_n = set(got["question_number"])
+            truth_n = set(truth["question_number"])
+            tp = len(got_n & truth_n)
+            # duplicate question numbers (sections restart numbering):
+            # compare the SORTED MULTISET of image-sets per number, so
+            # the result is independent of row arrival order
+            def img_map(df):
+                return {n: tuple(sorted(s))
+                        for n, s in df.groupby("question_number")["images"]}
+            img_got, img_truth = img_map(got), img_map(truth)
+            img_ok = sum(1 for n in (got_n & truth_n)
+                         if img_got.get(n) == img_truth.get(n))
+            out.append((tp, len(got_n), len(truth_n), img_ok))
+        return pd.DataFrame(out, columns=["tp", "n_got", "n_truth", "img_ok"])
+
+    parts = (tagged.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(per_part,
+                                         batch_format="pandas").take_all())
     tp = sum(p["tp"] for p in parts)
     n_got = sum(p["n_got"] for p in parts)
     n_truth = sum(p["n_truth"] for p in parts)

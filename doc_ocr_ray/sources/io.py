@@ -65,6 +65,8 @@ def read_questions(out_dir: str):
                    if d.startswith("part-"))
     if not parts:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    return ray.data.read_parquet(parts) if not _have_lance() \
-        else ray.data.read_lance(parts[0]) if len(parts) == 1 \
-        else ray.data.read_parquet(parts)
+    if _have_lance():
+        # partitions were written as Lance datasets: read each and union
+        dsets = [ray.data.read_lance(p) for p in parts]
+        return dsets[0] if len(dsets) == 1 else dsets[0].union(*dsets[1:])
+    return ray.data.read_parquet(parts)

@@ -22,12 +22,12 @@ from doc_ocr_ray.schema import SPAN_STRUCT
 
 
 def blocks_to_spans(blocks: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Order: block_order when present; otherwise file order (which is
+    the detector's reading order in every observed result JSON)."""
     def order_key(idx_block):
         idx, b = idx_block
         order = b.get("block_order")
-        bbox = b.get("block_bbox") or [0, 0, 0, 0]
-        return (0, order, 0, 0) if order is not None \
-            else (1, idx, bbox[1], bbox[0])
+        return (0, order) if order is not None else (1, idx)
     ordered = sorted(enumerate(blocks), key=order_key)
     spans = []
     for rank, (_, b) in enumerate(ordered):

@@ -47,7 +47,10 @@ def add_text_key_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFr
     """Append a 64-bit content hash; pre-dedup within the batch (the
     combiner: shrink the shuffle before the groupby)."""
     out = batch.copy()
-    out["text_key"] = [_md5_64(t) for t in _normalize(batch[text_col])]
+    # mask to 63 bits: full-range 64-bit values in an object column make
+    # Arrow infer int64 for some blocks and uint64 for others, breaking
+    # schema unification in the shuffle
+    out["text_key"] = [_md5_64(t) >> 1 for t in _normalize(batch[text_col])]
     out = out.sort_values("doc_id").drop_duplicates("text_key", keep="first")
     return out
 
@@ -83,8 +86,8 @@ def token_multiset_dedup(ds, text_col: str = "text"):
     near-dup).  Key = md5 of the sorted token list."""
     def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
         norm = _normalize(batch[text_col])
-        keys = [_md5_64(" ".join(sorted(t.split(" ")))) if t else 0
-                for t in norm]
+        keys = [_md5_64(" ".join(sorted(t.split(" ")))) >> 1 if t else 0
+                for t in norm]        # >>1: keep int64-inferable (see text_key)
         out = batch.copy()
         out["ms_key"] = keys
         out = out.sort_values("doc_id").drop_duplicates("ms_key", keep="first")

@@ -82,8 +82,10 @@ class MediaDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
-        fn = self._decode_fake if (self.decoder is None and self.use_fake_decoder) \
-            else self._decode_real
+        # use_fake_decoder decides: True -> deterministic fake (even
+        # when a real decoder library is importable), False -> the real
+        # path, which raises if no decoder is available
+        fn = self._decode_fake if self.use_fake_decoder else self._decode_real
         feats = [fn(p or b"", t) for p, t in zip(payloads, types)]
         return pa.table({
             "media_ref": batch["media_ref"],
