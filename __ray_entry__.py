@@ -457,17 +457,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_value
             FROM events GROUP BY event_type
         """,
         "events_by_type_native": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_value
             FROM events GROUP BY event_type
         """,
         "events_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "sessionize": SESSIONIZE_SQL,
@@ -514,9 +518,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS sum_disc_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

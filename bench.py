@@ -65,8 +65,15 @@ def run_benchmarks() -> dict:
     # what the production job does — not corpus synthesis
     corpus = f"/tmp/bench_corpus_v{synth.SYNTH_VERSION}_{n_docs}"
     if not os.path.isdir(corpus) or not os.listdir(corpus):
+        # atomic: an interrupted write must not leave a half corpus
+        # that later runs silently benchmark against
+        tmp = corpus + ".tmp"
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
         synth.generate_dataset(n_docs, seed=42,
-                               mega_doc_every=997).write_parquet(corpus)
+                               mega_doc_every=997).write_parquet(tmp)
+        os.replace(tmp, corpus)
 
     # warm the worker pool (untimed): touches every worker process so
     # imports/pattern-compilation amortize, as they do over a long job
@@ -76,6 +83,19 @@ def run_benchmarks() -> dict:
     def bench_extract():
         return extract_questions(ray.data.read_parquet(corpus)).count()
     n_questions = timed("extract", bench_extract)
+
+    if os.environ.get("GRAFT_BENCH_ONLY") == "extract":
+        # scaling subprocesses only consume the headline timing —
+        # skip the per-operator suite
+        out = {
+            "metric": "extraction seconds on deterministic interleaved corpus",
+            "value": timings["extract"], "unit": "sec", "queries": timings,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "docs": n_docs,
+            "questions": n_questions,
+            "docs_per_sec": round(n_docs / timings["extract"], 1),
+        }
+        ray.shutdown()
+        return out
 
     # --- corpus curation over the documents table
     docs = lambda cols: ray.data.read_parquet(
@@ -161,14 +181,19 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=SF_DIR, GRAFT_BENCH_DOCS=str(docs))
+                   GRAFT_SF_DIR=SF_DIR, GRAFT_BENCH_DOCS=str(docs),
+                   GRAFT_BENCH_ONLY="extract")
         proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                               env=env, capture_output=True, text=True,
                               check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    cap_8, cap_32 = _effective_cores(8), _effective_cores(32)
-    lo, hi = one(8), one(32)
+    # probe host capacity immediately adjacent to each timed run — the
+    # sandbox host's capacity drifts by the minute
+    cap_8 = _effective_cores(8)
+    lo = one(8)
+    cap_32 = _effective_cores(32)
+    hi = one(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     hw_ceiling = (cap_32 / cap_8) / (32 / 8)

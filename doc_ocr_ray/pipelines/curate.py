@@ -48,8 +48,15 @@ def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
 
     def score_filter(batch: pd.DataFrame) -> pd.DataFrame:
         scores = quality_score_batch(batch)
+        # script-neutral punctuation ratio: count only ASCII punctuation
+        # marks — quality_score_batch's punct_ratio treats every
+        # non-Latin letter as punctuation (Latin-script heuristic) and
+        # would discard all CJK questions
+        text = batch["text"].fillna("")
+        ascii_punct = (text.str.count(r"[!-/:-@\[-`{-~]")
+                       / text.str.len().clip(lower=1))
         keep = ((scores["n_tokens"] >= min_tokens)
-                & (scores["punct_ratio"] <= max_punct_ratio))
+                & (ascii_punct <= max_punct_ratio))
         out = batch[keep.to_numpy()].copy()
         out["n_tokens"] = scores.loc[keep, "n_tokens"].to_numpy()
         return out

@@ -21,10 +21,12 @@ import pandas as pd
 def tumbling_window(ds, freq: str = "h"):
     """(event_type, window, n, sum_value): hourly tumbling counts."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(window=batch["ts"].dt.floor(freq))
-        g = (batch.groupby(["event_type", "window"], sort=False)["value"]
+        batch = batch.assign(
+            window=batch["ts"].dt.floor(freq),
+            cents=(batch["value"] * 100).round().astype("int64"))
+        g = (batch.groupby(["event_type", "window"], sort=False)["cents"]
                   .agg(["count", "sum"]).reset_index())
-        g.columns = ["event_type", "window", "n", "sum_value"]
+        g.columns = ["event_type", "window", "n", "sum_cents"]
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -34,7 +36,8 @@ def tumbling_window(ds, freq: str = "h"):
             "event_type": [group["event_type"].iloc[0]],
             "window": [group["window"].iloc[0]],
             "n": [int(group["n"].sum())],
-            "sum_value": [round(float(group["sum_value"].sum()), 2)],
+            # integer-cents accumulation: see events_by_type
+            "sum_value": [int(group["sum_cents"].sum()) / 100.0],
         })
     return partials.groupby(["event_type", "window"]).map_groups(
         final, batch_format="pandas")

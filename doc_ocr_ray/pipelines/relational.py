@@ -15,11 +15,18 @@ import pyarrow.compute as pc
 
 def events_by_type(ds):
     """events -> (event_type, n, sum_value): per-batch partial
-    aggregation shrinks the shuffle to one row per key per batch."""
+    aggregation shrinks the shuffle to one row per key per batch.
+
+    Sums accumulate in integer cents: float accumulation order differs
+    between engines, and a sum of 2-decimal values lands exactly on the
+    rounding grid, so only integer arithmetic hash-matches an
+    independent implementation (see CLAUDE.md rounding rule)."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("event_type", sort=False)["value"].agg(["count", "sum"])
+        batch = batch.assign(
+            cents=(batch["value"] * 100).round().astype("int64"))
+        g = batch.groupby("event_type", sort=False)["cents"].agg(["count", "sum"])
         g = g.reset_index()
-        g.columns = ["event_type", "n", "sum_value"]
+        g.columns = ["event_type", "n", "sum_cents"]
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -28,7 +35,7 @@ def events_by_type(ds):
         return pd.DataFrame({
             "event_type": [group["event_type"].iloc[0]],
             "n": [int(group["n"].sum())],
-            "sum_value": [round(float(group["sum_value"].sum()), 2)],
+            "sum_value": [int(group["sum_cents"].sum()) / 100.0],
         })
     return partials.groupby("event_type").map_groups(final, batch_format="pandas")
 
@@ -39,11 +46,16 @@ def events_by_type_native(ds):
     the idiomatic one-liner when no custom combiner is needed."""
     from ray.data.aggregate import Count, Sum
 
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value_raw"))
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = (batch["value"] * 100).round().astype("int64")
+        return batch
+
+    agg = (ds.map_batches(to_cents, batch_format="pandas")
+           .groupby("event_type").aggregate(
+               Count(alias_name="n"), Sum("cents", alias_name="sum_cents")))
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["sum_value_raw"].astype(float).round(2)
+        batch["sum_value"] = batch["sum_cents"].astype("int64") / 100.0
         return batch[["event_type", "n", "sum_value"]]
     return agg.map_batches(finish, batch_format="pandas")
 
@@ -55,16 +67,26 @@ def lineitem_pricing(ds):
     sum_disc_price, n — rounded to 2 decimals.
     """
     def partial(batch: pa.Table) -> pa.Table:
+        # integer-grid accumulation (cents / ten-thousandths): per-row
+        # products are identical doubles in both engines, so rounding
+        # them to ints once and summing exactly hash-matches the oracle
+        # regardless of accumulation order
         disc_price = pc.multiply(batch["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = batch.append_column("disc_price", disc_price)
-        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                       "l_extendedprice", "disc_price"]).to_pandas()
+        t = (batch
+             .append_column("qty_c", pc.cast(pc.round(
+                 pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64()))
+             .append_column("base_c", pc.cast(pc.round(
+                 pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64()))
+             .append_column("disc_c", pc.cast(pc.round(
+                 pc.multiply(disc_price, pa.scalar(10000.0))), pa.int64())))
+        df = t.select(["l_returnflag", "l_linestatus", "qty_c",
+                       "base_c", "disc_c"]).to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            n=("l_quantity", "count")).reset_index()
+            sum_qty_c=("qty_c", "sum"),
+            sum_base_c=("base_c", "sum"),
+            sum_disc_c=("disc_c", "sum"),
+            n=("qty_c", "count")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -73,9 +95,9 @@ def lineitem_pricing(ds):
         return pd.DataFrame({
             "l_returnflag": [group["l_returnflag"].iloc[0]],
             "l_linestatus": [group["l_linestatus"].iloc[0]],
-            "sum_qty": [round(float(group["sum_qty"].sum()), 2)],
-            "sum_base_price": [round(float(group["sum_base_price"].sum()), 2)],
-            "sum_disc_price": [round(float(group["sum_disc_price"].sum()), 2)],
+            "sum_qty": [int(group["sum_qty_c"].sum()) / 100.0],
+            "sum_base_price": [int(group["sum_base_c"].sum()) / 100.0],
+            "sum_disc_price": [int(group["sum_disc_c"].sum()) / 10000.0],
             "n": [int(group["n"].sum())],
         })
     return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(

@@ -28,7 +28,12 @@ STOPWORDS: Dict[str, frozenset] = {
     "es": frozenset({"el", "la", "los", "y", "es", "una"}),
 }
 _CJK = re.compile(r"[一-鿿]")
-_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+# ASCII word semantics on purpose: the SQL oracle's RE2 \w is
+# ASCII-only, and Python's unicode \w would silently diverge on the
+# first non-ASCII corpus.  Consequence: non-Latin letters count as
+# "punctuation" for this ratio — the quality scorer is a Latin-script
+# heuristic (its stopwords are too); use lang_id to route scripts.
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 
 def _tokens(series: pd.Series) -> pd.Series:

@@ -6,12 +6,18 @@
 Each shard is one unit of work: read its slice -> extraction pipeline
 -> atomic partitioned write -> manifest commit with lineage counters
 (docs in, questions out, wall time).  A rerun with the same --output
-skips committed shards (checkpoint resume); `--resume` is therefore
-the default behavior and `--fresh` wipes the manifest.
+skips committed shards (checkpoint resume); resuming with DIFFERENT job
+parameters (input/shards/seed) is refused — shard indices would mean
+different slices and silently lose data.  ``--fresh`` wipes the
+manifest AND all committed partitions.
 
 Input forms:
-- ``synth:N``       deterministic N-doc corpus (seeded)
-- a path            parquet/lance documents table (doc_id, spans)
+- ``synth:N``       deterministic N-doc corpus (seeded, range-sharded)
+- a path            parquet/lance documents table; sharded by FILE when
+                    the path holds multiple files (each shard reads
+                    only its files), by doc_id hash for a single file
+                    (one re-read per shard — the price of independent
+                    shard commits on an unsplittable input)
 
 This script owns the Ray session (unlike the library / __ray_entry__).
 """
@@ -20,10 +26,19 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _input_files(path: str):
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(".") and f != "manifest.json")
+    return [path]
 
 
 def main() -> int:
@@ -36,7 +51,7 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--fresh", action="store_true",
-                    help="ignore a prior manifest and recompute all shards")
+                    help="wipe the prior manifest AND partitions, recompute all")
     args = ap.parse_args()
 
     import ray
@@ -52,13 +67,31 @@ def main() -> int:
     from doc_ocr_ray.sources.io import read_documents, write_table
     from doc_ocr_ray.state.manifest import JobManifest
 
+    job_params = {"input": args.input, "shards": args.shards,
+                  "seed": args.seed, "mega_doc_every": args.mega_doc_every}
     manifest_path = os.path.join(args.output, "manifest.json")
-    if args.fresh and os.path.exists(manifest_path):
-        os.remove(manifest_path)
+    if args.fresh and os.path.isdir(args.output):
+        # stale partitions from a prior (possibly differently-sharded)
+        # run would be unioned into reads — remove everything
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+        for d in os.listdir(args.output):
+            if d.startswith("part-") or d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(args.output, d))
     manifest = JobManifest(manifest_path)
+    recorded = manifest.records.get("_job")
+    if recorded is not None and recorded.get("params") != job_params:
+        print(f"ERROR: existing manifest was written by a job with "
+              f"different parameters {recorded.get('params')} != "
+              f"{job_params}; shard indices would mean different slices. "
+              f"Use --fresh to restart.", file=sys.stderr)
+        ray.shutdown()
+        return 2
+    if recorded is None:
+        manifest.records["_job"] = {"params": job_params}
+        manifest._flush()
 
     t_start = time.time()
-    total_in = total_out = 0
 
     for shard in range(args.shards):
         if manifest.is_done(shard):
@@ -79,19 +112,32 @@ def main() -> int:
                                         start=start)
             rows_in = count
         else:
-            ds = read_documents(args.input)
-            # hash-shard by doc_id so every shard is a disjoint slice
-            # (stable md5, independent of file layout)
-            import hashlib
-            import pyarrow as pa
+            files = _input_files(args.input)
+            if len(files) >= args.shards or len(files) > 1:
+                # file-based sharding: each shard reads ONLY its files
+                mine = files[shard::args.shards]
+                if not mine:
+                    manifest.mark_done(shard, rows_in=0, rows_out=0,
+                                       output="", wall_sec=0.0)
+                    continue
+                ds = read_documents(mine)
+                rows_in = -1            # unknown without an extra pass
+            else:
+                # single unsplittable file: hash-shard by doc_id (each
+                # shard re-reads the file — documented trade-off)
+                ds = read_documents(args.input)
+                import hashlib
+                import pyarrow as pa
 
-            def pick(batch: pa.Table, shard=shard, n=args.shards) -> pa.Table:
-                keep = [i for i, d in enumerate(batch["doc_id"].to_pylist())
-                        if int(hashlib.md5(d.encode()).hexdigest()[:8], 16)
-                        % n == shard]
-                return batch.take(keep)
-            ds = ds.map_batches(pick, batch_format="pyarrow")
-            rows_in = -1
+                def pick(batch: pa.Table, shard=shard,
+                         n=args.shards) -> pa.Table:
+                    keep = [i for i, d in
+                            enumerate(batch["doc_id"].to_pylist())
+                            if int(hashlib.md5(d.encode()).hexdigest()[:8],
+                                   16) % n == shard]
+                    return batch.take(keep)
+                ds = ds.map_batches(pick, batch_format="pyarrow")
+                rows_in = -1
         out = extract_questions(ds)
         final = write_table(out, args.output, partition_id=shard)
         # per-partition lineage metrics computed from the committed
@@ -100,8 +146,10 @@ def main() -> int:
         import pyarrow.compute as pc
         part = pads.dataset(final)
         cols = part.to_table(columns=["group_type", "split_from_merged",
-                                      "n_images"])
+                                      "n_images", "doc_id"])
         rows_out = cols.num_rows
+        if rows_in < 0:
+            rows_in = pc.count_distinct(cols["doc_id"]).as_py()
         gt = cols["group_type"]
         metrics = {
             "questions": pc.sum(pc.cast(pc.equal(gt, "question"),
@@ -115,8 +163,6 @@ def main() -> int:
         wall = time.time() - t0
         manifest.mark_done(shard, rows_in=rows_in, rows_out=rows_out,
                            output=final, wall_sec=wall, extra=metrics)
-        total_in += max(0, rows_in)
-        total_out += rows_out
         print(f"[shard {shard}] docs_in={rows_in} questions_out={rows_out} "
               f"wall={wall:.1f}s", flush=True)
 
