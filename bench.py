@@ -164,13 +164,16 @@ def _effective_cores(n_procs: int) -> float:
     import multiprocessing as mp
 
     n = 8_000_000
-    t1 = _spin(n)
+    t1 = min(_spin(n) for _ in range(3))          # noise-resistant baseline
     with mp.Pool(n_procs) as pool:
         pool.map(_spin, [n // 10] * n_procs)      # warm the pool
-        t0 = time.time()
-        pool.map(_spin, [n] * n_procs)
-        wall = time.time() - t0
-    return round(n_procs * t1 / wall, 2)
+        wall = 1e9
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_spin, [n] * n_procs)
+            wall = min(wall, time.time() - t0)
+    # a probe can't see more cores than processes
+    return round(min(float(n_procs), n_procs * t1 / wall), 2)
 
 
 def run_scaling() -> dict:
