@@ -29,6 +29,11 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     those JSONs into rows of this table.
     """
     import ray.data
+    if isinstance(uri, (list, tuple)):
+        # explicit file list (e.g. one shard's slice of a directory)
+        if uri and str(uri[0]).endswith(".lance"):
+            return ray.data.read_lance(list(uri), columns=columns)
+        return ray.data.read_parquet(list(uri), columns=columns)
     if uri.endswith(".lance") or (os.path.isdir(uri) and _have_lance()
                                   and os.path.exists(os.path.join(uri, "_versions"))):
         return ray.data.read_lance(uri, columns=columns)

@@ -94,3 +94,19 @@ def test_poison_doc_contained():
     with _pytest.raises(Exception):
         extract_questions(ray.data.from_arrow(tbl),
                           config=PipelineConfig(fail_fast=True)).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_documents_accepts_file_list(tmp_path):
+    import ray.data
+    from doc_ocr_ray import synth
+    from doc_ocr_ray.sources.io import read_documents
+    d = str(tmp_path / "docs")
+    ray.data.from_arrow(synth.generate_table(20, seed=42)).repartition(4) \
+        .write_parquet(d)
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    assert len(files) >= 2
+    # a shard's slice: every other file
+    part = read_documents(files[::2])
+    whole = read_documents(d)
+    assert 0 < part.count() < whole.count() == 20
