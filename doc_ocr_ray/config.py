@@ -72,6 +72,11 @@ class PipelineConfig:
     max_number_gap: int = 10
 
     # --- split semantics (M6) ---
+    # the reference's enable_ocr_split feature flag
+    # (tests/test_exam_paper_analysis_vl_ocr_v2.py:1220): False skips
+    # the split step entirely (v1-analyzer behavior) — spans pass
+    # through unsplit
+    enable_split: bool = True
     # v2 starts the first sub-span at offset 0 (tests/..._v2.py:141-149);
     # the library starts at the first match (question_splitter.py:372-376).
     # Fixtures are v2, so v2 is the default.

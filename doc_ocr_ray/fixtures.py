@@ -30,6 +30,11 @@ from doc_ocr_ray.schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
 FIXTURE_DIR = "/root/reference/output/exam_analysis_vl_v2"
 FIXTURE_STEMS = ["2", "3", "7", "8", "mifeng_doubao_1"]
 
+# v1 analyzer fixtures (no split step — the enable_ocr_split=False
+# behavior): {stem}_vl_paddle_raw.json + {stem}_vl_result.json
+V1_FIXTURE_DIR = "/root/reference/output/exam_analysis_vl"
+V1_FIXTURE_STEMS = ["1", "mifeng_1"]
+
 
 def _load(stem: str, which: str) -> Dict[str, Any]:
     path = os.path.join(FIXTURE_DIR, f"{stem}_v2_{which}.json")
@@ -96,6 +101,74 @@ def replay_verdicts(stems: List[str] = None) -> Dict[str, List[Dict[str, Any]]]:
             members = [ranks[i] for i in g["block_ids"] if i in ranks]
             groups.append({"type": g["type"], "members": members})
         out[stem] = groups
+    return out
+
+
+def _load_v1(stem: str, which: str) -> Dict[str, Any]:
+    path = os.path.join(V1_FIXTURE_DIR, f"{stem}_vl_{which}.json")
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _v1_media_ref(block: Dict[str, Any]) -> str:
+    return f"img:{int(block['id'])}" if block["label"] == "image" else ""
+
+
+def load_v1_documents(stems: List[str] = None) -> pa.Table:
+    """v1 input rows; block ids are strings in the v1 raw dumps."""
+    stems = stems or V1_FIXTURE_STEMS
+    doc_ids, span_lists = [], []
+    for stem in stems:
+        raw = _load_v1(stem, "paddle_raw")
+        spans = [
+            {"kind": b["label"], "text": b["text"],
+             "media_ref": _v1_media_ref(b), "offset": i}
+            for i, b in enumerate(raw["blocks"])
+        ]
+        doc_ids.append(f"v1_{stem}")
+        span_lists.append(spans)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()),
+         "spans": pa.array(span_lists, pa.list_(SPAN_STRUCT))},
+        schema=DOCUMENTS_SCHEMA)
+
+
+def v1_replay_verdicts(stems: List[str] = None) -> Dict[str, List[Dict[str, Any]]]:
+    """ReplayAggregator input for the v1 pages: ranks are raw file
+    order (no split step in v1)."""
+    stems = stems or V1_FIXTURE_STEMS
+    out: Dict[str, List[Dict[str, Any]]] = {}
+    for stem in stems:
+        raw = _load_v1(stem, "paddle_raw")
+        res = _load_v1(stem, "result")
+        ranks = {int(b["id"]): i for i, b in enumerate(raw["blocks"])}
+        out[f"v1_{stem}"] = [
+            {"type": g["type"],
+             "members": [ranks[i] for i in g["block_ids"] if i in ranks]}
+            for g in res["question_groups"]]
+    return out
+
+
+def v1_expected_group_sequences(stems: List[str] = None
+                                ) -> Dict[str, List[Dict[str, Any]]]:
+    stems = stems or V1_FIXTURE_STEMS
+    out: Dict[str, List[Dict[str, Any]]] = {}
+    for stem in stems:
+        raw = _load_v1(stem, "paddle_raw")
+        res = _load_v1(stem, "result")
+        by_id = {int(b["id"]): b for b in raw["blocks"]}
+        ranks = {int(b["id"]): i for i, b in enumerate(raw["blocks"])}
+        groups = []
+        for g in res["question_groups"]:
+            ids = sorted((i for i in g["block_ids"] if i in by_id),
+                         key=lambda i: ranks[i])
+            groups.append({
+                "type": g["type"],
+                "merged_text": g["merged_text"],
+                "spans": [(by_id[i]["label"], by_id[i]["text"],
+                           _v1_media_ref(by_id[i])) for i in ids],
+            })
+        out[f"v1_{stem}"] = groups
     return out
 
 

@@ -57,7 +57,7 @@ def split_doc_spans(spans: List[Dict[str, Any]],
     ordered = sorted(spans, key=lambda s: s["offset"])
     out: List[Dict[str, Any]] = []
     for span in ordered:
-        if span["kind"] != "text" or not span["text"]:
+        if not cfg.enable_split or span["kind"] != "text" or not span["text"]:
             out.append({**span, "question_number": -1, "split_from_merged": False})
             continue
         matches, strict = detector.analyze(span["text"])

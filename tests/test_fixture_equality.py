@@ -69,3 +69,26 @@ def test_flat_path_split_equality(docs_ds):
     ds = restitch_documents(flatten_documents(docs_ds))
     for row in split_documents(ds).take_all():
         assert _seq(row["spans"]) == expected[row["doc_id"]]
+
+
+def test_v1_merge_span_sequence_equality(ray_session):
+    """The v1-analyzer pages (no split step — enable_split=False, the
+    reference's enable_ocr_split feature flag) also reproduce their
+    recorded groupings exactly."""
+    import ray.data
+    from doc_ocr_ray.config import PipelineConfig
+    verdicts = fixtures.v1_replay_verdicts()
+    expected = fixtures.v1_expected_group_sequences()
+    ds = ray.data.from_arrow(fixtures.load_v1_documents())
+    rows = extract_questions(ds, config=PipelineConfig(enable_split=False),
+                             verdicts=verdicts).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, want_groups in expected.items():
+        got = sorted(by_doc[doc_id], key=lambda r: r["question_id"])
+        assert len(got) == len(want_groups), doc_id
+        for r, w in zip(got, want_groups):
+            assert r["group_type"] == w["type"]
+            assert _seq(r["spans"]) == w["spans"]
+            assert r["merged_text"] == w["merged_text"]
