@@ -457,20 +457,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        / 100.0 AS sum_value
             FROM events GROUP BY event_type
         """,
         "events_by_type_native": """
             SELECT event_type, count(*) AS n,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        / 100.0 AS sum_value
             FROM events GROUP BY event_type
         """,
         "events_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window,
                    count(*) AS n,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        / 100.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
@@ -498,7 +498,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_sum_per_user": """
             SELECT user_id, event_id,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM events
@@ -518,12 +518,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
                         AS BIGINT) / 100.0 AS sum_qty,
-                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) / 100.0 AS sum_base_price,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                       * 10000) AS BIGINT))
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) / 10000.0 AS sum_disc_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus

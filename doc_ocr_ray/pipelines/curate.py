@@ -26,7 +26,8 @@ from doc_ocr_ray.stages.text_analysis import quality_score_batch
 
 
 def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
-                  min_tokens: int = 2, max_punct_ratio: float = 0.5):
+                  min_tokens: int = 2, min_chars: int = 8,
+                  max_punct_ratio: float = 0.5):
     """documents Dataset -> curated (doc_id, question_number, text,
     n_tokens) rows, deduplicated on normalized text."""
     config = config or DEFAULT_CONFIG
@@ -55,8 +56,11 @@ def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
         text = batch["text"].fillna("")
         ascii_punct = (text.str.count(r"[!-/:-@\[-`{-~]")
                        / text.str.len().clip(lower=1))
-        keep = ((scores["n_tokens"] >= min_tokens)
-                & (ascii_punct <= max_punct_ratio))
+        # length floor: whitespace tokens OR raw chars — a spaceless
+        # CJK question is one "token" but plenty of content
+        long_enough = ((scores["n_tokens"] >= min_tokens)
+                       | (text.str.len() >= min_chars))
+        keep = long_enough & (ascii_punct <= max_punct_ratio)
         out = batch[keep.to_numpy()].copy()
         out["n_tokens"] = scores.loc[keep, "n_tokens"].to_numpy()
         return out

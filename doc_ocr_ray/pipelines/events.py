@@ -15,6 +15,7 @@ sorted by ts within each group):
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -23,7 +24,7 @@ def tumbling_window(ds, freq: str = "h"):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(
             window=batch["ts"].dt.floor(freq),
-            cents=(batch["value"] * 100).round().astype("int64"))
+            cents=np.floor(batch["value"] * 100 + 0.5).astype("int64"))
         g = (batch.groupby(["event_type", "window"], sort=False)["cents"]
                   .agg(["count", "sum"]).reset_index())
         g.columns = ["event_type", "window", "n", "sum_cents"]

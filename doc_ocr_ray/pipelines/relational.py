@@ -8,6 +8,7 @@ hashes match.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -23,7 +24,7 @@ def events_by_type(ds):
     independent implementation (see CLAUDE.md rounding rule)."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(
-            cents=(batch["value"] * 100).round().astype("int64"))
+            cents=np.floor(batch["value"] * 100 + 0.5).astype("int64"))
         g = batch.groupby("event_type", sort=False)["cents"].agg(["count", "sum"])
         g = g.reset_index()
         g.columns = ["event_type", "n", "sum_cents"]
@@ -47,7 +48,7 @@ def events_by_type_native(ds):
     from ray.data.aggregate import Count, Sum
 
     def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["cents"] = (batch["value"] * 100).round().astype("int64")
+        batch["cents"] = np.floor(batch["value"] * 100 + 0.5).astype("int64")
         return batch
 
     agg = (ds.map_batches(to_cents, batch_format="pandas")
@@ -74,12 +75,15 @@ def lineitem_pricing(ds):
         disc_price = pc.multiply(batch["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         t = (batch
-             .append_column("qty_c", pc.cast(pc.round(
-                 pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64()))
-             .append_column("base_c", pc.cast(pc.round(
-                 pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64()))
-             .append_column("disc_c", pc.cast(pc.round(
-                 pc.multiply(disc_price, pa.scalar(10000.0))), pa.int64())))
+             .append_column("qty_c", pc.cast(pc.floor(pc.add(
+                 pc.multiply(batch["l_quantity"], pa.scalar(100.0)),
+                 pa.scalar(0.5))), pa.int64()))
+             .append_column("base_c", pc.cast(pc.floor(pc.add(
+                 pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+                 pa.scalar(0.5))), pa.int64()))
+             .append_column("disc_c", pc.cast(pc.floor(pc.add(
+                 pc.multiply(disc_price, pa.scalar(10000.0)),
+                 pa.scalar(0.5))), pa.int64())))
         df = t.select(["l_returnflag", "l_linestatus", "qty_c",
                        "base_c", "disc_c"]).to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(

@@ -30,9 +30,15 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     """
     import ray.data
     if isinstance(uri, (list, tuple)):
-        # explicit file list (e.g. one shard's slice of a directory)
-        if uri and str(uri[0]).endswith(".lance"):
-            return ray.data.read_lance(list(uri), columns=columns)
+        # explicit file list (e.g. one shard's slice of a directory).
+        # read_lance only accepts a single dataset uri, so lance entries
+        # read individually and union; a mixed list is an error.
+        lances = [u for u in uri if str(u).endswith(".lance")]
+        if lances and len(lances) != len(uri):
+            raise ValueError("mixed lance/parquet file list")
+        if lances:
+            dsets = [ray.data.read_lance(u, columns=columns) for u in lances]
+            return dsets[0] if len(dsets) == 1 else dsets[0].union(*dsets[1:])
         return ray.data.read_parquet(list(uri), columns=columns)
     if uri.endswith(".lance") or (os.path.isdir(uri) and _have_lance()
                                   and os.path.exists(os.path.join(uri, "_versions"))):

@@ -100,7 +100,7 @@ def running_sum_per_user(ds):
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"]).copy()
-        cents = (g["value"] * 100).round().astype("int64")
+        cents = np.floor(g["value"] * 100 + 0.5).astype("int64")
         g["running_cents"] = cents.groupby(g["user_id"], sort=False).cumsum()
         return g[["user_id", "event_id", "running_cents"]]
 

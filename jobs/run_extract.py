@@ -35,9 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _input_files(path: str):
     if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "_versions")):
+            # a Lance dataset directory is ONE input, not a file list —
+            # its internal entries (data/, _versions/, ...) must not be
+            # sharded as if they were parquet files
+            return [path]
         return sorted(
             os.path.join(path, f) for f in os.listdir(path)
-            if not f.startswith(".") and f != "manifest.json")
+            if os.path.isfile(os.path.join(path, f))
+            and not f.startswith(".") and f != "manifest.json")
     return [path]
 
 
@@ -69,6 +75,13 @@ def main() -> int:
 
     job_params = {"input": args.input, "shards": args.shards,
                   "seed": args.seed, "mega_doc_every": args.mega_doc_every}
+    if not args.input.startswith("synth:"):
+        # shard slices depend on the resolved file list — a file added,
+        # removed, or renamed between runs would silently shift every
+        # slice, so the list's fingerprint is part of the job identity
+        import hashlib
+        job_params["input_files_md5"] = hashlib.md5(
+            "\n".join(_input_files(args.input)).encode()).hexdigest()
     manifest_path = os.path.join(args.output, "manifest.json")
     if args.fresh and os.path.isdir(args.output):
         # stale partitions from a prior (possibly differently-sharded)
@@ -148,10 +161,13 @@ def main() -> int:
         cols = part.to_table(columns=["group_type", "split_from_merged",
                                       "n_images", "doc_id"])
         rows_out = cols.num_rows
-        if rows_in < 0:
-            rows_in = pc.count_distinct(cols["doc_id"]).as_py()
         gt = cols["group_type"]
         metrics = {
+            # docs that produced >=1 output row — NOT docs read (a doc
+            # with no extractable content is invisible here); rows_in
+            # stays -1 = unknown for path inputs, and summary() reports
+            # incompleteness instead of summing the sentinel
+            "docs_with_output": pc.count_distinct(cols["doc_id"]).as_py(),
             "questions": pc.sum(pc.cast(pc.equal(gt, "question"),
                                         "int64")).as_py() or 0,
             "errors": pc.sum(pc.cast(pc.equal(gt, "error"),
