@@ -86,7 +86,7 @@ def extract_questions(ds, config: Optional[PipelineConfig] = None,
     if concurrency is None:
         return ds.map_batches(
             _extract_batch, batch_format="pyarrow",
-            batch_size=config.batch_size,
+            batch_size=config.batch_size, zero_copy_batch=True,
             fn_kwargs={"cache_key": _fingerprint(config, verdicts),
                        "config": config, "verdicts": verdicts})
     return ds.map_batches(
@@ -102,7 +102,7 @@ def split_documents(ds, config: Optional[PipelineConfig] = None,
     if concurrency is None:
         return ds.map_batches(
             _split_batch, batch_format="pyarrow",
-            batch_size=config.batch_size,
+            batch_size=config.batch_size, zero_copy_batch=True,
             fn_kwargs={"cache_key": _fingerprint(config, None),
                        "config": config})
     return ds.map_batches(
@@ -151,7 +151,8 @@ def flatten_documents(ds):
             "media_ref": flat.field("media_ref"),
             "offset": flat.field("offset"),
         })
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def restitch_documents(flat_ds, num_partitions: int = 256):
