@@ -84,6 +84,10 @@ def test_drop_near_duplicates():
     kept_ids = {r["doc_id"] for r in kept}
     # every injected exact dup (the larger id of its pair) is gone
     assert not any(i >= 2_000_000 for i in kept_ids)
+    # and the NEAR duplicates (the function's main job): at most the
+    # <=2 pairs minhash may miss survive
+    near_survivors = sum(1 for i in kept_ids if 1_000_000 <= i < 2_000_000)
+    assert near_survivors <= 2
 
 
 def test_knn_brute_matches_numpy_oracle():
@@ -196,9 +200,12 @@ def test_kmv_sketch_accuracy_and_mergeability():
     # force the estimation path with a tiny k
     est_small = kmv_distinct_tokens(ds, k=16)["estimate"]
     assert 0.3 * exact <= est_small <= 3 * exact
-    # mergeability: sketch of the whole equals merge of halves
-    half1 = kmv_distinct_tokens(ds.limit(250), k=1024)
-    assert half1["estimate"] <= est
+    # mergeability: the merged estimate is invariant to how the corpus
+    # is batched — k smallest of the union is the same set regardless
+    # of which partial sketch each hash came from
+    est_1part = kmv_distinct_tokens(ds.repartition(1), k=16)["estimate"]
+    est_8part = kmv_distinct_tokens(ds.repartition(8), k=16)["estimate"]
+    assert est_1part == est_8part
 
 
 def test_curate_corpus_end_to_end():

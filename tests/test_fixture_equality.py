@@ -67,10 +67,14 @@ def test_flat_path_split_equality(docs_ds):
     """Split equality holds through the flattened/groupby path too."""
     expected = fixtures.expected_split_sequences()
     ds = restitch_documents(flatten_documents(docs_ds))
-    for row in split_documents(ds).take_all():
+    rows = split_documents(ds).take_all()
+    assert len(rows) == len(expected)      # guard against a vacuous pass
+    for row in rows:
         assert _seq(row["spans"]) == expected[row["doc_id"]]
 
 
+@pytest.mark.skipif(not __import__("os").path.isdir(fixtures.V1_FIXTURE_DIR),
+                    reason="v1 reference fixtures not present")
 def test_v1_merge_span_sequence_equality(ray_session):
     """The v1-analyzer pages (no split step — enable_split=False, the
     reference's enable_ocr_split feature flag) also reproduce their

@@ -34,7 +34,6 @@ def test_write_table_atomic_and_readback(tmp_path):
     assert back.count() == 10
 
 
-@pytest.mark.usefixtures("ray_session")
 def test_partial_resume_recomputes_only_missing(tmp_path):
     """Drop one shard from the manifest -> rerun recomputes only it."""
     out = str(tmp_path / "job")
@@ -89,9 +88,8 @@ def test_poison_doc_contained():
     err = by_doc["poison"]
     assert len(err) == 1 and err[0]["group_type"] == "error"
     assert "TypeError" in err[0]["merged_text"]
-    # fail_fast surfaces the exception instead
-    import pytest as _pytest
-    with _pytest.raises(Exception):
+    # fail_fast surfaces the (poison TypeError) exception instead
+    with pytest.raises(Exception, match="TypeError"):
         extract_questions(ray.data.from_arrow(tbl),
                           config=PipelineConfig(fail_fast=True)).take_all()
 

@@ -42,7 +42,7 @@ def test_parse_reference_result_json():
 @pytest.mark.skipif(not os.path.exists(REFERENCE_JSON),
                     reason="reference JSON not present")
 @pytest.mark.usefixtures("ray_session")
-def test_read_layout_json_pipeline(tmp_path):
+def test_read_layout_json_pipeline():
     from doc_ocr_ray.sources.layout_json import read_layout_json
     from doc_ocr_ray.pipelines.extract import extract_questions
     ds = read_layout_json([REFERENCE_JSON])
