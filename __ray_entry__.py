@@ -261,6 +261,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return median_value_by_type(
             _read(sf_dir, "events", ["event_type", "value"]))
 
+    def q_distinct_event_types(sf_dir):
+        # Dataset.unique — the native distinct (a shuffle)
+        import pyarrow as _pa
+        vals = sorted(_read(sf_dir, "events", ["event_type"])
+                      .unique("event_type"))
+        return _pa.table({"event_type": _pa.array(vals, _pa.string())})
+
     # ---- relational operators (SQL-checkable)
     def q_events_by_type(sf_dir):
         return relational.events_by_type(
@@ -334,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
         "running_sum_per_user": q_running_sum_per_user,
         "median_value_by_type": q_median_value_by_type,
+        "distinct_event_types": q_distinct_event_types,
         "events_by_type": q_events_by_type,
         "events_by_type_native": q_events_by_type_native,
         "lineitem_pricing": q_lineitem_pricing,
@@ -454,6 +462,9 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, rank, vec_id, round(raw, 4) AS score
             FROM r WHERE rank <= 5
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
