@@ -42,17 +42,42 @@ def _flatten_questions(questions_ds):
 
 
 def _dup_injected_docs(sf_dir: str, n_base: int = 200):
-    """First n_base documents plus perturbed copies (doc_id+1000000):
-    a deterministic near-duplicate testbed for the dedup operators."""
+    """Documents with doc_id < n_base plus perturbed copies
+    (doc_id+1000000): a deterministic near-duplicate testbed for the
+    dedup operators.  The doc_id filter (not head()) keys the selection
+    so the SQL oracle can reproduce it exactly."""
     import ray.data
     df = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"]).head(n_base)
+                         columns=["doc_id", "text"])
+    df = df[df["doc_id"] < n_base].reset_index(drop=True)
     pert = df.copy()
     pert["doc_id"] = pert["doc_id"] + 1_000_000
     # light perturbation: drop the 7th word
     pert["text"] = pert["text"].map(
         lambda t: " ".join(w for i, w in enumerate(t.split(" ")) if i != 7))
     both = pd.concat([df, pert], ignore_index=True)
+    return ray.data.from_pandas(both)
+
+
+def _neardup_injected_embeddings(sf_dir: str, n_base: int = 100):
+    """Embeddings with vec_id < n_base plus perturbed copies
+    (vec_id+1000000, every element +0.01 in float64): a deterministic
+    near-duplicate testbed whose SQL twin is a list_transform over the
+    same parquet rows.  Injected pairs score ~0.997 cosine; base-base
+    pairs stay < 0.5 (random vectors), so threshold 0.95 separates
+    cleanly."""
+    import numpy as np
+    import ray.data
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    df = df[df["vec_id"] < n_base].reset_index(drop=True)
+    df["embedding"] = df["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float64))
+    pert = df.copy()
+    pert["vec_id"] = pert["vec_id"] + 1_000_000
+    pert["embedding"] = pert["embedding"].map(lambda v: v + 0.01)
+    both = pd.concat([df, pert], ignore_index=True)
+    both["embedding"] = both["embedding"].map(list)
     return ray.data.from_pandas(both)
 
 
@@ -171,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_clusters(pairs)
 
     def q_embedding_neardup(sf_dir):
-        emb = _read(sf_dir, "embeddings")
+        emb = _neardup_injected_embeddings(sf_dir)
         return similarity.embedding_neardup_pairs(emb, threshold=0.95)
 
     # ---- multimodal plumbing (stubbed decode, real schema/batching)
@@ -447,6 +472,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(
                 list_sort(regexp_split_to_array(trim({_NORM}), ' ')), ' ')
+        """,
+        "embedding_neardup": """
+            WITH raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100),
+            inj AS (
+              SELECT vec_id, v FROM raw
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+              FROM raw),
+            s AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_cosine_similarity(a.v, b.v) AS raw_s
+              FROM inj a JOIN inj b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, round(raw_s, 4) AS score
+            FROM s WHERE raw_s >= 0.95
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

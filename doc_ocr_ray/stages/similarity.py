@@ -291,38 +291,137 @@ def knn_ivf(ds, query_ids: List[int], k: int = 5, n_centroids: int = 16,
     })
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, n_bits: int = 8,
+def embedding_neardup_pairs(ds, threshold: float = 0.95,
+                            num_bands: int = 8, bits_per_band: int = 0,
+                            target_bucket: int = 64,
                             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Cosine near-duplicate pairs via LSH-bucket blocking: vectors in
-    the same sign-bit bucket are compared pairwise (bucket sizes stay
-    small for spread data; documented approximation: cross-bucket pairs
-    are missed)."""
-    dim = len(ds.take(1)[0][vec_col])
-    coder = LshCoder(dim, n_bits)
+    """Cosine near-duplicate pairs via MULTI-BAND hyperplane LSH.
 
-    def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        X = _norm_rows(_matrix(batch[vec_col]))
-        out = pd.DataFrame({
-            id_col: batch[id_col].to_numpy(),
-            "bucket": coder.codes(X),
-        })
-        out[vec_col] = [list(map(float, x)) for x in X]
-        return out
+    Same banding shape as the MinHash path (dedup.py): ``num_bands``
+    independent sign-bit codes of ``bits_per_band`` hyperplanes each; a
+    pair is a candidate when ANY band matches, so recall is
+    1-(1-p^r)^B instead of the single-code p^n cliff.  ``bits_per_band``
+    scales with corpus size (log2(n/target_bucket)) so buckets stay
+    ~target_bucket rows no matter the corpus — no O(n^2/2^bits) blow-up
+    from a fixed code width.
 
-    coded = ds.map_batches(code_batch, batch_format="pandas")
+    Shuffle discipline: the exchange carries (id, band, bucket) ONLY —
+    vectors never ride the groupby.  Candidate pairs (id pairs, tiny vs
+    the corpus) are verified in a second distributed pass: the
+    candidate id-set is broadcast, matching vectors are gathered with a
+    distributed filter (output is candidate-sized), the gathered matrix
+    is broadcast back, and each pair partition scores its pairs
+    locally.  Assumes the candidate set fits the object store — true
+    whenever near-dup output itself is storable.
+    """
+    import ray
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "score": []})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        X = np.asarray([np.asarray(v) for v in g[vec_col]])
-        S = X @ X.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hit = S[ii, jj] >= threshold
+    n = ds.count()
+    if bits_per_band <= 0:
+        bits_per_band = max(2, int(np.ceil(np.log2(max(2.0, n / max(1, target_bucket))))))
+    first = ds.take(1)
+    if not first:
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")}))
+    dim = len(first[0][vec_col])
+    rng = np.random.RandomState(7)
+    planes = rng.normal(size=(num_bands * bits_per_band, dim))
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    def code_batch(batch: pa.Table) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        X = _norm_rows(_matrix_from_arrow(batch, vec_col))
+        bits = (X @ P.T) > 0                       # (n, B*r)
+        ids = batch[id_col].to_numpy()
+        out_id, out_band, out_bucket = [], [], []
+        for band in range(num_bands):
+            seg = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
+            codes = seg.astype(np.int64) @ weights
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), band, dtype=np.int64))
+            out_bucket.append(codes)
         return pd.DataFrame({
-            "vec_a": ids[ii[hit]], "vec_b": ids[jj[hit]],
-            "score": np.round(S[ii, jj][hit], 4),
+            id_col: np.concatenate(out_id),
+            "band": np.concatenate(out_band),
+            "bucket": np.concatenate(out_bucket),
+            "part": ((np.concatenate(out_band) * 131071
+                      + np.concatenate(out_bucket)) % 256),
         })
 
-    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    coded = ds.map_batches(code_batch, batch_format="pyarrow")
+
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a_, b_ = [], []
+        for _, bucket in group.groupby(["band", "bucket"], sort=False):
+            if len(bucket) < 2:
+                continue
+            ids = np.sort(bucket[id_col].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            a_.append(ids[ii]); b_.append(ids[jj])
+        if not a_:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vec_a": np.concatenate(a_),
+                             "vec_b": np.concatenate(b_)})
+
+    pairs = coded.groupby("part").map_groups(part_pairs, batch_format="pandas")
+
+    # cross-band dedupe on a coarse pair key
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ppart"] = ((batch["vec_a"] * 31 + batch["vec_b"]) % 64).astype("int64")
+        return batch
+
+    def drop_dup(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop_duplicates(["vec_a", "vec_b"])
+                     .drop(columns=["ppart"]))
+
+    cand = (pairs.map_batches(pair_part, batch_format="pandas")
+                 .groupby("ppart").map_groups(drop_dup, batch_format="pandas")
+                 .materialize())        # consumed twice (id-set + verify)
+
+    # ---- verify pass: candidate-sized gather + distributed scoring
+    need = set()
+    for b in cand.iter_batches(batch_size=65536, batch_format="pandas"):
+        need.update(b["vec_a"].tolist()); need.update(b["vec_b"].tolist())
+    if not need:
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")}))
+    need_ref = ray.put(need)
+
+    def grab(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(need_ref)
+        hit = batch[batch[id_col].isin(ns)]
+        return pd.DataFrame({
+            id_col: hit[id_col].to_numpy(),
+            vec_col: [list(map(float, v)) for v in hit[vec_col]],
+        })
+
+    got = ds.map_batches(grab, batch_format="pandas").take_all()
+    vecs = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+            for r in got}
+    # normalize once, broadcast the id->row lookup
+    ids_sorted = sorted(vecs)
+    M = _norm_rows(np.stack([vecs[i] for i in ids_sorted]))
+    row_of = {i: r for r, i in enumerate(ids_sorted)}
+    vec_ref = ray.put((M, row_of))
+
+    def score_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        Mm, rows = ray.get(vec_ref)
+        ra = batch["vec_a"].map(rows).to_numpy()
+        rb = batch["vec_b"].map(rows).to_numpy()
+        s = np.einsum("ij,ij->i", Mm[ra], Mm[rb])
+        hit = s >= threshold
+        return pd.DataFrame({
+            "vec_a": batch["vec_a"].to_numpy()[hit],
+            "vec_b": batch["vec_b"].to_numpy()[hit],
+            "score": np.round(s[hit], 4),
+        })
+
+    return cand.map_batches(score_pairs, batch_format="pandas")

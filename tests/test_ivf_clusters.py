@@ -66,3 +66,49 @@ def test_dedup_clusters_chain():
     }))
     out = {r["doc_id"]: r["cluster"] for r in dedup_clusters(pairs).take_all()}
     assert set(out.values()) == {0} and len(out) == n
+
+
+def test_embedding_neardup_injected_pairs():
+    """Injected perturbed copies MUST all surface as near-dup pairs
+    (multi-band recall), with no false positives at threshold 0.95."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import embedding_neardup_pairs
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, 16))
+    ids = list(range(60))
+    pert_ids = [i + 1000 for i in range(15)]
+    pert = base[:15] + 0.01
+    df = pd.DataFrame({
+        "vec_id": ids + pert_ids,
+        "embedding": [list(v) for v in base] + [list(v) for v in pert],
+    })
+    out = embedding_neardup_pairs(ray.data.from_pandas(df),
+                                  threshold=0.95).take_all()
+    got = sorted((r["vec_a"], r["vec_b"]) for r in out)
+    assert got == [(i, i + 1000) for i in range(15)]
+    for r in out:
+        assert r["score"] >= 0.95
+
+
+def test_embedding_neardup_bits_scale_with_corpus():
+    """bits_per_band derives from corpus size: larger corpora get more
+    bits (smaller buckets), preventing the fixed-width O(n^2) blow-up."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import embedding_neardup_pairs
+    rng = np.random.RandomState(5)
+
+    def make(n):
+        return ray.data.from_pandas(pd.DataFrame({
+            "vec_id": list(range(n)),
+            "embedding": [list(v) for v in rng.normal(size=(n, 8))],
+        }))
+
+    # not asserting internals directly: with target_bucket=4, a 64-row
+    # corpus needs 4 bits (16 buckets/band) — and still returns no
+    # false pairs; an 8-row corpus runs with the 2-bit floor
+    assert embedding_neardup_pairs(make(8), threshold=0.99,
+                                   target_bucket=4).count() == 0
+    assert embedding_neardup_pairs(make(64), threshold=0.99,
+                                   target_bucket=4).count() == 0

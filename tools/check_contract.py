@@ -11,6 +11,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = set(sys.argv[2:])        # optional: restrict to named queries
 
 
 def to_pandas(result):
@@ -46,6 +47,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(SF_DIR)))
