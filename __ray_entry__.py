@@ -191,8 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   n_centroids=16, nprobe=4)
 
     def q_dedup_clusters(sf_dir):
+        # cluster the VERIFIED pair graph (true-Jaccard edges), so the
+        # result is oracle-checkable by a recursive CTE over the same
+        # SQL-computed edge set
         docs = _dup_injected_docs(sf_dir)
-        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+        cand = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+        pairs = dedup.verify_pairs_exact(docs, cand, threshold=0.6)
         return dedup.dedup_clusters(pairs)
 
     def q_embedding_neardup(sf_dir):
@@ -378,6 +382,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ------------------------------------------------------------ oracle SQL
 
+# injected near-dup docs testbed (_dup_injected_docs twin) + true
+# char-5-gram Jaccard pair graph, shared by the ngram-verify and
+# clusters oracles.  toks[1:7]+toks[9:] drops the 8th 1-based token =
+# Python's enumerate-index-7.
+_INJ_JACCARD = """
+inj AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_concat(toks[1:7], toks[9:]), ' ')
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 200)),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM inj),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM norm, LATERAL (SELECT unnest(range(1, greatest(2, length(t) - 3))) AS i)
+  WHERE length(t) >= 5
+  UNION
+  SELECT DISTINCT doc_id, t AS g FROM norm WHERE length(t) < 5 AND t <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b, ninter,
+         ninter::DOUBLE / (sa.n + sb.n - ninter) AS j,
+         floor(10000 * ninter / (sa.n + sb.n - ninter)) / 10000 AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
@@ -472,6 +510,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(
                 list_sort(regexp_split_to_array(trim({_NORM}), ' ')), ' ')
+        """,
+        "dedup_ngram_verify": f"""
+            WITH {_INJ_JACCARD}
+            SELECT doc_a, doc_b, jaccard FROM jac WHERE j >= 0.6
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_INJ_JACCARD},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.6
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac WHERE j >= 0.6),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node)
+            SELECT node AS doc_id, min(lab) AS cluster
+            FROM reach GROUP BY node
         """,
         "embedding_neardup": """
             WITH raw AS (

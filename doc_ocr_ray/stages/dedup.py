@@ -451,26 +451,79 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _md5_shingle_set(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 63-bit md5 hashes of the k-gram set.  md5 (not the
+    rolling poly hash) so hash-set Jaccard equals string-set Jaccard:
+    a 2^31-space rolling hash collides often enough across a candidate
+    corpus to shift a ratio off its oracle value."""
+    return np.unique(np.fromiter(
+        (_md5_64(g) >> 1 for g in set(char_shingles(text, k))),
+        dtype=np.int64, count=-1))
+
+
 def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
-    """Exact n-gram Jaccard verification of candidate pairs: broadcast
-    the candidate docs' texts (the candidate set is tiny vs the corpus)
-    and filter pairs by true Jaccard."""
+    """Exact n-gram Jaccard verification of candidate pairs — fully
+    distributed; nothing corpus-sized touches the driver:
+
+    1. candidate pairs materialize once (consumed for the id-set and
+       for scoring);
+    2. the candidate id-set is broadcast (``ray.put``) and each doc's
+       shingle-hash set is computed by a distributed filter over the
+       corpus — output is candidate-sized;
+    3. the gathered hash sets are broadcast back and each pair
+       partition scores its pairs locally.
+
+    Scale assumption: the candidate set (LSH output) fits the object
+    store — true whenever the verified pair list itself is storable.
+    Pairs where either side has no shingles (empty text) are dropped.
+    ``jaccard`` uses the grid-safe ratio floor(1e4*inter/union)/1e4
+    (identical op order to the SQL oracle; round() is half-up in
+    DuckDB but half-even here).  Returns a Dataset (doc_a, doc_b,
+    jaccard)."""
     import ray
-    pairs = pairs_ds.take_all()
-    need = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
-    texts = {}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        hit = batch[batch["doc_id"].isin(need)]
-        texts.update(dict(zip(hit["doc_id"], hit["text"])))
-    out = []
-    for p in pairs:
-        j = ngram_jaccard(texts.get(p["doc_a"], ""), texts.get(p["doc_b"], ""), k)
-        if j >= threshold:
-            out.append({"doc_a": p["doc_a"], "doc_b": p["doc_b"],
-                        "jaccard": round(j, 4)})
-    cols = {"doc_a": [o["doc_a"] for o in out],
-            "doc_b": [o["doc_b"] for o in out],
-            "jaccard": [o["jaccard"] for o in out]}
-    return pa.table({"doc_a": pa.array(cols["doc_a"], pa.int64()),
-                     "doc_b": pa.array(cols["doc_b"], pa.int64()),
-                     "jaccard": pa.array(cols["jaccard"], pa.float64())})
+
+    pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    need = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
+        need.update(b["doc_a"].tolist()); need.update(b["doc_b"].tolist())
+    if not need:
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")}))
+    need_ref = ray.put(need)
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(need_ref)
+        hit = batch[batch["doc_id"].isin(ns)]
+        return pd.DataFrame({
+            "doc_id": hit["doc_id"].to_numpy(),
+            "shingles": [_md5_shingle_set(t, k).tobytes()
+                         for t in hit["text"].fillna("")],
+        })
+
+    got = ds.map_batches(gather, batch_format="pandas").take_all()
+    sets = {int(r["doc_id"]): np.frombuffer(r["shingles"], dtype=np.int64)
+            for r in got}
+    sets_ref = ray.put(sets)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa = ss.get(int(a))
+            sb = ss.get(int(b))
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = len(sa) + len(sb) - inter
+            if inter / union >= threshold:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_j.append(np.floor(10000 * inter / union) / 10000)
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64")})
+
+    return pairs.map_batches(score, batch_format="pandas")
