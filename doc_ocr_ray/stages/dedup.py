@@ -251,84 +251,161 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                  .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
-def dedup_clusters(pairs_ds, max_iters: int = 10):
+def dedup_clusters(pairs_ds, max_iters: int = 30, num_parts: int = 64):
     """Connected components over the duplicate-pair graph -> (doc_id,
     cluster) with cluster = min doc_id of the component.
 
-    Distributed min-label propagation: each iteration unions the label
-    table with edge messages and takes the per-node min via one
-    groupby; converges in O(graph diameter) iterations.  Keeps
-    transitive duplicate chains together (keep-min pruning alone is not
-    transitive).  The pair graph is the CANDIDATE set — tiny relative
-    to the corpus — so iterating a few small shuffles is cheap.
-    """
-    import ray.data
+    Fully distributed: NOTHING graph-sized ever lands on the driver —
+    each round is a hash-partitioned edge⋈label join (tagged-union +
+    coarse-key groupby, the same shuffle discipline as every other
+    exchange here) and convergence is a distributed sum over per-node
+    changed flags.  Per round:
 
-    pairs = pairs_ds.select_columns(["doc_a", "doc_b"])
+    1. neighbor-min: each edge endpoint sends its label to the other
+       side (join on the source node), then a per-node min combines
+       messages with the old label;
+    2. pointer jumping x2: label <- label[label] via a self-join of the
+       label table keyed on the label value.  Chains contract
+       geometrically, so a path of length L converges in O(log L)
+       rounds instead of O(L) — the property that makes web-scale
+       duplicate chains (10^8-node components) tractable.
+
+    The label table lives in the object store (``materialize()``) and
+    is re-joined each round; only the scalar changed-count crosses to
+    the driver.
+    """
+    P = num_parts
+
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
 
     def seed_labels(batch: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.unique(pd.concat([batch["doc_a"], batch["doc_b"]]))
         return pd.DataFrame({"node": nodes, "label": nodes})
 
     def node_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch["node"] % 64).astype("int64")
+        batch["part"] = (batch["node"] % P).astype("int64")
         return batch
 
-    def min_label(group: pd.DataFrame) -> pd.DataFrame:
-        g = (group.groupby("node", sort=False)["label"].min()
-                  .reset_index())
-        return g
+    def dedup_min(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("node", sort=False)["label"].min()
+                     .reset_index())
 
-    labels = (pairs.map_batches(seed_labels, batch_format="pandas")
-                   .map_batches(node_part, batch_format="pandas")
-                   .groupby("part").map_groups(min_label, batch_format="pandas"))
+    labels = (edges.map_batches(seed_labels, batch_format="pandas")
+              .map_batches(node_part, batch_format="pandas")
+              .groupby("part").map_groups(dedup_min, batch_format="pandas")
+              ).materialize()
 
-    def _compress(lab_map: dict) -> dict:
-        """Path compression: resolve label chains to their roots so each
-        broadcast round contracts whole paths (O(log diameter) rounds
-        instead of O(diameter))."""
-        out = {}
-        for node in lab_map:
-            root = lab_map[node]
-            seen = [node]
-            while root in lab_map and lab_map[root] != root:
-                seen.append(root)
-                root = lab_map[root]
-            for s in seen:
-                out[s] = root
-        return out
+    # block budget for the per-round coalesce: few blocks at test scale
+    # (task overhead dominates), proportional blocks at web scale
+    # (~2M label rows per block).  The node set is fixed, so count once.
+    n_nodes = labels.count()
+    label_blocks = max(8, n_nodes // 2_000_000)
 
-    prev_map = None
+    # ---- join plumbing: tagged union on join_key, coarse partition
+    def jpart(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["join_key"] % P).astype("int64")
+        return batch
+
+    def edge_requests(batch: pd.DataFrame) -> pd.DataFrame:
+        # both directions: src's label must reach dst
+        return pd.DataFrame({
+            "join_key": pd.concat([batch["doc_a"], batch["doc_b"]],
+                                  ignore_index=True),
+            "other": pd.concat([batch["doc_b"], batch["doc_a"]],
+                               ignore_index=True),
+            "changed": np.int8(0),
+            "is_prov": np.int8(0)})
+
+    def label_providers(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "join_key": batch["node"], "other": batch["label"],
+            "changed": np.int8(0), "is_prov": np.int8(1)})
+
+    def join_emit(group: pd.DataFrame) -> pd.DataFrame:
+        """requests (join_key, other=dst) x providers (join_key,
+        other=label) -> (node=dst, label)."""
+        prov = group[group["is_prov"] == 1]
+        req = group[group["is_prov"] == 0]
+        m = req[["join_key", "other"]].merge(
+            prov[["join_key", "other"]].rename(columns={"other": "label"}),
+            on="join_key", how="inner")
+        return pd.DataFrame({"node": m["other"], "label": m["label"]})
+
+    def combine_min(group: pd.DataFrame) -> pd.DataFrame:
+        """old labels (is_old=1) + messages -> per-node min + changed."""
+        mn = (group.groupby("node", sort=False)["label"].min()
+                   .reset_index())
+        old = group[group["is_old"] == 1].set_index("node")["label"]
+        mn["changed"] = (mn["label"]
+                         < old.reindex(mn["node"]).to_numpy()).astype("int8")
+        return mn
+
+    def jump_emit(group: pd.DataFrame) -> pd.DataFrame:
+        """requests (join_key=old label, other=node, changed) x
+        providers (join_key=node, other=that node's label) ->
+        (node, label[label], changed).  The request's join_key IS the
+        node's old label, so changed needs no extra pass."""
+        prov = group[group["is_prov"] == 1]
+        req = group[group["is_prov"] == 0]
+        m = req[["join_key", "other", "changed"]].merge(
+            prov[["join_key", "other"]].rename(columns={"other": "label"}),
+            on="join_key", how="inner")
+        return pd.DataFrame({
+            "node": m["other"], "label": m["label"],
+            "changed": np.maximum(
+                m["changed"].to_numpy(),
+                (m["label"] != m["join_key"]).astype("int8"))})
+
+    def jump_both(batch: pd.DataFrame) -> pd.DataFrame:
+        """Emit requests AND providers from one pass so the (lazy)
+        upstream is consumed exactly once per jump."""
+        ch = (batch["changed"].astype("int8") if "changed" in batch.columns
+              else pd.Series(np.zeros(len(batch), dtype="int8")))
+        reqs = pd.DataFrame({
+            "join_key": batch["label"], "other": batch["node"],
+            "changed": ch.to_numpy(), "is_prov": np.int8(0)})
+        provs = pd.DataFrame({
+            "join_key": batch["node"], "other": batch["label"],
+            "changed": np.int8(0), "is_prov": np.int8(1)})
+        return pd.concat([reqs, provs], ignore_index=True)
+
+    def jump(lab_ds):
+        return (lab_ds.map_batches(jump_both, batch_format="pandas")
+                .map_batches(jpart, batch_format="pandas")
+                .groupby("part").map_groups(jump_emit, batch_format="pandas"))
+
     for _ in range(max_iters):
-        labels_mat = labels.materialize()
-        lab_map = _compress(
-            {r["node"]: r["label"] for r in labels_mat.take_all()})
-        if lab_map == prev_map:
+        # 1. neighbor-min
+        msgs = (edges.map_batches(edge_requests, batch_format="pandas")
+                .union(labels.map_batches(label_providers,
+                                          batch_format="pandas"))
+                .map_batches(jpart, batch_format="pandas")
+                .groupby("part").map_groups(join_emit, batch_format="pandas"))
+        tagged_old = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
+                                    "is_old": np.int8(1)}),
+            batch_format="pandas")
+        tagged_msgs = msgs.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
+                                    "is_old": np.int8(0)}),
+            batch_format="pandas")
+        combined = (tagged_old.union(tagged_msgs)
+                    .map_batches(node_part, batch_format="pandas")
+                    .groupby("part").map_groups(combine_min,
+                                                batch_format="pandas"))
+        # 2. pointer jumping x2.  The repartition is load-bearing: the
+        # unions above double the block count every round (3 -> 7 -> 15
+        # -> ... -> 1000+), so without coalescing, task count grows
+        # exponentially with rounds.
+        jumped = (jump(jump(combined))
+                  .repartition(label_blocks).materialize())
+        changed = jumped.sum("changed")
+        labels = jumped
+        if not changed:
             break
-        prev_map = lab_map
-        import ray
-        import ray.data as _rd
-        labels_mat = _rd.from_pandas(pd.DataFrame(
-            {"node": list(lab_map), "label": list(lab_map.values())}))
-        ref = ray.put(lab_map)
-
-        def messages(batch: pd.DataFrame) -> pd.DataFrame:
-            lm = ray.get(ref)
-            a, b = batch["doc_a"], batch["doc_b"]
-            la = a.map(lm)
-            lb = b.map(lm)
-            return pd.DataFrame({
-                "node": pd.concat([a, b], ignore_index=True),
-                "label": pd.concat([lb, la], ignore_index=True),
-            })
-
-        msgs = pairs.map_batches(messages, batch_format="pandas")
-        labels = (labels_mat.union(msgs)
-                  .map_batches(node_part, batch_format="pandas")
-                  .groupby("part")
-                  .map_groups(min_label, batch_format="pandas"))
     return labels.map_batches(
-        lambda b: b.rename(columns={"node": "doc_id", "label": "cluster"}),
+        lambda b: b[["node", "label"]].rename(
+            columns={"node": "doc_id", "label": "cluster"}),
         batch_format="pandas")
 
 

@@ -60,7 +60,7 @@ def test_minhash_verify_exact_jaccard():
                                           verify_pairs_exact, ngram_jaccard)
     ds = _docs_with_dups()
     pairs = minhash_dedup_pairs(ds, threshold=0.6)
-    verified = verify_pairs_exact(ds, pairs, threshold=0.6).to_pylist()
+    verified = verify_pairs_exact(ds, pairs, threshold=0.6).take_all()
     assert verified
     assert all(v["jaccard"] >= 0.6 for v in verified)
     assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0

@@ -68,6 +68,23 @@ def test_dedup_clusters_chain():
     assert set(out.values()) == {0} and len(out) == n
 
 
+def test_dedup_clusters_chain_100k():
+    """Pathological 10^5-node chain (diameter = n): pointer jumping
+    must converge in O(log n) distributed rounds with NO graph-sized
+    driver materialization — the label table stays in the object store
+    and only the scalar changed-count reaches the driver."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_clusters
+    n = 100_000
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": list(range(n - 1)),
+        "doc_b": list(range(1, n)),
+    }))
+    df = dedup_clusters(pairs).to_pandas()
+    assert len(df) == n
+    assert (df["cluster"] == 0).all()
+
+
 def test_embedding_neardup_injected_pairs():
     """Injected perturbed copies MUST all surface as near-dup pairs
     (multi-band recall), with no false positives at threshold 0.95."""
