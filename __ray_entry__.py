@@ -59,6 +59,46 @@ def _dup_injected_docs(sf_dir: str, n_base: int = 200):
     return ray.data.from_pandas(both)
 
 
+_SYNTH_SPANS_PARQUET = "/tmp/doc_ocr_ray_oracle/synth300_spans.parquet"
+
+
+def _ensure_synth_spans_parquet() -> str:
+    """Park the deterministic synth corpus (300 docs, seed 42) as a
+    FLAT span parquet so the render/exam-info oracles can read the
+    exact same input via read_parquet() — the driver may run oracle
+    SQL before or after the Ray query, so both sides materialize it
+    on demand (atomic tmp+rename; content is deterministic, a
+    concurrent double-write is harmless)."""
+    import os
+    if os.path.exists(_SYNTH_SPANS_PARQUET):
+        return _SYNTH_SPANS_PARQUET
+    import pyarrow.parquet as pq
+    from doc_ocr_ray import synth
+    tbl = synth.generate_table(300, seed=42)
+    rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [],
+            "offset": []}
+    for doc_id, spans in zip(tbl["doc_id"].to_pylist(),
+                             tbl["spans"].to_pylist()):
+        for s in spans:
+            rows["doc_id"].append(doc_id)
+            rows["kind"].append(s["kind"])
+            rows["text"].append(s["text"])
+            rows["media_ref"].append(s["media_ref"])
+            rows["offset"].append(s["offset"])
+    flat = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.string()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "media_ref": pa.array(rows["media_ref"], pa.string()),
+        "offset": pa.array(rows["offset"], pa.int32()),
+    })
+    os.makedirs(os.path.dirname(_SYNTH_SPANS_PARQUET), exist_ok=True)
+    tmp = _SYNTH_SPANS_PARQUET + f".tmp.{os.getpid()}"
+    pq.write_table(flat, tmp)
+    os.replace(tmp, _SYNTH_SPANS_PARQUET)
+    return _SYNTH_SPANS_PARQUET
+
+
 def _neardup_injected_embeddings(sf_dir: str, n_base: int = 100):
     """Embeddings with vec_id < n_base plus perturbed copies
     (vec_id+1000000, every element +0.01 in float64): a deterministic
@@ -190,6 +230,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.knn_ivf(emb, query_ids=list(range(20)), k=5,
                                   n_centroids=16, nprobe=4)
 
+    # exact-probe variants: probing every bucket/cell makes the
+    # approximate machinery provably exact, so the brute-force SQL
+    # oracle hash-checks the whole LSH/IVF code path (the approximate
+    # defaults above stay as the scale path, recall-tested in pytest)
+    def q_similarity_lsh_exact(sf_dir):
+        emb = _read(sf_dir, "embeddings")
+        return similarity.knn_lsh(emb, query_ids=list(range(20)), k=5,
+                                  n_bits=6, probe_hamming=6)
+
+    def q_similarity_ivf_exact(sf_dir):
+        emb = _read(sf_dir, "embeddings")
+        return similarity.knn_ivf(emb, query_ids=list(range(20)), k=5,
+                                  n_centroids=16, nprobe=16)
+
+    def q_curate_documents(sf_dir):
+        # composed curation over the real documents table: exact dedup
+        # -> token count -> length filter (SQL-checkable end to end)
+        deduped = dedup.exact_dedup(_read(sf_dir, "documents",
+                                          ["doc_id", "text"]))
+        counted = deduped.map_batches(text_analysis.token_count_batch,
+                                      batch_format="pandas")
+        return counted.map_batches(lambda b: b[b["n_tokens"] >= 10],
+                                   batch_format="pandas")
+
     def q_dedup_clusters(sf_dir):
         # cluster the VERIFIED pair graph (true-Jaccard edges), so the
         # result is oracle-checkable by a recursive CTE over the same
@@ -207,8 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_multimodal_decode(sf_dir):
         import ray.data
         df = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id"]).head(500)
-        doc_ids = [str(d) for d in df["doc_id"]]
+                             columns=["doc_id"])
+        doc_ids = [str(d) for d in df[df["doc_id"] < 500]["doc_id"]]
         refs = [f"img:{d}" for d in doc_ids]
         media = ray.data.from_arrow(
             multimodal.synthesize_media_table(doc_ids, refs))
@@ -223,14 +287,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return out.map_batches(flat, batch_format="pyarrow")
 
-    # ---- rendering / metadata over the span corpus (rows-only)
+    # ---- rendering / metadata over the span corpus.  Reads the PARKED
+    # flat-span parquet (same bytes the SQL oracle reads), re-stitches
+    # docs through the groupby shuffle, then renders — so the string
+    # assembly / first-match extraction is hash-checked end to end.
     def q_render_markdown(sf_dir):
+        import ray.data
+        from doc_ocr_ray.pipelines.extract import restitch_documents
         from doc_ocr_ray.pipelines.render import render_markdown
-        return render_markdown(synth.generate_dataset(300, seed=42))
+        flat = ray.data.read_parquet(_ensure_synth_spans_parquet())
+        return render_markdown(restitch_documents(flat))
 
     def q_exam_info(sf_dir):
+        import ray.data
+        from doc_ocr_ray.pipelines.extract import restitch_documents
         from doc_ocr_ray.pipelines.render import extract_exam_info
-        return extract_exam_info(synth.generate_dataset(300, seed=42))
+        flat = ray.data.read_parquet(_ensure_synth_spans_parquet())
+        return extract_exam_info(restitch_documents(flat))
 
     # ---- stream-shaped operators over events (SQL-checkable)
     def q_events_tumbling(sf_dir):
@@ -291,10 +364,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["event_type", "value"]))
 
     def q_distinct_event_types(sf_dir):
-        # Dataset.unique — the native distinct (a shuffle)
+        # Dataset.unique — the native distinct (a shuffle).  None-safe
+        # sort key: SELECT DISTINCT retains NULLs and None < str raises.
         import pyarrow as _pa
         vals = sorted(_read(sf_dir, "events", ["event_type"])
-                      .unique("event_type"))
+                      .unique("event_type"),
+                      key=lambda v: (v is None, v))
         return _pa.table({"event_type": _pa.array(vals, _pa.string())})
 
     # ---- relational operators (SQL-checkable)
@@ -355,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_lsh_exact": q_similarity_lsh_exact,
+        "similarity_ivf_exact": q_similarity_ivf_exact,
+        "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
@@ -422,6 +500,25 @@ _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+# brute-force cosine top-k, shared by similarity_topk and the
+# exact-probe LSH/IVF variants (exhaustive probing == brute force)
+_BRUTE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+         x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+               FROM embeddings),
+         s AS (SELECT q.qid AS query_id, x.vec_id,
+                      list_cosine_similarity(q.qv, x.xv) AS raw
+               FROM q CROSS JOIN x WHERE x.vec_id <> q.qid),
+         r AS (SELECT query_id, vec_id, raw,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY raw DESC, vec_id) AS rank
+               FROM s)
+    SELECT query_id, rank, vec_id, round(raw, 4) AS score
+    FROM r WHERE rank <= 5
+"""
+
+
 SESSIONIZE_SQL = """
             WITH lagged AS (
               SELECT user_id, event_id, ts,
@@ -449,6 +546,10 @@ SESSIONIZE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # render/exam-info oracles read the parked flat-span parquet; write
+    # it here too so the file exists whichever side the driver runs
+    # first
+    spans_path = _ensure_synth_spans_parquet()
     lang_cnt = {
         "de": "('der','die','das','und','ist','nicht')",
         "en": _STOP_EN,
@@ -510,6 +611,144 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY array_to_string(
                 list_sort(regexp_split_to_array(trim({_NORM}), ' ')), ' ')
+        """,
+        "winnow_fingerprint": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM} AS t FROM documents),
+            h AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(substr(t, i, 5)), 1, 16))::UBIGINT AS h
+              FROM norm,
+                   LATERAL (SELECT unnest(range(1, length(t) - 3)) AS i)
+              WHERE length(t) >= 5),
+            nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+            wins AS (
+              SELECT h.doc_id, i,
+                     min(h) OVER (PARTITION BY h.doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS m
+              FROM h JOIN nh ON h.doc_id = nh.doc_id
+              QUALIFY i <= greatest(1, n - 3)),
+            kept AS (
+              SELECT doc_id, m,
+                     lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+              FROM wins),
+            agg AS (
+              SELECT doc_id, count(*) AS n_fingerprints,
+                     CAST(min(m) % 9223372036854775808 AS BIGINT) AS mn
+              FROM kept WHERE pm IS NULL OR m <> pm
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+                   coalesce(a.mn, 0) AS min_fingerprint
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "distinct_tokens_kmv": f"""
+            WITH toks AS (
+              SELECT DISTINCT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE trim(text) != ''),
+            hs AS (
+              SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks),
+            small AS (SELECT h FROM hs ORDER BY h LIMIT 1024),
+            agg AS (SELECT count(*) AS c, max(h) AS mx FROM small)
+            SELECT CASE WHEN c < 1024 THEN floor(10 * c::DOUBLE) / 10
+                   ELSE floor(10 * (1023 / (mx::DOUBLE
+                                     / 18446744073709551616.0))) / 10
+                   END AS estimate,
+                   1024 AS k
+            FROM agg
+        """,
+        "curate_documents": f"""
+            WITH dd AS (
+              SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+              FROM documents GROUP BY {_NORM})
+            SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS n_chars
+            FROM dd WHERE {_NTOK} >= 10
+        """,
+        "render_markdown": f"""
+            WITH spans AS (SELECT * FROM read_parquet('{spans_path}')),
+            lines AS (
+              SELECT doc_id, "offset",
+                CASE
+                  WHEN kind IN ('header','header_image','footer',
+                                'footer_image','number','footnote',
+                                'aside_text') THEN NULL
+                  WHEN kind = 'doc_title' THEN '# ' || text
+                  WHEN kind = 'paragraph_title' THEN '## ' || text
+                  WHEN kind = 'image' THEN '![](' || media_ref || ')'
+                  WHEN text <> '' THEN text
+                  ELSE NULL
+                END AS line
+              FROM spans)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) || chr(10)
+                                       ORDER BY "offset"), '') AS markdown
+            FROM lines GROUP BY doc_id
+        """,
+        "exam_info": f"""
+            WITH spans AS (SELECT * FROM read_parquet('{spans_path}')),
+            docs AS (SELECT DISTINCT doc_id FROM spans),
+            titles AS (
+              SELECT doc_id, arg_max(text, "offset") AS title
+              FROM spans WHERE kind = 'doc_title' GROUP BY doc_id),
+            tm AS (
+              SELECT doc_id, "offset",
+                     regexp_extract(text,
+                        '时间[：:]\\s*(\\d+)\\s*分钟', 1) AS tval,
+                     regexp_extract(text,
+                        '满分[：:]\\s*([\\d+]+)\\s*分', 1) AS sval
+              FROM spans WHERE kind = 'text'),
+            firsts AS (
+              SELECT doc_id,
+                     min(CASE WHEN tval <> '' THEN "offset" END) AS ft,
+                     min(CASE WHEN sval <> '' THEN "offset" END) AS fs
+              FROM tm GROUP BY doc_id),
+            bounds AS (
+              SELECT doc_id,
+                     CASE WHEN ft IS NOT NULL AND fs IS NOT NULL
+                          THEN greatest(ft, fs)
+                          ELSE 2147483647 END AS b
+              FROM firsts),
+            tvals AS (
+              SELECT tm.doc_id, arg_max(tval, "offset") AS tval
+              FROM tm JOIN bounds ON tm.doc_id = bounds.doc_id
+              WHERE tval <> '' AND "offset" <= b GROUP BY tm.doc_id),
+            svals AS (
+              SELECT tm.doc_id, arg_max(sval, "offset") AS sval
+              FROM tm JOIN bounds ON tm.doc_id = bounds.doc_id
+              WHERE sval <> '' AND "offset" <= b GROUP BY tm.doc_id)
+            SELECT d.doc_id,
+                   coalesce(t.title, '') AS title,
+                   CASE WHEN t.title LIKE '%数学%' THEN '数学'
+                        WHEN t.title LIKE '%语文%' THEN '语文'
+                        WHEN t.title LIKE '%英语%' THEN '英语'
+                        ELSE '' END AS subject,
+                   coalesce(regexp_extract(t.title,
+                        '[一二三四五六七八九]年级'), '') AS grade,
+                   CASE WHEN tv.tval IS NOT NULL
+                        THEN tv.tval || '分钟' ELSE '' END AS time_limit,
+                   coalesce(sv.sval, '') AS total_score
+            FROM docs d
+            LEFT JOIN titles t ON d.doc_id = t.doc_id
+            LEFT JOIN tvals tv ON d.doc_id = tv.doc_id
+            LEFT JOIN svals sv ON d.doc_id = sv.doc_id
+        """,
+        "similarity_lsh_exact": _BRUTE_TOPK_SQL,
+        "similarity_ivf_exact": _BRUTE_TOPK_SQL,
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT 'img:' || CAST(doc_id AS VARCHAR) AS media_ref
+              FROM documents WHERE doc_id < 500),
+            h AS (
+              SELECT media_ref,
+                     md5(repeat(md5('42:' || media_ref), 64)) AS h2
+              FROM m)
+            SELECT media_ref, 1024 AS payload_len,
+                   round(list_sum(list_transform(range(16),
+                        i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
+                        4) AS feat_sum
+            FROM h
         """,
         "dedup_ngram_verify": f"""
             WITH {_INJ_JACCARD}

@@ -73,8 +73,11 @@ class MediaDecodeStage:
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
         """Deterministic stand-in: feature = normalized bytes of
-        md5(payload), fixed FEATURE_DIM."""
-        h = hashlib.md5(payload).digest()
+        md5(hex(payload)), fixed FEATURE_DIM.  Hashing the lowercase
+        hex encoding (not the raw bytes) keeps the formula expressible
+        in engines whose md5 only accepts text — the SQL oracle
+        recomputes it as md5(repeat(md5(seed||ref), 64))."""
+        h = hashlib.md5(payload.hex().encode("ascii")).digest()
         raw = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
         feat = np.resize(raw, FEATURE_DIM)
         return feat / 255.0

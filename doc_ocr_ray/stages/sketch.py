@@ -57,7 +57,10 @@ def kmv_distinct_tokens(ds, k: int = 1024, text_col: str = "text") -> dict:
         estimate = float(len(merged))            # saw everything
     else:
         estimate = (k - 1) / (float(merged[-1]) / _SCALE)
-    return {"estimate": round(estimate, 1), "k": k,
+    # grid-safe truncation (floor, same op order as the SQL oracle) —
+    # round() is half-even here but half-up in DuckDB
+    import math
+    return {"estimate": math.floor(10 * estimate) / 10, "k": k,
             "sketch_values": len(merged)}
 
 
