@@ -91,6 +91,9 @@ class PipelineConfig:
     max_images_per_question: int = 8
     # classifier verdict threshold (config.py:37)
     vl_confidence_threshold: float = 0.7
+    # max media judged in ONE VL call (O2 batch verify,
+    # question_merger.py:375-472: vl_batch_size=3, degrade-to-single)
+    vl_batch_size: int = 3
 
     # --- deterministic relatedness stand-in (O1/O2 interface) ---
     # a candidate image is "related" iff the question text references a

@@ -30,6 +30,7 @@ from doc_ocr_ray.functions.merge import RelatednessClassifier
 
 _JSON_FENCE = re.compile(r"```json\s*(.*?)\s*```", re.DOTALL)
 _BRACES = re.compile(r"\{.*\}", re.DOTALL)
+_BRACKETS = re.compile(r"\[.*\]", re.DOTALL)
 
 
 def parse_model_json(text: str) -> Dict[str, Any]:
@@ -53,6 +54,35 @@ def parse_model_json(text: str) -> Dict[str, Any]:
         except json.JSONDecodeError:
             pass
     return {"is_related": False, "reason": "parse failure", "confidence": 0.0}
+
+
+def parse_model_json_list(text: str) -> list:
+    """M13 ladder for LIST-shaped model output (the aggregator contract
+    returns a JSON list of groups; the reference strips ```json fences
+    then json.loads, tests/..._v2.py:1006-1009 â€” this adds the same
+    robustness steps as the dict ladder).  Returns [] on failure."""
+    text = (text or "").strip()
+    for candidate in (text,):
+        try:
+            out = json.loads(candidate)
+            return out if isinstance(out, list) else []
+        except json.JSONDecodeError:
+            pass
+    m = _JSON_FENCE.search(text)
+    if m:
+        try:
+            out = json.loads(m.group(1))
+            return out if isinstance(out, list) else []
+        except json.JSONDecodeError:
+            pass
+    m = _BRACKETS.search(text)
+    if m:
+        try:
+            out = json.loads(m.group(0))
+            return out if isinstance(out, list) else []
+        except json.JSONDecodeError:
+            pass
+    return []
 
 
 class TokenBucket:
@@ -92,6 +122,24 @@ RELATEDNESS_PROMPT = """è¯·åˆ†æä»¥ä¸‹æ•°å­¦é¢˜ç›®æ˜¯å¦éœ€è¦è¿™å¼ å›¾ç‰‡æ¥è¾
 
 è¯·ä»¥JSONæ ¼å¼å›ç­”ï¼š
 {{"is_related": true/false, "reason": "åŸå› è¯´æ˜", "confidence": 0.0-1.0}}
+"""
+
+# O2 batch-verify prompt contract (question_merger.py:393-410): one
+# call judges up to vl_batch_size media, response keyed by index.
+BATCH_RELATEDNESS_PROMPT = """è¯·åˆ†æä»¥ä¸‹æ•°å­¦é¢˜ç›®éœ€è¦å“ªäº›å›¾ç‰‡æ¥è¾…åŠ©è§£ç­”ï¼š
+
+é¢˜ç›®å†…å®¹ï¼š
+{question_text}
+
+æˆ‘å°†æä¾›{n_images}å¼ å€™é€‰å›¾ç‰‡ï¼Œè¯·åˆ¤æ–­æ¯å¼ å›¾ç‰‡æ˜¯å¦ä¸é¢˜ç›®ç›¸å…³ã€‚
+
+è¯·ä»¥JSONæ ¼å¼è¿”å›ç»“æœï¼Œæ ¼å¼å¦‚ä¸‹ï¼š
+{{
+    "images": [
+        {{"index": 0, "is_related": true/false, "reason": "è¯´æ˜", "confidence": 0.0-1.0}},
+        ...
+    ]
+}}
 """
 
 
@@ -138,6 +186,233 @@ class VLClientClassifier(RelatednessClassifier):
         verdict.setdefault("is_related", False)
         verdict.setdefault("confidence", 0.0)
         return verdict
+
+    def judge_batch(self, question_text, media_refs):
+        """O2 true batch semantics (question_merger.py:375-472): ONE
+        call per chunk of <= ``config.vl_batch_size`` media, response
+        keyed by index; any chunk whose call or parse fails degrades to
+        per-item ``judge`` (the reference's fallback).  Cached verdicts
+        never re-enter a call; results are cached under the same
+        single-judge key formula."""
+        from doc_ocr_ray.functions.merge import _md5
+
+        out: Dict[int, Dict[str, Any]] = {}
+        pending = []                      # (position, media_ref, key)
+        qh = _md5(question_text)
+        for pos, ref in enumerate(media_refs):
+            key = f"{qh}_{_md5(ref)}"
+            if self.config.enable_cache and key in self._cache:
+                out[pos] = self._cache[key]
+            else:
+                pending.append((pos, ref, key))
+
+        bs = max(1, self.config.vl_batch_size)
+        for i in range(0, len(pending), bs):
+            chunk = pending[i:i + bs]
+            if len(chunk) == 1:
+                pos, ref, _ = chunk[0]
+                out[pos] = self.judge(question_text, ref)
+                continue
+            verdicts = self._judge_chunk(question_text,
+                                         [c[1] for c in chunk])
+            if verdicts is None:          # degrade-to-single
+                for pos, ref, _ in chunk:
+                    out[pos] = self.judge(question_text, ref)
+                continue
+            for (pos, ref, key), v in zip(chunk, verdicts):
+                out[pos] = v
+                if self.config.enable_cache and len(self._cache) < self._MAX_CACHE:
+                    self._cache[key] = v
+
+        return [out[i] for i in range(len(media_refs))]
+
+    def _judge_chunk(self, question_text, media_refs):
+        """One batched VL call; None on any failure (triggers degrade)."""
+        self.calls += 1
+        self.bucket.acquire()
+        try:
+            content = [{"type": "text", "text":
+                        BATCH_RELATEDNESS_PROMPT.format(
+                            question_text=question_text,
+                            n_images=len(media_refs))}]
+            for ref in media_refs:
+                content.append({"type": "image_url",
+                                "image_url": {"url": ref}})
+            response = self.client.chat.completions.create(
+                model=self.model,
+                messages=[{"role": "user", "content": content}],
+                temperature=self.temperature,
+                max_tokens=self.max_tokens)
+            result = parse_model_json(response.choices[0].message.content)
+            images = result.get("images")
+            if not isinstance(images, list):
+                return None
+            verdicts = [{"is_related": False, "reason": "not judged",
+                         "confidence": 0.0} for _ in media_refs]
+            for item in images:
+                idx = item.get("index", -1)
+                if isinstance(idx, int) and 0 <= idx < len(media_refs):
+                    verdicts[idx] = {
+                        "is_related": bool(item.get("is_related", False)),
+                        "reason": item.get("reason", ""),
+                        "confidence": float(item.get("confidence", 0.0)),
+                    }
+            return verdicts
+        except Exception:
+            return None
+
+
+# O4 aggregate-prompt contracts.  The Chinese prompt text is the
+# reference's model contract, mirrored as-is (same reasoning as
+# RELATEDNESS_PROMPT): Qwen variant
+# tests/test_exam_paper_analysis_vl_ocr_v2.py:897-941, Doubao variant
+# :1038-1064 (shortened constraints), selection switch
+# tests/test_exam_paper_analysis_vl_ocr.py:942-946.
+AGGREGATE_PROMPT_QWEN = """ä½ æ˜¯ä¸€ä¸ªæ™ºèƒ½è¯•å·ç»“æ„åŒ–åŠ©æ‰‹ã€‚
+
+**ä»»åŠ¡**: è¿™æ˜¯ä¸€ä¸ªè¯•å·é¡µé¢ï¼Œæ‰€æœ‰çš„å†…å®¹å—å·²ç»è¢«æ¡†é€‰å¹¶æ ‡è®°äº†æ•°å­— IDã€‚åŒæ—¶æˆ‘ä¼šæä¾›æ¯ä¸ª ID å¯¹åº”çš„æ–‡å­—å†…å®¹å’Œç±»å‹æ ‡ç­¾ã€‚è¯·æ ¹æ®è¯•å·çš„**æ’ç‰ˆç©ºé—´å…³ç³»**å’Œ**è¯­ä¹‰é€»è¾‘**ï¼Œå°†å±äº**åŒä¸€é“å®Œæ•´é¢˜ç›®**çš„ ID åˆå¹¶æˆä¸€ç»„ã€‚
+
+**è¾“å…¥å†…å®¹**:
+```
+{text_context}
+```
+
+**çº¦æŸæ¡ä»¶**:
+1. æ ‡ç­¾ä¸º "doc_title" çš„å—ä½œä¸ºæ–‡æ¡£æ ‡é¢˜ï¼Œtype ä¸º "doc_title"
+2. æ ‡ç­¾ä¸º "paragraph_title" çš„å—å¦‚æœæ˜¯å¤§é¢˜æ ‡é¢˜ï¼ˆå¦‚"ä¸€ã€é€‰æ‹©é¢˜"ï¼‰ï¼Œtype ä¸º "header"
+3. **ã€å…³é”®ã€‘æ¯é“é¢˜ç›®å¿…é¡»å•ç‹¬æˆç»„ï¼Œç»å¯¹ä¸èƒ½å°†ä¸åŒé¢˜å·çš„é¢˜ç›®åˆå¹¶ï¼**
+4. å›¾ç‰‡/è¡¨æ ¼åº”å½’å±åˆ°å¼•ç”¨å®ƒçš„é¢˜ç›®ï¼ˆé€šè¿‡"å¦‚å›¾"ã€"å¦‚ä¸‹è¡¨"ç­‰å…³é”®è¯åˆ¤æ–­ï¼‰
+5. å›¾ç‰‡æ ‡é¢˜ï¼ˆå¦‚"ç¬¬11é¢˜å›¾"ï¼‰åº”å½’å±åˆ°å¯¹åº”é¢˜å·çš„é¢˜ç›®ï¼Œä¸è¦æ··æ·†
+6. æ ‡ç­¾ä¸º "aside_text"ã€"number" çš„å—å¯ä»¥å¿½ç•¥æˆ–å•ç‹¬åˆ†ç»„ï¼Œtype ä¸º "aside"
+7. è¯·ç¡®ä¿æ‰€æœ‰ ID éƒ½è¢«åˆ†é…åˆ°æŸä¸ªç»„ä¸­
+
+**è¾“å‡ºæ ¼å¼**:
+è¯·ç›´æ¥è¿”å› JSON æ ¼å¼ï¼Œæ ¼å¼ä¸ºåˆ—è¡¨ï¼Œæ¯ä¸ªå…ƒç´ åŒ…å« `type` å’Œ `block_ids`ã€‚
+
+è¯·åˆ†æå¹¶è¿”å› JSON ç»“æœï¼š"""
+
+AGGREGATE_PROMPT_DOUBAO = """ä½ æ˜¯ä¸€ä¸ªæ™ºèƒ½è¯•å·ç»“æ„åŒ–åŠ©æ‰‹ã€‚
+
+**ä»»åŠ¡**: è¯·æ ¹æ®è¯•å·çš„æ’ç‰ˆç©ºé—´å…³ç³»å’Œè¯­ä¹‰é€»è¾‘ï¼Œå°†å±äºåŒä¸€é“å®Œæ•´é¢˜ç›®çš„ ID åˆå¹¶æˆä¸€ç»„ã€‚
+
+**è¾“å…¥å†…å®¹**:
+```
+{text_context}
+```
+
+**çº¦æŸæ¡ä»¶**:
+1. æ ‡ç­¾ä¸º "doc_title" çš„å—ä½œä¸ºæ–‡æ¡£æ ‡é¢˜ï¼Œtype ä¸º "doc_title"
+2. æ ‡ç­¾ä¸º "paragraph_title" çš„å—å¦‚æœæ˜¯å¤§é¢˜æ ‡é¢˜ï¼ˆå¦‚"ä¸€ã€é€‰æ‹©é¢˜"ï¼‰ï¼Œtype ä¸º "header"
+3. **ã€å…³é”®ã€‘æ¯é“é¢˜ç›®å¿…é¡»å•ç‹¬æˆç»„ï¼Œç»å¯¹ä¸èƒ½å°†ä¸åŒé¢˜å·çš„é¢˜ç›®åˆå¹¶ï¼**
+4. å›¾ç‰‡/è¡¨æ ¼åº”å½’å±åˆ°å¼•ç”¨å®ƒçš„é¢˜ç›®
+5. å›¾ç‰‡æ ‡é¢˜ï¼ˆå¦‚"ç¬¬11é¢˜å›¾"ï¼‰åº”å½’å±åˆ°å¯¹åº”é¢˜å·çš„é¢˜ç›®
+6. æ ‡ç­¾ä¸º "aside_text"ã€"number" çš„å—å¯ä»¥å¿½ç•¥æˆ–å•ç‹¬åˆ†ç»„ï¼Œtype ä¸º "aside"
+
+**è¾“å‡ºæ ¼å¼**: è¯·ç›´æ¥è¿”å› JSON æ ¼å¼
+
+è¯·åˆ†æå¹¶è¿”å› JSON ç»“æœï¼š"""
+
+
+class VLClientAggregator:
+    """Client-backed semantic aggregator (O4): the engine counterpart
+    of the reference's QwenVLAggregator / DoubaoVLAggregator behind the
+    same ``aggregate(doc_id, spans) -> groups`` protocol as
+    HeuristicAggregator/ReplayAggregator â€” swap-in without touching
+    pipeline code.
+
+    Per document: build the M14 text context (span offsets are the
+    block IDs), format the variant's aggregate prompt, one
+    chat.completions call (optionally with a marked page image from
+    ``image_provider``), parse the JSON group list with the M13 list
+    ladder, and resolve block_ids back to span ranks (J5).  On any
+    client/parse failure the document degrades to the ``fallback``
+    aggregator (heuristic by default) â€” the engine analog of the
+    reference raising and the caller falling back.
+    """
+
+    def __init__(self, client: Any, model: str, variant: str = "qwen",
+                 config: PipelineConfig = DEFAULT_CONFIG,
+                 fallback: Any = None, image_provider: Any = None,
+                 rate_per_sec: float = 2.0, temperature: float = 0.1,
+                 max_tokens: int = 2000):
+        if client is None:
+            raise ValueError(
+                "VLClientAggregator needs an OpenAI-compatible client; "
+                "use HeuristicAggregator when no model backend exists")
+        if variant not in ("qwen", "doubao"):
+            raise ValueError(f"unknown VL variant: {variant!r}")
+        from doc_ocr_ray.functions.merge import HeuristicAggregator
+        self.client = client
+        self.model = model
+        self.prompt = (AGGREGATE_PROMPT_QWEN if variant == "qwen"
+                       else AGGREGATE_PROMPT_DOUBAO)
+        self.config = config
+        self.fallback = fallback or HeuristicAggregator(config)
+        self.image_provider = image_provider
+        self.bucket = TokenBucket(rate=rate_per_sec)
+        self.temperature = temperature
+        self.max_tokens = max_tokens
+        self.calls = 0
+        self.fallbacks = 0
+
+    def aggregate(self, doc_id: str, spans) -> list:
+        groups = self._aggregate_vl(doc_id, spans)
+        if groups is None:
+            self.fallbacks += 1
+            return self.fallback.aggregate(doc_id, spans)
+        return groups
+
+    def _aggregate_vl(self, doc_id: str, spans):
+        self.calls += 1
+        self.bucket.acquire()
+        try:
+            prompt = self.prompt.format(
+                text_context=build_text_context(spans))
+            content = []
+            if self.image_provider is not None:
+                img = self.image_provider(doc_id)
+                if img:
+                    content.append({"type": "image_url",
+                                    "image_url": {"url": img}})
+            content.append({"type": "text", "text": prompt})
+            response = self.client.chat.completions.create(
+                model=self.model,
+                messages=[{"role": "user", "content": content}],
+                temperature=self.temperature,
+                max_tokens=self.max_tokens)
+            raw = parse_model_json_list(
+                response.choices[0].message.content)
+            if not raw:
+                return None
+            # J5: block_ids are span offsets; resolve to ranks
+            rank_of = {s["offset"]: rank for rank, s in enumerate(spans)}
+            groups = []
+            for g in raw:
+                if not isinstance(g, dict):
+                    continue
+                members = [rank_of[b] for b in g.get("block_ids", [])
+                           if b in rank_of]
+                if members:
+                    groups.append({"type": str(g.get("type", "unknown")),
+                                   "members": sorted(members)})
+            return groups or None
+        except Exception:
+            return None
+
+
+def make_aggregator(vl_type: str = "heuristic", client: Any = None,
+                    model: str = "", config: PipelineConfig = DEFAULT_CONFIG,
+                    **kwargs):
+    """Aggregator selection switch (the engine analog of the
+    reference's vl_type constructor branch,
+    tests/test_exam_paper_analysis_vl_ocr.py:942-946):
+    'heuristic' -> deterministic stand-in; 'qwen'/'doubao' -> client
+    adapters with the matching prompt variant."""
+    from doc_ocr_ray.functions.merge import HeuristicAggregator
+    if vl_type == "heuristic":
+        return HeuristicAggregator(config)
+    return VLClientAggregator(client, model, variant=vl_type,
+                              config=config, **kwargs)
 
 
 def save_verdict_cache(classifier: RelatednessClassifier, path: str) -> None:

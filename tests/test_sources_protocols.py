@@ -125,3 +125,172 @@ def test_verdict_cache_persistence(tmp_path):
     assert load_verdict_cache(c2, path) == 1
     c2.judge("如图，求面积", "img:1")
     assert c2.calls == 0                        # served from loaded cache
+
+
+class _CountingBatchClient:
+    """Answers the O2 batch prompt: marks even indices related."""
+    def __init__(self):
+        self.n_calls = 0
+        self.last_content = None
+        client = self
+
+        class Completions:
+            @staticmethod
+            def create(**kwargs):
+                client.n_calls += 1
+                content = kwargs["messages"][0]["content"]
+                client.last_content = content
+                n_imgs = sum(1 for c in content if c["type"] == "image_url")
+                import json as _j
+                payload = {"images": [
+                    {"index": i, "is_related": i % 2 == 0,
+                     "reason": "r", "confidence": 0.9}
+                    for i in range(n_imgs)]}
+                class Msg:
+                    pass
+                Msg.content = _j.dumps(payload)
+                class Choice:
+                    message = Msg()
+                class Resp:
+                    choices = [Choice()]
+                return Resp()
+
+        class Chat:
+            completions = Completions()
+        self.chat = Chat()
+
+
+def test_vl_client_batch_judging_one_call_per_chunk():
+    from doc_ocr_ray.config import PipelineConfig
+    from doc_ocr_ray.functions.protocols import VLClientClassifier
+    cfg = PipelineConfig(vl_batch_size=3)
+    client = _CountingBatchClient()
+    clf = VLClientClassifier(client, model="fake", config=cfg,
+                             rate_per_sec=10000)
+    refs = [f"img:{i}" for i in range(5)]
+    verdicts = clf.judge_batch("题目", refs)
+    # 5 media at batch size 3 -> one batch call (3) + one batch call (2)
+    assert client.n_calls == 2
+    assert [v["is_related"] for v in verdicts] == [True, False, True, True, False]
+    # all five verdicts now cached: a re-judge issues NO call
+    n = client.n_calls
+    verdicts2 = clf.judge_batch("题目", refs)
+    assert client.n_calls == n
+    assert [v["is_related"] for v in verdicts2] == \
+           [v["is_related"] for v in verdicts]
+
+
+def test_vl_client_batch_degrades_to_single():
+    """A garbage batch response falls back to per-item judge calls."""
+    from doc_ocr_ray.config import PipelineConfig
+    from doc_ocr_ray.functions.protocols import VLClientClassifier
+
+    class Flaky:
+        def __init__(self):
+            self.n_calls = 0
+            outer = self
+
+            class Completions:
+                @staticmethod
+                def create(**kwargs):
+                    outer.n_calls += 1
+                    content = kwargs["messages"][0]["content"]
+                    n_imgs = (sum(1 for c in content
+                                  if c["type"] == "image_url")
+                              if isinstance(content, list) else 0)
+                    class Msg:
+                        pass
+                    # batch calls (>=2 images) get garbage; single
+                    # relatedness calls get a valid dict verdict
+                    Msg.content = ("not json at all" if n_imgs >= 2 else
+                                   '{"is_related": true, "confidence": 0.8}')
+                    class Choice:
+                        message = Msg()
+                    class Resp:
+                        choices = [Choice()]
+                    return Resp()
+
+            class Chat:
+                completions = Completions()
+            self.chat = Chat()
+
+    cfg = PipelineConfig(vl_batch_size=3)
+    client = Flaky()
+    clf = VLClientClassifier(client, model="fake", config=cfg,
+                             rate_per_sec=10000)
+    verdicts = clf.judge_batch("题目", ["img:0", "img:1", "img:2"])
+    # 1 failed batch call + 3 single-item degrades
+    assert client.n_calls == 4
+    assert all(v["is_related"] for v in verdicts)
+
+
+class _AggClient:
+    """Answers the O4 aggregate prompt with a fixed group list."""
+    def __init__(self, payload):
+        self.n_calls = 0
+        outer = self
+
+        class Completions:
+            @staticmethod
+            def create(**kwargs):
+                outer.n_calls += 1
+                class Msg:
+                    pass
+                Msg.content = payload
+                class Choice:
+                    message = Msg()
+                class Resp:
+                    choices = [Choice()]
+                return Resp()
+
+        class Chat:
+            completions = Completions()
+        self.chat = Chat()
+
+
+_AGG_SPANS = [
+    {"kind": "doc_title", "text": "数学试卷", "media_ref": "", "offset": 0},
+    {"kind": "text", "text": "1.如图，求面积", "media_ref": "", "offset": 1,
+     "question_number": 1},
+    {"kind": "image", "text": "", "media_ref": "img:0", "offset": 2},
+]
+
+
+def test_vl_client_aggregator_resolves_block_ids():
+    from doc_ocr_ray.functions.protocols import VLClientAggregator
+    payload = ('```json\n[{"type": "doc_title", "block_ids": [0]},'
+               ' {"type": "question", "block_ids": [2, 1]}]\n```')
+    agg = VLClientAggregator(_AggClient(payload), model="fake",
+                             rate_per_sec=10000)
+    groups = agg.aggregate("d1", _AGG_SPANS)
+    # fenced JSON parsed, block ids (=offsets) resolved to sorted ranks
+    assert groups == [{"type": "doc_title", "members": [0]},
+                      {"type": "question", "members": [1, 2]}]
+    assert agg.fallbacks == 0
+
+
+def test_vl_client_aggregator_falls_back_on_garbage():
+    from doc_ocr_ray.functions.merge import HeuristicAggregator
+    from doc_ocr_ray.functions.protocols import VLClientAggregator
+    agg = VLClientAggregator(_AggClient("no json here"), model="fake",
+                             rate_per_sec=10000)
+    groups = agg.aggregate("d1", _AGG_SPANS)
+    assert agg.fallbacks == 1
+    # degraded result equals the deterministic stand-in's
+    assert groups == HeuristicAggregator().aggregate("d1", _AGG_SPANS)
+
+
+def test_make_aggregator_selection_switch():
+    import pytest as _pt
+    from doc_ocr_ray.functions.merge import HeuristicAggregator
+    from doc_ocr_ray.functions.protocols import (VLClientAggregator,
+                                                 make_aggregator)
+    assert isinstance(make_aggregator("heuristic"), HeuristicAggregator)
+    qwen = make_aggregator("qwen", client=_AggClient("[]"), model="m")
+    doubao = make_aggregator("doubao", client=_AggClient("[]"), model="m")
+    assert isinstance(qwen, VLClientAggregator)
+    assert qwen.prompt != doubao.prompt
+    with _pt.raises(ValueError):
+        make_aggregator("qwen", client=None, model="m")
+    with _pt.raises(ValueError):
+        make_aggregator("gemini", client=_AggClient("[]"), model="m")
