@@ -84,14 +84,19 @@ def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
     state the Dataset API cannot express.
 
     Topology: one ts-ordered stream (global sort) is consumed in
-    micro-batches on the driver and routed to ``num_buckets`` actors by
-    ``user_id % num_buckets``; each actor keeps its users' open
-    sessions, emits a session the moment the gap closes it, and flushes
-    the still-open remainder at end of stream.  Produces exactly the
-    batch ``sessionize`` output (asserted in tests), so the same SQL
-    oracle applies.
+    micro-batches by a DISPATCHER actor (off the driver) and routed to
+    ``num_buckets`` session actors by ``user_id % num_buckets``; each
+    actor keeps its users' open sessions, closes them as gaps appear,
+    and holds its closed-session rows locally.  The result is
+    assembled from per-actor DataFrame object refs
+    (``from_pandas_refs``) — session rows never pass through the
+    driver.  Produces exactly the batch ``sessionize`` output
+    (asserted in tests), so the same SQL oracle applies.  The batch
+    ``sessionize`` remains the scale path; this is the
+    streaming-semantics demonstration.
     """
     import ray
+    import ray.data
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -100,15 +105,15 @@ def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
         def __init__(self):
             self.open = {}          # user_id -> dict(start, end, n, sid)
             self.counts = {}        # user_id -> sessions emitted so far
+            self.closed = []
 
-        def process(self, df) -> list:
-            closed = []
+        def process(self, df) -> None:
             for row in df.itertuples(index=False):
                 uid, ts = row.user_id, row.ts
                 cur = self.open.get(uid)
                 if cur is not None and ts - cur["end"] > gap:
-                    closed.append((uid, cur["sid"], cur["n"],
-                                   cur["start"], cur["end"]))
+                    self.closed.append((uid, cur["sid"], cur["n"],
+                                        cur["start"], cur["end"]))
                     cur = None
                 if cur is None:
                     sid = self.counts.get(uid, 0) + 1
@@ -118,39 +123,51 @@ def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
                 else:
                     cur["end"] = ts
                     cur["n"] += 1
-            return closed
 
-        def flush(self) -> list:
-            out = [(uid, c["sid"], c["n"], c["start"], c["end"])
-                   for uid, c in self.open.items()]
+        def ping(self) -> None:
+            return None
+
+        def finish(self) -> pd.DataFrame:
+            rows = self.closed + [
+                (uid, c["sid"], c["n"], c["start"], c["end"])
+                for uid, c in self.open.items()]
             self.open.clear()
-            return out
+            self.closed = []
+            out = pd.DataFrame(rows, columns=["user_id", "session_id",
+                                              "n_events", "start_ts",
+                                              "end_ts"])
+            return out.astype({"user_id": "int64", "session_id": "int64",
+                               "n_events": "int64"})
+
+    @ray.remote
+    class Dispatcher:
+        """Consumes the ordered stream and routes micro-batches; a
+        single submitter per session actor means Ray's per-caller task
+        ordering preserves event-time order without driver round
+        trips."""
+
+        def run(self, ordered, actors, num_buckets, chunk_rows) -> int:
+            n = 0
+            for batch in ordered.iter_batches(batch_size=chunk_rows,
+                                              batch_format="pandas"):
+                n += len(batch)
+                for b in range(num_buckets):
+                    part = batch[batch["user_id"] % num_buckets == b]
+                    if len(part):
+                        actors[b].process.remote(part)
+            # per-caller FIFO: a ping through every actor's queue
+            # proves all routed batches were processed before finish()
+            ray.get([a.ping.remote() for a in actors])
+            return n
 
     actors = [SessionActor.remote() for _ in range(num_buckets)]
+    dispatcher = Dispatcher.remote()
     ordered = ds.sort(["ts", "event_id"])
-    rows = []
-    pending = []
-    for batch in ordered.iter_batches(batch_size=chunk_rows,
-                                      batch_format="pandas"):
-        # one in-flight round per micro-batch keeps per-user order
-        if pending:
-            for res in ray.get(pending):
-                rows.extend(res)
-            pending = []
-        for b in range(num_buckets):
-            part = batch[batch["user_id"] % num_buckets == b]
-            if len(part):
-                pending.append(actors[b].process.remote(part))
-    for res in ray.get(pending):
-        rows.extend(res)
-    for res in ray.get([a.flush.remote() for a in actors]):
-        rows.extend(res)
-    out = pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
-                                      "start_ts", "end_ts"])
-    out = out.astype({"user_id": "int64", "session_id": "int64",
-                      "n_events": "int64"})
-    import ray.data
-    return ray.data.from_pandas(out)
+    ray.get(dispatcher.run.remote(ordered, actors, num_buckets, chunk_rows))
+    # per-actor result frames stay in the object store; the final
+    # ray.get barrier inside run() ordered before finish() per actor
+    refs = [a.finish.remote() for a in actors]
+    return ray.data.from_pandas_refs(refs)
 
 
 def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,

@@ -46,14 +46,30 @@ def _pool_kwargs(config: PipelineConfig, concurrency):
 # load-once semantics as an actor pool, but tasks scale elastically and
 # skip per-execution actor spawn (measured ~3x throughput on short jobs).
 _STAGE_CACHE: Dict[str, Any] = {}
+_STAGE_CACHE_MAX = 8        # configs+verdict sets a worker keeps live
 
 
 def _cached_stage(cls, key: str, **kwargs):
     full_key = f"{cls.__name__}:{key}"
     stage = _STAGE_CACHE.get(full_key)
     if stage is None:
+        if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+            # evict oldest insertion: long-lived workers cycling many
+            # configs / replay-verdict sets must not grow unboundedly
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
         stage = _STAGE_CACHE[full_key] = cls(**kwargs)
     return stage
+
+
+def _fingerprint(config, verdicts) -> str:
+    """Order-insensitive stage identity: dict insertion order changes
+    pickle bytes, so equal verdict sets are canonicalized (sorted
+    items) before hashing."""
+    import hashlib
+    import pickle
+    canon = (tuple(sorted(verdicts.items(), key=lambda kv: kv[0]))
+             if isinstance(verdicts, dict) else verdicts)
+    return hashlib.md5(pickle.dumps((config, canon))).hexdigest()
 
 
 def _extract_batch(batch, *, cache_key: str, config, verdicts):
@@ -63,12 +79,6 @@ def _extract_batch(batch, *, cache_key: str, config, verdicts):
 
 def _split_batch(batch, *, cache_key: str, config):
     return _cached_stage(SplitStage, cache_key, config=config)(batch)
-
-
-def _fingerprint(config, verdicts) -> str:
-    import hashlib
-    import pickle
-    return hashlib.md5(pickle.dumps((config, verdicts))).hexdigest()
 
 
 def extract_questions(ds, config: Optional[PipelineConfig] = None,
@@ -165,11 +175,12 @@ def restitch_documents(flat_ds, num_partitions: int = 256):
     vectorized pandas groupby inside the group fn.  doc_id hashing
     spreads evenly (unique keys); mega-doc skew is intra-row and
     bounded by the largest single document."""
-    import hashlib
-
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [int(hashlib.md5(d.encode()).hexdigest()[:8], 16)
-                 % num_partitions for d in batch["doc_id"].to_pylist()]
+        # vectorized SipHash (pandas hash_array, fixed key — stable
+        # across processes) instead of a per-row md5 Python loop
+        import pandas as pd
+        ids = batch["doc_id"].to_pandas().to_numpy(dtype=object)
+        parts = (pd.util.hash_array(ids) % num_partitions).astype("int64")
         return batch.append_column("part", pa.array(parts, pa.int64()))
 
     def stitch_part(group: pa.Table) -> pa.Table:

@@ -73,11 +73,10 @@ def evaluate(extracted_ds, truth_ds) -> Dict[str, float]:
     tagged = (extracted_ds.map_batches(project("got"), batch_format="pyarrow")
               .union(truth_ds.map_batches(project("truth"), batch_format="pyarrow")))
 
-    import hashlib
-
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = batch["doc_id"].map(
-            lambda d: int(hashlib.md5(d.encode()).hexdigest()[:4], 16) % 128)
+        # vectorized SipHash instead of per-row md5 (see restitch)
+        batch["part"] = (pd.util.hash_array(
+            batch["doc_id"].to_numpy(dtype=object)) % 128).astype("int64")
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:

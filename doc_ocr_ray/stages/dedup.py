@@ -80,24 +80,32 @@ def exact_dedup(ds, text_col: str = "text"):
     return keyed.groupby("part").map_groups(keep_first, batch_format="pandas")
 
 
+def _sorted_token_key(series: pd.Series) -> pd.Series:
+    return _normalize(series).map(
+        lambda t: " ".join(sorted(t.split(" "))) if t else "")
+
+
 def token_multiset_dedup(ds, text_col: str = "text"):
     """Order-insensitive exact dedup: two docs are duplicates when
     their token multisets match (classic shuffle-attack-resistant
-    near-dup).  Key = md5 of the sorted token list."""
+    near-dup).  Shuffle key = md5 of the sorted token list; the actual
+    drop decisions (in-batch combiner AND per-partition keep_first)
+    group on the sorted-token STRING, so an md5 collision can never
+    merge distinct documents — same discipline as exact_dedup."""
     def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = _normalize(batch[text_col])
-        keys = [_md5_64(" ".join(sorted(t.split(" ")))) >> 1 if t else 0
-                for t in norm]        # >>1: keep int64-inferable (see text_key)
+        st = _sorted_token_key(batch[text_col])
         out = batch.copy()
-        out["ms_key"] = keys
-        out = out.sort_values("doc_id").drop_duplicates("ms_key", keep="first")
+        # >>1: keep int64-inferable (see text_key)
+        out["ms_key"] = [_md5_64(t) >> 1 if t else 0 for t in st]
+        out = out.sort_values("doc_id")
+        out = out.groupby(st, sort=False).head(1)   # aligns by index
         out["part"] = (out["ms_key"] % 256).astype("int64")
         return out
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return (group.sort_values("doc_id")
-                     .drop_duplicates("ms_key", keep="first")
-                     .drop(columns=["ms_key", "part"]))
+        g = group.sort_values("doc_id")
+        return (g.groupby(_sorted_token_key(g[text_col]), sort=False)
+                 .head(1).drop(columns=["ms_key", "part"]))
 
     return (ds.map_batches(key_batch, batch_format="pandas")
               .groupby("part").map_groups(keep_first, batch_format="pandas"))
@@ -472,7 +480,10 @@ def simhash_dedup_pairs(ds, max_hamming: int = 3):
     """SimHash near-dup pairs via 16-bit band blocking + hamming verify."""
     import ray.data
 
-    hashed = ds.map_batches(simhash_batch, batch_format="pandas")
+    # materialize: four per-band pipelines consume this — without it,
+    # simhash recomputes 4x (lazy lineage re-execution)
+    hashed = ds.map_batches(simhash_batch,
+                            batch_format="pandas").materialize()
 
     def bucket_pairs_factory(band_col):
         def part_pairs(group: pd.DataFrame) -> pd.DataFrame:

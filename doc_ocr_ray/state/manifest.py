@@ -25,7 +25,17 @@ class JobManifest:
 
     def is_done(self, shard_id: int) -> bool:
         rec = self.records.get(str(shard_id))
-        return bool(rec and rec.get("state") == "done")
+        if not (rec and rec.get("state") == "done"):
+            return False
+        # trust-but-verify: a committed shard whose output directory was
+        # deleted out-of-band must NOT be skipped, or the corpus is
+        # silently incomplete at read time
+        out = rec.get("output")
+        if out:
+            import os
+            if not os.path.exists(out):
+                return False
+        return True
 
     def mark_done(self, shard_id: int, *, rows_in: int, rows_out: int,
                   output: str, wall_sec: float,

@@ -12,12 +12,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_manifest_roundtrip(tmp_path):
     from doc_ocr_ray.state.manifest import JobManifest
     path = str(tmp_path / "m.json")
+    out_dir = tmp_path / "part-00000"
+    out_dir.mkdir()
     m = JobManifest(path)
     assert not m.is_done(0)
-    m.mark_done(0, rows_in=10, rows_out=50, output="/x", wall_sec=1.2)
+    m.mark_done(0, rows_in=10, rows_out=50, output=str(out_dir),
+                wall_sec=1.2)
     m2 = JobManifest(path)
     assert m2.is_done(0) and not m2.is_done(1)
     assert m2.summary()["rows_out"] == 50
+    # trust-but-verify: manifest says done but the committed output was
+    # deleted out-of-band -> the shard must be redone, not skipped
+    out_dir.rmdir()
+    assert not m2.is_done(0)
 
 
 @pytest.mark.usefixtures("ray_session")
