@@ -287,6 +287,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return out.map_batches(flat, batch_format="pyarrow")
 
+    # ---- V3 pure-VL one-shot parse over the media table (rows-only:
+    # the stand-in parse is md5-derived; pinned in tests/test_v3.py)
+    def q_v3_parse(sf_dir):
+        import ray.data
+        from doc_ocr_ray.pipelines.v3 import parse_exam_pages
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [str(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(multimodal.synthesize_media_table(
+            doc_ids, [f"img:{d}" for d in doc_ids]))
+        out = parse_exam_pages(media, concurrency=(1, 4))
+        def flat(batch: pa.Table) -> pa.Table:
+            # parse-error rows carry an empty bbox; guard the element
+            # access (list_element would raise on them)
+            widths = [b[2] if b and len(b) == 4 else -1
+                      for b in batch["bbox"].to_pylist()]
+            return batch.drop_columns(["bbox"]).append_column(
+                "bbox_w", pa.array(widths, pa.int32()))
+        return out.map_batches(flat, batch_format="pyarrow")
+
     # ---- rendering / metadata over the span corpus.  Reads the PARKED
     # flat-span parquet (same bytes the SQL oracle reads), re-stitches
     # docs through the groupby shuffle, then renders — so the string
@@ -436,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
+        "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
         "exam_info": q_exam_info,
         "events_tumbling": q_events_tumbling,
