@@ -116,6 +116,16 @@ def run_benchmarks() -> dict:
         emb, query_ids=list(range(20)), k=5, n_centroids=16,
         nprobe=4).num_rows)
 
+    # new-in-round-2 operators, timed on their driver-query testbeds
+    # (fixed injected-candidate scale) for round-over-round tracking
+    import __ray_entry__ as entry
+    qs = entry.queries()
+    timed("dedup_ngram_verify",
+          lambda: qs["dedup_ngram_verify"](SF_DIR).count())
+    timed("dedup_clusters", lambda: qs["dedup_clusters"](SF_DIR).count())
+    timed("embedding_neardup",
+          lambda: qs["embedding_neardup"](SF_DIR).count())
+
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(
         ray.data.read_parquet(f"{SF_DIR}/events.parquet",

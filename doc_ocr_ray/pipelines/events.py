@@ -226,10 +226,9 @@ def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
     need a shuffle when one side's key set fits in memory; use a Bloom
     filter at 10^12 scale)."""
     import ray
-    keys = set()
-    for batch in other_ds.select_columns([other_key]).iter_batches(
-            batch_size=65536, batch_format="pandas"):
-        keys.update(batch[other_key].tolist())
+    # distributed distinct FIRST (Dataset.unique), so only the distinct
+    # key set crosses to the driver for the broadcast — not every row
+    keys = set(other_ds.select_columns([other_key]).unique(other_key))
     ref = ray.put(keys)
 
     def flt(batch: pd.DataFrame) -> pd.DataFrame:

@@ -417,11 +417,50 @@ def dedup_clusters(pairs_ds, max_iters: int = 30, num_parts: int = 64):
         batch_format="pandas")
 
 
-def drop_near_duplicates(ds, pairs_ds):
+def drop_near_duplicates(ds, pairs_ds, strategy: str = "broadcast"):
     """Keep-min pruning: drop every doc that near-duplicates a
-    smaller-id doc.  Victim set is small relative to the corpus ->
-    broadcast it (ray.put) and anti-join inside map_batches."""
+    smaller-id doc.
+
+    - ``broadcast`` (default): the victim id-set rides the object
+      store once and the anti-join is a shuffle-free ``map_batches``
+      filter.  Right when victims fit worker memory (10^8 int64 ids
+      ~= 800 MB — usually fine).
+    - ``shuffle``: tagged-union + coarse-key groupby anti-join — one
+      corpus shuffle, no memory assumption.  Right when the duplicate
+      fraction is so large the victim set itself is at corpus scale.
+    """
     import ray
+
+    if strategy == "shuffle":
+        def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["is_victim"] = np.int8(0)
+            batch["part"] = (pd.util.hash_array(
+                batch["doc_id"].to_numpy()) % 256).astype("int64")
+            return batch
+
+        def tag_victims(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"doc_id": batch["doc_b"].unique()})
+            out["is_victim"] = np.int8(1)
+            out["part"] = (pd.util.hash_array(
+                out["doc_id"].to_numpy()) % 256).astype("int64")
+            return out
+
+        def anti(group: pd.DataFrame) -> pd.DataFrame:
+            victims = set(group.loc[group["is_victim"] == 1, "doc_id"])
+            keep = group[(group["is_victim"] == 0)
+                         & ~group["doc_id"].isin(victims)]
+            return keep.drop(columns=["is_victim", "part"])
+
+        docs = ds.map_batches(tag_docs, batch_format="pandas")
+        vic = pairs_ds.select_columns(["doc_b"]).map_batches(
+            tag_victims, batch_format="pandas")
+        # schema union: victim rows lack the doc columns; pandas concat
+        # fills NaN, which the group fn never emits (is_victim==1 rows
+        # are filter-only)
+        return docs.union(vic).groupby("part").map_groups(
+            anti, batch_format="pandas")
+
     victims = set(r["doc_b"] for r in pairs_ds.select_columns(["doc_b"]).take_all())
     ref = ray.put(victims)
 

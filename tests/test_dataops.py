@@ -224,3 +224,16 @@ def test_curate_corpus_end_to_end():
     assert all(r["n_tokens"] >= 2 or len(r["text"]) >= 8 for r in rows)
     # question numbers preserved
     assert any(r["question_number"] > 0 for r in rows)
+
+
+def test_drop_near_duplicates_shuffle_matches_broadcast():
+    import ray.data
+    from doc_ocr_ray.stages.dedup import minhash_dedup_pairs, drop_near_duplicates
+    ds = _docs_with_dups()
+    pairs = minhash_dedup_pairs(ds, threshold=0.6).materialize()
+    bc = sorted(r["doc_id"] for r in
+                drop_near_duplicates(ds, pairs).take_all())
+    sh = sorted(r["doc_id"] for r in
+                drop_near_duplicates(ds, pairs,
+                                     strategy="shuffle").take_all())
+    assert bc == sh and len(bc) > 0
