@@ -210,9 +210,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.simhash_dedup_pairs(_dup_injected_docs(sf_dir),
                                          max_hamming=3)
 
+    # For the two oracle-gated queries below, the SQL oracle computes
+    # ALL true-Jaccard>=0.6 pairs, so LSH recall must be ~certain at
+    # the boundary: 64 bands x 4 rows puts the per-pair miss at 1.2e-2
+    # at j=0.60 and <1e-13 at the testbed's observed minimum (j=0.786,
+    # checked at sf0.001/0.01/0.1).  The 16x4 default stays for the
+    # rows-only dedup_minhash demo.
     def q_dedup_ngram_verify(sf_dir):
         docs = _dup_injected_docs(sf_dir)
-        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+        pairs = dedup.minhash_dedup_pairs(docs, num_perm=256, num_bands=64,
+                                          threshold=0.6)
         return dedup.verify_pairs_exact(docs, pairs, threshold=0.6)
 
     # ---- similarity search
@@ -259,7 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # result is oracle-checkable by a recursive CTE over the same
         # SQL-computed edge set
         docs = _dup_injected_docs(sf_dir)
-        cand = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+        cand = dedup.minhash_dedup_pairs(docs, num_perm=256, num_bands=64,
+                                         threshold=0.6)
         pairs = dedup.verify_pairs_exact(docs, cand, threshold=0.6)
         return dedup.dedup_clusters(pairs)
 

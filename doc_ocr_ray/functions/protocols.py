@@ -33,27 +33,36 @@ _BRACES = re.compile(r"\{.*\}", re.DOTALL)
 _BRACKETS = re.compile(r"\[.*\]", re.DOTALL)
 
 
+def _parse_ladder(text: str, greedy_rx, want_type):
+    """Shared M13 ladder: strict parse -> ```json fence -> greedy
+    regex ([..] or {..}) -> None.  Only values of ``want_type``
+    count as a successful parse."""
+    text = (text or "").strip()
+    candidates = [text]
+    m = _JSON_FENCE.search(text)
+    if m:
+        candidates.append(m.group(1))
+    m = greedy_rx.search(text)
+    if m:
+        candidates.append(m.group(0))
+    for candidate in candidates:
+        try:
+            out = json.loads(candidate)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(out, want_type):
+            return out
+    return None
+
+
 def parse_model_json(text: str) -> Dict[str, Any]:
     """M13 robustness ladder: strict -> fenced -> brace-greedy ->
     default failure verdict (question_merger.py:516-538)."""
-    text = (text or "").strip()
-    try:
-        return json.loads(text)
-    except json.JSONDecodeError:
-        pass
-    m = _JSON_FENCE.search(text)
-    if m:
-        try:
-            return json.loads(m.group(1))
-        except json.JSONDecodeError:
-            pass
-    m = _BRACES.search(text)
-    if m:
-        try:
-            return json.loads(m.group(0))
-        except json.JSONDecodeError:
-            pass
-    return {"is_related": False, "reason": "parse failure", "confidence": 0.0}
+    out = _parse_ladder(text, _BRACES, dict)
+    if out is None:
+        return {"is_related": False, "reason": "parse failure",
+                "confidence": 0.0}
+    return out
 
 
 def parse_model_json_list(text: str) -> list:
@@ -61,28 +70,7 @@ def parse_model_json_list(text: str) -> list:
     returns a JSON list of groups; the reference strips ```json fences
     then json.loads, tests/..._v2.py:1006-1009 — this adds the same
     robustness steps as the dict ladder).  Returns [] on failure."""
-    text = (text or "").strip()
-    for candidate in (text,):
-        try:
-            out = json.loads(candidate)
-            return out if isinstance(out, list) else []
-        except json.JSONDecodeError:
-            pass
-    m = _JSON_FENCE.search(text)
-    if m:
-        try:
-            out = json.loads(m.group(1))
-            return out if isinstance(out, list) else []
-        except json.JSONDecodeError:
-            pass
-    m = _BRACKETS.search(text)
-    if m:
-        try:
-            out = json.loads(m.group(0))
-            return out if isinstance(out, list) else []
-        except json.JSONDecodeError:
-            pass
-    return []
+    return _parse_ladder(text, _BRACKETS, list) or []
 
 
 class TokenBucket:
@@ -402,15 +390,20 @@ class VLClientAggregator:
 
 def make_aggregator(vl_type: str = "heuristic", client: Any = None,
                     model: str = "", config: PipelineConfig = DEFAULT_CONFIG,
-                    **kwargs):
+                    verdicts: Any = None, **kwargs):
     """Aggregator selection switch (the engine analog of the
     reference's vl_type constructor branch,
     tests/test_exam_paper_analysis_vl_ocr.py:942-946):
-    'heuristic' -> deterministic stand-in; 'qwen'/'doubao' -> client
-    adapters with the matching prompt variant."""
-    from doc_ocr_ray.functions.merge import HeuristicAggregator
+    'heuristic' -> deterministic stand-in; 'replay' -> recorded
+    verdicts (pass ``verdicts``); 'qwen'/'doubao' -> client adapters
+    with the matching prompt variant."""
+    from doc_ocr_ray.functions.merge import (HeuristicAggregator,
+                                             ReplayAggregator)
     if vl_type == "heuristic":
         return HeuristicAggregator(config)
+    if vl_type == "replay":
+        return ReplayAggregator(verdicts or {},
+                                fallback=HeuristicAggregator(config))
     return VLClientAggregator(client, model, variant=vl_type,
                               config=config, **kwargs)
 

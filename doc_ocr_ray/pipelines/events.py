@@ -148,13 +148,20 @@ def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
 
         def run(self, ordered, actors, num_buckets, chunk_rows) -> int:
             n = 0
+            inflight = []
             for batch in ordered.iter_batches(batch_size=chunk_rows,
                                               batch_format="pandas"):
                 n += len(batch)
                 for b in range(num_buckets):
                     part = batch[batch["user_id"] % num_buckets == b]
                     if len(part):
-                        actors[b].process.remote(part)
+                        inflight.append(actors[b].process.remote(part))
+                if len(inflight) >= 4 * num_buckets:
+                    # drain: propagate actor-side errors instead of
+                    # fire-and-forget, and bound the in-flight queue
+                    ray.get(inflight)
+                    inflight = []
+            ray.get(inflight)
             # per-caller FIFO: a ping through every actor's queue
             # proves all routed batches were processed before finish()
             ray.get([a.ping.remote() for a in actors])

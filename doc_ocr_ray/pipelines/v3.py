@@ -164,9 +164,13 @@ class V3ParseStage:
                  page_height: int = 1400):
         if parser is None:
             parser = StandInParser()
-        elif callable(parser) and not hasattr(parser, "parse"):
-            # zero-arg factory: real clients build once per actor here
-            # rather than pickling a live connection
+        elif isinstance(parser, type) or (
+                callable(parser) and not hasattr(parser, "parse")):
+            # zero-arg factory (incl. a bare parser CLASS): real
+            # clients build once per actor here rather than pickling a
+            # live connection.  The isinstance check matters — a class
+            # also hasattr 'parse', and keeping it unbound would bind
+            # self=media_ref at call time.
             parser = parser()
         self.parser = parser
         self.w, self.h = page_width, page_height
@@ -191,8 +195,12 @@ class V3ParseStage:
             for q in qs:
                 boxes = [denormalize_bbox(c, self.w, self.h)
                          for c in q.get("question_bboxes", [])]
+                try:
+                    qid = int(q.get("question_id", -1))
+                except (TypeError, ValueError):
+                    qid = -1        # null/non-numeric id from a real model
                 out["media_ref"].append(ref); out["doc_id"].append(doc)
-                out["question_id"].append(int(q.get("question_id", -1)))
+                out["question_id"].append(qid)
                 out["question_type"].append(q.get("question_type", ""))
                 out["question_text"].append(q.get("question_text", ""))
                 out["bbox"].append(boxes[0] if boxes else [])

@@ -83,7 +83,8 @@ def write_annotations(questions_ds, out_dir: str,
             safe = "".join(c if c.isalnum() or c in "-_." else "_"
                            for c in str(doc_id))
             path = os.path.join(out_dir, f"{safe}.svg")
-            tmp = path + ".tmp"
+            tmp = f"{path}.tmp.{os.getpid()}"   # unique per writer: task
+            # retry/speculation must never interleave into one tmp file
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(doc_svg(str(doc_id), g.to_dict("records")))
             os.replace(tmp, path)

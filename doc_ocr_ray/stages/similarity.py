@@ -316,6 +316,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     """
     import ray
 
+    # consumed four times (count, dim peek, coding scan, verify
+    # gather) — pin the input once instead of re-executing lineage
+    ds = ds.materialize()
     n = ds.count()
     if bits_per_band <= 0:
         bits_per_band = max(2, int(np.ceil(np.log2(max(2.0, n / max(1, target_bucket))))))

@@ -294,3 +294,14 @@ def test_make_aggregator_selection_switch():
         make_aggregator("qwen", client=None, model="m")
     with _pt.raises(ValueError):
         make_aggregator("gemini", client=_AggClient("[]"), model="m")
+
+
+def test_make_aggregator_replay():
+    from doc_ocr_ray.functions.merge import ReplayAggregator
+    from doc_ocr_ray.functions.protocols import make_aggregator
+    agg = make_aggregator("replay",
+                          verdicts={"d": [{"type": "text", "members": [0]}]})
+    assert isinstance(agg, ReplayAggregator)
+    assert agg.aggregate("d", []) == [{"type": "text", "members": [0]}]
+    # unknown doc degrades to the heuristic fallback, not []
+    assert agg.fallback is not None

@@ -135,3 +135,33 @@ def test_visualize_annotation_sink(tmp_path):
              "question_number": 3, "merged_text": "abc", "n_images": 1}]
     assert doc_svg("d", rows) == doc_svg("d", rows)
     assert "#3" in doc_svg("d", rows) and "[1 img]" in doc_svg("d", rows)
+
+
+def test_v3_stage_tolerates_bad_question_ids():
+    """Null / non-numeric question_id from a real model must not kill
+    the batch (poison containment at the field level)."""
+    from doc_ocr_ray.pipelines.v3 import V3ParseStage
+    from doc_ocr_ray.stages.multimodal import synthesize_media_table
+
+    class NullIdParser:
+        def parse(self, ref, payload):
+            return {"questions": [
+                {"question_id": None, "question_type": "t",
+                 "question_text": "x", "question_bboxes": [[1, 2, 3, 4]],
+                 "blanks": []},
+                {"question_id": "三", "question_type": "t",
+                 "question_text": "y", "question_bboxes": [], "blanks": []},
+            ]}
+
+    out = V3ParseStage(parser=NullIdParser())(
+        synthesize_media_table(["d1"], ["img:1"]))
+    assert out.num_rows == 2
+    assert out["question_id"].to_pylist() == [-1, -1]
+
+
+def test_v3_stage_accepts_parser_class_as_factory():
+    from doc_ocr_ray.pipelines.v3 import StandInParser, V3ParseStage
+    from doc_ocr_ray.stages.multimodal import synthesize_media_table
+    stage = V3ParseStage(parser=StandInParser)     # class, not instance
+    out = stage(synthesize_media_table(["d1"], ["img:1"]))
+    assert out.num_rows >= 1
