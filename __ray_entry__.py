@@ -368,6 +368,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
             _read(sf_dir, "events", ["user_id"]), "user_id")
 
+    def q_asof_clicks_views(sf_dir):
+        # backward as-of join: each click matched to the user's most
+        # recent prior (or simultaneous) view
+        from doc_ocr_ray.pipelines.events import asof_join
+        def keep(t):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                return (batch[batch["event_type"] == t]
+                        .drop(columns=["event_type"]))
+            return fn
+        def slice_of(t):
+            return _read(sf_dir, "events",
+                         ["event_id", "ts", "user_id", "event_type"]
+                         ).map_batches(keep(t), batch_format="pandas")
+        joined = asof_join(slice_of("click"), slice_of("view"),
+                           key="user_id", on="ts")
+        def proj(batch: pd.DataFrame) -> pd.DataFrame:
+            gap = (batch["ts"].to_numpy().astype("datetime64[us]")
+                   .astype("int64")
+                   - batch["ts_right"].to_numpy().astype("datetime64[us]")
+                   .astype("int64"))
+            return pd.DataFrame({
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "view_event_id": batch["event_id_right"],
+                "gap_us": gap,
+            })
+        return joined.map_batches(proj, batch_format="pandas")
+
+    def q_pii_redact(sf_dir):
+        # deterministic PII injection (both sides derive the same
+        # strings from doc_id) -> regex scrub; non-vacuous by
+        # construction
+        from doc_ocr_ray.stages.text_analysis import pii_redact_batch
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"]
+            batch["text"] = (
+                batch["text"].fillna("")
+                + " contact user" + d.astype(str) + "@example.com or 555-"
+                + (d % 10000).astype(str).str.zfill(4)
+                + " at 192.168." + (d % 256).astype(str)
+                + "." + ((d * 7) % 256).astype(str))
+            return batch
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(inject, batch_format="pandas")
+                .map_batches(pii_redact_batch, batch_format="pandas"))
+
+    def q_repetition_signals(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import repetition_signals_batch
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            repetition_signals_batch, batch_format="pandas")
+
     # ---- sketches / windows / quantiles
     def q_distinct_tokens(sf_dir):
         from doc_ocr_ray.stages.sketch import exact_distinct_tokens
@@ -472,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
+        "asof_clicks_views": q_asof_clicks_views,
+        "pii_redact": q_pii_redact,
+        "repetition_signals": q_repetition_signals,
         "props_k_histogram": q_props_k_histogram,
         "distinct_tokens": q_distinct_tokens,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
@@ -579,6 +633,10 @@ def oracle_sql() -> dict[str, str]:
     # it here too so the file exists whichever side the driver runs
     # first
     spans_path = _ensure_synth_spans_parquet()
+    from doc_ocr_ray.stages.text_analysis import PII_PATTERNS_SQL
+    PII_EMAIL = PII_PATTERNS_SQL["email"]
+    PII_PHONE = PII_PATTERNS_SQL["phone"]
+    PII_IP = PII_PATTERNS_SQL["ip"]
     lang_cnt = {
         "de": "('der','die','das','und','ist','nicht')",
         "en": _STOP_EN,
@@ -866,6 +924,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
+        """,
+        "asof_clicks_views": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 j AS (SELECT c.event_id, c.user_id,
+                              v.event_id AS view_event_id,
+                              epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+                              row_number() OVER (
+                                  PARTITION BY c.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                       FROM c JOIN v ON c.user_id = v.user_id
+                                    AND v.ts <= c.ts)
+            SELECT event_id, user_id, view_event_id, gap_us
+            FROM j WHERE rn = 1
+        """,
+        "pii_redact": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com or 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' at 192.168.' || (doc_id % 256)
+                          || '.' || ((doc_id * 7) % 256) AS text
+              FROM documents),
+            e AS (SELECT doc_id,
+                         len(regexp_extract_all(text,
+                             '{PII_EMAIL}')) AS n_emails,
+                         regexp_replace(text, '{PII_EMAIL}',
+                                        '[EMAIL]', 'g') AS t1
+                  FROM inj),
+            p AS (SELECT doc_id, n_emails,
+                         len(regexp_extract_all(t1,
+                             '{PII_PHONE}')) AS n_phones,
+                         regexp_replace(t1, '{PII_PHONE}',
+                                        '[PHONE]', 'g') AS t2
+                  FROM e),
+            i AS (SELECT doc_id, n_emails, n_phones,
+                         len(regexp_extract_all(t2, '{PII_IP}')) AS n_ips,
+                         regexp_replace(t2, '{PII_IP}',
+                                        '[IP]', 'g') AS redacted
+                  FROM p)
+            SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
+        """,
+        "repetition_signals": """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS lst
+                       FROM documents WHERE trim(text) <> ''),
+            b AS (SELECT doc_id, lst[i] || ' ' || lst[i + 1] AS bigram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(lst))) AS i)
+                  WHERE len(lst) >= 2),
+            bc AS (SELECT doc_id, bigram, count(*) AS cnt
+                   FROM b GROUP BY 1, 2),
+            top AS (SELECT doc_id, bigram, cnt,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, bigram) AS rn
+                    FROM bc),
+            base AS (SELECT doc_id, len(lst) AS n_words,
+                            len(list_distinct(lst)) AS n_distinct
+                     FROM w)
+            SELECT base.doc_id, n_words, n_distinct,
+                   floor(10000.0 * n_distinct / n_words) / 10000 AS ttr,
+                   top.bigram AS top_bigram, top.cnt AS top_bigram_cnt
+            FROM base JOIN top ON base.doc_id = top.doc_id AND rn = 1
         """,
         "distinct_tokens": f"""
             SELECT count(DISTINCT tok) AS n_distinct_tokens

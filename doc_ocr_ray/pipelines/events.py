@@ -242,3 +242,58 @@ def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
         ks = ray.get(ref)
         return batch[~batch[key].isin(ks)]
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, key: str, on: str,
+              num_partitions: int = 128):
+    """Backward as-of join: each left row is matched to the right row
+    with the greatest ``on`` <= left ``on`` within the same ``key``
+    (ties broken toward the later right row in (on, columns) sort
+    order).  Inner semantics: unmatched left rows drop.  Right-side
+    columns that collide with left names come back suffixed
+    ``_right``.
+
+    Both sides must share a schema (the common case: two slices of one
+    event stream).  Shuffle shape: ONE coarse hash partition on ``key``
+    over the tagged union of both sides (same as the eval join), then
+    a vectorized ``pandas.merge_asof`` galloping merge inside each
+    group.  Neither side is broadcast, so both may be web-scale; skew
+    is bounded by the hottest single key.
+    """
+    def add_part(tag: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["part"] = (batch[key] % num_partitions).astype("int64")
+            batch["_side"] = tag
+            return batch
+        return fn
+
+    tagged = (left_ds.map_batches(add_part(0), batch_format="pandas")
+              .union(right_ds.map_batches(add_part(1), batch_format="pandas")))
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == 0].drop(columns=["part", "_side"])
+        right = (group[group["_side"] == 1]
+                 .drop(columns=["part", "_side"]).copy())
+        # sort the right side by (on, *) so that among equal `on`
+        # values merge_asof's "last row wins" picks a DETERMINISTIC
+        # winner (the max of the remaining columns in order)
+        tie_cols = [c for c in right.columns if c != on]
+        right = right.sort_values([on] + tie_cols, kind="mergesort")
+        # merge_asof keeps only the LEFT `on` column; carry the matched
+        # right-side timestamp explicitly (callers compute gaps from it)
+        right[f"{on}_right"] = right[on]
+        right["_m_"] = 1               # match sentinel (inner semantics)
+        out = pd.merge_asof(left.sort_values(on, kind="mergesort"),
+                            right, on=on, by=key,
+                            direction="backward", suffixes=("", "_right"))
+        out = out.dropna(subset=["_m_"]).drop(columns=["_m_"])
+        # merge_asof upcasts unmatched int right-columns to float; put
+        # the matched rows back on the left dtypes
+        for c in out.columns:
+            base = c[:-len("_right")] if c.endswith("_right") else c
+            if base in left.columns and out[c].dtype != left[base].dtype:
+                out[c] = out[c].astype(left[base].dtype)
+        return out
+
+    return (tagged.groupby("part")
+            .map_groups(per_part, batch_format="pandas"))

@@ -160,3 +160,90 @@ def winnow_batch(batch: pd.DataFrame, k: int = 5, window: int = 4) -> pd.DataFra
         "min_fingerprint": np.array([min(f) % (2**63) if f else 0 for f in fps],
                                     dtype="int64"),
     })
+
+
+# --------------------------------------------------------------- PII
+# Patterns restricted to syntax whose semantics are IDENTICAL in
+# Python re and RE2 (DuckDB regexp_*): no lookaround, no backrefs.
+_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+# re.ASCII: RE2's \b is ASCII-only; unicode \b would diverge on CJK text
+_PHONE = re.compile(r"\b555-[0-9]{4}\b", re.ASCII)
+_IPV4 = re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", re.ASCII)
+
+# SQL twins of the patterns above, for the DuckDB oracle (single
+# source of truth: keep in lockstep with the compiled patterns)
+PII_PATTERNS_SQL = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b555-[0-9]{4}\b",
+    "ip": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_redact_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, redacted, n_emails, n_phones, n_ips — scrub emails,
+    bare 555-phone numbers and IPv4 literals (the standard curation
+    step before training-corpus release).  Rules apply in a fixed
+    order (email, phone, ip) and each scans the PREVIOUS rule's
+    output — the SQL oracle chains regexp_replace in the same order,
+    so counts match even when rules interact.  Vectorized pandas .str
+    kernels; no shuffle."""
+    text = batch["text"].fillna("")
+    n_emails = text.str.count(_EMAIL).astype("int64")
+    red = text.str.replace(_EMAIL, "[EMAIL]", regex=True)
+    n_phones = red.str.count(_PHONE).astype("int64")
+    red = red.str.replace(_PHONE, "[PHONE]", regex=True)
+    n_ips = red.str.count(_IPV4).astype("int64")
+    red = red.str.replace(_IPV4, "[IP]", regex=True)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "redacted": red,
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "n_ips": n_ips,
+    })
+
+
+def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    type-token ratio and the most-frequent word bigram per document.
+    Docs with < 2 tokens drop (no bigram; the SQL twin's inner join
+    drops them identically).
+
+    Vectorized via explode + shift + groupby — no per-row Python loop:
+    one flat (doc, word) frame serves the distinct-count, and a
+    shifted copy forms bigrams.  Tie-break on equal bigram counts is
+    lexicographic-min, deterministic in both engines.  TTR uses the
+    floor(10000*num/den)/10000 grid rule shared with the quality
+    scorer."""
+    toks = _tokens(batch["text"])
+    n_words = toks.str.len().astype("int64")
+    flat = pd.DataFrame({
+        "doc_id": batch["doc_id"].repeat(n_words.to_numpy()),
+        "word": [w for ws in toks for w in ws],
+    })
+    if flat.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+            "n_words": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "ttr": pd.Series([], dtype="float64"),
+            "top_bigram": pd.Series([], dtype="object"),
+            "top_bigram_cnt": pd.Series([], dtype="int64"),
+        })
+    nxt = flat.groupby("doc_id", sort=False)["word"].shift(-1)
+    big = flat[nxt.notna()].copy()
+    big["bigram"] = big["word"] + " " + nxt.dropna()
+    counts = (big.groupby(["doc_id", "bigram"], sort=False)
+              .size().reset_index(name="top_bigram_cnt"))
+    top = (counts.sort_values(["doc_id", "top_bigram_cnt", "bigram"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+           .drop_duplicates("doc_id")
+           .rename(columns={"bigram": "top_bigram"}))
+    distinct = (flat.groupby("doc_id", sort=False)["word"].nunique()
+                .rename("n_distinct"))
+    base = pd.DataFrame({"doc_id": batch["doc_id"], "n_words": n_words})
+    out = base.merge(distinct, on="doc_id").merge(top, on="doc_id")
+    out["ttr"] = np.floor(10000.0 * out["n_distinct"] / out["n_words"]) / 10000
+    return out[["doc_id", "n_words", "n_distinct", "ttr",
+                "top_bigram", "top_bigram_cnt"]]

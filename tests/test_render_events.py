@@ -124,3 +124,71 @@ def test_sessionize_streaming_equals_batch():
     batch = canon(sessionize(ds).take_all())
     stream = canon(sessionize_streaming(ds, chunk_rows=97).take_all())
     assert batch == stream and len(batch) > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_backward_with_ties():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import asof_join
+    ts = pd.to_datetime
+    left = pd.DataFrame({
+        "event_id": [100, 101, 102],
+        "user_id": [1, 1, 2],
+        "ts": ts(["2026-01-01 00:10", "2026-01-01 00:20",
+                  "2026-01-01 00:10"]),
+    })
+    right = pd.DataFrame({
+        # user 1: two views at the SAME ts (tie -> max event_id wins),
+        # one later view; user 3: never matches (inner join drops 102)
+        "event_id": [7, 9, 8, 50],
+        "user_id": [1, 1, 1, 3],
+        "ts": ts(["2026-01-01 00:05", "2026-01-01 00:05",
+                  "2026-01-01 00:15", "2026-01-01 00:01"]),
+    })
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key="user_id", on="ts").take_all()
+    got = {r["event_id"]: r["event_id_right"] for r in out}
+    assert got == {100: 9, 101: 8}          # tie -> 9; backward -> 8
+    row = next(r for r in out if r["event_id"] == 100)
+    assert pd.Timestamp(row["ts_right"]) == pd.Timestamp("2026-01-01 00:05")
+
+
+def test_pii_redact_patterns():
+    from doc_ocr_ray.stages.text_analysis import pii_redact_batch
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail bob.smith%x@mail.example.org now",
+            "call 555-1234 or 555-99990 from 10.0.300.7 and 10.0.30.7",
+            "no pii here 汉字 555-0001",
+        ],
+    })
+    out = pii_redact_batch(batch)
+    assert out.loc[0, "redacted"] == "mail [EMAIL] now"
+    # 555-99990 fails the trailing \b{4} rule; 10.0.300.7 still matches
+    # the 1-3-digit octet rule (300 is syntactically valid per pattern)
+    assert out.loc[1, "redacted"] == "call [PHONE] or 555-99990 from [IP] and [IP]"
+    assert list(out["n_emails"]) == [1, 0, 0]
+    assert list(out["n_phones"]) == [0, 1, 1]
+    assert list(out["n_ips"]) == [0, 2, 0]
+    # CJK-adjacent phone still matches under ASCII \b (RE2 parity)
+    assert "[PHONE]" in out.loc[2, "redacted"]
+
+
+def test_repetition_signals_tiebreak_and_ttr():
+    from doc_ocr_ray.stages.text_analysis import repetition_signals_batch
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b a b c",          # bigrams: "a b"x2, "b a", "b c"
+            "z y z y z x",        # "z y"x2 ties "y z"x2 -> lex min "y z"
+            "single",             # < 2 tokens -> dropped
+        ],
+    })
+    out = repetition_signals_batch(batch).set_index("doc_id")
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "top_bigram"] == "a b"
+    assert out.loc[1, "top_bigram_cnt"] == 2
+    assert out.loc[2, "top_bigram"] == "y z"
+    assert out.loc[1, "n_words"] == 5 and out.loc[1, "n_distinct"] == 3
+    assert out.loc[1, "ttr"] == 0.6
