@@ -419,6 +419,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_session_labels(sf_dir):
+        # range join: every event labeled with its containing session
+        from doc_ocr_ray.pipelines.events import label_sessions
+        return label_sessions(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+            gap_minutes=30)
+
+    def q_assign_split(sf_dir):
+        from doc_ocr_ray.pipelines.curate import assign_split
+        return assign_split(_read(sf_dir, "documents", ["doc_id"]),
+                            key="doc_id", seed=42)
+
     # ---- sketches / windows / quantiles
     def q_distinct_tokens(sf_dir):
         from doc_ocr_ray.stages.sketch import exact_distinct_tokens
@@ -526,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks_views": q_asof_clicks_views,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
+        "session_labels": q_session_labels,
+        "assign_split": q_assign_split,
         "props_k_histogram": q_props_k_histogram,
         "distinct_tokens": q_distinct_tokens,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
@@ -968,6 +982,36 @@ def oracle_sql() -> dict[str, str]:
                                         '[IP]', 'g') AS redacted
                   FROM p)
             SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
+        """,
+        "session_labels": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            brk AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged)
+            SELECT event_id, user_id,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM brk
+        """,
+        "assign_split": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5('42:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                              % 10000 AS BIGINT) AS bucket
+                  FROM documents)
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

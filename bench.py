@@ -63,7 +63,13 @@ def run_benchmarks() -> dict:
     # corpus materialized to parquet ONCE (untimed, reused across runs):
     # the timed pipeline is read_parquet -> extract -> count, which is
     # what the production job does — not corpus synthesis
-    corpus = f"/tmp/bench_corpus_v{synth.SYNTH_VERSION}_{n_docs}"
+    # FIXED 128-way layout: the writer session's CPU count must not
+    # leak into the file count (a corpus first materialized by an
+    # 8-CPU scaling subprocess came out as 16 single-row-group files,
+    # capping read parallelism at 16 blocks and silently halving every
+    # later 32-CPU measurement).  The _p128 suffix retires such
+    # corpora.
+    corpus = f"/tmp/bench_corpus_v{synth.SYNTH_VERSION}_{n_docs}_p128"
     if not os.path.isdir(corpus) or not os.listdir(corpus):
         # atomic: an interrupted write must not leave a half corpus
         # that later runs silently benchmark against
@@ -72,17 +78,28 @@ def run_benchmarks() -> dict:
             import shutil
             shutil.rmtree(tmp)
         synth.generate_dataset(n_docs, seed=42,
-                               mega_doc_every=997).write_parquet(tmp)
+                               mega_doc_every=997).repartition(
+                                   128).write_parquet(tmp)
         os.replace(tmp, corpus)
 
     # warm the worker pool (untimed): touches every worker process so
     # imports/pattern-compilation amortize, as they do over a long job
     extract_questions(ray.data.read_parquet(corpus).limit(2000)).count()
 
-    # --- headline: extraction docs/sec on the interleaved corpus
+    # --- headline: extraction docs/sec on the interleaved corpus.
+    # min-of-2 within one session: the sandbox host takes external
+    # load bursts that can double a single run's wall mid-measurement;
+    # the min measures the pipeline, the spread is host noise (the
+    # capacity probe runs adjacent to, not during, the timed window,
+    # so it can miss a burst)
     def bench_extract():
         return extract_questions(ray.data.read_parquet(corpus)).count()
     n_questions = timed("extract", bench_extract)
+    timed("extract_run2", bench_extract)
+    timings["extract_worst"] = max(timings["extract"],
+                                   timings["extract_run2"])
+    timings["extract"] = min(timings["extract"],
+                             timings.pop("extract_run2"))
 
     if os.environ.get("GRAFT_BENCH_ONLY") == "extract":
         # scaling subprocesses only consume the headline timing —

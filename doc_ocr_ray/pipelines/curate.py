@@ -14,8 +14,9 @@ user runs to turn raw page corpora into training text.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -67,3 +68,46 @@ def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
 
     filtered = texts.map_batches(score_filter, batch_format="pandas")
     return exact_dedup(filtered, text_col="text")
+
+
+def assign_split(ds, key: str = "doc_id", seed: int = 42,
+                 ratios: Optional[Dict[str, float]] = None):
+    """Deterministic stratified train/val/test assignment: each row
+    lands in a split by ``md5(seed:key) % 10000`` against cumulative
+    ratio thresholds.  Properties that matter at corpus scale:
+
+    - membership is a pure function of (seed, key) — re-runs, resumes
+      and incremental ingestion never reshuffle examples across splits
+      (no leakage from val into train between runs);
+    - embarrassingly parallel (a vectorized ``map_batches``, no
+      shuffle, no global sampling pass);
+    - the DuckDB twin computes the identical bucket from the identical
+      md5 string, so assignment is oracle-checkable bit for bit.
+
+    ``ratios`` values must sum to <= 1; the remainder (if any) falls
+    into the last split.  Buckets quantize at 1/10000, so ratios finer
+    than 0.01% won't separate."""
+    import hashlib
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(ratios)
+    edges = []
+    acc = 0.0
+    for n in names:
+        acc += ratios[n]
+        edges.append(int(round(acc * 10000)))
+    edges[-1] = max(edges[-1], 10000)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key].astype(str)
+        buckets = np.fromiter(
+            (int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16)
+             % 10000 for k in keys),
+            dtype="int64", count=len(keys))
+        split = np.select(
+            [buckets < e for e in edges], names, default=names[-1])
+        out = batch.copy()
+        out["bucket"] = buckets
+        out["split"] = split
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

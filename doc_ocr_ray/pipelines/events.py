@@ -297,3 +297,63 @@ def asof_join(left_ds, right_ds, key: str, on: str,
 
     return (tagged.groupby("part")
             .map_groups(per_part, batch_format="pandas"))
+
+
+def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
+    """Range (interval-containment) join, instantiated on sessions:
+    each event row gets the ``session_id`` of the session whose
+    ``[start_ts, end_ts]`` window contains its timestamp.
+
+    The general pattern: point rows and interval rows ride ONE coarse
+    hash partition on the key as a tagged union over a fully-TYPED
+    common schema (sentinels, never nulls — null columns break Arrow
+    block unification), then inside each group a backward
+    ``merge_asof`` against interval starts plus an end-bound filter
+    resolves containment.  This assumes intervals per key are
+    NON-OVERLAPPING (true for sessions; for overlapping intervals
+    fan out candidates with a bounded lookback instead).
+    """
+    sessions = sessionize(ds, gap_minutes=gap_minutes)
+
+    def tag_points(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "t": batch["ts"],
+            "end_t": batch["ts"],                      # sentinel
+            "event_id": batch["event_id"].astype("int64"),
+            "session_id": np.full(len(batch), -1, dtype="int64"),
+            "part": (batch["user_id"] % num_partitions).astype("int64"),
+            "_side": np.zeros(len(batch), dtype="int64"),
+        })
+
+    def tag_intervals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "t": batch["start_ts"],
+            "end_t": batch["end_ts"],
+            "event_id": np.full(len(batch), -1, dtype="int64"),
+            "session_id": batch["session_id"].astype("int64"),
+            "part": (batch["user_id"] % num_partitions).astype("int64"),
+            "_side": np.ones(len(batch), dtype="int64"),
+        })
+
+    tagged = (ds.map_batches(tag_points, batch_format="pandas")
+              .union(sessions.map_batches(tag_intervals,
+                                          batch_format="pandas")))
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["_side"] == 0]
+        ivs = group[group["_side"] == 1]
+        out = pd.merge_asof(
+            pts[["user_id", "t", "event_id"]].sort_values("t",
+                                                          kind="mergesort"),
+            ivs[["user_id", "t", "end_t", "session_id"]]
+            .sort_values("t", kind="mergesort"),
+            on="t", by="user_id", direction="backward")
+        out = out[out["t"] <= out["end_t"]]
+        out = out[["event_id", "user_id", "session_id"]].copy()
+        out["session_id"] = out["session_id"].astype("int64")
+        return out
+
+    return (tagged.groupby("part")
+            .map_groups(per_part, batch_format="pandas"))

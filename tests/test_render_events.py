@@ -192,3 +192,42 @@ def test_repetition_signals_tiebreak_and_ttr():
     assert out.loc[2, "top_bigram"] == "y z"
     assert out.loc[1, "n_words"] == 5 and out.loc[1, "n_distinct"] == 3
     assert out.loc[1, "ttr"] == 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_sessions_matches_sessionize():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import label_sessions
+    ts = pd.to_datetime([
+        "2026-01-01 10:00", "2026-01-01 10:10",     # session 1
+        "2026-01-01 11:00", "2026-01-01 11:29",     # session 2
+    ])
+    df = pd.DataFrame({"user_id": [7] * 4, "event_id": [1, 2, 3, 4],
+                       "ts": ts})
+    out = label_sessions(ray.data.from_pandas(df), gap_minutes=30).take_all()
+    got = {r["event_id"]: r["session_id"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assign_split_deterministic_and_proportional():
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import assign_split
+    df = pd.DataFrame({"doc_id": range(2000)})
+    out = assign_split(ray.data.from_pandas(df), key="doc_id",
+                       seed=42).take_all()
+    by_split = pd.Series([r["split"] for r in out]).value_counts()
+    # ~90/5/5 within sampling noise at n=2000
+    assert 1700 < by_split["train"] < 1900
+    assert 50 < by_split["val"] < 150 and 50 < by_split["test"] < 150
+    # bucket formula is exactly md5-derived (the SQL twin's contract)
+    row = next(r for r in out if r["doc_id"] == 123)
+    expect = int(hashlib.md5(b"42:123").hexdigest()[:8], 16) % 10000
+    assert row["bucket"] == expect
+    # stability: a second run assigns identically
+    out2 = assign_split(ray.data.from_pandas(df.iloc[100:200]),
+                        key="doc_id", seed=42).take_all()
+    m1 = {r["doc_id"]: r["split"] for r in out}
+    for r in out2:
+        assert m1[r["doc_id"]] == r["split"]
