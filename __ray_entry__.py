@@ -419,6 +419,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_tfidf_top_terms(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import tfidf_top_terms
+        import pyarrow.parquet as pq
+        n_docs = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet").metadata.num_rows
+        return tfidf_top_terms(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            n_docs=n_docs, k=5)
+
     def q_session_labels(sf_dir):
         # range join: every event labeled with its containing session
         from doc_ocr_ray.pipelines.events import label_sessions
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "props_k_histogram": q_props_k_histogram,
         "distinct_tokens": q_distinct_tokens,
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
@@ -982,6 +992,25 @@ def oracle_sql() -> dict[str, str]:
                                         '[IP]', 'g') AS redacted
                   FROM p)
             SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(trim(text),
+                                                           '\\s+')) AS term
+                       FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM w GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                          tf.tf * CAST(floor(1000 * ln(
+                              (SELECT count(*) FROM documents)::DOUBLE
+                              / df.df)) AS BIGINT) AS score_milli
+                   FROM tf JOIN df USING (term)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_milli DESC, term) AS rank
+                  FROM sc)
+            SELECT doc_id, term, tf, df, score_milli, rank
+            FROM r WHERE rank <= 5
         """,
         "session_labels": """
             WITH lagged AS (

@@ -247,3 +247,65 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out["ttr"] = np.floor(10000.0 * out["n_distinct"] / out["n_words"]) / 10000
     return out[["doc_id", "n_words", "n_distinct", "ttr",
                 "top_bigram", "top_bigram_cnt"]]
+
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 5,
+                    num_partitions: int = 128):
+    """Per-document top-k salient terms by TF-IDF — the two-pass
+    learn-then-apply shape (global document frequencies, then per-doc
+    scoring) collapsed into TWO exchanges, neither driver-side:
+
+    1. explode to (doc_id, term, tf) rows (vectorized in-batch
+       groupby), hash-partition by TERM: inside each term group the
+       document frequency is simply the group's row count, so DF
+       computation and the tf⋈df join cost ONE shuffle and no second
+       pass over the corpus (and no driver-held vocabulary — at
+       web scale the vocab never fits one process);
+    2. hash-partition the scored rows by DOC for the per-doc top-k.
+
+    Scores are integerized (``tf * floor(1000*ln(n_docs/df))``) so
+    ranking is exactly reproducible in the SQL twin; ties break on
+    term asc (terms are unique within a doc — total order).
+    """
+    def explode_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n = toks.str.len().astype("int64")
+        flat = pd.DataFrame({
+            "doc_id": batch["doc_id"].repeat(n.to_numpy()),
+            "term": [w for ws in toks for w in ws],
+        })
+        tf = (flat.groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["part"] = (pd.util.hash_array(
+            tf["term"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return tf
+
+    def score_term_part(group: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, term): the term's df IS its row count here
+        df = group.groupby("term", sort=False)["doc_id"].transform("size")
+        idf_milli = np.floor(
+            1000.0 * np.log(np.float64(n_docs) / df.to_numpy())
+        ).astype("int64")
+        out = group[["doc_id", "term", "tf"]].copy()
+        out["df"] = df.astype("int64").to_numpy()
+        out["score_milli"] = out["tf"].to_numpy() * idf_milli
+        out["part"] = (pd.util.hash_array(
+            out["doc_id"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return out
+
+    def topk_doc_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "score_milli", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = g.groupby("doc_id", sort=False).head(k).copy()
+        top["rank"] = (top.groupby("doc_id", sort=False).cumcount() + 1
+                       ).astype("int64")
+        return top[["doc_id", "term", "tf", "df", "score_milli", "rank"]]
+
+    return (ds.map_batches(explode_tf, batch_format="pandas")
+            .groupby("part").map_groups(score_term_part,
+                                        batch_format="pandas")
+            .groupby("part").map_groups(topk_doc_part,
+                                        batch_format="pandas"))

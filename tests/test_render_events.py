@@ -231,3 +231,29 @@ def test_assign_split_deterministic_and_proportional():
     m1 = {r["doc_id"]: r["split"] for r in out}
     for r in out2:
         assert m1[r["doc_id"]] == r["split"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms():
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import tfidf_top_terms
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "rare common common",       # 'rare' df=1, 'common' df=3
+            "common unique",            # 'unique' df=1
+            "common shared shared",     # 'shared' df=1, tf=2
+        ],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(df), n_docs=3,
+                          k=2).take_all()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # df=1 terms (idf=ln 3) dominate the df=3 term (idf=0)
+    assert top1 == {1: "rare", 2: "unique", 3: "shared"}
+    r3 = next(r for r in out if r["doc_id"] == 3 and r["rank"] == 1)
+    assert r3["tf"] == 2 and r3["df"] == 1
+    # idf_milli = floor(1000*ln(3)) = 1098; score = tf * idf_milli
+    assert r3["score_milli"] == 2 * 1098
+    # the ubiquitous term scores 0 (ln(3/3)=0) but still ranks 2nd
+    common = [r for r in out if r["term"] == "common" and r["doc_id"] == 1]
+    assert common and common[0]["score_milli"] == 0
