@@ -580,7 +580,7 @@ inj AS (
   FROM (SELECT doc_id, str_split(text, ' ') AS toks
         FROM documents WHERE doc_id < 200)),
 norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
   FROM inj),
 sh AS (
   SELECT DISTINCT doc_id, substr(t, i, 5) AS g
@@ -601,10 +601,13 @@ jac AS (
              JOIN sizes sb ON sb.doc_id = doc_b)
 """
 
-_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
-_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+# edge-strip via RE2 \s (NOT trim(): DuckDB trim strips only spaces,
+# while the engine strips the full ASCII class [\t\n\f\r ] == RE2 \s)
+_STRIP = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+_TOKENS = f"regexp_split_to_array({_STRIP}, '\\s+')"
+_NTOK = f"CASE WHEN {_STRIP} = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
 
 
 # brute-force cosine top-k, shared by similarity_topk and the
@@ -668,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "fr": "('le','la','les','et','est','une')",
     }
     cnts = ", ".join(
-        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'), "
         f"t -> t IN {s})) AS c_{lg}" for lg, s in lang_cnt.items())
 
     return {
@@ -688,7 +691,7 @@ def oracle_sql() -> dict[str, str]:
                    {_NTOK} AS n_tokens,
                    floor(10000 * length(regexp_replace(text, '[\\w\\s]', '', 'g'))
                          / greatest(1, length(text))::DOUBLE) / 10000 AS punct_ratio,
-                   floor(10000 * len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   floor(10000 * len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                                                  t -> t IN {_STOP_EN}))
                          / greatest(1, {_NTOK})::DOUBLE) / 10000 AS stopword_ratio,
                    floor(10000 * length(regexp_replace(text, '\\s', '', 'g'))
@@ -721,7 +724,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
             FROM documents
             GROUP BY array_to_string(
-                list_sort(regexp_split_to_array(trim({_NORM}), ' ')), ' ')
+                list_sort(regexp_split_to_array({_NORM}, ' ')), ' ')
         """,
         "winnow_fingerprint": f"""
             WITH norm AS (
@@ -757,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_tokens_kmv": f"""
             WITH toks AS (
               SELECT DISTINCT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
-              FROM documents WHERE trim(text) != ''),
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''),
             hs AS (
               SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
               FROM toks),
@@ -968,7 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": f"""
             WITH inj AS (
               SELECT doc_id,
-                     text || ' contact user' || doc_id
+                     coalesce(text, '') || ' contact user' || doc_id
                           || '@example.com or 555-'
                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                           || ' at 192.168.' || (doc_id % 256)
@@ -995,9 +998,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_top_terms": """
             WITH w AS (SELECT doc_id,
-                              unnest(regexp_split_to_array(trim(text),
-                                                           '\\s+')) AS term
-                       FROM documents WHERE trim(text) <> ''),
+                              unnest(regexp_split_to_array(
+                                  regexp_replace(text, '^\\s+|\\s+$',
+                                                 '', 'g'),
+                                  '\\s+')) AS term
+                       FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
             tf AS (SELECT doc_id, term, count(*) AS tf
                    FROM w GROUP BY 1, 2),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1044,8 +1049,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,
-                              regexp_split_to_array(trim(text), '\\s+') AS lst
-                       FROM documents WHERE trim(text) <> ''),
+                              regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS lst
+                       FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
             b AS (SELECT doc_id, lst[i] || ' ' || lst[i + 1] AS bigram
                   FROM w, LATERAL (SELECT unnest(range(1, len(lst))) AS i)
                   WHERE len(lst) >= 2),
@@ -1066,7 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_tokens": f"""
             SELECT count(DISTINCT tok) AS n_distinct_tokens
             FROM (SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
-                  FROM documents WHERE trim(text) != '')
+                  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != '')
         """,
         "running_sum_per_user": """
             SELECT user_id, event_id,

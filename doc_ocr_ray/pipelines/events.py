@@ -50,7 +50,7 @@ def sessionize(ds, gap_minutes: int = 30):
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        batch["part"] = _coarse_part(batch["user_id"], 128)
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -183,7 +183,7 @@ def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,
     column included.  Coarse hash partition on the key -> per-key
     head(k) inside the group fn; no global sort."""
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch[key] % 128).astype("int64")
+        batch["part"] = _coarse_part(batch[key], 128)
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -244,6 +244,24 @@ def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
     return ds.map_batches(flt, batch_format="pandas")
 
 
+def _coarse_part(series: pd.Series, num_partitions: int) -> np.ndarray:
+    """Deterministic coarse shuffle key for int AND string key columns
+    (pd.util.hash_array is keyed SipHash with a fixed default key —
+    stable across worker processes and runs)."""
+    return (pd.util.hash_array(series.to_numpy(dtype=object))
+            % num_partitions).astype("int64")
+
+
+def _tag_part(key: str, num_partitions: int, tag: int):
+    """map_batches fn adding the coarse partition + side-tag columns
+    (the house pattern shared by the tagged-union joins)."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = _coarse_part(batch[key], num_partitions)
+        batch["_side"] = tag
+        return batch
+    return fn
+
+
 def asof_join(left_ds, right_ds, key: str, on: str,
               num_partitions: int = 128):
     """Backward as-of join: each left row is matched to the right row
@@ -260,40 +278,36 @@ def asof_join(left_ds, right_ds, key: str, on: str,
     group.  Neither side is broadcast, so both may be web-scale; skew
     is bounded by the hottest single key.
     """
-    def add_part(tag: int):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch["part"] = (batch[key] % num_partitions).astype("int64")
-            batch["_side"] = tag
-            return batch
-        return fn
-
-    tagged = (left_ds.map_batches(add_part(0), batch_format="pandas")
-              .union(right_ds.map_batches(add_part(1), batch_format="pandas")))
+    tagged = (left_ds.map_batches(_tag_part(key, num_partitions, 0),
+                                  batch_format="pandas")
+              .union(right_ds.map_batches(_tag_part(key, num_partitions, 1),
+                                          batch_format="pandas")))
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         left = group[group["_side"] == 0].drop(columns=["part", "_side"])
-        right = (group[group["_side"] == 1]
-                 .drop(columns=["part", "_side"]).copy())
+        right = group[group["_side"] == 1].drop(columns=["part", "_side"])
         # sort the right side by (on, *) so that among equal `on`
         # values merge_asof's "last row wins" picks a DETERMINISTIC
         # winner (the max of the remaining columns in order)
         tie_cols = [c for c in right.columns if c != on]
-        right = right.sort_values([on] + tie_cols, kind="mergesort")
-        # merge_asof keeps only the LEFT `on` column; carry the matched
-        # right-side timestamp explicitly (callers compute gaps from it)
-        right[f"{on}_right"] = right[on]
-        right["_m_"] = 1               # match sentinel (inner semantics)
-        out = pd.merge_asof(left.sort_values(on, kind="mergesort"),
-                            right, on=on, by=key,
-                            direction="backward", suffixes=("", "_right"))
-        out = out.dropna(subset=["_m_"]).drop(columns=["_m_"])
-        # merge_asof upcasts unmatched int right-columns to float; put
-        # the matched rows back on the left dtypes
-        for c in out.columns:
-            base = c[:-len("_right")] if c.endswith("_right") else c
-            if base in left.columns and out[c].dtype != left[base].dtype:
-                out[c] = out[c].astype(left[base].dtype)
-        return out
+        right = (right.sort_values([on] + tie_cols, kind="mergesort")
+                 .reset_index(drop=True))
+        # merge only (key, on, row-pointer): payload columns must NOT
+        # ride through merge_asof, whose NaN upcast to float64 silently
+        # rounds int64 values > 2^53 (snowflake-style ids) even on the
+        # rows that matched
+        probe = right[[key, on]].copy()
+        probe["_ridx"] = np.arange(len(right), dtype="int64")
+        out = pd.merge_asof(
+            left.sort_values(on, kind="mergesort").reset_index(drop=True),
+            probe, on=on, by=key, direction="backward")
+        out = out[out["_ridx"].notna()]
+        ridx = out.pop("_ridx").to_numpy().astype("int64")
+        matched = (right.iloc[ridx].reset_index(drop=True)
+                   .drop(columns=[key]))
+        matched.columns = [f"{c}_right" if c in left.columns else c
+                           for c in matched.columns]
+        return pd.concat([out.reset_index(drop=True), matched], axis=1)
 
     return (tagged.groupby("part")
             .map_groups(per_part, batch_format="pandas"))
@@ -322,7 +336,7 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
             "end_t": batch["ts"],                      # sentinel
             "event_id": batch["event_id"].astype("int64"),
             "session_id": np.full(len(batch), -1, dtype="int64"),
-            "part": (batch["user_id"] % num_partitions).astype("int64"),
+            "part": _coarse_part(batch["user_id"], num_partitions),
             "_side": np.zeros(len(batch), dtype="int64"),
         })
 
@@ -333,7 +347,7 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
             "end_t": batch["end_ts"],
             "event_id": np.full(len(batch), -1, dtype="int64"),
             "session_id": batch["session_id"].astype("int64"),
-            "part": (batch["user_id"] % num_partitions).astype("int64"),
+            "part": _coarse_part(batch["user_id"], num_partitions),
             "_side": np.ones(len(batch), dtype="int64"),
         })
 

@@ -26,7 +26,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WS = re.compile(r"\s+")
+# explicit class == RE2 \s (see text_analysis._WS: unicode \s would
+# diverge from the SQL oracles); edge-strip with the same class
+_WS = re.compile(r"[\t\n\f\r ]+")
+_EDGE_WS = re.compile(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$")
 _MERSENNE = (1 << 61) - 1
 _MAXH = (1 << 32) - 1
 _SHINGLE_MOD = (1 << 31) - 1        # Mersenne prime 2^31-1
@@ -34,7 +37,7 @@ _SHINGLE_BASE = 257
 
 
 def _normalize(series: pd.Series) -> pd.Series:
-    return (series.fillna("").str.strip().str.lower()
+    return (series.fillna("").str.replace(_EDGE_WS, "", regex=True).str.lower()
             .str.replace(_WS, " ", regex=True))
 
 
@@ -113,7 +116,7 @@ def token_multiset_dedup(ds, text_col: str = "text"):
 
 # ------------------------------------------------------------- minhash
 def char_shingles(text: str, k: int = 5) -> Iterable[str]:
-    t = _WS.sub(" ", (text or "").strip().lower())
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
     if len(t) < k:
         return [t] if t else []
     return (t[i:i + k] for i in range(len(t) - k + 1))
@@ -135,7 +138,7 @@ def _perm_params(num_perm: int, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Vectorized k-gram rolling hashes: sliding window over codepoints,
     polynomial hash mod 2^31-1 (one matmul, no per-shingle Python)."""
-    t = _WS.sub(" ", (text or "").strip().lower())
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
     if not t:
         return np.empty(0, dtype=np.uint64)
     c = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
@@ -490,7 +493,7 @@ def simhash64(text: str) -> int:
     vocabularies are Zipfian, so the cache hit rate is high); the
     bit-vote accumulation is one vectorized reduction.
     """
-    t = _WS.sub(" ", (text or "").strip().lower())
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
     if not t:
         return 0
     hs = np.array([_token_hash(tok) for tok in t.split(" ")], dtype=np.uint64)

@@ -22,12 +22,15 @@ import re
 import numpy as np
 import pandas as pd
 
-_WS = re.compile(r"\s+")
+# explicit class == RE2 \s (see text_analysis._WS: unicode \s would
+# diverge from the SQL oracles); edge-strip with the same class
+_WS = re.compile(r"[\t\n\f\r ]+")
+_EDGE_WS = re.compile(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$")
 _SCALE = float(1 << 64)
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    t = _WS.sub(" ", (text or "").strip().lower())
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
     if not t:
         return np.empty(0, dtype=np.uint64)
     return np.array(
@@ -70,7 +73,7 @@ def exact_distinct_tokens(ds, text_col: str = "text"):
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         toks = set()
         for t in batch[text_col]:
-            norm = _WS.sub(" ", (t or "").strip().lower())
+            norm = _WS.sub(" ", _EDGE_WS.sub("", t or "").lower())
             if norm:
                 toks.update(norm.split(" "))
         out = pd.DataFrame({"tok": sorted(toks)})

@@ -17,9 +17,13 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
-# token = maximal run of non-whitespace (mirrors the SQL oracle's
-# regexp_split_to_array(trim(text), '\s+'))
-_WS = re.compile(r"\s+")
+# Whitespace = the EXPLICIT class [\t\n\f\r ], which is exactly what
+# RE2 (DuckDB regexp_*) means by \s — Python's unicode \s also matches
+# \v and U+00A0 etc. and would silently diverge from every SQL oracle
+# on the first corpus containing them.  Edge-stripping uses the same
+# class (DuckDB trim() strips ONLY spaces, so oracles strip via regex).
+_WS = re.compile(r"[\t\n\f\r ]+")
+_EDGE_WS = re.compile(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$")
 
 STOPWORDS: Dict[str, frozenset] = {
     "en": frozenset({"the", "a", "of", "and", "to", "in", "is"}),
@@ -33,11 +37,11 @@ _CJK = re.compile(r"[一-鿿]")
 # first non-ASCII corpus.  Consequence: non-Latin letters count as
 # "punctuation" for this ratio — the quality scorer is a Latin-script
 # heuristic (its stopwords are too); use lang_id to route scripts.
-_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+_PUNCT = re.compile(r"[^\w\t\n\f\r ]", re.ASCII)
 
 
 def _tokens(series: pd.Series) -> pd.Series:
-    stripped = series.fillna("").str.strip()
+    stripped = series.fillna("").str.replace(_EDGE_WS, "", regex=True)
     toks = stripped.str.split(_WS)
     return toks.where(stripped != "", other=pd.Series([[]] * len(series),
                                                       index=series.index))
@@ -56,7 +60,7 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
 # BPE-style pre-tokenization classes: letter runs, digit runs, single
 # punctuation marks (a simplified GPT-2 pre-tokenizer whose semantics
 # are identical in Python re and RE2, so the SQL oracle can mirror it)
-_BPE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+_BPE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]")
 
 
 def bpe_token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -124,8 +128,8 @@ def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Whole-document fingerprint: md5 of the whitespace-normalized,
     lowercased text (SQL-mirrorable)."""
-    norm = (batch["text"].fillna("").str.strip().str.lower()
-            .str.replace(_WS, " ", regex=True))
+    norm = (batch["text"].fillna("").str.replace(_EDGE_WS, "", regex=True)
+            .str.lower().str.replace(_WS, " ", regex=True))
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "fingerprint": [hashlib.md5(t.encode("utf-8")).hexdigest()
@@ -137,7 +141,7 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> List[int]:
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
     min per sliding window -> sparse doc fingerprint set.  Rows-only
     operator (no SQL analog)."""
-    t = _WS.sub(" ", (text or "").strip().lower())
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
     if len(t) < k:
         return []
     hashes = [int.from_bytes(hashlib.md5(t[i:i + k].encode("utf-8"))
@@ -222,13 +226,19 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "word": [w for ws in toks for w in ws],
     })
     if flat.empty:
-        return pd.DataFrame({
-            "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
-            "n_words": pd.Series([], dtype="int64"),
-            "n_distinct": pd.Series([], dtype="int64"),
-            "ttr": pd.Series([], dtype="float64"),
-            "top_bigram": pd.Series([], dtype="object"),
-            "top_bigram_cnt": pd.Series([], dtype="int64"),
+        # pyarrow-typed empty block: an empty object column trips
+        # Ray's block-size estimator (noisy per-block worker logs)
+        import pyarrow as pa
+        id_dtype = batch["doc_id"].to_numpy().dtype
+        id_type = (pa.string() if id_dtype == np.dtype(object)
+                   else pa.from_numpy_dtype(id_dtype))
+        return pa.table({
+            "doc_id": pa.array([], id_type),
+            "n_words": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "ttr": pa.array([], pa.float64()),
+            "top_bigram": pa.array([], pa.string()),
+            "top_bigram_cnt": pa.array([], pa.int64()),
         })
     nxt = flat.groupby("doc_id", sort=False)["word"].shift(-1)
     big = flat[nxt.notna()].copy()

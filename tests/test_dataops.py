@@ -237,3 +237,40 @@ def test_drop_near_duplicates_shuffle_matches_broadcast():
                 drop_near_duplicates(ds, pairs,
                                      strategy="shuffle").take_all())
     assert bc == sh and len(bc) > 0
+
+
+def test_whitespace_semantics_match_duckdb_on_dirty_text():
+    """Engine tokenization/normalization vs the oracle SQL helpers on
+    text with tabs, newlines, \\v and U+00A0 — the latent-divergence
+    class flagged in review: DuckDB trim() strips only spaces and RE2
+    \\s is the ASCII class [\\t\\n\\f\\r ], while Python's .strip() /
+    unicode \\s cover more.  Both sides now use the explicit class."""
+    import duckdb
+    import pandas as pd
+    from doc_ocr_ray.stages.text_analysis import (
+        token_count_batch, fingerprint_batch, repetition_signals_batch)
+    dirty = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["\tfoo bar\n", "a\vb a\vb", "x y x y z",
+                 "  plain words here  "],
+    })
+    con = duckdb.connect()
+    con.register("documents", dirty)
+    strip = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    # token counts
+    got = token_count_batch(dirty.copy())
+    want = con.sql(f"""
+        SELECT doc_id, CASE WHEN {strip} = '' THEN 0
+               ELSE len(regexp_split_to_array({strip}, '\\s+')) END AS n
+        FROM documents""").df()
+    assert list(got["n_tokens"]) == list(want["n"])
+    # fingerprints (md5 of normalized text)
+    gf = fingerprint_batch(dirty.copy())
+    wf = con.sql(f"""
+        SELECT doc_id, md5(regexp_replace(lower({strip}),
+                           '\\s+', ' ', 'g')) AS f FROM documents""").df()
+    assert list(gf["fingerprint"]) == list(wf["f"])
+    # repetition bigrams survive \v / nbsp "words"
+    rep = repetition_signals_batch(dirty.copy()).set_index("doc_id")
+    assert rep.loc[2, "top_bigram"] == "a\vb a\vb" or rep.loc[2, "n_words"] == 2
+    assert rep.loc[3, "n_words"] == 3          # nbsp is NOT a separator
