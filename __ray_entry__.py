@@ -271,6 +271,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.verify_pairs_exact(docs, cand, threshold=0.6)
         return dedup.dedup_clusters(pairs)
 
+    def q_dedup_keep_best(sf_dir):
+        # full curation funnel: candidates -> verified clusters -> one
+        # canonical survivor per cluster (plus every singleton)
+        docs = _dup_injected_docs(sf_dir)
+        cand = dedup.minhash_dedup_pairs(docs, num_perm=256, num_bands=64,
+                                         threshold=0.6)
+        pairs = dedup.verify_pairs_exact(docs, cand, threshold=0.6)
+        return dedup.dedup_keep_best(docs, dedup.dedup_clusters(pairs))
+
     def q_embedding_neardup(sf_dir):
         emb = _neardup_injected_embeddings(sf_dir)
         return similarity.embedding_neardup_pairs(emb, threshold=0.95)
@@ -534,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_exact": q_similarity_ivf_exact,
         "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
         "v3_parse": q_v3_parse,
@@ -881,6 +891,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node)
             SELECT node AS doc_id, min(lab) AS cluster
             FROM reach GROUP BY node
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_INJ_JACCARD},
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.6
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac WHERE j >= 0.6),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+            labels AS (
+              SELECT node AS doc_id, min(lab) AS cluster
+              FROM reach GROUP BY node),
+            tok AS (SELECT doc_id, {_NTOK} AS n_tokens FROM inj),
+            joined AS (
+              SELECT t.doc_id,
+                     coalesce(l.cluster, t.doc_id) AS cluster,
+                     t.n_tokens
+              FROM tok t LEFT JOIN labels l ON t.doc_id = l.doc_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY n_tokens DESC, doc_id) AS rn
+                  FROM joined)
+            SELECT cluster, doc_id, n_tokens FROM r WHERE rn = 1
         """,
         "embedding_neardup": """
             WITH raw AS (

@@ -657,3 +657,70 @@ def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
             "jaccard": pd.Series(out_j, dtype="float64")})
 
     return pairs.map_batches(score, batch_format="pandas")
+
+
+def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
+    """Canonical-document selection per near-duplicate cluster: the
+    highest whitespace-token-count member wins, ties to the smaller
+    doc_id; docs outside every cluster keep themselves (singleton
+    cluster = own id).  This is the curation end-game the pair/cluster
+    operators feed: corpus -> candidate pairs -> verified clusters ->
+    ONE survivor per cluster.
+
+    Shuffle shape: a typed tagged union (token counts ⊎ cluster
+    labels, both int64-valued) rides ONE coarse doc_id partition for
+    the left-join label resolution — no broadcast, no memory
+    assumption, so it holds even when the duplicate graph is
+    corpus-sized (unlike ``drop_near_duplicates``' broadcast
+    strategy); a second coarse partition on cluster id takes the
+    per-cluster argmax.
+    """
+    from doc_ocr_ray.stages.text_analysis import token_count_batch
+
+    def part_of(series: pd.Series) -> np.ndarray:
+        return (pd.util.hash_array(series.to_numpy(dtype=object))
+                % num_partitions).astype("int64")
+
+    def tag_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        t = token_count_batch(batch)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].astype("int64"),
+            "val": t["n_tokens"].astype("int64"),
+            "side": np.zeros(len(t), dtype="int64"),
+            "part": part_of(t["doc_id"]),
+        })
+
+    def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "val": batch["cluster"].astype("int64"),
+            "side": np.ones(len(batch), dtype="int64"),
+            "part": part_of(batch["doc_id"]),
+        })
+
+    tagged = (docs_ds.map_batches(tag_tokens, batch_format="pandas")
+              .union(clusters_ds.map_batches(tag_labels,
+                                             batch_format="pandas")))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        toks = (group[group["side"] == 0][["doc_id", "val"]]
+                .rename(columns={"val": "n_tokens"}))
+        labs = (group[group["side"] == 1][["doc_id", "val"]]
+                .rename(columns={"val": "cluster"}))
+        out = toks.merge(labs, on="doc_id", how="left")
+        out["cluster"] = (out["cluster"].fillna(out["doc_id"])
+                          .astype("int64"))
+        out["part"] = part_of(out["cluster"])
+        return out
+
+    def argmax_per_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cluster", "n_tokens", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = g.drop_duplicates("cluster")
+        return top[["cluster", "doc_id", "n_tokens"]]
+
+    return (tagged.groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("part")
+            .map_groups(argmax_per_cluster, batch_format="pandas"))

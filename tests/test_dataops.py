@@ -274,3 +274,21 @@ def test_whitespace_semantics_match_duckdb_on_dirty_text():
     rep = repetition_signals_batch(dirty.copy()).set_index("doc_id")
     assert rep.loc[2, "top_bigram"] == "a\vb a\vb" or rep.loc[2, "n_words"] == 2
     assert rep.loc[3, "n_words"] == 3          # nbsp is NOT a separator
+
+
+def test_dedup_keep_best_selects_canonical(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_keep_best
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10],
+        "text": ["a b c", "a b c d e", "a b", "lonely doc"],
+    })
+    clusters = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "cluster": [1, 1, 1],
+    })
+    out = dedup_keep_best(ray.data.from_pandas(docs),
+                          ray.data.from_pandas(clusters)).take_all()
+    got = {r["cluster"]: (r["doc_id"], r["n_tokens"]) for r in out}
+    # doc 2 has the most tokens in cluster 1; doc 10 is a singleton
+    assert got == {1: (2, 5), 10: (10, 2)}
