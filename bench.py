@@ -142,6 +142,13 @@ def run_benchmarks() -> dict:
     timed("dedup_clusters", lambda: qs["dedup_clusters"](SF_DIR).count())
     timed("embedding_neardup",
           lambda: qs["embedding_neardup"](SF_DIR).count())
+    timed("dedup_keep_best", lambda: qs["dedup_keep_best"](SF_DIR).count())
+    timed("asof_clicks_views",
+          lambda: qs["asof_clicks_views"](SF_DIR).count())
+    timed("tfidf_top_terms", lambda: qs["tfidf_top_terms"](SF_DIR).count())
+    timed("pii_redact", lambda: qs["pii_redact"](SF_DIR).count())
+    timed("repetition_signals",
+          lambda: qs["repetition_signals"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(
