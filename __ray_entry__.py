@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
             _read(sf_dir, "events", ["user_id"]), "user_id")
 
+    def q_customers_without_events_bloom(sf_dir):
+        # constant-size Bloom prefilter + bounded exact verify — the
+        # 10^12-scale path; identical output to the broadcast variant
+        from doc_ocr_ray.pipelines.events import anti_join_bloom
+        return anti_join_bloom(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
+            _read(sf_dir, "events", ["user_id"]), "user_id")
+
     def q_asof_clicks_views(sf_dir):
         # backward as-of join: each click matched to the user's most
         # recent prior (or simultaneous) view
@@ -554,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
+        "customers_without_events_bloom": q_customers_without_events_bloom,
         "asof_clicks_views": q_asof_clicks_views,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
@@ -983,6 +992,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_without_events_bloom": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)

@@ -371,3 +371,114 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
 
     return (tagged.groupby("part")
             .map_groups(per_part, batch_format="pandas"))
+
+
+def _typed_if_empty(df: pd.DataFrame):
+    """Empty object-dtype columns trip Ray's pandas block-size
+    estimator (noisy per-block 'cannot call vectorize' worker logs);
+    hand empty results back as a TYPED Arrow block instead (object ->
+    string, numerics/timestamps via from_numpy_dtype)."""
+    if len(df):
+        return df
+    import pyarrow as pa
+    cols = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        if dt == object or str(dt) in ("string", "str"):
+            t = pa.string()
+        else:
+            try:
+                t = pa.from_numpy_dtype(dt)
+            except (pa.lib.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        cols[c] = pa.array([], t)
+    return pa.table(cols)
+
+
+def anti_join_bloom(ds, key: str, other_ds, other_key: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4):
+    """NOT EXISTS at 10^12 scale: a Bloom filter replaces the broadcast
+    key set (``anti_join_broadcast`` ships every distinct key of the
+    other side; here the shipped state is a CONSTANT ``m_bits/8`` bytes
+    however large that side grows).  Output is EXACT, not approximate:
+
+    1. each block of the other side builds a fixed-size bitmap
+       (double hashing ``h1 + i*h2``, vectorized bit-set); per-block
+       bitmaps OR-reduce — bounded at blocks x m/8 bytes of
+       constant-size state, never key-set-sized;
+    2. rows whose key misses ANY bit are definite non-matches — kept
+       immediately, no further work (the overwhelming majority under
+       a selective join);
+    3. the maybe-set (true matches + Bloom false positives) is
+       exactly verified: its DISTINCT keys are broadcast to probe the
+       other side, and the confirmed-match keys are broadcast back to
+       filter the maybe rows.  Both broadcasts are bounded by the
+       maybe-KEY count — the quantity the Bloom filter already made
+       small — so no exchange ever carries the other side's full key
+       set.
+
+    ``ds`` and ``other_ds`` are each consumed twice — hand in
+    re-readable sources (parquet-backed), not exhausted iterators.
+    """
+    import ray
+
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    mask = np.uint64(m_bits - 1)
+
+    def _hashes(values: np.ndarray):
+        h = pd.util.hash_array(values.astype(object))
+        h1 = h & mask
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        return h1, h2
+
+    def block_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        h1, h2 = _hashes(batch[other_key].to_numpy())
+        for i in range(k_hashes):
+            idx = ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+            np.bitwise_or.at(bits, idx >> 3,
+                             (np.uint8(1) << (idx & 7).astype(np.uint8)))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in other_ds.map_batches(block_bits,
+                                    batch_format="pandas").take_all():
+        bloom |= np.frombuffer(row["bits"], dtype=np.uint8)
+    ref = ray.put(bloom.tobytes())
+
+    def maybe_mask(batch: pd.DataFrame) -> np.ndarray:
+        bits = np.frombuffer(ray.get(ref), dtype=np.uint8)
+        h1, h2 = _hashes(batch[key].to_numpy())
+        maybe = np.ones(len(batch), dtype=bool)
+        for i in range(k_hashes):
+            idx = ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+            maybe &= (bits[idx >> 3] & (np.uint8(1)
+                                        << (idx & 7).astype(np.uint8))) != 0
+        return maybe
+
+    kept = ds.map_batches(lambda b: _typed_if_empty(b[~maybe_mask(b)]),
+                          batch_format="pandas")
+    candidates = ds.map_batches(lambda b: _typed_if_empty(b[maybe_mask(b)]),
+                                batch_format="pandas")
+
+    # exact verify: distinct maybe-keys -> probe other side -> confirmed
+    # match keys back as a broadcast filter
+    maybe_keys = set(candidates.unique(key))
+    if not maybe_keys:                 # no candidates: kept is exact
+        return kept
+    mk_ref = ray.put(maybe_keys)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        mk = ray.get(mk_ref)
+        hit = batch[batch[other_key].isin(mk)]
+        return pd.DataFrame({"k": hit[other_key].unique()})
+
+    matched = set(other_ds.map_batches(probe,
+                                       batch_format="pandas").unique("k"))
+    m_ref = ray.put(matched)
+
+    def keep_unmatched(batch: pd.DataFrame) -> pd.DataFrame:
+        return _typed_if_empty(batch[~batch[key].isin(ray.get(m_ref))])
+
+    return kept.union(candidates.map_batches(keep_unmatched,
+                                             batch_format="pandas"))

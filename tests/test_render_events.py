@@ -257,3 +257,25 @@ def test_tfidf_top_terms():
     # the ubiquitous term scores 0 (ln(3/3)=0) but still ranks 2nd
     common = [r for r in out if r["term"] == "common" and r["doc_id"] == 1]
     assert common and common[0]["score_milli"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_bloom_exact_under_false_positives():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import (anti_join_bloom,
+                                              anti_join_broadcast)
+    left = pd.DataFrame({"k": range(200), "v": [f"r{i}" for i in range(200)]})
+    right = pd.DataFrame({"fk": [3, 7, 7, 150]})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    # m_bits=64: with 4 hashes the filter saturates and nearly every
+    # key is a Bloom "maybe" — the exact-verify stage must still
+    # produce precisely the broadcast anti-join's answer
+    got = sorted(r["k"] for r in anti_join_bloom(
+        lds, "k", rds, "fk", m_bits=64, k_hashes=4).take_all())
+    want = sorted(r["k"] for r in anti_join_broadcast(
+        lds, "k", rds, "fk").take_all())
+    assert got == want and len(got) == 197
+    # and with a roomy filter most rows take the no-shuffle path
+    got2 = sorted(r["k"] for r in anti_join_bloom(
+        lds, "k", rds, "fk", m_bits=1 << 16).take_all())
+    assert got2 == want
