@@ -504,6 +504,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["l_returnflag", "l_linestatus", "l_quantity",
                    "l_extendedprice", "l_discount"]))
 
+    def q_order_priority_revenue(sf_dir):
+        # large-x-large NATIVE hash shuffle join (Dataset.join)
+        return relational.order_priority_revenue(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"]),
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]))
+
     def q_top_orders(sf_dir):
         return relational.top_orders(
             _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]))
@@ -578,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "events_by_type_native": q_events_by_type_native,
         "lineitem_pricing": q_lineitem_pricing,
+        "order_priority_revenue": q_order_priority_revenue,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
         "docs_zh": q_docs_zh,
@@ -1153,6 +1161,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) / 10000.0 AS sum_disc_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -148,3 +148,39 @@ def filter_documents_by_lang(ds, lang: str):
     def flt(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch["lang"], pa.scalar(lang)))
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def order_priority_revenue(lineitem_ds, orders_ds, num_partitions: int = 32):
+    """Large ⋈ large: revenue per order priority through Ray Data's
+    NATIVE hash shuffle join (``Dataset.join``, both sides
+    hash-partitioned on the order key — neither side is broadcast),
+    then the house partial-aggregate shape: in-batch integer-cents
+    combine before the tiny final groupby.
+
+    Revenue uses the exact-cents rule (floor(x*10000+0.5) per row,
+    integer sum, one division at the end) so the DuckDB oracle hashes
+    equal."""
+    joined = lineitem_ds.join(
+        orders_ds, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["l_extendedprice"]
+                         * (1 - batch["l_discount"]) * 10000
+                         + 0.5).astype("int64")
+        g = (batch.assign(cents=cents)
+             .groupby("o_orderpriority", sort=False)["cents"]
+             .agg(["count", "sum"]).reset_index())
+        g.columns = ["o_orderpriority", "n_items", "sum_cents"]
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [group["o_orderpriority"].iloc[0]],
+            "n_items": [int(group["n_items"].sum())],
+            "revenue": [int(group["sum_cents"].sum()) / 10000.0],
+        })
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .map_groups(final, batch_format="pandas"))

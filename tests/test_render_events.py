@@ -279,3 +279,23 @@ def test_anti_join_bloom_exact_under_false_positives():
     got2 = sorted(r["k"] for r in anti_join_bloom(
         lds, "k", rds, "fk", m_bits=1 << 16).take_all())
     assert got2 == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_priority_revenue_native_join():
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import order_priority_revenue
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        "l_extendedprice": [100.0, 50.0, 10.0, 999.0],
+        "l_discount": [0.1, 0.0, 0.5, 0.0],
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 9],        # order 3 has no match -> drops
+        "o_orderpriority": ["HIGH", "LOW", "LOW"],
+    })
+    out = order_priority_revenue(ray.data.from_pandas(li),
+                                 ray.data.from_pandas(orders),
+                                 num_partitions=4).take_all()
+    got = {r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in out}
+    assert got == {"HIGH": (2, 140.0), "LOW": (1, 5.0)}
