@@ -244,12 +244,7 @@ def anti_join_broadcast(ds, key: str, other_ds, other_key: str):
     return ds.map_batches(flt, batch_format="pandas")
 
 
-def _coarse_part(series: pd.Series, num_partitions: int) -> np.ndarray:
-    """Deterministic coarse shuffle key for int AND string key columns
-    (pd.util.hash_array is keyed SipHash with a fixed default key —
-    stable across worker processes and runs)."""
-    return (pd.util.hash_array(series.to_numpy(dtype=object))
-            % num_partitions).astype("int64")
+from doc_ocr_ray.util import coarse_part as _coarse_part  # noqa: E402
 
 
 def _tag_part(key: str, num_partitions: int, tag: int):
@@ -373,39 +368,22 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
             .map_groups(per_part, batch_format="pandas"))
 
 
-def _typed_if_empty(df: pd.DataFrame):
-    """Empty object-dtype columns trip Ray's pandas block-size
-    estimator (noisy per-block 'cannot call vectorize' worker logs);
-    hand empty results back as a TYPED Arrow block instead (object ->
-    string, numerics/timestamps via from_numpy_dtype)."""
-    if len(df):
-        return df
-    import pyarrow as pa
-    cols = {}
-    for c in df.columns:
-        dt = df[c].dtype
-        if dt == object or str(dt) in ("string", "str"):
-            t = pa.string()
-        else:
-            try:
-                t = pa.from_numpy_dtype(dt)
-            except (pa.lib.ArrowNotImplementedError, TypeError):
-                t = pa.string()
-        cols[c] = pa.array([], t)
-    return pa.table(cols)
+from doc_ocr_ray.util import typed_if_empty as _typed_if_empty  # noqa: E402
 
 
 def anti_join_bloom(ds, key: str, other_ds, other_key: str,
-                    m_bits: int = 1 << 20, k_hashes: int = 4):
-    """NOT EXISTS at 10^12 scale: a Bloom filter replaces the broadcast
-    key set (``anti_join_broadcast`` ships every distinct key of the
-    other side; here the shipped state is a CONSTANT ``m_bits/8`` bytes
-    however large that side grows).  Output is EXACT, not approximate:
+                    m_bits=None, k_hashes: int = 4):
+    """NOT EXISTS when the other side's key set is too large to
+    broadcast: a Bloom filter carries its membership in a bitmap sized
+    ~16 bits per key (auto: next power of two of ``16 * other row
+    count``, floor 2^20, cap 2^30 = 128 MiB).  Output is EXACT, not
+    approximate:
 
     1. each block of the other side builds a fixed-size bitmap
        (double hashing ``h1 + i*h2``, vectorized bit-set); per-block
-       bitmaps OR-reduce — bounded at blocks x m/8 bytes of
-       constant-size state, never key-set-sized;
+       bitmaps tree-reduce by OR (a distributed combine stage first,
+       then a handful of rows to the driver — never blocks x m/8
+       driver traffic);
     2. rows whose key misses ANY bit are definite non-matches — kept
        immediately, no further work (the overwhelming majority under
        a selective join);
@@ -413,15 +391,29 @@ def anti_join_bloom(ds, key: str, other_ds, other_key: str,
        exactly verified: its DISTINCT keys are broadcast to probe the
        other side, and the confirmed-match keys are broadcast back to
        filter the maybe rows.  Both broadcasts are bounded by the
-       maybe-KEY count — the quantity the Bloom filter already made
-       small — so no exchange ever carries the other side's full key
-       set.
+       maybe-KEY count.
 
-    ``ds`` and ``other_ds`` are each consumed twice — hand in
-    re-readable sources (parquet-backed), not exhausted iterators.
+    Envelope, honestly stated: at 16 bits/key the false-positive rate
+    is ~4e-4, so maybe ~= true matches; beyond the 2^30 cap (~6.7e7
+    keys at 16 bits, degrading gracefully above) the fp rate rises and
+    the maybe-set — and with it the verify broadcasts — grows toward
+    the match count.  The operator stays exact throughout, but for a
+    NON-selective join at extreme scale (most keys matching) the
+    verify stage approaches a key-set broadcast again; that regime
+    wants the shuffle anti-join instead.
+
+    ``ds`` and ``other_ds`` are each consumed twice (definite/maybe
+    split; bitmap build + probe) — hand in re-readable sources
+    (parquet-backed), not exhausted iterators.  The maybe-set is
+    materialized once (bounded by matches + fp) so it is not a third
+    pass over ``ds``.
     """
     import ray
 
+    if m_bits is None:
+        n_other = other_ds.count()      # metadata-fast on parquet reads
+        m_bits = 1 << max(20, min(30, int(16 * max(1, n_other) - 1)
+                                  .bit_length()))
     assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
     mask = np.uint64(m_bits - 1)
 
@@ -440,9 +432,17 @@ def anti_join_bloom(ds, key: str, other_ds, other_key: str,
                              (np.uint8(1) << (idx & 7).astype(np.uint8)))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
+    def or_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in batch["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
     bloom = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in other_ds.map_batches(block_bits,
-                                    batch_format="pandas").take_all():
+    partials = (other_ds.map_batches(block_bits, batch_format="pandas")
+                .map_batches(or_rows, batch_size=64,
+                             batch_format="pandas"))
+    for row in partials.take_all():    # ~n_blocks/64 rows reach here
         bloom |= np.frombuffer(row["bits"], dtype=np.uint8)
     ref = ray.put(bloom.tobytes())
 
@@ -458,8 +458,10 @@ def anti_join_bloom(ds, key: str, other_ds, other_key: str,
 
     kept = ds.map_batches(lambda b: _typed_if_empty(b[~maybe_mask(b)]),
                           batch_format="pandas")
+    # materialized once: bounded by matches + false positives, and the
+    # later unique() + union would otherwise re-execute the full scan
     candidates = ds.map_batches(lambda b: _typed_if_empty(b[maybe_mask(b)]),
-                                batch_format="pandas")
+                                batch_format="pandas").materialize()
 
     # exact verify: distinct maybe-keys -> probe other side -> confirmed
     # match keys back as a broadcast filter

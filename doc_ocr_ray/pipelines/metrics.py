@@ -75,8 +75,8 @@ def evaluate(extracted_ds, truth_ds) -> Dict[str, float]:
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized SipHash instead of per-row md5 (see restitch)
-        batch["part"] = (pd.util.hash_array(
-            batch["doc_id"].to_numpy(dtype=object)) % 128).astype("int64")
+        from doc_ocr_ray.util import coarse_part
+        batch["part"] = coarse_part(batch["doc_id"], 128)
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:

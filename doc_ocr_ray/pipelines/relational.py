@@ -165,6 +165,15 @@ def order_priority_revenue(lineitem_ds, orders_ds, num_partitions: int = 32):
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        if batch.empty or "l_extendedprice" not in batch.columns:
+            # empty hash-join partitions arrive as 0-column frames;
+            # emit a typed empty block so downstream schemas agree
+            return typed_if_empty(pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "n_items": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+            }))
         cents = np.floor(batch["l_extendedprice"]
                          * (1 - batch["l_discount"]) * 10000
                          + 0.5).astype("int64")

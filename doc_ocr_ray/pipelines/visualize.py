@@ -72,9 +72,8 @@ def write_annotations(questions_ds, out_dir: str,
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[["doc_id", "question_id", "group_type",
                        "question_number", "merged_text", "n_images"]].copy()
-        batch["part"] = (pd.util.hash_array(
-            batch["doc_id"].to_numpy(dtype=object))
-            % num_partitions).astype("int64")
+        from doc_ocr_ray.util import coarse_part
+        batch["part"] = coarse_part(batch["doc_id"], num_partitions)
         return batch
 
     def write_part(group: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,8 @@ from typing import Iterable, Tuple
 
 import numpy as np
 import pandas as pd
+
+from doc_ocr_ray.util import coarse_part
 import pyarrow as pa
 
 # explicit class == RE2 \s (see text_analysis._WS: unicode \s would
@@ -438,15 +440,13 @@ def drop_near_duplicates(ds, pairs_ds, strategy: str = "broadcast"):
         def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["is_victim"] = np.int8(0)
-            batch["part"] = (pd.util.hash_array(
-                batch["doc_id"].to_numpy()) % 256).astype("int64")
+            batch["part"] = coarse_part(batch["doc_id"], 256)
             return batch
 
         def tag_victims(batch: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({"doc_id": batch["doc_b"].unique()})
             out["is_victim"] = np.int8(1)
-            out["part"] = (pd.util.hash_array(
-                out["doc_id"].to_numpy()) % 256).astype("int64")
+            out["part"] = coarse_part(out["doc_id"], 256)
             return out
 
         def anti(group: pd.DataFrame) -> pd.DataFrame:
@@ -678,8 +678,7 @@ def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
     from doc_ocr_ray.stages.text_analysis import token_count_batch
 
     def part_of(series: pd.Series) -> np.ndarray:
-        return (pd.util.hash_array(series.to_numpy(dtype=object))
-                % num_partitions).astype("int64")
+        return coarse_part(series, num_partitions)
 
     def tag_tokens(batch: pd.DataFrame) -> pd.DataFrame:
         t = token_count_batch(batch)
@@ -707,9 +706,14 @@ def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
                 .rename(columns={"val": "n_tokens"}))
         labs = (group[group["side"] == 1][["doc_id", "val"]]
                 .rename(columns={"val": "cluster"}))
+        # nullable Int64 on the label side: a plain left merge would
+        # upcast the WHOLE cluster column to float64 whenever any doc
+        # lacks a label, silently rounding ids above 2^53
+        labs = labs.astype({"cluster": "Int64"})
         out = toks.merge(labs, on="doc_id", how="left")
-        out["cluster"] = (out["cluster"].fillna(out["doc_id"])
-                          .astype("int64"))
+        cl = out["cluster"]
+        out["cluster"] = np.where(cl.isna(), out["doc_id"].to_numpy(),
+                                  cl.fillna(0).astype("int64").to_numpy())
         out["part"] = part_of(out["cluster"])
         return out
 

@@ -17,6 +17,8 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
+from doc_ocr_ray.util import coarse_part
+
 # Whitespace = the EXPLICIT class [\t\n\f\r ], which is exactly what
 # RE2 (DuckDB regexp_*) means by \s — Python's unicode \s also matches
 # \v and U+00A0 etc. and would silently diverge from every SQL oracle
@@ -286,9 +288,7 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 5,
         })
         tf = (flat.groupby(["doc_id", "term"], sort=False)
               .size().reset_index(name="tf"))
-        tf["part"] = (pd.util.hash_array(
-            tf["term"].to_numpy(dtype=object)) % num_partitions
-        ).astype("int64")
+        tf["part"] = coarse_part(tf["term"], num_partitions)
         return tf
 
     def score_term_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -300,9 +300,7 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 5,
         out = group[["doc_id", "term", "tf"]].copy()
         out["df"] = df.astype("int64").to_numpy()
         out["score_milli"] = out["tf"].to_numpy() * idf_milli
-        out["part"] = (pd.util.hash_array(
-            out["doc_id"].to_numpy(dtype=object)) % num_partitions
-        ).astype("int64")
+        out["part"] = coarse_part(out["doc_id"], num_partitions)
         return out
 
     def topk_doc_part(group: pd.DataFrame) -> pd.DataFrame:
