@@ -111,7 +111,11 @@ class PipelineConfig:
     title_kinds: Tuple[str, ...] = TITLE_KINDS
 
     # --- execution knobs ---
-    batch_size: int = 256               # docs per batch in span stages
+    # 128 measured consistently >= the old 256 at 32 CPUs (3.9 vs
+    # 4.1-5.3 s / 100k docs; smaller batches cut the per-call working
+    # set, which matters more as concurrency contends for memory
+    # bandwidth); below 64 the per-batch Python overhead resurfaces
+    batch_size: int = 128               # docs per batch in span stages
 
     # --- failure policy ---
     # False (default): a document that raises inside the per-doc chain
