@@ -304,6 +304,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return out.map_batches(flat, batch_format="pyarrow")
 
+    def q_multimodal_ppm(sf_dir):
+        # REAL image decode (binary PPM, pure bytes+numpy): synthesize
+        # closed-form gradient images -> decode -> channel means
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_ppm_media_table(doc_ids))
+        return multimodal.ppm_image_stats(media)
+
     # ---- V3 pure-VL one-shot parse over the media table (rows-only:
     # the stand-in parse is md5-derived; pinned in tests/test_v3.py)
     def q_v3_parse(sf_dir):
@@ -561,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_ppm": q_multimodal_ppm,
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
         "exam_info": q_exam_info,
@@ -890,6 +902,27 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        "multimodal_ppm": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            g AS (SELECT d.doc_id, c.c,
+                         CAST(sum((x.x + 2*y.y + 37*c.c + d.doc_id) % 256)
+                              AS BIGINT) AS s
+                  FROM d,
+                       (SELECT unnest(range(0, 32)) AS x) x,
+                       (SELECT unnest(range(0, 32)) AS y) y,
+                       (SELECT unnest(range(0, 3)) AS c) c
+                  GROUP BY 1, 2)
+            SELECT 'ppm:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   floor(10000 * max(CASE WHEN c = 0 THEN s END) / 1024)
+                       / 10000 AS mean_r,
+                   floor(10000 * max(CASE WHEN c = 1 THEN s END) / 1024)
+                       / 10000 AS mean_g,
+                   floor(10000 * max(CASE WHEN c = 2 THEN s END) / 1024)
+                       / 10000 AS mean_b
+            FROM g GROUP BY doc_id
         """,
         "dedup_ngram_verify": f"""
             WITH {_INJ_JACCARD}

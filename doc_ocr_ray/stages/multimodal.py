@@ -67,9 +67,18 @@ class MediaDecodeStage:
             self.decoder = None
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        if payload.startswith(b"P6"):
+            # pure-bytes PPM path: decode -> 4x4 nearest resize ->
+            # grayscale mean per cell = a REAL 16-dim feature, no
+            # codec library needed
+            img = decode_ppm(payload)
+            small = resize_nearest(img, 4, 4).astype(np.float64)
+            feat = small.mean(axis=2).reshape(-1) / 255.0
+            return np.resize(feat, FEATURE_DIM)
         raise NotImplementedError(
-            "real media decoding requires an image/audio library not "
-            "present in this environment; run with use_fake_decoder=True")
+            "real media decoding beyond binary PPM requires an "
+            "image/audio library not present in this environment; run "
+            "with use_fake_decoder=True")
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
         """Deterministic stand-in: feature = normalized bytes of
@@ -135,3 +144,103 @@ def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
     return media_ds.map_batches(
         MediaDecodeStage, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+# ------------------------------------------------------- real PPM path
+# P6 (binary PPM) needs no codec library — header parse + frombuffer —
+# so at least one image format gets a REAL decode/resize/feature chain
+# (the Pillow/ffmpeg hooks above stay stubbed for formats that need
+# them).
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 -> (h, w, 3) uint8.  Pure-bytes parse: whitespace-
+    separated header tokens (with ``#`` comments), then raw RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":        # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1                                    # single ws after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by pure index mapping (no image libs)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def synthesize_ppm_media_table(doc_ids, width: int = 32,
+                               height: int = 32) -> pa.Table:
+    """Deterministic gradient test images whose channel means have a
+    CLOSED FORM (pixel[y, x, c] = (x + 2y + 37c + doc_id) % 256), so
+    decode output is SQL-oracle-checkable."""
+    refs, docs, payloads = [], [], []
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for d in doc_ids:
+        img = ((x + 2 * y + 37 * c + int(d)) % 256).astype(np.uint8)
+        refs.append(f"ppm:{d}")
+        docs.append(str(d))
+        payloads.append(encode_ppm(img))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.string()),
+        "media_type": pa.array(["image"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+def ppm_image_stats(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    """REAL decode chain over PPM payloads: parse -> per-channel means
+    + dimensions.  Small batches (fat rows), stateless map; means use
+    the floor(10000*sum/npix)/10000 grid rule shared with the SQL
+    oracles."""
+    def stats(batch: pa.Table) -> pa.Table:
+        refs, ws, hs, means = [], [], [], ([], [], [])
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = decode_ppm(payload or b"")
+            h, w = img.shape[:2]
+            refs.append(ref)
+            ws.append(w)
+            hs.append(h)
+            sums = img.sum(axis=(0, 1), dtype=np.int64)
+            for ci in range(3):
+                means[ci].append(
+                    float(np.floor(10000 * sums[ci] / (w * h)) / 10000))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r": pa.array(means[0], pa.float64()),
+            "mean_g": pa.array(means[1], pa.float64()),
+            "mean_b": pa.array(means[2], pa.float64()),
+        })
+    return media_ds.map_batches(stats, batch_format="pyarrow",
+                                batch_size=batch_size)

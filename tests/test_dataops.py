@@ -292,3 +292,32 @@ def test_dedup_keep_best_selects_canonical(ray_session):
     got = {r["cluster"]: (r["doc_id"], r["n_tokens"]) for r in out}
     # doc 2 has the most tokens in cluster 1; doc 10 is a singleton
     assert got == {1: (2, 5), 10: (10, 2)}
+
+
+def test_ppm_roundtrip_resize_and_real_decode_stage():
+    from doc_ocr_ray.stages.multimodal import (
+        encode_ppm, decode_ppm, resize_nearest, MediaDecodeStage,
+        synthesize_ppm_media_table, FEATURE_DIM)
+    img = (np.arange(2 * 3 * 3).reshape(2, 3, 3) % 256).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment + multi-whitespace header forms parse too
+    hdr = b"P6\n# a comment\n 3\t2\n255\n" + img.tobytes()
+    assert (decode_ppm(hdr) == img).all()
+    # nearest resize: exact index mapping
+    big = np.zeros((4, 4, 3), dtype=np.uint8)
+    big[2:, :, :] = 200
+    small = resize_nearest(big, 2, 2)
+    assert small[0, 0, 0] == 0 and small[1, 0, 0] == 200
+    # the REAL decode path (use_fake_decoder=False) works for PPM
+    tbl = synthesize_ppm_media_table([7], width=8, height=8)
+    stage = MediaDecodeStage(use_fake_decoder=False)
+    out = stage(tbl)
+    feat = out["feature"].to_pylist()[0]
+    assert len(feat) == FEATURE_DIM and all(0 <= v <= 1 for v in feat)
+    # closed form: pixel (0,0) of doc 7 = (0+0+37c+7)%256
+    img7 = decode_ppm(tbl["payload"].to_pylist()[0])
+    assert list(img7[0, 0]) == [7, 44, 81]
+    # non-PPM payloads still raise the documented NotImplementedError
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        stage._decode_real(b"\x89PNG...", "image")
