@@ -315,6 +315,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_ppm_media_table(doc_ids))
         return multimodal.ppm_image_stats(media)
 
+    def q_multimodal_wav(sf_dir):
+        # REAL audio decode (RIFF/PCM16, pure bytes+numpy): closed-form
+        # sawtooth clips -> decode -> peak / RMS
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_wav_media_table(doc_ids))
+        return multimodal.wav_audio_stats(media)
+
     # ---- V3 pure-VL one-shot parse over the media table (rows-only:
     # the stand-in parse is md5-derived; pinned in tests/test_v3.py)
     def q_v3_parse(sf_dir):
@@ -573,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_ppm": q_multimodal_ppm,
+        "multimodal_wav": q_multimodal_wav,
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
         "exam_info": q_exam_info,
@@ -923,6 +935,23 @@ def oracle_sql() -> dict[str, str]:
                    floor(10000 * max(CASE WHEN c = 2 THEN s END) / 1024)
                        / 10000 AS mean_b
             FROM g GROUP BY doc_id
+        """,
+        "multimodal_wav": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            s AS (SELECT d.doc_id,
+                         CAST(sum(v.v * v.v) AS BIGINT) AS sum_sq,
+                         max(abs(v.v)) AS peak
+                  FROM d,
+                       (SELECT unnest(range(0, 2048)) AS i) i,
+                       LATERAL (SELECT ((i.i * (d.doc_id + 3)) % 65536)
+                                       - 32768 AS v) v
+                  GROUP BY d.doc_id)
+            SELECT 'wav:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(2048 AS BIGINT) AS n_samples,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   CAST(peak AS BIGINT) AS peak,
+                   floor(10000 * sqrt(sum_sq / 2048)) / 10000 AS rms
+            FROM s
         """,
         "dedup_ngram_verify": f"""
             WITH {_INJ_JACCARD}

@@ -5,12 +5,15 @@ columns with sidecar metadata, exactly as the span table carries
 ``media_ref`` strings (axes A+B: interleaved payloads, no pixel
 processing in the invariant path — SURVEY.md section 1.3).
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): ``MediaDecodeStage`` raises ``NotImplementedError``
-from the real-decoder hook and, when ``use_fake_decoder=True``, runs a
-deterministic fake that exercises the full Ray-side plumbing — actor
-pool construction, small-batch sizing for fat binary rows, Arrow
-binary round-trip, typed feature output.
+Decode kernels: formats that need codec libraries (PNG/JPEG/MP4 —
+absent in this environment) are STUBBED with a documented
+``NotImplementedError``, with ``use_fake_decoder=True`` running a
+deterministic fake that exercises the full Ray-side plumbing.  Two
+formats get REAL no-codec decode chains (pure bytes + numpy): binary
+PPM images (parse/resize/features, ``ppm_image_stats``) and RIFF/PCM16
+WAV audio (parse/peak/RMS, ``wav_audio_stats``) — both over closed-form
+synthetic payloads whose stats the DuckDB oracles evaluate
+analytically.
 """
 from __future__ import annotations
 
@@ -241,6 +244,91 @@ def ppm_image_stats(media_ds, concurrency=(1, 4), batch_size: int = 32):
             "mean_r": pa.array(means[0], pa.float64()),
             "mean_g": pa.array(means[1], pa.float64()),
             "mean_b": pa.array(means[2], pa.float64()),
+        })
+    return media_ds.map_batches(stats, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
+# ------------------------------------------------------- real WAV path
+# RIFF/PCM16 needs no audio library either: chunk walk + frombuffer.
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """mono int16 samples -> RIFF/WAVE PCM bytes."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 mono -> (samples int16 ndarray, sample_rate).
+    Pure chunk walk; raises on non-PCM or missing chunks."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)        # chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def synthesize_wav_media_table(doc_ids, n_samples: int = 2048,
+                               sample_rate: int = 16000) -> pa.Table:
+    """Deterministic sawtooth test clips with a CLOSED FORM
+    (sample[i] = ((i * (doc_id+3)) % 65536) - 32768), so decode output
+    is SQL-oracle-checkable."""
+    refs, docs, payloads = [], [], []
+    i = np.arange(n_samples, dtype=np.int64)
+    for d in doc_ids:
+        s = ((i * (int(d) + 3)) % 65536) - 32768
+        refs.append(f"wav:{d}")
+        docs.append(str(d))
+        payloads.append(encode_wav(s.astype(np.int16), sample_rate))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.string()),
+        "media_type": pa.array(["audio"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+def wav_audio_stats(media_ds, batch_size: int = 32):
+    """REAL audio decode chain: RIFF parse -> sample count, rate, peak
+    (exact int) and RMS on the floor-grid rule."""
+    def stats(batch: pa.Table) -> pa.Table:
+        refs, ns, rates, peaks, rmss = [], [], [], [], []
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            samples, rate = decode_wav(payload or b"")
+            s = samples.astype(np.int64)
+            refs.append(ref)
+            ns.append(len(s))
+            rates.append(rate)
+            peaks.append(int(np.abs(s).max()) if len(s) else 0)
+            sum_sq = int((s * s).sum())
+            rmss.append(float(np.floor(
+                10000 * np.sqrt(sum_sq / max(1, len(s)))) / 10000))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
+            "rms": pa.array(rmss, pa.float64()),
         })
     return media_ds.map_batches(stats, batch_format="pyarrow",
                                 batch_size=batch_size)

@@ -321,3 +321,32 @@ def test_ppm_roundtrip_resize_and_real_decode_stage():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         stage._decode_real(b"\x89PNG...", "image")
+
+
+def test_wav_roundtrip_and_stats(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import (
+        encode_wav, decode_wav, synthesize_wav_media_table,
+        wav_audio_stats)
+    s = (np.arange(-5, 5) * 1000).astype(np.int16)
+    d, rate = decode_wav(encode_wav(s, sample_rate=8000))
+    assert (d == s).all() and rate == 8000
+    # odd-sized chunk padding: extra chunk before data still parses
+    import struct
+    raw = encode_wav(s)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"   # padded chunk
+    patched = raw[:12] + extra + raw[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    d2, _ = decode_wav(patched)
+    assert (d2 == s).all()
+    # stats over the closed-form testbed
+    tbl = synthesize_wav_media_table([0], n_samples=4)
+    out = wav_audio_stats(ray.data.from_arrow(tbl)).take_all()
+    # doc 0: samples i*3 %65536 -32768 = [-32768, -32765, -32762, -32759]
+    r = out[0]
+    assert r["n_samples"] == 4 and r["peak"] == 32768
+    import math
+    expect = math.floor(10000 * math.sqrt(
+        (32768**2 + 32765**2 + 32762**2 + 32759**2) / 4)) / 10000
+    assert r["rms"] == expect
