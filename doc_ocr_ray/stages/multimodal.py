@@ -70,7 +70,10 @@ class MediaDecodeStage:
             self.decoder = None
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
-        if payload.startswith(b"P6"):
+        # dispatch on the declared media_type AND the magic bytes — a
+        # non-image payload that happens to start with 'P6' must fall
+        # through to the documented stub, not mis-parse as pixels
+        if media_type == "image" and payload.startswith(b"P6"):
             # pure-bytes PPM path: decode -> 4x4 nearest resize ->
             # grayscale mean per cell = a REAL 16-dim feature, no
             # codec library needed
@@ -219,7 +222,7 @@ def synthesize_ppm_media_table(doc_ids, width: int = 32,
     })
 
 
-def ppm_image_stats(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def ppm_image_stats(media_ds, batch_size: int = 32):
     """REAL decode chain over PPM payloads: parse -> per-channel means
     + dimensions.  Small batches (fat rows), stateless map; means use
     the floor(10000*sum/npix)/10000 grid rule shared with the SQL
@@ -253,37 +256,42 @@ def ppm_image_stats(media_ds, concurrency=(1, 4), batch_size: int = 32):
 # RIFF/PCM16 needs no audio library either: chunk walk + frombuffer.
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """mono int16 samples -> RIFF/WAVE PCM bytes."""
-    import struct
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
-    body = (b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    """mono int16 samples -> RIFF/WAVE PCM bytes (stdlib ``wave``)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 def decode_wav(payload: bytes):
     """RIFF/WAVE PCM16 mono -> (samples int16 ndarray, sample_rate).
-    Pure chunk walk; raises on non-PCM or missing chunks."""
-    import struct
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, samples = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if cid == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
-            if audio_fmt != 1 or channels != 1:
+
+    stdlib ``wave`` does the chunk walk (alignment, fmt extensions,
+    unknown-chunk skipping); we validate the parts it reports —
+    compression, channel count, sample WIDTH, and that the data chunk
+    actually contains the declared frame count (a truncated payload
+    raises instead of silently decoding short)."""
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getcomptype() != "NONE" or w.getnchannels() != 1:
                 raise ValueError("only PCM mono supported")
-        elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
-        pos += 8 + size + (size & 1)        # chunks are 2-byte aligned
-    if rate is None or samples is None:
-        raise ValueError("missing fmt/data chunk")
-    return samples, rate
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit samples supported")
+            rate = w.getframerate()
+            n = w.getnframes()
+            data = w.readframes(n)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"malformed WAV payload: {exc}") from exc
+    if len(data) != 2 * n:
+        raise ValueError("truncated WAV data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
 
 
 def synthesize_wav_media_table(doc_ids, n_samples: int = 2048,

@@ -350,3 +350,31 @@ def test_wav_roundtrip_and_stats(ray_session):
     expect = math.floor(10000 * math.sqrt(
         (32768**2 + 32765**2 + 32762**2 + 32759**2) / 4)) / 10000
     assert r["rms"] == expect
+
+
+def test_wav_rejects_nonstandard_and_truncated():
+    import io
+    import wave as wavelib
+    from doc_ocr_ray.stages.multimodal import encode_wav, decode_wav
+    # 8-bit PCM must raise, not silently mis-decode as int16
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(16)))
+    with pytest.raises(ValueError):
+        decode_wav(buf.getvalue())
+    # truncated data chunk must raise, not decode short
+    raw = encode_wav((np.arange(10) * 100).astype(np.int16))
+    with pytest.raises(ValueError):
+        decode_wav(raw[:-10])
+    # stereo must raise
+    buf2 = io.BytesIO()
+    with wavelib.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(16))
+    with pytest.raises(ValueError):
+        decode_wav(buf2.getvalue())
