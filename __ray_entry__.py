@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.verify_pairs_exact(docs, cand, threshold=0.6)
         return dedup.dedup_keep_best(docs, dedup.dedup_clusters(pairs))
 
+    def q_curate_training_set(sf_dir):
+        # the composed funnel over the injected-dup testbed; every
+        # stage AND the composition are oracle-checked end to end
+        from doc_ocr_ray.pipelines.curate import curate_training_set
+        return curate_training_set(_dup_injected_docs(sf_dir))
+
     def q_embedding_neardup(sf_dir):
         emb = _neardup_injected_embeddings(sf_dir)
         return similarity.embedding_neardup_pairs(emb, threshold=0.95)
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "curate_training_set": q_curate_training_set,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_ppm": q_multimodal_ppm,
@@ -995,6 +1002,83 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n_tokens DESC, doc_id) AS rn
                   FROM joined)
             SELECT cluster, doc_id, n_tokens FROM r WHERE rn = 1
+        """,
+        "curate_training_set": f"""
+            WITH RECURSIVE raw AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     array_to_string(list_concat(toks[1:7], toks[9:]), ' ')
+              FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                    FROM documents WHERE doc_id < 200)),
+            red AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                         text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                         '{PII_PHONE}', '[PHONE]', 'g'),
+                         '{PII_IP}', '[IP]', 'g') AS text
+              FROM raw),
+            flt AS (
+              SELECT doc_id, text, {_NTOK} AS n_tokens
+              FROM red WHERE {_NTOK} >= 40),
+            dd AS (
+              SELECT min(doc_id) AS doc_id,
+                     arg_min(text, doc_id) AS text
+              FROM flt GROUP BY {_NORM}),
+            tok AS (SELECT doc_id, text, {_NTOK} AS n_tokens FROM dd),
+            norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g') AS t
+              FROM dd),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+              FROM norm, LATERAL (SELECT unnest(range(1,
+                   greatest(2, length(t) - 3))) AS i)
+              WHERE length(t) >= 5
+              UNION
+              SELECT DISTINCT doc_id, t AS g FROM norm
+              WHERE length(t) < 5 AND t <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS ninter
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jac AS (
+              SELECT doc_a, doc_b,
+                     ninter::DOUBLE / (sa.n + sb.n - ninter) AS j
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.6
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac WHERE j >= 0.6),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+            labels AS (
+              SELECT node AS doc_id, min(lab) AS cluster
+              FROM reach GROUP BY node),
+            joined AS (
+              SELECT t.doc_id,
+                     coalesce(l.cluster, t.doc_id) AS cluster,
+                     t.n_tokens
+              FROM tok t LEFT JOIN labels l ON t.doc_id = l.doc_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY n_tokens DESC, doc_id) AS rn
+                  FROM joined),
+            best AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1)
+            SELECT doc_id, n_tokens, bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, n_tokens,
+                         CAST(('0x' || substr(md5('42:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                              % 10000 AS BIGINT) AS bucket
+                  FROM best)
         """,
         "embedding_neardup": """
             WITH raw AS (

@@ -111,3 +111,56 @@ def assign_split(ds, key: str = "doc_id", seed: int = 42,
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def curate_training_set(docs_ds, min_tokens: int = 40,
+                        jaccard: float = 0.6, seed: int = 42):
+    """The full training-corpus curation funnel, composed from the
+    engine's own operators — every stage is individually
+    oracle-checked, and the COMPOSITION has its own end-to-end DuckDB
+    oracle (Q: ``curate_training_set``):
+
+        redact PII -> quality filter (token floor) -> exact dedup ->
+        MinHash candidates -> exact n-gram verify -> connected
+        components -> keep-best survivor per cluster -> deterministic
+        train/val/test assignment
+
+    Output: one row per surviving document — (doc_id, n_tokens,
+    bucket, split).
+
+    Scale shape: the deduped corpus is materialized ONCE between the
+    exact-dedup phase and the near-dup phase (it is consumed three
+    times there: sketching, verify gather, keep-best) — the standard
+    checkpoint-between-funnel-phases trade; everything else streams,
+    and each exchange is one of the audited coarse-key patterns.
+    """
+    from doc_ocr_ray.stages.dedup import (
+        exact_dedup, minhash_dedup_pairs, verify_pairs_exact,
+        dedup_clusters, dedup_keep_best)
+    from doc_ocr_ray.stages.text_analysis import (
+        pii_redact_batch, token_count_batch)
+
+    def redact_to_text(batch: pd.DataFrame) -> pd.DataFrame:
+        red = pii_redact_batch(batch)
+        return pd.DataFrame({"doc_id": red["doc_id"],
+                             "text": red["redacted"]})
+
+    def token_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        n = token_count_batch(batch)["n_tokens"]
+        return batch[(n >= min_tokens).to_numpy()]
+
+    cleaned = (docs_ds
+               .map_batches(redact_to_text, batch_format="pandas")
+               .map_batches(token_filter, batch_format="pandas"))
+    deduped = exact_dedup(cleaned).materialize()
+
+    cand = minhash_dedup_pairs(deduped, num_perm=256, num_bands=64,
+                               threshold=jaccard)
+    pairs = verify_pairs_exact(deduped, cand, threshold=jaccard)
+    best = dedup_keep_best(deduped, dedup_clusters(pairs))
+
+    labeled = assign_split(best, key="doc_id", seed=seed)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "n_tokens", "bucket", "split"]]
+    return labeled.map_batches(project, batch_format="pandas")

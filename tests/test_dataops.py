@@ -378,3 +378,26 @@ def test_wav_rejects_nonstandard_and_truncated():
         w.writeframes(bytes(16))
     with pytest.raises(ValueError):
         decode_wav(buf2.getvalue())
+
+
+def test_curate_training_set_funnel(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import curate_training_set
+    base = "word " * 50
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            base + "alpha beta gamma",
+            base + "alpha beta gamma",      # exact dup of 1 -> dropped
+            base + "alpha beta delta",      # near-dup of 1 -> clustered
+            "too short",                    # fails the token floor
+        ],
+    })
+    out = curate_training_set(ray.data.from_pandas(docs),
+                              min_tokens=40).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    # 2 gone (exact dup), 4 gone (short); 1 vs 3 near-dup cluster keeps
+    # ONE survivor (equal tokens -> min doc_id = 1)
+    assert ids == [1]
+    assert out[0]["split"] in ("train", "val", "test")
+    assert 0 <= out[0]["bucket"] < 10000
