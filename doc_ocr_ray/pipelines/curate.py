@@ -128,6 +128,11 @@ def curate_training_set(docs_ds, min_tokens: int = 40,
     Output: one row per surviving document — (doc_id, n_tokens,
     bucket, split).
 
+    Requires integer doc_ids (the cluster/keep-best stages key int64
+    arithmetic on them); string-keyed corpora should map ids first —
+    validated upfront so the failure is not an opaque mid-funnel
+    TypeError.
+
     Scale shape: the deduped corpus is materialized ONCE between the
     exact-dedup phase and the near-dup phase (it is consumed three
     times there: sketching, verify gather, keep-best) — the standard
@@ -138,12 +143,32 @@ def curate_training_set(docs_ds, min_tokens: int = 40,
         exact_dedup, minhash_dedup_pairs, verify_pairs_exact,
         dedup_clusters, dedup_keep_best)
     from doc_ocr_ray.stages.text_analysis import (
-        pii_redact_batch, token_count_batch)
+        PII_PATTERNS_SQL, token_count_batch)
+    import re
+    pii_res = [re.compile(PII_PATTERNS_SQL["email"]),
+               re.compile(PII_PATTERNS_SQL["phone"], re.ASCII),
+               re.compile(PII_PATTERNS_SQL["ip"], re.ASCII)]
+    repls = ["[EMAIL]", "[PHONE]", "[IP]"]
+
+    import pyarrow.types as patypes
+    schema = docs_ds.schema()
+    id_type = dict(zip(schema.names, schema.types))["doc_id"]
+    # blocks may be Arrow (pyarrow DataType) or pandas (numpy dtype)
+    is_int = (patypes.is_integer(id_type)
+              if isinstance(id_type, pa.DataType)
+              else np.issubdtype(np.dtype(id_type), np.integer))
+    if not is_int:
+        raise TypeError(
+            f"curate_training_set requires integer doc_ids, got "
+            f"{id_type}; map string ids to integers first")
 
     def redact_to_text(batch: pd.DataFrame) -> pd.DataFrame:
-        red = pii_redact_batch(batch)
-        return pd.DataFrame({"doc_id": red["doc_id"],
-                             "text": red["redacted"]})
+        # replace-only chain (no count columns — the funnel discards
+        # them, so don't pay three extra full-text scans per batch)
+        text = batch["text"].fillna("")
+        for rx, repl in zip(pii_res, repls):
+            text = text.str.replace(rx, repl, regex=True)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "text": text})
 
     def token_filter(batch: pd.DataFrame) -> pd.DataFrame:
         n = token_count_batch(batch)["n_tokens"]
@@ -160,7 +185,5 @@ def curate_training_set(docs_ds, min_tokens: int = 40,
     best = dedup_keep_best(deduped, dedup_clusters(pairs))
 
     labeled = assign_split(best, key="doc_id", seed=seed)
-
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["doc_id", "n_tokens", "bucket", "split"]]
-    return labeled.map_batches(project, batch_format="pandas")
+    return labeled.select_columns(["doc_id", "n_tokens", "bucket",
+                                   "split"])

@@ -383,7 +383,10 @@ def test_wav_rejects_nonstandard_and_truncated():
 def test_curate_training_set_funnel(ray_session):
     import ray.data
     from doc_ocr_ray.pipelines.curate import curate_training_set
-    base = "word " * 50
+    # 50 DISTINCT words: repeated-word text collapses to few distinct
+    # shingles and left the near-dup pair within ~3% of the 0.6
+    # threshold (seed-fragile); diverse words give a ~0.9 margin
+    base = " ".join(f"w{i}" for i in range(50)) + " "
     docs = pd.DataFrame({
         "doc_id": [1, 2, 3, 4],
         "text": [
