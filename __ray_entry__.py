@@ -485,6 +485,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return assign_split(_read(sf_dir, "documents", ["doc_id"]),
                             key="doc_id", seed=42)
 
+    def q_stratified_sample(sf_dir):
+        # language rebalancing: halve en, keep zh, drop the rest
+        from doc_ocr_ray.pipelines.curate import stratified_sample
+        return stratified_sample(
+            _read(sf_dir, "documents", ["doc_id", "lang"]),
+            rates={"en": 0.5, "zh": 1.0}, group_col="lang")
+
+    def q_per_source_cap(sf_dir):
+        from doc_ocr_ray.pipelines.curate import per_source_cap
+        return per_source_cap(
+            _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
+
+    def q_export_shards(sf_dir):
+        from doc_ocr_ray.pipelines.curate import export_shards
+        return export_shards(
+            _read(sf_dir, "documents", ["doc_id"]), n_shards=16)
+
     # ---- sketches / windows / quantiles
     def q_distinct_tokens(sf_dir):
         from doc_ocr_ray.stages.sketch import exact_distinct_tokens
@@ -606,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
+        "stratified_sample": q_stratified_sample,
+        "per_source_cap": q_per_source_cap,
+        "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
         "props_k_histogram": q_props_k_histogram,
         "distinct_tokens": q_distinct_tokens,
@@ -1249,6 +1269,40 @@ def oracle_sql() -> dict[str, str]:
                               CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
                               % 10000 AS BIGINT) AS bucket
                   FROM documents)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, bucket FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('42:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                          % 10000 AS BIGINT) AS bucket,
+                     CASE lang WHEN 'en' THEN 5000
+                               WHEN 'zh' THEN 10000
+                               ELSE 0 END AS thr
+              FROM documents)
+            WHERE bucket < thr
+        """,
+        "per_source_cap": """
+            SELECT doc_id, source, src_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                         CAST(('0x' || substr(md5('42:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                              AS BIGINT), doc_id) AS src_rank
+              FROM documents)
+            WHERE src_rank <= 3
+        """,
+        "export_shards": """
+            SELECT doc_id, shard, shard_pos FROM (
+              SELECT doc_id, CAST(b % 16 AS BIGINT) AS shard,
+                     row_number() OVER (PARTITION BY b % 16
+                                        ORDER BY b, doc_id) - 1
+                         AS shard_pos
+              FROM (SELECT doc_id,
+                           CAST(('0x' || substr(md5('42:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                                AS BIGINT) AS b
+                    FROM documents))
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

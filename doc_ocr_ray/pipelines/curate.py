@@ -24,6 +24,7 @@ from doc_ocr_ray.config import PipelineConfig, DEFAULT_CONFIG
 from doc_ocr_ray.pipelines.extract import extract_questions
 from doc_ocr_ray.stages.dedup import exact_dedup
 from doc_ocr_ray.stages.text_analysis import quality_score_batch
+from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 
 def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
@@ -70,6 +71,19 @@ def curate_corpus(docs_ds, config: Optional[PipelineConfig] = None,
     return exact_dedup(filtered, text_col="text")
 
 
+def _md5_bucket(keys: pd.Series, seed: int, mod: int = 0) -> np.ndarray:
+    """``int(md5(f"{seed}:{key}")[:8], 16)`` (optionally % mod) as an
+    int64 array — the deterministic pseudo-random rank shared by every
+    sampling / splitting / sharding operator here.  The DuckDB twin is
+    ``('0x' || substr(md5(seed || ':' || key), 1, 8))::UINTEGER``, so
+    the value is oracle-checkable bit for bit."""
+    import hashlib
+    it = (int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16)
+          for k in keys.astype(str))
+    buckets = np.fromiter(it, dtype="int64", count=len(keys))
+    return buckets % mod if mod else buckets
+
+
 def assign_split(ds, key: str = "doc_id", seed: int = 42,
                  ratios: Optional[Dict[str, float]] = None):
     """Deterministic stratified train/val/test assignment: each row
@@ -87,7 +101,6 @@ def assign_split(ds, key: str = "doc_id", seed: int = 42,
     ``ratios`` values must sum to <= 1; the remainder (if any) falls
     into the last split.  Buckets quantize at 1/10000, so ratios finer
     than 0.01% won't separate."""
-    import hashlib
     ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
     names = list(ratios)
     edges = []
@@ -98,11 +111,7 @@ def assign_split(ds, key: str = "doc_id", seed: int = 42,
     edges[-1] = max(edges[-1], 10000)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = batch[key].astype(str)
-        buckets = np.fromiter(
-            (int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16)
-             % 10000 for k in keys),
-            dtype="int64", count=len(keys))
+        buckets = _md5_bucket(batch[key], seed, mod=10000)
         split = np.select(
             [buckets < e for e in edges], names, default=names[-1])
         out = batch.copy()
@@ -187,3 +196,102 @@ def curate_training_set(docs_ds, min_tokens: int = 40,
     labeled = assign_split(best, key="doc_id", seed=seed)
     return labeled.select_columns(["doc_id", "n_tokens", "bucket",
                                    "split"])
+
+
+def stratified_sample(ds, rates: Dict[str, float],
+                      group_col: str = "lang", key: str = "doc_id",
+                      seed: int = 42, default_rate: float = 0.0):
+    """Deterministic per-group downsampling — the domain/language
+    rebalancing step of a training-data mixture (e.g. keep 100% of
+    low-resource languages, 10% of English).
+
+    A row survives iff ``md5(seed:key) % 10000 < rate[group] * 10000``
+    — the same hash-grid rule as :func:`assign_split`, so membership is
+    a pure function of (seed, key, group rate): re-runs, resumes and
+    incremental ingestion sample the SAME rows, and changing one
+    group's rate only adds/removes rows of that group.  Groups absent
+    from ``rates`` get ``default_rate``.  No shuffle — one vectorized
+    ``map_batches``; rates quantize at 1/10000."""
+    thresholds = {g: int(round(r * 10000)) for g, r in rates.items()}
+    default_thr = int(round(default_rate * 10000))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        buckets = _md5_bucket(batch[key], seed, mod=10000)
+        thr = (batch[group_col].map(thresholds).fillna(default_thr)
+               .astype("int64").to_numpy())
+        out = batch[buckets < thr].copy()
+        out["bucket"] = buckets[buckets < thr]
+        return typed_if_empty(out)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def per_source_cap(ds, cap: int, source_col: str = "source",
+                   key: str = "doc_id", seed: int = 42,
+                   num_partitions: int = 128):
+    """Keep at most ``cap`` documents per source/domain — the standard
+    anti-domination guard (no single crawl domain may flood the
+    training mixture).
+
+    Which ``cap`` rows survive is deterministic and seed-stable: rows
+    rank within their source by ``(md5(seed:key) 32-bit value, key)``
+    — a pseudo-random but reproducible preference, so re-runs keep the
+    same representatives (a "first N in arrival order" rule would be
+    nondeterministic under parallel ingestion).
+
+    One coarse-key exchange: sources hash into ``num_partitions``
+    groups, each group ranks its sources vectorized (millions of tiny
+    per-source groups would cost ~1ms each at the Ray level — the
+    group fn handles ALL sources of the partition in one frame).
+    Output adds ``src_rank`` (1-based rank within source)."""
+
+    def rank_and_keep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["_bucket"] = _md5_bucket(g[key], seed)
+        g = g.sort_values([source_col, "_bucket", key],
+                          kind="mergesort")
+        g["src_rank"] = (g.groupby(source_col, sort=False).cumcount()
+                         + 1).astype("int64")
+        g = g[g["src_rank"] <= cap].drop(columns=["_bucket", "part"])
+        return typed_if_empty(g)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["part"] = coarse_part(out[source_col], num_partitions)
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(rank_and_keep, batch_format="pandas"))
+
+
+def export_shards(ds, n_shards: int, key: str = "doc_id",
+                  seed: int = 42):
+    """Training-export layout: spread rows pseudo-randomly but
+    DETERMINISTICALLY across ``n_shards`` shards and give each row its
+    position within the shard — the global-shuffle-then-shard step
+    before writing training files, without ``random_shuffle``'s
+    unreproducible all-to-all.
+
+    shard = md5-bucket(key) % n_shards; position = rank within shard
+    by (bucket, key).  Because the md5 bucket is effectively uniform,
+    shards balance to ~|ds|/n_shards rows, and consecutive input rows
+    land in different shards (the "shuffle").  One exchange, keyed
+    directly on the shard id; each shard sorts vectorized in its
+    group.  Output: input columns + (shard, shard_pos)."""
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        bucket = _md5_bucket(out[key], seed)
+        out["_bucket"] = bucket
+        out["shard"] = bucket % n_shards
+        return out
+
+    def order_shard(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_bucket", key], kind="mergesort").copy()
+        g["shard_pos"] = np.arange(len(g), dtype="int64")
+        return typed_if_empty(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(order_shard, batch_format="pandas"))

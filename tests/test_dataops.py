@@ -404,3 +404,76 @@ def test_curate_training_set_funnel(ray_session):
     assert ids == [1]
     assert out[0]["split"] in ("train", "val", "test")
     assert 0 <= out[0]["bucket"] < 10000
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import stratified_sample
+    docs = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype="int64"),
+        "lang": ["en", "zh", "fr", "en"] * 500,
+    })
+    ds = ray.data.from_pandas(docs)
+    rates = {"en": 0.5, "zh": 1.0}
+    a = sorted(r["doc_id"] for r in
+               stratified_sample(ds, rates, group_col="lang").take_all())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(ds, rates, group_col="lang").take_all())
+    assert a == b                       # pure function of (seed, key)
+    out = pd.DataFrame(
+        stratified_sample(ds, rates, group_col="lang").take_all())
+    by_lang = out.groupby("lang").size()
+    assert by_lang.get("zh", 0) == 500           # rate 1.0 keeps all
+    assert "fr" not in by_lang.index             # default_rate 0 drops
+    assert 350 < by_lang["en"] < 650             # ~0.5 of 1000
+    # incremental-ingestion stability: sampling a superset never
+    # changes membership of previously seen keys
+    more = pd.concat([docs, pd.DataFrame(
+        {"doc_id": np.arange(2000, 2500, dtype="int64"),
+         "lang": ["en"] * 500})], ignore_index=True)
+    sup = set(r["doc_id"] for r in stratified_sample(
+        ray.data.from_pandas(more), rates, group_col="lang").take_all())
+    assert set(a) == {i for i in sup if i < 2000}
+
+
+def test_per_source_cap_keeps_cap_and_is_seed_stable(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import per_source_cap
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"),
+        "source": ["big.example"] * 200 + ["mid.example"] * 90
+                  + ["tiny.example"] * 10,
+    })
+    ds = ray.data.from_pandas(docs)
+    out = pd.DataFrame(per_source_cap(ds, cap=25).take_all())
+    sizes = out.groupby("source").size()
+    assert sizes["big.example"] == 25            # capped
+    assert sizes["mid.example"] == 25            # capped
+    assert sizes["tiny.example"] == 10           # under cap -> all kept
+    assert out["src_rank"].max() <= 25 and out["src_rank"].min() == 1
+    # survivors are a deterministic function of (seed, doc_id): re-run
+    # keeps the same representatives
+    again = pd.DataFrame(per_source_cap(ds, cap=25).take_all())
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # not simply "first 25 by doc_id" — the rank is pseudo-random
+    big = out[out["source"] == "big.example"]["doc_id"]
+    assert sorted(big) != list(range(25))
+
+
+def test_export_shards_balanced_positions_contiguous(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import export_shards
+    docs = pd.DataFrame({"doc_id": np.arange(1600, dtype="int64")})
+    out = pd.DataFrame(
+        export_shards(ray.data.from_pandas(docs), n_shards=8).take_all())
+    assert len(out) == 1600
+    sizes = out.groupby("shard").size()
+    assert len(sizes) == 8
+    # md5 buckets spread ~uniformly: every shard within 2x of fair share
+    assert sizes.min() > 100 and sizes.max() < 400
+    # positions are 0..len-1 within each shard (contiguous, no gaps)
+    for _, g in out.groupby("shard"):
+        assert sorted(g["shard_pos"]) == list(range(len(g)))
+    # pseudo-random interleave: consecutive doc_ids land on many shards
+    first16 = out[out["doc_id"] < 16]
+    assert first16["shard"].nunique() >= 4
