@@ -464,6 +464,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_dup_ngram_frac(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import dup_ngram_frac_batch
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            dup_ngram_frac_batch, batch_format="pandas")
+
     def q_tfidf_top_terms(sf_dir):
         from doc_ocr_ray.stages.text_analysis import tfidf_top_terms
         import pyarrow.parquet as pq
@@ -621,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks_views": q_asof_clicks_views,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
+        "dup_ngram_frac": q_dup_ngram_frac,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -1303,6 +1309,32 @@ def oracle_sql() -> dict[str, str]:
                                 CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
                                 AS BIGINT) AS b
                     FROM documents))
+        """,
+        "dup_ngram_frac": """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS lst
+                       FROM documents
+                       WHERE regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') <> ''),
+            b AS (SELECT doc_id, lst[i] || ' ' || lst[i + 1] AS gram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(lst))) AS i)
+                  WHERE len(lst) >= 3),
+            t AS (SELECT doc_id, lst[i] || ' ' || lst[i + 1] || ' ' || lst[i + 2] AS gram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(lst) - 1)) AS i)
+                  WHERE len(lst) >= 3),
+            bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+            tc AS (SELECT doc_id, gram, count(*) AS c FROM t GROUP BY 1, 2),
+            bf AS (SELECT doc_id,
+                          floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                / sum(c)) / 10000 AS dup_bigram_frac
+                   FROM bc GROUP BY 1),
+            tf AS (SELECT doc_id,
+                          floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                / sum(c)) / 10000 AS dup_trigram_frac
+                   FROM tc GROUP BY 1)
+            SELECT w.doc_id, CAST(len(lst) AS BIGINT) AS n_words,
+                   bf.dup_bigram_frac, tf.dup_trigram_frac
+            FROM w JOIN bf ON w.doc_id = bf.doc_id
+                   JOIN tf ON w.doc_id = tf.doc_id
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

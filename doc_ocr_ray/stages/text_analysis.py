@@ -17,7 +17,7 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
-from doc_ocr_ray.util import coarse_part
+from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 # Whitespace = the EXPLICIT class [\t\n\f\r ], which is exactly what
 # RE2 (DuckDB regexp_*) means by \s — Python's unicode \s also matches
@@ -259,6 +259,61 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out["ttr"] = np.floor(10000.0 * out["n_distinct"] / out["n_words"]) / 10000
     return out[["doc_id", "n_words", "n_distinct", "ttr",
                 "top_bigram", "top_bigram_cnt"]]
+
+
+def dup_ngram_frac_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style duplicate n-gram fractions (Rae et al. 2021
+    §A1.1): per document, the fraction of word bigram / trigram
+    OCCURRENCES that belong to an n-gram appearing more than once —
+    the standard machine-generated-repetition filter signal.
+
+    Docs with fewer than 3 tokens drop (no trigram; the SQL twin's
+    join drops them identically).  ``dup_bigram_frac`` /
+    ``dup_trigram_frac`` use the shared floor(10000*num/den)/10000
+    grid.  Vectorized explode + shift like
+    :func:`repetition_signals_batch` — no per-row Python loop."""
+    toks = _tokens(batch["text"])
+    n_words = toks.str.len().astype("int64")
+    flat = pd.DataFrame({
+        "doc_id": batch["doc_id"].repeat(n_words.to_numpy()),
+        "word": [w for ws in toks for w in ws],
+    })
+    if flat.empty:
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"][:0], "n_words": n_words[:0],
+            "dup_bigram_frac": pd.Series([], dtype="float64"),
+            "dup_trigram_frac": pd.Series([], dtype="float64")}))
+
+    def dup_frac(ngrams: pd.DataFrame) -> pd.Series:
+        cnt = (ngrams.groupby(["doc_id", "gram"], sort=False)["gram"]
+               .transform("size"))
+        total = ngrams.groupby("doc_id", sort=False)["gram"].size()
+        dup = (ngrams[cnt > 1].groupby("doc_id", sort=False)["gram"]
+               .size().reindex(total.index, fill_value=0))
+        return np.floor(10000.0 * dup / total) / 10000
+
+    g = flat.groupby("doc_id", sort=False)["word"]
+    nxt1, nxt2 = g.shift(-1), g.shift(-2)
+    bi = flat[nxt1.notna()].copy()
+    bi["gram"] = bi["word"] + " " + nxt1.dropna()
+    tri = flat[nxt2.notna()].copy()
+    tri["gram"] = (tri["word"] + " " + nxt1[nxt2.notna()]
+                   + " " + nxt2.dropna())
+    if tri.empty:
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"][:0], "n_words": n_words[:0],
+            "dup_bigram_frac": pd.Series([], dtype="float64"),
+            "dup_trigram_frac": pd.Series([], dtype="float64")}))
+    f2 = (dup_frac(bi[["doc_id", "gram"]])
+          .rename("dup_bigram_frac").reset_index())
+    f3 = (dup_frac(tri[["doc_id", "gram"]])
+          .rename("dup_trigram_frac").reset_index())
+    base = pd.DataFrame({"doc_id": batch["doc_id"],
+                         "n_words": n_words})
+    out = (base.merge(f3, on="doc_id")          # >=3 tokens only
+           .merge(f2, on="doc_id"))
+    return out[["doc_id", "n_words", "dup_bigram_frac",
+                "dup_trigram_frac"]]
 
 
 def tfidf_top_terms(ds, n_docs: int, k: int = 5,

@@ -477,3 +477,27 @@ def test_export_shards_balanced_positions_contiguous(ray_session):
     # pseudo-random interleave: consecutive doc_ids land on many shards
     first16 = out[out["doc_id"] < 16]
     assert first16["shard"].nunique() >= 4
+
+
+def test_dup_ngram_frac_known_values():
+    from doc_ocr_ray.stages.text_analysis import dup_ngram_frac_batch
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b a b a",        # bigrams all dup; trigrams 2/3
+                 "x y z",            # no repeats
+                 "one two",          # < 3 tokens -> dropped
+                 "",                 # empty -> dropped
+                 "r r r r"],         # every gram identical
+    })
+    out = dup_ngram_frac_batch(b).set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 5]
+    assert out.loc[1, "dup_bigram_frac"] == 1.0
+    assert out.loc[1, "dup_trigram_frac"] == 0.6666   # floor grid
+    assert out.loc[2, "dup_bigram_frac"] == 0.0
+    assert out.loc[2, "dup_trigram_frac"] == 0.0
+    assert out.loc[5, "dup_bigram_frac"] == 1.0
+    assert out.loc[5, "dup_trigram_frac"] == 1.0
+    # all-short batch returns a typed empty frame, not a crash
+    empty = dup_ngram_frac_batch(pd.DataFrame(
+        {"doc_id": [9], "text": ["just two"]}))
+    assert len(empty) == 0
