@@ -464,6 +464,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_decontaminate(sf_dir):
+        # deterministic contamination: docs with doc_id % 10 == 3 get a
+        # benchmark phrase appended (capitalization intentionally wrong
+        # so the normalization contract is exercised); the benchmark
+        # set is the 5 phrases' 8-grams — both sides derive the same
+        # strings from doc_id, so the check is non-vacuous by
+        # construction
+        from doc_ocr_ray.stages.decontam import (build_benchmark_ngrams,
+                                                 decontaminate)
+        phrases = [f"benchmark question {k} alpha beta gamma delta "
+                   f"epsilon" for k in range(5)]
+        bench = build_benchmark_ngrams(phrases, n=8)
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"]
+            mask = (d % 10 == 3)
+            batch["text"] = batch["text"].fillna("")
+            batch.loc[mask, "text"] = (
+                batch.loc[mask, "text"] + " Benchmark question "
+                + (d[mask] % 5).astype(str)
+                + " alpha beta gamma delta epsilon tail")
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(inject, batch_format="pandas"))
+        return decontaminate(ds, bench, n=8)
+
     def q_dup_ngram_frac(sf_dir):
         from doc_ocr_ray.stages.text_analysis import dup_ngram_frac_batch
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -627,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "decontaminate": q_decontaminate,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -1309,6 +1337,33 @@ def oracle_sql() -> dict[str, str]:
                                 CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
                                 AS BIGINT) AS b
                     FROM documents))
+        """,
+        "decontaminate": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3
+                          THEN coalesce(text, '') || ' Benchmark question '
+                               || CAST(doc_id % 5 AS VARCHAR)
+                               || ' alpha beta gamma delta epsilon tail'
+                          ELSE coalesce(text, '') END AS text
+              FROM documents),
+            w AS (SELECT doc_id,
+                         regexp_split_to_array(regexp_replace(lower(text), '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS lst
+                  FROM injected
+                  WHERE regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') <> ''),
+            g AS (SELECT doc_id, array_to_string(lst[i:i + 7], ' ') AS gram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(lst) - 6)) AS i)
+                  WHERE len(lst) >= 8),
+            bench AS (SELECT 'benchmark question ' || CAST(k AS VARCHAR)
+                             || ' alpha beta gamma delta epsilon' AS gram
+                      FROM range(5) t(k)),
+            hits AS (SELECT doc_id, count(DISTINCT g.gram) AS n_hits
+                     FROM g JOIN bench ON g.gram = bench.gram
+                     GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         "dup_ngram_frac": """
             WITH w AS (SELECT doc_id,

@@ -501,3 +501,32 @@ def test_dup_ngram_frac_known_values():
     empty = dup_ngram_frac_batch(pd.DataFrame(
         {"doc_id": [9], "text": ["just two"]}))
     assert len(empty) == 0
+
+
+def test_decontaminate_flags_and_drops(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.decontam import (build_benchmark_ngrams,
+                                             decontaminate, text_ngrams)
+    bench_texts = ["What is the capital of France Paris obviously said"]
+    bench = build_benchmark_ngrams(bench_texts, n=8)
+    assert len(bench) == 2                     # 9 tokens -> 2 windows
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # exact 8-gram overlap, different case + extra whitespace
+            "intro  WHAT IS THE CAPITAL OF FRANCE PARIS obviously tail",
+            # only a 7-gram shared -> clean at n=8
+            "what is the capital of france paris nothing more",
+            "totally unrelated text about something else entirely ok",
+            None,
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = pd.DataFrame(decontaminate(ds, bench, n=8).take_all()
+                       ).set_index("doc_id").sort_index()
+    assert list(out["contaminated"]) == [True, False, False, False]
+    assert out.loc[1, "n_hits"] >= 1
+    kept = decontaminate(ds, bench, n=8, drop=True).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3, 4]
+    # n-gram helper: windows are word-aligned on normalized text
+    assert text_ngrams("A  b\tc d", 2) == {"a b", "b c", "c d"}
