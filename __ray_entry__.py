@@ -464,6 +464,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_pack_sequences(sf_dir):
+        from doc_ocr_ray.pipelines.curate import pack_sequences
+        from doc_ocr_ray.stages.text_analysis import token_count_batch
+        counted = (_read(sf_dir, "documents", ["doc_id", "text"])
+                   .map_batches(token_count_batch, batch_format="pandas")
+                   .select_columns(["doc_id", "n_tokens"]))
+        return pack_sequences(counted, target_tokens=64)
+
     def q_decontaminate(sf_dir):
         # deterministic contamination: docs with doc_id % 10 == 3 get a
         # benchmark phrase appended (capitalization intentionally wrong
@@ -655,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "dup_ngram_frac": q_dup_ngram_frac,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -1337,6 +1346,20 @@ def oracle_sql() -> dict[str, str]:
                                 CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
                                 AS BIGINT) AS b
                     FROM documents))
+        """,
+        "pack_sequences": f"""
+            WITH tc AS (SELECT doc_id, {_NTOK} AS n_tokens
+                        FROM documents),
+            p AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                  FROM tc WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // 64 AS seq_first,
+                   (start_tok + n_tokens - 1) // 64 AS seq_last
+            FROM p
         """,
         "decontaminate": """
             WITH injected AS (

@@ -295,3 +295,61 @@ def export_shards(ds, n_shards: int, key: str = "doc_id",
     return (ds.map_batches(assign, batch_format="pandas")
             .groupby("shard")
             .map_groups(order_shard, batch_format="pandas"))
+
+
+def pack_sequences(ds, target_tokens: int = 2048, key: str = "doc_id",
+                   num_partitions: int = 64):
+    """GPT-style sequence packing: concatenate the corpus in global
+    ``key`` order and cut every ``target_tokens`` — each document gets
+    its token interval ``[start_tok, start_tok + n_tokens)`` in the
+    virtual concatenated stream, and the training sequences it lands
+    in (``seq_first``..``seq_last``; a doc straddling a cut belongs to
+    both, exactly like the standard pack-then-chunk loader).
+
+    Input: Dataset with integer ``key`` and ``n_tokens`` columns (run
+    ``token_count_batch`` first).  Zero-token docs drop.
+
+    A global ordered prefix-sum without a global sort: range-partition
+    on the key (one cheap min/max aggregate fixes the bins), sum each
+    partition, prefix-add the ~``num_partitions`` partial sums on the
+    driver (BOUNDED driver state: one int per partition, independent
+    of corpus size), broadcast the offsets, then cumsum inside each
+    partition.  The small (key, n_tokens) projection is materialized
+    once because it is consumed three times — the standard checkpoint
+    trade.  The DuckDB twin is ``SUM(n_tokens) OVER (ORDER BY key)``.
+    """
+    proj = (ds.select_columns([key, "n_tokens"])
+            .filter(expr="n_tokens > 0")
+            .materialize())
+    if proj.count() == 0:
+        return proj
+    lo = proj.min(key)
+    hi = proj.max(key)
+    span = hi - lo + 1
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["part"] = ((out[key].astype("int64") - lo)
+                       * num_partitions // span).astype("int64")
+        return out
+
+    parted = proj.map_batches(add_part, batch_format="pandas")
+    totals = {r["part"]: r["sum(n_tokens)"]
+              for r in parted.groupby("part").sum("n_tokens").take_all()}
+    offsets = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += int(totals[p])
+
+    def pack_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(key, kind="mergesort").copy()
+        n = g["n_tokens"].astype("int64")
+        start = offsets[int(g["part"].iloc[0])] + n.cumsum() - n
+        g["start_tok"] = start
+        g["seq_first"] = start // target_tokens
+        g["seq_last"] = (start + n - 1) // target_tokens
+        return typed_if_empty(g.drop(columns=["part"]))
+
+    return (parted.groupby("part")
+            .map_groups(pack_part, batch_format="pandas"))

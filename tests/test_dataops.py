@@ -530,3 +530,35 @@ def test_decontaminate_flags_and_drops(ray_session):
     assert sorted(r["doc_id"] for r in kept) == [2, 3, 4]
     # n-gram helper: windows are word-aligned on normalized text
     assert text_ngrams("A  b\tc d", 2) == {"a b", "b c", "c d"}
+
+
+def test_pack_sequences_contiguous_intervals(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import pack_sequences
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200, dtype="int64"),
+        # varied lengths incl. zero (must drop) and > target (spans
+        # multiple sequences)
+        "n_tokens": ([7, 13, 0, 40, 3] * 40),
+    })
+    out = pd.DataFrame(pack_sequences(
+        ray.data.from_pandas(docs), target_tokens=16,
+        num_partitions=8).take_all()).sort_values("doc_id")
+    assert (out["n_tokens"] > 0).all()          # zero-token docs drop
+    assert len(out) == 160
+    # intervals tile the concatenated stream exactly: each start is
+    # the previous start + previous length, beginning at 0
+    starts = out["start_tok"].to_numpy()
+    lens = out["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+    # sequence ids match the interval arithmetic
+    assert (out["seq_first"] == starts // 16).all()
+    assert (out["seq_last"] == (starts + lens - 1) // 16).all()
+    # a 40-token doc at target 16 must span >= 3 sequences
+    big = out[out["n_tokens"] == 40]
+    assert ((big["seq_last"] - big["seq_first"]) >= 2).all()
+    # empty input short-circuits
+    empty = pack_sequences(ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "n_tokens": [0]})), 16)
+    assert empty.count() == 0
