@@ -464,6 +464,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             repetition_signals_batch, batch_format="pandas")
 
+    def q_quality_classifier(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import quality_classify
+        return quality_classify(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_pack_sequences(sf_dir):
         from doc_ocr_ray.pipelines.curate import pack_sequences
         from doc_ocr_ray.stages.text_analysis import token_count_batch
@@ -664,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_frac": q_dup_ngram_frac,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "quality_classifier": q_quality_classifier,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -785,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
     PII_EMAIL = PII_PATTERNS_SQL["email"]
     PII_PHONE = PII_PATTERNS_SQL["phone"]
     PII_IP = PII_PATTERNS_SQL["ip"]
+    from doc_ocr_ray.stages.text_analysis import (
+        DEFAULT_CLASSIFIER_WEIGHTS, CLASSIFIER_BIAS,
+        CLASSIFIER_LEN_WEIGHT, CLASSIFIER_LEN_CAP)
+    clf_terms = " + ".join(
+        f"({w}) * len(list_filter(lst, x -> x = '{t}'))"
+        for t, w in DEFAULT_CLASSIFIER_WEIGHTS.items())
+    clf_logit = (f"{CLASSIFIER_BIAS} + {clf_terms} + "
+                 f"{CLASSIFIER_LEN_WEIGHT} * least(n_tokens, "
+                 f"{CLASSIFIER_LEN_CAP})")
     lang_cnt = {
         "de": "('der','die','das','und','ist','nicht')",
         "en": _STOP_EN,
@@ -1346,6 +1361,18 @@ def oracle_sql() -> dict[str, str]:
                                 CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
                                 AS BIGINT) AS b
                     FROM documents))
+        """,
+        "quality_classifier": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower({_STRIP}), '\\s+') AS lst,
+                     {_NTOK} AS n_tokens
+              FROM documents),
+            sc AS (SELECT doc_id,
+                          CAST({clf_logit} AS BIGINT) AS logit_milli
+                   FROM w)
+            SELECT doc_id, logit_milli, logit_milli >= 0 AS keep
+            FROM sc
         """,
         "pack_sequences": f"""
             WITH tc AS (SELECT doc_id, {_NTOK} AS n_tokens

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -314,6 +314,75 @@ def dup_ngram_frac_batch(batch: pd.DataFrame) -> pd.DataFrame:
            .merge(f2, on="doc_id"))
     return out[["doc_id", "n_words", "dup_bigram_frac",
                 "dup_trigram_frac"]]
+
+
+# ------------------------------------------------ quality classifier
+# A linear text classifier in the fasttext-filter role (CCNet /
+# GPT-3-style "looks like reference text" scoring).  Integer weights
+# and an integer logit keep the decision EXACTLY reproducible in SQL —
+# a float sigmoid would hash-diverge in the last ulp across engines.
+DEFAULT_CLASSIFIER_WEIGHTS: Dict[str, int] = {
+    # well-formed-English signals (function words)
+    "the": 120, "and": 100, "of": 90, "is": 80, "to": 70, "in": 60,
+    # boilerplate / spam signals
+    "click": -400, "subscribe": -400, "buy": -250, "free": -200,
+}
+CLASSIFIER_BIAS = -150
+CLASSIFIER_LEN_WEIGHT = 4       # per token, capped
+CLASSIFIER_LEN_CAP = 100
+
+
+class QualityClassifierStage:
+    """Actor-pool scoring stage: the 'model' (term->weight table) is
+    built once per actor in ``__init__`` — the slot where a real
+    fasttext/ONNX model load goes — and ``__call__`` scores batches
+    vectorized (one explode + filter + pivot per batch; no per-row
+    Python loop).
+
+    logit_milli = bias + sum(w[t] * count(t)) + w_len * min(n_tokens,
+    cap); keep = logit_milli >= threshold.  All integers."""
+
+    def __init__(self, weights: Optional[Dict[str, int]] = None,
+                 threshold: int = 0):
+        self.weights = dict(weights or DEFAULT_CLASSIFIER_WEIGHTS)
+        self.threshold = threshold
+        self.vocab = pd.Series(self.weights, name="w")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"].fillna("").str.lower())
+        n_tokens = toks.str.len().astype("int64")
+        idx = np.arange(len(batch))
+        flat = pd.DataFrame({
+            "i": np.repeat(idx, n_tokens.to_numpy()),
+            "word": [w for ws in toks for w in ws],
+        })
+        hit = flat[flat["word"].isin(self.vocab.index)].copy()
+        hit["w"] = hit["word"].map(self.weights)
+        term_score = (hit.groupby("i")["w"].sum()
+                      .reindex(idx, fill_value=0).astype("int64"))
+        logit = (CLASSIFIER_BIAS
+                 + term_score.to_numpy()
+                 + CLASSIFIER_LEN_WEIGHT
+                 * np.minimum(n_tokens.to_numpy(), CLASSIFIER_LEN_CAP))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "logit_milli": logit.astype("int64"),
+            "keep": logit >= self.threshold,
+        })
+
+
+def quality_classify(ds, weights: Optional[Dict[str, int]] = None,
+                     threshold: int = 0, concurrency=(1, 8),
+                     batch_size: int = 512):
+    """Score documents with the linear quality classifier on an actor
+    pool (weights table loaded once per actor, batches scored
+    vectorized)."""
+    return ds.map_batches(
+        QualityClassifierStage,
+        fn_constructor_kwargs={"weights": weights,
+                               "threshold": threshold},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def tfidf_top_terms(ds, n_docs: int, k: int = 5,

@@ -562,3 +562,34 @@ def test_pack_sequences_contiguous_intervals(ray_session):
     empty = pack_sequences(ray.data.from_pandas(
         pd.DataFrame({"doc_id": [1], "n_tokens": [0]})), 16)
     assert empty.count() == 0
+
+
+def test_quality_classifier_actor_pool_scoring(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import (
+        QualityClassifierStage, quality_classify, CLASSIFIER_BIAS)
+    # kernel: known integer logits
+    st = QualityClassifierStage()
+    out = st(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat is here",          # -150+120+80+4*4 = 66
+                 "click click click",        # -150-1200+12 = -1338
+                 None],                      # bias only
+    }))
+    assert list(out["logit_milli"]) == [66, -1338, CLASSIFIER_BIAS]
+    assert list(out["keep"]) == [True, False, False]
+    # actor-pool path end to end, custom weights + threshold
+    docs = pd.DataFrame({
+        "doc_id": np.arange(100, dtype="int64"),
+        "text": ["good the and of text here"] * 50
+                + ["spam click subscribe buy"] * 50,
+    })
+    scored = pd.DataFrame(quality_classify(
+        ray.data.from_pandas(docs), threshold=100,
+        concurrency=(1, 2), batch_size=32).take_all())
+    assert len(scored) == 100
+    good = scored[scored["doc_id"] < 50]
+    spam = scored[scored["doc_id"] >= 50]
+    assert good["logit_milli"].nunique() == 1        # deterministic
+    assert (good["logit_milli"] > spam["logit_milli"].max()).all()
+    assert good["keep"].all() and not spam["keep"].any()
