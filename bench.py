@@ -149,6 +149,15 @@ def run_benchmarks() -> dict:
     timed("pii_redact", lambda: qs["pii_redact"](SF_DIR).count())
     timed("repetition_signals",
           lambda: qs["repetition_signals"](SF_DIR).count())
+    timed("dup_ngram_frac", lambda: qs["dup_ngram_frac"](SF_DIR).count())
+    timed("decontaminate", lambda: qs["decontaminate"](SF_DIR).count())
+    timed("quality_classifier",
+          lambda: qs["quality_classifier"](SF_DIR).count())
+    timed("pack_sequences", lambda: qs["pack_sequences"](SF_DIR).count())
+    timed("per_source_cap", lambda: qs["per_source_cap"](SF_DIR).count())
+    timed("export_shards", lambda: qs["export_shards"](SF_DIR).count())
+    timed("curate_training_set",
+          lambda: qs["curate_training_set"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(
