@@ -251,6 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.knn_ivf(emb, query_ids=list(range(20)), k=5,
                                   n_centroids=16, nprobe=16)
 
+    def q_label_centroids(sf_dir):
+        # distributed k-means M-step over the embeddings table's label
+        # column: per-batch integer-scaled partial sums, one tiny
+        # groupby combine (see stages/similarity.py:label_centroids)
+        emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+        return similarity.label_centroids(emb)
+
     def q_curate_documents(sf_dir):
         # composed curation over the real documents table: exact dedup
         # -> token count -> length filter (SQL-checkable end to end)
@@ -646,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh_exact": q_similarity_lsh_exact,
         "similarity_ivf_exact": q_similarity_ivf_exact,
+        "label_centroids": q_label_centroids,
         "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -986,6 +994,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh_exact": _BRUTE_TOPK_SQL,
         "similarity_ivf_exact": _BRUTE_TOPK_SQL,
+        # integer-grid components summed exactly, single final IEEE
+        # division — bit-identical to the engine's partial-sum combine
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM embeddings)
+            SELECT label, dim,
+                   floor(10000 * (CAST(sum(sv) AS DOUBLE)
+                                  / (1000000.0 * count(*)))) / 10000
+                       AS mean_val,
+                   count(*) AS n
+            FROM ex GROUP BY label, dim
+        """,
         "multimodal_decode": """
             WITH m AS (
               SELECT 'img:' || CAST(doc_id AS VARCHAR) AS media_ref

@@ -291,6 +291,70 @@ def knn_ivf(ds, query_ids: List[int], k: int = 5, n_centroids: int = 16,
     })
 
 
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding", scale: int = 1_000_000,
+                    grid: int = 10_000):
+    """Per-label centroid means — the distributed M-step of Lloyd's
+    k-means as a Ray Data pipeline (a "training pass" building block
+    for embedding-cluster curation, e.g. SemDeDup-style pruning).
+
+    Shape: one stateless ``map_batches`` pass emits per-batch PARTIAL
+    sums — for each label present in the batch, 64 long-format rows
+    ``(label, dim, sum_scaled, n)`` — so the exchange carries only
+    ``n_blocks x k x dim`` tiny rows, never a vector column.  A single
+    ``groupby(label)`` then combines partials per label (k groups,
+    each a vectorized pandas groupby over dims).
+
+    Oracle exactness: every component is snapped to an integer grid
+    first (``floor(x * scale + 0.5)`` — explicit half-up, identical in
+    DuckDB) and summed in int64, so partial-sum order cannot perturb
+    the result; the single final division and ``floor``-grid to
+    ``1/grid`` are one IEEE double op each, bit-identical in both
+    engines.  int64 headroom: |component| <= ~1e3 scaled by 1e6 keeps
+    per-label sums exact up to ~1e9 rows per label per dim; raise the
+    combiner to Python ints if a corpus exceeds that.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _matrix_from_arrow(batch, vec_col)
+        if X.size == 0:
+            return pd.DataFrame({label_col: pd.Series([], dtype="int64"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "sum_scaled": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        S = np.floor(X * scale + 0.5).astype(np.int64)
+        labels = batch[label_col].to_numpy()
+        dim = S.shape[1]
+        uniq = np.unique(labels)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in uniq:
+            mask = labels == lab
+            sums = S[mask].sum(axis=0)
+            out_l.append(np.full(dim, lab, dtype=np.int64))
+            out_d.append(np.arange(dim, dtype=np.int64))
+            out_s.append(sums)
+            out_n.append(np.full(dim, int(mask.sum()), dtype=np.int64))
+        return pd.DataFrame({label_col: np.concatenate(out_l),
+                             "dim": np.concatenate(out_d),
+                             "sum_scaled": np.concatenate(out_s),
+                             "n": np.concatenate(out_n)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (group.groupby("dim", sort=True)[["sum_scaled", "n"]]
+                    .sum().reset_index())
+        mean = np.floor(grid * (agg["sum_scaled"].to_numpy(np.float64)
+                                / (float(scale) * agg["n"].to_numpy(np.float64)))) / grid
+        return pd.DataFrame({label_col: group[label_col].iloc[0],
+                             "dim": agg["dim"].astype("int64"),
+                             "mean_val": mean,
+                             "n": agg["n"].astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(label_col)
+              .map_groups(combine, batch_format="pandas"))
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,

@@ -129,3 +129,27 @@ def test_embedding_neardup_bits_scale_with_corpus():
                                    target_bucket=4).count() == 0
     assert embedding_neardup_pairs(make(64), threshold=0.99,
                                    target_bucket=4).count() == 0
+
+
+def test_label_centroids_matches_numpy():
+    """Distributed M-step == driver-side numpy mean on the same grid,
+    regardless of how many blocks the partial sums arrive in."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import label_centroids
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    out = label_centroids(
+        ray.data.from_pandas(df).repartition(7)).to_pandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    labels = df["label"].to_numpy()
+    assert len(out) == len(np.unique(labels)) * X.shape[1]
+    for lab in np.unique(labels):
+        m = labels == lab
+        want = np.floor(10_000 * (S[m].sum(axis=0).astype(np.float64)
+                                  / (1_000_000.0 * m.sum()))) / 10_000
+        got = (out[out["label"] == lab].sort_values("dim")
+               ["mean_val"].to_numpy())
+        assert np.array_equal(got, want)
+        assert (out[out["label"] == lab]["n"] == m.sum()).all()
