@@ -258,6 +258,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings", ["label", "embedding"])
         return similarity.label_centroids(emb)
 
+    def q_kmeans_assign(sf_dir):
+        # distributed E-step: centroids = rows with vec_id < 8
+        # (deterministic seed-pick), integer-grid exact distances
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.kmeans_assign(emb, k=8)
+
+    def q_semdedup(sf_dir):
+        # SemDeDup epsilon-ball pruning over the injected near-dup
+        # testbed: within-cluster keep-first at cosine >= 0.95
+        emb = _neardup_injected_embeddings(sf_dir)
+        return similarity.semdedup_prune(emb, threshold=0.95, k=8)
+
     def q_curate_documents(sf_dir):
         # composed curation over the real documents table: exact dedup
         # -> token count -> length filter (SQL-checkable end to end)
@@ -654,6 +666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh_exact": q_similarity_lsh_exact,
         "similarity_ivf_exact": q_similarity_ivf_exact,
         "label_centroids": q_label_centroids,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1009,6 +1023,65 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_val,
                    count(*) AS n
             FROM ex GROUP BY label, dim
+        """,
+        # E-step twin: same integer grid, parallel-unnest zip for the
+        # per-dimension diffs, argmin via row_number(dist, cid)
+        "kmeans_assign": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+            z AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(floor(CAST(unnest(e.embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS a,
+                     CAST(floor(CAST(unnest(c.cv) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS b
+              FROM embeddings e CROSS JOIN c),
+            d AS (
+              SELECT vec_id, cid,
+                     CAST(sum((a-b)*(a-b)) AS BIGINT) AS dist
+              FROM z GROUP BY vec_id, cid),
+            r AS (
+              SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d)
+            SELECT vec_id, cid AS centroid_id, dist AS dist_scaled
+            FROM r WHERE rn = 1
+        """,
+        "semdedup": """
+            WITH raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100),
+            inj AS (
+              SELECT vec_id, v FROM raw
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+              FROM raw),
+            c AS (SELECT vec_id AS cid, v AS cv FROM inj
+                  WHERE vec_id < 8),
+            z AS (
+              SELECT i.vec_id, c.cid,
+                     CAST(floor(unnest(i.v) * 1000000 + 0.5)
+                          AS BIGINT) AS a,
+                     CAST(floor(unnest(c.cv) * 1000000 + 0.5)
+                          AS BIGINT) AS b
+              FROM inj i CROSS JOIN c),
+            d AS (
+              SELECT vec_id, cid, sum((a-b)*(a-b)) AS dist
+              FROM z GROUP BY vec_id, cid),
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT i.vec_id, a.cid AS centroid_id
+            FROM inj i JOIN asg a USING (vec_id)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM inj j JOIN asg aj ON j.vec_id = aj.vec_id
+              WHERE aj.cid = a.cid AND j.vec_id < i.vec_id
+                AND list_cosine_similarity(i.v, j.v) >= 0.95)
         """,
         "multimodal_decode": """
             WITH m AS (

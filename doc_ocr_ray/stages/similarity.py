@@ -355,6 +355,116 @@ def label_centroids(ds, label_col: str = "label",
               .map_groups(combine, batch_format="pandas"))
 
 
+def kmeans_assign(ds, k: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding", scale: int = 1_000_000):
+    """E-step: assign every vector to its nearest centroid.  The
+    centroid set is deterministic — the rows with id < ``k`` (a
+    seed-pick that both the engine and a SQL oracle can name) —
+    gathered with one distributed filter (k rows) and broadcast via
+    ``ray.put``; a single stateless ``map_batches`` pass then computes
+    squared L2 on the integer grid (``floor(x*scale+0.5)``), so the
+    distances are exact int64 in any summation order and the argmin
+    (ties -> smallest centroid id) is bit-identical across engines.
+
+    Together with :func:`label_centroids` this is one full Lloyd's
+    iteration expressed as two streaming Ray Data passes: no vector
+    ever rides a shuffle, the only exchange is the tiny centroid
+    broadcast.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    # Arrow-side filter: empty blocks keep their schema (no estimator
+    # noise from empty object columns)
+    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                          batch_format="pyarrow").take_all()
+    cent.sort(key=lambda r: int(r[id_col]))
+    C = np.floor(_matrix([r[vec_col] for r in cent]) * scale
+                 + 0.5).astype(np.int64)
+    cids = np.array([int(r[id_col]) for r in cent], dtype=np.int64)
+    ref = ray.put((cids, C))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        cids_, C_ = ray.get(ref)
+        X = np.floor(_matrix_from_arrow(batch, vec_col) * scale
+                     + 0.5).astype(np.int64)
+        if X.size == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "centroid_id": pd.Series([], dtype="int64"),
+                                 "dist_scaled": pd.Series([], dtype="int64")})
+        d = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)        # first occurrence == smallest cid
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "centroid_id": cids_[best],
+            "dist_scaled": d[np.arange(len(best)), best],
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_prune(ds, threshold: float = 0.95, k: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup-style semantic pruning: cluster the embeddings
+    (``kmeans_assign`` seed-pick centroids), then inside each cluster
+    drop every vector that has a smaller-id neighbor with cosine >=
+    ``threshold`` (the epsilon-ball keep-first rule of Abbas et al.,
+    "SemDeDup", 2023 — pairwise similarity is only ever computed
+    WITHIN a cluster, which is the whole point of the method: the
+    O(n^2) comparison becomes k * O((n/k)^2)).
+
+    Shuffle discipline: the one exchange co-locates cluster members
+    and must carry the vectors (within-cluster pairwise cosine needs
+    them) — inherent to SemDeDup; cluster count scales with corpus
+    size so per-group work stays bounded.  Output: the surviving
+    ``(id, centroid_id)`` rows — ids only, vectors never leave the
+    group task.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                          batch_format="pyarrow").take_all()
+    cent.sort(key=lambda r: int(r[id_col]))
+    C = np.floor(_matrix([r[vec_col] for r in cent]) * 1_000_000
+                 + 0.5).astype(np.int64)
+    cids = np.array([int(r[id_col]) for r in cent], dtype=np.int64)
+    ref = ray.put((cids, C))
+
+    def assign_with_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        cids_, C_ = ray.get(ref)
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "centroid_id": pd.Series([], dtype="int64"),
+                                 vec_col: pd.Series([], dtype="object")})
+        S = np.floor(_matrix(batch[vec_col]) * 1_000_000
+                     + 0.5).astype(np.int64)
+        d = ((S[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        out = batch[[id_col, vec_col]].copy()
+        out["centroid_id"] = cids_[d.argmin(axis=1)]
+        return out
+
+    assigned = ds.map_batches(assign_with_vec, batch_format="pandas")
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[vec_col]])
+        Mn = _norm_rows(M)
+        G = Mn @ Mn.T
+        n = len(g)
+        # drop i if any j < i (id order) has cos >= threshold
+        iu = np.triu_indices(n, k=1)
+        dropped = np.zeros(n, dtype=bool)
+        hit = G[iu] >= threshold
+        np.logical_or.at(dropped, iu[1][hit], True)
+        keep = g.loc[~dropped, [id_col, "centroid_id"]]
+        return keep.reset_index(drop=True)
+
+    return assigned.groupby("centroid_id").map_groups(
+        prune, batch_format="pandas")
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,

@@ -153,3 +153,66 @@ def test_label_centroids_matches_numpy():
                ["mean_val"].to_numpy())
         assert np.array_equal(got, want)
         assert (out[out["label"] == lab]["n"] == m.sum()).all()
+
+
+def test_kmeans_assign_exact_and_composes():
+    """E-step: seed centroids assign to themselves at distance 0, and
+    the E-step output keyed into the M-step gives one full Lloyd
+    iteration without any vector riding a shuffle."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import kmeans_assign, label_centroids
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = kmeans_assign(ds, k=4).to_pandas().sort_values("vec_id")
+    assert len(out) == len(df)
+    for cid in range(4):
+        row = out[out["vec_id"] == cid].iloc[0]
+        assert row["centroid_id"] == cid and row["dist_scaled"] == 0
+    assert set(out["centroid_id"].unique()) <= set(range(4))
+    # every vector's assigned distance is the true minimum
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    d = ((S[:, None, :] - S[None, :4, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    got = out.sort_values("vec_id")["centroid_id"].to_numpy()
+    assert np.array_equal(got, want)
+    # one Lloyd iteration: relabel with the E-step output, M-step means
+    lab = dict(zip(out["vec_id"], out["centroid_id"]))
+    df2 = df.copy()
+    df2["label"] = df2["vec_id"].map(lab)
+    cent = label_centroids(
+        ray.data.from_pandas(df2[["label", "embedding"]])).to_pandas()
+    assert len(cent) == len(set(lab.values())) * X.shape[1]
+
+
+def test_semdedup_drops_injected_copies():
+    """Every perturbed copy that lands in its base's cluster is
+    pruned; all base vectors survive (no base-base pair reaches the
+    0.95 cosine threshold on random embeddings)."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import semdedup_prune
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    df = df[df["vec_id"] < 60].reset_index(drop=True)
+    df["embedding"] = df["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float64))
+    pert = df.copy()
+    pert["vec_id"] = pert["vec_id"] + 1_000_000
+    pert["embedding"] = pert["embedding"].map(lambda v: v + 0.01)
+    both = pd.concat([df, pert], ignore_index=True)
+    both["embedding"] = both["embedding"].map(list)
+    ds = ray.data.from_pandas(both).repartition(4)
+    out = semdedup_prune(ds, threshold=0.95, k=8).to_pandas()
+    ids = set(out["vec_id"])
+    assert set(range(60)) <= ids            # all bases survive
+    # a copy survives ONLY if it was assigned a different cluster
+    # than its base (boundary case) — same-cluster copies are pruned
+    by_id = dict(zip(out["vec_id"], out["centroid_id"]))
+    for b in range(60):
+        c = b + 1_000_000
+        if c in ids:
+            assert by_id[c] != by_id.get(b)
+    assert len(out) < len(both)             # something was pruned
