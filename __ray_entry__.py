@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _neardup_injected_embeddings(sf_dir)
         return similarity.semdedup_prune(emb, threshold=0.95, k=8)
 
+    def q_kmeans_fit(sf_dir):
+        # two full Lloyd rounds, grid-snapped centroids — the SQL twin
+        # chains the same E+M rounds as repeated CTEs
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.kmeans_fit(emb, k=8, iters=2)
+
     def q_curate_documents(sf_dir):
         # composed curation over the real documents table: exact dedup
         # -> token count -> length filter (SQL-checkable end to end)
@@ -667,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_exact": q_similarity_ivf_exact,
         "label_centroids": q_label_centroids,
         "kmeans_assign": q_kmeans_assign,
+        "kmeans_fit": q_kmeans_fit,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
         "dedup_clusters": q_dedup_clusters,
@@ -1048,6 +1055,64 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT vec_id, cid AS centroid_id, dist AS dist_scaled
             FROM r WHERE rn = 1
+        """,
+        # two Lloyd rounds as chained CTEs: E-step (integer-grid
+        # argmin) then M-step (grid-snapped means), twice; round 2
+        # re-scales the snapped means exactly like the engine
+        "kmeans_fit": """
+            WITH c0 AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8),
+            x AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM embeddings),
+            z1 AS (
+              SELECT e.vec_id, c0.cid,
+                     CAST(floor(CAST(unnest(e.embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS a,
+                     CAST(floor(unnest(c0.cv) * 1000000 + 0.5)
+                          AS BIGINT) AS b
+              FROM embeddings e CROSS JOIN c0),
+            d1 AS (
+              SELECT vec_id, cid,
+                     CAST(sum((a-b)*(a-b)) AS BIGINT) AS dist
+              FROM z1 GROUP BY vec_id, cid),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d1) WHERE rn = 1),
+            m1 AS (
+              SELECT a1.cid AS label, x.dim,
+                     floor(10000 * (CAST(sum(sv) AS DOUBLE)
+                                    / (1000000.0 * count(*)))) / 10000
+                         AS mv
+              FROM x JOIN a1 USING (vec_id) GROUP BY a1.cid, x.dim),
+            c1 AS (
+              SELECT label AS cid, dim,
+                     CAST(floor(mv * 1000000 + 0.5) AS BIGINT) AS b
+              FROM m1),
+            d2 AS (
+              SELECT x.vec_id, c1.cid,
+                     CAST(sum((x.sv - c1.b) * (x.sv - c1.b))
+                          AS BIGINT) AS dist
+              FROM x JOIN c1 ON x.dim = c1.dim
+              GROUP BY x.vec_id, c1.cid),
+            a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d2) WHERE rn = 1)
+            SELECT a2.cid AS label, x.dim,
+                   floor(10000 * (CAST(sum(sv) AS DOUBLE)
+                                  / (1000000.0 * count(*)))) / 10000
+                       AS mean_val,
+                   count(*) AS n
+            FROM x JOIN a2 USING (vec_id) GROUP BY a2.cid, x.dim
         """,
         "semdedup": """
             WITH raw AS (

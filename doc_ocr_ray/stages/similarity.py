@@ -465,6 +465,89 @@ def semdedup_prune(ds, threshold: float = 0.95, k: int = 8,
         prune, batch_format="pandas")
 
 
+def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 1_000_000,
+               grid: int = 10_000):
+    """Full distributed Lloyd's k-means: ``iters`` rounds, each ONE
+    fused streaming pass (assign to the broadcast centroids + emit
+    per-batch per-cluster integer partial sums), followed by a
+    driver-side combine of the partials — bounded at ``n_blocks x k x
+    dim`` tiny rows, the same shape as ``knn_brute``'s partial merge,
+    never the corpus.  The input is materialized once (consumed every
+    round); centroids are snapped to the ``1/grid`` float grid after
+    every M-step, so the whole trajectory is integer-deterministic and
+    a single-process numpy replay reproduces it bit for bit (see
+    tests/test_ivf_clusters.py) — and a SQL twin can chain the same
+    E+M rounds as repeated CTEs.
+
+    Initial centroids: the seed-pick rows with id < ``k`` (same rule
+    as :func:`kmeans_assign`).  Empty clusters keep their previous
+    centroid.  Returns (label, dim, mean_val, n) for the final
+    centroids — same shape as :func:`label_centroids`.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()          # consumed once per iteration
+    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                          batch_format="pyarrow").take_all()
+    cent.sort(key=lambda r: int(r[id_col]))
+    C = _matrix([r[vec_col] for r in cent])       # float64 (k, dim)
+    k_eff, dim = C.shape
+    counts = np.zeros(k_eff, dtype=np.int64)
+
+    for _ in range(iters):
+        Cs = np.floor(C * scale + 0.5).astype(np.int64)
+        ref = ray.put(Cs)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            Cs_ = ray.get(ref)
+            X = _matrix_from_arrow(batch, vec_col)
+            if X.size == 0:
+                return pd.DataFrame({
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "sum_scaled": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            S = np.floor(X * scale + 0.5).astype(np.int64)
+            d = ((S[:, None, :] - Cs_[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            out_l, out_d, out_s, out_n = [], [], [], []
+            for c in np.unique(lab):
+                m = lab == c
+                out_l.append(np.full(S.shape[1], c, dtype=np.int64))
+                out_d.append(np.arange(S.shape[1], dtype=np.int64))
+                out_s.append(S[m].sum(axis=0))
+                out_n.append(np.full(S.shape[1], int(m.sum()),
+                                     dtype=np.int64))
+            return pd.DataFrame({"label": np.concatenate(out_l),
+                                 "dim": np.concatenate(out_d),
+                                 "sum_scaled": np.concatenate(out_s),
+                                 "n": np.concatenate(out_n)})
+
+        parts = ds.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+        agg = (parts.groupby(["label", "dim"], sort=True)
+                    [["sum_scaled", "n"]].sum().reset_index())
+        counts = np.zeros(k_eff, dtype=np.int64)
+        for c, sub in agg.groupby("label"):
+            n = int(sub["n"].iloc[0])
+            counts[c] = n
+            mean = np.floor(grid * (
+                sub.sort_values("dim")["sum_scaled"].to_numpy(np.float64)
+                / (float(scale) * n))) / grid
+            C[c] = mean
+
+    out_l = np.repeat(np.arange(k_eff, dtype=np.int64), dim)
+    return pa.table({
+        "label": pa.array(out_l, pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k_eff),
+                        pa.int64()),
+        "mean_val": pa.array(C.ravel(), pa.float64()),
+        "n": pa.array(np.repeat(counts, dim), pa.int64()),
+    })
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,

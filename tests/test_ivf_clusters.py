@@ -216,3 +216,38 @@ def test_semdedup_drops_injected_copies():
         if c in ids:
             assert by_id[c] != by_id.get(b)
     assert len(out) < len(both)             # something was pruned
+
+
+def test_kmeans_fit_matches_numpy_replay():
+    """The distributed 5-round Lloyd loop reproduces a single-process
+    numpy replay bit for bit: integer-grid distances + grid-snapped
+    means make the trajectory independent of batching/parallelism."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import kmeans_fit
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = kmeans_fit(ray.data.from_pandas(df).repartition(6),
+                     k=4, iters=5).to_pandas()
+
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    order = np.argsort(df["vec_id"].to_numpy())
+    X = X[order]
+    C = X[:4].copy()
+    counts = np.zeros(4, dtype=np.int64)
+    S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    for _ in range(5):
+        Cs = np.floor(C * 1_000_000 + 0.5).astype(np.int64)
+        d = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        counts = np.zeros(4, dtype=np.int64)
+        for c in range(4):
+            m = lab == c
+            if m.any():
+                counts[c] = m.sum()
+                C[c] = np.floor(10_000 * (S[m].sum(axis=0).astype(np.float64)
+                                          / (1_000_000.0 * m.sum()))) / 10_000
+    got = out.sort_values(["label", "dim"])
+    assert np.array_equal(got["mean_val"].to_numpy(), C.ravel())
+    assert np.array_equal(
+        got.groupby("label")["n"].first().to_numpy(), counts)
