@@ -567,6 +567,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_select_top_quality(sf_dir):
+        # FineWeb-style "keep the best 30%": histogram quantile over
+        # the bounded integer score grid, then a stateless filter —
+        # no global sort
+        return text_analysis.select_top_quality(
+            _read(sf_dir, "documents", ["doc_id", "text"]), frac=0.3)
+
+    def q_mix_plan(sf_dir):
+        return text_analysis.mix_plan(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+            weights=_MIX_WEIGHTS, budget_tokens=_MIX_BUDGET)
+
     def q_export_shards(sf_dir):
         from doc_ocr_ray.pipelines.curate import export_shards
         return export_shards(
@@ -703,6 +715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
+        "select_top_quality": q_select_top_quality,
+        "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
         "props_k_histogram": q_props_k_histogram,
@@ -756,6 +770,11 @@ jac AS (
   FROM inter JOIN sizes sa ON sa.doc_id = doc_a
              JOIN sizes sb ON sb.doc_id = doc_b)
 """
+
+# data-mixing plan inputs, shared by q_mix_plan and its SQL twin
+_MIX_WEIGHTS = {f"src{i}": (i % 5) * 25 for i in range(20)}
+_MIX_BUDGET = 10_000_000
+
 
 # edge-strip via RE2 \s (NOT trim(): DuckDB trim strips only spaces,
 # while the engine strips the full ASCII class [\t\n\f\r ] == RE2 \s)
@@ -877,6 +896,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM c
+        """,
+        # k-th-largest-score threshold == the engine's histogram
+        # quantile; ties at the threshold all kept in both engines
+        "select_top_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(floor(10000 * len(list_filter(
+                            regexp_split_to_array(lower({_STRIP}), '\\s+'),
+                            t -> t IN {_STOP_EN}))
+                          / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
+                         AS score
+              FROM documents)
+            SELECT doc_id, score FROM s
+            WHERE score >= (
+              SELECT min(score) FROM (
+                SELECT score FROM s ORDER BY score DESC
+                LIMIT (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT)
+                       FROM s)))
+        """,
+        "mix_plan": f"""
+            WITH w(source, weight_milli) AS (VALUES {', '.join(
+                f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+            t AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source)
+            SELECT t.source, t.n_docs, t.n_tokens,
+                   CAST(coalesce(w.weight_milli, 0) AS BIGINT)
+                       AS weight_milli,
+                   CAST({_MIX_BUDGET} * coalesce(w.weight_milli, 0)
+                        // 1000 AS BIGINT) AS target_tokens,
+                   CASE WHEN coalesce(w.weight_milli, 0) > 0
+                             AND t.n_tokens > 0
+                        THEN CAST(({_MIX_BUDGET} * w.weight_milli
+                                   + 1000 * t.n_tokens - 1)
+                                  // (1000 * t.n_tokens) AS BIGINT)
+                        ELSE 0 END AS epochs
+            FROM t LEFT JOIN w USING (source)
         """,
         "fingerprint_md5": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents

@@ -441,3 +441,104 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 5,
                                         batch_format="pandas")
             .groupby("part").map_groups(topk_doc_part,
                                         batch_format="pandas"))
+
+
+def _stopword_score(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, score) where score = floor(10000 * en-stopword-ratio)
+    — an INTEGER on a bounded 0..10000 grid, which is what makes the
+    histogram quantile in :func:`select_top_quality` exact."""
+    text = batch["text"].fillna("")
+    toks = _tokens(text)
+    denom = toks.str.len().astype("int64").clip(lower=1)
+    stop_en = toks.map(
+        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS["en"]))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "score": np.floor(10000 * stop_en / denom).astype("int64"),
+    })
+
+
+def select_top_quality(ds, frac: float = 0.3):
+    """Keep the globally top ``frac`` of documents by quality score
+    WITHOUT a global sort — the FineWeb/C4 "keep the best X%" step as
+    a two-pass histogram quantile:
+
+    1. per-batch score histogram partials (score grid is 0..10000, so
+       a partial is <=10001 tiny rows) combined on the driver —
+       bounded like ``knn_brute``'s partial merge, never corpus-sized;
+       the threshold is the k-th largest score, k = ceil(frac * N);
+    2. a stateless filter pass keeps score >= threshold.
+
+    Ties at the threshold are all kept (count may exceed k — standard
+    quantile-filter semantics, deterministic in both engines).  A
+    ``ds.sort`` would be an all-to-all exchange of the whole corpus;
+    this moves only histograms.
+    """
+    import math
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        s = _stopword_score(batch)["score"]
+        vc = s.value_counts()
+        return pd.DataFrame({"score": vc.index.astype("int64"),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    agg = parts.groupby("score")["cnt"].sum().sort_index(ascending=False)
+    total = int(agg.sum())
+    if total == 0:
+        return ds.map_batches(_stopword_score, batch_format="pandas")
+    k = math.ceil(frac * total)
+    cum = agg.cumsum()
+    thr = int(cum.index[np.searchsorted(cum.to_numpy(), k)])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        s = _stopword_score(batch)
+        return typed_if_empty(s[s["score"] >= thr].reset_index(drop=True))
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def mix_plan(ds, weights: Dict[str, int], budget_tokens: int,
+             group_col: str = "source"):
+    """Data-mixing plan (Pile / Dolma style): per-source token totals
+    and the repetition epochs needed to hit ``budget_tokens`` at the
+    given mixture ``weights`` (milli-units).  All-integer arithmetic:
+    target = budget * w_milli // 1000 (floor), epochs =
+    ceil_div(budget * w_milli, 1000 * src_tokens) — bit-identical in
+    the SQL twin, no float epsilon anywhere.
+
+    Shape: per-batch partial (source, n_docs, n_tokens) combiner (the
+    exchange carries one row per source per block), one tiny groupby
+    to combine — the shared-nothing aggregation shape that holds at
+    any corpus size.  Sources missing from ``weights`` get weight 0
+    (epochs 0 — excluded from the mix).
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"].fillna(""))
+        n = toks.str.len().astype("int64")
+        g = (pd.DataFrame({group_col: batch[group_col], "n_tokens": n})
+             .groupby(group_col, sort=False)["n_tokens"]
+             .agg(["size", "sum"]).reset_index())
+        return pd.DataFrame({group_col: g[group_col],
+                             "n_docs": g["size"].astype("int64"),
+                             "n_tokens": g["sum"].astype("int64")})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        src = group[group_col].iloc[0]
+        docs = int(group["n_docs"].sum())
+        toks = int(group["n_tokens"].sum())
+        w = int(weights.get(src, 0))
+        target = budget_tokens * w // 1000
+        num, den = budget_tokens * w, 1000 * max(toks, 1)
+        epochs = (num + den - 1) // den if w > 0 and toks > 0 else 0
+        return pd.DataFrame({group_col: [src],
+                             "n_docs": pd.array([docs], dtype="int64"),
+                             "n_tokens": pd.array([toks], dtype="int64"),
+                             "weight_milli": pd.array([w], dtype="int64"),
+                             "target_tokens": pd.array([target],
+                                                       dtype="int64"),
+                             "epochs": pd.array([epochs], dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby(group_col).map_groups(combine,
+                                             batch_format="pandas"))

@@ -593,3 +593,45 @@ def test_quality_classifier_actor_pool_scoring(ray_session):
     assert good["logit_milli"].nunique() == 1        # deterministic
     assert (good["logit_milli"] > spam["logit_milli"].max()).all()
     assert good["keep"].all() and not spam["keep"].any()
+
+
+def test_select_top_quality_histogram_quantile(ray_session):
+    """Threshold == k-th largest score; everything at or above it is
+    kept (ties included), nothing below survives."""
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import (select_top_quality,
+                                                  _stopword_score)
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = select_top_quality(
+        ray.data.from_pandas(docs).repartition(5), frac=0.25).to_pandas()
+    scores = _stopword_score(docs)["score"].sort_values(ascending=False)
+    k = math.ceil(0.25 * len(docs))
+    thr = int(scores.iloc[k - 1])
+    want = set(docs.loc[_stopword_score(docs)["score"] >= thr, "doc_id"])
+    assert set(out["doc_id"]) == want
+    assert len(out) >= k                      # ties only ever add rows
+    assert (out["score"] >= thr).all()
+
+
+def test_mix_plan_integer_epochs(ray_session):
+    """Epoch counts are exact ceil-division; zero-weight sources get 0
+    epochs; epochs * n_tokens always covers the source target."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import mix_plan
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype="int64"),
+        "source": ["a"] * 30 + ["b"] * 20 + ["c"] * 10,
+        "text": ["one two three four five"] * 60,     # 5 tokens each
+    })
+    out = mix_plan(ray.data.from_pandas(docs).repartition(4),
+                   weights={"a": 500, "b": 0}, budget_tokens=1000)
+    df = out.to_pandas().set_index("source")
+    assert df.loc["a", "n_tokens"] == 150 and df.loc["a", "n_docs"] == 30
+    # target 1000*500//1000 = 500; epochs = ceil(500/150) = 4
+    assert df.loc["a", "target_tokens"] == 500
+    assert df.loc["a", "epochs"] == 4
+    assert df.loc["a", "epochs"] * df.loc["a", "n_tokens"] >= 500
+    assert df.loc["b", "epochs"] == 0 and df.loc["b", "target_tokens"] == 0
+    assert df.loc["c", "weight_milli"] == 0 and df.loc["c", "epochs"] == 0
