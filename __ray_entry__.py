@@ -925,11 +925,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.source, t.n_docs, t.n_tokens,
                    CAST(coalesce(w.weight_milli, 0) AS BIGINT)
                        AS weight_milli,
-                   CAST({_MIX_BUDGET} * coalesce(w.weight_milli, 0)
+                   CAST(CAST({_MIX_BUDGET} AS BIGINT)
+                        * coalesce(w.weight_milli, 0)
                         // 1000 AS BIGINT) AS target_tokens,
                    CASE WHEN coalesce(w.weight_milli, 0) > 0
                              AND t.n_tokens > 0
-                        THEN CAST(({_MIX_BUDGET} * w.weight_milli
+                        THEN CAST((CAST({_MIX_BUDGET} AS BIGINT)
+                                   * w.weight_milli
                                    + 1000 * t.n_tokens - 1)
                                   // (1000 * t.n_tokens) AS BIGINT)
                         ELSE 0 END AS epochs

@@ -155,6 +155,11 @@ def run_benchmarks() -> dict:
           lambda: qs["quality_classifier"](SF_DIR).count())
     timed("pack_sequences", lambda: qs["pack_sequences"](SF_DIR).count())
     timed("per_source_cap", lambda: qs["per_source_cap"](SF_DIR).count())
+    timed("kmeans_fit", lambda: qs["kmeans_fit"](SF_DIR).num_rows)
+    timed("semdedup", lambda: qs["semdedup"](SF_DIR).count())
+    timed("select_top_quality",
+          lambda: qs["select_top_quality"](SF_DIR).count())
+    timed("mix_plan", lambda: qs["mix_plan"](SF_DIR).count())
     timed("export_shards", lambda: qs["export_shards"](SF_DIR).count())
     timed("curate_training_set",
           lambda: qs["curate_training_set"](SF_DIR).count())

@@ -355,6 +355,24 @@ def label_centroids(ds, label_col: str = "label",
               .map_groups(combine, batch_format="pandas"))
 
 
+def _seed_centroids(ds, k: int, id_col: str, vec_col: str):
+    """Gather the deterministic seed-pick centroids (rows with id <
+    ``k``) with one distributed Arrow-side filter (empty blocks keep
+    their schema — no estimator noise from empty object columns) and
+    return ``(cids, C)``: real ids ascending + float64 (k_eff, dim).
+    """
+    import pyarrow.compute as pc
+
+    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                          batch_format="pyarrow").take_all()
+    if not cent:
+        raise ValueError(
+            f"no seed centroids: no rows with {id_col} < {k}")
+    cent.sort(key=lambda r: int(r[id_col]))
+    return (np.array([int(r[id_col]) for r in cent], dtype=np.int64),
+            _matrix([r[vec_col] for r in cent]))
+
+
 def kmeans_assign(ds, k: int = 8, id_col: str = "vec_id",
                   vec_col: str = "embedding", scale: int = 1_000_000):
     """E-step: assign every vector to its nearest centroid.  The
@@ -372,16 +390,9 @@ def kmeans_assign(ds, k: int = 8, id_col: str = "vec_id",
     broadcast.
     """
     import ray
-    import pyarrow.compute as pc
 
-    # Arrow-side filter: empty blocks keep their schema (no estimator
-    # noise from empty object columns)
-    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
-                          batch_format="pyarrow").take_all()
-    cent.sort(key=lambda r: int(r[id_col]))
-    C = np.floor(_matrix([r[vec_col] for r in cent]) * scale
-                 + 0.5).astype(np.int64)
-    cids = np.array([int(r[id_col]) for r in cent], dtype=np.int64)
+    cids, Cf = _seed_centroids(ds, k, id_col, vec_col)
+    C = np.floor(Cf * scale + 0.5).astype(np.int64)
     ref = ray.put((cids, C))
 
     def assign(batch: pa.Table) -> pd.DataFrame:
@@ -404,7 +415,8 @@ def kmeans_assign(ds, k: int = 8, id_col: str = "vec_id",
 
 
 def semdedup_prune(ds, threshold: float = 0.95, k: int = 8,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000):
     """SemDeDup-style semantic pruning: cluster the embeddings
     (``kmeans_assign`` seed-pick centroids), then inside each cluster
     drop every vector that has a smaller-id neighbor with cosine >=
@@ -421,23 +433,21 @@ def semdedup_prune(ds, threshold: float = 0.95, k: int = 8,
     group task.
     """
     import ray
-    import pyarrow.compute as pc
 
-    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
-                          batch_format="pyarrow").take_all()
-    cent.sort(key=lambda r: int(r[id_col]))
-    C = np.floor(_matrix([r[vec_col] for r in cent]) * 1_000_000
-                 + 0.5).astype(np.int64)
-    cids = np.array([int(r[id_col]) for r in cent], dtype=np.int64)
+    cids, Cf = _seed_centroids(ds, k, id_col, vec_col)
+    C = np.floor(Cf * scale + 0.5).astype(np.int64)
     ref = ray.put((cids, C))
 
     def assign_with_vec(batch: pd.DataFrame) -> pd.DataFrame:
         cids_, C_ = ray.get(ref)
         if len(batch) == 0:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "centroid_id": pd.Series([], dtype="int64"),
-                                 vec_col: pd.Series([], dtype="object")})
-        S = np.floor(_matrix(batch[vec_col]) * 1_000_000
+            # typed empty: an object-dtype vector column would trip
+            # Ray's block-size estimator / schema unification
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                vec_col: pa.array([], pa.list_(pa.float64())),
+                "centroid_id": pa.array([], pa.int64())})
+        S = np.floor(_matrix(batch[vec_col]) * scale
                      + 0.5).astype(np.int64)
         d = ((S[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
         out = batch[[id_col, vec_col]].copy()
@@ -481,20 +491,21 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     E+M rounds as repeated CTEs.
 
     Initial centroids: the seed-pick rows with id < ``k`` (same rule
-    as :func:`kmeans_assign`).  Empty clusters keep their previous
-    centroid.  Returns (label, dim, mean_val, n) for the final
+    as :func:`kmeans_assign`); cluster labels are the REAL seed ids.
+    A cluster that receives no members is DROPPED for the remaining
+    rounds (the drop-empty-clusters Lloyd variant) — this is exactly
+    what the chained-CTE SQL twin computes (an empty cluster simply
+    has no mean row to feed the next round), so engine and oracle
+    agree on every input, not just ones where no cluster empties.
+    Returns (label, dim, mean_val, n) for the surviving final
     centroids — same shape as :func:`label_centroids`.
     """
     import ray
-    import pyarrow.compute as pc
 
     ds = ds.materialize()          # consumed once per iteration
-    cent = ds.map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
-                          batch_format="pyarrow").take_all()
-    cent.sort(key=lambda r: int(r[id_col]))
-    C = _matrix([r[vec_col] for r in cent])       # float64 (k, dim)
-    k_eff, dim = C.shape
-    counts = np.zeros(k_eff, dtype=np.int64)
+    cids, C = _seed_centroids(ds, k, id_col, vec_col)
+    dim = C.shape[1]
+    counts = np.zeros(len(cids), dtype=np.int64)
 
     for _ in range(iters):
         Cs = np.floor(C * scale + 0.5).astype(np.int64)
@@ -511,7 +522,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
                     "n": pd.Series([], dtype="int64")})
             S = np.floor(X * scale + 0.5).astype(np.int64)
             d = ((S[:, None, :] - Cs_[None, :, :]) ** 2).sum(axis=2)
-            lab = d.argmin(axis=1)
+            lab = d.argmin(axis=1)         # position in current Cs
             out_l, out_d, out_s, out_n = [], [], [], []
             for c in np.unique(lab):
                 m = lab == c
@@ -529,18 +540,21 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
                                batch_format="pyarrow").to_pandas()
         agg = (parts.groupby(["label", "dim"], sort=True)
                     [["sum_scaled", "n"]].sum().reset_index())
-        counts = np.zeros(k_eff, dtype=np.int64)
-        for c, sub in agg.groupby("label"):
+        present = np.array(sorted(agg["label"].unique()), dtype=np.int64)
+        new_C = np.empty((len(present), dim), dtype=np.float64)
+        counts = np.zeros(len(present), dtype=np.int64)
+        for i, c in enumerate(present):
+            sub = agg[agg["label"] == c].sort_values("dim")
             n = int(sub["n"].iloc[0])
-            counts[c] = n
-            mean = np.floor(grid * (
-                sub.sort_values("dim")["sum_scaled"].to_numpy(np.float64)
+            counts[i] = n
+            new_C[i] = np.floor(grid * (
+                sub["sum_scaled"].to_numpy(np.float64)
                 / (float(scale) * n))) / grid
-            C[c] = mean
+        C, cids = new_C, cids[present]     # empty clusters drop out
 
-    out_l = np.repeat(np.arange(k_eff, dtype=np.int64), dim)
+    k_eff = len(cids)
     return pa.table({
-        "label": pa.array(out_l, pa.int64()),
+        "label": pa.array(np.repeat(cids, dim), pa.int64()),
         "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k_eff),
                         pa.int64()),
         "mean_val": pa.array(C.ravel(), pa.float64()),

@@ -75,6 +75,15 @@ def bpe_token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _en_stopword_parts(toks: pd.Series):
+    """(stopword counts, clipped token denominator) — the shared
+    numerator/denominator convention behind every en-stopword ratio
+    (quality_score_batch, select_top_quality's score grid)."""
+    stop_en = toks.map(
+        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS["en"]))
+    return stop_en, toks.str.len().astype("int64").clip(lower=1)
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality signals.
 
@@ -85,9 +94,8 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_tokens = toks.str.len().astype("int64")
     n_chars = text.str.len().astype("int64")
     n_punct = text.str.count(_PUNCT).astype("int64")
-    stop_en = toks.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS["en"]))
+    stop_en, denom_t = _en_stopword_parts(toks)
     nonspace = text.str.replace(_WS, "", regex=True).str.len().astype("int64")
-    denom_t = n_tokens.clip(lower=1)
     denom_c = n_chars.clip(lower=1)
     # floor-truncate to 4 decimals with the same operation order as the
     # SQL oracle (floor(10000*num/den)/10000): floor is identical
@@ -447,11 +455,7 @@ def _stopword_score(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, score) where score = floor(10000 * en-stopword-ratio)
     — an INTEGER on a bounded 0..10000 grid, which is what makes the
     histogram quantile in :func:`select_top_quality` exact."""
-    text = batch["text"].fillna("")
-    toks = _tokens(text)
-    denom = toks.str.len().astype("int64").clip(lower=1)
-    stop_en = toks.map(
-        lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS["en"]))
+    stop_en, denom = _en_stopword_parts(_tokens(batch["text"].fillna("")))
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "score": np.floor(10000 * stop_en / denom).astype("int64"),
@@ -475,6 +479,13 @@ def select_top_quality(ds, frac: float = 0.3):
     this moves only histograms.
     """
     import math
+
+    if frac <= 0:
+        def none_kept(batch: pd.DataFrame):
+            return typed_if_empty(_stopword_score(batch).iloc[0:0])
+        return ds.map_batches(none_kept, batch_format="pandas")
+    if frac >= 1:
+        return ds.map_batches(_stopword_score, batch_format="pandas")
 
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
         s = _stopword_score(batch)["score"]
@@ -529,7 +540,7 @@ def mix_plan(ds, weights: Dict[str, int], budget_tokens: int,
         toks = int(group["n_tokens"].sum())
         w = int(weights.get(src, 0))
         target = budget_tokens * w // 1000
-        num, den = budget_tokens * w, 1000 * max(toks, 1)
+        num, den = budget_tokens * w, 1000 * toks
         epochs = (num + den - 1) // den if w > 0 and toks > 0 else 0
         return pd.DataFrame({group_col: [src],
                              "n_docs": pd.array([docs], dtype="int64"),

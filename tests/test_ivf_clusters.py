@@ -234,20 +234,44 @@ def test_kmeans_fit_matches_numpy_replay():
     order = np.argsort(df["vec_id"].to_numpy())
     X = X[order]
     C = X[:4].copy()
+    cids = np.arange(4, dtype=np.int64)
     counts = np.zeros(4, dtype=np.int64)
     S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
     for _ in range(5):
         Cs = np.floor(C * 1_000_000 + 0.5).astype(np.int64)
         d = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
         lab = d.argmin(axis=1)
-        counts = np.zeros(4, dtype=np.int64)
-        for c in range(4):
+        present = np.unique(lab)            # drop-empty-clusters Lloyd
+        new_C = np.empty((len(present), X.shape[1]))
+        counts = np.zeros(len(present), dtype=np.int64)
+        for i, c in enumerate(present):
             m = lab == c
-            if m.any():
-                counts[c] = m.sum()
-                C[c] = np.floor(10_000 * (S[m].sum(axis=0).astype(np.float64)
+            counts[i] = m.sum()
+            new_C[i] = np.floor(10_000 * (S[m].sum(axis=0).astype(np.float64)
                                           / (1_000_000.0 * m.sum()))) / 10_000
+        C, cids = new_C, cids[present]
     got = out.sort_values(["label", "dim"])
+    assert np.array_equal(got["label"].unique(), cids)
     assert np.array_equal(got["mean_val"].to_numpy(), C.ravel())
     assert np.array_equal(
         got.groupby("label")["n"].first().to_numpy(), counts)
+
+
+def test_kmeans_fit_drops_empty_cluster():
+    """A duplicate seed vector ties every point to the smaller cid, so
+    the larger-cid cluster empties in round 1 and is dropped — the
+    drop-empty-clusters semantics the SQL twin computes."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import kmeans_fit
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(12, 8))
+    X[1] = X[0]                       # seed 1 duplicates seed 0
+    df = pd.DataFrame({"vec_id": np.arange(12, dtype="int64"),
+                       "embedding": [list(map(float, v)) for v in X]})
+    out = kmeans_fit(ray.data.from_pandas(df).repartition(3),
+                     k=3, iters=2).to_pandas()
+    labels = set(out["label"].unique())
+    assert 1 not in labels            # duplicate-seed cluster dropped
+    assert labels <= {0, 2} and len(out) == len(labels) * 8
+    assert (out["n"] > 0).all()
