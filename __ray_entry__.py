@@ -276,6 +276,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.kmeans_fit(emb, k=8, iters=2)
 
+    def q_curate_semantic(sf_dir):
+        # two-table curation: quality gate on documents x SemDeDup
+        # survivors of embeddings, intersected via the native hash
+        # shuffle join (doc_id = vec_id, 1:1 in the testdata)
+        from doc_ocr_ray.pipelines.curate import curate_semantic
+        return curate_semantic(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            quality_min=1000, sim_threshold=0.3, k=8,
+            num_partitions=8)
+
     def q_curate_documents(sf_dir):
         # composed curation over the real documents table: exact dedup
         # -> token count -> length filter (SQL-checkable end to end)
@@ -574,6 +585,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.select_top_quality(
             _read(sf_dir, "documents", ["doc_id", "text"]), frac=0.3)
 
+    def q_quantiles_by_source(sf_dir):
+        # per-source exact token-count quantiles from histogram
+        # partials — only value counts ride the one tiny groupby
+        return text_analysis.quantiles_by_source(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
     def q_mix_plan(sf_dir):
         return text_analysis.mix_plan(
             _read(sf_dir, "documents", ["doc_id", "text", "source"]),
@@ -688,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans_fit,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
+        "curate_semantic": q_curate_semantic,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "curate_training_set": q_curate_training_set,
@@ -716,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
         "select_top_quality": q_select_top_quality,
+        "quantiles_by_source": q_quantiles_by_source,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -915,6 +934,27 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT)
                        FROM s)))
         """,
+        # value at 1-based sorted position (q_milli*n + 999)//1000 ==
+        # the engine's integer rank rule; row_number makes the pick
+        # unique even under ties
+        "quantiles_by_source": f"""
+            WITH t AS (
+              SELECT source, {_NTOK} AS v FROM documents),
+            r AS (
+              SELECT source, v,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM t)
+            SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(max(CASE WHEN rn = (250*n + 999)//1000
+                            THEN v END) AS BIGINT) AS p250,
+                   CAST(max(CASE WHEN rn = (500*n + 999)//1000
+                            THEN v END) AS BIGINT) AS p500,
+                   CAST(max(CASE WHEN rn = (750*n + 999)//1000
+                            THEN v END) AS BIGINT) AS p750
+            FROM r GROUP BY source
+        """,
         "mix_plan": f"""
             WITH w(source, weight_milli) AS (VALUES {', '.join(
                 f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
@@ -1003,6 +1043,50 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY {_NORM})
             SELECT doc_id, {_NTOK} AS n_tokens, length(text) AS n_chars
             FROM dd WHERE {_NTOK} >= 10
+        """,
+        # two-table curation: stopword-score gate (integer 0..10000
+        # grid, same CTE as select_top_quality) x SemDeDup survivors
+        # of the REAL embeddings table (same integer-grid assignment +
+        # epsilon-ball keep-first as the semdedup oracle), intersected
+        # on doc_id = vec_id
+        "curate_semantic": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(floor(10000 * len(list_filter(
+                            regexp_split_to_array(lower({_STRIP}), '\\s+'),
+                            t -> t IN {_STOP_EN}))
+                          / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
+                         AS score
+              FROM documents),
+            kept AS (SELECT doc_id, score FROM s WHERE score >= 1000),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            z AS (
+              SELECT i.vec_id, c.cid,
+                     CAST(floor(unnest(i.v) * 1000000 + 0.5)
+                          AS BIGINT) AS a,
+                     CAST(floor(unnest(c.cv) * 1000000 + 0.5)
+                          AS BIGINT) AS b
+              FROM e i CROSS JOIN c),
+            d AS (
+              SELECT vec_id, cid, sum((a-b)*(a-b)) AS dist
+              FROM z GROUP BY vec_id, cid),
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d) WHERE rn = 1),
+            surv AS (
+              SELECT i.vec_id, a.cid AS centroid_id
+              FROM e i JOIN asg a USING (vec_id)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e j JOIN asg aj ON j.vec_id = aj.vec_id
+                WHERE aj.cid = a.cid AND j.vec_id < i.vec_id
+                  AND list_cosine_similarity(i.v, j.v) >= 0.3))
+            SELECT k.doc_id, k.score, surv.centroid_id
+            FROM kept k JOIN surv ON surv.vec_id = k.doc_id
         """,
         "render_markdown": f"""
             WITH spans AS (SELECT * FROM read_parquet('{spans_path}')),

@@ -159,6 +159,9 @@ def run_benchmarks() -> dict:
     timed("semdedup", lambda: qs["semdedup"](SF_DIR).count())
     timed("select_top_quality",
           lambda: qs["select_top_quality"](SF_DIR).count())
+    timed("quantiles_by_source",
+          lambda: qs["quantiles_by_source"](SF_DIR).count())
+    timed("curate_semantic", lambda: qs["curate_semantic"](SF_DIR).count())
     timed("mix_plan", lambda: qs["mix_plan"](SF_DIR).count())
     timed("export_shards", lambda: qs["export_shards"](SF_DIR).count())
     timed("curate_training_set",

@@ -353,3 +353,46 @@ def pack_sequences(ds, target_tokens: int = 2048, key: str = "doc_id",
 
     return (parted.groupby("part")
             .map_groups(pack_part, batch_format="pandas"))
+
+
+def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
+                    sim_threshold: float = 0.3, k: int = 8,
+                    num_partitions: int = 32):
+    """Text-quality gate x semantic dedup across TWO tables: keep the
+    documents that (a) pass the stopword-score quality gate and (b)
+    survive SemDeDup pruning of their embeddings — the SemDeDup-paper
+    workflow (score the text, prune the embedding space, intersect).
+
+    Shape: the quality gate is a stateless ``map_batches`` filter over
+    ``documents``; the semantic side is :func:`semdedup_prune` over
+    ``embeddings`` (its output is ids only); the intersection is Ray
+    Data's NATIVE hash shuffle join on doc_id = vec_id — both sides
+    hash-partitioned, neither broadcast, so it holds when both
+    survivor sets are corpus-sized (a broadcast id-set would not).
+
+    Output: (doc_id, score, centroid_id) for the curated set.
+    """
+    from doc_ocr_ray.stages.similarity import semdedup_prune
+    from doc_ocr_ray.stages.text_analysis import _stopword_score
+
+    def quality_gate(batch: pd.DataFrame) -> pd.DataFrame:
+        s = _stopword_score(batch)
+        return typed_if_empty(
+            s[s["score"] >= quality_min].reset_index(drop=True))
+
+    kept = docs_ds.map_batches(quality_gate, batch_format="pandas")
+    survivors = semdedup_prune(emb_ds, threshold=sim_threshold, k=k)
+    joined = kept.join(survivors, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("doc_id",), right_on=("vec_id",))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "doc_id" not in batch.columns:
+            # empty hash-join partitions arrive as 0-column frames
+            return typed_if_empty(pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64"),
+                "centroid_id": pd.Series([], dtype="int64")}))
+        return batch[["doc_id", "score", "centroid_id"]]
+
+    return joined.map_batches(project, batch_format="pandas")

@@ -553,3 +553,51 @@ def mix_plan(ds, weights: Dict[str, int], budget_tokens: int,
     return (ds.map_batches(partial, batch_format="pandas")
               .groupby(group_col).map_groups(combine,
                                              batch_format="pandas"))
+
+
+def quantiles_by_source(ds, q_milli=(250, 500, 750)):
+    """Per-source EXACT token-count quantiles without a sort: each
+    batch emits a (source, n_tokens, cnt) value-count partial —
+    bounded by the token-count grid, not the row count — ONE tiny
+    groupby co-locates each source's partials, and the quantile is
+    read off the combined cumulative histogram.
+
+    Rank rule (explicit so the SQL oracle can state the identical
+    thing with ``row_number()``): the q-quantile is the value at
+    1-based sorted position ``ceil(q * n)`` computed in integer math
+    as ``(q_milli * n + 999) // 1000`` — no float ever touches the
+    rank, so even-count ties agree bit-for-bit across engines.
+
+    Scale: a ``ds.sort`` per source would shuffle the corpus; this
+    moves only per-batch histograms (the
+    :func:`select_top_quality` trick, here per group instead of
+    global).  Output: one row per source with ``n_docs`` and one
+    ``p{q_milli}`` column per requested quantile.
+    """
+    q_milli = tuple(int(q) for q in q_milli)
+    if not q_milli or not all(1 <= q <= 1000 for q in q_milli):
+        raise ValueError(f"q_milli must be within 1..1000: {q_milli!r}")
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (pd.DataFrame({
+                "source": batch["source"],
+                "n_tokens": _tokens(batch["text"]).str.len()
+                            .astype("int64")})
+              .groupby(["source", "n_tokens"], sort=False)
+              .size().reset_index(name="cnt"))
+        vc["cnt"] = vc["cnt"].astype("int64")
+        return typed_if_empty(vc)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        h = group.groupby("n_tokens")["cnt"].sum().sort_index()
+        n = int(h.sum())
+        cum = h.cumsum().to_numpy()
+        vals = h.index.to_numpy()
+        row = {"source": group["source"].iloc[0], "n_docs": n}
+        for qm in q_milli:
+            rank = (qm * n + 999) // 1000
+            row[f"p{qm}"] = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame([row])
+
+    return (ds.map_batches(hist, batch_format="pandas")
+            .groupby("source").map_groups(combine, batch_format="pandas"))

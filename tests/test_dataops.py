@@ -226,6 +226,62 @@ def test_curate_corpus_end_to_end():
     assert any(r["question_number"] > 0 for r in rows)
 
 
+def test_quantiles_by_source_exact_rank_rule():
+    """Histogram-partial quantiles match the explicit rank rule
+    ceil(q*n) on even counts and ties, independent of batching."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import quantiles_by_source
+    # src a: token counts [1,2,3,4] -> p250=1 p500=2 p750=3
+    # src b: counts [5,5,5,7]       -> p250=5 p500=5 p750=5 (ties)
+    # src c: counts [9]             -> all quantiles 9
+    def txt(n):
+        return " ".join("w" * 1 for _ in range(n))
+    docs = pd.DataFrame({
+        "doc_id": range(9),
+        "source": ["a"] * 4 + ["b"] * 4 + ["c"],
+        "text": [txt(n) for n in [1, 2, 3, 4, 5, 5, 5, 7, 9]],
+    })
+    out = (quantiles_by_source(ray.data.from_pandas(docs).repartition(4))
+           .to_pandas().set_index("source").sort_index())
+    assert out.loc["a", ["n_docs", "p250", "p500", "p750"]].tolist() \
+        == [4, 1, 2, 3]
+    assert out.loc["b", ["n_docs", "p250", "p500", "p750"]].tolist() \
+        == [4, 5, 5, 5]
+    assert out.loc["c", ["n_docs", "p250", "p500", "p750"]].tolist() \
+        == [1, 9, 9, 9]
+
+
+def test_curate_semantic_intersects_both_gates():
+    """curate_semantic keeps exactly the docs that pass the stopword
+    quality gate AND whose embedding survives SemDeDup: doc 40 fails
+    quality, vec 41 (injected near-copy of vec 40) is pruned, every
+    other id survives with the full-stopword score."""
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import curate_semantic
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb[emb["vec_id"] < 60].reset_index(drop=True)
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(emb["vec_id"], emb["embedding"])}
+    vecs[41] = vecs[40] + 0.001       # near-copy -> same cluster, pruned
+    emb["embedding"] = [list(vecs[int(i)]) for i in emb["vec_id"]]
+    stop = "the a of and to in is"    # score 10000 on the 0..10000 grid
+    docs = pd.DataFrame({
+        "doc_id": list(range(60)),
+        "text": ["zzz qqq" if i == 40 else stop for i in range(60)],
+    })
+    out = curate_semantic(ray.data.from_pandas(docs).repartition(3),
+                          ray.data.from_pandas(emb).repartition(3),
+                          quality_min=1000, sim_threshold=0.95,
+                          k=8, num_partitions=4).to_pandas()
+    ids = set(out["doc_id"])
+    assert 40 not in ids              # failed the quality gate
+    assert 41 not in ids              # pruned by SemDeDup
+    assert ids == set(range(60)) - {40, 41}
+    assert (out["score"] == 10000).all()
+    assert set(out.columns) == {"doc_id", "score", "centroid_id"}
+
+
 def test_drop_near_duplicates_shuffle_matches_broadcast():
     import ray.data
     from doc_ocr_ray.stages.dedup import minhash_dedup_pairs, drop_near_duplicates
