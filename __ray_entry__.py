@@ -59,6 +59,25 @@ def _dup_injected_docs(sf_dir: str, n_base: int = 200):
     return ray.data.from_pandas(both)
 
 
+def _multiline_docs(sf_dir: str, n_base: int = 200):
+    """Deterministic multi-line testbed for line-level dedup: doc i =
+    three lines (text_i, text_{(i+1)%200}, text_{(i*2)%200}) over the
+    doc_id < 200 base, so every base text recurs as a line of several
+    docs.  doc_id-keyed (never head()) and ids are dense 0..199 at
+    every SF, so the SQL oracle rebuilds the identical input."""
+    import ray.data
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = df[df["doc_id"] < n_base]
+    t = dict(zip(df["doc_id"].astype(int), df["text"].fillna("")))
+    rows = pd.DataFrame({
+        "doc_id": sorted(t),
+        "text": ["\n".join((t[i], t[(i + 1) % n_base],
+                            t[(i * 2) % n_base])) for i in sorted(t)],
+    })
+    return ray.data.from_pandas(rows)
+
+
 _SYNTH_SPANS_PARQUET = "/tmp/doc_ocr_ray_oracle/synth300_spans.parquet"
 
 
@@ -196,6 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf_dir):
         out = dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
         return out.select_columns(["doc_id", "text"])
+
+    def q_dedup_lines(sf_dir):
+        # C4-style duplicated-line removal over the deterministic
+        # multi-line testbed (single-line testdata would make it
+        # degenerate to exact dedup)
+        return dedup.dedup_lines(_multiline_docs(sf_dir))
 
     def q_dedup_token_multiset(sf_dir):
         out = dedup.token_multiset_dedup(
@@ -585,6 +610,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.select_top_quality(
             _read(sf_dir, "documents", ["doc_id", "text"]), frac=0.3)
 
+    def q_lm_score(sf_dir):
+        # CCNet-shaped two-pass scoring: distributed bigram-count
+        # train, broadcast model, stateless score pass
+        return text_analysis.lm_score(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_quantiles_by_source(sf_dir):
         # per-source exact token-count quantiles from histogram
         # partials — only value counts ride the one tiny groupby
@@ -691,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint,
         "winnow_fingerprint": q_winnow,
         "dedup_exact": q_dedup_exact,
+        "dedup_lines": q_dedup_lines,
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -735,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": q_per_source_cap,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
+        "lm_score": q_lm_score,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -934,6 +967,27 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT (SELECT CAST(ceil(0.3 * count(*)) AS BIGINT)
                        FROM s)))
         """,
+        # corpus char-bigram counts + per-doc mean frequency over the
+        # max count: exact integer products, ONE float division,
+        # floor — identical op order to the engine's score pass
+        "lm_score": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            bg AS (
+              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+              FROM d, LATERAL (SELECT unnest(range(1, length(t)))
+                               AS i) r),
+            cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+            s AS (
+              SELECT bg.doc_id, sum(cnt.c) AS sc, count(*) AS nb
+              FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(
+                        floor((1000 * s.sc)
+                              / (s.nb * (SELECT max(c) FROM cnt))),
+                        0) AS BIGINT) AS lm_milli
+            FROM d LEFT JOIN s USING (doc_id)
+        """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick
         # unique even under ties
@@ -983,6 +1037,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
             FROM documents GROUP BY {_NORM}
+        """,
+        # same multi-line testbed as the engine (_multiline_docs);
+        # winner = row_number 1 over (doc_id, line_no) per exact line;
+        # docs whose every line loses have no group and drop out
+        "dedup_lines": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text
+              FROM documents WHERE doc_id < 200),
+            mk AS (
+              SELECT b.doc_id,
+                     b.text || chr(10) || b1.text || chr(10) || b2.text
+                         AS text
+              FROM base b
+              JOIN base b1 ON b1.doc_id = (b.doc_id + 1) % 200
+              JOIN base b2 ON b2.doc_id = (b.doc_id * 2) % 200),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS line_no
+              FROM mk),
+            w AS (
+              SELECT doc_id, line, line_no,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM l)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM w WHERE rn = 1
+            GROUP BY doc_id
         """,
         "dedup_token_multiset": f"""
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text

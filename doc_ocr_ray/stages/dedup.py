@@ -728,3 +728,75 @@ def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
             .map_groups(resolve, batch_format="pandas")
             .groupby("part")
             .map_groups(argmax_per_cluster, batch_format="pandas"))
+
+
+# ----------------------------------------------------------- line dedup
+def dedup_lines(ds, text_col: str = "text", num_parts: int = 256):
+    """C4/Dolma-style duplicated-LINE removal across the whole corpus:
+    any exact line occurring more than once (in any document,
+    including twice in one document) keeps only its globally first
+    occurrence — smallest ``(doc_id, line_no)`` — and every other
+    occurrence is deleted from its document.  Documents are rebuilt
+    from their surviving lines in order; a document whose every line
+    loses drops out entirely (C4 §2.2's "discard three-sentence spans
+    seen before" rule, applied at line granularity).
+
+    Shape: explode to (doc_id, line_no, line) with an IN-BATCH
+    keep-first combiner, so a line repeated millions of times ships at
+    most one candidate row per batch instead of one per occurrence
+    (skew containment); ONE coarse line-keyed exchange picks the
+    global winner per line — grouped on ``hash(line) % num_parts``
+    but compared on the line STRING inside the group, so hash
+    collisions can never merge distinct lines; ONE doc-keyed exchange
+    reassembles survivors.  Line strings cross the wire once each;
+    full documents never ride a shuffle.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    def _typed_lines(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            return df
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "line_no": pd.Series([], dtype="int64"),
+            "line": pd.Series([], dtype="object"),
+            "part": pd.Series([], dtype="int64")})
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch[text_col].fillna("").str.split("\n")
+        n = lines.str.len().to_numpy()
+        if n.sum() == 0:
+            return typed_if_empty(_typed_lines(pd.DataFrame()))
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
+            "line_no": np.concatenate(
+                [np.arange(c, dtype=np.int64) for c in n]),
+            "line": [l for ls in lines for l in ls],
+        })
+        # combiner: the global first occurrence is necessarily each
+        # batch's first occurrence, so one candidate per distinct
+        # line per batch suffices
+        flat = (flat.sort_values(["line", "doc_id", "line_no"])
+                .drop_duplicates("line", keep="first"))
+        flat["part"] = coarse_part(flat["line"], num_parts)
+        return flat.reset_index(drop=True)
+
+    def winner_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["line", "doc_id", "line_no"])
+             .drop_duplicates("line", keep="first"))
+        g = g[["doc_id", "line_no", "line"]].copy()
+        g["dpart"] = coarse_part(g["doc_id"], num_parts)
+        return g.reset_index(drop=True)
+
+    def rebuild_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "line_no"])
+        agg = (g.groupby("doc_id", sort=False)["line"]
+               .agg("\n".join).reset_index())
+        agg.columns = ["doc_id", text_col]
+        return agg
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(winner_part,
+                                        batch_format="pandas")
+            .groupby("dpart").map_groups(rebuild_part,
+                                         batch_format="pandas"))

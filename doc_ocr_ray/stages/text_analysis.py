@@ -601,3 +601,90 @@ def quantiles_by_source(ds, q_milli=(250, 500, 750)):
 
     return (ds.map_batches(hist, batch_format="pandas")
             .groupby("source").map_groups(combine, batch_format="pandas"))
+
+
+def _bigram_codes(texts) -> tuple:
+    """Vectorized char-bigram extraction for a whole batch: ONE utf-32
+    encode of the sentinel-joined texts -> uint32 codepoint array ->
+    adjacent-pair uint64 codes, with pairs crossing the doc sentinel
+    masked out.  Returns (codes, doc_index) aligned per bigram.  No
+    per-row Python loop touches the characters."""
+    joined = "\x00".join(texts)
+    if len(joined) < 2:
+        return (np.array([], dtype=np.uint64),
+                np.array([], dtype=np.int64))
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    codes = (cp[:-1].astype(np.uint64) << np.uint64(32)) | cp[1:]
+    doc_idx = np.cumsum(cp == 0)[:-1].astype(np.int64)
+    valid = (cp[:-1] != 0) & (cp[1:] != 0)
+    return codes[valid], doc_idx[valid]
+
+
+def lm_score(ds, num_parts: int = 256, scale: int = 1000):
+    """CCNet-shaped corpus language-model scoring in two passes:
+    TRAIN — distributed char-bigram counting (per-batch vectorized
+    ``np.unique`` partials, ONE coarse groupby combine, result bounded
+    by the distinct-bigram vocabulary, not the corpus) — then the
+    count table is broadcast once via ``ray.put``; SCORE — a stateless
+    ``map_batches`` pass computes per-doc mean corpus-frequency of its
+    bigrams, normalized by the most frequent bigram:
+
+        lm_milli = floor(scale * sum(cnt[bg]) / (n_bigrams * cmax))
+
+    — a single float division of exact integers, so the SQL oracle
+    reproduces it bit for bit.  Docs shorter than 2 chars score 0.
+
+    Honest scope: real CCNet buckets on a KenLM 5-gram perplexity;
+    this keeps that pipeline's exact distributed shape (train pass ->
+    broadcast model -> score pass, model never reshuffled per batch)
+    with a deterministic bigram-frequency kernel standing in for the
+    LM, so a real scorer drops into the same two passes.
+    """
+    import ray
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = _bigram_codes(list(batch["text"].fillna("")))
+        u, c = np.unique(codes, return_counts=True)
+        out = pd.DataFrame({"code": u.astype("uint64"),
+                            "cnt": c.astype("int64")})
+        out["part"] = coarse_part(out["code"], num_parts)
+        return typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("code", sort=False)["cnt"].sum().reset_index()
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    vocab = (ds.map_batches(count_partial, batch_format="pandas")
+             .groupby("part").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    if len(vocab):
+        order = np.argsort(vocab["code"].to_numpy())
+        codes_sorted = vocab["code"].to_numpy()[order]
+        counts_sorted = vocab["cnt"].to_numpy()[order]
+        cmax = int(counts_sorted.max())
+    else:
+        codes_sorted = np.array([], dtype=np.uint64)
+        counts_sorted = np.array([], dtype=np.int64)
+        cmax = 1
+    model = ray.put((codes_sorted, counts_sorted, cmax))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        codes_s, counts_s, m = ray.get(model)
+        texts = list(batch["text"].fillna(""))
+        codes, doc_idx = _bigram_codes(texts)
+        sc = np.zeros(len(texts), dtype=np.int64)
+        nb = np.zeros(len(texts), dtype=np.int64)
+        if len(codes):
+            pos = np.searchsorted(codes_s, codes)
+            cnt = counts_s[pos]         # every corpus bigram is in vocab
+            np.add.at(sc, doc_idx, cnt)
+            np.add.at(nb, doc_idx, 1)
+        denom = np.maximum(nb, 1) * m
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "lm_milli": np.floor((scale * sc).astype(np.float64)
+                                 / denom).astype("int64"),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -226,6 +226,39 @@ def test_curate_corpus_end_to_end():
     assert any(r["question_number"] > 0 for r in rows)
 
 
+def test_dedup_lines_keeps_global_first_occurrence():
+    """Every duplicated line survives only at its smallest
+    (doc_id, line_no); docs rebuilt in order; fully-losing docs drop."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_lines
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["A\nB",        # both lines win
+                 "B\nC",        # B loses to (0,1); C wins at (1,1)
+                 "A\nC\nA",     # all three occurrences lose
+                 "X",           # unique line
+                 "B"],          # loses -> doc drops
+    })
+    out = (dedup_lines(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert out == {0: "A\nB", 1: "C", 3: "X"}
+
+
+def test_lm_score_hand_computed_bigram_frequencies():
+    """Corpus counts ab=3, ba=1 -> cmax=3; doc0 'abab' scores
+    floor(1000*(3+1+3)/(3*3))=777, doc1 'ab' floor(1000*3/3)=1000,
+    docs with <2 chars score 0.  Batching must not change counts."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import lm_score
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["abab", "ab", "x", None],
+    })
+    out = (lm_score(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().set_index("doc_id")["lm_milli"].to_dict())
+    assert out == {0: 777, 1: 1000, 2: 0, 3: 0}
+
+
 def test_quantiles_by_source_exact_rank_rule():
     """Histogram-partial quantiles match the explicit rank rule
     ceil(q*n) on even counts and ties, independent of batching."""
