@@ -166,6 +166,8 @@ def run_benchmarks() -> dict:
     timed("export_shards", lambda: qs["export_shards"](SF_DIR).count())
     timed("curate_training_set",
           lambda: qs["curate_training_set"](SF_DIR).count())
+    timed("dedup_lines", lambda: qs["dedup_lines"](SF_DIR).count())
+    timed("lm_score", lambda: qs["lm_score"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(
