@@ -616,6 +616,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.lm_score(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_dsir_weights(sf_dir):
+        # DSIR-shaped importance weighting: hashed-feature count pass
+        # (target=en vs raw), <=64-row weight table broadcast, score pass
+        return text_analysis.dsir_weights(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
     def q_quantiles_by_source(sf_dir):
         # per-source exact token-count quantiles from histogram
         # partials — only value counts ride the one tiny groupby
@@ -768,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -987,6 +994,37 @@ def oracle_sql() -> dict[str, str]:
                               / (s.nb * (SELECT max(c) FROM cnt))),
                         0) AS BIGINT) AS lm_milli
             FROM d LEFT JOIN s USING (doc_id)
+        """,
+        # per-bucket weight (10000*(tgt+1)) // (raw+1) — DuckDB's //
+        # states the engine's integer floor division exactly; md5[:16]
+        # % 64 is the shared bucket hash (same parity trick as
+        # distinct_tokens_kmv); docs whose normalized text is empty
+        # contribute no tokens and score 0 via the left join
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, unnest(
+                       regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                          % 64 AS BIGINT) AS bkt
+              FROM toks),
+            cnts AS (
+              SELECT bkt, count(*) AS raw_cnt,
+                     count(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+              FROM b GROUP BY bkt),
+            w AS (
+              SELECT bkt,
+                     (10000 * (tgt_cnt + 1)) // (raw_cnt + 1) AS wt
+              FROM cnts),
+            sc AS (
+              SELECT b.doc_id, CAST(sum(w.wt) AS BIGINT) AS s,
+                     count(*) AS nt
+              FROM b JOIN w USING (bkt) GROUP BY b.doc_id)
+            SELECT d.doc_id, coalesce(sc.nt, 0) AS n_tokens,
+                   coalesce(sc.s, 0) AS dsir_weight
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick

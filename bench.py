@@ -168,6 +168,7 @@ def run_benchmarks() -> dict:
           lambda: qs["curate_training_set"](SF_DIR).count())
     timed("dedup_lines", lambda: qs["dedup_lines"](SF_DIR).count())
     timed("lm_score", lambda: qs["lm_score"](SF_DIR).count())
+    timed("dsir_weights", lambda: qs["dsir_weights"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -688,3 +688,114 @@ def lm_score(ds, num_parts: int = 256, scale: int = 1000):
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _hashed_bucket_counts(texts, num_buckets: int):
+    """Per-batch hashed-token feature counts: normalize (lower,
+    edge-strip, collapse to single spaces — the ``_NORM`` contract the
+    SQL oracles state), split on ' ', md5-hash each DISTINCT token once
+    (md5 is the only hash both engines compute identically;
+    ``np.unique`` bounds the calls by batch vocabulary, not token
+    count), bucket = ``h64 % num_buckets``.  Returns
+    ``(doc_index, bucket)`` aligned per token occurrence."""
+    norm = [_WS.sub(" ", _EDGE_WS.sub("", t or "").lower()) for t in texts]
+    doc_idx, toks = [], []
+    for i, t in enumerate(norm):
+        if t:
+            ws = t.split(" ")
+            doc_idx.extend([i] * len(ws))
+            toks.extend(ws)
+    if not toks:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    arr = np.asarray(toks, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    bkt_u = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:16], 16) % num_buckets
+         for u in uniq), dtype=np.int64, count=len(uniq))
+    return np.asarray(doc_idx, dtype=np.int64), bkt_u[inv]
+
+
+def dsir_weights(ds, target_lang: str = "en", num_buckets: int = 64,
+                 scale: int = 10_000):
+    """DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") in the
+    canonical two-pass distributed form:
+
+    TRAIN — one ``map_batches`` pass emits per-batch hashed-feature
+    count partials ``(bucket, raw_cnt, tgt_cnt)`` (raw = every doc,
+    tgt = docs with ``lang == target_lang``), bounded by
+    ``num_buckets`` rows per batch; ONE tiny groupby combines them and
+    the ≤``num_buckets``-row bucket table lands on the driver, where
+    the per-bucket importance weight is fixed on an integer grid:
+
+        w[b] = (scale * (tgt_cnt[b] + 1)) // (raw_cnt[b] + 1)
+
+    (add-one smoothing; ``//`` so DuckDB's integer division states the
+    identical value — no float ever touches the weight).  The weight
+    array is broadcast ONCE via ``ray.put``.
+
+    SCORE — a stateless ``map_batches`` pass re-hashes each doc's
+    tokens and sums bucket weights over token occurrences:
+
+        dsir_weight = sum_t w[bucket(t)]        (exact int64)
+
+    Honest scope: real DSIR uses hashed unigram+bigram counts and a
+    log-likelihood-ratio under two bag-of-ngrams models, then Gumbel
+    top-k resampling; this keeps the exact distributed shape (feature
+    pass -> tiny model on the driver -> broadcast -> score pass, the
+    corpus never reshuffled) with an integer ratio kernel standing in
+    for the log-ratio so the oracle is bit-exact.  Resampling = feed
+    ``dsir_weight`` to :func:`select_top_quality`'s histogram-quantile
+    selection.  Scale: only bucket histograms and the ≤64-entry weight
+    table cross the wire; both passes are embarrassingly parallel.
+    """
+    import ray
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, bkt = _hashed_bucket_counts(
+            list(batch["text"]), num_buckets)
+        is_tgt = (batch["lang"] == target_lang).to_numpy()
+        raw = np.bincount(bkt, minlength=num_buckets)
+        tgt = np.bincount(bkt[is_tgt[doc_idx]], minlength=num_buckets)
+        out = pd.DataFrame({
+            "bucket": np.arange(num_buckets, dtype=np.int64),
+            "raw_cnt": raw.astype("int64"),
+            "tgt_cnt": tgt.astype("int64"),
+        })
+        return typed_if_empty(out[out["raw_cnt"] > 0])
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("bucket", sort=False)[["raw_cnt", "tgt_cnt"]]
+             .sum().reset_index())
+        return g.astype({"raw_cnt": "int64", "tgt_cnt": "int64"})
+
+    cnts = (ds.map_batches(count_partial, batch_format="pandas")
+            .groupby("bucket").map_groups(combine, batch_format="pandas")
+            .to_pandas())
+    weights = np.zeros(num_buckets, dtype=np.int64)
+    # empty buckets score (scale*1)//1 — stated identically in SQL via
+    # the left join's coalesce
+    weights[:] = scale
+    if len(cnts):        # empty corpus -> groupby emits a columnless frame
+        for b, r, t in zip(cnts["bucket"], cnts["raw_cnt"],
+                           cnts["tgt_cnt"]):
+            weights[int(b)] = (scale * (int(t) + 1)) // (int(r) + 1)
+    w_ref = ray.put(weights)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        doc_idx, bkt = _hashed_bucket_counts(
+            list(batch["text"]), num_buckets)
+        n = len(batch)
+        s = np.zeros(n, dtype=np.int64)
+        nt = np.zeros(n, dtype=np.int64)
+        if len(bkt):
+            np.add.at(s, doc_idx, w[bkt])
+            np.add.at(nt, doc_idx, 1)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": nt,
+            "dsir_weight": s,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -259,6 +259,41 @@ def test_lm_score_hand_computed_bigram_frequencies():
     assert out == {0: 777, 1: 1000, 2: 0, 3: 0}
 
 
+def test_dsir_weights_integer_ratio_grid():
+    """DSIR two-pass weighting: per-bucket weight
+    (10000*(tgt+1))//(raw+1) over md5%64 hashed tokens, per-doc score =
+    sum of bucket weights over occurrences.  Expected values computed
+    by an independent dict-based path (collision-safe: buckets come
+    from the same md5 contract the SQL oracle states); batching must
+    not change anything."""
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import dsir_weights
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["Foo  foo bar", "foo baz", "  ", None],
+        "lang": ["en", "zh", "en", "fr"],
+    })
+    bkt = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % 64
+    raw, tgt = {}, {}
+    for text, lang in zip(docs["text"], docs["lang"]):
+        for tok in (text or "").lower().split():
+            b = bkt(tok)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    w = {b: (10_000 * (tgt.get(b, 0) + 1)) // (raw[b] + 1) for b in raw}
+    expect = {
+        0: 2 * w[bkt("foo")] + w[bkt("bar")],
+        1: w[bkt("foo")] + w[bkt("baz")],
+        2: 0, 3: 0,
+    }
+    out = (dsir_weights(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().set_index("doc_id"))
+    assert out["dsir_weight"].to_dict() == expect
+    assert out["n_tokens"].to_dict() == {0: 3, 1: 2, 2: 0, 3: 0}
+
+
 def test_quantiles_by_source_exact_rank_rule():
     """Histogram-partial quantiles match the explicit rank rule
     ceil(q*n) on even counts and ties, independent of batching."""
