@@ -843,6 +843,51 @@ _NTOK = f"CASE WHEN {_STRIP} = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
 
+# stopword-density quality score on the integer 0..10000 grid, shared
+# by select_top_quality and curate_semantic's gate — one copy so a
+# grid/tokenization fix can never drift between the two oracles
+_QSCORE_SQL = f"""
+              SELECT doc_id,
+                     CAST(floor(10000 * len(list_filter(
+                            regexp_split_to_array(lower({_STRIP}), '\\s+'),
+                            t -> t IN {_STOP_EN}))
+                          / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
+                         AS score
+              FROM documents"""
+
+
+def _semdedup_ctes(rel: str, threshold: float) -> str:
+    """Integer-grid nearest-centroid assignment + epsilon-ball
+    keep-first survivor CTE chain over ``rel(vec_id, v DOUBLE[])``,
+    shared by the semdedup and curate_semantic oracles (one copy of
+    the epsilon-ball rule)."""
+    return f"""
+            c AS (SELECT vec_id AS cid, v AS cv FROM {rel}
+                  WHERE vec_id < 8),
+            z AS (
+              SELECT i.vec_id, c.cid,
+                     CAST(floor(unnest(i.v) * 1000000 + 0.5)
+                          AS BIGINT) AS a,
+                     CAST(floor(unnest(c.cv) * 1000000 + 0.5)
+                          AS BIGINT) AS b
+              FROM {rel} i CROSS JOIN c),
+            d AS (
+              SELECT vec_id, cid, sum((a-b)*(a-b)) AS dist
+              FROM z GROUP BY vec_id, cid),
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d) WHERE rn = 1),
+            surv AS (
+              SELECT i.vec_id, a.cid AS centroid_id
+              FROM {rel} i JOIN asg a USING (vec_id)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM {rel} j JOIN asg aj ON j.vec_id = aj.vec_id
+                WHERE aj.cid = a.cid AND j.vec_id < i.vec_id
+                  AND list_cosine_similarity(i.v, j.v) >= {threshold}))"""
+
 
 # brute-force cosine top-k, shared by similarity_topk and the
 # exact-probe LSH/IVF variants (exhaustive probing == brute force)
@@ -959,14 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         # k-th-largest-score threshold == the engine's histogram
         # quantile; ties at the threshold all kept in both engines
         "select_top_quality": f"""
-            WITH s AS (
-              SELECT doc_id,
-                     CAST(floor(10000 * len(list_filter(
-                            regexp_split_to_array(lower({_STRIP}), '\\s+'),
-                            t -> t IN {_STOP_EN}))
-                          / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
-                         AS score
-              FROM documents)
+            WITH s AS ({_QSCORE_SQL})
             SELECT doc_id, score FROM s
             WHERE score >= (
               SELECT min(score) FROM (
@@ -1172,41 +1210,11 @@ def oracle_sql() -> dict[str, str]:
         # epsilon-ball keep-first as the semdedup oracle), intersected
         # on doc_id = vec_id
         "curate_semantic": f"""
-            WITH s AS (
-              SELECT doc_id,
-                     CAST(floor(10000 * len(list_filter(
-                            regexp_split_to_array(lower({_STRIP}), '\\s+'),
-                            t -> t IN {_STOP_EN}))
-                          / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
-                         AS score
-              FROM documents),
+            WITH s AS ({_QSCORE_SQL}),
             kept AS (SELECT doc_id, score FROM s WHERE score >= 1000),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
-            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-            z AS (
-              SELECT i.vec_id, c.cid,
-                     CAST(floor(unnest(i.v) * 1000000 + 0.5)
-                          AS BIGINT) AS a,
-                     CAST(floor(unnest(c.cv) * 1000000 + 0.5)
-                          AS BIGINT) AS b
-              FROM e i CROSS JOIN c),
-            d AS (
-              SELECT vec_id, cid, sum((a-b)*(a-b)) AS dist
-              FROM z GROUP BY vec_id, cid),
-            asg AS (
-              SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dist, cid) AS rn
-                FROM d) WHERE rn = 1),
-            surv AS (
-              SELECT i.vec_id, a.cid AS centroid_id
-              FROM e i JOIN asg a USING (vec_id)
-              WHERE NOT EXISTS (
-                SELECT 1 FROM e j JOIN asg aj ON j.vec_id = aj.vec_id
-                WHERE aj.cid = a.cid AND j.vec_id < i.vec_id
-                  AND list_cosine_similarity(i.v, j.v) >= 0.3))
+            {_semdedup_ctes('e', 0.3)}
             SELECT k.doc_id, k.score, surv.centroid_id
             FROM kept k JOIN surv ON surv.vec_id = k.doc_id
         """,
@@ -1379,7 +1387,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM x JOIN a2 USING (vec_id) GROUP BY a2.cid, x.dim
         """,
-        "semdedup": """
+        "semdedup": f"""
             WITH raw AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id < 100),
@@ -1388,30 +1396,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
               FROM raw),
-            c AS (SELECT vec_id AS cid, v AS cv FROM inj
-                  WHERE vec_id < 8),
-            z AS (
-              SELECT i.vec_id, c.cid,
-                     CAST(floor(unnest(i.v) * 1000000 + 0.5)
-                          AS BIGINT) AS a,
-                     CAST(floor(unnest(c.cv) * 1000000 + 0.5)
-                          AS BIGINT) AS b
-              FROM inj i CROSS JOIN c),
-            d AS (
-              SELECT vec_id, cid, sum((a-b)*(a-b)) AS dist
-              FROM z GROUP BY vec_id, cid),
-            asg AS (
-              SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dist, cid) AS rn
-                FROM d) WHERE rn = 1)
-            SELECT i.vec_id, a.cid AS centroid_id
-            FROM inj i JOIN asg a USING (vec_id)
-            WHERE NOT EXISTS (
-              SELECT 1 FROM inj j JOIN asg aj ON j.vec_id = aj.vec_id
-              WHERE aj.cid = a.cid AND j.vec_id < i.vec_id
-                AND list_cosine_similarity(i.v, j.v) >= 0.95)
+            {_semdedup_ctes('inj', 0.95)}
+            SELECT vec_id, centroid_id FROM surv
         """,
         "multimodal_decode": """
             WITH m AS (

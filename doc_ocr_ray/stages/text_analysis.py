@@ -579,11 +579,16 @@ def quantiles_by_source(ds, q_milli=(250, 500, 750)):
         raise ValueError(f"q_milli must be within 1..1000: {q_milli!r}")
 
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        # NULL source is its own group (SQL GROUP BY semantics):
+        # encode it as ("", src_null=True) so the Ray groupby key is
+        # never None — "" with src_null=False stays distinct
+        src = batch["source"]
         vc = (pd.DataFrame({
-                "source": batch["source"],
+                "source": src.fillna(""),
+                "src_null": src.isna(),
                 "n_tokens": _tokens(batch["text"]).str.len()
                             .astype("int64")})
-              .groupby(["source", "n_tokens"], sort=False)
+              .groupby(["source", "src_null", "n_tokens"], sort=False)
               .size().reset_index(name="cnt"))
         vc["cnt"] = vc["cnt"].astype("int64")
         return typed_if_empty(vc)
@@ -593,14 +598,17 @@ def quantiles_by_source(ds, q_milli=(250, 500, 750)):
         n = int(h.sum())
         cum = h.cumsum().to_numpy()
         vals = h.index.to_numpy()
-        row = {"source": group["source"].iloc[0], "n_docs": n}
+        source = (None if bool(group["src_null"].iloc[0])
+                  else group["source"].iloc[0])
+        row = {"source": source, "n_docs": n}
         for qm in q_milli:
             rank = (qm * n + 999) // 1000
             row[f"p{qm}"] = int(vals[np.searchsorted(cum, rank)])
         return pd.DataFrame([row])
 
     return (ds.map_batches(hist, batch_format="pandas")
-            .groupby("source").map_groups(combine, batch_format="pandas"))
+            .groupby(["source", "src_null"])
+            .map_groups(combine, batch_format="pandas"))
 
 
 def _bigram_codes(texts) -> tuple:
@@ -615,8 +623,18 @@ def _bigram_codes(texts) -> tuple:
                 np.array([], dtype=np.int64))
     cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     codes = (cp[:-1].astype(np.uint64) << np.uint64(32)) | cp[1:]
-    doc_idx = np.cumsum(cp == 0)[:-1].astype(np.int64)
-    valid = (cp[:-1] != 0) & (cp[1:] != 0)
+    # doc/sentinel membership from POSITIONS, not the sentinel's char
+    # value — document text may legally contain U+0000 itself
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    seg = lens + 1
+    seg[-1] -= 1                      # no sentinel after the last doc
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), seg)[:-1]
+    is_sent = np.zeros(len(cp), dtype=bool)
+    if len(texts) > 1:
+        is_sent[np.cumsum(lens[:-1] + 1) - 1] = True
+    # both ends non-sentinel => same doc (sentinels separate docs)
+    valid = ~is_sent[:-1] & ~is_sent[1:]
     return codes[valid], doc_idx[valid]
 
 
@@ -676,8 +694,15 @@ def lm_score(ds, num_parts: int = 256, scale: int = 1000):
         sc = np.zeros(len(texts), dtype=np.int64)
         nb = np.zeros(len(texts), dtype=np.int64)
         if len(codes):
-            pos = np.searchsorted(codes_s, codes)
-            cnt = counts_s[pos]         # every corpus bigram is in vocab
+            if len(codes_s):
+                # membership-checked lookup: a bigram outside the
+                # trained vocab (nondeterministic upstream re-exec)
+                # counts 0 instead of aliasing a neighbor's count
+                pos = np.minimum(np.searchsorted(codes_s, codes),
+                                 len(codes_s) - 1)
+                cnt = np.where(codes_s[pos] == codes, counts_s[pos], 0)
+            else:
+                cnt = np.zeros(len(codes), dtype=np.int64)
             np.add.at(sc, doc_idx, cnt)
             np.add.at(nb, doc_idx, 1)
         denom = np.maximum(nb, 1) * m
@@ -753,7 +778,7 @@ def dsir_weights(ds, target_lang: str = "en", num_buckets: int = 64,
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         doc_idx, bkt = _hashed_bucket_counts(
-            list(batch["text"]), num_buckets)
+            list(batch["text"].fillna("")), num_buckets)
         is_tgt = (batch["lang"] == target_lang).to_numpy()
         raw = np.bincount(bkt, minlength=num_buckets)
         tgt = np.bincount(bkt[is_tgt[doc_idx]], minlength=num_buckets)
@@ -785,7 +810,7 @@ def dsir_weights(ds, target_lang: str = "en", num_buckets: int = 64,
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(w_ref)
         doc_idx, bkt = _hashed_bucket_counts(
-            list(batch["text"]), num_buckets)
+            list(batch["text"].fillna("")), num_buckets)
         n = len(batch)
         s = np.zeros(n, dtype=np.int64)
         nt = np.zeros(n, dtype=np.int64)

@@ -759,3 +759,64 @@ def test_mix_plan_integer_epochs(ray_session):
     assert df.loc["a", "epochs"] * df.loc["a", "n_tokens"] >= 500
     assert df.loc["b", "epochs"] == 0 and df.loc["b", "target_tokens"] == 0
     assert df.loc["c", "weight_milli"] == 0 and df.loc["c", "epochs"] == 0
+
+
+def test_lm_score_nul_character_stays_in_doc(ray_session):
+    """A literal U+0000 inside a document is an ordinary character:
+    bigrams after it must stay attributed to the SAME doc (the batch
+    joiner identifies sentinels by position, not by char value).
+    Expected values from an independent dict-based bigram count."""
+    import math
+    from collections import Counter
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import lm_score
+    texts = {0: "xy\x00zz!", 1: "zz", 2: ""}
+    allbg = Counter(t[i:i + 2] for t in texts.values()
+                    for i in range(len(t) - 1))
+    cmax = max(allbg.values())
+    expect = {}
+    for d, t in texts.items():
+        bgs = [t[i:i + 2] for i in range(len(t) - 1)]
+        expect[d] = math.floor(1000 * sum(allbg[b] for b in bgs)
+                               / (max(len(bgs), 1) * cmax))
+    docs = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = (lm_score(ray.data.from_pandas(docs).repartition(2))
+           .to_pandas().set_index("doc_id"))
+    assert out["lm_milli"].to_dict() == expect
+    assert expect[0] != expect[1]      # sensitive to mis-attribution
+
+
+def test_dsir_weights_nan_text_scores_zero(ray_session):
+    """A float-NaN text cell (pandas block) is treated as empty text,
+    not a crash: n_tokens 0, dsir_weight 0."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import dsir_weights
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [np.nan, "foo foo"],
+        "lang": ["en", "en"],
+    })
+    out = (dsir_weights(ray.data.from_pandas(docs))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "n_tokens"] == 0 and out.loc[0, "dsir_weight"] == 0
+    assert out.loc[1, "n_tokens"] == 2
+
+
+def test_quantiles_by_source_null_source_is_own_group(ray_session):
+    """NULL source forms its own group (SQL GROUP BY semantics) and
+    stays distinct from the empty-string source."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import quantiles_by_source
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "source": [None, None, "", "a", "a"],
+        "text": ["w w w", "w", "w w", "w", "w w w w"],
+    })
+    out = quantiles_by_source(
+        ray.data.from_pandas(docs).repartition(3)).to_pandas()
+    by_key = {(None if pd.isna(s) else s): r
+              for s, r in out.set_index("source").iterrows()}
+    assert set(by_key) == {None, "", "a"}
+    assert by_key[None]["n_docs"] == 2 and by_key[None]["p500"] == 1
+    assert by_key[""]["n_docs"] == 1 and by_key[""]["p500"] == 2
+    assert by_key["a"]["n_docs"] == 2 and by_key["a"]["p500"] == 1
