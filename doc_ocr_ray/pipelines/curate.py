@@ -357,7 +357,7 @@ def pack_sequences(ds, target_tokens: int = 2048, key: str = "doc_id",
 
 def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
                     sim_threshold: float = 0.3, k: int = 8,
-                    num_partitions: int = 32):
+                    num_partitions: int = 8):
     """Text-quality gate x semantic dedup across TWO tables: keep the
     documents that (a) pass the stopword-score quality gate and (b)
     survive SemDeDup pruning of their embeddings — the SemDeDup-paper
@@ -369,6 +369,13 @@ def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
     Data's NATIVE hash shuffle join on doc_id = vec_id — both sides
     hash-partitioned, neither broadcast, so it holds when both
     survivor sets are corpus-sized (a broadcast id-set would not).
+
+    ``num_partitions`` sizes the join's aggregator pool: each
+    partition is a long-lived shuffle actor with ~100ms+ startup, a
+    pure fixed cost at small scale (measured: 32 partitions cost ~3s
+    more than 8 on a 2k-row join for identical output) — set it to
+    ~cluster cores for corpus-scale joins, leave small for test-scale
+    inputs.
 
     Output: (doc_id, score, centroid_id) for the curated set.
     """
