@@ -622,6 +622,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.dsir_weights(
             _read(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
+    def q_heavy_hitters(sf_dir):
+        # two-phase top-k tokens: bounded per-batch candidate
+        # summaries, broadcast candidate set, exact recount — the
+        # full vocabulary never rides an exchange
+        return text_analysis.heavy_hitters(
+            _read(sf_dir, "documents", ["text"]), k=20)
+
     def q_quantiles_by_source(sf_dir):
         # per-source exact token-count quantiles from histogram
         # partials — only value counts ride the one tiny groupby
@@ -775,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
+        "heavy_hitters": q_heavy_hitters,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1063,6 +1071,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(sc.nt, 0) AS n_tokens,
                    coalesce(sc.s, 0) AS dsir_weight
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        # exact global top-k by token with the engine's deterministic
+        # tie-break (cnt DESC, token ASC); the engine's candidate
+        # summaries + recount must reproduce this exactly
+        "heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            c AS (SELECT tok AS token, count(*) AS cnt
+                  FROM toks GROUP BY tok),
+            r AS (SELECT token, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, token)
+                             AS rank
+                  FROM c)
+            SELECT CAST(rank AS BIGINT) AS rank, token,
+                   CAST(cnt AS BIGINT) AS cnt
+            FROM r WHERE rank <= 20
         """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick

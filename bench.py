@@ -169,6 +169,7 @@ def run_benchmarks() -> dict:
     timed("dedup_lines", lambda: qs["dedup_lines"](SF_DIR).count())
     timed("lm_score", lambda: qs["lm_score"](SF_DIR).count())
     timed("dsir_weights", lambda: qs["dsir_weights"](SF_DIR).count())
+    timed("heavy_hitters", lambda: len(qs["heavy_hitters"](SF_DIR)))
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

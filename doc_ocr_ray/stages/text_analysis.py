@@ -715,14 +715,11 @@ def lm_score(ds, num_parts: int = 256, scale: int = 1000):
     return ds.map_batches(score, batch_format="pandas")
 
 
-def _hashed_bucket_counts(texts, num_buckets: int):
-    """Per-batch hashed-token feature counts: normalize (lower,
-    edge-strip, collapse to single spaces — the ``_NORM`` contract the
-    SQL oracles state), split on ' ', md5-hash each DISTINCT token once
-    (md5 is the only hash both engines compute identically;
-    ``np.unique`` bounds the calls by batch vocabulary, not token
-    count), bucket = ``h64 % num_buckets``.  Returns
-    ``(doc_index, bucket)`` aligned per token occurrence."""
+def _norm_tokens_flat(texts):
+    """Normalized token stream for a batch (the ``_NORM`` contract the
+    SQL oracles state): lower, ASCII-ws edge-strip, collapse runs to
+    single spaces, split on ' '.  Returns ``(doc_index, tokens)``
+    aligned per token occurrence."""
     norm = [_WS.sub(" ", _EDGE_WS.sub("", t or "").lower()) for t in texts]
     doc_idx, toks = [], []
     for i, t in enumerate(norm):
@@ -730,9 +727,20 @@ def _hashed_bucket_counts(texts, num_buckets: int):
             ws = t.split(" ")
             doc_idx.extend([i] * len(ws))
             toks.extend(ws)
-    if not toks:
+    return (np.asarray(doc_idx, dtype=np.int64),
+            np.asarray(toks, dtype=object))
+
+
+def _hashed_bucket_counts(texts, num_buckets: int):
+    """Per-batch hashed-token feature counts over the
+    :func:`_norm_tokens_flat` stream; md5-hash each DISTINCT token once
+    (md5 is the only hash both engines compute identically;
+    ``np.unique`` bounds the calls by batch vocabulary, not token
+    count), bucket = ``h64 % num_buckets``.  Returns
+    ``(doc_index, bucket)`` aligned per token occurrence."""
+    doc_idx, arr = _norm_tokens_flat(texts)
+    if not len(arr):
         return (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-    arr = np.asarray(toks, dtype=object)
     uniq, inv = np.unique(arr, return_inverse=True)
     bkt_u = np.fromiter(
         (int(hashlib.md5(u.encode()).hexdigest()[:16], 16) % num_buckets
@@ -824,3 +832,100 @@ def dsir_weights(ds, target_lang: str = "en", num_buckets: int = 64,
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def heavy_hitters(ds, k: int = 20, capacity: int = 4096,
+                  num_parts: int = 64):
+    """Corpus-wide top-``k`` tokens via the two-phase heavy-hitter
+    pattern (per-batch bounded summaries -> exact recount), the
+    standard way to extract frequent vocabulary from a corpus whose
+    FULL vocabulary is too large to shuffle:
+
+    CANDIDATES — each batch counts its tokens exactly (``np.unique``,
+    bounded by batch vocabulary) and emits only its top-``capacity``
+    tokens — a SpaceSaving/Misra-Gries-shaped bounded summary, so the
+    exchange carries <= capacity rows per batch no matter how large
+    the batch vocabulary is; ONE coarse groupby sums candidate
+    partials and the <= ``capacity`` best candidates land on the
+    driver.
+
+    EXACT RECOUNT — the candidate set is broadcast once (``ray.put``);
+    a stateless second pass counts ONLY candidate tokens, a tiny
+    combine sums them, and the driver takes the final top-k with the
+    deterministic tie-break (count DESC, token ASC).
+
+    Reported counts are EXACT (the recount sees every occurrence).
+    Top-k membership is exact whenever each true top-k token makes
+    some batch's top-``capacity`` — with capacity >> k this holds by
+    orders of magnitude on Zipfian text (a token can only miss every
+    batch summary if ~capacity distinct tokens out-count it in every
+    batch it appears in).  Partition keys use crc32, never Python's
+    per-process-salted ``hash``.  Output: (rank, token, cnt), rank
+    1-based.
+    """
+    import zlib
+    import ray
+
+    def _part(tokens) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(t.encode()) % num_parts for t in tokens),
+            dtype=np.int64, count=len(tokens))
+
+    _empty = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                           "cnt": pd.Series([], dtype="int64"),
+                           "part": pd.Series([], dtype="int64")})
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        _, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty)
+        uniq, counts = np.unique(toks, return_counts=True)
+        if len(uniq) > capacity:
+            top = np.argsort(counts)[::-1][:capacity]
+            uniq, counts = uniq[top], counts[top]
+        return pd.DataFrame({"token": uniq, "cnt": counts.astype("int64"),
+                             "part": _part(uniq)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("token", sort=False)["cnt"].sum()
+             .reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    cand = (ds.map_batches(candidates, batch_format="pandas")
+            .groupby("part").map_groups(combine, batch_format="pandas")
+            .to_pandas())
+    # final result is driver-assembled (<= capacity rows) — return a
+    # pandas frame: schema survives the empty case, which an empty Ray
+    # Dataset round-trip would drop
+    empty_out = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                              "token": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
+    if not len(cand):
+        return empty_out
+    cand = cand.sort_values(["cnt", "token"],
+                            ascending=[False, True]).head(capacity)
+    cand_ref = ray.put(frozenset(cand["token"]))
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        _, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty)
+        uniq, counts = np.unique(toks, return_counts=True)
+        mask = pd.Series(uniq).isin(cands).to_numpy()
+        uniq, counts = uniq[mask], counts[mask]
+        return typed_if_empty(pd.DataFrame({
+            "token": uniq, "cnt": counts.astype("int64"),
+            "part": _part(uniq)}))
+
+    exact = (ds.map_batches(recount, batch_format="pandas")
+             .groupby("part").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    if not len(exact):
+        return empty_out
+    top = exact.sort_values(["cnt", "token"],
+                            ascending=[False, True]).head(k)
+    top = top.reset_index(drop=True)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rank", "token", "cnt"]]

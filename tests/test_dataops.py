@@ -820,3 +820,25 @@ def test_quantiles_by_source_null_source_is_own_group(ray_session):
     assert by_key[None]["n_docs"] == 2 and by_key[None]["p500"] == 1
     assert by_key[""]["n_docs"] == 1 and by_key[""]["p500"] == 2
     assert by_key["a"]["n_docs"] == 2 and by_key["a"]["p500"] == 1
+
+
+def test_heavy_hitters_exact_topk_with_tiebreak(ray_session):
+    """Two-phase heavy hitters reproduce the exact global top-k with
+    the (cnt DESC, token ASC) tie-break, independent of batching; a
+    tiny capacity still finds hitters that dominate within batches."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import heavy_hitters
+    # b and c tie at 6 -> b before c; d (4) beats e (2); Zz lowers to zz
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a a a b b c", "a b C c\tb", "a a d d Zz",
+                 "c c d d b e", None, "a zz e  a"],
+    })
+    out = heavy_hitters(ray.data.from_pandas(docs).repartition(3),
+                        k=4, capacity=8)
+    got = list(zip(out["rank"], out["token"], out["cnt"]))
+    assert got == [(1, "a", 8), (2, "b", 5), (3, "c", 5), (4, "d", 4)]
+    # empty corpus -> typed empty frame, no crash
+    empty = heavy_hitters(ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": [None]})), k=3)
+    assert len(empty) == 0 and list(empty.columns) == ["rank", "token", "cnt"]
