@@ -629,6 +629,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.heavy_hitters(
             _read(sf_dir, "documents", ["text"]), k=20)
 
+    def q_inverted_index(sf_dir):
+        # one token-keyed exchange builds df + capped ascending
+        # posting lists; in-batch distinct (token, doc) is the combiner
+        return text_analysis.inverted_index(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_quantiles_by_source(sf_dir):
         # per-source exact token-count quantiles from histogram
         # partials — only value counts ride the one tiny groupby
@@ -783,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
+        "inverted_index": q_inverted_index,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1088,6 +1095,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, token,
                    CAST(cnt AS BIGINT) AS cnt
             FROM r WHERE rank <= 20
+        """,
+        # df + ascending capped posting list per token; string_agg
+        # ignores the NULLed-out rows past the cap, ORDER BY doc_id
+        # states the engine's ascending-sorted postings
+        "inverted_index": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(
+                       regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            p AS (SELECT DISTINCT tok AS token, doc_id FROM toks),
+            r AS (SELECT token, doc_id,
+                         row_number() OVER (PARTITION BY token
+                                            ORDER BY doc_id) AS rn,
+                         count(*) OVER (PARTITION BY token) AS df
+                  FROM p)
+            SELECT token, CAST(max(df) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 64
+                              THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM r GROUP BY token HAVING max(df) >= 2
         """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick

@@ -170,6 +170,7 @@ def run_benchmarks() -> dict:
     timed("lm_score", lambda: qs["lm_score"](SF_DIR).count())
     timed("dsir_weights", lambda: qs["dsir_weights"](SF_DIR).count())
     timed("heavy_hitters", lambda: len(qs["heavy_hitters"](SF_DIR)))
+    timed("inverted_index", lambda: qs["inverted_index"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

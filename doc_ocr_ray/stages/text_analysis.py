@@ -929,3 +929,58 @@ def heavy_hitters(ds, k: int = 20, capacity: int = 4096,
     top = top.reset_index(drop=True)
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "token", "cnt"]]
+
+
+def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
+                   num_parts: int = 256):
+    """Distributed inverted index over the corpus: one row per token
+    with its document frequency and a capped, ascending posting list
+    (comma-joined string so the artifact is hash-comparable and
+    SQL-mirrorable).
+
+    Shape: each batch emits its DISTINCT (token, doc_id) pairs — the
+    in-batch dedup is the combiner (a doc lives in exactly one batch,
+    so pairs are globally distinct after it); ONE exchange keyed by
+    crc32(token) % ``num_parts`` co-locates each token's postings; the
+    group fn counts df, sorts, caps at ``max_postings`` and drops
+    tokens below ``min_df``.  The exchange volume IS the index size —
+    the irreducible cost of the operator; hapax pruning cannot happen
+    earlier because df is only known after the exchange.  Output:
+    (token, df, postings).
+    """
+    import zlib
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        empty = pd.DataFrame({
+            "token": pd.Series([], dtype="object"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="int64")})
+        if not len(toks):
+            return typed_if_empty(empty)
+        ids = batch["doc_id"].to_numpy()[doc_idx]
+        p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
+        p["doc_id"] = p["doc_id"].astype("int64")
+        p["part"] = np.fromiter(
+            (zlib.crc32(t.encode()) % num_parts for t in p["token"]),
+            dtype=np.int64, count=len(p))
+        return p
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["token", "doc_id"])
+        out_tok, out_df, out_post = [], [], []
+        for tok, sub in g.groupby("token", sort=False):
+            df = len(sub)
+            if df < min_df:
+                continue
+            ids = sub["doc_id"].tolist()[:max_postings]
+            out_tok.append(tok)
+            out_df.append(df)
+            out_post.append(",".join(str(i) for i in ids))
+        return typed_if_empty(pd.DataFrame({
+            "token": pd.Series(out_tok, dtype="object"),
+            "df": pd.Series(out_df, dtype="int64"),
+            "postings": pd.Series(out_post, dtype="object")}))
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("part").map_groups(build, batch_format="pandas"))

@@ -842,3 +842,23 @@ def test_heavy_hitters_exact_topk_with_tiebreak(ray_session):
     empty = heavy_hitters(ray.data.from_pandas(
         pd.DataFrame({"doc_id": [0], "text": [None]})), k=3)
     assert len(empty) == 0 and list(empty.columns) == ["rank", "token", "cnt"]
+
+
+def test_inverted_index_df_cap_and_order(ray_session):
+    """Posting lists are ascending, capped, comma-joined; df counts
+    documents (not occurrences); tokens under min_df are dropped;
+    results are batching-independent."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import inverted_index
+    docs = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1],
+        "text": ["a a b", "a c", "a b", "a x"],
+    })
+    out = (inverted_index(ray.data.from_pandas(docs).repartition(3),
+                          min_df=2, max_postings=3)
+           .to_pandas().set_index("token").sort_index())
+    assert list(out.index) == ["a", "b"]          # c, x are hapax
+    assert out.loc["a", "df"] == 4                # docs, not the 5 occurrences
+    assert out.loc["a", "postings"] == "1,3,5"    # ascending, capped at 3
+    assert out.loc["b", "df"] == 2
+    assert out.loc["b", "postings"] == "5,9"     # b lives in docs 5 and 9
