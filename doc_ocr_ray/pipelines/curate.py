@@ -357,7 +357,7 @@ def pack_sequences(ds, target_tokens: int = 2048, key: str = "doc_id",
 
 def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
                     sim_threshold: float = 0.3, k: int = 8,
-                    num_partitions: int = 8):
+                    num_partitions: int | None = None):
     """Text-quality gate x semantic dedup across TWO tables: keep the
     documents that (a) pass the stopword-score quality gate and (b)
     survive SemDeDup pruning of their embeddings — the SemDeDup-paper
@@ -373,14 +373,19 @@ def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
     ``num_partitions`` sizes the join's aggregator pool: each
     partition is a long-lived shuffle actor with ~100ms+ startup, a
     pure fixed cost at small scale (measured: 32 partitions cost ~3s
-    more than 8 on a 2k-row join for identical output) — set it to
-    ~cluster cores for corpus-scale joins, leave small for test-scale
-    inputs.
+    more than 8 on a 2k-row join for identical output).  The default
+    (None) derives it from the cluster — ~one partition per core,
+    floored at 8 — so the same call is right at test scale AND on a
+    wide cluster; pass an explicit value to override.
 
     Output: (doc_id, score, centroid_id) for the curated set.
     """
     from doc_ocr_ray.stages.similarity import semdedup_prune
     from doc_ocr_ray.stages.text_analysis import _stopword_score
+
+    if num_partitions is None:
+        import ray
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def quality_gate(batch: pd.DataFrame) -> pd.DataFrame:
         s = _stopword_score(batch)

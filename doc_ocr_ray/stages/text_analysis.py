@@ -859,17 +859,15 @@ def heavy_hitters(ds, k: int = 20, capacity: int = 4096,
     some batch's top-``capacity`` — with capacity >> k this holds by
     orders of magnitude on Zipfian text (a token can only miss every
     batch summary if ~capacity distinct tokens out-count it in every
-    batch it appears in).  Partition keys use crc32, never Python's
+    batch it appears in).  Partition keys use the shared
+    ``coarse_part`` hash (stable across processes), never Python's
     per-process-salted ``hash``.  Output: (rank, token, cnt), rank
     1-based.
     """
-    import zlib
     import ray
 
     def _part(tokens) -> np.ndarray:
-        return np.fromiter(
-            (zlib.crc32(t.encode()) % num_parts for t in tokens),
-            dtype=np.int64, count=len(tokens))
+        return coarse_part(pd.Series(tokens, dtype="object"), num_parts)
 
     _empty = pd.DataFrame({"token": pd.Series([], dtype="object"),
                            "cnt": pd.Series([], dtype="int64"),
@@ -890,6 +888,13 @@ def heavy_hitters(ds, k: int = 20, capacity: int = 4096,
         g = (group.groupby("token", sort=False)["cnt"].sum()
              .reset_index())
         g["cnt"] = g["cnt"].astype("int64")
+        if len(g) > capacity:
+            # a global top-capacity token is necessarily top-capacity
+            # within its part, so capping here cannot change the final
+            # candidate set — it bounds the driver collect to
+            # num_parts * capacity rows instead of the candidate union
+            g = g.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(capacity)
         return g
 
     cand = (ds.map_batches(candidates, batch_format="pandas")
@@ -941,29 +946,26 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
     Shape: each batch emits its DISTINCT (token, doc_id) pairs — the
     in-batch dedup is the combiner (a doc lives in exactly one batch,
     so pairs are globally distinct after it); ONE exchange keyed by
-    crc32(token) % ``num_parts`` co-locates each token's postings; the
+    ``coarse_part(token) % num_parts`` co-locates each token's postings; the
     group fn counts df, sorts, caps at ``max_postings`` and drops
     tokens below ``min_df``.  The exchange volume IS the index size —
     the irreducible cost of the operator; hapax pruning cannot happen
     earlier because df is only known after the exchange.  Output:
     (token, df, postings).
     """
-    import zlib
+    _empty = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
-        empty = pd.DataFrame({
-            "token": pd.Series([], dtype="object"),
-            "doc_id": pd.Series([], dtype="int64"),
-            "part": pd.Series([], dtype="int64")})
         if not len(toks):
-            return typed_if_empty(empty)
+            return typed_if_empty(_empty)
         ids = batch["doc_id"].to_numpy()[doc_idx]
         p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
         p["doc_id"] = p["doc_id"].astype("int64")
-        p["part"] = np.fromiter(
-            (zlib.crc32(t.encode()) % num_parts for t in p["token"]),
-            dtype=np.int64, count=len(p))
+        p["part"] = coarse_part(p["token"], num_parts)
         return p
 
     def build(group: pd.DataFrame) -> pd.DataFrame:

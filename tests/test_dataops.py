@@ -828,7 +828,7 @@ def test_heavy_hitters_exact_topk_with_tiebreak(ray_session):
     tiny capacity still finds hitters that dominate within batches."""
     import ray.data
     from doc_ocr_ray.stages.text_analysis import heavy_hitters
-    # b and c tie at 6 -> b before c; d (4) beats e (2); Zz lowers to zz
+    # b and c tie at 5 -> b before c; d (4) beats e (2); Zz lowers to zz
     docs = pd.DataFrame({
         "doc_id": range(6),
         "text": ["a a a b b c", "a b C c\tb", "a a d d Zz",
