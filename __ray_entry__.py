@@ -635,6 +635,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.inverted_index(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_bm25_search(sf_dir):
+        # BM25 top-10 for a fixed query: stats partials pass + integer
+        # micro-grid score pass, no shuffle, driver merges batch top-ks
+        return text_analysis.bm25_search(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            ["hash", "join", "window"], k=10)
+
     def q_quantiles_by_source(sf_dir):
         # per-source exact token-count quantiles from histogram
         # partials — only value counts ride the one tiny groupby
@@ -790,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
+        "bm25_search": q_bm25_search,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1115,6 +1123,48 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(doc_id AS VARCHAR) END,
                               ',' ORDER BY doc_id) AS postings
             FROM r GROUP BY token HAVING max(df) >= 2
+        """,
+        # BM25 on the integer micro grid: every double expression is
+        # written in the ENGINE's association order (numpy and DuckDB
+        # ln/arithmetic are bit-identical on doubles), per-term scores
+        # floored to micro units and summed as integers so the total
+        # is independent of SQL aggregation order
+        "bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(
+                       regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            s AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                         (SELECT count(*) FROM toks) AS tdl),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks
+                   GROUP BY doc_id),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('hash', 'join', 'window')
+                   GROUP BY doc_id, tok),
+            dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                    WHERE tok IN ('hash', 'join', 'window')
+                    GROUP BY tok),
+            term AS (
+              SELECT t.doc_id,
+                     CAST(floor(1000000.0 * (
+                       ln((((s.nd - d.df) + 0.5) / (d.df + 0.5)) + 1.0)
+                       * ((t.tf * (1.2 + 1.0))
+                          / (t.tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * (l.dl
+                                / (s.tdl / CAST(s.nd AS DOUBLE)))))))
+                     ) AS BIGINT) AS tm
+              FROM tf t
+              JOIN dfs d ON t.tok = d.tok
+              JOIN dl l ON t.doc_id = l.doc_id
+              CROSS JOIN s),
+            sc AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
+                   FROM term GROUP BY doc_id),
+            r AS (SELECT doc_id, score_micro,
+                         row_number() OVER (ORDER BY score_micro DESC,
+                                            doc_id) AS rank
+                  FROM sc)
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+            FROM r WHERE rank <= 10
         """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick

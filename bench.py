@@ -171,6 +171,7 @@ def run_benchmarks() -> dict:
     timed("dsir_weights", lambda: qs["dsir_weights"](SF_DIR).count())
     timed("heavy_hitters", lambda: len(qs["heavy_hitters"](SF_DIR)))
     timed("inverted_index", lambda: qs["inverted_index"](SF_DIR).count())
+    timed("bm25_search", lambda: len(qs["bm25_search"](SF_DIR)))
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -986,3 +986,92 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
 
     return (ds.map_batches(pairs, batch_format="pandas")
             .groupby("part").map_groups(build, batch_format="pandas"))
+
+
+def bm25_search(ds, query_tokens, k: int = 10, k1: float = 1.2,
+                b: float = 0.75, scale: float = 1_000_000.0):
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) for a fixed token query over
+    the corpus.  Two streaming passes, NO shuffle:
+
+    STATS — each batch emits ONE partial row (n_docs, total_dl, df per
+    query term); the driver sums num_batches rows.  SCORE — the ≤
+    len(query) idf values plus avgdl ride the closure (bytes, not a
+    broadcast table); each batch scores its matching docs vectorized
+    (``np.bincount`` tf/dl) and emits only its local top-``k``; the
+    driver merges num_batches * k candidate rows.
+
+    Per-term scores are fixed on the integer micro grid
+    (``floor(scale * term)``) and SUMMED AS INTEGERS, so the total is
+    independent of term association order — the property that lets a
+    SQL oracle reproduce the exact hash (floats summed in SQL group
+    order would not).  numpy and DuckDB ``ln``/arithmetic on doubles
+    are bit-identical for the shared formula (verified on this
+    platform); every expression below is written in the same
+    association order as the oracle SQL.  Output: (rank, doc_id,
+    score_micro), rank 1-based by score DESC then doc_id ASC.
+    """
+    terms = sorted(set(query_tokens))
+    m = len(terms)
+    df_cols = [f"df_{i}" for i in range(m)]
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        row = {"n_docs": np.int64(len(batch)),
+               "total_dl": np.int64(len(toks))}
+        for i, t in enumerate(terms):
+            hit = doc_idx[toks == t] if len(toks) else doc_idx
+            row[df_cols[i]] = np.int64(len(np.unique(hit)))
+        return pd.DataFrame([row])
+
+    agg = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = int(agg["n_docs"])
+    total_dl = int(agg["total_dl"])
+    empty_out = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "score_micro": pd.Series([], dtype="int64")})
+    if total_dl == 0 or n_docs == 0:
+        return empty_out
+    avgdl = np.float64(total_dl) / np.float64(n_docs)
+    # idf in the oracle's association order: ((N - df) + 0.5)/(df + 0.5) + 1
+    idf = {t: np.log(((np.float64(n_docs - int(agg[df_cols[i]])) + 0.5)
+                      / (np.float64(int(agg[df_cols[i]])) + 0.5)) + 1.0)
+           for i, t in enumerate(terms) if int(agg[df_cols[i]]) > 0}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        n = len(batch)
+        z = typed_if_empty(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "score_micro": pd.Series([], dtype="int64")}))
+        if not len(toks) or not idf:
+            return z
+        dl = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        dlnorm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        total = np.zeros(n, dtype=np.int64)
+        matched = np.zeros(n, dtype=bool)
+        for t, w in idf.items():
+            tf = np.bincount(doc_idx[toks == t],
+                             minlength=n).astype(np.float64)
+            hit = tf > 0
+            if not hit.any():
+                continue
+            term = w * ((tf[hit] * (k1 + 1.0)) / (tf[hit] + dlnorm[hit]))
+            total[hit] += np.floor(scale * term).astype(np.int64)
+            matched |= hit
+        if not matched.any():
+            return z
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[matched].astype("int64"),
+            "score_micro": total[matched]})
+        return (out.sort_values(["score_micro", "doc_id"],
+                                ascending=[False, True]).head(k))
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return empty_out
+    top = (cand.sort_values(["score_micro", "doc_id"],
+                            ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rank", "doc_id", "score_micro"]]

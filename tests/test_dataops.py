@@ -862,3 +862,43 @@ def test_inverted_index_df_cap_and_order(ray_session):
     assert out.loc["a", "postings"] == "1,3,5"    # ascending, capped at 3
     assert out.loc["b", "df"] == 2
     assert out.loc["b", "postings"] == "5,9"     # b lives in docs 5 and 9
+
+
+def test_bm25_search_matches_plain_reference(ray_session):
+    """bm25_search equals an independent per-doc plain-Python BM25
+    (math.log, row loops) on the same integer micro grid, including
+    the (score DESC, doc_id ASC) tie-break and the top-k cut."""
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import bm25_search
+    texts = ["hash join hash", "window scan", "hash", "join join window",
+             "scan scan scan", "", None, "hash hash hash hash join"]
+    docs = pd.DataFrame({"doc_id": list(range(8)), "text": texts})
+    terms, k1, b = ["hash", "join"], 1.2, 0.75
+
+    toks = [(t or "").split() for t in texts]
+    n_docs, total_dl = len(texts), sum(len(t) for t in toks)
+    avgdl = total_dl / n_docs
+    expect = {}
+    for term in terms:
+        df = sum(1 for t in toks if term in t)
+        idf = math.log(((n_docs - df) + 0.5) / (df + 0.5) + 1.0)
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                s = idf * ((tf * (k1 + 1.0))
+                           / (tf + k1 * ((1.0 - b) + b * (len(t) / avgdl))))
+                expect[i] = expect.get(i, 0) + math.floor(1_000_000.0 * s)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    out = bm25_search(ray.data.from_pandas(docs).repartition(3),
+                      terms, k=3, k1=k1, b=b)
+    assert list(out.columns) == ["rank", "doc_id", "score_micro"]
+    assert [(int(r.doc_id), int(r.score_micro))
+            for r in out.itertuples()] == ranked
+    assert list(out["rank"]) == [1, 2, 3]
+
+    # no matching term -> empty with stable schema
+    miss = bm25_search(ray.data.from_pandas(docs), ["zzz"], k=3)
+    assert len(miss) == 0
+    assert list(miss.columns) == ["rank", "doc_id", "score_micro"]
