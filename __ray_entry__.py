@@ -635,6 +635,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.inverted_index(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_chunk_documents(sf_dir):
+        # stateless flat chunker: 32-token windows, stride 24 (8-token
+        # overlap) so the test corpus yields multi-chunk docs
+        return text_analysis.chunk_documents(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            chunk_tokens=32, stride=24)
+
     def q_bm25_search(sf_dir):
         # BM25 top-10 for a fixed query: stats partials pass + integer
         # micro-grid score pass, no shuffle, driver merges batch top-ks
@@ -798,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
+        "chunk_documents": q_chunk_documents,
         "mix_plan": q_mix_plan,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1123,6 +1131,27 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(doc_id AS VARCHAR) END,
                               ',' ORDER BY doc_id) AS postings
             FROM r GROUP BY token HAVING max(df) >= 2
+        """,
+        # token-window chunking: generate_series states the engine's
+        # range(0, n, stride) starts, list_slice (1-based inclusive)
+        # the [start, start+chunk) window, // the chunk_id
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array({_NORM}, ' ') AS toks
+              FROM documents WHERE {_NORM} != ''),
+            s AS (SELECT doc_id, toks, len(toks) AS n,
+                         unnest(generate_series(0, len(toks) - 1, 24))
+                             AS start
+                  FROM t)
+            SELECT doc_id,
+                   CAST(start // 24 AS BIGINT) AS chunk_id,
+                   CAST(least(start + 32, n) - start AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(
+                     list_slice(toks, start + 1, least(start + 32, n)),
+                     ' ') AS chunk
+            FROM s
         """,
         # BM25 on the integer micro grid: every double expression is
         # written in the ENGINE's association order (numpy and DuckDB

@@ -172,6 +172,8 @@ def run_benchmarks() -> dict:
     timed("heavy_hitters", lambda: len(qs["heavy_hitters"](SF_DIR)))
     timed("inverted_index", lambda: qs["inverted_index"](SF_DIR).count())
     timed("bm25_search", lambda: len(qs["bm25_search"](SF_DIR)))
+    timed("chunk_documents",
+          lambda: qs["chunk_documents"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -988,6 +988,57 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
             .groupby("part").map_groups(build, batch_format="pandas"))
 
 
+def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48):
+    """Fixed-size token-window chunking with overlap — the standard
+    RAG / training-prep doc splitter — over the normalized token
+    stream (the ``_NORM`` contract).  Stateless flat ``map_batches``,
+    NO shuffle; output size == chunk count, the irreducible cost.
+
+    Chunk ``i`` starts at ``i * stride`` (every multiple strictly
+    below the doc's token count) and covers up to ``chunk_tokens``
+    tokens, so consecutive chunks overlap by ``chunk_tokens - stride``
+    and the tail chunk may be short.  The per-chunk string join is the
+    dominant work and is inherently per-chunk; the tokenization feeding
+    it is the shared vectorized helper.  Output: (doc_id, chunk_id,
+    n_tokens, chunk).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    _empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "chunk_id": pd.Series([], dtype="int64"),
+        "n_tokens": pd.Series([], dtype="int64"),
+        "chunk": pd.Series([], dtype="object")})
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty)
+        ids = batch["doc_id"].to_numpy()
+        counts = np.bincount(doc_idx, minlength=len(batch))
+        out_doc, out_cid, out_n, out_txt = [], [], [], []
+        pos = 0
+        for i in range(len(batch)):
+            n = int(counts[i])
+            if n == 0:
+                continue
+            t = toks[pos:pos + n]
+            pos += n
+            for cid, start in enumerate(range(0, n, stride)):
+                piece = t[start:start + chunk_tokens]
+                out_doc.append(ids[i])
+                out_cid.append(cid)
+                out_n.append(len(piece))
+                out_txt.append(" ".join(piece))
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "chunk_id": pd.Series(out_cid, dtype="int64"),
+            "n_tokens": pd.Series(out_n, dtype="int64"),
+            "chunk": pd.Series(out_txt, dtype="object")}))
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
 def bm25_search(ds, query_tokens, k: int = 10, k1: float = 1.2,
                 b: float = 0.75, scale: float = 1_000_000.0):
     """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene

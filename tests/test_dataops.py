@@ -902,3 +902,29 @@ def test_bm25_search_matches_plain_reference(ray_session):
     miss = bm25_search(ray.data.from_pandas(docs), ["zzz"], k=3)
     assert len(miss) == 0
     assert list(miss.columns) == ["rank", "doc_id", "score_micro"]
+
+
+def test_chunk_documents_windows_and_overlap(ray_session):
+    """Chunks start at stride multiples below the token count, overlap
+    by chunk-stride, tail chunks are short, empty/None docs vanish."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import chunk_documents
+    toks10 = " ".join(f"t{i}" for i in range(10))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [toks10, "a b", "", None],
+    })
+    out = (chunk_documents(ray.data.from_pandas(docs).repartition(2),
+                           chunk_tokens=4, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    # starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    assert list(d1["n_tokens"]) == [4, 4, 4, 1]
+    assert d1.iloc[0]["chunk"] == "t0 t1 t2 t3"
+    assert d1.iloc[1]["chunk"] == "t3 t4 t5 t6"     # 1-token overlap
+    assert d1.iloc[3]["chunk"] == "t9"
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk"] == "a b"
+    assert set(out["doc_id"]) == {1, 2}             # empty/None dropped
