@@ -570,6 +570,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             dup_ngram_frac_batch, batch_format="pandas")
 
+    def q_dup_substr(sf_dir):
+        # cross-document ExactSubstr signal (Lee et al. 2022):
+        # deterministic injection — docs with doc_id % 7 == 0 share a
+        # 10-token tail — makes duplicated windows exist by
+        # construction, so the check is non-vacuous
+        from doc_ocr_ray.stages.dedup import dup_substr_signals
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["doc_id"] % 7 == 0
+            batch["text"] = batch["text"].fillna("")
+            batch.loc[mask, "text"] = (
+                batch.loc[mask, "text"] + " shared shingle alpha beta"
+                " gamma delta epsilon zeta eta theta")
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(inject, batch_format="pandas"))
+        return dup_substr_signals(ds, window=8)
+
     def q_tfidf_top_terms(sf_dir):
         from doc_ocr_ray.stages.text_analysis import tfidf_top_terms
         import pyarrow.parquet as pq
@@ -791,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "dup_substr": q_dup_substr,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "quality_classifier": q_quality_classifier,
@@ -1984,6 +2004,35 @@ def oracle_sql() -> dict[str, str]:
                    bf.dup_bigram_frac, tf.dup_trigram_frac
             FROM w JOIN bf ON w.doc_id = bf.doc_id
                    JOIN tf ON w.doc_id = tf.doc_id
+        """,
+        # cross-doc duplicated 8-token windows (ExactSubstr): a window
+        # counts as duplicated iff its gram string occurs >= 2 times
+        # corpus-wide (any doc, incl. twice within one); same injected
+        # shared tail as the Ray query
+        "dup_substr": f"""
+            WITH dd AS (SELECT doc_id,
+                          CASE WHEN doc_id % 7 = 0 THEN text ||
+                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
+                               ELSE text END AS text
+                        FROM documents),
+            w AS (SELECT doc_id, {_TOKENS} AS lst FROM dd
+                  WHERE {_STRIP} <> ''),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(lst, i, i + 7), ' ')
+                             AS gram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(lst) - 6))
+                                       AS i)
+                  WHERE len(lst) >= 8),
+            c AS (SELECT doc_id, gram,
+                         count(*) OVER (PARTITION BY gram) AS tot FROM g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_windows,
+                   floor(10000.0 * sum(CASE WHEN tot >= 2 THEN 1 ELSE 0
+                                       END) / count(*)) / 10000
+                       AS dup_frac
+            FROM c GROUP BY doc_id
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

@@ -174,6 +174,7 @@ def run_benchmarks() -> dict:
     timed("bm25_search", lambda: len(qs["bm25_search"](SF_DIR)))
     timed("chunk_documents",
           lambda: qs["chunk_documents"](SF_DIR).count())
+    timed("dup_substr", lambda: qs["dup_substr"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

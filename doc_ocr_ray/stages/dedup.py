@@ -800,3 +800,105 @@ def dedup_lines(ds, text_col: str = "text", num_parts: int = 256):
                                         batch_format="pandas")
             .groupby("dpart").map_groups(rebuild_part,
                                          batch_format="pandas"))
+
+
+# -------------------------------------- cross-doc duplicated substrings
+def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
+                       num_parts: int = 256):
+    """ExactSubstr-style duplicated-substring signals (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document with at least ``window`` whitespace tokens, count
+    how many of its overlapping ``window``-token substrings occur MORE
+    THAN ONCE corpus-wide — in any other document or repeated within
+    the same one.  Unlike ``dup_ngram_frac_batch`` (Gopher's
+    WITHIN-doc repetition signal) this predicate is global: it is the
+    cross-document memorization filter.  Output per qualifying doc:
+    ``(doc_id, n_windows, dup_windows, dup_frac)`` with ``dup_frac``
+    on the shared floor(10000*num/den)/10000 grid.
+
+    Shape: a vectorized explode (shift-concat like
+    ``dup_ngram_frac_batch``, no per-row loop) with the (doc, gram)
+    distinct-pair combiner — a phrase repeated k times inside one doc
+    ships ONE row carrying its count, not k rows; ONE coarse
+    gram-keyed exchange totals occurrences per gram (compared on the
+    gram STRING inside the group, hash-collision-safe) and emits
+    per-doc duplicated-position partials; those union the shuffle-free
+    per-doc window totals and ONE doc-keyed exchange finishes the
+    counts.  Gram strings cross the wire once per distinct (doc,
+    gram); full documents never ride a shuffle.  Lee et al. build a
+    single-machine suffix array — this is the shuffle formulation of
+    the same exact predicate, which is how it distributes.
+    """
+    from doc_ocr_ray.stages.text_analysis import _tokens
+
+    cols = {"doc_id": "int64", "dup_cnt": "int64",
+            "n_windows": "int64", "dpart": "int64"}
+
+    def _typed(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            return df
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch[text_col])
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
+            "word": [w for ws in toks for w in ws],
+        })
+        if flat.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "gram": pd.Series([], dtype="object"),
+                "cnt": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64")})
+        g = flat.groupby("doc_id", sort=False)["word"]
+        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
+        valid = parts[-1].notna()           # has window-1 successors
+        gram = parts[0][valid]
+        for p in parts[1:]:                 # all non-null where valid
+            gram = gram + " " + p[valid]
+        occ = pd.DataFrame({"doc_id": flat.loc[valid, "doc_id"],
+                            "gram": gram})
+        comb = (occ.groupby(["doc_id", "gram"], sort=False)
+                .size().rename("cnt").reset_index())
+        comb["cnt"] = comb["cnt"].astype("int64")
+        comb["part"] = coarse_part(comb["gram"], num_parts)
+        return comb
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = (_tokens(batch[text_col]).str.len().astype("int64")
+              - (window - 1))
+        keep = nw > 0
+        return _typed(pd.DataFrame({
+            "doc_id": batch.loc[keep, "doc_id"].astype("int64"),
+            "dup_cnt": np.zeros(int(keep.sum()), dtype=np.int64),
+            "n_windows": nw[keep],
+            "dpart": coarse_part(batch.loc[keep, "doc_id"], num_parts),
+        }))
+
+    def gram_group(group: pd.DataFrame) -> pd.DataFrame:
+        tot = group.groupby("gram", sort=False)["cnt"].transform("sum")
+        dup = group[tot >= 2]
+        per_doc = (dup.groupby("doc_id", sort=False)["cnt"].sum()
+                   .rename("dup_cnt").reset_index())
+        per_doc["n_windows"] = np.int64(0)
+        per_doc["dpart"] = coarse_part(per_doc["doc_id"], num_parts)
+        return _typed(per_doc)
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (group.groupby("doc_id", sort=False)
+               .agg(n_windows=("n_windows", "sum"),
+                    dup_windows=("dup_cnt", "sum")).reset_index())
+        agg = agg[agg["n_windows"] > 0]     # partial without a total
+        agg["dup_frac"] = (np.floor(10000.0 * agg["dup_windows"]
+                                    / agg["n_windows"]) / 10000)
+        return agg.reset_index(drop=True)
+
+    partials = (ds.map_batches(explode, batch_format="pandas")
+                .groupby("part").map_groups(gram_group,
+                                            batch_format="pandas"))
+    base = ds.map_batches(totals, batch_format="pandas")
+    return (partials.union(base)
+            .groupby("dpart").map_groups(finish, batch_format="pandas"))

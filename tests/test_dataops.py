@@ -244,6 +244,29 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_dup_substr_cross_doc_and_internal_repeats():
+    """ExactSubstr window counting: a window is duplicated iff its
+    8-token gram occurs >= 2 times corpus-wide — across docs (0 vs 1)
+    or twice inside one doc (2); docs with < 8 tokens drop; batching /
+    partitioning must not change counts."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dup_substr_signals
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c d e f g h tail1",            # 2 windows, 1 dup
+                 "x a b c d e f g h tail2",          # 3 windows, 1 dup
+                 "p q r s t u v w p q r s t u v w",  # pos 0 == pos 8
+                 "short doc",                        # < 8 tokens: drops
+                 "m n o p q r s t"],                 # 1 unique window
+    })
+    out = (dup_substr_signals(
+               ray.data.from_pandas(docs).repartition(3), window=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["n_windows"].to_dict() == {1: 2, 2: 3, 3: 9, 5: 1}
+    assert out["dup_windows"].to_dict() == {1: 1, 2: 1, 3: 2, 5: 0}
+    assert out.loc[3, "dup_frac"] == 0.2222          # floor grid
+
+
 def test_lm_score_hand_computed_bigram_frequencies():
     """Corpus counts ab=3, ba=1 -> cmax=3; doc0 'abab' scores
     floor(1000*(3+1+3)/(3*3))=777, doc1 'ab' floor(1000*3/3)=1000,
