@@ -622,6 +622,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_token_budget_select(sf_dir):
+        # realize a 700-token-per-source quota with each source's
+        # best-scoring documents (window-cumsum prefix rule)
+        from doc_ocr_ray.pipelines.curate import token_budget_select
+        return token_budget_select(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+            budget=700)
+
     def q_select_top_quality(sf_dir):
         # FineWeb-style "keep the best 30%": histogram quantile over
         # the bounded integer score grid, then a stateless filter —
@@ -818,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
+        "token_budget_select": q_token_budget_select,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -1903,6 +1912,23 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS thr
               FROM documents)
             WHERE bucket < thr
+        """,
+        # per-source token-budget prefix: rank by the shared stopword
+        # score grid, keep while the window cumsum fits the budget
+        "token_budget_select": f"""
+            WITH s AS ({_QSCORE_SQL}),
+            t AS (SELECT d.doc_id, d.source, s.score,
+                         {_NTOK} AS n_tokens
+                  FROM documents d JOIN s ON s.doc_id = d.doc_id),
+            c AS (SELECT doc_id, source, score, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM t)
+            SELECT doc_id, source, score,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 700
         """,
         "per_source_cap": """
             SELECT doc_id, source, src_rank FROM (

@@ -265,6 +265,55 @@ def per_source_cap(ds, cap: int, source_col: str = "source",
             .map_groups(rank_and_keep, batch_format="pandas"))
 
 
+def token_budget_select(ds, budget: int, source_col: str = "source",
+                        num_partitions: int = 128):
+    """Per-source token-budget selection — fill each domain's token
+    quota with its best documents (the mixture-realization step after
+    a ``mix_plan`` decides per-source quotas): within every source,
+    rank documents by the shared integer stopword quality score
+    (DESC, doc_id ASC tie-break) and keep the ordered PREFIX whose
+    running token total — including the candidate — stays within
+    ``budget``.
+
+    Prefix semantics, not a skip-and-refill knapsack: the cumulative
+    sum is over ALL higher-ranked documents, so one oversized document
+    mid-ranking ends its source's prefix.  That is exactly the SQL
+    window rule ``SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+    score DESC, doc_id) <= budget``, which keeps the operator
+    bit-reproducible across engines and runs.
+
+    ONE coarse source-keyed exchange (same shape as
+    :func:`per_source_cap`): the scoring pass is stateless and
+    vectorized; each partition sorts/cumsums ALL of its sources in
+    one frame.  Output: (doc_id, source, score, n_tokens,
+    cum_tokens)."""
+    from doc_ocr_ray.stages.text_analysis import (_en_stopword_parts,
+                                                  _tokens)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"].fillna(""))
+        stop_en, denom = _en_stopword_parts(toks)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            source_col: batch[source_col],
+            "score": np.floor(10000 * stop_en / denom).astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
+            "part": coarse_part(batch[source_col], num_partitions),
+        })
+
+    def keep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([source_col, "score", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        g["cum_tokens"] = (g.groupby(source_col, sort=False)["n_tokens"]
+                           .cumsum().astype("int64"))
+        g = g[g["cum_tokens"] <= budget].drop(columns=["part"])
+        return typed_if_empty(g.reset_index(drop=True))
+
+    return (ds.map_batches(score, batch_format="pandas")
+            .groupby("part").map_groups(keep, batch_format="pandas"))
+
+
 def export_shards(ds, n_shards: int, key: str = "doc_id",
                   seed: int = 42):
     """Training-export layout: spread rows pseudo-randomly but

@@ -244,6 +244,35 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_token_budget_select_prefix_rule():
+    """Within each source docs rank by stopword score DESC (doc_id
+    tie-break) and the kept set is the ordered prefix whose running
+    token total fits the budget — an oversized doc mid-ranking ends
+    its source's prefix (window-cumsum semantics, not knapsack)."""
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import token_budget_select
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "source": ["a", "a", "a", "a", "b", "b"],
+        # scores: the=stopword; 1: 2/4 -> 5000, 2: 2/2 -> 10000,
+        # 3: 1/8 -> 1250, 4: 0/1 -> 0, 5: 1/2 -> 5000, 6: 0/3 -> 0
+        "text": ["the cat the mat",                   # 4 toks
+                 "the the",                           # 2 toks
+                 "the w w w w w w w",                 # 8 toks (oversized)
+                 "x",                                 # 1 tok
+                 "the dog",                           # 2 toks
+                 "q r s"],                            # 3 toks
+    })
+    out = (token_budget_select(
+               ray.data.from_pandas(docs).repartition(2), budget=6)
+           .to_pandas().set_index("doc_id").sort_index())
+    # source a order: 2 (10000), 1 (5000), 3 (1250), 4 (0);
+    # cum = 2, 6, 14, 15 -> keep 2 and 1; doc 4 blocked by 3's cum
+    # source b order: 5 (5000), 6 (0); cum = 2, 5 -> both kept
+    assert sorted(out.index) == [1, 2, 5, 6]
+    assert out["cum_tokens"].to_dict() == {1: 6, 2: 2, 5: 2, 6: 5}
+
+
 def test_dup_substr_cross_doc_and_internal_repeats():
     """ExactSubstr window counting: a window is duplicated iff its
     8-token gram occurs >= 2 times corpus-wide — across docs (0 vs 1)
