@@ -890,6 +890,99 @@ jac AS (
              JOIN sizes sb ON sb.doc_id = doc_b)
 """
 
+
+def _simhash_sql() -> str:
+    """Bit-exact SQL twin of simhash_dedup_pairs(max_hamming=3):
+    token hash = first 8 md5 bytes big-endian (hex-prefix cast), bit
+    votes with token multiplicity (bit set iff 2*ones > n), two's
+    complement emulated through HUGEINT.  The band blocking needs no
+    SQL twin: with 4 x 16-bit bands, hamming <= 3 PIGEONHOLE-implies
+    at least one intact band, so blocking+verify == the plain hamming
+    predicate over exact simhashes — the SQL states the semantic
+    contract the LSH machinery must (and does) preserve."""
+    return f"""
+        WITH {_INJ_JACCARD},
+        tok AS (SELECT doc_id, unnest(str_split(t, ' ')) AS tk
+                FROM norm WHERE t <> ''),
+        th AS (SELECT doc_id,
+                      ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h
+               FROM tok),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> i) & 1 = 1
+                                 THEN 1 ELSE 0 END) AS ones,
+                        count(*) AS n
+                 FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+                 GROUP BY doc_id, i),
+        hu AS (SELECT doc_id,
+                      sum(CASE WHEN 2 * ones > n
+                               THEN (1::HUGEINT << i)
+                               ELSE 0::HUGEINT END) AS uh
+               FROM bits GROUP BY doc_id),
+        shs AS (SELECT doc_id,
+                      CAST(CASE WHEN uh >= 9223372036854775808
+                                THEN uh - 18446744073709551616
+                                ELSE uh END AS BIGINT) AS simhash
+               FROM hu)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _minhash_sql() -> str:
+    """Bit-exact SQL twin of minhash_dedup_pairs(num_perm=64,
+    num_bands=16, threshold=0.6) over the injected testbed: the
+    polynomial shingle hash is 5 integer literals, the multiply-shift
+    permutations are the engine's own seed-1 constants baked as a
+    VALUES table, and the uint64 wrap is HUGEINT arithmetic mod 2^64.
+    Buckets compare the 4-value band tuple directly where the engine
+    compares a 63-bit md5 of the same bytes — equal values ⟺ equal
+    md5 up to a collision the est>=0.6 verify would reject anyway."""
+    from doc_ocr_ray.stages.dedup import _perm_params
+    a, b = _perm_params(64, seed=1)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(64))
+    powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
+    shingle = " + ".join(
+        f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers))
+    return f"""
+        WITH {_INJ_JACCARD},
+        nn AS (SELECT doc_id,
+                      CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                           ELSE t END AS t
+               FROM norm WHERE t <> ''),
+        shg AS (SELECT DISTINCT doc_id,
+                       ({shingle}) % 2147483647 AS h
+                FROM nn, LATERAL (SELECT unnest(range(1, length(t) - 3))
+                                      AS i)),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(pi, pa, pb)),
+        sig AS (SELECT doc_id, pi,
+                       CAST(min(((pa::HUGEINT * h + pb)
+                                 % 18446744073709551616)
+                                // 4294967296) AS BIGINT) AS v
+                FROM shg CROSS JOIN perms GROUP BY doc_id, pi),
+        bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi) AS bsig
+                FROM sig GROUP BY doc_id, pi // 4),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bnd x JOIN bnd y
+                   ON x.band = y.band AND x.bsig = y.bsig
+                      AND x.doc_id < y.doc_id),
+        simm AS (SELECT c.doc_a, c.doc_b,
+                        CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END)
+                             AS BIGINT) AS m
+                 FROM cand c
+                 JOIN sig s1 ON s1.doc_id = c.doc_a
+                 JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
+                 GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               floor(10000.0 * (CAST(m AS DOUBLE) / 64)) / 10000
+                   AS est_jaccard
+        FROM simm WHERE CAST(m AS DOUBLE) / 64 >= 0.6
+    """
+
 # data-mixing plan inputs, shared by q_mix_plan and its SQL twin
 _MIX_WEIGHTS = {f"src{i}": (i % 5) * 25 for i in range(20)}
 _MIX_BUDGET = 10_000_000
@@ -1615,6 +1708,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {_INJ_JACCARD}
             SELECT doc_a, doc_b, jaccard FROM jac WHERE j >= 0.6
         """,
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE {_INJ_JACCARD},
             edges AS (

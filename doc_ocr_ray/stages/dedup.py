@@ -246,7 +246,12 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                     if est >= threshold and (docs[i], dj) not in seen:
                         seen.add((docs[i], dj))
                         out_a.append(docs[i]); out_b.append(dj)
-                        out_j.append(round(float(est), 4))
+                        # shared floor grid, NOT round(): est = m/64
+                        # sits exactly on the 5th-decimal rounding tie
+                        # whenever m % 4 == 2, where pandas (half-even)
+                        # and SQL (half-up) disagree
+                        out_j.append(float(np.floor(10000.0 * float(est))
+                                           / 10000))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
 
     pairs = parts.groupby("part").map_groups(part_pairs, batch_format="pandas")
