@@ -622,6 +622,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_boilerplate_prefixes(sf_dir):
+        # site-template stand-in: every 5th doc gets a source-derived
+        # header PREPENDED, so each source has a ~20% template prefix
+        # by construction (non-vacuous at the min_frac boundary)
+        from doc_ocr_ray.stages.text_analysis import boilerplate_prefixes
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["doc_id"] % 5 == 0
+            batch["text"] = batch["text"].fillna("")
+            batch.loc[mask, "text"] = (
+                "common header for " + batch.loc[mask, "source"]
+                + " :: " + batch.loc[mask, "text"])
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+              .map_batches(inject, batch_format="pandas"))
+        return boilerplate_prefixes(ds, k=3, min_frac=0.2)
+
     def q_token_budget_select(sf_dir):
         # realize a 700-token-per-source quota with each source's
         # best-scoring documents (window-cumsum prefix rule)
@@ -827,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
         "token_budget_select": q_token_budget_select,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -2007,6 +2026,37 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS thr
               FROM documents)
             WHERE bucket < thr
+        """,
+        # per-source template-prefix detection over the same injected
+        # headers; counts are windows over (source) / (source, prefix)
+        "boilerplate_prefixes": f"""
+            WITH dd AS (SELECT doc_id, source,
+                          CASE WHEN doc_id % 5 = 0
+                               THEN 'common header for ' || source ||
+                                    ' :: ' || text
+                               ELSE text END AS text
+                        FROM documents),
+            w AS (SELECT doc_id, source,
+                         CASE WHEN {_STRIP} = '' THEN ''
+                              ELSE array_to_string(
+                                  list_slice({_TOKENS}, 1, 3), ' ')
+                         END AS prefix
+                  FROM dd),
+            c AS (SELECT doc_id, source, prefix,
+                         count(*) OVER (PARTITION BY source)
+                             AS n_source,
+                         count(*) OVER (PARTITION BY source, prefix)
+                             AS n_prefix
+                  FROM w)
+            SELECT doc_id, source, prefix,
+                   CAST(n_source AS BIGINT) AS n_source,
+                   CAST(n_prefix AS BIGINT) AS n_prefix,
+                   floor(10000.0 * n_prefix / n_source) / 10000
+                       AS prefix_frac,
+                   (n_prefix >= 2 AND
+                    floor(10000.0 * n_prefix / n_source) / 10000 >= 0.2)
+                       AS is_template
+            FROM c
         """,
         # per-source token-budget prefix: rank by the shared stopword
         # score grid, keep while the window cumsum fits the budget

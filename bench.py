@@ -177,6 +177,8 @@ def run_benchmarks() -> dict:
     timed("dup_substr", lambda: qs["dup_substr"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
+    timed("boilerplate_prefixes",
+          lambda: qs["boilerplate_prefixes"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

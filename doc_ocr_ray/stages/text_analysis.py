@@ -1126,3 +1126,47 @@ def bm25_search(ds, query_tokens, k: int = 10, k1: float = 1.2,
            .head(k).reset_index(drop=True))
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "doc_id", "score_micro"]]
+
+
+# ------------------------------------------------ boilerplate templates
+def boilerplate_prefixes(ds, k: int = 3, min_frac: float = 0.2,
+                         num_partitions: int = 128):
+    """Per-source template-prefix detection — the corpus-level
+    boilerplate signal behind "HTML boilerplate strip": site templates
+    and OCR page headers repeat their leading tokens across a source's
+    documents.  A document's ``k``-token prefix is a TEMPLATE iff at
+    least two docs of its source share it AND it covers >= ``min_frac``
+    of the source's documents (fraction on the shared
+    floor(10000*num/den)/10000 grid, so the boundary compare is
+    engine-identical).  Output per doc: ``(doc_id, source, prefix,
+    n_source, n_prefix, prefix_frac, is_template)`` — a downstream
+    strip pass filters ``is_template`` rows or cuts the prefix.
+
+    ONE coarse source-keyed exchange; both counts are window
+    transforms inside the group (all sources of a partition handled
+    in one frame).  Only (doc_id, source, prefix) rides the shuffle —
+    never the text."""
+
+    def pfx(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "prefix": toks.map(lambda ws: " ".join(ws[:k])),
+            "part": coarse_part(batch["source"], num_partitions),
+        })
+
+    def flag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["part"]).copy()
+        g["n_source"] = (g.groupby("source", sort=False)["doc_id"]
+                         .transform("size").astype("int64"))
+        g["n_prefix"] = (g.groupby(["source", "prefix"], sort=False)
+                         ["doc_id"].transform("size").astype("int64"))
+        g["prefix_frac"] = (np.floor(10000.0 * g["n_prefix"]
+                                     / g["n_source"]) / 10000)
+        g["is_template"] = ((g["n_prefix"] >= 2)
+                            & (g["prefix_frac"] >= min_frac))
+        return typed_if_empty(g.reset_index(drop=True))
+
+    return (ds.map_batches(pfx, batch_format="pandas")
+            .groupby("part").map_groups(flag, batch_format="pandas"))

@@ -244,6 +244,33 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_boilerplate_prefix_detection():
+    """A 3-token prefix is a template iff >=2 docs of the source share
+    it and it covers >= min_frac of the source; counts are per-source
+    windows and must survive partitioning."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import boilerplate_prefixes
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "source": ["s1", "s1", "s1", "s1", "s2", "s2"],
+        "text": ["hdr A :: body one",     # s1 template (2/4 = 0.5)
+                 "hdr A :: body two",
+                 "unique start here x",
+                 "another unique doc y",
+                 "hdr B :: only once",    # s2: no repeat -> no template
+                 "different entirely z"],
+    })
+    out = (boilerplate_prefixes(
+               ray.data.from_pandas(docs).repartition(3),
+               k=3, min_frac=0.4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["is_template"].to_dict() == {
+        1: True, 2: True, 3: False, 4: False, 5: False, 6: False}
+    assert out.loc[1, "prefix"] == "hdr A ::"
+    assert out.loc[1, "prefix_frac"] == 0.5
+    assert out.loc[5, "n_prefix"] == 1
+
+
 def test_token_budget_select_prefix_rule():
     """Within each source docs rank by stopword score DESC (doc_id
     tie-break) and the kept set is the ordered prefix whose running
