@@ -622,6 +622,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_source_salient_terms(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import source_salient_terms
+        return source_salient_terms(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+            k=5)
+
     def q_boilerplate_prefixes(sf_dir):
         # site-template stand-in: every 5th doc gets a source-derived
         # header PREPENDED, so each source has a ~20% template prefix
@@ -846,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": q_per_source_cap,
         "token_budget_select": q_token_budget_select,
         "boilerplate_prefixes": q_boilerplate_prefixes,
+        "source_salient_terms": q_source_salient_terms,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -2026,6 +2033,33 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS thr
               FROM documents)
             WHERE bucket < thr
+        """,
+        # per-source salient vocabulary: integer parts-per-million lift
+        # (10^6 * cnt_sw * T) // (tok_s * cnt_w), HUGEINT exact,
+        # top-5 per source with token ASC tie-break
+        "source_salient_terms": f"""
+            WITH w AS (SELECT source, {_TOKENS} AS lst FROM documents
+                       WHERE {_STRIP} <> ''),
+            tk AS (SELECT source, unnest(lst) AS token FROM w),
+            sc AS (SELECT source, token, count(*) AS cnt_sw
+                   FROM tk GROUP BY 1, 2),
+            cw AS (SELECT token, sum(cnt_sw) AS cnt_w FROM sc
+                   GROUP BY 1),
+            st AS (SELECT source, sum(cnt_sw) AS tok_s FROM sc
+                   GROUP BY 1),
+            tt AS (SELECT sum(cnt_sw) AS t FROM sc),
+            j AS (SELECT sc.source, sc.token, sc.cnt_sw, cw.cnt_w,
+                         (1000000::HUGEINT * sc.cnt_sw * tt.t)
+                             // (st.tok_s * cw.cnt_w) AS score
+                  FROM sc JOIN cw USING (token)
+                          JOIN st USING (source) CROSS JOIN tt),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY score DESC, token) AS rank FROM j)
+            SELECT source, CAST(rank AS BIGINT) AS rank, token,
+                   CAST(cnt_sw AS BIGINT) AS cnt_sw,
+                   CAST(cnt_w AS BIGINT) AS cnt_w,
+                   CAST(score AS BIGINT) AS score
+            FROM r WHERE rank <= 5
         """,
         # per-source template-prefix detection over the same injected
         # headers; counts are windows over (source) / (source, prefix)

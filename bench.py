@@ -179,6 +179,8 @@ def run_benchmarks() -> dict:
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",
           lambda: qs["boilerplate_prefixes"](SF_DIR).count())
+    timed("source_salient_terms",
+          lambda: qs["source_salient_terms"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1170,3 +1170,74 @@ def boilerplate_prefixes(ds, k: int = 3, min_frac: float = 0.2,
 
     return (ds.map_batches(pfx, batch_format="pandas")
             .groupby("part").map_groups(flag, batch_format="pandas"))
+
+
+# ------------------------------------------------ source-salient terms
+def source_salient_terms(ds, k: int = 5, num_partitions: int = 128):
+    """Per-source characteristic vocabulary — the domain-profiling
+    step of corpus curation (what makes a crawl domain's language
+    distinctive): for every source, the top ``k`` tokens by the ratio
+    of within-source rate to corpus rate, as the exact integer
+    ``score = (10^6 * cnt_sw * T) // (tok_s * cnt_w)`` (parts-per-
+    million lift; Python-int math in the group so web-scale counts
+    cannot silently wrap — the final int64 cast raises instead).
+
+    Two coarse exchanges, both on combiner-shrunk (source, token,
+    cnt) rows — never texts: the token-keyed one attaches each
+    token's corpus count (all occurrences of a token co-locate), the
+    source-keyed one derives per-source totals IN the group (every
+    token of a source arrives there), scores, and ranks.  The corpus
+    total T is the only driver-side scalar.  Output: (source, rank,
+    token, cnt_sw, cnt_w, score), score DESC / token ASC tie-break."""
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "source": batch["source"].repeat(n).to_numpy(),
+            "token": [w for ws in toks for w in ws]})
+        if flat.empty:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "token": pd.Series([], dtype="object"),
+                "cnt": pd.Series([], dtype="int64"),
+                "tpart": pd.Series([], dtype="int64")})
+        c = (flat.groupby(["source", "token"], sort=False).size()
+             .rename("cnt").reset_index())
+        c["cnt"] = c["cnt"].astype("int64")
+        c["tpart"] = coarse_part(c["token"], num_partitions)
+        return c
+
+    # materialized once: both T and the token exchange consume it —
+    # lazy lineage would re-run the tokenize pass twice
+    counts = ds.map_batches(count_tokens,
+                            batch_format="pandas").materialize()
+    T = int(counts.sum("cnt"))
+
+    def token_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["source", "token"], sort=False)["cnt"]
+             .sum().rename("cnt_sw").reset_index())
+        g["cnt_sw"] = g["cnt_sw"].astype("int64")
+        g["cnt_w"] = (g.groupby("token", sort=False)["cnt_sw"]
+                      .transform("sum").astype("int64"))
+        g["spart"] = coarse_part(g["source"], num_partitions)
+        return g
+
+    def source_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["spart"]).copy()
+        tok_s = g.groupby("source", sort=False)["cnt_sw"].transform("sum")
+        num = g["cnt_sw"].astype(object) * (1_000_000 * T)
+        den = tok_s.astype(object) * g["cnt_w"].astype(object)
+        g["score"] = (num // den).astype("int64")
+        g = g.sort_values(["source", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = (g.groupby("source", sort=False).cumcount()
+                     + 1).astype("int64")
+        g = g[g["rank"] <= k]
+        return (g[["source", "rank", "token", "cnt_sw", "cnt_w",
+                   "score"]].reset_index(drop=True))
+
+    return (counts.groupby("tpart")
+            .map_groups(token_group, batch_format="pandas")
+            .groupby("spart")
+            .map_groups(source_group, batch_format="pandas"))

@@ -244,6 +244,31 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_source_salient_terms_ppm_lift():
+    """score = (10^6 * cnt_sw * T) // (tok_s * cnt_w) exactly; ranks
+    per source by score DESC, token ASC.  Hand-computed on a 5-token
+    corpus: T=5; s1 apple 10^7//6, banana 5*10^6//6; s2 cherry
+    5*10^6//2, banana 5*10^6//4."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import source_salient_terms
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s1", "s1", "s2"],
+        "text": ["apple apple", "banana", "banana cherry"],
+    })
+    out = (source_salient_terms(
+               ray.data.from_pandas(docs).repartition(2), k=5)
+           .to_pandas().set_index(["source", "rank"]).sort_index())
+    assert out.loc[("s1", 1), "token"] == "apple"
+    assert out.loc[("s1", 1), "score"] == 1_666_666
+    assert out.loc[("s1", 2), "token"] == "banana"
+    assert out.loc[("s1", 2), "score"] == 833_333
+    assert out.loc[("s2", 1), "token"] == "cherry"
+    assert out.loc[("s2", 1), "score"] == 2_500_000
+    assert out.loc[("s2", 2), "token"] == "banana"
+    assert out.loc[("s2", 2), "score"] == 1_250_000
+
+
 def test_boilerplate_prefix_detection():
     """A 3-token prefix is a template iff >=2 docs of the source share
     it and it covers >= min_frac of the source; counts are per-source
