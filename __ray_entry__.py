@@ -622,6 +622,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_curate_web_corpus(sf_dir):
+        # the composed round-2 funnel over BOTH injections: every 5th
+        # doc gets a per-source template header (prepended), every 7th
+        # a shared 10-token tail (appended) — so the template strip AND
+        # the ExactSubstr drop both fire by construction
+        from doc_ocr_ray.pipelines.curate import curate_web_corpus
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["text"] = batch["text"].fillna("")
+            m5 = batch["doc_id"] % 5 == 0
+            batch.loc[m5, "text"] = (
+                "common header for " + batch.loc[m5, "source"]
+                + " :: " + batch.loc[m5, "text"])
+            m7 = batch["doc_id"] % 7 == 0
+            batch.loc[m7, "text"] = (
+                batch.loc[m7, "text"] + " shared shingle alpha beta"
+                " gamma delta epsilon zeta eta theta")
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+              .map_batches(inject, batch_format="pandas"))
+        return curate_web_corpus(ds)
+
     def q_source_salient_terms(sf_dir):
         from doc_ocr_ray.stages.text_analysis import source_salient_terms
         return source_salient_terms(
@@ -853,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": q_token_budget_select,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
+        "curate_web_corpus": q_curate_web_corpus,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -2033,6 +2057,75 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS thr
               FROM documents)
             WHERE bucket < thr
+        """,
+        # the composed web funnel end to end: template strip -> token
+        # floor -> ExactSubstr drop -> per-source budget prefix; the
+        # quality CTE is _QSCORE_SQL retargeted at the kept set so the
+        # score expression cannot drift from token_budget_select's
+        "curate_web_corpus": f"""
+            WITH dd0 AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'common header for ' || source || ' :: '
+                             || text
+                        ELSE text END AS t0
+                 FROM documents),
+            dd AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN t0 || ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
+                        ELSE t0 END AS text
+                 FROM dd0),
+            tk AS (SELECT doc_id, source, text,
+                   CASE WHEN {_STRIP} = '' THEN []::VARCHAR[]
+                        ELSE {_TOKENS} END AS lst
+                 FROM dd),
+            pfx AS (SELECT *, array_to_string(list_slice(lst, 1, 3), ' ')
+                           AS prefix FROM tk),
+            flagged AS (SELECT *,
+                          count(*) OVER (PARTITION BY source, prefix)
+                              AS n_prefix,
+                          count(*) OVER (PARTITION BY source)
+                              AS n_source
+                        FROM pfx),
+            strip AS (SELECT doc_id, source,
+                        CASE WHEN n_prefix >= 2 AND
+                                  floor(10000.0 * n_prefix / n_source)
+                                      / 10000 >= 0.2
+                             THEN array_to_string(
+                                 list_slice(lst, 4, len(lst)), ' ')
+                             ELSE text END AS text
+                      FROM flagged),
+            fl AS (SELECT doc_id, source, text FROM strip
+                   WHERE {_NTOK} >= 10),
+            wl AS (SELECT doc_id, {_TOKENS} AS lst FROM fl),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(lst, i, i + 7), ' ')
+                             AS gram
+                  FROM wl, LATERAL (SELECT unnest(range(1, len(lst) - 6))
+                                        AS i)),
+            c AS (SELECT doc_id, gram,
+                         count(*) OVER (PARTITION BY gram) AS tot
+                  FROM g),
+            dfr AS (SELECT doc_id,
+                           floor(10000.0 * sum(CASE WHEN tot >= 2
+                                               THEN 1 ELSE 0 END)
+                                 / count(*)) / 10000 AS dup_frac
+                    FROM c GROUP BY doc_id),
+            kept AS (SELECT f.doc_id, f.source, f.text
+                     FROM fl f JOIN dfr ON f.doc_id = dfr.doc_id
+                     WHERE dfr.dup_frac <= 0.5),
+            q AS ({_QSCORE_SQL.replace("FROM documents", "FROM kept")}),
+            sel AS (SELECT k.doc_id, k.source, q.score,
+                           {_NTOK} AS n_tokens
+                    FROM kept k JOIN q ON q.doc_id = k.doc_id),
+            cc AS (SELECT doc_id, source, score, n_tokens,
+                          sum(n_tokens) OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   FROM sel)
+            SELECT doc_id, source, score,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM cc WHERE cum_tokens <= 700
         """,
         # per-source salient vocabulary: integer parts-per-million lift
         # (10^6 * cnt_sw * T) // (tok_s * cnt_w), HUGEINT exact,

@@ -181,6 +181,8 @@ def run_benchmarks() -> dict:
           lambda: qs["boilerplate_prefixes"](SF_DIR).count())
     timed("source_salient_terms",
           lambda: qs["source_salient_terms"](SF_DIR).count())
+    timed("curate_web_corpus",
+          lambda: qs["curate_web_corpus"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -457,3 +457,99 @@ def curate_semantic(docs_ds, emb_ds, quality_min: int = 1000,
         return batch[["doc_id", "score", "centroid_id"]]
 
     return joined.map_batches(project, batch_format="pandas")
+
+
+def curate_web_corpus(ds, k_prefix: int = 3, template_min_frac: float = 0.2,
+                      min_tokens: int = 10, dup_window: int = 8,
+                      max_dup_frac: float = 0.5, budget: int = 700,
+                      num_partitions: int = 128):
+    """The web-curation funnel, composed from the engine's own
+    operators — every stage is individually oracle-checked and the
+    COMPOSITION has its own end-to-end DuckDB oracle (Q:
+    ``curate_web_corpus``):
+
+        template-prefix strip (boilerplate removal) -> token floor ->
+        cross-document duplicated-substring drop (ExactSubstr) ->
+        per-source token-budget selection
+
+    Output matches :func:`token_budget_select`: one row per surviving
+    document — (doc_id, source, score, n_tokens, cum_tokens).
+
+    Scale shape: the template (source, prefix) set is one row per
+    REPEATED source prefix — corpus-small by construction — and is
+    broadcast once via ``ray.put`` (same trade as ``decontaminate``'s
+    benchmark set); the stripped+floored corpus is materialized ONCE
+    because two phases consume it (the dup-signal pass and the
+    doc-keyed join); the drop join is a tagged-union coarse doc-keyed
+    groupby, never a driver-side id set.
+    """
+    import ray
+    from doc_ocr_ray.stages.dedup import dup_substr_signals
+    from doc_ocr_ray.stages.text_analysis import (_tokens,
+                                                  boilerplate_prefixes)
+
+    tmpl = (boilerplate_prefixes(ds, k=k_prefix,
+                                 min_frac=template_min_frac,
+                                 num_partitions=num_partitions)
+            .map_batches(
+                lambda b: typed_if_empty(
+                    b.loc[b["is_template"], ["source", "prefix"]]
+                    .drop_duplicates()),
+                batch_format="pandas"))
+    tset = set(map(tuple, tmpl.to_pandas().itertuples(index=False)))
+    tref = ray.put(tset)
+
+    def strip_and_floor(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        toks = _tokens(batch["text"])
+        prefix = toks.map(lambda ws: " ".join(ws[:k_prefix]))
+        hit = np.fromiter(((s, p) in t for s, p in
+                           zip(batch["source"], prefix)),
+                          dtype=bool, count=len(batch))
+        stripped = toks.map(lambda ws: " ".join(ws[k_prefix:]))
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "text": np.where(hit, stripped, batch["text"].fillna("")),
+        })
+        n = _tokens(out["text"]).str.len()
+        return typed_if_empty(out[(n >= min_tokens).to_numpy()])
+
+    base = (ds.map_batches(strip_and_floor, batch_format="pandas")
+            .materialize())
+    flags = dup_substr_signals(base, window=dup_window,
+                               num_parts=num_partitions)
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["dup_frac"] = np.float64(0.0)
+        out["is_flag"] = np.int8(0)
+        out["dpart"] = coarse_part(out["doc_id"], num_partitions)
+        return out
+
+    def tag_flags(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "source": pd.Series([""] * len(batch), dtype="object"),
+            "text": pd.Series([""] * len(batch), dtype="object"),
+            "dup_frac": batch["dup_frac"].astype("float64"),
+        })
+        out["is_flag"] = np.int8(1)
+        out["dpart"] = coarse_part(out["doc_id"], num_partitions)
+        return typed_if_empty(out)
+
+    def drop_dupped(group: pd.DataFrame) -> pd.DataFrame:
+        bad = set(group.loc[(group["is_flag"] == 1)
+                            & (group["dup_frac"] > max_dup_frac),
+                            "doc_id"])
+        keep = group[(group["is_flag"] == 0)
+                     & ~group["doc_id"].isin(bad)]
+        return typed_if_empty(
+            keep[["doc_id", "source", "text"]].reset_index(drop=True))
+
+    kept = (base.map_batches(tag_docs, batch_format="pandas")
+            .union(flags.map_batches(tag_flags, batch_format="pandas"))
+            .groupby("dpart").map_groups(drop_dupped,
+                                         batch_format="pandas"))
+    return token_budget_select(kept, budget=budget,
+                               num_partitions=num_partitions)

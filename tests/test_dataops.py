@@ -244,6 +244,35 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_curate_web_corpus_composition():
+    """Every funnel stage must fire: docs 1-2 lose their s1 template
+    prefix (2/4 of the source share it), doc 6 falls to the token
+    floor after no strip, doc 4 exceeds max_dup_frac (2/3 of its
+    3-token windows shared with doc 5) while doc 5 sits exactly ON the
+    0.5 boundary and survives, and the budget keeps only the cumsum
+    prefix per source."""
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import curate_web_corpus
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "source": ["s1", "s1", "s1", "s2", "s2", "s1"],
+        "text": ["HDR :: the cat sat on mat",
+                 "HDR :: a dog ran far away",
+                 "totally unique text without the pattern",
+                 "alpha beta gamma delta epsilon",
+                 "zeta beta gamma delta epsilon eta",
+                 "too small"],
+    })
+    out = (curate_web_corpus(
+               ray.data.from_pandas(docs).repartition(3),
+               k_prefix=2, template_min_frac=0.5, min_tokens=4,
+               dup_window=3, max_dup_frac=0.5, budget=10)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert sorted(out.index) == [1, 2, 5]       # 3 over budget, 4 dup,
+    assert out["cum_tokens"].to_dict() == {1: 5, 2: 10, 5: 6}
+    assert out.loc[1, "score"] == 2000          # prefix was stripped
+
+
 def test_source_salient_terms_ppm_lift():
     """score = (10^6 * cnt_sw * T) // (tok_s * cnt_w) exactly; ranks
     per source by score DESC, token ASC.  Hand-computed on a 5-token
