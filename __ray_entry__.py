@@ -972,7 +972,12 @@ def _simhash_sql() -> str:
                       CAST(CASE WHEN uh >= 9223372036854775808
                                 THEN uh - 18446744073709551616
                                 ELSE uh END AS BIGINT) AS simhash
-               FROM hu)
+               FROM hu
+               UNION ALL
+               -- empty-normalized docs: the engine's simhash64 is 0,
+               -- so two empty docs pair at hamming = 0
+               SELECT doc_id, CAST(0 AS BIGINT) AS simhash
+               FROM norm WHERE t = '')
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                    AS hamming
@@ -1013,7 +1018,12 @@ def _minhash_sql() -> str:
                        CAST(min(((pa::HUGEINT * h + pb)
                                  % 18446744073709551616)
                                 // 4294967296) AS BIGINT) AS v
-                FROM shg CROSS JOIN perms GROUP BY doc_id, pi),
+                FROM shg CROSS JOIN perms GROUP BY doc_id, pi
+                UNION ALL
+                -- empty-normalized docs: the engine's all-MAXH
+                -- signature, so two empty docs pair at est = 1.0
+                SELECT n.doc_id, p.pi, 4294967295 AS v
+                FROM norm n CROSS JOIN perms p WHERE n.t = ''),
         bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi) AS bsig
                 FROM sig GROUP BY doc_id, pi // 4),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1047,16 +1057,85 @@ _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
 
 # stopword-density quality score on the integer 0..10000 grid, shared
-# by select_top_quality and curate_semantic's gate — one copy so a
-# grid/tokenization fix can never drift between the two oracles
-_QSCORE_SQL = f"""
+# by select_top_quality, curate_semantic's gate, token_budget_select
+# and the composed web funnel — one copy (parameterized by relation)
+# so a grid/tokenization fix can never drift between the oracles
+def _qscore_sql(rel: str = "documents") -> str:
+    return f"""
               SELECT doc_id,
                      CAST(floor(10000 * len(list_filter(
                             regexp_split_to_array(lower({_STRIP}), '\\s+'),
                             t -> t IN {_STOP_EN}))
                           / greatest(1, {_NTOK})::DOUBLE) AS BIGINT)
                          AS score
-              FROM documents"""
+              FROM {rel}"""
+
+
+_QSCORE_SQL = _qscore_sql()
+
+
+def _prefix_flag_ctes(rel: str) -> str:
+    """Template-prefix CTE chain over ``rel(doc_id, source, text)``:
+    3-token prefix + per-(source, prefix) / per-source window counts —
+    one copy shared by the boilerplate_prefixes oracle and the
+    composed web-funnel oracle."""
+    return f"""
+        tkp AS (SELECT *, CASE WHEN {_STRIP} = '' THEN []::VARCHAR[]
+                               ELSE {_TOKENS} END AS lst
+                FROM {rel}),
+        pfx AS (SELECT *, array_to_string(list_slice(lst, 1, 3), ' ')
+                       AS prefix FROM tkp),
+        flagged AS (SELECT *,
+                      count(*) OVER (PARTITION BY source, prefix)
+                          AS n_prefix,
+                      count(*) OVER (PARTITION BY source) AS n_source
+                    FROM pfx)"""
+
+
+def _dupfrac_ctes(rel: str) -> str:
+    """ExactSubstr 8-token-window CTE chain over ``rel(doc_id, text)``
+    ending in ``dfr(doc_id, n_windows, dup_windows, dup_frac)`` — one
+    copy shared by the dup_substr oracle and the composed web-funnel
+    oracle."""
+    return f"""
+        wl AS (SELECT doc_id, {_TOKENS} AS lst FROM {rel}
+               WHERE {_STRIP} <> ''),
+        g AS (SELECT doc_id,
+                     array_to_string(list_slice(lst, i, i + 7), ' ')
+                         AS gram
+              FROM wl, LATERAL (SELECT unnest(range(1, len(lst) - 6))
+                                    AS i)
+              WHERE len(lst) >= 8),
+        c AS (SELECT doc_id, gram,
+                     count(*) OVER (PARTITION BY gram) AS tot FROM g),
+        dfr AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_windows,
+                       CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS dup_windows,
+                       floor(10000.0 * sum(CASE WHEN tot >= 2
+                                           THEN 1 ELSE 0 END)
+                             / count(*)) / 10000 AS dup_frac
+                FROM c GROUP BY doc_id)"""
+
+
+def _budget_tail_sql(rel: str, budget: int) -> str:
+    """Token-budget CTE chain + final SELECT over ``rel(doc_id,
+    source, text)`` — one copy shared by the token_budget_select
+    oracle and the composed web-funnel oracle."""
+    return f"""
+        q AS ({_qscore_sql(rel)}),
+        sel AS (SELECT k.doc_id, k.source, q.score,
+                       {_NTOK} AS n_tokens
+                FROM {rel} k JOIN q ON q.doc_id = k.doc_id),
+        cc AS (SELECT doc_id, source, score, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM sel)
+        SELECT doc_id, source, score,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cc WHERE cum_tokens <= {budget}"""
 
 
 def _semdedup_ctes(rel: str, threshold: float) -> str:
@@ -2066,26 +2145,15 @@ def oracle_sql() -> dict[str, str]:
             WITH dd0 AS (SELECT doc_id, source,
                    CASE WHEN doc_id % 5 = 0
                         THEN 'common header for ' || source || ' :: '
-                             || text
-                        ELSE text END AS t0
+                             || coalesce(text, '')
+                        ELSE coalesce(text, '') END AS t0
                  FROM documents),
             dd AS (SELECT doc_id, source,
                    CASE WHEN doc_id % 7 = 0
                         THEN t0 || ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
                         ELSE t0 END AS text
                  FROM dd0),
-            tk AS (SELECT doc_id, source, text,
-                   CASE WHEN {_STRIP} = '' THEN []::VARCHAR[]
-                        ELSE {_TOKENS} END AS lst
-                 FROM dd),
-            pfx AS (SELECT *, array_to_string(list_slice(lst, 1, 3), ' ')
-                           AS prefix FROM tk),
-            flagged AS (SELECT *,
-                          count(*) OVER (PARTITION BY source, prefix)
-                              AS n_prefix,
-                          count(*) OVER (PARTITION BY source)
-                              AS n_source
-                        FROM pfx),
+            {_prefix_flag_ctes('dd')},
             strip AS (SELECT doc_id, source,
                         CASE WHEN n_prefix >= 2 AND
                                   floor(10000.0 * n_prefix / n_source)
@@ -2096,36 +2164,11 @@ def oracle_sql() -> dict[str, str]:
                       FROM flagged),
             fl AS (SELECT doc_id, source, text FROM strip
                    WHERE {_NTOK} >= 10),
-            wl AS (SELECT doc_id, {_TOKENS} AS lst FROM fl),
-            g AS (SELECT doc_id,
-                         array_to_string(list_slice(lst, i, i + 7), ' ')
-                             AS gram
-                  FROM wl, LATERAL (SELECT unnest(range(1, len(lst) - 6))
-                                        AS i)),
-            c AS (SELECT doc_id, gram,
-                         count(*) OVER (PARTITION BY gram) AS tot
-                  FROM g),
-            dfr AS (SELECT doc_id,
-                           floor(10000.0 * sum(CASE WHEN tot >= 2
-                                               THEN 1 ELSE 0 END)
-                                 / count(*)) / 10000 AS dup_frac
-                    FROM c GROUP BY doc_id),
+            {_dupfrac_ctes('fl')},
             kept AS (SELECT f.doc_id, f.source, f.text
                      FROM fl f JOIN dfr ON f.doc_id = dfr.doc_id
                      WHERE dfr.dup_frac <= 0.5),
-            q AS ({_QSCORE_SQL.replace("FROM documents", "FROM kept")}),
-            sel AS (SELECT k.doc_id, k.source, q.score,
-                           {_NTOK} AS n_tokens
-                    FROM kept k JOIN q ON q.doc_id = k.doc_id),
-            cc AS (SELECT doc_id, source, score, n_tokens,
-                          sum(n_tokens) OVER (PARTITION BY source
-                              ORDER BY score DESC, doc_id
-                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
-                   FROM sel)
-            SELECT doc_id, source, score,
-                   CAST(n_tokens AS BIGINT) AS n_tokens,
-                   CAST(cum_tokens AS BIGINT) AS cum_tokens
-            FROM cc WHERE cum_tokens <= 700
+            {_budget_tail_sql('kept', 700)}
         """,
         # per-source salient vocabulary: integer parts-per-million lift
         # (10^6 * cnt_sw * T) // (tok_s * cnt_w), HUGEINT exact,
@@ -2160,21 +2203,10 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS (SELECT doc_id, source,
                           CASE WHEN doc_id % 5 = 0
                                THEN 'common header for ' || source ||
-                                    ' :: ' || text
-                               ELSE text END AS text
+                                    ' :: ' || coalesce(text, '')
+                               ELSE coalesce(text, '') END AS text
                         FROM documents),
-            w AS (SELECT doc_id, source,
-                         CASE WHEN {_STRIP} = '' THEN ''
-                              ELSE array_to_string(
-                                  list_slice({_TOKENS}, 1, 3), ' ')
-                         END AS prefix
-                  FROM dd),
-            c AS (SELECT doc_id, source, prefix,
-                         count(*) OVER (PARTITION BY source)
-                             AS n_source,
-                         count(*) OVER (PARTITION BY source, prefix)
-                             AS n_prefix
-                  FROM w)
+            {_prefix_flag_ctes('dd')}
             SELECT doc_id, source, prefix,
                    CAST(n_source AS BIGINT) AS n_source,
                    CAST(n_prefix AS BIGINT) AS n_prefix,
@@ -2183,24 +2215,12 @@ def oracle_sql() -> dict[str, str]:
                    (n_prefix >= 2 AND
                     floor(10000.0 * n_prefix / n_source) / 10000 >= 0.2)
                        AS is_template
-            FROM c
+            FROM flagged
         """,
         # per-source token-budget prefix: rank by the shared stopword
         # score grid, keep while the window cumsum fits the budget
         "token_budget_select": f"""
-            WITH s AS ({_QSCORE_SQL}),
-            t AS (SELECT d.doc_id, d.source, s.score,
-                         {_NTOK} AS n_tokens
-                  FROM documents d JOIN s ON s.doc_id = d.doc_id),
-            c AS (SELECT doc_id, source, score, n_tokens,
-                         sum(n_tokens) OVER (PARTITION BY source
-                             ORDER BY score DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
-                  FROM t)
-            SELECT doc_id, source, score,
-                   CAST(n_tokens AS BIGINT) AS n_tokens,
-                   CAST(cum_tokens AS BIGINT) AS cum_tokens
-            FROM c WHERE cum_tokens <= 700
+            WITH {_budget_tail_sql('documents', 700)}
         """,
         "per_source_cap": """
             SELECT doc_id, source, src_rank FROM (
@@ -2306,31 +2326,16 @@ def oracle_sql() -> dict[str, str]:
         # cross-doc duplicated 8-token windows (ExactSubstr): a window
         # counts as duplicated iff its gram string occurs >= 2 times
         # corpus-wide (any doc, incl. twice within one); same injected
-        # shared tail as the Ray query
+        # shared tail as the Ray query (coalesce mirrors its fillna)
         "dup_substr": f"""
             WITH dd AS (SELECT doc_id,
-                          CASE WHEN doc_id % 7 = 0 THEN text ||
+                          CASE WHEN doc_id % 7 = 0
+                               THEN coalesce(text, '') ||
                                ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
-                               ELSE text END AS text
+                               ELSE coalesce(text, '') END AS text
                         FROM documents),
-            w AS (SELECT doc_id, {_TOKENS} AS lst FROM dd
-                  WHERE {_STRIP} <> ''),
-            g AS (SELECT doc_id,
-                         array_to_string(list_slice(lst, i, i + 7), ' ')
-                             AS gram
-                  FROM w, LATERAL (SELECT unnest(range(1, len(lst) - 6))
-                                       AS i)
-                  WHERE len(lst) >= 8),
-            c AS (SELECT doc_id, gram,
-                         count(*) OVER (PARTITION BY gram) AS tot FROM g)
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_windows,
-                   CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS dup_windows,
-                   floor(10000.0 * sum(CASE WHEN tot >= 2 THEN 1 ELSE 0
-                                       END) / count(*)) / 10000
-                       AS dup_frac
-            FROM c GROUP BY doc_id
+            {_dupfrac_ctes('dd')}
+            SELECT doc_id, n_windows, dup_windows, dup_frac FROM dfr
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

@@ -488,6 +488,9 @@ def curate_web_corpus(ds, k_prefix: int = 3, template_min_frac: float = 0.2,
     from doc_ocr_ray.stages.text_analysis import (_tokens,
                                                   boilerplate_prefixes)
 
+    # two consumers (template detection + the strip pass) — checkpoint
+    # once instead of re-running the upstream read/inject lineage
+    ds = ds.materialize()
     tmpl = (boilerplate_prefixes(ds, k=k_prefix,
                                  min_frac=template_min_frac,
                                  num_partitions=num_partitions)
@@ -506,14 +509,19 @@ def curate_web_corpus(ds, k_prefix: int = 3, template_min_frac: float = 0.2,
         hit = np.fromiter(((s, p) in t for s, p in
                            zip(batch["source"], prefix)),
                           dtype=bool, count=len(batch))
-        stripped = toks.map(lambda ws: " ".join(ws[k_prefix:]))
+        # join the stripped text only for the (small) template
+        # fraction; token counts derive from toks — no re-tokenize
+        text = batch["text"].fillna("").to_numpy(dtype=object, copy=True)
+        for i in np.nonzero(hit)[0]:
+            text[i] = " ".join(toks.iat[i][k_prefix:])
+        n = np.maximum(toks.str.len().to_numpy()
+                       - np.where(hit, k_prefix, 0), 0)
         out = pd.DataFrame({
             "doc_id": batch["doc_id"],
             "source": batch["source"],
-            "text": np.where(hit, stripped, batch["text"].fillna("")),
+            "text": text,
         })
-        n = _tokens(out["text"]).str.len()
-        return typed_if_empty(out[(n >= min_tokens).to_numpy()])
+        return typed_if_empty(out[n >= min_tokens])
 
     base = (ds.map_batches(strip_and_floor, batch_format="pandas")
             .materialize())

@@ -821,43 +821,45 @@ def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
     ``(doc_id, n_windows, dup_windows, dup_frac)`` with ``dup_frac``
     on the shared floor(10000*num/den)/10000 grid.
 
-    Shape: a vectorized explode (shift-concat like
-    ``dup_ngram_frac_batch``, no per-row loop) with the (doc, gram)
-    distinct-pair combiner — a phrase repeated k times inside one doc
-    ships ONE row carrying its count, not k rows; ONE coarse
-    gram-keyed exchange totals occurrences per gram (compared on the
-    gram STRING inside the group, hash-collision-safe) and emits
-    per-doc duplicated-position partials; those union the shuffle-free
-    per-doc window totals and ONE doc-keyed exchange finishes the
+    Shape: ONE corpus scan — a vectorized explode (shift-concat like
+    ``dup_ngram_frac_batch``, no per-row loop) emits gram rows with
+    the (doc, gram) distinct-pair combiner (a phrase repeated k times
+    inside one doc ships ONE row carrying its count, not k rows) PLUS
+    one tagged per-doc window-total row, so the input is never
+    consumed twice (no re-run of upstream lineage, no tokenize-twice);
+    ONE coarse gram-keyed exchange totals occurrences per gram
+    (compared on the gram STRING inside the group,
+    hash-collision-safe), emits per-doc duplicated-position partials
+    and forwards the total rows; ONE doc-keyed exchange finishes the
     counts.  Gram strings cross the wire once per distinct (doc,
     gram); full documents never ride a shuffle.  Lee et al. build a
     single-machine suffix array — this is the shuffle formulation of
     the same exact predicate, which is how it distributes.
     """
     from doc_ocr_ray.stages.text_analysis import _tokens
-
-    cols = {"doc_id": "int64", "dup_cnt": "int64",
-            "n_windows": "int64", "dpart": "int64"}
-
-    def _typed(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df):
-            return df
-        return pd.DataFrame({c: pd.Series([], dtype=t)
-                             for c, t in cols.items()})
+    from doc_ocr_ray.util import typed_if_empty
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(batch[text_col])
         n = toks.str.len().to_numpy()
+        doc_ids = batch["doc_id"].to_numpy()
+        nw = np.maximum(n - (window - 1), 0)
+        has = nw > 0
+        # tagged per-doc totals: ride the gram exchange (one extra row
+        # per doc) instead of a second scan of the input
+        tot = pd.DataFrame({
+            "doc_id": doc_ids[has].astype("int64"),
+            "gram": pd.Series([""] * int(has.sum()), dtype="object"),
+            "cnt": nw[has].astype("int64"),
+            "kind": np.full(int(has.sum()), 1, dtype=np.int8),
+            "part": coarse_part(pd.Series(doc_ids[has]), num_parts),
+        })
         flat = pd.DataFrame({
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
+            "doc_id": np.repeat(doc_ids, n),
             "word": [w for ws in toks for w in ws],
         })
         if flat.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "gram": pd.Series([], dtype="object"),
-                "cnt": pd.Series([], dtype="int64"),
-                "part": pd.Series([], dtype="int64")})
+            return typed_if_empty(tot)
         g = flat.groupby("doc_id", sort=False)["word"]
         parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
         valid = parts[-1].notna()           # has window-1 successors
@@ -869,28 +871,24 @@ def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
         comb = (occ.groupby(["doc_id", "gram"], sort=False)
                 .size().rename("cnt").reset_index())
         comb["cnt"] = comb["cnt"].astype("int64")
+        comb["kind"] = np.int8(0)
         comb["part"] = coarse_part(comb["gram"], num_parts)
-        return comb
-
-    def totals(batch: pd.DataFrame) -> pd.DataFrame:
-        nw = (_tokens(batch[text_col]).str.len().astype("int64")
-              - (window - 1))
-        keep = nw > 0
-        return _typed(pd.DataFrame({
-            "doc_id": batch.loc[keep, "doc_id"].astype("int64"),
-            "dup_cnt": np.zeros(int(keep.sum()), dtype=np.int64),
-            "n_windows": nw[keep],
-            "dpart": coarse_part(batch.loc[keep, "doc_id"], num_parts),
-        }))
+        return typed_if_empty(pd.concat([comb, tot], ignore_index=True))
 
     def gram_group(group: pd.DataFrame) -> pd.DataFrame:
-        tot = group.groupby("gram", sort=False)["cnt"].transform("sum")
-        dup = group[tot >= 2]
+        g0 = group[group["kind"] == 0]
+        tot = g0.groupby("gram", sort=False)["cnt"].transform("sum")
+        dup = g0[tot >= 2]
         per_doc = (dup.groupby("doc_id", sort=False)["cnt"].sum()
                    .rename("dup_cnt").reset_index())
         per_doc["n_windows"] = np.int64(0)
-        per_doc["dpart"] = coarse_part(per_doc["doc_id"], num_parts)
-        return _typed(per_doc)
+        fwd = group.loc[group["kind"] == 1, ["doc_id"]].copy()
+        fwd["dup_cnt"] = np.int64(0)
+        fwd["n_windows"] = (group.loc[group["kind"] == 1, "cnt"]
+                            .astype("int64").to_numpy())
+        out = pd.concat([per_doc, fwd], ignore_index=True)
+        out["dpart"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
 
     def finish(group: pd.DataFrame) -> pd.DataFrame:
         agg = (group.groupby("doc_id", sort=False)
@@ -901,9 +899,7 @@ def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
                                     / agg["n_windows"]) / 10000)
         return agg.reset_index(drop=True)
 
-    partials = (ds.map_batches(explode, batch_format="pandas")
-                .groupby("part").map_groups(gram_group,
-                                            batch_format="pandas"))
-    base = ds.map_batches(totals, batch_format="pandas")
-    return (partials.union(base)
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(gram_group,
+                                        batch_format="pandas")
             .groupby("dpart").map_groups(finish, batch_format="pandas"))

@@ -1197,11 +1197,11 @@ def source_salient_terms(ds, k: int = 5, num_partitions: int = 128):
             "source": batch["source"].repeat(n).to_numpy(),
             "token": [w for ws in toks for w in ws]})
         if flat.empty:
-            return pd.DataFrame({
+            return typed_if_empty(pd.DataFrame({
                 "source": pd.Series([], dtype="object"),
                 "token": pd.Series([], dtype="object"),
                 "cnt": pd.Series([], dtype="int64"),
-                "tpart": pd.Series([], dtype="int64")})
+                "tpart": pd.Series([], dtype="int64")}))
         c = (flat.groupby(["source", "token"], sort=False).size()
              .rename("cnt").reset_index())
         c["cnt"] = c["cnt"].astype("int64")
