@@ -622,6 +622,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_dedup_substr_remove(sf_dir):
+        # the full ExactSubstr edit over the same injected shared-tail
+        # corpus as dup_substr: injected docs lose the tail plus every
+        # boundary-covered token, fully-duplicated docs drop
+        from doc_ocr_ray.stages.dedup import dedup_substr_remove
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["doc_id"] % 7 == 0
+            batch["text"] = batch["text"].fillna("")
+            batch.loc[mask, "text"] = (
+                batch.loc[mask, "text"] + " shared shingle alpha beta"
+                " gamma delta epsilon zeta eta theta")
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(inject, batch_format="pandas"))
+        return dedup_substr_remove(ds, window=8)
+
     def q_curate_web_corpus(sf_dir):
         # the composed round-2 funnel over BOTH injections: every 5th
         # doc gets a per-source template header (prepended), every 7th
@@ -877,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
+        "dedup_substr_remove": q_dedup_substr_remove,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -2336,6 +2355,43 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents),
             {_dupfrac_ctes('dd')}
             SELECT doc_id, n_windows, dup_windows, dup_frac FROM dfr
+        """,
+        # the full ExactSubstr edit: token p is covered iff a
+        # duplicated window starts in [p-7, p] (windowed MAX over the
+        # per-position dup flag); survivors re-join in order,
+        # fully-covered docs produce no group and drop
+        "dedup_substr_remove": f"""
+            WITH dd AS (SELECT doc_id,
+                          CASE WHEN doc_id % 7 = 0
+                               THEN coalesce(text, '') ||
+                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
+                               ELSE coalesce(text, '') END AS text
+                        FROM documents),
+            wl AS (SELECT doc_id, {_TOKENS} AS lst FROM dd
+                   WHERE {_STRIP} <> ''),
+            g AS (SELECT doc_id, i,
+                         array_to_string(list_slice(lst, i, i + 7), ' ')
+                             AS gram
+                  FROM wl, LATERAL (SELECT unnest(range(1, len(lst) - 6))
+                                        AS i)
+                  WHERE len(lst) >= 8),
+            cdup AS (SELECT doc_id, i,
+                            count(*) OVER (PARTITION BY gram) AS tot
+                     FROM g),
+            tokpos AS (SELECT doc_id, unnest(lst) AS tok,
+                              generate_subscripts(lst, 1) AS p
+                       FROM wl),
+            flags AS (SELECT t.doc_id, t.p, t.tok,
+                             CASE WHEN c.tot >= 2 THEN 1 ELSE 0 END AS d
+                      FROM tokpos t LEFT JOIN cdup c
+                        ON c.doc_id = t.doc_id AND c.i = t.p),
+            cov AS (SELECT doc_id, p, tok,
+                           max(d) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                               AS covered
+                    FROM flags)
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+            FROM cov WHERE covered = 0 GROUP BY doc_id
         """,
         "repetition_signals": """
             WITH w AS (SELECT doc_id,

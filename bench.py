@@ -175,6 +175,8 @@ def run_benchmarks() -> dict:
     timed("chunk_documents",
           lambda: qs["chunk_documents"](SF_DIR).count())
     timed("dup_substr", lambda: qs["dup_substr"](SF_DIR).count())
+    timed("dedup_substr_remove",
+          lambda: qs["dedup_substr_remove"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",

@@ -903,3 +903,137 @@ def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
             .groupby("part").map_groups(gram_group,
                                         batch_format="pandas")
             .groupby("dpart").map_groups(finish, batch_format="pandas"))
+
+
+_EMPTY_SUBSTR_ROWS = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "payload": pa.array([], pa.binary()),
+    "kind": pa.array([], pa.int8()),
+    "part": pa.array([], pa.int64()),
+    "gram": pa.array([], pa.string()),
+    "cnt": pa.array([], pa.int64())})
+_EMPTY_SUBSTR_FWD = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "payload": pa.array([], pa.binary()),
+    "kind": pa.array([], pa.int8()),
+    "dpart": pa.array([], pa.int64())})
+_EMPTY_SUBSTR_OUT = pa.table({
+    "doc_id": pa.array([], pa.int64()),
+    "text": pa.array([], pa.string())})
+
+
+def dedup_substr_remove(ds, window: int = 8, text_col: str = "text",
+                        num_parts: int = 256):
+    """Full ExactSubstr REMOVAL (Lee et al. 2022): delete every token
+    covered by ANY ``window``-token substring that occurs more than
+    once corpus-wide, rebuild each document from its surviving tokens
+    in order (whitespace-normalized), and DROP fully-covered
+    documents.  ``dup_substr_signals`` is the measurement; this is
+    the edit.
+
+    Shape: ONE corpus scan emits (a) per-(doc, gram) candidate rows
+    carrying their packed int64 start positions — the combiner, so a
+    phrase repeated k times in one doc ships one row with k starts —
+    keyed by gram hash, and (b) tagged doc rows carrying the utf-8
+    text, keyed by doc hash (they pass through the gram exchange
+    unread); the gram group keeps starts whose gram occurs >= 2 times
+    (string-compared, collision-safe); the doc group marks covered
+    positions with a difference array and re-joins survivors.  Text
+    crosses the wire exactly twice (route + rebuild) — the same trade
+    as ``dedup_lines``; gram strings cross once per distinct (doc,
+    gram).  Binary payload column keeps starts and text in one typed
+    Arrow schema (no object/string unification drift on empties).
+    """
+    from doc_ocr_ray.stages.text_analysis import _tokens
+
+    def explode(batch: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        if not len(batch):
+            return _EMPTY_SUBSTR_ROWS
+        toks = _tokens(batch[text_col])
+        n = toks.str.len().to_numpy()
+        doc_ids = batch["doc_id"].to_numpy()
+        docs = pd.DataFrame({
+            "doc_id": doc_ids.astype("int64"),
+            "payload": [t.encode("utf-8")
+                        for t in batch[text_col].fillna("")],
+            "kind": np.full(len(batch), 1, dtype=np.int8),
+            "part": coarse_part(pd.Series(doc_ids), num_parts),
+        })
+        docs = docs.assign(gram="", cnt=np.int64(0))
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, n),
+            "word": [w for ws in toks for w in ws],
+        })
+        if flat.empty:
+            return docs
+        g = flat.groupby("doc_id", sort=False)["word"]
+        pos = (g.cumcount() + 1).to_numpy()          # 1-based
+        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
+        valid = parts[-1].notna()
+        if not valid.any():
+            return docs
+        gram = parts[0][valid]
+        for p in parts[1:]:
+            gram = gram + " " + p[valid]
+        occ = pd.DataFrame({"doc_id": flat.loc[valid, "doc_id"],
+                            "gram": gram,
+                            "pos": pos[valid.to_numpy()]})
+        comb = (occ.groupby(["doc_id", "gram"], sort=False)["pos"]
+                .agg(lambda s: np.asarray(s.to_numpy(),
+                                          dtype="<i8").tobytes())
+                .rename("payload").reset_index())
+        comb["cnt"] = (occ.groupby(["doc_id", "gram"], sort=False)
+                       .size().to_numpy().astype("int64"))
+        comb["kind"] = np.int8(0)
+        comb["part"] = coarse_part(comb["gram"], num_parts)
+        out = pd.concat(
+            [comb[["doc_id", "payload", "kind", "part", "gram", "cnt"]],
+             docs[["doc_id", "payload", "kind", "part", "gram", "cnt"]]],
+            ignore_index=True)
+        return out
+
+    def gram_group(group: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        g0 = group[group["kind"] == 0]
+        tot = g0.groupby("gram", sort=False)["cnt"].transform("sum")
+        dup = g0[tot >= 2]
+        fwd = group[group["kind"] == 1]
+        out = pd.concat(
+            [dup[["doc_id", "payload", "kind"]],
+             fwd[["doc_id", "payload", "kind"]]], ignore_index=True)
+        if not len(out):
+            return _EMPTY_SUBSTR_FWD
+        out["dpart"] = coarse_part(out["doc_id"], num_parts)
+        return out
+
+    def rebuild(group: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        out_ids, out_txt = [], []
+        for doc, sub in group.groupby("doc_id", sort=False):
+            texts = sub.loc[sub["kind"] == 1, "payload"]
+            if not len(texts):
+                continue                      # starts without a doc row
+            t = _EDGE_WS.sub("", bytes(texts.iloc[0]).decode("utf-8"))
+            if not t:
+                continue
+            ws = _WS.split(t)
+            nw = len(ws)
+            acc = np.zeros(nw + 1, dtype=np.int64)
+            for b in sub.loc[sub["kind"] == 0, "payload"]:
+                starts = np.frombuffer(bytes(b), dtype="<i8") - 1
+                np.add.at(acc, starts, 1)
+                np.subtract.at(acc, np.minimum(starts + window, nw), 1)
+            covered = np.cumsum(acc[:-1]) > 0
+            if covered.all():
+                continue
+            kept = [w for w, c in zip(ws, covered) if not c]
+            out_ids.append(doc)
+            out_txt.append(" ".join(kept))
+        if not out_ids:
+            return _EMPTY_SUBSTR_OUT
+        return pd.DataFrame({
+            "doc_id": np.asarray(out_ids, dtype="int64"),
+            text_col: pd.Series(out_txt, dtype="object")})
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(gram_group,
+                                        batch_format="pandas")
+            .groupby("dpart").map_groups(rebuild, batch_format="pandas"))

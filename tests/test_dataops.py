@@ -244,6 +244,28 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_dedup_substr_remove_edits_and_drops():
+    """Tokens covered by ANY duplicated 8-window vanish — including
+    boundary windows ([b..tail] matches across docs 1/2, so 'tail'
+    goes too); fully-covered docs drop; <8-token docs and unique docs
+    survive whole (token-rejoined)."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_substr_remove
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c d e f g h tail one",
+                 "x a b c d e f g h tail two",
+                 "p q r s t u v w p q r s t u v w",
+                 "short doc",
+                 "m n o p q r s t unique"],
+    })
+    out = (dedup_substr_remove(
+               ray.data.from_pandas(docs).repartition(3), window=8)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert out == {1: "one", 2: "x two", 4: "short doc",
+                   5: "m n o p q r s t unique"}
+
+
 def test_curate_web_corpus_composition():
     """Every funnel stage must fire: docs 1-2 lose their s1 template
     prefix (2/4 of the source share it), doc 6 falls to the token
