@@ -622,6 +622,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return per_source_cap(
             _read(sf_dir, "documents", ["doc_id", "source"]), cap=3)
 
+    def q_cross_source_overlap(sf_dir):
+        # source-pair contamination matrix over the injected shared
+        # tail (every source gets some %7 docs, so all pairs share the
+        # tail grams by construction — non-vacuous)
+        from doc_ocr_ray.stages.dedup import cross_source_overlap
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["doc_id"] % 7 == 0
+            batch["text"] = batch["text"].fillna("")
+            batch.loc[mask, "text"] = (
+                batch.loc[mask, "text"] + " shared shingle alpha beta"
+                " gamma delta epsilon zeta eta theta")
+            return batch
+
+        ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+              .map_batches(inject, batch_format="pandas"))
+        return cross_source_overlap(ds, window=8)
+
     def q_dedup_substr_remove(sf_dir):
         # the full ExactSubstr edit over the same injected shared-tail
         # corpus as dup_substr: injected docs lose the tail plus every
@@ -896,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
         "dedup_substr_remove": q_dedup_substr_remove,
+        "cross_source_overlap": q_cross_source_overlap,
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
@@ -2355,6 +2374,29 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents),
             {_dupfrac_ctes('dd')}
             SELECT doc_id, n_windows, dup_windows, dup_frac FROM dfr
+        """,
+        # source-pair shared distinct 8-gram counts over the same
+        # injected tail
+        "cross_source_overlap": f"""
+            WITH dd AS (SELECT doc_id, source,
+                          CASE WHEN doc_id % 7 = 0
+                               THEN coalesce(text, '') ||
+                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
+                               ELSE coalesce(text, '') END AS text
+                        FROM documents),
+            wl AS (SELECT doc_id, source, {_TOKENS} AS lst FROM dd
+                   WHERE {_STRIP} <> ''),
+            g AS (SELECT DISTINCT source,
+                         array_to_string(list_slice(lst, i, i + 7), ' ')
+                             AS gram
+                  FROM wl, LATERAL (SELECT unnest(range(1, len(lst) - 6))
+                                        AS i)
+                  WHERE len(lst) >= 8)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM g a JOIN g b
+              ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # the full ExactSubstr edit: token p is covered iff a
         # duplicated window starts in [p-7, p] (windowed MAX over the

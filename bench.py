@@ -177,6 +177,8 @@ def run_benchmarks() -> dict:
     timed("dup_substr", lambda: qs["dup_substr"](SF_DIR).count())
     timed("dedup_substr_remove",
           lambda: qs["dedup_substr_remove"](SF_DIR).count())
+    timed("cross_source_overlap",
+          lambda: qs["cross_source_overlap"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",

@@ -1037,3 +1037,71 @@ def dedup_substr_remove(ds, window: int = 8, text_col: str = "text",
             .groupby("part").map_groups(gram_group,
                                         batch_format="pandas")
             .groupby("dpart").map_groups(rebuild, batch_format="pandas"))
+
+
+def cross_source_overlap(ds, window: int = 8, num_parts: int = 256):
+    """Pairwise source contamination matrix: for every pair of
+    sources, the number of DISTINCT ``window``-token gram strings both
+    contain — the corpus-analytics view behind "is crawl A a mirror of
+    crawl B" / train-test split hygiene at source granularity.
+    Output: (source_a, source_b, shared_grams), source_a < source_b.
+
+    Shape: per-batch distinct (source, gram) pairs (the combiner);
+    ONE gram-keyed coarse exchange; inside each group a vectorized
+    self-merge on gram expands co-occurring source pairs (cost is
+    sum over grams of s_g^2 — a gram present in MANY sources fans
+    out quadratically; for web corpora with huge source counts,
+    pre-prune such stop-grams upstream); a final tiny exchange sums
+    pair partials (the matrix is #sources^2-bounded, never
+    corpus-sized).
+    """
+    from doc_ocr_ray.stages.text_analysis import _tokens
+    from doc_ocr_ray.util import typed_if_empty
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "source": batch["source"].repeat(n).to_numpy(),
+            "word": [w for ws in toks for w in ws],
+            "doc": np.repeat(np.arange(len(batch)), n),
+        })
+        if flat.empty:
+            return typed_if_empty(pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "gram": pd.Series([], dtype="object"),
+                "part": pd.Series([], dtype="int64")}))
+        g = flat.groupby("doc", sort=False)["word"]
+        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
+        valid = parts[-1].notna()
+        gram = parts[0][valid]
+        for p in parts[1:]:
+            gram = gram + " " + p[valid]
+        occ = (pd.DataFrame({"source": flat.loc[valid, "source"],
+                             "gram": gram})
+               .drop_duplicates())
+        occ["part"] = coarse_part(occ["gram"], num_parts)
+        return typed_if_empty(occ.reset_index(drop=True))
+
+    def pair_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["source", "gram"]].drop_duplicates()
+        m = g.merge(g, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().rename("cnt").reset_index())
+        out.columns = ["source_a", "source_b", "cnt"]
+        out["cnt"] = out["cnt"].astype("int64")
+        out["ppart"] = coarse_part(
+            out["source_a"] + "\x00" + out["source_b"], 64)
+        return typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby(["source_a", "source_b"], sort=False)
+               ["cnt"].sum().rename("shared_grams").reset_index())
+        out["shared_grams"] = out["shared_grams"].astype("int64")
+        return typed_if_empty(out)
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(pair_group,
+                                        batch_format="pandas")
+            .groupby("ppart").map_groups(final, batch_format="pandas"))

@@ -244,6 +244,24 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_cross_source_overlap_distinct_gram_pairs():
+    """Shared DISTINCT gram counts per source pair (window=2): s1/s2
+    share only 'a b' (counted once though s1 has it in two docs),
+    s1/s3 share 'b c', s2/s3 share nothing (no row)."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import cross_source_overlap
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b c", "a b z", "a b x", "b c"],
+    })
+    out = (cross_source_overlap(
+               ray.data.from_pandas(docs).repartition(2), window=2)
+           .to_pandas().set_index(["source_a", "source_b"])
+           ["shared_grams"].to_dict())
+    assert out == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
 def test_dedup_substr_remove_edits_and_drops():
     """Tokens covered by ANY duplicated 8-window vanish — including
     boundary windows ([b..tail] matches across docs 1/2, so 'tail'
