@@ -371,6 +371,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return out.map_batches(flat, batch_format="pyarrow")
 
+    def q_media_dedup(sf_dir):
+        # 5-way payload collisions by construction: refs key the
+        # deterministic payload stream, doc_id % 100 folds 500 docs
+        # onto 100 distinct payloads
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        ids = df[df["doc_id"] < 500]["doc_id"]
+        doc_ids = [str(d) for d in ids]
+        refs = [f"img:{d % 100}" for d in ids]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_media_table(doc_ids, refs))
+        return multimodal.media_dedup(media)
+
     def q_multimodal_ppm(sf_dir):
         # REAL image decode (binary PPM, pure bytes+numpy): synthesize
         # closed-form gradient images -> decode -> channel means
@@ -886,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_set": q_curate_training_set,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_decode": q_multimodal_decode,
+        "media_dedup": q_media_dedup,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_wav": q_multimodal_wav,
         "v3_parse": q_v3_parse,
@@ -1818,6 +1833,22 @@ def oracle_sql() -> dict[str, str]:
               FROM raw),
             {_semdedup_ctes('inj', 0.95)}
             SELECT vec_id, centroid_id FROM surv
+        """,
+        # payload equality == generator-string equality (payload is a
+        # pure function of media_ref), so the dedup survivor set is
+        # the per-md5-group min (doc_id, media_ref)
+        "media_dedup": """
+            WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              'img:' || CAST(doc_id % 100 AS VARCHAR)
+                                  AS media_ref
+                       FROM documents WHERE doc_id < 500),
+            r AS (SELECT doc_id, media_ref,
+                         row_number() OVER (
+                             PARTITION BY md5('42:' || media_ref)
+                             ORDER BY doc_id, media_ref) AS rn
+                  FROM m)
+            SELECT media_ref, doc_id, CAST(1024 AS BIGINT) AS payload_len
+            FROM r WHERE rn = 1
         """,
         "multimodal_decode": """
             WITH m AS (

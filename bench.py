@@ -179,6 +179,7 @@ def run_benchmarks() -> dict:
           lambda: qs["dedup_substr_remove"](SF_DIR).count())
     timed("cross_source_overlap",
           lambda: qs["cross_source_overlap"](SF_DIR).count())
+    timed("media_dedup", lambda: qs["media_dedup"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",

@@ -340,3 +340,42 @@ def wav_audio_stats(media_ds, batch_size: int = 32):
         })
     return media_ds.map_batches(stats, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+def media_dedup(media_ds, num_parts: int = 64):
+    """Exact binary dedup of media payloads — the image/asset-level
+    dedup a multimodal corpus needs (the same bytes crawled under many
+    URLs keep ONE copy): survivor per distinct payload = smallest
+    (doc_id, media_ref).  Output: (media_ref, doc_id, payload_len) —
+    payloads themselves stay out of the result.
+
+    Shape: per-batch md5 keying with an in-batch keep-first combiner
+    (a viral image repeated millions of times ships one candidate per
+    batch, not one per copy); ONE coarse hash-keyed exchange whose
+    keep-first compares the payload BYTES inside the group, so an md5
+    collision can never merge distinct media — the exact_dedup
+    discipline applied to binary columns.  Payload bytes cross the
+    wire once per in-batch-distinct candidate.
+    """
+    import pandas as pd
+
+    def key(batch: pa.Table) -> "pd.DataFrame":
+        df = batch.to_pandas()
+        df = (df.sort_values(["doc_id", "media_ref"])
+              .drop_duplicates("payload", keep="first"))
+        pkey = np.fromiter(
+            (int.from_bytes(hashlib.md5(bytes(p)).digest()[:8],
+                            "big") >> 1 for p in df["payload"]),
+            dtype="int64", count=len(df))
+        df["part"] = pkey % num_parts
+        return df
+
+    def keep_first(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = (group.sort_values(["doc_id", "media_ref"])
+             .drop_duplicates("payload", keep="first"))
+        return (g[["media_ref", "doc_id", "payload_len"]]
+                .reset_index(drop=True))
+
+    return (media_ds.map_batches(key, batch_format="pyarrow")
+            .groupby("part").map_groups(keep_first,
+                                        batch_format="pandas"))

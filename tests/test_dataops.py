@@ -244,6 +244,25 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_media_dedup_keeps_min_doc_per_payload():
+    """One survivor per distinct payload BYTES, smallest (doc_id,
+    media_ref); payload equality is decided on the bytes inside the
+    group, the md5 is only the shuffle key."""
+    import pyarrow as pa
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import media_dedup
+    t = pa.table({
+        "media_ref": ["r1", "r2", "r3", "r4"],
+        "doc_id": ["d2", "d1", "d3", "d9"],
+        "payload": [b"\x00" * 64, b"\x00" * 64, b"\x00" * 64, b"\xff"],
+        "payload_len": [64, 64, 64, 1],
+    })
+    out = (media_dedup(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == ["d1", "d9"]
+    assert list(out["media_ref"]) == ["r2", "r4"]
+
+
 def test_cross_source_overlap_distinct_gram_pairs():
     """Shared DISTINCT gram counts per source pair (window=2): s1/s2
     share only 'a b' (counted once though s1 has it in two docs),
