@@ -244,6 +244,51 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_exactsubstr_pair_matches_brute_force_reference():
+    """One seeded randomized corpus (120 docs over a 4-token alphabet,
+    window=3) checked against an independent pure-Python reference for
+    BOTH ExactSubstr operators: signals (per-doc duplicated-window
+    counts) and removal (covered-token edit + full-cover drop)."""
+    import random
+    import ray.data
+    from doc_ocr_ray.stages.dedup import (dup_substr_signals,
+                                          dedup_substr_remove)
+    rng = random.Random(7)
+    W, AB = 3, ["aa", "bb", "cc", "dd"]
+    docs = {i: [rng.choice(AB) for _ in range(rng.randint(0, 9))]
+            for i in range(120)}
+
+    # reference: global window counts, then per-doc signals + edits
+    from collections import Counter
+    wins = Counter()
+    for ws in docs.values():
+        for i in range(len(ws) - W + 1):
+            wins[" ".join(ws[i:i + W])] += 1
+    exp_sig, exp_txt = {}, {}
+    for d, ws in docs.items():
+        starts = [i for i in range(len(ws) - W + 1)
+                  if wins[" ".join(ws[i:i + W])] >= 2]
+        if len(ws) >= W:
+            exp_sig[d] = (len(ws) - W + 1, len(starts))
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + W))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        if kept:
+            exp_txt[d] = " ".join(kept)
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": " ".join(ws)} for d, ws in docs.items()]
+    ).repartition(5)
+    sig = (dup_substr_signals(ds, window=W).to_pandas()
+           .set_index("doc_id"))
+    assert {d: (r["n_windows"], r["dup_windows"])
+            for d, r in sig.iterrows()} == exp_sig
+    txt = (dedup_substr_remove(ds, window=W).to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    assert txt == exp_txt
+
+
 def test_media_dedup_keeps_min_doc_per_payload():
     """One survivor per distinct payload BYTES, smallest (doc_id,
     media_ref); payload equality is decided on the bytes inside the
