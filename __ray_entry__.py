@@ -727,6 +727,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text", "source"]),
             budget=700)
 
+    def q_sample_exact_n(sf_dir):
+        from doc_ocr_ray.pipelines.curate import sample_exact_n
+        return sample_exact_n(
+            _read(sf_dir, "documents", ["doc_id"]), n=50)
+
     def q_select_top_quality(sf_dir):
         # FineWeb-style "keep the best 30%": histogram quantile over
         # the bounded integer score grid, then a stateless filter —
@@ -925,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
         "token_budget_select": q_token_budget_select,
+        "sample_exact_n": q_sample_exact_n,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
@@ -2285,6 +2291,18 @@ def oracle_sql() -> dict[str, str]:
                     floor(10000.0 * n_prefix / n_source) / 10000 >= 0.2)
                        AS is_template
             FROM flagged
+        """,
+        # exact-N deterministic sample: the 50 smallest md5(seed:key)
+        # ranks, tie-break on the key, numbered in rank order
+        "sample_exact_n": """
+            SELECT doc_id, smp_rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY
+                         CAST(('0x' || substr(md5('42:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                              AS BIGINT), doc_id) AS smp_rank
+              FROM documents)
+            WHERE smp_rank <= 50
         """,
         # per-source token-budget prefix: rank by the shared stopword
         # score grid, keep while the window cumsum fits the budget

@@ -265,6 +265,41 @@ def per_source_cap(ds, cap: int, source_col: str = "source",
             .map_groups(rank_and_keep, batch_format="pandas"))
 
 
+def sample_exact_n(ds, n: int, key: str = "doc_id", seed: int = 42):
+    """Deterministic EXACT-size global sample — "give me exactly N
+    eval docs, reproducibly": rows rank by the shared
+    ``md5(seed:key)`` grid (tie-break on the key) and the N smallest
+    ranks win, independent of partitioning, resume order or corpus
+    growth direction.  Unlike ``stratified_sample`` (rate-based, size
+    varies with the corpus) the output size is exactly
+    ``min(N, corpus)``.  Output adds ``smp_rank`` (1..N in rank
+    order).
+
+    Shape: a per-batch partial top-N (the bounded combiner — each
+    input block forwards at most N candidate rows) and ONE
+    single-group combine over <= N x num_blocks candidates — no
+    global sort.  The candidate volume is the scale bound: for N
+    large enough that N x blocks rivals the corpus, use
+    ``stratified_sample`` instead (noted here so the trade is
+    explicit)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["_rank"] = _md5_bucket(b[key], seed)
+        b = b.sort_values(["_rank", key], kind="mergesort").head(n)
+        b["g"] = np.int64(0)
+        return typed_if_empty(b)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["_rank", key], kind="mergesort")
+             .head(n).drop(columns=["_rank", "g"]))
+        g["smp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return typed_if_empty(g.reset_index(drop=True))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
 def token_budget_select(ds, budget: int, source_col: str = "source",
                         num_partitions: int = 128):
     """Per-source token-budget selection — fill each domain's token

@@ -244,6 +244,24 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_sample_exact_n_partition_invariant():
+    """Exactly n rows, the SAME n rows regardless of partitioning,
+    numbered 1..n in md5-rank order; n >= corpus returns everything."""
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import sample_exact_n, _md5_bucket
+    docs = pd.DataFrame({"doc_id": list(range(40))})
+    expect = (docs.assign(r=_md5_bucket(docs["doc_id"], 42))
+              .sort_values(["r", "doc_id"]).head(7)["doc_id"].tolist())
+    for parts in (1, 5):
+        out = (sample_exact_n(
+                   ray.data.from_pandas(docs).repartition(parts), n=7)
+               .to_pandas().sort_values("smp_rank"))
+        assert out["doc_id"].tolist() == expect
+        assert out["smp_rank"].tolist() == list(range(1, 8))
+    full = sample_exact_n(ray.data.from_pandas(docs), n=100).to_pandas()
+    assert len(full) == 40
+
+
 def test_exactsubstr_pair_matches_brute_force_reference():
     """One seeded randomized corpus (120 docs over a 4-token alphabet,
     window=3) checked against an independent pure-Python reference for
