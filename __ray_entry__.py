@@ -396,6 +396,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_ppm_media_table(doc_ids))
         return multimodal.ppm_image_stats(media)
 
+    def q_multimodal_png(sf_dir):
+        # REAL image decode (PNG: chunk walk + zlib inflate +
+        # unfilter, pure stdlib+numpy): same closed-form gradients
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_png_media_table(doc_ids))
+        return multimodal.png_image_stats(media)
+
     def q_multimodal_wav(sf_dir):
         # REAL audio decode (RIFF/PCM16, pure bytes+numpy): closed-form
         # sawtooth clips -> decode -> peak / RMS
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
         "multimodal_ppm": q_multimodal_ppm,
+        "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
@@ -1881,6 +1893,30 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT unnest(range(0, 3)) AS c) c
                   GROUP BY 1, 2)
             SELECT 'ppm:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   floor(10000 * max(CASE WHEN c = 0 THEN s END) / 1024)
+                       / 10000 AS mean_r,
+                   floor(10000 * max(CASE WHEN c = 1 THEN s END) / 1024)
+                       / 10000 AS mean_g,
+                   floor(10000 * max(CASE WHEN c = 2 THEN s END) / 1024)
+                       / 10000 AS mean_b
+            FROM g GROUP BY doc_id
+        """,
+        # same closed-form pixels as multimodal_ppm, PNG container —
+        # the decode chain differs (inflate + unfilter), the means
+        # must not
+        "multimodal_png": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            g AS (SELECT d.doc_id, c.c,
+                         CAST(sum((x.x + 2*y.y + 37*c.c + d.doc_id) % 256)
+                              AS BIGINT) AS s
+                  FROM d,
+                       (SELECT unnest(range(0, 32)) AS x) x,
+                       (SELECT unnest(range(0, 32)) AS y) y,
+                       (SELECT unnest(range(0, 3)) AS c) c
+                  GROUP BY 1, 2)
+            SELECT 'png:' || CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(32 AS BIGINT) AS width,
                    CAST(32 AS BIGINT) AS height,
                    floor(10000 * max(CASE WHEN c = 0 THEN s END) / 1024)

@@ -182,6 +182,8 @@ def run_benchmarks() -> dict:
     timed("media_dedup", lambda: qs["media_dedup"](SF_DIR).count())
     timed("sample_exact_n",
           lambda: qs["sample_exact_n"](SF_DIR).count())
+    timed("multimodal_png",
+          lambda: qs["multimodal_png"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",

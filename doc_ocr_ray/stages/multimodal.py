@@ -73,16 +73,21 @@ class MediaDecodeStage:
         # dispatch on the declared media_type AND the magic bytes — a
         # non-image payload that happens to start with 'P6' must fall
         # through to the documented stub, not mis-parse as pixels
-        if media_type == "image" and payload.startswith(b"P6"):
-            # pure-bytes PPM path: decode -> 4x4 nearest resize ->
-            # grayscale mean per cell = a REAL 16-dim feature, no
-            # codec library needed
-            img = decode_ppm(payload)
+        if media_type == "image" and (payload.startswith(b"P6")
+                                      or payload.startswith(_PNG_SIG)):
+            # pure-bytes image path (PPM header parse or PNG chunk
+            # walk + zlib inflate + unfilter): decode -> 4x4 nearest
+            # resize -> grayscale mean per cell = a REAL 16-dim
+            # feature, no codec library needed
+            img = (decode_ppm(payload) if payload.startswith(b"P6")
+                   else decode_png(payload))
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
             small = resize_nearest(img, 4, 4).astype(np.float64)
             feat = small.mean(axis=2).reshape(-1) / 255.0
             return np.resize(feat, FEATURE_DIM)
         raise NotImplementedError(
-            "real media decoding beyond binary PPM requires an "
+            "real media decoding beyond binary PPM/PNG requires an "
             "image/audio library not present in this environment; run "
             "with use_fake_decoder=True")
 
@@ -232,6 +237,172 @@ def ppm_image_stats(media_ds, batch_size: int = 32):
         for ref, payload in zip(batch["media_ref"].to_pylist(),
                                 batch["payload"].to_pylist()):
             img = decode_ppm(payload or b"")
+            h, w = img.shape[:2]
+            refs.append(ref)
+            ws.append(w)
+            hs.append(h)
+            sums = img.sum(axis=(0, 1), dtype=np.int64)
+            for ci in range(3):
+                means[ci].append(
+                    float(np.floor(10000 * sums[ci] / (w * h)) / 10000))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r": pa.array(means[0], pa.float64()),
+            "mean_g": pa.array(means[1], pa.float64()),
+            "mean_b": pa.array(means[2], pa.float64()),
+        })
+    return media_ds.map_batches(stats, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
+# ------------------------------------------------------- real PNG path
+# PNG needs no codec library either: the container is length-tagged
+# chunks (struct + zlib.crc32) and the pixel stream is stdlib zlib
+# plus the five scanline filters (numpy).  8-bit grayscale (color 0)
+# and truecolor (color 2), non-interlaced — the dominant web case;
+# everything else raises the documented NotImplementedError.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> PNG bytes (filter-0 rows, one
+    IDAT) — the synthesis side of the roundtrip test."""
+    import struct
+    import zlib
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        color = 0
+    else:
+        h, w, ch = img.shape
+        if ch != 3:
+            raise NotImplementedError("encode_png: gray or RGB only")
+        color = 2
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) or (h, w) uint8.  REAL decode: chunk walk with
+    CRC verification, multi-IDAT concatenation, zlib inflate, and all
+    FIVE scanline filters (None/Sub/Up/Average/Paeth) so any baseline
+    encoder's output decodes — not just :func:`encode_png`'s
+    filter-0 stream."""
+    import struct
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = color = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk %r CRC mismatch" % tag)
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB non-interlaced PNG decodes "
+                    "without a codec library")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    nch = 3 if color == 2 else 1
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:                         # Up: vectorized
+            cur = (line + prev) & 255
+        elif ft in (1, 3, 4):                 # serial in x by spec
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                if ft == 1:                   # Sub
+                    pred = a
+                elif ft == 3:                 # Average
+                    pred = (a + b) >> 1
+                else:                         # Paeth
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa_ <= pb_ and pa_ <= pc_
+                            else b if pb_ <= pc_ else c)
+                cur[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError("unknown PNG filter %d" % ft)
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, nch)
+    return img[:, :, 0] if nch == 1 else img
+
+
+def synthesize_png_media_table(doc_ids, width: int = 32,
+                               height: int = 32) -> pa.Table:
+    """Deterministic gradient PNGs with the same closed-form pixels as
+    :func:`synthesize_ppm_media_table` (pixel[y, x, c] =
+    (x + 2y + 37c + doc_id) % 256), so the decoded channel means are
+    SQL-oracle-checkable."""
+    refs, docs, payloads = [], [], []
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for d in doc_ids:
+        img = ((x + 2 * y + 37 * c + int(d)) % 256).astype(np.uint8)
+        refs.append(f"png:{d}")
+        docs.append(str(d))
+        payloads.append(encode_png(img))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.string()),
+        "media_type": pa.array(["image"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+def png_image_stats(media_ds, batch_size: int = 32):
+    """REAL decode chain over PNG payloads: chunk walk -> inflate ->
+    unfilter -> per-channel means + dimensions, same output contract
+    and floor grid as :func:`ppm_image_stats`."""
+    def stats(batch: pa.Table) -> pa.Table:
+        refs, ws, hs, means = [], [], [], ([], [], [])
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = decode_png(payload or b"")
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
             h, w = img.shape[:2]
             refs.append(ref)
             ws.append(w)

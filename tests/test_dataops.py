@@ -702,6 +702,71 @@ def test_ppm_roundtrip_resize_and_real_decode_stage():
         stage._decode_real(b"\x89PNG...", "image")
 
 
+def test_png_all_five_filters_and_real_decode_stage():
+    """decode_png must invert every scanline filter the spec allows,
+    not just our encoder's filter-0: a reference-filtered stream
+    (rows cycling None/Sub/Up/Average/Paeth) decodes back to the
+    image; CRC corruption is detected; grayscale works; the real
+    decode stage accepts PNG payloads."""
+    import struct
+    import zlib
+    import pytest as _pytest
+    from doc_ocr_ray.stages.multimodal import (
+        encode_png, decode_png, _png_chunk, _PNG_SIG,
+        MediaDecodeStage, synthesize_png_media_table, FEATURE_DIM)
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    # reference-filter each row with its own filter type (PNG spec)
+    h, w, nch = img.shape
+    stride = w * nch
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = b""
+    for y in range(h):
+        ft = y % 5
+        cur, prev = flat[y], (flat[y - 1] if y else np.zeros(stride,
+                                                             np.int64))
+        filt = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if pa_ <= pb_ and pa_ <= pc_
+                        else b if pb_ <= pc_ else c)
+            filt[i] = (cur[i] - pred) & 255
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+    gray = rng.randint(0, 256, size=(6, 7)).astype(np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+
+    corrupt = bytearray(encode_png(img))
+    corrupt[-5] ^= 0xFF                      # IEND CRC byte
+    with _pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+    tbl = synthesize_png_media_table([7], width=8, height=8)
+    stage = MediaDecodeStage(use_fake_decoder=False)
+    feat = stage(tbl)["feature"].to_pylist()[0]
+    assert len(feat) == FEATURE_DIM and all(0 <= v <= 1 for v in feat)
+
+
 def test_wav_roundtrip_and_stats(ray_session):
     import ray.data
     from doc_ocr_ray.stages.multimodal import (
