@@ -462,6 +462,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tumbling_window(
             _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
+    def q_funnel_counts(sf_dir):
+        from doc_ocr_ray.pipelines.events import funnel_counts
+        return funnel_counts(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+            steps=["view", "click", "purchase"])
+
     def q_sessionize(sf_dir):
         from doc_ocr_ray.pipelines.events import sessionize
         return sessionize(
@@ -925,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exam_info": q_exam_info,
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
+        "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
@@ -2120,6 +2127,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "sessionize": SESSIONIZE_SQL,
+        # earliest strictly-increasing completion chain per user;
+        # greedy-earliest is optimal so the chained min-ts CTEs ARE
+        # the funnel semantics
+        "funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
         "sessionize_streaming": SESSIONIZE_SQL,
         "top3_orders_per_cust": """
             WITH r AS (

@@ -184,6 +184,8 @@ def run_benchmarks() -> dict:
           lambda: qs["sample_exact_n"](SF_DIR).count())
     timed("multimodal_png",
           lambda: qs["multimodal_png"](SF_DIR).count())
+    timed("funnel_counts",
+          lambda: qs["funnel_counts"](SF_DIR).count())
     timed("token_budget_select",
           lambda: qs["token_budget_select"](SF_DIR).count())
     timed("boilerplate_prefixes",

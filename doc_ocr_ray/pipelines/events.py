@@ -484,3 +484,58 @@ def anti_join_bloom(ds, key: str, other_ds, other_key: str,
 
     return kept.union(candidates.map_batches(keep_unmatched,
                                              batch_format="pandas"))
+
+
+def funnel_counts(ds, steps, ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type", num_parts: int = 64):
+    """Ordered funnel analysis — "how many users did A, then B, then
+    C": for each prefix of ``steps``, the number of users with a
+    STRICTLY time-increasing completion chain, where step k's
+    completion time is the user's earliest step-k event after their
+    step-(k-1) completion (the standard earliest-chain funnel, and
+    greedy-earliest is optimal here: any valid chain implies the
+    earliest chain is valid).  Output: one row per step — (step,
+    event_type, users).
+
+    Shape: a stateless slim-and-filter map (only funnel-relevant
+    events, three columns, survive the read), ONE coarse user-keyed
+    exchange, per-partition vectorized frontier propagation (merge +
+    groupby-min per step — no per-user Python), and a final
+    step-keyed combine of #partitions x #steps partial rows."""
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    steps = list(steps)
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch[type_col].isin(steps),
+                      [user_col, type_col, ts_col]].copy()
+        b["part"] = coarse_part(b[user_col], num_parts)
+        return typed_if_empty(b)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(steps), dtype=np.int64)
+        frontier = None
+        for k, s in enumerate(steps):
+            ev = group.loc[group[type_col] == s, [user_col, ts_col]]
+            if frontier is not None:
+                ev = ev.merge(frontier.rename("ft"), left_on=user_col,
+                              right_index=True)
+                ev = ev[ev[ts_col] > ev["ft"]]
+            frontier = ev.groupby(user_col)[ts_col].min()
+            counts[k] = len(frontier)
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": pd.Series(steps, dtype="object"),
+            "users": counts})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby(["step", "event_type"], sort=False)
+               ["users"].sum().reset_index())
+        out["users"] = out["users"].astype("int64")
+        return typed_if_empty(out[["step", "event_type", "users"]])
+
+    return (ds.map_batches(slim, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas")
+            .groupby("step").map_groups(combine, batch_format="pandas"))

@@ -244,6 +244,33 @@ def test_dedup_lines_keeps_global_first_occurrence():
     assert out == {0: "A\nB", 1: "C", 3: "X"}
 
 
+def test_funnel_counts_strict_ordering():
+    """Earliest-chain funnel with STRICT time ordering: user 3's
+    same-timestamp click does not complete step 2, user 2's
+    before-view click is ignored, user 4 without a view contributes
+    nothing."""
+    import ray.data
+    from doc_ocr_ray.pipelines.events import funnel_counts
+    ts = pd.to_datetime
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2, 2, 3, 3, 4, 4],
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "click", "purchase",
+                       "view", "click",
+                       "click", "purchase"],
+        "ts": [ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:02"),
+               ts("2024-01-01 00:00:03"),
+               ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:02"),
+               ts("2024-01-01 00:00:03"), ts("2024-01-01 00:00:05"),
+               ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:01"),
+               ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:02")],
+    })
+    out = (funnel_counts(ray.data.from_pandas(ev).repartition(3),
+                         steps=["view", "click", "purchase"])
+           .to_pandas().set_index("step")["users"].to_dict())
+    assert out == {1: 3, 2: 2, 3: 2}
+
+
 def test_sample_exact_n_partition_invariant():
     """Exactly n rows, the SAME n rows regardless of partitioning,
     numbered 1..n in md5-rank order; n >= corpus returns everything."""
