@@ -519,10 +519,11 @@ def funnel_counts(ds, steps, ts_col: str = "ts",
         for k, s in enumerate(steps):
             ev = group.loc[group[type_col] == s, [user_col, ts_col]]
             if frontier is not None:
-                ev = ev.merge(frontier.rename("ft"), left_on=user_col,
-                              right_index=True)
+                ev = ev.merge(frontier, on=user_col)
                 ev = ev[ev[ts_col] > ev["ft"]]
-            frontier = ev.groupby(user_col)[ts_col].min()
+            fr = (ev.groupby(user_col, sort=False)[ts_col].min()
+                  .rename("ft").reset_index())
+            frontier = fr[[user_col, "ft"]]
             counts[k] = len(frontier)
         return pd.DataFrame({
             "step": np.arange(1, len(steps) + 1, dtype=np.int64),
