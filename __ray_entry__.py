@@ -140,6 +140,50 @@ def _neardup_injected_embeddings(sf_dir: str, n_base: int = 100):
     return ray.data.from_pandas(both)
 
 
+# Deterministic corpus injections shared by the ExactSubstr-family and
+# template-strip queries.  ONE definition each for the Python side and
+# the SQL side (the SQL fragments interpolate the same constants), so
+# an edit to an injected string can never break the oracle pairing.
+_SHARED_TAIL = (" shared shingle alpha beta gamma delta epsilon zeta"
+                " eta theta")
+_HEADER_PREFIX = "common header for "
+_HEADER_SEP = " :: "
+
+
+def _inject_shared_tail(batch: pd.DataFrame) -> pd.DataFrame:
+    """Docs with doc_id % 7 == 0 share a 10-token tail — duplicated
+    windows exist by construction, so ExactSubstr checks are
+    non-vacuous."""
+    mask = batch["doc_id"] % 7 == 0
+    batch["text"] = batch["text"].fillna("")
+    batch.loc[mask, "text"] = batch.loc[mask, "text"] + _SHARED_TAIL
+    return batch
+
+
+def _inject_template_header(batch: pd.DataFrame) -> pd.DataFrame:
+    """Docs with doc_id % 5 == 0 get a source-derived header PREPENDED
+    (site-template stand-in, ~20% of each source)."""
+    mask = batch["doc_id"] % 5 == 0
+    batch["text"] = batch["text"].fillna("")
+    batch.loc[mask, "text"] = (_HEADER_PREFIX
+                               + batch.loc[mask, "source"]
+                               + _HEADER_SEP + batch.loc[mask, "text"])
+    return batch
+
+
+def _tail_case_sql(expr: str) -> str:
+    """SQL twin of :func:`_inject_shared_tail` over text expr ``expr``
+    (callers pass ``coalesce(text, '')`` to mirror the fillna)."""
+    return (f"CASE WHEN doc_id % 7 = 0 THEN {expr} || '{_SHARED_TAIL}' "
+            f"ELSE {expr} END")
+
+
+def _header_case_sql(expr: str) -> str:
+    """SQL twin of :func:`_inject_template_header`."""
+    return (f"CASE WHEN doc_id % 5 = 0 THEN '{_HEADER_PREFIX}' || "
+            f"source || '{_HEADER_SEP}' || {expr} ELSE {expr} END")
+
+
 # ----------------------------------------------------------------- entry
 
 def entry() -> Any:
@@ -607,17 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 10-token tail — makes duplicated windows exist by
         # construction, so the check is non-vacuous
         from doc_ocr_ray.stages.dedup import dup_substr_signals
-
-        def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["doc_id"] % 7 == 0
-            batch["text"] = batch["text"].fillna("")
-            batch.loc[mask, "text"] = (
-                batch.loc[mask, "text"] + " shared shingle alpha beta"
-                " gamma delta epsilon zeta eta theta")
-            return batch
-
         ds = (_read(sf_dir, "documents", ["doc_id", "text"])
-              .map_batches(inject, batch_format="pandas"))
+              .map_batches(_inject_shared_tail, batch_format="pandas"))
         return dup_substr_signals(ds, window=8)
 
     def q_tfidf_top_terms(sf_dir):
@@ -658,17 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail (every source gets some %7 docs, so all pairs share the
         # tail grams by construction — non-vacuous)
         from doc_ocr_ray.stages.dedup import cross_source_overlap
-
-        def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["doc_id"] % 7 == 0
-            batch["text"] = batch["text"].fillna("")
-            batch.loc[mask, "text"] = (
-                batch.loc[mask, "text"] + " shared shingle alpha beta"
-                " gamma delta epsilon zeta eta theta")
-            return batch
-
         ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
-              .map_batches(inject, batch_format="pandas"))
+              .map_batches(_inject_shared_tail, batch_format="pandas"))
         return cross_source_overlap(ds, window=8)
 
     def q_dedup_substr_remove(sf_dir):
@@ -676,17 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus as dup_substr: injected docs lose the tail plus every
         # boundary-covered token, fully-duplicated docs drop
         from doc_ocr_ray.stages.dedup import dedup_substr_remove
-
-        def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["doc_id"] % 7 == 0
-            batch["text"] = batch["text"].fillna("")
-            batch.loc[mask, "text"] = (
-                batch.loc[mask, "text"] + " shared shingle alpha beta"
-                " gamma delta epsilon zeta eta theta")
-            return batch
-
         ds = (_read(sf_dir, "documents", ["doc_id", "text"])
-              .map_batches(inject, batch_format="pandas"))
+              .map_batches(_inject_shared_tail, batch_format="pandas"))
         return dedup_substr_remove(ds, window=8)
 
     def q_curate_web_corpus(sf_dir):
@@ -697,16 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doc_ocr_ray.pipelines.curate import curate_web_corpus
 
         def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            batch["text"] = batch["text"].fillna("")
-            m5 = batch["doc_id"] % 5 == 0
-            batch.loc[m5, "text"] = (
-                "common header for " + batch.loc[m5, "source"]
-                + " :: " + batch.loc[m5, "text"])
-            m7 = batch["doc_id"] % 7 == 0
-            batch.loc[m7, "text"] = (
-                batch.loc[m7, "text"] + " shared shingle alpha beta"
-                " gamma delta epsilon zeta eta theta")
-            return batch
+            return _inject_shared_tail(_inject_template_header(batch))
 
         ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
               .map_batches(inject, batch_format="pandas"))
@@ -723,17 +731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # header PREPENDED, so each source has a ~20% template prefix
         # by construction (non-vacuous at the min_frac boundary)
         from doc_ocr_ray.stages.text_analysis import boilerplate_prefixes
-
-        def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            mask = batch["doc_id"] % 5 == 0
-            batch["text"] = batch["text"].fillna("")
-            batch.loc[mask, "text"] = (
-                "common header for " + batch.loc[mask, "source"]
-                + " :: " + batch.loc[mask, "text"])
-            return batch
-
         ds = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
-              .map_batches(inject, batch_format="pandas"))
+              .map_batches(_inject_template_header,
+                           batch_format="pandas"))
         return boilerplate_prefixes(ds, k=3, min_frac=0.2)
 
     def q_token_budget_select(sf_dir):
@@ -2280,15 +2280,10 @@ def oracle_sql() -> dict[str, str]:
         # score expression cannot drift from token_budget_select's
         "curate_web_corpus": f"""
             WITH dd0 AS (SELECT doc_id, source,
-                   CASE WHEN doc_id % 5 = 0
-                        THEN 'common header for ' || source || ' :: '
-                             || coalesce(text, '')
-                        ELSE coalesce(text, '') END AS t0
+                   {_header_case_sql("coalesce(text, '')")} AS t0
                  FROM documents),
             dd AS (SELECT doc_id, source,
-                   CASE WHEN doc_id % 7 = 0
-                        THEN t0 || ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
-                        ELSE t0 END AS text
+                   {_tail_case_sql('t0')} AS text
                  FROM dd0),
             {_prefix_flag_ctes('dd')},
             strip AS (SELECT doc_id, source,
@@ -2338,10 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         # headers; counts are windows over (source) / (source, prefix)
         "boilerplate_prefixes": f"""
             WITH dd AS (SELECT doc_id, source,
-                          CASE WHEN doc_id % 5 = 0
-                               THEN 'common header for ' || source ||
-                                    ' :: ' || coalesce(text, '')
-                               ELSE coalesce(text, '') END AS text
+                          {_header_case_sql("coalesce(text, '')")} AS text
                         FROM documents),
             {_prefix_flag_ctes('dd')}
             SELECT doc_id, source, prefix,
@@ -2478,10 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         # shared tail as the Ray query (coalesce mirrors its fillna)
         "dup_substr": f"""
             WITH dd AS (SELECT doc_id,
-                          CASE WHEN doc_id % 7 = 0
-                               THEN coalesce(text, '') ||
-                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
-                               ELSE coalesce(text, '') END AS text
+                          {_tail_case_sql("coalesce(text, '')")} AS text
                         FROM documents),
             {_dupfrac_ctes('dd')}
             SELECT doc_id, n_windows, dup_windows, dup_frac FROM dfr
@@ -2490,10 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         # injected tail
         "cross_source_overlap": f"""
             WITH dd AS (SELECT doc_id, source,
-                          CASE WHEN doc_id % 7 = 0
-                               THEN coalesce(text, '') ||
-                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
-                               ELSE coalesce(text, '') END AS text
+                          {_tail_case_sql("coalesce(text, '')")} AS text
                         FROM documents),
             wl AS (SELECT doc_id, source, {_TOKENS} AS lst FROM dd
                    WHERE {_STRIP} <> ''),
@@ -2515,10 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         # fully-covered docs produce no group and drop
         "dedup_substr_remove": f"""
             WITH dd AS (SELECT doc_id,
-                          CASE WHEN doc_id % 7 = 0
-                               THEN coalesce(text, '') ||
-                               ' shared shingle alpha beta gamma delta epsilon zeta eta theta'
-                               ELSE coalesce(text, '') END AS text
+                          {_tail_case_sql("coalesce(text, '')")} AS text
                         FROM documents),
             wl AS (SELECT doc_id, {_TOKENS} AS lst FROM dd
                    WHERE {_STRIP} <> ''),

@@ -808,6 +808,25 @@ def dedup_lines(ds, text_col: str = "text", num_parts: int = 256):
 
 
 # -------------------------------------- cross-doc duplicated substrings
+def _window_grams(flat: pd.DataFrame, window: int, doc_col: str):
+    """Shift-concat window-gram construction shared by the three
+    ExactSubstr-family explodes (signals / removal / contamination):
+    ``flat`` has one row per token (``word`` plus the per-document
+    grouping column ``doc_col``); returns ``(valid, gram)`` where
+    ``valid`` is a boolean Series over ``flat``'s rows (True where a
+    full ``window``-token gram starts) and ``gram`` the space-joined
+    gram strings aligned to ``flat.index[valid]``.  One definition so
+    the measurement, the edit and the matrix stay gram-identical.
+    """
+    g = flat.groupby(doc_col, sort=False)["word"]
+    parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
+    valid = parts[-1].notna()           # has window-1 successors
+    gram = parts[0][valid]
+    for p in parts[1:]:                 # all non-null where valid
+        gram = gram + " " + p[valid]
+    return valid, gram
+
+
 def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
                        num_parts: int = 256):
     """ExactSubstr-style duplicated-substring signals (Lee et al. 2022,
@@ -860,12 +879,7 @@ def dup_substr_signals(ds, window: int = 8, text_col: str = "text",
         })
         if flat.empty:
             return typed_if_empty(tot)
-        g = flat.groupby("doc_id", sort=False)["word"]
-        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
-        valid = parts[-1].notna()           # has window-1 successors
-        gram = parts[0][valid]
-        for p in parts[1:]:                 # all non-null where valid
-            gram = gram + " " + p[valid]
+        valid, gram = _window_grams(flat, window, "doc_id")
         occ = pd.DataFrame({"doc_id": flat.loc[valid, "doc_id"],
                             "gram": gram})
         comb = (occ.groupby(["doc_id", "gram"], sort=False)
@@ -966,15 +980,11 @@ def dedup_substr_remove(ds, window: int = 8, text_col: str = "text",
         })
         if flat.empty:
             return docs
-        g = flat.groupby("doc_id", sort=False)["word"]
-        pos = (g.cumcount() + 1).to_numpy()          # 1-based
-        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
-        valid = parts[-1].notna()
+        pos = (flat.groupby("doc_id", sort=False)["word"]
+               .cumcount() + 1).to_numpy()           # 1-based
+        valid, gram = _window_grams(flat, window, "doc_id")
         if not valid.any():
             return docs
-        gram = parts[0][valid]
-        for p in parts[1:]:
-            gram = gram + " " + p[valid]
         occ = pd.DataFrame({"doc_id": flat.loc[valid, "doc_id"],
                             "gram": gram,
                             "pos": pos[valid.to_numpy()]})
@@ -982,8 +992,9 @@ def dedup_substr_remove(ds, window: int = 8, text_col: str = "text",
                 .agg(lambda s: np.asarray(s.to_numpy(),
                                           dtype="<i8").tobytes())
                 .rename("payload").reset_index())
-        comb["cnt"] = (occ.groupby(["doc_id", "gram"], sort=False)
-                       .size().to_numpy().astype("int64"))
+        # cnt == number of packed int64 starts: free from the payload,
+        # no second groupby pass over the corpus-sized occ frame
+        comb["cnt"] = (comb["payload"].str.len() // 8).astype("int64")
         comb["kind"] = np.int8(0)
         comb["part"] = coarse_part(comb["gram"], num_parts)
         out = pd.concat(
@@ -1071,12 +1082,7 @@ def cross_source_overlap(ds, window: int = 8, num_parts: int = 256):
                 "source": pd.Series([], dtype="object"),
                 "gram": pd.Series([], dtype="object"),
                 "part": pd.Series([], dtype="int64")}))
-        g = flat.groupby("doc", sort=False)["word"]
-        parts = [flat["word"]] + [g.shift(-i) for i in range(1, window)]
-        valid = parts[-1].notna()
-        gram = parts[0][valid]
-        for p in parts[1:]:
-            gram = gram + " " + p[valid]
+        valid, gram = _window_grams(flat, window, "doc")
         occ = (pd.DataFrame({"source": flat.loc[valid, "source"],
                              "gram": gram})
                .drop_duplicates())

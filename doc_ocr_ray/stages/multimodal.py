@@ -344,14 +344,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:                         # Up: vectorized
             cur = (line + prev) & 255
-        elif ft in (1, 3, 4):                 # serial in x by spec
+        elif ft == 1:                         # Sub: per-lane prefix sum
+            # cur[i] = (line[i] + cur[i-nch]) & 255 telescopes to a
+            # running sum within each channel lane, so the common
+            # libpng-default filter decodes vectorized too
+            cur = (line.reshape(w, nch).cumsum(axis=0) & 255).reshape(stride)
+        elif ft in (3, 4):                    # serial in x by spec
             cur = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
                 a = cur[i - nch] if i >= nch else 0
                 b = prev[i]
-                if ft == 1:                   # Sub
-                    pred = a
-                elif ft == 3:                 # Average
+                if ft == 3:                   # Average
                     pred = (a + b) >> 1
                 else:                         # Paeth
                     c = prev[i - nch] if i >= nch else 0
@@ -526,20 +529,34 @@ def media_dedup(media_ds, num_parts: int = 64):
     keep-first compares the payload BYTES inside the group, so an md5
     collision can never merge distinct media — the exact_dedup
     discipline applied to binary columns.  Payload bytes cross the
-    wire once per in-batch-distinct candidate.
+    wire once per in-batch-distinct candidate.  Rows whose payload is
+    NULL (a fetch that failed upstream) have no bytes to dedup on and
+    are dropped from the result.
     """
     import pandas as pd
 
-    def key(batch: pa.Table) -> "pd.DataFrame":
-        df = batch.to_pandas()
+    key_schema = pa.schema([
+        ("media_ref", pa.string()), ("doc_id", pa.string()),
+        ("payload", pa.binary()), ("payload_len", pa.int64()),
+        ("part", pa.int64())])
+
+    def key(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["media_ref", "doc_id", "payload", "payload_len"]).to_pandas()
+        df = df[df["payload"].notna()]
         df = (df.sort_values(["doc_id", "media_ref"])
               .drop_duplicates("payload", keep="first"))
+        if len(df) == 0:
+            # typed empty: an object-dtype payload column would break
+            # schema unification with the binary blocks in the shuffle
+            return key_schema.empty_table()
         pkey = np.fromiter(
             (int.from_bytes(hashlib.md5(bytes(p)).digest()[:8],
                             "big") >> 1 for p in df["payload"]),
             dtype="int64", count=len(df))
         df["part"] = pkey % num_parts
-        return df
+        return pa.Table.from_pandas(df, schema=key_schema,
+                                    preserve_index=False)
 
     def keep_first(group: "pd.DataFrame") -> "pd.DataFrame":
         g = (group.sort_values(["doc_id", "media_ref"])

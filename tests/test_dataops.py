@@ -793,6 +793,21 @@ def test_png_all_five_filters_and_real_decode_stage():
     feat = stage(tbl)["feature"].to_pylist()[0]
     assert len(feat) == FEATURE_DIM and all(0 <= v <= 1 for v in feat)
 
+    # GRAYSCALE through the real stage: a 4x4 gray PNG makes the
+    # resize an identity, so feature[i] == pixel[i]/255 exactly —
+    # pins the channel-repeat axis in _decode_real's ndim==2 branch
+    import pyarrow as pa
+    gray4 = (np.arange(16).reshape(4, 4) * 16).astype(np.uint8)
+    gtbl = pa.table({
+        "media_ref": pa.array(["g:0"], pa.string()),
+        "doc_id": pa.array(["0"], pa.string()),
+        "media_type": pa.array(["image"], pa.string()),
+        "payload": pa.array([encode_png(gray4)], pa.binary()),
+        "payload_len": pa.array([len(encode_png(gray4))], pa.int64()),
+    })
+    gfeat = stage(gtbl)["feature"].to_pylist()[0]
+    assert gfeat == [(i * 16) / 255.0 for i in range(16)]
+
 
 def test_wav_roundtrip_and_stats(ray_session):
     import ray.data
