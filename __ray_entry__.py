@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -182,6 +183,74 @@ def _header_case_sql(expr: str) -> str:
     """SQL twin of :func:`_inject_template_header`."""
     return (f"CASE WHEN doc_id % 5 = 0 THEN '{_HEADER_PREFIX}' || "
             f"source || '{_HEADER_SEP}' || {expr} ELSE {expr} END")
+
+
+# Deterministic URL injection for the URL-curation queries: scheme /
+# www. / letter-case / trailing-slash / tracking-query variants of
+# source-derived pages, so canonicalization collapses doc_id % 50
+# pages per source by construction.
+_URL_HOST_TAIL = ".Example.com/Page/"
+_BLOCKED_DOMAINS = ("src3.example.com", "src7.example.com")
+
+
+def _inject_urls(batch: pd.DataFrame) -> pd.DataFrame:
+    d = batch["doc_id"]
+    scheme = pd.Series(
+        np.where(d % 2 == 0, "https://", "http://"), index=batch.index)
+    www = pd.Series(np.where(d % 3 == 0, "www.", ""), index=batch.index)
+    slash = pd.Series(np.where(d % 5 == 0, "/", ""), index=batch.index)
+    query = pd.Series(
+        np.where(d % 4 == 0,
+                 "?utm_source=feed&ref=" + d.astype(str), ""),
+        index=batch.index)
+    batch["url"] = (scheme + www + batch["source"] + _URL_HOST_TAIL
+                    + (d % 50).astype(str) + slash + query)
+    return batch
+
+
+_URL_INJECT_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    f"source || '{_URL_HOST_TAIL}' || (doc_id % 50) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || doc_id "
+    "ELSE '' END")
+
+
+# Incremental-dedup "new crawl snapshot": exact corpus copies (%3),
+# an intra-batch duplicate group (%11), fresh text otherwise.
+_INCR_FRESH_SEP = " fresh "
+_INCR_DUP_TEXT = "identical new doc"
+
+
+def _inject_new_snapshot(batch: pd.DataFrame) -> pd.DataFrame:
+    d = batch["doc_id"]
+    text = batch["text"].fillna("")
+    out = pd.DataFrame({
+        "doc_id": (d + 1_000_000).astype("int64"),
+        "text": np.where(d % 3 == 0, text,
+                         np.where(d % 11 == 0, _INCR_DUP_TEXT,
+                                  text + _INCR_FRESH_SEP
+                                  + d.astype(str)))})
+    return out
+
+
+_INCR_SNAPSHOT_SQL = f"""
+    SELECT doc_id + 1000000 AS doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+                WHEN doc_id % 11 = 0 THEN '{_INCR_DUP_TEXT}'
+                ELSE coalesce(text, '') || '{_INCR_FRESH_SEP}' || doc_id
+           END AS text
+    FROM documents"""
+
+
+def _canon_url_sql(expr: str) -> str:
+    from doc_ocr_ray.stages.urls import canonical_url_sql
+    return canonical_url_sql(expr)
+
+
+_BLOCKED_SQL = ("(" + ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+                + ")")
 
 
 # ----------------------------------------------------------------- entry
@@ -888,6 +957,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=pc.field("lang") == "zh")
         return ds
 
+    def q_url_dedup(sf_dir):
+        # one survivor per canonical URL over the injected
+        # scheme/www/case/slash/query variants (doc_id % 50 pages per
+        # source collide by construction)
+        from doc_ocr_ray.stages.urls import url_dedup
+        ds = (_read(sf_dir, "documents", ["doc_id", "source"])
+              .map_batches(_inject_urls, batch_format="pandas"))
+        return url_dedup(ds)
+
+    def q_domain_filter(sf_dir):
+        # UT1-style blocklist: drop two of the injected domains
+        from doc_ocr_ray.stages.urls import filter_blocked_domains
+        ds = (_read(sf_dir, "documents", ["doc_id", "source"])
+              .map_batches(_inject_urls, batch_format="pandas"))
+        return filter_blocked_domains(ds, _BLOCKED_DOMAINS)
+
+    def q_dedup_incremental(sf_dir):
+        # dedup a synthetic "new crawl snapshot" against the documents
+        # table as the established corpus: exact corpus copies drop,
+        # the injected intra-snapshot dup group keeps its min doc_id,
+        # fresh docs survive
+        new_ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+                  .map_batches(_inject_new_snapshot,
+                               batch_format="pandas"))
+        corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.dedup_against_corpus(new_ds, corpus)
+
     return {
         "extract_questions": q_extract,
         "extract_fixture_replay": q_extract_fixture_replay,
@@ -901,6 +997,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint,
         "winnow_fingerprint": q_winnow,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "url_dedup": q_url_dedup,
+        "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
@@ -1573,6 +1672,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
             FROM documents GROUP BY {_NORM}
+        """,
+        # incremental dedup: the injected snapshot keeps a new doc iff
+        # its normalized text is absent from the corpus AND it is the
+        # min-doc_id holder of that text within the snapshot
+        "dedup_incremental": f"""
+            WITH newdocs AS ({_INCR_SNAPSHOT_SQL}),
+            c0 AS (SELECT coalesce(text, '') AS text FROM documents),
+            cn AS (SELECT DISTINCT {_NORM} AS norm FROM c0),
+            nn AS (SELECT doc_id, text, {_NORM} AS norm FROM newdocs),
+            r AS (SELECT doc_id, text, norm,
+                         row_number() OVER (PARTITION BY norm
+                                            ORDER BY doc_id) AS rk
+                  FROM nn)
+            SELECT doc_id, text FROM r
+            WHERE rk = 1
+              AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
+        """,
+        # one survivor per canonical URL (the regexp_replace chain is
+        # generated from the SAME rule table the engine applies)
+        "url_dedup": f"""
+            WITH u AS (SELECT doc_id, {_URL_INJECT_SQL} AS url
+                       FROM documents),
+            c AS (SELECT doc_id, url, {_canon_url_sql('url')} AS canon_url
+                  FROM u),
+            r AS (SELECT *, row_number() OVER (PARTITION BY canon_url
+                                               ORDER BY doc_id) AS rk
+                  FROM c)
+            SELECT doc_id, url, canon_url FROM r WHERE rk = 1
+        """,
+        "domain_filter": f"""
+            WITH u AS (SELECT doc_id, source, {_URL_INJECT_SQL} AS url
+                       FROM documents),
+            c AS (SELECT doc_id, source, url,
+                         {_canon_url_sql('url')} AS canon_url
+                  FROM u),
+            d AS (SELECT *, regexp_replace(canon_url, '/.*$', '')
+                                AS domain FROM c)
+            SELECT doc_id, source, url, canon_url, domain FROM d
+            WHERE domain NOT IN {_BLOCKED_SQL}
         """,
         # same multi-line testbed as the engine (_multiline_docs);
         # winner = row_number 1 over (doc_id, line_no) per exact line;

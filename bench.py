@@ -194,6 +194,10 @@ def run_benchmarks() -> dict:
           lambda: qs["source_salient_terms"](SF_DIR).count())
     timed("curate_web_corpus",
           lambda: qs["curate_web_corpus"](SF_DIR).count())
+    timed("url_dedup", lambda: qs["url_dedup"](SF_DIR).count())
+    timed("domain_filter", lambda: qs["domain_filter"](SF_DIR).count())
+    timed("dedup_incremental",
+          lambda: qs["dedup_incremental"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -116,6 +116,78 @@ def token_multiset_dedup(ds, text_col: str = "text"):
               .groupby("part").map_groups(keep_first, batch_format="pandas"))
 
 
+def dedup_against_corpus(new_ds, corpus_ds, text_col: str = "text",
+                         num_parts: int = 256):
+    """Incremental exact dedup: drop NEW documents whose normalized
+    text already exists in an established CORPUS, and dedup the new
+    batch against itself (min-doc_id survivor) — the operator every
+    continuously-ingesting pipeline runs per crawl snapshot (CCNet /
+    NeMo-Curator "dedup against previous dumps").  Output: surviving
+    new rows as (doc_id, ``text_col``).
+
+    Shape: both sides slim to 16-byte md5 digests of the normalized
+    text per in-batch-distinct doc (the combiner); tagged union; ONE
+    coarse digest-hash exchange; inside a group, new rows drop on
+    digest membership / keep min doc_id per digest.  The corpus ships
+    digests ONLY — never its text (re-shuffling an established 100 TB
+    corpus's text to string-compare would defeat the point), so unlike
+    ``exact_dedup`` the equality witness here is the full 128-bit md5:
+    a false drop needs an md5 collision between two normalized
+    documents (~2^-64 birthday bound at 10^12 docs), stated as the
+    operator's exactness envelope.
+    """
+    def _digest_frame(batch: pd.DataFrame, kind: int) -> pd.DataFrame:
+        norm = _normalize(batch[text_col])
+        dig = pd.Series([hashlib.md5(t.encode("utf-8")).digest()
+                         for t in norm], index=batch.index, dtype="object")
+        if kind == 0:                           # new: keep payload cols
+            out = pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                text_col: batch[text_col].fillna(""),
+                "digest": dig})
+            out = (out.sort_values("doc_id")
+                   .drop_duplicates("digest", keep="first"))
+        else:                                   # corpus: digests only
+            out = pd.DataFrame({
+                "doc_id": np.full(len(batch), -1, dtype="int64"),
+                text_col: pd.Series([""] * len(batch), dtype="object"),
+                "digest": dig}).drop_duplicates("digest")
+        out["kind"] = np.int8(kind)
+        out["part"] = coarse_part(out["digest"], num_parts)
+        return typed_if_empty_binary(out, ("digest",))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        seen = group.loc[group["kind"] == 1, "digest"]
+        g = group[group["kind"] == 0]
+        g = g[~g["digest"].isin(set(seen))]
+        g = g.sort_values("doc_id").drop_duplicates("digest",
+                                                    keep="first")
+        return g[["doc_id", text_col]].reset_index(drop=True)
+
+    tagged = (new_ds.map_batches(lambda b: _digest_frame(b, 0),
+                                 batch_format="pandas")
+              .union(corpus_ds.map_batches(
+                  lambda b: _digest_frame(b, 1), batch_format="pandas")))
+    return tagged.groupby("part").map_groups(resolve,
+                                             batch_format="pandas")
+
+
+def typed_if_empty_binary(df: pd.DataFrame, binary_cols=()):
+    """``typed_if_empty`` variant for frames carrying bytes columns
+    (object->string would mistype them; declare binary explicitly)."""
+    if len(df):
+        return df
+    from doc_ocr_ray.util import typed_if_empty as _tie
+    fields = []
+    t = _tie(df.drop(columns=list(binary_cols)))
+    for name in df.columns:
+        if name in binary_cols:
+            fields.append((name, pa.binary()))
+        else:
+            fields.append((name, t.schema.field(name).type))
+    return pa.schema(fields).empty_table()
+
+
 # ------------------------------------------------------------- minhash
 def char_shingles(text: str, k: int = 5) -> Iterable[str]:
     t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())

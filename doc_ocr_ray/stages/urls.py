@@ -1,0 +1,110 @@
+"""URL-level curation operators for web corpora.
+
+A crawl sees the same page under many spellings (scheme, ``www.``,
+tracking query params, trailing slashes, letter case); URL-level dedup
+is the cheapest dedup a web pipeline runs — it fires BEFORE any text
+ever leaves storage — and domain blocklists (UT1-style) are the
+standard first content filter.  The reference engine is
+single-document and has no crawl surface (SURVEY.md section 2.7 covers
+only intra-page dedup); these are the web-scale extension.
+
+Canonicalization contract (applied in order, all RE2-parity patterns
+so the DuckDB oracles state the identical transforms):
+
+1. lowercase
+2. strip a leading ``http://`` / ``https://`` scheme
+3. strip a leading ``www.``
+4. cut at the first ``?`` or ``#`` (query string + fragment)
+5. strip trailing ``/``
+
+The registered domain is the canonical URL up to the first ``/``.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+# ordered (pattern, replacement) chain — ONE definition, interpolated
+# into the SQL oracle via canonical_url_sql() so the two sides cannot
+# drift (the pii_redact discipline applied to URLs)
+_CANON_RULES = (
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"[?#].*$", ""),
+    (r"/+$", ""),
+)
+
+
+def canonicalize_urls(batch: pd.DataFrame,
+                      url_col: str = "url") -> pd.DataFrame:
+    """Append ``canon_url`` and ``domain`` columns (vectorized pandas
+    str kernels, no per-row loop)."""
+    canon = batch[url_col].fillna("").str.lower()
+    for pat, rep in _CANON_RULES:
+        canon = canon.str.replace(pat, rep, regex=True)
+    out = batch.copy()
+    out["canon_url"] = canon
+    out["domain"] = canon.str.replace(r"/.*$", "", regex=True)
+    return out
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB expression computing the same canonical URL from ``expr``
+    (RE2 semantics on both sides; each rule matches at most once, so
+    DuckDB's replace-first default equals pandas' replace-all)."""
+    sql = f"lower({expr})"
+    for pat, rep in _CANON_RULES:
+        sql = f"regexp_replace({sql}, '{pat}', '{rep}')"
+    return sql
+
+
+def url_dedup(ds, url_col: str = "url", num_parts: int = 256):
+    """Keep ONE document per canonical URL (min doc_id survivor).
+    Output: (doc_id, url, canon_url).
+
+    Shape: per-batch canonicalize + in-batch keep-first combiner (a
+    hot URL crawled millions of times ships one candidate per batch);
+    ONE coarse canon-hash exchange whose keep-first groups on the
+    canonical-URL STRING (short by construction — unlike document
+    text, URLs are cheap to ship), so a partition-hash collision can
+    never merge distinct URLs.  Text never rides this shuffle: run it
+    on the (doc_id, url) projection and semi-join survivors back.
+    """
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = canonicalize_urls(batch, url_col)
+        out = out[["doc_id", url_col, "canon_url"]].sort_values("doc_id")
+        out = out.groupby("canon_url", sort=False).head(1)
+        out["part"] = coarse_part(out["canon_url"], num_parts)
+        return typed_if_empty(out)
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        g = g.groupby("canon_url", sort=False).head(1)
+        return g[["doc_id", url_col, "canon_url"]].reset_index(drop=True)
+
+    return (ds.map_batches(key, batch_format="pandas")
+            .groupby("part").map_groups(keep_first,
+                                        batch_format="pandas"))
+
+
+def filter_blocked_domains(ds, blocked_domains, url_col: str = "url"):
+    """Drop documents whose URL's registered domain is on a blocklist.
+
+    The blocklist is broadcast ONCE via ``ray.put`` (UT1-scale lists
+    run to millions of domains — a closure capture would re-pickle the
+    set into every task; the object-store copy is shared per node) and
+    membership-checked in one shuffle-free ``map_batches`` — the
+    ``decontaminate`` shape applied to domains.
+    """
+    import ray
+
+    blocked_ref = ray.put(frozenset(blocked_domains))
+
+    def drop(batch: pd.DataFrame) -> pd.DataFrame:
+        blocked = ray.get(blocked_ref)
+        out = canonicalize_urls(batch, url_col)
+        out = out[~out["domain"].isin(blocked)]
+        return typed_if_empty(out.reset_index(drop=True))
+
+    return ds.map_batches(drop, batch_format="pandas")

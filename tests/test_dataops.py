@@ -1290,3 +1290,64 @@ def test_chunk_documents_windows_and_overlap(ray_session):
     d2 = out[out["doc_id"] == 2]
     assert len(d2) == 1 and d2.iloc[0]["chunk"] == "a b"
     assert set(out["doc_id"]) == {1, 2}             # empty/None dropped
+
+
+def test_url_canonicalize_dedup_and_domain_filter(ray_session):
+    """Canonicalization collapses scheme/www/case/query/slash variants;
+    url_dedup keeps the min-doc_id survivor per canonical URL;
+    filter_blocked_domains drops exactly the blocklisted domains and
+    tolerates NULL urls (empty canon/domain, kept unless blocked)."""
+    import ray.data
+    from doc_ocr_ray.stages.urls import (
+        canonicalize_urls, url_dedup, filter_blocked_domains)
+    urls = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "url": [
+            "https://www.Example.com/A/?utm_source=x",
+            "http://example.com/a",                  # same page as 1
+            "example.com/a/#frag",                   # scheme-less, same
+            "https://other.org/a",                   # different host
+            "https://blocked.net/deep/path?q=1",
+            None,
+        ]})
+    c = canonicalize_urls(urls.copy())
+    assert list(c["canon_url"]) == [
+        "example.com/a", "example.com/a", "example.com/a",
+        "other.org/a", "blocked.net/deep/path", ""]
+    assert list(c["domain"]) == [
+        "example.com", "example.com", "example.com",
+        "other.org", "blocked.net", ""]
+    ds = ray.data.from_pandas(urls).repartition(3)
+    survivors = (url_dedup(ds).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+    assert list(survivors["doc_id"]) == [1, 4, 5, 6]
+    kept = filter_blocked_domains(ds, {"blocked.net"}).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 3, 4, 6]
+
+
+def test_dedup_against_corpus_semantics(ray_session):
+    """Corpus matches drop (normalization-insensitive), intra-snapshot
+    duplicates keep the min doc_id, fresh docs survive, and an empty
+    corpus degrades to plain exact self-dedup."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_against_corpus
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["Hello   World", "kept corpus doc"]}))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": ["  hello\tworld ",        # corpus dup via normalize
+                 "same new", "same new",   # intra-snapshot dup pair
+                 "fresh one",
+                 None],                    # NULL -> "" (no corpus "")
+    })).repartition(2)
+    out = (dedup_against_corpus(new, corpus).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [11, 13, 14]
+    assert list(out["text"]) == ["same new", "fresh one", ""]
+    # empty corpus: behaves as exact self-dedup of the snapshot
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object")}))
+    out2 = dedup_against_corpus(new, empty).to_pandas()
+    assert sorted(out2["doc_id"]) == [10, 11, 13, 14]
