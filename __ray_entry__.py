@@ -682,6 +682,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    .select_columns(["doc_id", "n_tokens"]))
         return pack_sequences(counted, target_tokens=64)
 
+    def q_pack_interleaved(sf_dir):
+        # multimodal packing over the parked interleaved span corpus:
+        # text spans cost whitespace tokens, media spans a fixed
+        # 64-token patch budget, then the same pack-then-chunk layout
+        import ray.data
+        from doc_ocr_ray.pipelines.curate import (interleaved_token_cost,
+                                                  pack_sequences)
+        flat = ray.data.read_parquet(_ensure_synth_spans_parquet())
+        cost = interleaved_token_cost(flat, image_tokens=64)
+
+        def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_key": batch["doc_id"].str[6:].astype("int64"),
+                "n_tokens": batch["n_tokens"].astype("int64")})
+
+        return pack_sequences(cost.map_batches(keyed,
+                                               batch_format="pandas"),
+                              target_tokens=256, key="doc_key")
+
     def q_decontaminate(sf_dir):
         # deterministic contamination: docs with doc_id % 10 == 3 get a
         # benchmark phrase appended (capitalization intentionally wrong
@@ -1042,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substr": q_dup_substr,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "pack_interleaved": q_pack_interleaved,
         "quality_classifier": q_quality_classifier,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
@@ -2547,6 +2567,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tok,
                    start_tok // 64 AS seq_first,
                    (start_tok + n_tokens - 1) // 64 AS seq_last
+            FROM p
+        """,
+        # multimodal packing: per-doc cost = text tokens + 64/media
+        # span over the SAME parked span parquet the Ray query reads
+        "pack_interleaved": f"""
+            WITH spans AS (SELECT doc_id, media_ref,
+                                  coalesce(text, '') AS text
+                           FROM read_parquet('{spans_path}')),
+            cost AS (SELECT doc_id,
+                       sum(CASE WHEN coalesce(media_ref, '') <> ''
+                                THEN 0 ELSE {_NTOK} END) AS n_text,
+                       sum(CASE WHEN coalesce(media_ref, '') <> ''
+                                THEN 1 ELSE 0 END) AS n_media
+                     FROM spans GROUP BY doc_id),
+            keyed AS (SELECT CAST(substr(doc_id, 7) AS BIGINT)
+                                 AS doc_key,
+                             CAST(n_text + 64 * n_media AS BIGINT)
+                                 AS n_tokens
+                      FROM cost),
+            p AS (SELECT doc_key, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_key
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                  FROM keyed WHERE n_tokens > 0)
+            SELECT doc_key, n_tokens, start_tok,
+                   start_tok // 256 AS seq_first,
+                   (start_tok + n_tokens - 1) // 256 AS seq_last
             FROM p
         """,
         "decontaminate": """

@@ -198,6 +198,8 @@ def run_benchmarks() -> dict:
     timed("domain_filter", lambda: qs["domain_filter"](SF_DIR).count())
     timed("dedup_incremental",
           lambda: qs["dedup_incremental"](SF_DIR).count())
+    timed("pack_interleaved",
+          lambda: qs["pack_interleaved"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -381,6 +381,48 @@ def export_shards(ds, n_shards: int, key: str = "doc_id",
             .map_groups(order_shard, batch_format="pandas"))
 
 
+def interleaved_token_cost(flat_spans_ds, image_tokens: int = 64,
+                           num_parts: int = 64):
+    """Per-document TRAINING token cost of an interleaved text+media
+    span stream (the multimodal-loader budget): text spans cost their
+    whitespace token count, every media span a fixed ``image_tokens``
+    patch budget (ViT-patch-style), so a packer can cut multimodal
+    sequences the way a text packer cuts text.  Input: FLAT span rows
+    (doc_id, kind, text, media_ref); media spans are the rows with a
+    non-empty ``media_ref``.  Output per doc:
+    ``(doc_id, n_text_tokens, n_media, n_tokens)``.
+
+    Shape: vectorized per-span costs + in-batch per-doc partial sums
+    (the combiner — a mega-doc's million spans leave each batch as one
+    row), ONE coarse doc-keyed exchange summing partials.  Compose
+    with :func:`pack_sequences` for multimodal sequence packing.
+    """
+    from doc_ocr_ray.stages.text_analysis import _tokens
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        is_media = batch["media_ref"].fillna("") != ""
+        ntok = _tokens(batch["text"].where(~is_media, "")
+                       ).str.len().astype("int64")
+        part = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_text_tokens": ntok,
+            "n_media": is_media.astype("int64")})
+        out = (part.groupby("doc_id", sort=False, as_index=False)
+               [["n_text_tokens", "n_media"]].sum())
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby("doc_id", sort=False, as_index=False)
+               [["n_text_tokens", "n_media"]].sum())
+        out["n_tokens"] = (out["n_text_tokens"]
+                           + image_tokens * out["n_media"])
+        return typed_if_empty(out)
+
+    return (flat_spans_ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(combine, batch_format="pandas"))
+
+
 def pack_sequences(ds, target_tokens: int = 2048, key: str = "doc_id",
                    num_partitions: int = 64):
     """GPT-style sequence packing: concatenate the corpus in global

@@ -1351,3 +1351,33 @@ def test_dedup_against_corpus_semantics(ray_session):
         "text": pd.Series([], dtype="object")}))
     out2 = dedup_against_corpus(new, empty).to_pandas()
     assert sorted(out2["doc_id"]) == [10, 11, 13, 14]
+
+
+def test_interleaved_token_cost_and_pack(ray_session):
+    """Media spans cost the fixed patch budget, text spans their
+    whitespace token count; per-doc partials combine across batches;
+    composition with pack_sequences cuts multimodal sequences."""
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import (interleaved_token_cost,
+                                              pack_sequences)
+    flat = pd.DataFrame({
+        "doc_id": [1, 1, 1, 2, 2, 3],
+        "kind": ["text", "image", "text", "text", "image", "image"],
+        "text": ["two tokens", None, " three  more here ", "", None,
+                 None],
+        "media_ref": [None, "img:a", "", None, "img:b", "img:c"],
+    })
+    cost = (interleaved_token_cost(
+        ray.data.from_pandas(flat).repartition(3), image_tokens=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(cost["doc_id"]) == [1, 2, 3]
+    assert list(cost["n_text_tokens"]) == [5, 0, 0]
+    assert list(cost["n_media"]) == [1, 1, 1]
+    assert list(cost["n_tokens"]) == [15, 10, 10]
+    packed = (pack_sequences(
+        ray.data.from_pandas(cost[["doc_id", "n_tokens"]]),
+        target_tokens=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(packed["start_tok"]) == [0, 15, 25]
+    assert list(packed["seq_first"]) == [0, 0, 1]
+    assert list(packed["seq_last"]) == [0, 1, 2]
