@@ -575,6 +575,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tumbling_window(
             _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
+    def q_hopping_window(sf_dir):
+        # overlapping 2h windows hopping every 30min
+        from doc_ocr_ray.pipelines.events import hopping_window
+        return hopping_window(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]),
+            size_minutes=120, hop_minutes=30)
+
     def q_funnel_counts(sf_dir):
         from doc_ocr_ray.pipelines.events import funnel_counts
         return funnel_counts(
@@ -1048,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_markdown": q_render_markdown,
         "exam_info": q_exam_info,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_hopping_window,
         "sessionize": q_sessionize,
         "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
@@ -2283,6 +2291,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        / 100.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # overlapping windows (size=120min, hop=30min -> 4 covering
+        # windows per event); window_start in epoch seconds on both
+        # sides so no timezone/timestamp-unit drift is possible
+        "events_hopping": """
+            WITH e AS (SELECT event_type,
+                         (CAST(floor(epoch(ts)) AS BIGINT) // 1800)
+                             * 1800 AS slot,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             AS cents
+                       FROM events),
+            w AS (SELECT event_type, slot - k.k * 1800 AS window_start,
+                         cents
+                  FROM e CROSS JOIN
+                       (SELECT unnest(range(0, 4)) AS k) k)
+            SELECT event_type, window_start, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "sessionize": SESSIONIZE_SQL,
         # earliest strictly-increasing completion chain per user;

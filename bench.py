@@ -200,6 +200,8 @@ def run_benchmarks() -> dict:
           lambda: qs["dedup_incremental"](SF_DIR).count())
     timed("pack_interleaved",
           lambda: qs["pack_interleaved"](SF_DIR).count())
+    timed("events_hopping",
+          lambda: qs["events_hopping"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -44,6 +44,57 @@ def tumbling_window(ds, freq: str = "h"):
         final, batch_format="pandas")
 
 
+def hopping_window(ds, size_minutes: int = 120, hop_minutes: int = 30):
+    """Overlapping (hopping/sliding) event-time windows: every event
+    lands in the ``size/hop`` windows covering its timestamp; output
+    ``(event_type, window_start, n, sum_value)`` with ``window_start``
+    as epoch SECONDS (integer — timezone-proof across engines).
+
+    Shape: per-batch partial aggregate on the base ``hop`` slot FIRST
+    (collapses the batch to types x slots before any copying), then
+    the small partial fans out to its ``size/hop`` covering windows —
+    the exchange carries window partials, never per-event rows, and
+    the overlap factor multiplies only the collapsed partial.
+    ``size_minutes`` must be a multiple of ``hop_minutes``.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    hop = hop_minutes * 60
+    nwin = size_minutes // hop_minutes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch["ts"].astype("datetime64[ns]").astype("int64")
+                 // 10**9)
+        base = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "slot": (epoch // hop) * hop,
+            "cents": np.floor(batch["value"] * 100
+                              + 0.5).astype("int64")})
+        g = (base.groupby(["event_type", "slot"], sort=False)["cents"]
+             .agg(["count", "sum"]).reset_index())
+        g.columns = ["event_type", "slot", "n", "sum_cents"]
+        fan = pd.concat([g.assign(window_start=g["slot"] - k * hop)
+                         for k in range(nwin)], ignore_index=True)
+        fan = fan[["event_type", "window_start", "n", "sum_cents"]]
+        # coarse shuffle key (not the window itself): millions of tiny
+        # (type, window) groups must combine inside the group fn
+        fan["part"] = _coarse_part(
+            fan["event_type"] + ":" + fan["window_start"].astype(str), 64)
+        return fan
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby(["event_type", "window_start"], sort=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        # integer-cents accumulation: see events_by_type
+        out["sum_value"] = out["sum_cents"].astype("int64") / 100.0
+        return out.drop(columns=["sum_cents"])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(final, batch_format="pandas"))
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Gap-based sessions: (user_id, session_id, n_events, start_ts,
     end_ts); session_id is the 1-based ordinal within the user."""

@@ -1381,3 +1381,34 @@ def test_interleaved_token_cost_and_pack(ray_session):
     assert list(packed["start_tok"]) == [0, 15, 25]
     assert list(packed["seq_first"]) == [0, 0, 1]
     assert list(packed["seq_last"]) == [0, 1, 2]
+
+
+def test_hopping_window_coverage_and_sums(ray_session):
+    """Each event lands in exactly size/hop windows covering its ts;
+    window sums equal the brute-force per-window recount."""
+    import ray.data
+    from doc_ocr_ray.pipelines.events import hopping_window
+    ts = pd.to_datetime([
+        "2026-01-01 00:05:00", "2026-01-01 00:35:00",
+        "2026-01-01 01:59:59", "2026-01-01 02:00:00"])
+    ev = pd.DataFrame({"event_type": ["a", "a", "a", "b"],
+                       "ts": ts, "value": [1.0, 2.0, 4.0, 8.0]})
+    out = (hopping_window(ray.data.from_pandas(ev).repartition(2),
+                          size_minutes=60, hop_minutes=30)
+           .to_pandas())
+    # brute force: windows are [start, start+60min), start on the
+    # 30-min grid
+    import numpy as np
+    epochs = (ts.astype("int64") // 10**9).to_numpy()
+    expect = {}
+    for t, e, v in zip(ev["event_type"], epochs, ev["value"]):
+        slot = e // 1800 * 1800
+        for k in range(2):
+            key = (t, slot - k * 1800)
+            n, s = expect.get(key, (0, 0))
+            expect[key] = (n + 1, s + int(np.floor(v * 100 + 0.5)))
+    got = {(r.event_type, r.window_start): (r.n, int(round(r.sum_value * 100)))
+           for r in out.itertuples()}
+    assert got == expect
+    assert (out.groupby("event_type")["n"].sum()
+            == ev.groupby("event_type").size() * 2).all()
