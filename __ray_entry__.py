@@ -244,6 +244,53 @@ _INCR_SNAPSHOT_SQL = f"""
     FROM documents"""
 
 
+# Deterministic synthetic hyperlink graph for the PageRank query: doc
+# i links to (i*i*p + c) % n_docs for each rule — both sides derive
+# the identical edge set from the documents table alone.  QUADRATIC in
+# i on purpose: a linear rule with gcd(p, n) == 1 is a permutation of
+# Z_n, giving every node in-degree 3 and a degenerate uniform rank
+# vector; squares are not bijective, so in-degrees (and ranks) vary.
+_PR_EDGE_RULES = ((7, 1), (13, 2), (31, 3))
+_PR_ITERS = 3
+_PR_SCALE = 10 ** 12
+_PR_DAMPING = 85
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE twin of stages/graph.py:pagerank — identical
+    integer grid and floor-division points, one i_k/r_k CTE pair per
+    iteration (the kmeans_fit oracle pattern)."""
+    base = f"({_PR_SCALE} * {100 - _PR_DAMPING} // 100) // (SELECT n FROM nn)"
+    e0 = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
+        f"(SELECT n FROM nn) AS dst FROM documents"
+        for p, c in _PR_EDGE_RULES)
+    sql = f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS ({e0}),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node,
+                      {_PR_SCALE} // (SELECT n FROM nn) AS r
+               FROM documents)"""
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        sql += f""",
+        i{k} AS (SELECT e.dst AS node, sum({prev}.r // deg.deg) AS infl
+                 FROM e JOIN deg USING (src)
+                        JOIN {prev} ON {prev}.node = e.src
+                 GROUP BY e.dst),
+        r{k} AS (SELECT d.doc_id AS node,
+                        {base} + ({_PR_DAMPING} *
+                            coalesce(i{k}.infl, 0)) // 100 AS r
+                 FROM documents d
+                 LEFT JOIN i{k} ON i{k}.node = d.doc_id)"""
+        prev = f"r{k}"
+    sql += f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev}"""
+    return sql
+
+
 def _canon_url_sql(expr: str) -> str:
     from doc_ocr_ray.stages.urls import canonical_url_sql
     return canonical_url_sql(expr)
@@ -999,6 +1046,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .map_batches(_inject_urls, batch_format="pandas"))
         return filter_blocked_domains(ds, _BLOCKED_DOMAINS)
 
+    def q_pagerank(sf_dir):
+        # link-graph authority over the deterministic synthetic
+        # hyperlink graph (crawl-quality signal)
+        from doc_ocr_ray.stages.graph import pagerank
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+
+        def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            return pd.concat(
+                [pd.DataFrame({"src": d, "dst": (d * d * p + c) % n})
+                 for p, c in _PR_EDGE_RULES], ignore_index=True)
+
+        def mk_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": batch["doc_id"].astype("int64")})
+
+        return pagerank(docs.map_batches(mk_edges, batch_format="pandas"),
+                        docs.map_batches(mk_nodes, batch_format="pandas"),
+                        iters=_PR_ITERS, damping_pct=_PR_DAMPING,
+                        scale=_PR_SCALE)
+
     def q_dedup_incremental(sf_dir):
         # dedup a synthetic "new crawl snapshot" against the documents
         # table as the established corpus: exact corpus copies drop,
@@ -1024,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": q_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "pagerank": q_pagerank,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
@@ -1717,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = 1
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
+        "pagerank": _pagerank_sql(),
         # one survivor per canonical URL (the regexp_replace chain is
         # generated from the SAME rule table the engine applies)
         "url_dedup": f"""

@@ -202,6 +202,7 @@ def run_benchmarks() -> dict:
           lambda: qs["pack_interleaved"](SF_DIR).count())
     timed("events_hopping",
           lambda: qs["events_hopping"](SF_DIR).count())
+    timed("pagerank", lambda: qs["pagerank"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1412,3 +1412,35 @@ def test_hopping_window_coverage_and_sums(ray_session):
     assert got == expect
     assert (out.groupby("event_type")["n"].sum()
             == ev.groupby("event_type").size() * 2).all()
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    """Distributed PageRank equals a single-process replay of the same
+    integer-grid recurrence; a sink hub out-ranks spoke nodes; nodes
+    outside the edge set keep the base mass."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import pagerank
+    # star: 0..4 -> 5 (hub), hub -> 0; node 6 isolated; a self-loop
+    # and a duplicate edge that must be cleaned
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 3, 4, 5, 2, 2, 6],
+        "dst": [5, 5, 5, 5, 5, 0, 5, 2, 6]})   # dup (2,5), loops (2,2),(6,6)
+    nodes = pd.DataFrame({"node": list(range(7))})
+    out = (pagerank(ray.data.from_pandas(edges).repartition(2),
+                    ray.data.from_pandas(nodes).repartition(2),
+                    iters=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # single-process integer replay
+    n, scale, d = 7, 10 ** 12, 85
+    adj = {0: [5], 1: [5], 2: [5], 3: [5], 4: [5], 5: [0]}
+    base = (scale * (100 - d) // 100) // n
+    r = {v: scale // n for v in range(n)}
+    for _ in range(3):
+        infl = {v: 0 for v in range(n)}
+        for s, ds_ in adj.items():
+            for t in ds_:
+                infl[t] += r[s] // len(ds_)
+        r = {v: base + (d * infl[v]) // 100 for v in range(n)}
+    assert dict(zip(out["node"], out["rank_scaled"])) == r
+    assert r[5] > r[0] > r[1]          # hub > fed spoke > dry spoke
+    assert r[6] == base                # isolated node: base mass only
