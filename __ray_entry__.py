@@ -1046,6 +1046,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .map_batches(_inject_urls, batch_format="pandas"))
         return filter_blocked_domains(ds, _BLOCKED_DOMAINS)
 
+    def q_zscore_by_source(sf_dir):
+        # cross-source score calibration (two-pass, broadcast stats)
+        from doc_ocr_ray.stages.text_analysis import zscore_by_group
+        return zscore_by_group(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
     def q_pagerank(sf_dir):
         # link-graph authority over the deterministic synthetic
         # hyperlink graph (crawl-quality signal)
@@ -1093,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
+        "zscore_by_source": q_zscore_by_source,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
@@ -1787,6 +1794,27 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        # per-source z-score: integer num/radicand, then ONE double
+        # multiply/sqrt/divide in the stated order -> bit-identical
+        # doubles (bm25 discipline); zero-variance groups define z=0
+        "zscore_by_source": f"""
+            WITH tc AS (SELECT doc_id, source,
+                               CAST({_NTOK} AS BIGINT) AS x
+                        FROM documents),
+            st AS (SELECT source, count(*) AS n, sum(x) AS s1,
+                          sum(x * x) AS s2
+                   FROM tc GROUP BY source),
+            j AS (SELECT tc.doc_id, tc.source, tc.x,
+                         st.n * tc.x - st.s1 AS num,
+                         st.n * st.s2 - st.s1 * st.s1 AS den
+                  FROM tc JOIN st USING (source))
+            SELECT doc_id, source, x AS n_tokens,
+                   CAST(CASE WHEN den <= 0 THEN 0
+                        ELSE floor((1000000.0 * num)
+                                   / sqrt(CAST(den AS DOUBLE)))
+                        END AS BIGINT) AS z_micro
+            FROM j
+        """,
         # one survivor per canonical URL (the regexp_replace chain is
         # generated from the SAME rule table the engine applies)
         "url_dedup": f"""

@@ -203,6 +203,8 @@ def run_benchmarks() -> dict:
     timed("events_hopping",
           lambda: qs["events_hopping"](SF_DIR).count())
     timed("pagerank", lambda: qs["pagerank"](SF_DIR).count())
+    timed("zscore_by_source",
+          lambda: qs["zscore_by_source"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -555,6 +555,69 @@ def mix_plan(ds, weights: Dict[str, int], budget_tokens: int,
                                              batch_format="pandas"))
 
 
+def zscore_by_group(ds, group_col: str = "source"):
+    """Per-group z-score calibration of the whitespace token count —
+    how a quality/length signal is made comparable ACROSS sources
+    before a global cut (a raw threshold over mixed crawls keeps
+    whatever the wordiest source produces).  Output per doc:
+    ``(doc_id, group, n_tokens, z_micro)`` with
+    ``z_micro = floor(1e6 * (x - mean) / std)`` per group.
+
+    Two streaming passes, no shuffle of doc rows: (1) per-batch
+    (group, n, sum, sum_sq) integer partials -> ONE tiny groupby
+    (group-count-bounded) -> stats broadcast via ``ray.put``; (2) a
+    stateless score pass.  Exactness: the algebra keeps integers as
+    long as possible — ``z = (n*x - s1) / sqrt(n*(n*s2 - s1^2))``
+    times sqrt(n)... reduced to ``(n*x - s1) / sqrt(n*s2 - s1^2)`` —
+    numerator and radicand are EXACT int64, then exactly one double
+    multiply, sqrt and divide in a stated order, so the DuckDB twin
+    computes bit-identical doubles (the bm25 discipline).  Groups
+    with zero variance (or a single row) define ``z_micro = 0``.
+    Envelope: ``1e6 * num`` must stay under 2^53 for the double to be
+    exact — fine for token counts; rescale ``scale`` for larger
+    magnitudes.
+    """
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _tokens(batch["text"]).str.len().astype("int64")
+        g = pd.DataFrame({group_col: batch[group_col], "x": x,
+                          "x2": x * x})
+        out = (g.groupby(group_col, sort=False)
+               .agg(n=("x", "size"), s1=("x", "sum"), s2=("x2", "sum"))
+               .reset_index())
+        return typed_if_empty(out)
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(group_col)
+             .sum(["n", "s1", "s2"]).to_pandas())
+    stats = stats.rename(columns={"sum(n)": "n", "sum(s1)": "s1",
+                                  "sum(s2)": "s2"})
+    stats_ref = ray.put({
+        r[group_col]: (int(r["n"]), int(r["s1"]), int(r["s2"]))
+        for _, r in stats.iterrows()})
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        x = _tokens(batch["text"]).str.len().astype("int64")
+        n = batch[group_col].map(lambda s: st[s][0]).astype("int64")
+        s1 = batch[group_col].map(lambda s: st[s][1]).astype("int64")
+        s2 = batch[group_col].map(lambda s: st[s][2]).astype("int64")
+        num = n * x - s1
+        den = n * s2 - s1 * s1
+        z = np.zeros(len(batch), dtype="int64")
+        pos = (den > 0).to_numpy()
+        z[pos] = np.floor(
+            (1000000.0 * num[pos].to_numpy())
+            / np.sqrt(den[pos].to_numpy().astype("float64"))
+        ).astype("int64")
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"], group_col: batch[group_col],
+            "n_tokens": x, "z_micro": z}))
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def quantiles_by_source(ds, q_milli=(250, 500, 750)):
     """Per-source EXACT token-count quantiles without a sort: each
     batch emits a (source, n_tokens, cnt) value-count partial —

@@ -1444,3 +1444,25 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert dict(zip(out["node"], out["rank_scaled"])) == r
     assert r[5] > r[0] > r[1]          # hub > fed spoke > dry spoke
     assert r[6] == base                # isolated node: base mass only
+
+
+def test_zscore_by_group_exact_grid(ray_session):
+    """Group stats are exact integers; z matches the closed form on
+    the micro grid; zero-variance and singleton groups define z=0."""
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import zscore_by_group
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "source": ["a", "a", "a", "b", "b", "c"],
+        "text": ["one", "one two", "one two three four five six",
+                 "x y", "x y", "solo doc here"],
+    })
+    out = (zscore_by_group(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # source a: x = [1, 2, 6]; n=3, s1=9, s2=41 -> den = 3*41-81 = 42
+    for x, doc in ((1, 0), (2, 1), (6, 2)):
+        expect = math.floor(1000000.0 * (3 * x - 9) / math.sqrt(42.0))
+        assert out.loc[doc, "z_micro"] == expect
+    assert (out.loc[out["source"] == "b", "z_micro"] == 0).all()
+    assert out.loc[5, "z_micro"] == 0
