@@ -291,6 +291,50 @@ def _pagerank_sql() -> str:
     return sql
 
 
+_BPE_MERGES = 3
+
+
+def _bpe_sql(merges: int = _BPE_MERGES) -> str:
+    """Chained-CTE twin of stages/text_analysis.py:bpe_train —
+    identical word histogram, overlapping pair counts, (cnt DESC, a,
+    b) tie-break, and the same TWO space-bounded replaces per merge."""
+    sql = f"""
+        WITH tk AS (SELECT unnest({_TOKENS}) AS word FROM documents
+                    WHERE {_STRIP} <> ''),
+        wc AS (SELECT word, count(*) AS cnt FROM tk GROUP BY word),
+        w0 AS (SELECT word, cnt,
+                      ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                          AS seq
+               FROM wc)"""
+    for k in range(1, merges + 1):
+        prev = f"w{k - 1}"
+        sql += f""",
+        s{k} AS (SELECT cnt,
+                        regexp_split_to_array(trim(seq, ' '), ' ') AS s
+                 FROM {prev}),
+        p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS c
+                 FROM s{k},
+                      LATERAL (SELECT unnest(range(1, len(s))) AS i) r
+                 GROUP BY 1, 2),
+        m{k} AS (SELECT a, b, c FROM p{k}
+                 ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        if k < merges:
+            pat = (f"' ' || (SELECT a FROM m{k}) || ' ' || "
+                   f"(SELECT b FROM m{k}) || ' '")
+            rep = (f"' ' || (SELECT a FROM m{k}) || "
+                   f"(SELECT b FROM m{k}) || ' '")
+            sql += f""",
+        w{k} AS (SELECT word, cnt,
+                        replace(replace(seq, {pat}, {rep}),
+                                {pat}, {rep}) AS seq
+                 FROM {prev})"""
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged, CAST(c AS BIGINT) AS cnt "
+        f"FROM m{k}" for k in range(1, merges + 1))
+    return sql + "\n        " + selects
+
+
 def _canon_url_sql(expr: str) -> str:
     from doc_ocr_ray.stages.urls import canonical_url_sql
     return canonical_url_sql(expr)
@@ -1046,6 +1090,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .map_batches(_inject_urls, batch_format="pandas"))
         return filter_blocked_domains(ds, _BLOCKED_DOMAINS)
 
+    def q_bpe_train(sf_dir):
+        # distributed BPE tokenizer training, 3 merge rounds
+        from doc_ocr_ray.stages.text_analysis import bpe_train
+        return bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         merges=_BPE_MERGES)
+
     def q_zscore_by_source(sf_dir):
         # cross-source score calibration (two-pass, broadcast stats)
         from doc_ocr_ray.stages.text_analysis import zscore_by_group
@@ -1100,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
         "zscore_by_source": q_zscore_by_source,
+        "bpe_train": q_bpe_train,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
@@ -1794,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        "bpe_train": _bpe_sql(),
         # per-source z-score: integer num/radicand, then ONE double
         # multiply/sqrt/divide in the stated order -> bit-identical
         # doubles (bm25 discipline); zero-variance groups define z=0

@@ -205,6 +205,7 @@ def run_benchmarks() -> dict:
     timed("pagerank", lambda: qs["pagerank"](SF_DIR).count())
     timed("zscore_by_source",
           lambda: qs["zscore_by_source"](SF_DIR).count())
+    timed("bpe_train", lambda: qs["bpe_train"](SF_DIR).num_rows)
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

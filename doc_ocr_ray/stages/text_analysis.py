@@ -555,6 +555,124 @@ def mix_plan(ds, weights: Dict[str, int], budget_tokens: int,
                                              batch_format="pandas"))
 
 
+def bpe_train(ds, merges: int = 3, num_parts: int = 64):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    learn the top-``merges`` byte-pair merges over the corpus, exactly
+    as HuggingFace-style trainers do — on the WORD HISTOGRAM, not the
+    raw corpus.  Output: one row per learned merge,
+    ``(rank, left_sym, right_sym, merged, cnt)``.
+
+    Shape: ONE corpus pass builds the (word, cnt) vocabulary (the
+    per-batch value-count partial is the combiner; one coarse
+    word-keyed exchange), then each merge round runs over the
+    vocab-sized symbol-sequence table: adjacent-pair counts (weighted
+    by word count, overlapping pairs counted — the BPE convention)
+    combine through a coarse pair-keyed exchange, each partition
+    nominates its top-1, the driver picks the max of <= ``num_parts``
+    candidates (bounded driver state), the winning pair broadcasts in
+    the closure and a vectorized left-to-right non-overlapping string
+    replace applies it.  The sequence table re-materializes per round
+    (the pagerank/label-propagation trade).
+
+    Exactness contract (mirrored by the SQL twin): symbol sequences
+    are space-delimited with sentinel spaces (`` h e l l o ``); merge
+    application is TWO passes of the plain substring replace of
+    `` a b `` by `` ab `` (left-to-right, non-overlapping).  One pass
+    alone skips every other occurrence in a run (the match consumes
+    the trailing space the next match needs as its leading space); the
+    second pass catches those leftovers, so the pair's merge COUNT
+    always equals greedy BPE's.  The segmentation itself equals
+    left-to-right greedy except inside runs of a self-pair (a == b) of
+    length >= 5, where merge positions may differ — a documented
+    variant, identical on both sides.  Ties break (cnt DESC, left
+    ASC, right ASC).
+    """
+    import ray
+
+    def word_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        flat = pd.Series([w for ws in toks for w in ws], dtype="object")
+        vc = flat.value_counts()
+        out = pd.DataFrame({"word": vc.index.astype("object"),
+                            "cnt": vc.to_numpy().astype("int64")})
+        out["part"] = coarse_part(out["word"], num_parts)
+        return typed_if_empty(out)
+
+    def word_combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby("word", sort=False)["cnt"].sum()
+               .reset_index())
+        out["cnt"] = out["cnt"].astype("int64")
+        out["seq"] = out["word"].map(
+            lambda w: " " + " ".join(w) + " ")
+        return typed_if_empty(out)
+
+    vocab = (ds.map_batches(word_partial, batch_format="pandas")
+             .groupby("part").map_groups(word_combine,
+                                         batch_format="pandas")
+             .materialize())
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        syms = batch["seq"].str.strip(" ").str.split(" ")
+        n = syms.str.len().to_numpy()
+        reps = np.maximum(n - 1, 0)
+        flat_a, flat_b = [], []
+        for s in syms:
+            flat_a.extend(s[:-1])
+            flat_b.extend(s[1:])
+        pairs = pd.DataFrame({
+            "a": pd.Series(flat_a, dtype="object"),
+            "b": pd.Series(flat_b, dtype="object"),
+            "c": np.repeat(batch["cnt"].to_numpy(), reps)})
+        out = (pairs.groupby(["a", "b"], sort=False)["c"].sum()
+               .reset_index())
+        out["c"] = out["c"].astype("int64")
+        out["part"] = coarse_part(out["a"] + "\x00" + out["b"],
+                                  num_parts)
+        return typed_if_empty(out)
+
+    def pair_top1(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["a", "b"], sort=False)["c"].sum()
+             .reset_index())
+        g["c"] = g["c"].astype("int64")
+        g = g.sort_values(["c", "a", "b"],
+                          ascending=[False, True, True]).head(1)
+        return typed_if_empty(g[["a", "b", "c"]].reset_index(drop=True))
+
+    learned = []
+    for rank in range(1, merges + 1):
+        cands = (vocab.map_batches(pair_partial, batch_format="pandas")
+                 .groupby("part").map_groups(pair_top1,
+                                             batch_format="pandas")
+                 .to_pandas())
+        if not len(cands):
+            break
+        cands = cands.sort_values(["c", "a", "b"],
+                                  ascending=[False, True, True])
+        a, b, c = (cands.iloc[0]["a"], cands.iloc[0]["b"],
+                   int(cands.iloc[0]["c"]))
+        learned.append({"rank": rank, "left_sym": a, "right_sym": b,
+                        "merged": a + b, "cnt": c})
+
+        def apply_merge(batch: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+            out = batch.copy()
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            out["seq"] = (out["seq"]
+                          .str.replace(pat, rep, regex=False)
+                          .str.replace(pat, rep, regex=False))
+            return out
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    import pyarrow as pa
+    out = pd.DataFrame(learned, columns=["rank", "left_sym",
+                                         "right_sym", "merged", "cnt"])
+    schema = pa.schema([("rank", pa.int64()), ("left_sym", pa.string()),
+                        ("right_sym", pa.string()),
+                        ("merged", pa.string()), ("cnt", pa.int64())])
+    return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+
 def zscore_by_group(ds, group_col: str = "source"):
     """Per-group z-score calibration of the whitespace token count —
     how a quality/length signal is made comparable ACROSS sources

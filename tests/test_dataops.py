@@ -1466,3 +1466,26 @@ def test_zscore_by_group_exact_grid(ray_session):
         assert out.loc[doc, "z_micro"] == expect
     assert (out.loc[out["source"] == "b", "z_micro"] == 0).all()
     assert out.loc[5, "z_micro"] == 0
+
+
+def test_bpe_train_learns_expected_merges(ray_session):
+    """Merges follow exact weighted pair counts with the (cnt DESC,
+    left, right) tie-break; later rounds count pairs over MERGED
+    symbols; back-to-back pair runs merge fully (two-pass replace)."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import bpe_train
+    # "abab" x3 and "ab" x2: pair (a,b) has count 3*2+2 = 8,
+    # (b,a) count 3; round 1 must merge (a,b) -> "ab"; round 2 pairs
+    # over merged symbols: ("ab","ab") count 3 wins
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["abab abab abab ab", "ab zzzz"],
+    })
+    out = (bpe_train(ray.data.from_pandas(docs).repartition(2),
+                     merges=3).to_pandas())
+    r1, r2, r3 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert (r1["left_sym"], r1["right_sym"], r1["cnt"]) == ("a", "b", 8)
+    assert (r2["left_sym"], r2["right_sym"], r2["merged"],
+            r2["cnt"]) == ("ab", "ab", "abab", 3)
+    # round 3: remaining pairs: z-z run "zzzz" = 3 overlapping (z,z)
+    assert (r3["left_sym"], r3["right_sym"], r3["cnt"]) == ("z", "z", 3)
