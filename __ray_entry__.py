@@ -2447,8 +2447,11 @@ def oracle_sql() -> dict[str, str]:
         # sides so no timezone/timestamp-unit drift is possible
         "events_hopping": """
             WITH e AS (SELECT event_type,
-                         (CAST(floor(epoch(ts)) AS BIGINT) // 1800)
-                             * 1800 AS slot,
+                         -- floor division (Python //), NOT DuckDB's
+                         -- integer // which truncates toward zero and
+                         -- diverges on pre-1970 timestamps
+                         CAST(floor(floor(epoch(ts)) / 1800.0)
+                              AS BIGINT) * 1800 AS slot,
                          CAST(floor(value * 100 + 0.5) AS BIGINT)
                              AS cents
                        FROM events),

@@ -80,7 +80,7 @@ def hopping_window(ds, size_minutes: int = 120, hop_minutes: int = 30):
         # (type, window) groups must combine inside the group fn
         fan["part"] = _coarse_part(
             fan["event_type"] + ":" + fan["window_start"].astype(str), 64)
-        return fan
+        return _typed_if_empty(fan)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         out = (group.groupby(["event_type", "window_start"], sort=False)
@@ -89,7 +89,7 @@ def hopping_window(ds, size_minutes: int = 120, hop_minutes: int = 30):
         out["n"] = out["n"].astype("int64")
         # integer-cents accumulation: see events_by_type
         out["sum_value"] = out["sum_cents"].astype("int64") / 100.0
-        return out.drop(columns=["sum_cents"])
+        return _typed_if_empty(out.drop(columns=["sum_cents"]))
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("part").map_groups(final, batch_format="pandas"))

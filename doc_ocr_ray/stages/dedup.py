@@ -25,7 +25,7 @@ from typing import Iterable, Tuple
 import numpy as np
 import pandas as pd
 
-from doc_ocr_ray.util import coarse_part
+from doc_ocr_ray.util import coarse_part, typed_if_empty
 import pyarrow as pa
 
 # explicit class == RE2 \s (see text_analysis._WS: unicode \s would
@@ -157,12 +157,19 @@ def dedup_against_corpus(new_ds, corpus_ds, text_col: str = "text",
         return typed_if_empty_binary(out, ("digest",))
 
     def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        seen = group.loc[group["kind"] == 1, "digest"]
+        # NOT Series.isin: pandas coerces a bytes collection to
+        # fixed-width 'S16', stripping trailing \x00 — any digest
+        # ending in a zero byte (~1/16 of md5s) would escape.  map
+        # against the set keeps elements as Python bytes.
+        seen = set(group.loc[group["kind"] == 1, "digest"])
         g = group[group["kind"] == 0]
-        g = g[~g["digest"].isin(set(seen))]
+        # astype(bool): an empty map yields an OBJECT-dtype mask,
+        # which pandas would treat as column selection, not a filter
+        g = g[~g["digest"].map(seen.__contains__).astype(bool)]
         g = g.sort_values("doc_id").drop_duplicates("digest",
                                                     keep="first")
-        return g[["doc_id", text_col]].reset_index(drop=True)
+        out = g[["doc_id", text_col]].reset_index(drop=True)
+        return typed_if_empty(out)
 
     tagged = (new_ds.map_batches(lambda b: _digest_frame(b, 0),
                                  batch_format="pandas")

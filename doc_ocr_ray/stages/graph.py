@@ -125,10 +125,12 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
         c = group[group["kind"] == 3]
         infl = c.groupby("src", sort=False)["r"].sum()
         out = nd.copy()
-        out["r"] = (base_mass
-                    + (damping_pct
-                       * out["src"].map(infl).fillna(0).astype("int64"))
-                    // 100)
+        # reindex with an int64 fill, NOT map+fillna: map on a partial
+        # index yields NaN -> float64, silently rounding inflow sums
+        # past 2^53 (breaks the documented bit-exactness at high scale)
+        inflow = (infl.reindex(out["src"].to_numpy(), fill_value=0)
+                  .to_numpy().astype("int64"))
+        out["r"] = base_mass + (damping_pct * inflow) // 100
         out["dst"] = np.int64(0)
         out["deg"] = np.int64(0)
         out["kind"] = np.int8(1)

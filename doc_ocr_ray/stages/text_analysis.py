@@ -687,14 +687,21 @@ def zscore_by_group(ds, group_col: str = "source"):
     stateless score pass.  Exactness: the algebra keeps integers as
     long as possible — ``z = (n*x - s1) / sqrt(n*(n*s2 - s1^2))``
     times sqrt(n)... reduced to ``(n*x - s1) / sqrt(n*s2 - s1^2)`` —
-    numerator and radicand are EXACT int64, then exactly one double
-    multiply, sqrt and divide in a stated order, so the DuckDB twin
-    computes bit-identical doubles (the bm25 discipline).  Groups
-    with zero variance (or a single row) define ``z_micro = 0``.
-    Envelope: ``1e6 * num`` must stay under 2^53 for the double to be
-    exact — fine for token counts; rescale ``scale`` for larger
-    magnitudes.
+    numerator and radicand are EXACT integers, then exactly one
+    double multiply, sqrt and divide in a stated order, so the DuckDB
+    twin computes bit-identical doubles (the bm25 discipline).  The
+    radicand ``n*s2 - s1^2`` is quadratic in corpus size, so it is
+    computed per GROUP at the driver in Python ints (arbitrary
+    precision — DuckDB's SUM(BIGINT) likewise promotes to HUGEINT);
+    int64 would wrap silently past ~1e8 moderate-length docs per
+    group.  Groups with zero variance (or a single row) define
+    ``z_micro = 0``.  Envelope: the per-row numerator ``n*x`` must
+    stay under 2^63 (n = group doc count, x = token count; holds to
+    1e12 docs x 9e6 tokens); past 2^53 both engines round num→double
+    identically, so bit-parity survives.
     """
+    import math
+
     import ray
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -711,23 +718,27 @@ def zscore_by_group(ds, group_col: str = "source"):
              .sum(["n", "s1", "s2"]).to_pandas())
     stats = stats.rename(columns={"sum(n)": "n", "sum(s1)": "s1",
                                   "sum(s2)": "s2"})
-    stats_ref = ray.put({
-        r[group_col]: (int(r["n"]), int(r["s1"]), int(r["s2"]))
-        for _, r in stats.iterrows()})
+
+    def _group_stats(r):
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        den = n * s2 - s1 * s1          # exact Python ints, no wrap
+        sd = math.sqrt(float(den)) if den > 0 else 0.0
+        return (n, s1, sd)
+
+    stats_ref = ray.put({r[group_col]: _group_stats(r)
+                         for _, r in stats.iterrows()})
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         st = ray.get(stats_ref)
         x = _tokens(batch["text"]).str.len().astype("int64")
         n = batch[group_col].map(lambda s: st[s][0]).astype("int64")
         s1 = batch[group_col].map(lambda s: st[s][1]).astype("int64")
-        s2 = batch[group_col].map(lambda s: st[s][2]).astype("int64")
+        sd = batch[group_col].map(lambda s: st[s][2]).astype("float64")
         num = n * x - s1
-        den = n * s2 - s1 * s1
         z = np.zeros(len(batch), dtype="int64")
-        pos = (den > 0).to_numpy()
+        pos = (sd > 0).to_numpy()
         z[pos] = np.floor(
-            (1000000.0 * num[pos].to_numpy())
-            / np.sqrt(den[pos].to_numpy().astype("float64"))
+            (1000000.0 * num[pos].to_numpy()) / sd[pos].to_numpy()
         ).astype("int64")
         return typed_if_empty(pd.DataFrame({
             "doc_id": batch["doc_id"], group_col: batch[group_col],

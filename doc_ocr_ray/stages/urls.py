@@ -27,8 +27,15 @@ from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 # ordered (pattern, replacement) chain — ONE definition, interpolated
 # into the SQL oracle via canonical_url_sql() so the two sides cannot
-# drift (the pii_redact discipline applied to URLs)
+# drift (the pii_redact discipline applied to URLs).  Whitespace edges
+# strip FIRST (explicit [\t\n\f\r ] class per the repo's oracle
+# whitespace contract): beyond hygiene for scraped urls, it guarantees
+# the string no longer ends in \n when the later $-anchored rules run
+# — Python re's $ matches before a final newline, RE2/DuckDB's does
+# not, and that is the only place the two engines' $ semantics differ.
 _CANON_RULES = (
+    (r"^[\t\n\f\r ]+", ""),
+    (r"[\t\n\f\r ]+$", ""),
     (r"^https?://", ""),
     (r"^www\.", ""),
     (r"[?#].*$", ""),
@@ -95,16 +102,28 @@ def filter_blocked_domains(ds, blocked_domains, url_col: str = "url"):
     run to millions of domains — a closure capture would re-pickle the
     set into every task; the object-store copy is shared per node) and
     membership-checked in one shuffle-free ``map_batches`` — the
-    ``decontaminate`` shape applied to domains.
+    ``decontaminate`` shape applied to domains.  The deserialized
+    frozenset is cached per worker process keyed by the ref (a
+    frozenset is not zero-copy, so a bare ``ray.get`` per batch would
+    re-unpickle the full list thousands of times).
     """
     import ray
 
     blocked_ref = ray.put(frozenset(blocked_domains))
 
     def drop(batch: pd.DataFrame) -> pd.DataFrame:
-        blocked = ray.get(blocked_ref)
+        key = blocked_ref.hex()
+        blocked = _BLOCKLIST_CACHE.get(key)
+        if blocked is None:
+            _BLOCKLIST_CACHE.clear()      # one live blocklist per worker
+            blocked = _BLOCKLIST_CACHE[key] = ray.get(blocked_ref)
         out = canonicalize_urls(batch, url_col)
         out = out[~out["domain"].isin(blocked)]
         return typed_if_empty(out.reset_index(drop=True))
 
     return ds.map_batches(drop, batch_format="pandas")
+
+
+# worker-resident deserialized-blocklist cache (pipelines/extract.py
+# _STAGE_CACHE pattern); keyed by ObjectRef hex, keep-latest-only
+_BLOCKLIST_CACHE: dict = {}
