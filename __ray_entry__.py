@@ -772,6 +772,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return quality_classify(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def _inject_filter_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic multi-line structure derived from doc_id (the
+        # pii_redact injection discipline): synth docs are single-line,
+        # so bullet/ellipsis/sentence/blocklist line rules would be
+        # vacuous without it; the SQL twin states the identical concat
+        d = batch["doc_id"]
+        w = lambda mod, rem, s: np.where(d % mod == rem, s, "")
+        batch["text"] = (
+            batch["text"].fillna("")
+            + "\nFirst proper sentence with enough words here."
+            + w(2, 0, "\nSecond proper sentence with enough words too.")
+            + w(3, 1, "\nThird proper sentence with enough words again.")
+            + w(3, 0, "\n- bullet item x")
+            + w(4, 0, "\nto be continued...")
+            + w(6, 0, "\n# sym ## ###")
+            + w(7, 0, "\nlorem ipsum dolor sit")
+            + w(5, 0, "\nvar f = function() {"))
+        return batch
+
+    def q_gopher_filter(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import gopher_filter_batch
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(_inject_filter_lines, batch_format="pandas")
+                .map_batches(gopher_filter_batch, batch_format="pandas"))
+
+    def q_c4_filter(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import c4_filter_batch
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(_inject_filter_lines, batch_format="pandas")
+                .map_batches(c4_filter_batch, batch_format="pandas"))
+
     def q_pack_sequences(sf_dir):
         from doc_ocr_ray.pipelines.curate import pack_sequences
         from doc_ocr_ray.stages.text_analysis import token_count_batch
@@ -1198,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "pack_interleaved": q_pack_interleaved,
         "quality_classifier": q_quality_classifier,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -1387,6 +1420,27 @@ _TOKENS = f"regexp_split_to_array({_STRIP}, '\\s+')"
 _NTOK = f"CASE WHEN {_STRIP} = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
+
+# deterministic multi-line injection for the Gopher/C4 filter queries
+# (same concat ORDER as queries()._inject_filter_lines — one rule per
+# doc_id residue so every filter rule fires on some stratum)
+_FILTER_INJECT_SQL = (
+    "text || chr(10) || 'First proper sentence with enough words here.'"
+    " || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
+    " 'Second proper sentence with enough words too.' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 1 THEN chr(10) ||"
+    " 'Third proper sentence with enough words again.' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item x'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN chr(10) || '# sym ## ###'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var f = function() {'"
+    " ELSE '' END"
+)
 
 # stopword-density quality score on the integer 0..10000 grid, shared
 # by select_top_quality, curate_semantic's gate, token_budget_select
@@ -2547,6 +2601,93 @@ def oracle_sql() -> dict[str, str]:
                                         '[IP]', 'g') AS redacted
                   FROM p)
             SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
+        """,
+        # every ratio rule is a cross-multiplied integer comparison,
+        # so no rounding grid is needed anywhere
+        "gopher_filter": f"""
+            WITH base AS (SELECT doc_id, {_FILTER_INJECT_SQL} AS text
+                          FROM documents),
+            l AS (SELECT doc_id,
+                    regexp_replace(unnest(string_split(text, chr(10))),
+                        '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g') AS line
+                  FROM base),
+            la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE
+                         regexp_matches(line, '^[-*•]')) AS BIGINT)
+                         AS n_bullet,
+                     CAST(count(*) FILTER (WHERE line LIKE '%...')
+                          AS BIGINT) AS n_ell
+                   FROM l GROUP BY 1),
+            w AS (SELECT doc_id,
+                    CAST({_NTOK} AS BIGINT) AS n_words,
+                    CAST(length(regexp_replace(text, '[\\t\\n\\f\\r ]',
+                         '', 'g')) AS BIGINT) AS n_nonspace,
+                    CAST(length(text) - length(replace(text, '#', ''))
+                         AS BIGINT) AS n_hash,
+                    CAST((length(text)
+                          - length(replace(text, '...', ''))) // 3
+                         AS BIGINT) AS n_ellipsis,
+                    CAST(CASE WHEN {_STRIP} = '' THEN 0 ELSE
+                         len(list_filter({_TOKENS},
+                             t -> regexp_matches(t, '[A-Za-z]'))) END
+                         AS BIGINT) AS n_alpha,
+                    CAST(len(list_intersect(list_distinct(
+                         regexp_split_to_array(lower({_STRIP}),
+                                               '\\s+')),
+                         ['the','a','of','and','to','in','is']))
+                         AS BIGINT) AS n_stop
+                  FROM base)
+            SELECT w.doc_id, n_words,
+              CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok,
+              CAST(3*n_words <= n_nonspace
+                   AND n_nonspace <= 10*n_words AS BIGINT) AS mwl_ok,
+              CAST(10*(n_hash + n_ellipsis) < n_words AS BIGINT)
+                  AS sym_ok,
+              CAST(10*n_bullet < 9*n_lines AS BIGINT) AS bullet_ok,
+              CAST(10*n_ell < 3*n_lines AS BIGINT) AS ellipsis_ok,
+              CAST(5*n_alpha >= 4*n_words AS BIGINT) AS alpha_ok,
+              CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
+              CAST(n_words BETWEEN 50 AND 100000
+                   AND 3*n_words <= n_nonspace
+                   AND n_nonspace <= 10*n_words
+                   AND 10*(n_hash + n_ellipsis) < n_words
+                   AND 10*n_bullet < 9*n_lines
+                   AND 10*n_ell < 3*n_lines
+                   AND 5*n_alpha >= 4*n_words
+                   AND n_stop >= 2 AS BIGINT) AS keep
+            FROM w JOIN la USING (doc_id)
+        """,
+        "c4_filter": f"""
+            WITH base AS (SELECT doc_id, {_FILTER_INJECT_SQL} AS text
+                          FROM documents),
+            ln AS (SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS i,
+                     regexp_replace(unnest(string_split(text, chr(10))),
+                         '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g')
+                         AS line
+                   FROM base),
+            k AS (SELECT doc_id, i, line,
+                    (regexp_matches(line, '[.!?"]$')
+                     AND (CASE WHEN line = '' THEN 0
+                          ELSE len(regexp_split_to_array(line,
+                                   '[\\t\\f\\r ]+')) END) >= 5) AS kept
+                  FROM ln),
+            a AS (SELECT doc_id,
+                    CAST(count(*) FILTER (WHERE kept) AS BIGINT)
+                        AS n_kept_lines,
+                    coalesce(string_agg(line, chr(10) ORDER BY i)
+                             FILTER (WHERE kept), '') AS clean_text
+                  FROM k GROUP BY 1)
+            SELECT b.doc_id, a.n_kept_lines,
+              CAST(position('lorem ipsum' IN lower(b.text)) > 0
+                   AS BIGINT) AS has_lorem,
+              CAST(position('{{' IN b.text) > 0 AS BIGINT) AS has_brace,
+              CAST(a.n_kept_lines >= 3
+                   AND position('lorem ipsum' IN lower(b.text)) = 0
+                   AND position('{{' IN b.text) = 0 AS BIGINT) AS keep,
+              a.clean_text
+            FROM base b JOIN a USING (doc_id)
         """,
         "tfidf_top_terms": """
             WITH w AS (SELECT doc_id,

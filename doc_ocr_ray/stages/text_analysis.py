@@ -1433,3 +1433,121 @@ def source_salient_terms(ds, k: int = 5, num_partitions: int = 128):
             .map_groups(token_group, batch_format="pandas")
             .groupby("spart")
             .map_groups(source_group, batch_format="pandas"))
+
+
+# lines come from a chr(10) split, so the edge class here EXCLUDES \n
+# (the oracle whitespace contract applied per line)
+_LINE_EDGE = re.compile(r"^[\t\f\r ]+|[\t\f\r ]+$")
+_ALPHA = re.compile(r"[A-Za-z]")
+
+
+def _line_table(text: pd.Series):
+    """Explode ``text`` into a per-line view: (row index into the
+    batch, edge-stripped line).  Shared by the Gopher and C4 filters —
+    one split, vectorized str kernels, no per-row Python loop."""
+    lines = text.str.split("\n")
+    n_lines = lines.str.len().astype("int64")
+    idx = np.repeat(np.arange(len(text)), n_lines.to_numpy())
+    flat = pd.Series([ln for ls in lines for ln in ls], dtype="object")
+    flat = flat.str.replace(_LINE_EDGE, "", regex=True)
+    return idx, flat, n_lines
+
+
+def gopher_filter_batch(batch: pd.DataFrame, min_words: int = 50,
+                        max_words: int = 100_000) -> pd.DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021, table A1)
+    — the standard web-corpus document filter.  Per doc: word-count
+    bounds, mean word length in [3,10], symbol-to-word ratio (# and
+    non-overlapping "...") < 0.1, < 90% bullet-starting lines, < 30%
+    ellipsis-ending lines, >= 80% words containing an ASCII letter,
+    >= 2 distinct English stopwords present.
+
+    Every ratio test is a CROSS-MULTIPLIED integer comparison
+    (``10*sym < n_words`` etc.) — no division ever happens, so the
+    DuckDB twin is trivially bit-exact and no rounding-grid discipline
+    is needed.  Flags ship as int64 0/1 per rule plus the composite
+    ``keep``; stateless map, no shuffle.
+    """
+    text = batch["text"].fillna("")
+    toks = _tokens(text)
+    n_words = toks.str.len().astype("int64")
+    n_nonspace = (text.str.replace(_WS, "", regex=True)
+                  .str.len().astype("int64"))
+    n_hash = text.str.count("#").astype("int64")
+    # replace-then-measure == non-overlapping left-to-right count,
+    # the same semantics as SQL replace()
+    n_ellipsis = ((text.str.len()
+                   - text.str.replace("...", "", regex=False).str.len())
+                  // 3).astype("int64")
+    idx, flat, n_lines = _line_table(text)
+    bullet = flat.str.match(r"[-*•]").to_numpy()
+    ell = flat.str.endswith("...").to_numpy()
+    n_bullet = np.bincount(idx, weights=bullet,
+                           minlength=len(batch)).astype("int64")
+    n_ell = np.bincount(idx, weights=ell,
+                        minlength=len(batch)).astype("int64")
+    # per-token scans (bounded by doc length, same shape as the
+    # stopword ratio in quality_score_batch)
+    n_alpha = toks.map(
+        lambda ws: sum(1 for w in ws if _ALPHA.search(w))).astype("int64")
+    n_stop = toks.map(
+        lambda ws: len(STOPWORDS["en"].intersection(
+            w.lower() for w in ws))).astype("int64")
+
+    flags = {
+        "wc_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mwl_ok": (3 * n_words <= n_nonspace)
+                  & (n_nonspace <= 10 * n_words),
+        "sym_ok": 10 * (n_hash + n_ellipsis) < n_words,
+        "bullet_ok": 10 * n_bullet < 9 * n_lines.to_numpy(),
+        "ellipsis_ok": 10 * n_ell < 3 * n_lines.to_numpy(),
+        "alpha_ok": 5 * n_alpha >= 4 * n_words,
+        "stop_ok": n_stop >= 2,
+    }
+    out = pd.DataFrame({"doc_id": batch["doc_id"],
+                        "n_words": n_words})
+    keep = np.ones(len(batch), dtype=bool)
+    for name, f in flags.items():
+        arr = np.asarray(f, dtype=bool)
+        out[name] = arr.astype("int64")
+        keep &= arr
+    out["keep"] = keep.astype("int64")
+    return typed_if_empty(out)
+
+
+def c4_filter_batch(batch: pd.DataFrame,
+                    min_sentences: int = 3) -> pd.DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020): keep only
+    lines that end in terminal punctuation (``.!?"``) AND have >= 5
+    words; drop documents with fewer than ``min_sentences`` kept
+    lines, containing "lorem ipsum" (case-insensitive), or containing
+    a ``{`` (code).  Output per doc: kept-line count, the rebuilt
+    ``clean_text`` (edge-stripped kept lines joined by newline), the
+    two blocklist flags, and the composite ``keep`` — every row
+    retained so the decision is auditable (filter on keep==1
+    downstream).  Stateless map, no shuffle; the line explode is one
+    vectorized split."""
+    text = batch["text"].fillna("")
+    idx, flat, _ = _line_table(text)
+    words = np.where(flat.to_numpy() == "", 0,
+                     flat.str.count(_WS).to_numpy() + 1)
+    kept = (flat.str.endswith((".", "!", "?", '"')).to_numpy()
+            & (words >= 5))
+    n_kept = np.bincount(idx, weights=kept,
+                         minlength=len(batch)).astype("int64")
+    kl = pd.DataFrame({"idx": idx[kept],
+                       "line": flat.to_numpy()[kept]})
+    joined = (kl.groupby("idx", sort=True)["line"].agg("\n".join)
+              .reindex(np.arange(len(batch)), fill_value=""))
+    has_lorem = (text.str.lower()
+                 .str.contains("lorem ipsum", regex=False).to_numpy())
+    has_brace = text.str.contains("{", regex=False).to_numpy()
+    keep = (n_kept >= min_sentences) & ~has_lorem & ~has_brace
+    return typed_if_empty(pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_kept_lines": n_kept,
+        "has_lorem": has_lorem.astype("int64"),
+        "has_brace": has_brace.astype("int64"),
+        "keep": keep.astype("int64"),
+        "clean_text": joined.to_numpy(),
+    }))

@@ -1489,3 +1489,58 @@ def test_bpe_train_learns_expected_merges(ray_session):
             r2["cnt"]) == ("ab", "ab", "abab", 3)
     # round 3: remaining pairs: z-z run "zzzz" = 3 overlapping (z,z)
     assert (r3["left_sym"], r3["right_sym"], r3["cnt"]) == ("z", "z", 3)
+
+
+def test_gopher_filter_every_rule_both_polarities():
+    from doc_ocr_ray.stages.text_analysis import gopher_filter_batch
+
+    base = ("the cat and a dog of the barn is in town to see more "
+            "words here now then when such fine long table chairs")
+    docs = pd.DataFrame({"doc_id": list(range(1, 8)), "text": [
+        base,                                    # passes everything
+        "a b",                                   # wc + mean-word-len < 3
+        base + " ##### " + "..." * 6,            # symbol ratio >= 0.1
+        "\n".join(["- b"] * 19 + [base]),        # 95% bullet lines
+        "\n".join(["wait..."] * 2 + [base]),     # 2/3 ellipsis lines
+        "1 2 3 4 5 6 7 8 9 10 11 12",            # alpha frac 0 < 80%
+        "zz yy xx ww vv uu tt ss rr qq",         # 0 stopwords
+    ]})
+    out = gopher_filter_batch(docs, min_words=10)
+    by = out.set_index("doc_id")
+    assert by.loc[1, "keep"] == 1
+    assert by.loc[2, "wc_ok"] == 0 and by.loc[2, "mwl_ok"] == 0
+    assert by.loc[3, "sym_ok"] == 0 and by.loc[3, "wc_ok"] == 1
+    assert by.loc[4, "bullet_ok"] == 0
+    assert by.loc[5, "ellipsis_ok"] == 0
+    assert by.loc[6, "alpha_ok"] == 0 and by.loc[6, "stop_ok"] == 0
+    assert by.loc[7, "stop_ok"] == 0 and by.loc[7, "alpha_ok"] == 1
+    assert (by.loc[2:, "keep"] == 0).all()
+
+
+def test_c4_filter_line_rules_and_clean_text():
+    from doc_ocr_ray.stages.text_analysis import c4_filter_batch
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        # 3 kept lines (>=5 words + terminal punct), 2 dropped
+        "This line has five good words.\nshort line.\n"
+        "no terminal punctuation at all\n"
+        "  Another fine sentence right here!  \n"
+        'A third quoted sentence ends here."',
+        # blocked: lorem ipsum (case-insensitive)
+        "Good sentence one is right here.\nGood sentence two is here "
+        "too.\nGood sentence three is also here.\nLorem Ipsum dolor",
+        # blocked: code brace
+        "Good sentence one is right here.\nGood sentence two is here "
+        "too.\nGood sentence three is also here.\nfn() {",
+        # too few kept lines
+        "Only one proper sentence lives here.",
+    ]})
+    out = c4_filter_batch(docs).set_index("doc_id")
+    assert out.loc[1, "n_kept_lines"] == 3 and out.loc[1, "keep"] == 1
+    assert out.loc[1, "clean_text"] == (
+        "This line has five good words.\n"
+        "Another fine sentence right here!\n"
+        'A third quoted sentence ends here."')
+    assert out.loc[2, "has_lorem"] == 1 and out.loc[2, "keep"] == 0
+    assert out.loc[3, "has_brace"] == 1 and out.loc[3, "keep"] == 0
+    assert out.loc[4, "n_kept_lines"] == 1 and out.loc[4, "keep"] == 0
