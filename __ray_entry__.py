@@ -979,6 +979,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.lm_score(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_ccnet_buckets(sf_dir):
+        # per-source head/middle/tail LM-score tertiles (CCNet)
+        return text_analysis.ccnet_buckets(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
     def q_dsir_weights(sf_dir):
         # DSIR-shaped importance weighting: hashed-feature count pass
         # (target=en vs raw), <=64-row weight table broadcast, score pass
@@ -1245,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_top_quality": q_select_top_quality,
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
@@ -1700,6 +1706,46 @@ def oracle_sql() -> dict[str, str]:
                               / (s.nb * (SELECT max(c) FROM cnt))),
                         0) AS BIGINT) AS lm_milli
             FROM d LEFT JOIN s USING (doc_id)
+        """,
+        # lm_score CTEs + per-source value-at-rank tertile thresholds:
+        # row_number ties are harmless because the VALUE at a fixed
+        # rank in a sorted multiset is unique; >= threshold assigns
+        # ties the better bucket on both sides
+        "ccnet_buckets": """
+            WITH d AS (
+              SELECT doc_id, source, coalesce(text, '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+              FROM d, LATERAL (SELECT unnest(range(1, length(t)))
+                               AS i) r),
+            cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+            s AS (
+              SELECT bg.doc_id, sum(cnt.c) AS sc, count(*) AS nb
+              FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id),
+            scd AS (
+              SELECT d.doc_id, d.source,
+                     CAST(coalesce(
+                          floor((1000 * s.sc)
+                                / (s.nb * (SELECT max(c) FROM cnt))),
+                          0) AS BIGINT) AS lm_milli
+              FROM d LEFT JOIN s USING (doc_id)),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY lm_milli DESC) AS rk,
+                    count(*) OVER (PARTITION BY source) AS n
+                  FROM scd),
+            t AS (SELECT source,
+                    max(CASE WHEN rk = (n+2)//3 THEN lm_milli END)
+                        AS t1,
+                    max(CASE WHEN rk = (2*n+2)//3 THEN lm_milli END)
+                        AS t2
+                  FROM r GROUP BY source)
+            SELECT scd.doc_id, scd.source, scd.lm_milli,
+              CASE WHEN scd.lm_milli >= t.t1 THEN 'head'
+                   WHEN scd.lm_milli >= t.t2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM scd JOIN t USING (source)
         """,
         # per-bucket weight (10000*(tgt+1)) // (raw+1) — DuckDB's //
         # states the engine's integer floor division exactly; md5[:16]

@@ -830,7 +830,8 @@ def _bigram_codes(texts) -> tuple:
     return codes[valid], doc_idx[valid]
 
 
-def lm_score(ds, num_parts: int = 256, scale: int = 1000):
+def lm_score(ds, num_parts: int = 256, scale: int = 1000,
+             keep_cols: tuple = ()):
     """CCNet-shaped corpus language-model scoring in two passes:
     TRAIN — distributed char-bigram counting (per-batch vectorized
     ``np.unique`` partials, ONE coarse groupby combine, result bounded
@@ -898,11 +899,14 @@ def lm_score(ds, num_parts: int = 256, scale: int = 1000):
             np.add.at(sc, doc_idx, cnt)
             np.add.at(nb, doc_idx, 1)
         denom = np.maximum(nb, 1) * m
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": batch["doc_id"],
             "lm_milli": np.floor((scale * sc).astype(np.float64)
                                  / denom).astype("int64"),
         })
+        for c in keep_cols:     # passthrough (e.g. source for
+            out[c] = batch[c]   # downstream per-group bucketing)
+        return out
 
     return ds.map_batches(score, batch_format="pandas")
 
@@ -1551,3 +1555,68 @@ def c4_filter_batch(batch: pd.DataFrame,
         "keep": keep.astype("int64"),
         "clean_text": joined.to_numpy(),
     }))
+
+
+def ccnet_buckets(ds, group_col: str = "source"):
+    """CCNet-style head/middle/tail tertile bucketing of the LM score
+    per source (Wenzek et al. 2020) — the standard way a crawl corpus
+    is stratified by LM naturalness before sampling.  Output per doc:
+    ``(doc_id, group, lm_milli, bucket)`` where ``head`` is the
+    best-scoring third of its source, ``middle`` the next, ``tail``
+    the rest.
+
+    Thresholds are VALUES AT RANK in the per-source descending score
+    multiset — rank1 = ``(n+2)//3``, rank2 = ``(2n+2)//3`` (1-based
+    ceil thirds in pure integer math) — computed from per-batch
+    ``(group, lm_milli, cnt)`` histogram partials, so only value
+    counts ride the one tiny groupby (the quantiles_by_source shape);
+    docs tied with a threshold value take the better bucket, which
+    makes the rule order-free and lets the SQL twin state it with a
+    plain ``row_number``.  The score pass streams twice (histogram,
+    then assignment with the ≤|sources| threshold table broadcast via
+    ``ray.put``) — the CCNet trade: re-scoring a pruned (doc_id,
+    group, text) projection beats materializing per-doc scores for a
+    10^12-doc corpus.
+    """
+    import ray
+
+    scored = lm_score(ds, keep_cols=(group_col,))
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby([group_col, "lm_milli"], sort=False).size()
+             .rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return typed_if_empty(g)
+
+    def thresholds(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("lm_milli", sort=False)["cnt"].sum()
+             .sort_index(ascending=False))
+        cum = g.cumsum().to_numpy()
+        n = int(cum[-1])
+        r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+        return pd.DataFrame({
+            group_col: [group[group_col].iloc[0]],
+            "t1": [int(g.index[np.searchsorted(cum, r1)])],
+            "t2": [int(g.index[np.searchsorted(cum, r2)])]})
+
+    stats = (scored.map_batches(hist, batch_format="pandas")
+             .groupby(group_col)
+             .map_groups(thresholds, batch_format="pandas")
+             .to_pandas())
+    ref = ray.put({r[group_col]: (int(r["t1"]), int(r["t2"]))
+                   for _, r in stats.iterrows()})
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        lm = batch["lm_milli"].to_numpy()
+        t1 = batch[group_col].map(lambda s: t[s][0]).to_numpy()
+        t2 = batch[group_col].map(lambda s: t[s][1]).to_numpy()
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            group_col: batch[group_col],
+            "lm_milli": batch["lm_milli"],
+            "bucket": np.where(lm >= t1, "head",
+                               np.where(lm >= t2, "middle", "tail")),
+        }))
+
+    return scored.map_batches(assign, batch_format="pandas")

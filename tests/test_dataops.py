@@ -1544,3 +1544,40 @@ def test_c4_filter_line_rules_and_clean_text():
     assert out.loc[2, "has_lorem"] == 1 and out.loc[2, "keep"] == 0
     assert out.loc[3, "has_brace"] == 1 and out.loc[3, "keep"] == 0
     assert out.loc[4, "n_kept_lines"] == 1 and out.loc[4, "keep"] == 0
+
+
+def test_ccnet_buckets_tertiles_and_ties(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import ccnet_buckets
+
+    # 9 docs, one source: bigram frequencies give strictly ordered
+    # scores for repeated-char docs ("aa..." shares one hot bigram)
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 10)),
+        "source": ["s"] * 9,
+        # score ~ frequency of the doc's bigrams: 'aaaa' docs use the
+        # corpus-dominant bigram -> high; mixed docs -> lower
+        "text": ["aaaaaaaa", "aaaaaaab", "aaaaabbb",
+                 "aabbbbbb", "abababab", "bbbbbbbb",
+                 "bcbcbcbc", "cdcdcdcd", "xyzw"],
+    })
+    out = ccnet_buckets(
+        ray.data.from_pandas(docs)).to_pandas().set_index("doc_id")
+    assert set(out["bucket"]) == {"head", "middle", "tail"}
+    # exactly thirds of 9 = 3/3/3 unless score ties straddle a rank
+    counts = out["bucket"].value_counts()
+    assert counts["head"] >= 3 and counts["tail"] <= 3
+    # ordering respected: every head score >= every middle score >=
+    # every tail score
+    h = out.loc[out["bucket"] == "head", "lm_milli"]
+    m = out.loc[out["bucket"] == "middle", "lm_milli"]
+    t = out.loc[out["bucket"] == "tail", "lm_milli"]
+    assert h.min() >= m.max() >= t.max() or m.empty
+    # two-source independence: a tiny second source gets its own
+    # thresholds (single doc -> head by the n=1 rank rule)
+    docs2 = pd.concat([docs, pd.DataFrame({
+        "doc_id": [100], "source": ["z"], "text": ["qq"]})],
+        ignore_index=True)
+    out2 = ccnet_buckets(
+        ray.data.from_pandas(docs2)).to_pandas().set_index("doc_id")
+    assert out2.loc[100, "bucket"] == "head"
