@@ -435,6 +435,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_dedup_pairs(_dup_injected_docs(sf_dir),
                                          threshold=0.6)
 
+    def q_dedup_minhash_incremental(sf_dir):
+        # incremental fuzzy dedup testbed: corpus = base docs (<200);
+        # new snapshot = their perturbed copies (+1000000, each should
+        # drop against its base) + fresh docs 200..299 shifted into
+        # the same id namespace (survive unless they near-dup)
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        corpus = ray.data.from_pandas(
+            df[df["doc_id"] < 200].reset_index(drop=True))
+        pert = df[df["doc_id"] < 200].copy()
+        pert["doc_id"] = pert["doc_id"] + 1_000_000
+        pert["text"] = pert["text"].map(
+            lambda t: " ".join(w for i, w in enumerate(t.split(" "))
+                               if i != 7))
+        fresh = df[(df["doc_id"] >= 200) & (df["doc_id"] < 300)].copy()
+        fresh["doc_id"] = fresh["doc_id"] + 1_000_000
+        new = ray.data.from_pandas(
+            pd.concat([pert, fresh], ignore_index=True))
+        return dedup.minhash_against_corpus(new, corpus, threshold=0.6)
+
     def q_dedup_simhash(sf_dir):
         return dedup.simhash_dedup_pairs(_dup_injected_docs(sf_dir),
                                          max_hamming=3)
@@ -1192,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": q_dedup_lines,
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_verify": q_dedup_ngram_verify,
         "similarity_topk": q_similarity_topk,
@@ -1412,6 +1434,80 @@ def _minhash_sql() -> str:
                floor(10000.0 * (CAST(m AS DOUBLE) / 64)) / 10000
                    AS est_jaccard
         FROM simm WHERE CAST(m AS DOUBLE) / 64 >= 0.6
+    """
+
+
+def _minhash_incr_sql() -> str:
+    """Bit-exact SQL twin of minhash_against_corpus over the
+    incremental testbed (corpus = docs < 200; new = perturbed copies
+    +1e6 plus fresh 200..299 shifted +1e6): the same seed-1 signature
+    / banding CTEs as :func:`_minhash_sql`, then the pure pair drop
+    rule as ONE NOT EXISTS.  Corpus ids are always < new ids here, so
+    "corpus doc or smaller-id new doc" reduces to "any bucket partner
+    with a smaller doc_id"."""
+    from doc_ocr_ray.stages.dedup import _perm_params
+    a, b = _perm_params(64, seed=1)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(64))
+    powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
+    shingle = " + ".join(
+        f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers))
+    return f"""
+        WITH inp AS (
+          SELECT doc_id, text, 1 AS kind FROM documents
+          WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(list_concat(toks[1:7], toks[9:]), ' '),
+                 0
+          FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                FROM documents WHERE doc_id < 200)
+          UNION ALL
+          SELECT doc_id + 1000000, text, 0 FROM documents
+          WHERE doc_id >= 200 AND doc_id < 300),
+        norm AS (
+          SELECT doc_id, kind, text,
+                 regexp_replace(lower(regexp_replace(text,
+                     '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
+          FROM inp),
+        nn AS (SELECT doc_id,
+                      CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                           ELSE t END AS t
+               FROM norm WHERE t <> ''),
+        shg AS (SELECT DISTINCT doc_id,
+                       ({shingle}) % 2147483647 AS h
+                FROM nn, LATERAL (SELECT unnest(range(1, length(t) - 3))
+                                      AS i)),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(pi, pa, pb)),
+        sig AS (SELECT doc_id, pi,
+                       CAST(min(((pa::HUGEINT * h + pb)
+                                 % 18446744073709551616)
+                                // 4294967296) AS BIGINT) AS v
+                FROM shg CROSS JOIN perms GROUP BY doc_id, pi
+                UNION ALL
+                SELECT n.doc_id, p.pi, 4294967295 AS v
+                FROM norm n CROSS JOIN perms p WHERE n.t = ''),
+        bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi)
+                    AS bsig
+                FROM sig GROUP BY doc_id, pi // 4),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bnd x JOIN bnd y
+                   ON x.band = y.band AND x.bsig = y.bsig
+                      AND x.doc_id < y.doc_id),
+        simm AS (SELECT c.doc_a, c.doc_b,
+                        CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0
+                                 END) AS BIGINT) AS m
+                 FROM cand c
+                 JOIN sig s1 ON s1.doc_id = c.doc_a
+                 JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
+                 GROUP BY 1, 2),
+        drops AS (SELECT DISTINCT doc_b AS doc_id FROM simm
+                  WHERE CAST(m AS DOUBLE) / 64 >= 0.6)
+        SELECT i.doc_id, coalesce(i.text, '') AS text
+        FROM inp i
+        WHERE i.kind = 0 AND NOT EXISTS
+              (SELECT 1 FROM drops d WHERE d.doc_id = i.doc_id)
     """
 
 # data-mixing plan inputs, shared by q_mix_plan and its SQL twin
@@ -2372,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM jac WHERE j >= 0.6
         """,
         "dedup_minhash": _minhash_sql(),
+        "dedup_minhash_incremental": _minhash_incr_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE {_INJ_JACCARD},

@@ -261,10 +261,13 @@ class MinHashStage:
         sigs = [minhash_signature(t, self.a, self.b, self.shingle_k)
                 .astype(np.uint32).tobytes()
                 for t in batch["text"].fillna("")]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
             "signature": sigs,
         })
+        if "kind" in batch.columns:     # side tag for incremental dedup
+            out["kind"] = batch["kind"].to_numpy()
+        return out
 
 
 def _explode_bands(batch: pd.DataFrame, num_bands: int) -> pd.DataFrame:
@@ -278,8 +281,11 @@ def _explode_bands(batch: pd.DataFrame, num_bands: int) -> pd.DataFrame:
             rows_hash.append(int.from_bytes(
                 hashlib.md5(chunk).digest()[:8], "big") >> 1)
             rows_sig.append(sig)
-    return pd.DataFrame({"doc_id": rows_doc, "band": rows_band,
-                         "band_hash": rows_hash, "signature": rows_sig})
+    out = pd.DataFrame({"doc_id": rows_doc, "band": rows_band,
+                        "band_hash": rows_hash, "signature": rows_sig})
+    if "kind" in batch.columns:         # side tag for incremental dedup
+        out["kind"] = np.repeat(batch["kind"].to_numpy(), num_bands)
+    return out
 
 
 def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
@@ -346,6 +352,107 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                      .drop(columns=["ppart"]))
     return (pairs.map_batches(pair_part, batch_format="pandas")
                  .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
+
+
+def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
+                           num_perm: int = 64, num_bands: int = 16,
+                           shingle_k: int = 5, threshold: float = 0.6,
+                           num_parts: int = 64, concurrency=(1, 8)):
+    """Incremental FUZZY dedup: drop NEW documents that near-duplicate
+    (MinHash est >= ``threshold``) the established CORPUS or a
+    smaller-id new document — the NeMo-Curator fuzzy-incremental shape
+    that pairs with :func:`dedup_against_corpus`'s exact variant.
+    Output: surviving new rows as (doc_id, ``text_col``).
+
+    Drop rule is a pure PAIR predicate (greedy, non-transitive): a new
+    doc drops iff some LSH bucket pairs it at est >= threshold with a
+    corpus doc or a smaller-id new doc — deliberately independent of
+    whether the blocker itself survives, so the rule needs no
+    iteration and the SQL twin states it with one NOT EXISTS.
+
+    Shape: both sides tagged and run through the SAME signature stage
+    (at real scale the corpus side reads persisted signatures — the
+    stage is the fallback), band explode, ONE band-hash coarse
+    exchange whose per-bucket scan emits only DROPPED new ids
+    (signature bytes never leave the bucket group), then one doc-keyed
+    anti-join rebuild.  Corpus text never rides any shuffle.
+    """
+    def _tag(kind):
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["doc_id", text_col]].copy()
+            out["kind"] = np.int8(kind)
+            return out
+        return tag
+
+    tagged = (new_ds.map_batches(_tag(0), batch_format="pandas")
+              .union(corpus_ds.map_batches(_tag(1),
+                                           batch_format="pandas")))
+    sigs = tagged.map_batches(
+        MinHashStage, batch_format="pandas",
+        fn_constructor_kwargs={"num_perm": num_perm,
+                               "shingle_k": shingle_k},
+        concurrency=concurrency)
+    bands = sigs.map_batches(_explode_bands, batch_format="pandas",
+                             fn_kwargs={"num_bands": num_bands})
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["band_hash"] % num_parts).astype("int64")
+        return batch
+
+    def part_drops(group: pd.DataFrame) -> pd.DataFrame:
+        dropped: set = set()
+        for _, bucket in group.groupby(["band", "band_hash"],
+                                       sort=False):
+            kinds = bucket["kind"].to_numpy()
+            if len(bucket) < 2 or not (kinds == 0).any():
+                continue
+            ids = bucket["doc_id"].to_numpy()
+            sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
+                            for s in bucket["signature"]])
+            est = (sgs[:, None, :] == sgs[None, :, :]).mean(axis=2)
+            blocks = ((kinds == 1)[None, :]
+                      | ((kinds == 0)[None, :]
+                         & (ids[None, :] < ids[:, None])))
+            np.fill_diagonal(blocks, False)
+            hit = ((est >= threshold) & blocks).any(axis=1)
+            dropped.update(ids[(kinds == 0) & hit].tolist())
+        return typed_if_empty(pd.DataFrame(
+            {"doc_id": pd.Series(sorted(dropped), dtype="int64")}))
+
+    drops = (bands.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(part_drops,
+                                         batch_format="pandas"))
+
+    # anti-join rebuild: dropped ids (kind=9 markers) meet the new
+    # rows on ONE doc-keyed coarse exchange — no driver set, no
+    # broadcast (the marker set is snapshot-sized in the worst case)
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            text_col: pd.Series([""] * len(batch), dtype="object"),
+            "kind": np.int8(9)})
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    def new_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            text_col: batch[text_col].fillna(""),
+            "kind": np.int8(0)})
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        bad = set(group.loc[group["kind"] == 9, "doc_id"].tolist())
+        g = group[group["kind"] == 0]
+        g = g[~g["doc_id"].isin(bad)]   # int64 keys — isin is safe here
+        return typed_if_empty(
+            g[["doc_id", text_col]].reset_index(drop=True))
+
+    union = (new_ds.map_batches(new_rows, batch_format="pandas")
+             .union(drops.map_batches(mark, batch_format="pandas")))
+    return union.groupby("part").map_groups(resolve,
+                                            batch_format="pandas")
 
 
 def dedup_clusters(pairs_ds, max_iters: int = 30, num_parts: int = 64):

@@ -1581,3 +1581,40 @@ def test_ccnet_buckets_tertiles_and_ties(ray_session):
     out2 = ccnet_buckets(
         ray.data.from_pandas(docs2)).to_pandas().set_index("doc_id")
     assert out2.loc[100, "bucket"] == "head"
+
+
+def test_minhash_against_corpus_drop_rules(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import minhash_against_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain tonight")
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": [base]}))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            base + " extra",            # near-dups corpus -> drops
+            base + " extra",            # near-dups corpus AND #10;
+                                        # drops either way
+            base + " extra word",       # near-dups #10/#11 (smaller
+                                        # new ids) -> drops even though
+                                        # its blockers also dropped
+            "completely different content about database query "
+            "engines and distributed shuffles with columnar arrow",
+        ]}))
+    out = minhash_against_corpus(new, corpus,
+                                 threshold=0.6).to_pandas()
+    assert sorted(out["doc_id"]) == [13]
+
+    # doc_id namespaces may overlap across sides: same id, different
+    # text must NOT self-block
+    corpus2 = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10],
+        "text": ["unrelated corpus text entirely about astronomy "
+                 "telescopes nebulae and the speed of light"]}))
+    out2 = minhash_against_corpus(new, corpus2,
+                                  threshold=0.6).to_pandas()
+    # 10 survives (different text, id collision is fine); 11 drops
+    # against smaller new id 10; 12 drops against 10/11; 13 survives
+    assert sorted(out2["doc_id"]) == [10, 13]
