@@ -1000,6 +1000,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.lm_score(
             _read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_phrase_blocklist(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import phrase_blocklist_batch
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"]
+            w = lambda mod, s: np.where(d % mod == 0, s, "")
+            batch["text"] = (batch["text"].fillna("")
+                             + w(9, " Click Here click here")
+                             + w(7, " lorem ipsum")
+                             + w(11, " All Rights Reserved"))
+            return batch
+
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(inject, batch_format="pandas")
+                .map_batches(phrase_blocklist_batch,
+                             batch_format="pandas"))
+
+    def q_char_entropy(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import char_entropy_batch
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            char_entropy_batch, batch_format="pandas")
+
     def q_ccnet_buckets(sf_dir):
         # per-source head/middle/tail LM-score tertiles (CCNet)
         return text_analysis.ccnet_buckets(
@@ -1273,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_source": q_quantiles_by_source,
         "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
+        "phrase_blocklist": q_phrase_blocklist,
+        "char_entropy": q_char_entropy,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
@@ -1801,6 +1825,53 @@ def oracle_sql() -> dict[str, str]:
                         floor((1000 * s.sc)
                               / (s.nb * (SELECT max(c) FROM cnt))),
                         0) AS BIGINT) AS lm_milli
+            FROM d LEFT JOIN s USING (doc_id)
+        """,
+        # per-phrase replace-length counting == non-overlapping
+        # left-to-right, the engine's str.count semantics; phrase
+        # lengths are Python-computed literals
+        "phrase_blocklist": f"""
+            WITH inj AS (SELECT doc_id, lower(coalesce(text, '')
+              || CASE WHEN doc_id % 9 = 0
+                      THEN ' Click Here click here' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' lorem ipsum' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' All Rights Reserved' ELSE '' END) AS t
+              FROM documents),
+            h AS (SELECT doc_id,
+              CAST((length(t) - length(replace(t, 'lorem ipsum', '')))
+                   // {len('lorem ipsum')}
+                 + (length(t) - length(replace(t, 'click here', '')))
+                   // {len('click here')}
+                 + (length(t)
+                    - length(replace(t, 'all rights reserved', '')))
+                   // {len('all rights reserved')} AS BIGINT) AS n_hits
+              FROM inj)
+            SELECT doc_id, n_hits,
+                   CAST(n_hits = 0 AS BIGINT) AS keep
+            FROM h
+        """,
+        # per-character term floored to int64 BEFORE the sum, so
+        # aggregation order cannot perturb the float math (bm25's
+        # integer-micro-grid + verified ln parity)
+        "char_entropy": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                       FROM documents),
+            ch AS (SELECT doc_id, substr(t, CAST(i AS INT), 1) AS c
+                   FROM d, LATERAL (SELECT unnest(
+                        range(1, length(t) + 1)) AS i) r),
+            cc AS (SELECT doc_id, c, count(*) AS cnt
+                   FROM ch GROUP BY 1, 2),
+            s AS (SELECT doc_id,
+                    CAST(sum(CAST(floor(1000000 * cnt * ln(cnt))
+                                  AS BIGINT)) AS BIGINT) AS sm
+                  FROM cc GROUP BY 1)
+            SELECT d.doc_id, CAST(length(d.t) AS BIGINT) AS n_chars,
+              CAST(CASE WHEN length(d.t) = 0 THEN 0
+                   ELSE CAST(floor(1000000 * ln(length(d.t)))
+                             AS BIGINT) - s.sm // length(d.t)
+                   END AS BIGINT) AS ent_micro
             FROM d LEFT JOIN s USING (doc_id)
         """,
         # lm_score CTEs + per-source value-at-rank tertile thresholds:

@@ -1620,3 +1620,76 @@ def ccnet_buckets(ds, group_col: str = "source"):
         }))
 
     return scored.map_batches(assign, batch_format="pandas")
+
+
+def phrase_blocklist_batch(batch: pd.DataFrame,
+                           phrases: tuple = ("lorem ipsum",
+                                             "click here",
+                                             "all rights reserved"),
+                           ) -> pd.DataFrame:
+    """C4-style phrase-blocklist scoring: per doc, total occurrence
+    count over a fixed phrase list (case-insensitive, per-phrase
+    non-overlapping left-to-right — the replace() counting semantics,
+    identical in pandas str.count and SQL length arithmetic) and
+    ``keep`` = no hits.  Counts are summed PER PHRASE, not over an
+    alternation, so two phrases overlapping each other in the text
+    both count — the order-free definition both engines state
+    identically.  Stateless map, no shuffle; k str passes for k
+    phrases (k is a small constant)."""
+    low = batch["text"].fillna("").str.lower()
+    n_hits = np.zeros(len(batch), dtype="int64")
+    for p in phrases:
+        n_hits += low.str.count(re.escape(p.lower())).to_numpy()
+    return typed_if_empty(pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_hits": n_hits,
+        "keep": (n_hits == 0).astype("int64")}))
+
+
+def char_entropy_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Character-distribution Shannon entropy — the cheap gibberish /
+    encoding-junk detector (binary blobs and key-mash score near the
+    uniform max; natural text sits in a narrow band).  Definition is
+    DELIBERATELY integer-gridded so both engines are bit-exact despite
+    float logs:
+
+        ent_micro = floor(1e6*ln(n)) - (sum_c floor(1e6*c_i*ln(c_i))) // n
+
+    over per-codepoint counts ``c_i`` (n = total chars; empty docs
+    score 0).  Each per-character term is floored to int64 BEFORE the
+    sum, so summation order cannot perturb the result (the bm25
+    integer-micro-grid discipline; ln itself is libm on both sides,
+    parity verified there).  Vectorized: one codepoint decode + one
+    np.unique per doc group, no per-char Python."""
+    texts = batch["text"].fillna("")
+    ent = np.zeros(len(batch), dtype="int64")
+    joined = "\x00".join(texts) if len(texts) else ""
+    if joined:
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = texts.str.len().to_numpy()
+        doc_idx = np.repeat(np.arange(len(texts)),
+                            np.where(np.arange(len(texts))
+                                     < len(texts) - 1,
+                                     lens + 1, lens))
+        # per (doc, codepoint) counts in one unique over a packed key;
+        # documents may legally contain U+0000 — exclude only the
+        # separators by POSITION
+        sep_pos = np.cumsum(lens[:-1] + 1) - 1 if len(texts) > 1 else \
+            np.array([], dtype=np.int64)
+        keep_mask = np.ones(len(cp), dtype=bool)
+        keep_mask[sep_pos] = False
+        key = (doc_idx[keep_mask].astype(np.uint64) << np.uint64(32)) \
+            | cp[keep_mask].astype(np.uint64)
+        uk, cnt = np.unique(key, return_counts=True)
+        term = np.floor(1e6 * cnt * np.log(cnt)).astype(np.int64)
+        docs_of_key = (uk >> np.uint64(32)).astype(np.int64)
+        s = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(s, docs_of_key, term)
+        n = np.maximum(lens, 1)
+        ent = (np.floor(1e6 * np.log(n)).astype(np.int64)
+               - s // n)
+        ent[lens == 0] = 0
+    return typed_if_empty(pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_chars": texts.str.len().astype("int64"),
+        "ent_micro": ent}))

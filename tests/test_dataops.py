@@ -1618,3 +1618,41 @@ def test_minhash_against_corpus_drop_rules(ray_session):
     # 10 survives (different text, id collision is fine); 11 drops
     # against smaller new id 10; 12 drops against 10/11; 13 survives
     assert sorted(out2["doc_id"]) == [10, 13]
+
+
+def test_phrase_blocklist_counts_and_case():
+    from doc_ocr_ray.stages.text_analysis import phrase_blocklist_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "CLICK HERE now, then Lorem Ipsum and click here again",
+        "perfectly clean document",
+        None,
+    ]})
+    out = phrase_blocklist_batch(b).set_index("doc_id")
+    assert out.loc[1, "n_hits"] == 3 and out.loc[1, "keep"] == 0
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "keep"] == 1
+    assert out.loc[3, "n_hits"] == 0 and out.loc[3, "keep"] == 1
+
+
+def test_char_entropy_known_values_and_nul():
+    import math
+    from doc_ocr_ray.stages.text_analysis import char_entropy_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "aaaaaaaa",          # zero entropy
+        "abcd",              # uniform: ln(4) on the micro grid
+        "",                  # empty: 0 by definition
+        "a\x00b",            # doc-internal NUL must count as a char
+    ]})
+    out = char_entropy_batch(b).set_index("doc_id")
+    assert out.loc[1, "ent_micro"] == 0
+    assert out.loc[2, "ent_micro"] == math.floor(1e6 * math.log(4))
+    assert out.loc[3, "ent_micro"] == 0 and out.loc[3, "n_chars"] == 0
+    # 3 distinct chars incl. the NUL: uniform ln(3)
+    assert out.loc[4, "n_chars"] == 3
+    assert out.loc[4, "ent_micro"] == math.floor(1e6 * math.log(3))
+    # gibberish scores above repetitive text
+    g = char_entropy_batch(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["xK9#qZ!mW2@vN8&rT4$", "the the the the the the"]}))
+    assert g.loc[0, "ent_micro"] > g.loc[1, "ent_micro"]
