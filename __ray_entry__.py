@@ -674,6 +674,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flat = ray.data.read_parquet(_ensure_synth_spans_parquet())
         return render_markdown(restitch_documents(flat))
 
+    def q_media_context(sf_dir):
+        import ray.data
+        from doc_ocr_ray.stages.multimodal import media_context_stats
+        flat = ray.data.read_parquet(_ensure_synth_spans_parquet())
+        return media_context_stats(flat)
+
     def q_exam_info(sf_dir):
         import ray.data
         from doc_ocr_ray.pipelines.extract import restitch_documents
@@ -1261,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
         "exam_info": q_exam_info,
+        "media_context": q_media_context,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_hopping_window,
         "sessionize": q_sessionize,
@@ -2280,6 +2287,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) || chr(10)
                                        ORDER BY "offset"), '') AS markdown
             FROM lines GROUP BY doc_id
+        """,
+        "media_context": f"""
+            WITH s AS (SELECT doc_id, "offset",
+                              coalesce(text, '') AS text,
+                              coalesce(media_ref, '') AS mr
+                       FROM read_parquet('{spans_path}')),
+            l AS (SELECT doc_id, "offset", mr, text,
+                    lag(mr) OVER w AS pmr,
+                    lag(text) OVER w AS ptext
+                  FROM s
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset"))
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(count(*) FILTER (WHERE mr <> '') AS BIGINT)
+                  AS n_media,
+              CAST(count(*) FILTER (WHERE mr <> '' AND pmr = ''
+                                    AND ptext <> '') AS BIGINT)
+                  AS n_captioned,
+              CAST(coalesce(sum(length(ptext)) FILTER (
+                   WHERE mr <> '' AND pmr = '' AND ptext <> ''), 0)
+                   AS BIGINT) AS context_chars
+            FROM l GROUP BY 1
         """,
         "exam_info": f"""
             WITH spans AS (SELECT * FROM read_parquet('{spans_path}')),

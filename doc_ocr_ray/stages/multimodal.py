@@ -567,3 +567,62 @@ def media_dedup(media_ds, num_parts: int = 64):
     return (media_ds.map_batches(key, batch_format="pyarrow")
             .groupby("part").map_groups(keep_first,
                                         batch_format="pandas"))
+
+
+def media_context_stats(flat_ds, num_parts: int = 64):
+    """Per-document media-context coverage over INTERLEAVED flat spans
+    — the multimodal-loader curation signal: an image whose
+    immediately preceding span is real text can be trained as a
+    captioned pair; orphan media (no adjacent text) are the rows a
+    curation pass drops or re-captions.  Input: flat span rows
+    ``(doc_id, kind, text, media_ref, offset)`` (ordinal offsets);
+    output per doc: ``(doc_id, n_spans, n_media, n_captioned,
+    context_chars)`` where a media span (``media_ref != ''``) is
+    captioned iff the previous offset's span is NON-media with
+    non-empty text, and ``context_chars`` sums those captions'
+    lengths.
+
+    Shape: ONE coarse doc-hash exchange; inside the group everything
+    is a vectorized sort + groupby shift — per-doc span counts are
+    loader-bounded, and only span metadata (never media payloads)
+    rides the shuffle.  SQL twin: LAG OVER (PARTITION BY doc_id
+    ORDER BY offset).
+    """
+    import pandas as pd
+
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = coarse_part(batch["doc_id"], num_parts)
+        return batch
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "offset"],
+                              kind="mergesort").copy()
+        g["media_ref"] = g["media_ref"].fillna("")
+        g["text"] = g["text"].fillna("")
+        gb = g.groupby("doc_id", sort=False)
+        prev_ref = gb["media_ref"].shift(1)     # NaN at doc start
+        prev_text = gb["text"].shift(1)
+        is_media = (g["media_ref"] != "").to_numpy()
+        captioned = (is_media
+                     & (prev_ref == "").to_numpy()
+                     & (prev_text.fillna("") != "").to_numpy())
+        g["is_media"] = is_media.astype("int64")
+        g["captioned"] = captioned.astype("int64")
+        g["ctx"] = np.where(captioned,
+                            prev_text.fillna("").str.len().to_numpy(),
+                            0).astype("int64")
+        out = (g.groupby("doc_id", sort=False)
+               .agg(n_spans=("offset", "size"),
+                    n_media=("is_media", "sum"),
+                    n_captioned=("captioned", "sum"),
+                    context_chars=("ctx", "sum"))
+               .reset_index())
+        for c in ("n_spans", "n_media", "n_captioned", "context_chars"):
+            out[c] = out[c].astype("int64")
+        return typed_if_empty(out)
+
+    return (flat_ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(per_doc, batch_format="pandas"))

@@ -1656,3 +1656,29 @@ def test_char_entropy_known_values_and_nul():
         "doc_id": [1, 2],
         "text": ["xK9#qZ!mW2@vN8&rT4$", "the the the the the the"]}))
     assert g.loc[0, "ent_micro"] > g.loc[1, "ent_micro"]
+
+
+def test_media_context_stats_caption_rules(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import media_context_stats
+
+    flat = pd.DataFrame({
+        "doc_id": ["a"] * 6 + ["b"] * 2,
+        "kind":  ["image", "text", "image", "image", "text", "image",
+                  "text", "image"],
+        "text":  ["", "a caption here", "", "", "", "",
+                  "bee caption", ""],
+        "media_ref": ["m0", "", "m1", "m2", "", "m3", "", "m4"],
+        "offset": [0, 1, 2, 3, 4, 5, 0, 1],
+    })
+    out = (media_context_stats(ray.data.from_pandas(flat))
+           .to_pandas().set_index("doc_id"))
+    # doc a: m0 orphan (doc start), m1 captioned by "a caption here",
+    # m2 orphan (previous is media), m3 orphan (previous text empty)
+    assert out.loc["a", "n_spans"] == 6
+    assert out.loc["a", "n_media"] == 4
+    assert out.loc["a", "n_captioned"] == 1
+    assert out.loc["a", "context_chars"] == len("a caption here")
+    # doc b: m4 captioned
+    assert out.loc["b", "n_captioned"] == 1
+    assert out.loc["b", "context_chars"] == len("bee caption")
