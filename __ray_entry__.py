@@ -447,7 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df[df["doc_id"] < 200].reset_index(drop=True))
         pert = df[df["doc_id"] < 200].copy()
         pert["doc_id"] = pert["doc_id"] + 1_000_000
-        pert["text"] = pert["text"].map(
+        pert["text"] = pert["text"].fillna("").map(
             lambda t: " ".join(w for i, w in enumerate(t.split(" "))
                                if i != 7))
         fresh = df[(df["doc_id"] >= 200) & (df["doc_id"] < 300)].copy()
@@ -1486,17 +1486,21 @@ def _minhash_incr_sql() -> str:
         for j, p in enumerate(powers))
     return f"""
         WITH inp AS (
-          SELECT doc_id, text, 1 AS kind FROM documents
-          WHERE doc_id < 200
+          -- coalesce in every arm: the engine fillna('')s BEFORE
+          -- signing, so a NULL-text doc must get the all-MAXH empty
+          -- signature here too, not vanish from the sig CTE
+          SELECT doc_id, coalesce(text, '') AS text, 1 AS kind
+          FROM documents WHERE doc_id < 200
           UNION ALL
           SELECT doc_id + 1000000,
-                 array_to_string(list_concat(toks[1:7], toks[9:]), ' '),
+                 coalesce(array_to_string(
+                     list_concat(toks[1:7], toks[9:]), ' '), ''),
                  0
           FROM (SELECT doc_id, str_split(text, ' ') AS toks
                 FROM documents WHERE doc_id < 200)
           UNION ALL
-          SELECT doc_id + 1000000, text, 0 FROM documents
-          WHERE doc_id >= 200 AND doc_id < 300),
+          SELECT doc_id + 1000000, coalesce(text, ''), 0
+          FROM documents WHERE doc_id >= 200 AND doc_id < 300),
         norm AS (
           SELECT doc_id, kind, text,
                  regexp_replace(lower(regexp_replace(text,
@@ -1541,6 +1545,29 @@ def _minhash_incr_sql() -> str:
               (SELECT 1 FROM drops d WHERE d.doc_id = i.doc_id)
     """
 
+def _lm_ctes(extra_cols: str = "") -> str:
+    """Shared lm_score CTE chain (d/bg/cnt/s) — ONE copy so a grid /
+    denominator / coalesce change can never drift between the
+    lm_score and ccnet_buckets oracles that both mirror the engine's
+    lm_score."""
+    return f"""d AS (
+              SELECT doc_id{extra_cols}, coalesce(text, '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+              FROM d, LATERAL (SELECT unnest(range(1, length(t)))
+                               AS i) r),
+            cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+            s AS (
+              SELECT bg.doc_id, sum(cnt.c) AS sc, count(*) AS nb
+              FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id)"""
+
+
+# the engine's lm grid: ONE float division of exact integers
+_LM_MILLI = ("CAST(coalesce(floor((1000 * s.sc) / (s.nb * "
+             "(SELECT max(c) FROM cnt))), 0) AS BIGINT)")
+
+
 # data-mixing plan inputs, shared by q_mix_plan and its SQL twin
 _MIX_WEIGHTS = {f"src{i}": (i % 5) * 25 for i in range(20)}
 _MIX_BUDGET = 10_000_000
@@ -1558,7 +1585,8 @@ _NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
 # (same concat ORDER as queries()._inject_filter_lines — one rule per
 # doc_id residue so every filter rule fires on some stratum)
 _FILTER_INJECT_SQL = (
-    "text || chr(10) || 'First proper sentence with enough words here.'"
+    "coalesce(text, '') || chr(10)"
+    " || 'First proper sentence with enough words here.'"
     " || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
     " 'Second proper sentence with enough words too.' ELSE '' END"
     " || CASE WHEN doc_id % 3 = 1 THEN chr(10) ||"
@@ -1816,22 +1844,9 @@ def oracle_sql() -> dict[str, str]:
         # corpus char-bigram counts + per-doc mean frequency over the
         # max count: exact integer products, ONE float division,
         # floor — identical op order to the engine's score pass
-        "lm_score": """
-            WITH d AS (
-              SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            bg AS (
-              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
-              FROM d, LATERAL (SELECT unnest(range(1, length(t)))
-                               AS i) r),
-            cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
-            s AS (
-              SELECT bg.doc_id, sum(cnt.c) AS sc, count(*) AS nb
-              FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(
-                        floor((1000 * s.sc)
-                              / (s.nb * (SELECT max(c) FROM cnt))),
-                        0) AS BIGINT) AS lm_milli
+        "lm_score": f"""
+            WITH {_lm_ctes()}
+            SELECT d.doc_id, {_LM_MILLI} AS lm_milli
             FROM d LEFT JOIN s USING (doc_id)
         """,
         # per-phrase replace-length counting == non-overlapping
@@ -1885,24 +1900,10 @@ def oracle_sql() -> dict[str, str]:
         # row_number ties are harmless because the VALUE at a fixed
         # rank in a sorted multiset is unique; >= threshold assigns
         # ties the better bucket on both sides
-        "ccnet_buckets": """
-            WITH d AS (
-              SELECT doc_id, source, coalesce(text, '') AS t
-              FROM documents),
-            bg AS (
-              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
-              FROM d, LATERAL (SELECT unnest(range(1, length(t)))
-                               AS i) r),
-            cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
-            s AS (
-              SELECT bg.doc_id, sum(cnt.c) AS sc, count(*) AS nb
-              FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id),
+        "ccnet_buckets": f"""
+            WITH {_lm_ctes(", source")},
             scd AS (
-              SELECT d.doc_id, d.source,
-                     CAST(coalesce(
-                          floor((1000 * s.sc)
-                                / (s.nb * (SELECT max(c) FROM cnt))),
-                          0) AS BIGINT) AS lm_milli
+              SELECT d.doc_id, d.source, {_LM_MILLI} AS lm_milli
               FROM d LEFT JOIN s USING (doc_id)),
             r AS (SELECT *,
                     row_number() OVER (PARTITION BY source

@@ -379,7 +379,10 @@ def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
     """
     def _tag(kind):
         def tag(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[["doc_id", text_col]].copy()
+            # normalize the text column name for MinHashStage, which
+            # reads batch["text"] (custom text_col would KeyError)
+            out = pd.DataFrame({"doc_id": batch["doc_id"],
+                                "text": batch[text_col]})
             out["kind"] = np.int8(kind)
             return out
         return tag
@@ -409,13 +412,16 @@ def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
             ids = bucket["doc_id"].to_numpy()
             sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
                             for s in bucket["signature"]])
-            est = (sgs[:, None, :] == sgs[None, :, :]).mean(axis=2)
-            blocks = ((kinds == 1)[None, :]
-                      | ((kinds == 0)[None, :]
-                         & (ids[None, :] < ids[:, None])))
-            np.fill_diagonal(blocks, False)
-            hit = ((est >= threshold) & blocks).any(axis=1)
-            dropped.update(ids[(kinds == 0) & hit].tolist())
+            # row-at-a-time scan like part_pairs: O(n*perm) memory per
+            # candidate — an n^2 broadcast would OOM on a degenerate
+            # bucket (e.g. thousands of all-MAXH empty-doc signatures)
+            is_corpus = kinds == 1
+            is_new = kinds == 0
+            for i in np.flatnonzero(is_new):
+                est_i = (sgs == sgs[i]).mean(axis=1)
+                blocks = (is_corpus | (is_new & (ids < ids[i])))
+                if ((est_i >= threshold) & blocks).any():
+                    dropped.add(int(ids[i]))
         return typed_if_empty(pd.DataFrame(
             {"doc_id": pd.Series(sorted(dropped), dtype="int64")}))
 
