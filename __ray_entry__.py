@@ -1136,6 +1136,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["l_orderkey", "l_extendedprice", "l_discount"]),
             _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]))
 
+    def q_revenue_by_nation(sf_dir):
+        # TPC-H Q5 shape: two chained native hash joins + broadcast
+        # supplier/nation/region dimensions
+        import pyarrow.parquet as pq
+        return relational.revenue_by_nation(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"]),
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet"),
+            pq.read_table(f"{sf_dir}/region.parquet"),
+            region="ASIA")
+
     def q_top_orders(sf_dir):
         return relational.top_orders(
             _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]))
@@ -1322,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type_native": q_events_by_type_native,
         "lineitem_pricing": q_lineitem_pricing,
         "order_priority_revenue": q_order_priority_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
         "docs_zh": q_docs_zh,
@@ -3345,6 +3362,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) / 10000.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -193,3 +193,93 @@ def order_priority_revenue(lineitem_ds, orders_ds, num_partitions: int = 32):
     return (joined.map_batches(partial, batch_format="pandas")
             .groupby("o_orderpriority")
             .map_groups(final, batch_format="pandas"))
+
+
+def revenue_by_nation(lineitem_ds, orders_ds, customer_ds,
+                      supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                      region_tbl: pa.Table, region: str = "ASIA",
+                      num_partitions: int | None = None):
+    """TPC-H Q5-shaped local-supplier revenue: per nation in one
+    region, revenue from lineitems whose customer and supplier share
+    that nation.  Exercises the full join-strategy ladder in one
+    query: region/nation resolve at the driver (dozens of rows),
+    supplier broadcasts via ``ray.put`` (SF x 10k rows of two ints —
+    the canonical broadcastable dimension), and the two corpus-sized
+    joins — orders⋈customer and lineitem⋈(orders⋈customer) — run
+    through Ray Data's NATIVE hash shuffle join with both sides
+    partitioned, never broadcast.  Column-pruned projections enter
+    every join; revenue accumulates on the exact ten-thousandths
+    integer grid (one division at the end) so the DuckDB twin hashes
+    equal.
+
+    ``num_partitions`` defaults to half the cluster CPUs PER JOIN:
+    both joins pipeline concurrently and each reserves its own
+    HashShuffleAggregator actors, so two fixed 32-partition joins
+    starve an 8-CPU cluster outright (the fixed-pool deadlock noted
+    in CLAUDE.md, join edition).  Pass it explicitly on a real
+    multi-node cluster.
+    """
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+
+    nat = nation_tbl.to_pandas()
+    reg = region_tbl.to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    keys = nat.loc[nat["n_regionkey"].isin(set(rkey)), "n_nationkey"]
+    region_nations = frozenset(int(k) for k in keys)
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = supplier_tbl.to_pandas()
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                               sup["s_nationkey"].astype(int))))
+
+    def cust_in_region(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        out = batch.loc[batch["c_nationkey"].isin(region_nations),
+                        ["c_custkey", "c_nationkey"]]
+        return typed_if_empty(out.reset_index(drop=True))
+
+    cust = customer_ds.map_batches(cust_in_region,
+                                   batch_format="pandas")
+    ord_cust = orders_ds.select_columns(
+        ["o_orderkey", "o_custkey"]).join(
+        cust, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",))
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(ord_cust, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        empty = pd.DataFrame({
+            "n_nationkey": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")})
+        if batch.empty or "l_suppkey" not in batch.columns:
+            return typed_if_empty(empty)
+        s_nat = batch["l_suppkey"].map(ray.get(sup_ref))
+        keep = (s_nat == batch["c_nationkey"]).to_numpy()
+        b = batch[keep]
+        if not len(b):
+            return typed_if_empty(empty)
+        cents = np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
+                         * 10000 + 0.5).astype("int64")
+        g = (b.assign(cents=cents, n_nationkey=s_nat[keep]
+                      .astype("int64"))
+             .groupby("n_nationkey", sort=False)["cents"]
+             .sum().reset_index(name="sum_cents"))
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [names[int(group["n_nationkey"].iloc[0])]],
+            "revenue": [int(group["sum_cents"].sum()) / 10000.0],
+        })
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("n_nationkey")
+            .map_groups(final, batch_format="pandas"))

@@ -1682,3 +1682,37 @@ def test_media_context_stats_caption_rules(ray_session):
     # doc b: m4 captioned
     assert out.loc["b", "n_captioned"] == 1
     assert out.loc["b", "context_chars"] == len("bee caption")
+
+
+def test_revenue_by_nation_same_nation_rule(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import revenue_by_nation
+
+    region = pa.table({"r_regionkey": [0, 1],
+                       "r_name": ["ASIA", "EUROPE"]})
+    nation = pa.table({"n_nationkey": [0, 1, 2],
+                       "n_name": ["CHINA", "JAPAN", "FRANCE"],
+                       "n_regionkey": [0, 0, 1]})
+    supplier = pa.table({"s_suppkey": [100, 101, 102],
+                         "s_nationkey": [0, 1, 2]})
+    customer = ray.data.from_pandas(pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_nationkey": [0, 1, 2]}))     # cust 3 is FRANCE: outside ASIA
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [1, 2, 3]}))
+    lineitem = ray.data.from_pandas(pd.DataFrame({
+        "l_orderkey":      [10,   10,   11,   12],
+        "l_suppkey":       [100,  101,  101,  102],
+        "l_extendedprice": [100.0, 50.0, 80.0, 999.0],
+        "l_discount":      [0.1,   0.0,  0.25, 0.0]}))
+    out = revenue_by_nation(lineitem, orders, customer, supplier,
+                            nation, region, region="ASIA",
+                            num_partitions=2).to_pandas()
+    got = dict(zip(out["n_name"], out["revenue"]))
+    # order 10 (CHINA cust): item via supplier 100 (CHINA) counts
+    # 100*0.9 = 90; item via supplier 101 (JAPAN) mismatches -> out.
+    # order 11 (JAPAN cust): supplier 101 (JAPAN) counts 80*0.75 = 60.
+    # order 12: FRANCE cust filtered by region.
+    assert got == {"CHINA": 90.0, "JAPAN": 60.0}
