@@ -693,6 +693,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tumbling_window(
             _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
+    def q_events_rollup(sf_dir):
+        from doc_ocr_ray.pipelines.events import events_rollup
+        return events_rollup(_read(sf_dir, "events",
+                                   ["event_type", "ts", "value"]))
+
+    def q_distinct_users_by_type(sf_dir):
+        from doc_ocr_ray.pipelines.events import distinct_users_by_type
+        return distinct_users_by_type(
+            _read(sf_dir, "events", ["event_type", "user_id"]))
+
     def q_hopping_window(sf_dir):
         # overlapping 2h windows hopping every 30min
         from doc_ocr_ray.pipelines.events import hopping_window
@@ -1286,6 +1296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_context": q_media_context,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_hopping_window,
+        "events_rollup": q_events_rollup,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "sessionize": q_sessionize,
         "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
@@ -2760,6 +2772,26 @@ def oracle_sql() -> dict[str, str]:
         # overlapping windows (size=120min, hop=30min -> 4 covering
         # windows per event); window_start in epoch seconds on both
         # sides so no timezone/timestamp-unit drift is possible
+        # 'ALL' sentinel instead of the rollup NULL on BOTH sides
+        # (event_type/day contain no real NULLs, asserted by the
+        # leaf rows' own values)
+        "events_rollup": """
+            WITH e AS (SELECT event_type,
+                         strftime(ts, '%Y-%m-%d') AS day,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             AS cents
+                       FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM e GROUP BY ROLLUP (event_type, day)
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
         "events_hopping": """
             WITH e AS (SELECT event_type,
                          -- floor division (Python //), NOT DuckDB's

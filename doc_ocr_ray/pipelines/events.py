@@ -591,3 +591,92 @@ def funnel_counts(ds, steps, ts_col: str = "ts",
             .groupby("part").map_groups(per_part,
                                         batch_format="pandas")
             .groupby("step").map_groups(combine, batch_format="pandas"))
+
+
+def events_rollup(ds):
+    """GROUP BY ROLLUP parity: (event_type, day) leaf aggregates plus
+    per-type subtotals plus the grand total, with the literal ``ALL``
+    standing in for the rollup NULL (a real NULL in a key column is
+    indistinguishable from the rollup marker — the classic warehouse
+    footgun — so both engines emit the sentinel).  Output:
+    ``(event_type, day, n, sum_value)``.
+
+    Shape: one distributed partial-aggregate pass collapses the corpus
+    to (type x day) leaf partials (cardinality-bounded, NOT
+    corpus-bounded), one tiny groupby combines them, and the two
+    higher rollup levels are derived FROM the combined leaf at the
+    driver — rows touched after the one exchange = |types| x |days|.
+    Cents discipline as everywhere (see events_by_type).
+    """
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.floor(batch["value"] * 100
+                              + 0.5).astype("int64")})
+        out = (g.groupby(["event_type", "day"], sort=False)["cents"]
+               .agg(["count", "sum"]).reset_index())
+        out.columns = ["event_type", "day", "n", "sum_cents"]
+        return _typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby(["event_type", "day"], sort=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return _typed_if_empty(out)
+
+    leaf = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "day"])
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas())
+    by_type = (leaf.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    by_type["day"] = "ALL"
+    grand = pd.DataFrame({
+        "event_type": ["ALL"], "day": ["ALL"],
+        "n": [int(leaf["n"].sum())],
+        "sum_cents": [int(leaf["sum_cents"].sum())]})
+    allr = pd.concat([leaf, by_type, grand], ignore_index=True)
+    allr["sum_value"] = allr["sum_cents"].astype("int64") / 100.0
+    allr["n"] = allr["n"].astype("int64")
+    out = allr[["event_type", "day", "n", "sum_value"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def distinct_users_by_type(ds, num_parts: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type.  The combiner
+    emits per-batch DISTINCT (type, user) pairs — the exchange carries
+    the distinct-pair set, never event rows — keyed so a given pair
+    always lands in one group (dedupe there is exact), then per-part
+    per-type counts sum in one tiny final groupby.  The distributed
+    exact-distinct shape that KMV (distinct_tokens_kmv) approximates
+    when even the pair set is too large."""
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch[["event_type", "user_id"]]
+               .drop_duplicates())
+        out["part"] = _coarse_part(
+            out["event_type"] + ":" + out["user_id"].astype(str),
+            num_parts)
+        return _typed_if_empty(out.reset_index(drop=True))
+
+    def count_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["event_type", "user_id"])
+        out = (g.groupby("event_type", sort=False).size()
+               .rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return _typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n_users": [int(group["n_users"].sum())]})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("part").map_groups(count_part,
+                                        batch_format="pandas")
+            .groupby("event_type").map_groups(final,
+                                              batch_format="pandas"))

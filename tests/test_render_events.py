@@ -299,3 +299,38 @@ def test_order_priority_revenue_native_join():
                                  num_partitions=4).take_all()
     got = {r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in out}
     assert got == {"HIGH": (2, 140.0), "LOW": (1, 5.0)}
+
+
+def test_events_rollup_levels_consistent(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import events_rollup
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b", "b"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 11:00",
+                              "2024-01-01 09:00", "2024-01-01 09:30",
+                              "2024-01-02 23:59"]),
+        "value": [1.00, 2.50, 0.25, 0.25, 10.00]})
+    out = (events_rollup(ray.data.from_pandas(ev)).to_pandas()
+           .set_index(["event_type", "day"]))
+    assert out.loc[("a", "2024-01-01"), "sum_value"] == 1.00
+    assert out.loc[("a", "ALL"), "n"] == 2
+    assert out.loc[("a", "ALL"), "sum_value"] == 3.50
+    assert out.loc[("b", "2024-01-01"), "sum_value"] == 0.50
+    assert out.loc[("ALL", "ALL"), "n"] == 5
+    assert out.loc[("ALL", "ALL"), "sum_value"] == 14.00
+    # level row counts: 4 leaf + 2 per-type + 1 grand
+    assert len(out) == 7
+
+
+def test_distinct_users_by_type_exact(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import distinct_users_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 5 + ["b"] * 3,
+        "user_id": [1, 1, 2, 3, 3, 1, 1, 1]})
+    out = (distinct_users_by_type(ray.data.from_pandas(ev))
+           .to_pandas().set_index("event_type"))
+    assert out.loc["a", "n_users"] == 3
+    assert out.loc["b", "n_users"] == 1
