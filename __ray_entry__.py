@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return distinct_users_by_type(
             _read(sf_dir, "events", ["event_type", "user_id"]))
 
+    def q_retention_cohorts(sf_dir):
+        from doc_ocr_ray.pipelines.events import retention_cohorts
+        return retention_cohorts(
+            _read(sf_dir, "events", ["user_id", "ts"]))
+
     def q_hopping_window(sf_dir):
         # overlapping 2h windows hopping every 30min
         from doc_ocr_ray.pipelines.events import hopping_window
@@ -1297,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_hopping_window,
         "events_rollup": q_events_rollup,
+        "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
         "sessionize": q_sessionize,
         "funnel_counts": q_funnel_counts,
@@ -2791,6 +2797,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # epoch-day floor division (not //, which truncates toward
+        # zero — see events_hopping); (user, day) distinct means
+        # count(*) after the join IS the distinct-user count
+        "retention_cohorts": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                          CAST(floor(floor(epoch(ts)) / 86400.0)
+                               AS BIGINT) AS day
+                        FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day
+                  FROM ud GROUP BY 1)
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "events_hopping": """
             WITH e AS (SELECT event_type,

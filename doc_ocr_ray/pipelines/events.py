@@ -680,3 +680,51 @@ def distinct_users_by_type(ds, num_parts: int = 64):
                                         batch_format="pandas")
             .groupby("event_type").map_groups(final,
                                               batch_format="pandas"))
+
+
+def retention_cohorts(ds, num_parts: int = 64):
+    """Classic cohort retention: users grouped by first-activity day,
+    counting DISTINCT users from each cohort active again ``offset``
+    days later.  Output: ``(cohort_day, day_offset, n_users)`` with
+    days as integer epoch days (floor division — tz-proof and exact
+    across engines even pre-1970).
+
+    Shape: the per-batch combiner slims events to distinct
+    (user, day) pairs; ONE user-keyed coarse exchange co-locates each
+    user's days, so cohort day (min) and offsets resolve in-group and
+    each user contributes AT MOST ONE row per (cohort, offset) — the
+    per-part counts are therefore exact partials and the final
+    (cohort, offset) combine just sums disjoint users.  Nothing
+    user-table-sized touches the driver.
+    """
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (batch["ts"].astype("datetime64[ns]").astype("int64")
+                // 10**9 // 86400)
+        out = pd.DataFrame({"user_id": batch["user_id"],
+                            "day": days.astype("int64")})
+        out = out.drop_duplicates()
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out.reset_index(drop=True))
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id", sort=False)["day"].transform("min")
+        out = (pd.DataFrame({
+                   "cohort_day": first.astype("int64"),
+                   "day_offset": (g["day"] - first).astype("int64")})
+               .groupby(["cohort_day", "day_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return _typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_day": [int(group["cohort_day"].iloc[0])],
+            "day_offset": [int(group["day_offset"].iloc[0])],
+            "n_users": [int(group["n_users"].sum())]})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("part").map_groups(per_user,
+                                        batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .map_groups(final, batch_format="pandas"))

@@ -334,3 +334,29 @@ def test_distinct_users_by_type_exact(ray_session):
            .to_pandas().set_index("event_type"))
     assert out.loc["a", "n_users"] == 3
     assert out.loc["b", "n_users"] == 1
+
+
+def test_retention_cohorts_offsets_and_dedup(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import retention_cohorts
+
+    d0 = pd.Timestamp("2024-01-01 05:00")
+    day = pd.Timedelta(days=1)
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1,   2, 2,   3],
+        "ts": [d0, d0 + pd.Timedelta(hours=2),   # same day: dedupes
+               d0 + day, d0 + 3 * day,
+               d0 + day, d0 + 2 * day,           # user 2: cohort day 1
+               d0 + 3 * day]})
+    out = (retention_cohorts(ray.data.from_pandas(ev)).to_pandas()
+           .set_index(["cohort_day", "day_offset"]))
+    c0 = int((d0.value // 10**9) // 86400)
+    # user 1: cohort c0, offsets {0, 1, 3}
+    assert out.loc[(c0, 0), "n_users"] == 1
+    assert out.loc[(c0, 1), "n_users"] == 1
+    assert out.loc[(c0, 3), "n_users"] == 1
+    # users 2 and 3: cohort c0+1 and c0+3
+    assert out.loc[(c0 + 1, 0), "n_users"] == 1
+    assert out.loc[(c0 + 1, 1), "n_users"] == 1
+    assert out.loc[(c0 + 3, 0), "n_users"] == 1
+    assert len(out) == 6
