@@ -758,6 +758,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
             _read(sf_dir, "events", ["user_id"]), "user_id")
 
+    def q_customers_without_events_native(sf_dir):
+        # third anti-join strategy: Ray Data's NATIVE left_anti hash
+        # shuffle join — both sides partitioned, neither broadcast,
+        # no false-positive verify pass; same NOT EXISTS oracle as
+        # the broadcast and Bloom variants
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        ev = _read(sf_dir, "events", ["user_id"])
+        return cust.join(ev, join_type="left_anti",
+                         num_partitions=max(2, cpus // 2),
+                         on=("c_custkey",), right_on=("user_id",))
+
     def q_asof_clicks_views(sf_dir):
         # backward as-of join: each click matched to the user's most
         # recent prior (or simultaneous) view
@@ -1310,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "customers_without_events": q_customers_without_events,
         "customers_without_events_bloom": q_customers_without_events_bloom,
+        "customers_without_events_native": q_customers_without_events_native,
         "asof_clicks_views": q_asof_clicks_views,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
@@ -2867,6 +2881,11 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e.user_id = c.c_custkey)
         """,
         "customers_without_events_bloom": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_without_events_native": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
