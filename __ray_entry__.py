@@ -1051,6 +1051,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(phrase_blocklist_batch,
                              batch_format="pandas"))
 
+    def q_script_profile(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import script_profile_batch
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            script_profile_batch, batch_format="pandas")
+
     def q_char_entropy(sf_dir):
         from doc_ocr_ray.stages.text_analysis import char_entropy_batch
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1352,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "phrase_blocklist": q_phrase_blocklist,
         "char_entropy": q_char_entropy,
+        "script_profile": q_script_profile,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
@@ -1922,6 +1928,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_hits,
                    CAST(n_hits = 0 AS BIGINT) AS keep
             FROM h
+        """,
+        # pure integer class counts — replace-length arithmetic per
+        # class; n_other derives by subtraction on both sides
+        "script_profile": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                       FROM documents)
+            SELECT doc_id,
+              CAST(length(t) AS BIGINT) AS n_chars,
+              CAST(length(t) - length(regexp_replace(t, '[A-Za-z]',
+                   '', 'g')) AS BIGINT) AS n_latin,
+              CAST(length(t) - length(regexp_replace(t, '[0-9]',
+                   '', 'g')) AS BIGINT) AS n_digit,
+              CAST(length(t) - length(regexp_replace(t, '[一-鿿]',
+                   '', 'g')) AS BIGINT) AS n_cjk,
+              CAST(length(t) - length(regexp_replace(t,
+                   '[\\t\\n\\f\\r ]', '', 'g')) AS BIGINT) AS n_ws,
+              CAST(length(regexp_replace(t,
+                   '[A-Za-z0-9一-鿿\\t\\n\\f\\r ]', '', 'g'))
+                   AS BIGINT) AS n_other
+            FROM d
         """,
         # per-character term floored to int64 BEFORE the sum, so
         # aggregation order cannot perturb the float math (bm25's

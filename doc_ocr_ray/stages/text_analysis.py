@@ -1693,3 +1693,47 @@ def char_entropy_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "doc_id": batch["doc_id"],
         "n_chars": texts.str.len().astype("int64"),
         "ent_micro": ent}))
+
+
+def script_profile_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document character-class census — the script-routing signal
+    (lang_id tells you the winner; this tells you the mix, e.g.
+    code-heavy or digit-heavy docs inside a nominally-English crawl).
+    Output: ``(doc_id, n_chars, n_latin, n_digit, n_cjk, n_ws,
+    n_other)`` — pure integer counts, so cross-engine parity needs no
+    rounding grid at all.  Classes: ASCII letters, ASCII digits, CJK
+    U+4E00..U+9FFF (the lang_id class), the oracle whitespace class,
+    rest.  One utf-32 decode + vectorized range masks + one bincount
+    per class; no per-char Python."""
+    texts = batch["text"].fillna("")
+    n = len(texts)
+    lens = texts.str.len().to_numpy() if n else np.array([], "int64")
+    counts = {k: np.zeros(n, dtype="int64")
+              for k in ("n_latin", "n_digit", "n_cjk", "n_ws")}
+    joined = "\x00".join(texts) if n else ""
+    if joined:
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(n),
+                            np.where(np.arange(n) < n - 1,
+                                     lens + 1, lens))
+        keep = np.ones(len(cp), dtype=bool)
+        if n > 1:   # separators by POSITION (text may contain U+0000)
+            keep[np.cumsum(lens[:-1] + 1) - 1] = False
+        cp, doc_idx = cp[keep], doc_idx[keep]
+        masks = {
+            "n_latin": ((cp >= 65) & (cp <= 90))
+                       | ((cp >= 97) & (cp <= 122)),
+            "n_digit": (cp >= 48) & (cp <= 57),
+            "n_cjk": (cp >= 0x4E00) & (cp <= 0x9FFF),
+            "n_ws": np.isin(cp, (9, 10, 12, 13, 32)),
+        }
+        for k, m in masks.items():
+            counts[k] = np.bincount(doc_idx, weights=m,
+                                    minlength=n).astype("int64")
+    out = pd.DataFrame({"doc_id": batch["doc_id"],
+                        "n_chars": lens.astype("int64")})
+    for k in ("n_latin", "n_digit", "n_cjk", "n_ws"):
+        out[k] = counts[k]
+    out["n_other"] = (out["n_chars"] - out["n_latin"] - out["n_digit"]
+                      - out["n_cjk"] - out["n_ws"]).astype("int64")
+    return typed_if_empty(out)

@@ -1716,3 +1716,18 @@ def test_revenue_by_nation_same_nation_rule(ray_session):
     # order 11 (JAPAN cust): supplier 101 (JAPAN) counts 80*0.75 = 60.
     # order 12: FRANCE cust filtered by region.
     assert got == {"CHINA": 90.0, "JAPAN": 60.0}
+
+
+def test_script_profile_classes_and_nul():
+    from doc_ocr_ray.stages.text_analysis import script_profile_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "ab1 中文!", "a\x00b", None]})
+    out = script_profile_batch(b).set_index("doc_id")
+    assert out.loc[1].tolist() == [7, 2, 1, 2, 1, 1]
+    # NUL is a real char, counted as other
+    assert out.loc[2, "n_chars"] == 3 and out.loc[2, "n_other"] == 1
+    assert out.loc[3, "n_chars"] == 0
+    # class partition is exhaustive: columns sum to n_chars
+    s = out[["n_latin", "n_digit", "n_cjk", "n_ws", "n_other"]].sum(axis=1)
+    assert (s == out["n_chars"]).all()
