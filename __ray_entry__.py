@@ -426,6 +426,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # degenerate to exact dedup)
         return dedup.dedup_lines(_multiline_docs(sf_dir))
 
+    def q_dup_line_signals(sf_dir):
+        from doc_ocr_ray.stages.text_analysis import dup_line_signals_batch
+        return _multiline_docs(sf_dir).map_batches(
+            dup_line_signals_batch, batch_format="pandas")
+
     def q_dedup_token_multiset(sf_dir):
         out = dedup.token_multiset_dedup(
             _read(sf_dir, "documents", ["doc_id", "text"]))
@@ -1288,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
+        "dup_line_signals": q_dup_line_signals,
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -2269,6 +2275,42 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, chr(10) ORDER BY line_no) AS text
             FROM w WHERE rn = 1
             GROUP BY doc_id
+        """,
+        # within-doc duplicate lines over the same multiline testbed
+        # (docs 0/1 collide by construction: (i*2)%200 meets i/(i+1))
+        "dup_line_signals": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text
+              FROM documents WHERE doc_id < 200),
+            mk AS (
+              SELECT b.doc_id,
+                     b.text || chr(10) || b1.text || chr(10) || b2.text
+                         AS text
+              FROM base b
+              JOIN base b1 ON b1.doc_id = (b.doc_id + 1) % 200
+              JOIN base b2 ON b2.doc_id = (b.doc_id * 2) % 200),
+            l AS (
+              SELECT doc_id,
+                     regexp_replace(
+                         unnest(string_split(text, chr(10))),
+                         '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g')
+                         AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS line_no
+              FROM mk),
+            w AS (
+              SELECT doc_id, line, line_no,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY line_no) AS rn
+              FROM l)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(count(*) FILTER (WHERE rn > 1 AND line <> '')
+                   AS BIGINT) AS n_dup_lines,
+              CAST(coalesce(sum(length(line)) FILTER (
+                   WHERE rn > 1 AND line <> ''), 0) AS BIGINT)
+                   AS dup_line_chars
+            FROM w GROUP BY 1
         """,
         "dedup_token_multiset": f"""
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text

@@ -354,10 +354,25 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                  .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
+def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5,
+                       concurrency=(1, 8)):
+    """Sign a corpus ONCE: (doc_id, signature) with the signature as
+    packed uint32 bytes.  Persist with ``write_table`` and feed the
+    parquet back to :func:`minhash_against_corpus` with
+    ``corpus_presigned=True`` — per-snapshot incremental dedup then
+    never re-shingles the established corpus (the real cost at
+    10^12 docs; signatures are ~256 B/doc)."""
+    return ds.map_batches(MinHashStage, batch_format="pandas",
+                          fn_constructor_kwargs={"num_perm": num_perm,
+                                                 "shingle_k": shingle_k},
+                          concurrency=concurrency)
+
+
 def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
                            num_perm: int = 64, num_bands: int = 16,
                            shingle_k: int = 5, threshold: float = 0.6,
-                           num_parts: int = 64, concurrency=(1, 8)):
+                           num_parts: int = 64, concurrency=(1, 8),
+                           corpus_presigned: bool = False):
     """Incremental FUZZY dedup: drop NEW documents that near-duplicate
     (MinHash est >= ``threshold``) the established CORPUS or a
     smaller-id new document — the NeMo-Curator fuzzy-incremental shape
@@ -371,11 +386,13 @@ def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
     iteration and the SQL twin states it with one NOT EXISTS.
 
     Shape: both sides tagged and run through the SAME signature stage
-    (at real scale the corpus side reads persisted signatures — the
-    stage is the fallback), band explode, ONE band-hash coarse
-    exchange whose per-bucket scan emits only DROPPED new ids
-    (signature bytes never leave the bucket group), then one doc-keyed
-    anti-join rebuild.  Corpus text never rides any shuffle.
+    — or, with ``corpus_presigned=True``, the corpus side is a
+    (doc_id, signature) table from :func:`minhash_signatures` and the
+    established corpus is never re-shingled — band explode, ONE
+    band-hash coarse exchange whose per-bucket scan emits only
+    DROPPED new ids (signature bytes never leave the bucket group),
+    then one doc-keyed anti-join rebuild.  Corpus text never rides
+    any shuffle.
     """
     def _tag(kind):
         def tag(batch: pd.DataFrame) -> pd.DataFrame:
@@ -387,14 +404,27 @@ def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
             return out
         return tag
 
-    tagged = (new_ds.map_batches(_tag(0), batch_format="pandas")
-              .union(corpus_ds.map_batches(_tag(1),
-                                           batch_format="pandas")))
-    sigs = tagged.map_batches(
-        MinHashStage, batch_format="pandas",
-        fn_constructor_kwargs={"num_perm": num_perm,
-                               "shingle_k": shingle_k},
-        concurrency=concurrency)
+    def _sign(ds):
+        return ds.map_batches(
+            MinHashStage, batch_format="pandas",
+            fn_constructor_kwargs={"num_perm": num_perm,
+                                   "shingle_k": shingle_k},
+            concurrency=concurrency)
+
+    new_sigs = _sign(new_ds.map_batches(_tag(0),
+                                        batch_format="pandas"))
+    if corpus_presigned:
+        def tag_signed(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"doc_id": batch["doc_id"],
+                                "signature": batch["signature"]})
+            out["kind"] = np.int8(1)
+            return out
+        corpus_sigs = corpus_ds.map_batches(tag_signed,
+                                            batch_format="pandas")
+    else:
+        corpus_sigs = _sign(corpus_ds.map_batches(
+            _tag(1), batch_format="pandas"))
+    sigs = new_sigs.union(corpus_sigs)
     bands = sigs.map_batches(_explode_bands, batch_format="pandas",
                              fn_kwargs={"num_bands": num_bands})
 

@@ -1737,3 +1737,30 @@ def script_profile_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out["n_other"] = (out["n_chars"] - out["n_latin"] - out["n_digit"]
                       - out["n_cjk"] - out["n_ws"]).astype("int64")
     return typed_if_empty(out)
+
+
+def dup_line_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher's remaining repetition rule: WITHIN-document duplicate
+    lines (repetition_signals covers type-token ratio / top bigram,
+    dup_ngram_frac the n-gram fractions).  A line is a duplicate if an
+    EARLIER line of the same document is byte-identical after edge
+    strip; empty lines don't count.  Output: ``(doc_id, n_lines,
+    n_dup_lines, dup_line_chars)`` — pure integers (the standard cut
+    drops docs where dup_line_chars/total or n_dup/n exceeds a
+    threshold; both derive from these counts).  One vectorized line
+    explode + one (doc, line) duplicated() scan, no shuffle."""
+    text = batch["text"].fillna("")
+    idx, flat, n_lines = _line_table(text)
+    nonempty = flat.to_numpy() != ""
+    df = pd.DataFrame({"idx": idx, "line": flat})
+    dup = df.duplicated(["idx", "line"]).to_numpy() & nonempty
+    n_dup = np.bincount(idx, weights=dup,
+                        minlength=len(batch)).astype("int64")
+    chars = np.where(dup, flat.str.len().to_numpy(), 0)
+    dup_chars = np.bincount(idx, weights=chars,
+                            minlength=len(batch)).astype("int64")
+    return typed_if_empty(pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_lines": n_lines.to_numpy(),
+        "n_dup_lines": n_dup,
+        "dup_line_chars": dup_chars}))

@@ -1731,3 +1731,42 @@ def test_script_profile_classes_and_nul():
     # class partition is exhaustive: columns sum to n_chars
     s = out[["n_latin", "n_digit", "n_cjk", "n_ws", "n_other"]].sum(axis=1)
     assert (s == out["n_chars"]).all()
+
+
+def test_dup_line_signals_within_doc_only():
+    from doc_ocr_ray.stages.text_analysis import dup_line_signals_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "same line\nother\n same line \n\n\nsame line",
+        "same line\nno dups here",     # cross-doc repeats don't count
+    ]})
+    out = dup_line_signals_batch(b).set_index("doc_id")
+    # edge-stripped " same line " matches; empties never count
+    assert out.loc[1, "n_lines"] == 6
+    assert out.loc[1, "n_dup_lines"] == 2
+    assert out.loc[1, "dup_line_chars"] == 2 * len("same line")
+    assert out.loc[2, "n_dup_lines"] == 0
+
+
+def test_minhash_against_corpus_presigned_equivalence(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import (minhash_against_corpus,
+                                          minhash_signatures)
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "in spain falls mainly on the plain again tonight folks")
+    corpus = pd.DataFrame({"doc_id": [1, 2],
+                           "text": [base, "something else entirely "
+                                    "about columnar shuffles"]})
+    new = pd.DataFrame({"doc_id": [10, 11],
+                        "text": [base + " x",
+                                 "fresh unrelated content on actor "
+                                 "pools and object store spilling"]})
+    plain = minhash_against_corpus(
+        ray.data.from_pandas(new), ray.data.from_pandas(corpus),
+        threshold=0.6).to_pandas().sort_values("doc_id")
+    signed = minhash_signatures(ray.data.from_pandas(corpus))
+    pre = minhash_against_corpus(
+        ray.data.from_pandas(new), signed, threshold=0.6,
+        corpus_presigned=True).to_pandas().sort_values("doc_id")
+    assert plain["doc_id"].tolist() == pre["doc_id"].tolist() == [11]
