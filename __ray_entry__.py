@@ -1115,6 +1115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text", "source"]),
             weights=_MIX_WEIGHTS, budget_tokens=_MIX_BUDGET)
 
+    def q_realize_mix(sf_dir):
+        from doc_ocr_ray.pipelines.curate import realize_mix_plan
+        return realize_mix_plan(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+            weights=_MIX_WEIGHTS, budget_tokens=_MIX_BUDGET)
+
     def q_export_shards(sf_dir):
         from doc_ocr_ray.pipelines.curate import export_shards
         return export_shards(
@@ -1370,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "mix_plan": q_mix_plan,
+        "realize_mix": q_realize_mix,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
         "props_k_histogram": q_props_k_histogram,
@@ -2154,6 +2161,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN rn = (750*n + 999)//1000
                             THEN v END) AS BIGINT) AS p750
             FROM r GROUP BY source
+        """,
+        # the plan's epochs_milli realized per doc: full copies via
+        # range(), the fractional epoch by the shared md5 grid
+        "realize_mix": f"""
+            WITH w(source, weight_milli) AS (VALUES {', '.join(
+                f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+            t AS (
+              SELECT source, CAST(sum({_NTOK}) AS BIGINT) AS toks
+              FROM documents GROUP BY source),
+            e AS (
+              SELECT t.source,
+                     CASE WHEN coalesce(w.weight_milli, 0) > 0
+                               AND t.toks > 0
+                          THEN (1000 * (CAST({_MIX_BUDGET} AS BIGINT)
+                                        * w.weight_milli // 1000)
+                                + t.toks - 1) // t.toks
+                          ELSE 0 END AS em
+              FROM t LEFT JOIN w USING (source)),
+            r AS (
+              SELECT d.doc_id, d.source,
+                     e.em // 1000
+                     + CASE WHEN ('0x' || substr(md5('42:' || d.doc_id),
+                                                 1, 8))::UINTEGER
+                                 % 1000 < e.em % 1000
+                            THEN 1 ELSE 0 END AS reps
+              FROM documents d JOIN e USING (source))
+            SELECT doc_id, source,
+                   CAST(unnest(range(0, reps)) AS BIGINT) AS repeat_idx
+            FROM r WHERE reps > 0
         """,
         "mix_plan": f"""
             WITH w(source, weight_milli) AS (VALUES {', '.join(

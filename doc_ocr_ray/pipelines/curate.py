@@ -638,3 +638,57 @@ def curate_web_corpus(ds, k_prefix: int = 3, template_min_frac: float = 0.2,
                                          batch_format="pandas"))
     return token_budget_select(kept, budget=budget,
                                num_partitions=num_partitions)
+
+
+def realize_mix_plan(ds, weights, budget_tokens: int,
+                     group_col: str = "source", key: str = "doc_id",
+                     seed: int = 42):
+    """REALIZE a data-mixing plan: emit the actual resampled corpus
+    rows that :func:`~doc_ocr_ray.stages.text_analysis.mix_plan` only
+    plans.  Every doc of source ``s`` appears ``epochs_milli // 1000``
+    times, plus once more iff ``md5(seed:key) % 1000 <
+    epochs_milli % 1000`` — the shared md5-grid rule, so which docs
+    carry the fractional epoch is a pure function of (seed, key):
+    re-runs and resumes regenerate the identical mixture.
+    ``epochs_milli = ceil_div(1000 * target, src_tokens)`` with
+    ``target = budget * w_milli // 1000`` (all integers, matching the
+    mix_plan arithmetic).  Output: ``(doc_id, group, repeat_idx)``
+    with repeat_idx 0-based per copy.
+
+    Two streaming passes over the pruned (key, group, text)
+    projection: the mix_plan stats combine (per-source totals), then
+    a stateless explode with the ≤|sources| epoch table broadcast via
+    ``ray.put`` — repeats are generated, never shuffled.
+    """
+    import ray
+
+    from doc_ocr_ray.stages.text_analysis import mix_plan
+
+    plan = mix_plan(ds, weights, budget_tokens, group_col).to_pandas()
+    em = {}
+    for _, r in plan.iterrows():
+        toks, target = int(r["n_tokens"]), int(r["target_tokens"])
+        em[r[group_col]] = ((1000 * target + toks - 1) // toks
+                            if target > 0 and toks > 0 else 0)
+    ref = ray.put(em)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        emv = (batch[group_col].map(t).fillna(0)
+               .astype("int64").to_numpy())
+        frac = emv % 1000
+        extra = (_md5_bucket(batch[key], seed, mod=1000)
+                 < frac).astype("int64")
+        reps = emv // 1000 + extra
+        idx = np.repeat(np.arange(len(batch)), reps)
+        total = int(reps.sum())
+        # 0..reps_i-1 per doc, vectorized (no per-row arange loop)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        out = pd.DataFrame({
+            key: batch[key].to_numpy()[idx],
+            group_col: batch[group_col].to_numpy()[idx],
+            "repeat_idx": (np.arange(total) - starts).astype("int64"),
+        })
+        return typed_if_empty(out)
+
+    return ds.map_batches(explode, batch_format="pandas")

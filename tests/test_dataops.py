@@ -1770,3 +1770,30 @@ def test_minhash_against_corpus_presigned_equivalence(ray_session):
         ray.data.from_pandas(new), signed, threshold=0.6,
         corpus_presigned=True).to_pandas().sort_values("doc_id")
     assert plain["doc_id"].tolist() == pre["doc_id"].tolist() == [11]
+
+
+def test_realize_mix_plan_epochs_and_fraction(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import realize_mix_plan, _md5_bucket
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "source": ["a"] * 4 + ["b"] * 4,
+        "text": ["one two three four five"] * 8})   # 5 tokens each
+    # source a: 20 tokens, weight 500 -> target 50 -> 2.5 epochs
+    # source b: weight 0 -> excluded entirely
+    out = realize_mix_plan(
+        ray.data.from_pandas(docs), weights={"a": 500, "b": 0},
+        budget_tokens=100).to_pandas()
+    assert set(out["source"]) == {"a"}
+    per_doc = out.groupby("doc_id").size()
+    # every a-doc appears 2 or 3 times; md5 grid decides the extras
+    assert set(per_doc) <= {2, 3}
+    expected_extra = {d: int(_md5_bucket(pd.Series([d]), 42,
+                                         mod=1000)[0] < 500)
+                      for d in range(4)}
+    for d in range(4):
+        assert per_doc[d] == 2 + expected_extra[d]
+    # repeat_idx is dense 0..reps-1
+    for d, g in out.groupby("doc_id"):
+        assert sorted(g["repeat_idx"]) == list(range(len(g)))
