@@ -2923,7 +2923,9 @@ def oracle_sql() -> dict[str, str]:
             WITH ud AS (SELECT DISTINCT user_id,
                           CAST(floor(floor(epoch(ts)) / 86400.0)
                                AS BIGINT) AS day
-                        FROM events),
+                        FROM events
+                        WHERE ts IS NOT NULL
+                          AND user_id IS NOT NULL),
             f AS (SELECT user_id, min(day) AS cohort_day
                   FROM ud GROUP BY 1)
             SELECT cohort_day, day - cohort_day AS day_offset,

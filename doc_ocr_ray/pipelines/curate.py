@@ -676,9 +676,18 @@ def realize_mix_plan(ds, weights, budget_tokens: int,
         t = ray.get(ref)
         emv = (batch[group_col].map(t).fillna(0)
                .astype("int64").to_numpy())
+        # hash only rows that can emit anything: _md5_bucket is the
+        # per-row cost of this stage, and zero-epoch sources (weight
+        # 0 / excluded) may dominate the corpus
+        live = emv > 0
+        batch, emv = batch[live], emv[live]
         frac = emv % 1000
-        extra = (_md5_bucket(batch[key], seed, mod=1000)
-                 < frac).astype("int64")
+        extra = np.zeros(len(batch), dtype="int64")
+        need = frac > 0
+        if need.any():
+            extra[need] = (_md5_bucket(batch[key][need], seed,
+                                       mod=1000)
+                           < frac[need]).astype("int64")
         reps = emv // 1000 + extra
         idx = np.repeat(np.arange(len(batch)), reps)
         total = int(reps.sum())
@@ -691,4 +700,7 @@ def realize_mix_plan(ds, weights, budget_tokens: int,
         })
         return typed_if_empty(out)
 
-    return ds.map_batches(explode, batch_format="pandas")
+    # project BEFORE the second pass: explode never touches text, and
+    # the projection pushes into the parquet scan
+    return (ds.select_columns([key, group_col])
+            .map_batches(explode, batch_format="pandas"))

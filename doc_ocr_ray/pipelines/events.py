@@ -642,6 +642,10 @@ def events_rollup(ds):
         "sum_cents": [int(leaf["sum_cents"].sum())]})
     allr = pd.concat([leaf, by_type, grand], ignore_index=True)
     allr["sum_value"] = allr["sum_cents"].astype("int64") / 100.0
+    if leaf.empty:
+        # SQL ROLLUP on an empty input still emits the grand row,
+        # with sum() NULL (not 0): mirror it
+        allr["sum_value"] = np.nan
     allr["n"] = allr["n"].astype("int64")
     out = allr[["event_type", "day", "n", "sum_value"]]
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -656,8 +660,10 @@ def distinct_users_by_type(ds, num_parts: int = 64):
     exact-distinct shape that KMV (distinct_tokens_kmv) approximates
     when even the pair set is too large."""
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # dropna: COUNT(DISTINCT user_id) excludes NULLs — a NaN
+        # user would otherwise count as a distinct "user"
         out = (batch[["event_type", "user_id"]]
-               .drop_duplicates())
+               .dropna(subset=["user_id"]).drop_duplicates())
         out["part"] = _coarse_part(
             out["event_type"] + ":" + out["user_id"].astype(str),
             num_parts)
@@ -698,6 +704,10 @@ def retention_cohorts(ds, num_parts: int = 64):
     user-table-sized touches the driver.
     """
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # NaT would floor-divide its int64 sentinel into a garbage
+        # epoch day; NULL-ts events carry no activity signal — drop
+        # them (the oracle's epoch(NULL) likewise yields no day)
+        batch = batch.dropna(subset=["ts", "user_id"])
         days = (batch["ts"].astype("datetime64[ns]").astype("int64")
                 // 10**9 // 86400)
         out = pd.DataFrame({"user_id": batch["user_id"],

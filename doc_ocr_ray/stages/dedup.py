@@ -354,18 +354,33 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                  .groupby("ppart").map_groups(drop_dup, batch_format="pandas"))
 
 
-def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5,
-                       concurrency=(1, 8)):
-    """Sign a corpus ONCE: (doc_id, signature) with the signature as
-    packed uint32 bytes.  Persist with ``write_table`` and feed the
-    parquet back to :func:`minhash_against_corpus` with
-    ``corpus_presigned=True`` — per-snapshot incremental dedup then
-    never re-shingles the established corpus (the real cost at
-    10^12 docs; signatures are ~256 B/doc)."""
-    return ds.map_batches(MinHashStage, batch_format="pandas",
-                          fn_constructor_kwargs={"num_perm": num_perm,
-                                                 "shingle_k": shingle_k},
-                          concurrency=concurrency)
+def minhash_signatures(ds, text_col: str = "text", num_perm: int = 64,
+                       shingle_k: int = 5, concurrency=(1, 8)):
+    """Sign a corpus ONCE: (doc_id, signature, num_perm, shingle_k)
+    with the signature as packed uint32 bytes.  Persist with
+    ``write_table`` and feed the parquet back to
+    :func:`minhash_against_corpus` with ``corpus_presigned=True`` —
+    per-snapshot incremental dedup then never re-shingles the
+    established corpus (the real cost at 10^12 docs; signatures are
+    ~256 B/doc).  The parameter columns are constant (they compress
+    to nothing) and let the consumer FAIL FAST on a num_perm /
+    shingle_k mismatch instead of silently estimating Jaccard across
+    incompatible shingle spaces."""
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "text": batch[text_col]})
+
+    def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["num_perm"] = np.int64(num_perm)
+        batch["shingle_k"] = np.int64(shingle_k)
+        return batch
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .map_batches(MinHashStage, batch_format="pandas",
+                         fn_constructor_kwargs={"num_perm": num_perm,
+                                                "shingle_k": shingle_k},
+                         concurrency=concurrency)
+            .map_batches(stamp, batch_format="pandas"))
 
 
 def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
@@ -415,6 +430,25 @@ def minhash_against_corpus(new_ds, corpus_ds, text_col: str = "text",
                                         batch_format="pandas"))
     if corpus_presigned:
         def tag_signed(batch: pd.DataFrame) -> pd.DataFrame:
+            # fail fast on parameter drift: estimating Jaccard across
+            # signatures from different num_perm / shingle_k settings
+            # would crash (length mismatch) or, worse, silently keep
+            # near-duplicates (incompatible shingle spaces)
+            for col, want in (("num_perm", num_perm),
+                              ("shingle_k", shingle_k)):
+                if col in batch.columns and len(batch):
+                    got = set(batch[col].astype(int).unique())
+                    if got != {want}:
+                        raise ValueError(
+                            f"presigned corpus was built with "
+                            f"{col}={sorted(got)}, caller wants {want}")
+            if len(batch):
+                bad = batch["signature"].str.len() != num_perm * 4
+                if bool(bad.any()):
+                    raise ValueError(
+                        "presigned signature byte length does not "
+                        f"match num_perm={num_perm} (expected "
+                        f"{num_perm * 4} bytes)")
             out = pd.DataFrame({"doc_id": batch["doc_id"],
                                 "signature": batch["signature"]})
             out["kind"] = np.int8(1)

@@ -1797,3 +1797,23 @@ def test_realize_mix_plan_epochs_and_fraction(ray_session):
     # repeat_idx is dense 0..reps-1
     for d, g in out.groupby("doc_id"):
         assert sorted(g["repeat_idx"]) == list(range(len(g)))
+
+
+def test_minhash_presigned_param_mismatch_fails_fast(ray_session):
+    import pytest
+    import ray.data
+    from doc_ocr_ray.stages.dedup import (minhash_against_corpus,
+                                          minhash_signatures)
+
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": ["some corpus text right here"]}))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10], "text": ["anything"]}))
+    signed128 = minhash_signatures(corpus, num_perm=128)
+    with pytest.raises(Exception, match="num_perm"):
+        minhash_against_corpus(new, signed128, num_perm=64,
+                               corpus_presigned=True).to_pandas()
+    signed_k3 = minhash_signatures(corpus, shingle_k=3)
+    with pytest.raises(Exception, match="shingle_k"):
+        minhash_against_corpus(new, signed_k3, shingle_k=5,
+                               corpus_presigned=True).to_pandas()
