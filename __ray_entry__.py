@@ -581,6 +581,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _neardup_injected_embeddings(sf_dir)
         return similarity.embedding_neardup_pairs(emb, threshold=0.95)
 
+    def q_embedding_clusters(sf_dir):
+        # SemDeDup-loop closure: near-dup pairs -> connected
+        # components, reusing the distributed label propagation
+        emb = _neardup_injected_embeddings(sf_dir)
+        pairs = similarity.embedding_neardup_pairs(emb, threshold=0.95)
+
+        def rename(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_a": b["vec_a"],
+                                 "doc_b": b["vec_b"]})
+
+        labels = dedup.dedup_clusters(
+            pairs.map_batches(rename, batch_format="pandas"))
+
+        def out(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"vec_id": b["doc_id"],
+                                 "cluster": b["cluster"]})
+
+        return labels.map_batches(out, batch_format="pandas")
+
+    def q_customers_with_events_semi(sf_dir):
+        # native left_semi: EXISTS with both sides hash-partitioned
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        ev = _read(sf_dir, "events", ["user_id"])
+        return cust.join(ev, join_type="left_semi",
+                         num_partitions=max(2, cpus // 2),
+                         on=("c_custkey",), right_on=("user_id",))
+
     # ---- multimodal plumbing (stubbed decode, real schema/batching)
     def q_multimodal_decode(sf_dir):
         import ray.data
@@ -1320,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "curate_training_set": q_curate_training_set,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_clusters": q_embedding_clusters,
+        "customers_with_events_semi": q_customers_with_events_semi,
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
         "multimodal_ppm": q_multimodal_ppm,
@@ -2855,6 +2886,36 @@ def oracle_sql() -> dict[str, str]:
               FROM inj a JOIN inj b ON a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, round(raw_s, 4) AS score
             FROM s WHERE raw_s >= 0.95
+        """,
+        "embedding_clusters": """
+            WITH RECURSIVE raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100),
+            inj AS (
+              SELECT vec_id, v FROM raw
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+              FROM raw),
+            p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM inj a JOIN inj b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+            edges AS (
+              SELECT vec_a AS a, vec_b AS b FROM p
+              UNION ALL
+              SELECT vec_b, vec_a FROM p),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node)
+            SELECT node AS vec_id, min(lab) AS cluster
+            FROM reach GROUP BY node
+        """,
+        "customers_with_events_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
