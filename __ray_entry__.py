@@ -877,7 +877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             + w(4, 0, "\nto be continued...")
             + w(6, 0, "\n# sym ## ###")
             + w(7, 0, "\nlorem ipsum dolor sit")
-            + w(5, 0, "\nvar f = function() {"))
+            + w(5, 0, "\nvar f = function() {")
+            + w(9, 0, "\nPlease click here to continue reading today."))
         return batch
 
     def q_gopher_filter(sf_dir):
@@ -1094,6 +1095,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doc_ocr_ray.stages.text_analysis import char_entropy_batch
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             char_entropy_batch, batch_format="pandas")
+
+    def q_curate_quality_funnel(sf_dir):
+        from doc_ocr_ray.pipelines.curate import curate_quality_funnel
+        return curate_quality_funnel(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_inject_filter_lines, batch_format="pandas"))
 
     def q_ccnet_buckets(sf_dir):
         # per-source head/middle/tail LM-score tertiles (CCNet)
@@ -1383,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
+        "curate_quality_funnel": q_curate_quality_funnel,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
         "stratified_sample": q_stratified_sample,
@@ -1667,6 +1675,96 @@ _LM_MILLI = ("CAST(coalesce(floor((1000 * s.sc) / (s.nb * "
              "(SELECT max(c) FROM cnt))), 0) AS BIGINT)")
 
 
+def _gopher_ctes(base: str) -> str:
+    """Gopher rule CTE chain over ``base(doc_id, text)`` ending in
+    ``gkeep(doc_id, n_words, <rule flags>, keep)`` — ONE copy shared
+    by the gopher_filter oracle and the composed quality-funnel
+    oracle so the rules can never drift between them."""
+    return f"""gl AS (SELECT doc_id,
+                    regexp_replace(unnest(string_split(text, chr(10))),
+                        '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g') AS line
+                  FROM {base}),
+            gla AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE
+                         regexp_matches(line, '^[-*•]')) AS BIGINT)
+                         AS n_bullet,
+                     CAST(count(*) FILTER (WHERE line LIKE '%...')
+                          AS BIGINT) AS n_ell
+                   FROM gl GROUP BY 1),
+            gw AS (SELECT doc_id,
+                    CAST({_NTOK} AS BIGINT) AS n_words,
+                    CAST(length(regexp_replace(text, '[\\t\\n\\f\\r ]',
+                         '', 'g')) AS BIGINT) AS n_nonspace,
+                    CAST(length(text) - length(replace(text, '#', ''))
+                         AS BIGINT) AS n_hash,
+                    CAST((length(text)
+                          - length(replace(text, '...', ''))) // 3
+                         AS BIGINT) AS n_ellipsis,
+                    CAST(CASE WHEN {_STRIP} = '' THEN 0 ELSE
+                         len(list_filter({_TOKENS},
+                             t -> regexp_matches(t, '[A-Za-z]'))) END
+                         AS BIGINT) AS n_alpha,
+                    CAST(len(list_intersect(list_distinct(
+                         regexp_split_to_array(lower({_STRIP}),
+                                               '\\s+')),
+                         ['the','a','of','and','to','in','is']))
+                         AS BIGINT) AS n_stop
+                  FROM {base}),
+            gkeep AS (SELECT gw.doc_id, n_words,
+              CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok,
+              CAST(3*n_words <= n_nonspace
+                   AND n_nonspace <= 10*n_words AS BIGINT) AS mwl_ok,
+              CAST(10*(n_hash + n_ellipsis) < n_words AS BIGINT)
+                  AS sym_ok,
+              CAST(10*n_bullet < 9*n_lines AS BIGINT) AS bullet_ok,
+              CAST(10*n_ell < 3*n_lines AS BIGINT) AS ellipsis_ok,
+              CAST(5*n_alpha >= 4*n_words AS BIGINT) AS alpha_ok,
+              CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
+              CAST(n_words BETWEEN 50 AND 100000
+                   AND 3*n_words <= n_nonspace
+                   AND n_nonspace <= 10*n_words
+                   AND 10*(n_hash + n_ellipsis) < n_words
+                   AND 10*n_bullet < 9*n_lines
+                   AND 10*n_ell < 3*n_lines
+                   AND 5*n_alpha >= 4*n_words
+                   AND n_stop >= 2 AS BIGINT) AS keep
+            FROM gw JOIN gla USING (doc_id))"""
+
+
+def _c4_ctes(base: str) -> str:
+    """C4 line-cleaning CTE chain over ``base(doc_id, text)`` ending
+    in ``c4out(doc_id, n_kept_lines, has_lorem, has_brace, keep,
+    clean_text)`` — shared like :func:`_gopher_ctes`."""
+    return f"""cln AS (SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS i,
+                     regexp_replace(unnest(string_split(text, chr(10))),
+                         '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g')
+                         AS line
+                   FROM {base}),
+            ck AS (SELECT doc_id, i, line,
+                    (regexp_matches(line, '[.!?"]$')
+                     AND (CASE WHEN line = '' THEN 0
+                          ELSE len(regexp_split_to_array(line,
+                                   '[\\t\\f\\r ]+')) END) >= 5) AS kept
+                  FROM cln),
+            ca AS (SELECT doc_id,
+                    CAST(count(*) FILTER (WHERE kept) AS BIGINT)
+                        AS n_kept_lines,
+                    coalesce(string_agg(line, chr(10) ORDER BY i)
+                             FILTER (WHERE kept), '') AS clean_text
+                  FROM ck GROUP BY 1),
+            c4out AS (SELECT b.doc_id, ca.n_kept_lines,
+              CAST(position('lorem ipsum' IN lower(b.text)) > 0
+                   AS BIGINT) AS has_lorem,
+              CAST(position('{{' IN b.text) > 0 AS BIGINT) AS has_brace,
+              CAST(ca.n_kept_lines >= 3
+                   AND position('lorem ipsum' IN lower(b.text)) = 0
+                   AND position('{{' IN b.text) = 0 AS BIGINT) AS keep,
+              ca.clean_text
+            FROM {base} b JOIN ca USING (doc_id))"""
+
+
 # data-mixing plan inputs, shared by q_mix_plan and its SQL twin
 _MIX_WEIGHTS = {f"src{i}": (i % 5) * 25 for i in range(20)}
 _MIX_BUDGET = 10_000_000
@@ -1700,6 +1798,8 @@ _FILTER_INJECT_SQL = (
     " ELSE '' END"
     " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var f = function() {'"
     " ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10) ||"
+    " 'Please click here to continue reading today.' ELSE '' END"
 )
 
 # stopword-density quality score on the integer 0..10000 grid, shared
@@ -3106,87 +3206,66 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": f"""
             WITH base AS (SELECT doc_id, {_FILTER_INJECT_SQL} AS text
                           FROM documents),
-            l AS (SELECT doc_id,
-                    regexp_replace(unnest(string_split(text, chr(10))),
-                        '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g') AS line
-                  FROM base),
-            la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-                     CAST(count(*) FILTER (WHERE
-                         regexp_matches(line, '^[-*•]')) AS BIGINT)
-                         AS n_bullet,
-                     CAST(count(*) FILTER (WHERE line LIKE '%...')
-                          AS BIGINT) AS n_ell
-                   FROM l GROUP BY 1),
-            w AS (SELECT doc_id,
-                    CAST({_NTOK} AS BIGINT) AS n_words,
-                    CAST(length(regexp_replace(text, '[\\t\\n\\f\\r ]',
-                         '', 'g')) AS BIGINT) AS n_nonspace,
-                    CAST(length(text) - length(replace(text, '#', ''))
-                         AS BIGINT) AS n_hash,
-                    CAST((length(text)
-                          - length(replace(text, '...', ''))) // 3
-                         AS BIGINT) AS n_ellipsis,
-                    CAST(CASE WHEN {_STRIP} = '' THEN 0 ELSE
-                         len(list_filter({_TOKENS},
-                             t -> regexp_matches(t, '[A-Za-z]'))) END
-                         AS BIGINT) AS n_alpha,
-                    CAST(len(list_intersect(list_distinct(
-                         regexp_split_to_array(lower({_STRIP}),
-                                               '\\s+')),
-                         ['the','a','of','and','to','in','is']))
-                         AS BIGINT) AS n_stop
-                  FROM base)
-            SELECT w.doc_id, n_words,
-              CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok,
-              CAST(3*n_words <= n_nonspace
-                   AND n_nonspace <= 10*n_words AS BIGINT) AS mwl_ok,
-              CAST(10*(n_hash + n_ellipsis) < n_words AS BIGINT)
-                  AS sym_ok,
-              CAST(10*n_bullet < 9*n_lines AS BIGINT) AS bullet_ok,
-              CAST(10*n_ell < 3*n_lines AS BIGINT) AS ellipsis_ok,
-              CAST(5*n_alpha >= 4*n_words AS BIGINT) AS alpha_ok,
-              CAST(n_stop >= 2 AS BIGINT) AS stop_ok,
-              CAST(n_words BETWEEN 50 AND 100000
-                   AND 3*n_words <= n_nonspace
-                   AND n_nonspace <= 10*n_words
-                   AND 10*(n_hash + n_ellipsis) < n_words
-                   AND 10*n_bullet < 9*n_lines
-                   AND 10*n_ell < 3*n_lines
-                   AND 5*n_alpha >= 4*n_words
-                   AND n_stop >= 2 AS BIGINT) AS keep
-            FROM w JOIN la USING (doc_id)
+            {_gopher_ctes('base')}
+            SELECT doc_id, n_words, wc_ok, mwl_ok, sym_ok, bullet_ok,
+                   ellipsis_ok, alpha_ok, stop_ok, keep
+            FROM gkeep
         """,
         "c4_filter": f"""
             WITH base AS (SELECT doc_id, {_FILTER_INJECT_SQL} AS text
                           FROM documents),
-            ln AS (SELECT doc_id,
-                     generate_subscripts(string_split(text, chr(10)), 1)
-                         AS i,
-                     regexp_replace(unnest(string_split(text, chr(10))),
-                         '^[\\t\\f\\r ]+|[\\t\\f\\r ]+$', '', 'g')
-                         AS line
-                   FROM base),
-            k AS (SELECT doc_id, i, line,
-                    (regexp_matches(line, '[.!?"]$')
-                     AND (CASE WHEN line = '' THEN 0
-                          ELSE len(regexp_split_to_array(line,
-                                   '[\\t\\f\\r ]+')) END) >= 5) AS kept
-                  FROM ln),
-            a AS (SELECT doc_id,
-                    CAST(count(*) FILTER (WHERE kept) AS BIGINT)
-                        AS n_kept_lines,
-                    coalesce(string_agg(line, chr(10) ORDER BY i)
-                             FILTER (WHERE kept), '') AS clean_text
-                  FROM k GROUP BY 1)
-            SELECT b.doc_id, a.n_kept_lines,
-              CAST(position('lorem ipsum' IN lower(b.text)) > 0
-                   AS BIGINT) AS has_lorem,
-              CAST(position('{{' IN b.text) > 0 AS BIGINT) AS has_brace,
-              CAST(a.n_kept_lines >= 3
-                   AND position('lorem ipsum' IN lower(b.text)) = 0
-                   AND position('{{' IN b.text) = 0 AS BIGINT) AS keep,
-              a.clean_text
-            FROM base b JOIN a USING (doc_id)
+            {_c4_ctes('base')}
+            SELECT doc_id, n_kept_lines, has_lorem, has_brace, keep,
+                   clean_text
+            FROM c4out
+        """,
+        # the composed quality funnel: gopher -> c4 (text rebuilt)
+        # -> blocklist over the REBUILT text -> entropy floor; CTEs
+        # generated from the SAME fragments as the per-stage oracles
+        "curate_quality_funnel": f"""
+            WITH base AS (SELECT doc_id, {_FILTER_INJECT_SQL} AS text
+                          FROM documents),
+            {_gopher_ctes('base')},
+            gsurv AS (SELECT doc_id, n_words FROM gkeep
+                      WHERE keep = 1),
+            b2 AS (SELECT b.doc_id, b.text
+                   FROM base b JOIN gsurv USING (doc_id)),
+            {_c4_ctes('b2')},
+            csurv AS (SELECT doc_id, n_kept_lines, clean_text
+                      FROM c4out WHERE keep = 1),
+            bl AS (SELECT doc_id,
+                     (length(lower(clean_text))
+                      - length(replace(lower(clean_text),
+                                       'lorem ipsum', ''))) // 11
+                   + (length(lower(clean_text))
+                      - length(replace(lower(clean_text),
+                                       'click here', ''))) // 10
+                   + (length(lower(clean_text))
+                      - length(replace(lower(clean_text),
+                                       'all rights reserved', ''))) // 19
+                       AS n_hits
+                   FROM csurv),
+            ch AS (SELECT doc_id, substr(clean_text, CAST(i AS INT), 1)
+                       AS c
+                   FROM csurv, LATERAL (SELECT unnest(
+                        range(1, length(clean_text) + 1)) AS i) r),
+            cc AS (SELECT doc_id, c, count(*) AS cnt
+                   FROM ch GROUP BY 1, 2),
+            en AS (SELECT cc.doc_id,
+                     CAST(floor(1000000 * ln(length(s.clean_text)))
+                          AS BIGINT)
+                     - CAST(sum(CAST(floor(1000000 * cnt * ln(cnt))
+                                     AS BIGINT)) AS BIGINT)
+                       // length(s.clean_text) AS ent_micro
+                   FROM cc JOIN csurv s USING (doc_id)
+                   GROUP BY cc.doc_id, s.clean_text)
+            SELECT s.doc_id, g.n_words, s.n_kept_lines, en.ent_micro,
+                   s.clean_text
+            FROM csurv s
+            JOIN gsurv g USING (doc_id)
+            JOIN bl USING (doc_id)
+            JOIN en USING (doc_id)
+            WHERE bl.n_hits = 0 AND en.ent_micro >= 1000000
         """,
         "tfidf_top_terms": """
             WITH w AS (SELECT doc_id,

@@ -206,6 +206,33 @@ def run_benchmarks() -> dict:
     timed("zscore_by_source",
           lambda: qs["zscore_by_source"](SF_DIR).count())
     timed("bpe_train", lambda: qs["bpe_train"](SF_DIR).num_rows)
+    timed("gopher_filter", lambda: qs["gopher_filter"](SF_DIR).count())
+    timed("c4_filter", lambda: qs["c4_filter"](SF_DIR).count())
+    timed("ccnet_buckets", lambda: qs["ccnet_buckets"](SF_DIR).count())
+    timed("dedup_minhash_incremental",
+          lambda: qs["dedup_minhash_incremental"](SF_DIR).count())
+    timed("phrase_blocklist",
+          lambda: qs["phrase_blocklist"](SF_DIR).count())
+    timed("char_entropy", lambda: qs["char_entropy"](SF_DIR).count())
+    timed("script_profile",
+          lambda: qs["script_profile"](SF_DIR).count())
+    timed("media_context", lambda: qs["media_context"](SF_DIR).count())
+    timed("revenue_by_nation",
+          lambda: qs["revenue_by_nation"](SF_DIR).count())
+    timed("events_rollup", lambda: qs["events_rollup"](SF_DIR).num_rows)
+    timed("retention_cohorts",
+          lambda: qs["retention_cohorts"](SF_DIR).count())
+    timed("distinct_users_by_type",
+          lambda: qs["distinct_users_by_type"](SF_DIR).count())
+    timed("realize_mix", lambda: qs["realize_mix"](SF_DIR).count())
+    timed("dup_line_signals",
+          lambda: qs["dup_line_signals"](SF_DIR).count())
+    timed("anti_join_native",
+          lambda: qs["customers_without_events_native"](SF_DIR).count())
+    timed("embedding_clusters",
+          lambda: qs["embedding_clusters"](SF_DIR).count())
+    timed("curate_quality_funnel",
+          lambda: qs["curate_quality_funnel"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -704,3 +704,67 @@ def realize_mix_plan(ds, weights, budget_tokens: int,
     # the projection pushes into the parquet scan
     return (ds.select_columns([key, group_col])
             .map_batches(explode, batch_format="pandas"))
+
+
+def curate_quality_funnel(ds, min_words: int = 50,
+                          min_sentences: int = 3,
+                          min_ent_micro: int = 1_000_000):
+    """The round-2 quality funnel, composed from the engine's own
+    document filters — every stage individually oracle-checked and
+    the COMPOSITION proven by one chained DuckDB oracle (Q:
+    ``curate_quality_funnel``):
+
+        Gopher composite rules -> C4 line cleaning (keep docs, text
+        REBUILT from kept lines) -> phrase blocklist over the rebuilt
+        text -> character-entropy floor (gibberish cut)
+
+    Output per surviving doc: ``(doc_id, n_words, n_kept_lines,
+    ent_micro, clean_text)``.
+
+    Scale shape: a pure filter chain — ONE stateless ``map_batches``
+    holding four vectorized kernels, no exchange anywhere, so the
+    funnel is embarrassingly parallel at any corpus size and each
+    stage only sees the previous stage's survivors.
+    """
+    from doc_ocr_ray.stages.text_analysis import (c4_filter_batch,
+                                                  char_entropy_batch,
+                                                  gopher_filter_batch,
+                                                  phrase_blocklist_batch)
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_words": pd.Series([], dtype="int64"),
+        "n_kept_lines": pd.Series([], dtype="int64"),
+        "ent_micro": pd.Series([], dtype="int64"),
+        "clean_text": pd.Series([], dtype="object")})
+
+    def funnel(batch: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_filter_batch(batch, min_words=min_words)
+        b = batch[(g["keep"] == 1).to_numpy()]
+        if not len(b):
+            return typed_if_empty(empty.copy())
+        nw = g.loc[(g["keep"] == 1).to_numpy(), "n_words"].to_numpy()
+        c = c4_filter_batch(b, min_sentences=min_sentences)
+        ck = (c["keep"] == 1).to_numpy()
+        if not ck.any():
+            return typed_if_empty(empty.copy())
+        stage2 = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[ck],
+            "n_words": nw[ck],
+            "n_kept_lines": c["n_kept_lines"].to_numpy()[ck],
+            "text": c["clean_text"].to_numpy()[ck]})
+        bl = phrase_blocklist_batch(stage2)
+        stage3 = stage2[(bl["keep"] == 1).to_numpy()]
+        if not len(stage3):
+            return typed_if_empty(empty.copy())
+        ent = char_entropy_batch(stage3)
+        keep = (ent["ent_micro"] >= min_ent_micro).to_numpy()
+        out = pd.DataFrame({
+            "doc_id": stage3["doc_id"].to_numpy()[keep],
+            "n_words": stage3["n_words"].to_numpy()[keep],
+            "n_kept_lines": stage3["n_kept_lines"].to_numpy()[keep],
+            "ent_micro": ent["ent_micro"].to_numpy()[keep],
+            "clean_text": stage3["text"].to_numpy()[keep]})
+        return typed_if_empty(out)
+
+    return ds.map_batches(funnel, batch_format="pandas")

@@ -1817,3 +1817,48 @@ def test_minhash_presigned_param_mismatch_fails_fast(ray_session):
     with pytest.raises(Exception, match="shingle_k"):
         minhash_against_corpus(new, signed_k3, shingle_k=5,
                                corpus_presigned=True).to_pandas()
+
+
+def test_curate_quality_funnel_every_stage_fires(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import curate_quality_funnel
+
+    good = ("the cat and a dog of the barn is in town to see more "
+            "words here now then when such fine long table chairs.\n"
+            "Second proper sentence with enough good words here.\n"
+            "Third proper sentence with enough fine words too.")
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": [
+        good,                                    # survives all stages
+        "a b",                                   # gopher: too short
+        good + "\nOnly two proper sentences survive here sir."
+        + "\nzz" * 0 + "\nlorem ipsum",          # c4: lorem blocklisted
+        good + "\nPlease click here to continue reading now.",
+        # entropy floor: gopher+c4-passing doc whose kept lines are
+        # low-diversity enough to score under a high floor
+        good,
+    ]})
+    out = curate_quality_funnel(
+        ray.data.from_pandas(docs),
+        min_words=10).to_pandas().set_index("doc_id")
+    assert 1 in out.index and 5 in out.index
+    assert 2 not in out.index          # gopher cut
+    assert 3 not in out.index          # c4 lorem cut
+    assert 4 not in out.index          # blocklist cut on rebuilt text
+    # entropy floor fires when raised above natural text entropy
+    strict = curate_quality_funnel(
+        ray.data.from_pandas(docs), min_words=10,
+        min_ent_micro=10_000_000).to_pandas()
+    assert len(strict) == 0
+    # gibberish scores BELOW normal text on the same floor: a doc of
+    # repeated shouting passes gopher/c4 but fails a mid floor
+    shout = pd.DataFrame({"doc_id": [9], "text": [
+        "the aaaa aaaa of aaaa aaaa and aaaa aaaa to aaaa aaaa aaaa.\n"
+        "the aaaa aaaa of aaaa aaaa and aaaa aaaa to aaaa aaaa aaaa!\n"
+        "the aaaa aaaa of aaaa aaaa and aaaa aaaa to aaaa aaaa aaaa?"]})
+    mid = curate_quality_funnel(ray.data.from_pandas(shout),
+                                min_words=10,
+                                min_ent_micro=2_000_000).to_pandas()
+    assert len(mid) == 0               # ent(aaaa-text) < 2.0
+    loose = curate_quality_funnel(ray.data.from_pandas(shout),
+                                  min_words=10).to_pandas()
+    assert len(loose) == 1             # but above the default floor
