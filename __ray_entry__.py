@@ -461,6 +461,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pd.concat([pert, fresh], ignore_index=True))
         return dedup.minhash_against_corpus(new, corpus, threshold=0.6)
 
+    def q_snapshot_diff(sf_dir):
+        # old = docs < 300; new = docs 100..399 with every 5th
+        # perturbed (token drop) -> removed 0..99, added 300..399,
+        # changed = multiples of 5 in [100, 300)
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        old = ray.data.from_pandas(
+            df[df["doc_id"] < 300].reset_index(drop=True))
+        new = df[(df["doc_id"] >= 100) & (df["doc_id"] < 400)].copy()
+        pert = new["doc_id"] % 5 == 0
+        new.loc[pert, "text"] = new.loc[pert, "text"].fillna("").map(
+            lambda t: " ".join(w for i, w in enumerate(t.split(" "))
+                               if i != 7))
+        return dedup.snapshot_diff(
+            old, ray.data.from_pandas(new.reset_index(drop=True)))
+
     def q_dedup_simhash(sf_dir):
         return dedup.simhash_dedup_pairs(_dup_injected_docs(sf_dir),
                                          max_hamming=3)
@@ -1339,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_verify": q_dedup_ngram_verify,
         "similarity_topk": q_similarity_topk,
@@ -2478,6 +2496,31 @@ def oracle_sql() -> dict[str, str]:
                    WHERE rn > 1 AND line <> ''), 0) AS BIGINT)
                    AS dup_line_chars
             FROM w GROUP BY 1
+        """,
+        # snapshot delta over the same normalized-md5 contract as the
+        # incremental dedup; the engine's '' status (unchanged) rows
+        # are filtered on both sides
+        "snapshot_diff": f"""
+            WITH o AS (
+              SELECT doc_id, min(md5({_NORM})) AS d
+              FROM documents WHERE doc_id < 300 GROUP BY 1),
+            nn AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       array_to_string(list_concat(
+                         str_split(coalesce(text, ''), ' ')[1:7],
+                         str_split(coalesce(text, ''), ' ')[9:]), ' ')
+                     ELSE coalesce(text, '') END AS text
+              FROM documents WHERE doc_id >= 100 AND doc_id < 400),
+            n AS (
+              SELECT doc_id, min(md5({_NORM})) AS d
+              FROM nn GROUP BY 1)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.d <> n.d
         """,
         "dedup_token_multiset": f"""
             SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text

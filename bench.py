@@ -231,6 +231,8 @@ def run_benchmarks() -> dict:
           lambda: qs["customers_without_events_native"](SF_DIR).count())
     timed("embedding_clusters",
           lambda: qs["embedding_clusters"](SF_DIR).count())
+    timed("snapshot_diff",
+          lambda: qs["snapshot_diff"](SF_DIR).count())
     timed("curate_quality_funnel",
           lambda: qs["curate_quality_funnel"](SF_DIR).count())
 

@@ -1367,3 +1367,55 @@ def cross_source_overlap(ds, window: int = 8, num_parts: int = 256):
             .groupby("part").map_groups(pair_group,
                                         batch_format="pandas")
             .groupby("ppart").map_groups(final, batch_format="pandas"))
+
+
+def snapshot_diff(old_ds, new_ds, key: str = "doc_id",
+                  text_col: str = "text", num_parts: int = 256):
+    """Crawl-snapshot delta: classify every key across two corpus
+    snapshots as ``added`` (new only), ``removed`` (old only) or
+    ``changed`` (present in both, normalized-text md5 differs) — the
+    incremental-ingestion planning operator that decides what to
+    re-process.  UNCHANGED keys are dropped: at web scale they
+    dominate and downstream wants the delta, not the corpus.  Output:
+    ``(key, status)``.
+
+    Shape: both sides slim to (key, hex digest) in-batch combiners —
+    text never rides the exchange — tagged union, ONE key-hash coarse
+    exchange, vectorized in-group compare.  Keys are expected unique
+    per snapshot; duplicates resolve deterministically to the
+    lexicographically smallest digest (min(), same on both engines).
+    """
+    def _slim(kind):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            dig = pd.Series(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in _normalize(batch[text_col])],
+                index=batch.index)
+            out = (pd.DataFrame({key: batch[key], "digest": dig})
+                   .groupby(key, sort=False)["digest"].min()
+                   .reset_index())
+            out["kind"] = np.int8(kind)
+            out["part"] = coarse_part(out[key], num_parts)
+            return typed_if_empty(out)
+        return f
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby([key, "kind"], sort=False)["digest"].min()
+             .unstack("kind"))
+        old_d = g[0] if 0 in g.columns else pd.Series(index=g.index,
+                                                      dtype="object")
+        new_d = g[1] if 1 in g.columns else pd.Series(index=g.index,
+                                                      dtype="object")
+        status = np.where(
+            old_d.isna(), "added",
+            np.where(new_d.isna(), "removed",
+                     np.where(old_d != new_d, "changed", "")))
+        out = pd.DataFrame({key: g.index, "status": status})
+        out = out[out["status"] != ""]
+        return typed_if_empty(out.reset_index(drop=True))
+
+    tagged = (old_ds.map_batches(_slim(0), batch_format="pandas")
+              .union(new_ds.map_batches(_slim(1),
+                                        batch_format="pandas")))
+    return tagged.groupby("part").map_groups(resolve,
+                                             batch_format="pandas")

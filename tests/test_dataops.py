@@ -1862,3 +1862,20 @@ def test_curate_quality_funnel_every_stage_fires(ray_session):
     loose = curate_quality_funnel(ray.data.from_pandas(shout),
                                   min_words=10).to_pandas()
     assert len(loose) == 1             # but above the default floor
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import snapshot_diff
+
+    old = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["same", "will change", "gone", "  Same   WS  "]}))
+    new = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 4, 5],
+        "text": ["same", "did change", "same ws", "brand new"]}))
+    out = (snapshot_diff(old, new).to_pandas()
+           .set_index("doc_id")["status"])
+    assert out.to_dict() == {2: "changed", 3: "removed", 5: "added"}
+    # doc 1 unchanged (dropped); doc 4 unchanged after normalization
+    # (edge strip + lowercase + whitespace collapse)
