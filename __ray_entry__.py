@@ -1163,6 +1163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.quantiles_by_source(
             _read(sf_dir, "documents", ["doc_id", "text", "source"]))
 
+    def q_corpus_report(sf_dir):
+        return text_analysis.corpus_report(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
     def q_mix_plan(sf_dir):
         return text_analysis.mix_plan(
             _read(sf_dir, "documents", ["doc_id", "text", "source"]),
@@ -1433,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "mix_plan": q_mix_plan,
+        "corpus_report": q_corpus_report,
         "realize_mix": q_realize_mix,
         "export_shards": q_export_shards,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2339,6 +2344,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(unnest(range(0, reps)) AS BIGINT) AS repeat_idx
             FROM r WHERE reps > 0
+        """,
+        # ROLLUP with the ALL sentinel (the events_rollup discipline);
+        # empty = whitespace-normalized text is '' on both sides
+        "corpus_report": f"""
+            WITH d AS (SELECT source, coalesce(text, '') AS text
+                       FROM documents),
+            t AS (SELECT source,
+                         CAST({_NTOK} AS BIGINT) AS ntok,
+                         CAST(length(text) AS BIGINT) AS nchr,
+                         CAST({_STRIP} = '' AS BIGINT) AS emp
+                  FROM d)
+            SELECT coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   CAST(sum(nchr) AS BIGINT) AS n_chars,
+                   CAST(sum(emp) AS BIGINT) AS n_empty,
+                   CAST(min(ntok) AS BIGINT) AS min_tokens,
+                   CAST(max(ntok) AS BIGINT) AS max_tokens
+            FROM t GROUP BY ROLLUP (source)
         """,
         "mix_plan": f"""
             WITH w(source, weight_milli) AS (VALUES {', '.join(

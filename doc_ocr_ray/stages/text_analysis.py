@@ -1764,3 +1764,69 @@ def dup_line_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "n_lines": n_lines.to_numpy(),
         "n_dup_lines": n_dup,
         "dup_line_chars": dup_chars}))
+
+
+def corpus_report(ds, group_col: str = "source"):
+    """Corpus report card: per-source document/token/char totals,
+    empty-after-normalization counts and token-count extrema, plus an
+    ``ALL`` rollup row — the first thing anyone asks of a new crawl
+    drop, and the lineage metric a curation run records per snapshot.
+    Output: ``(source, n_docs, n_tokens, n_chars, n_empty,
+    min_tokens, max_tokens)``.
+
+    Shape: per-batch partials collapse to one row per source per
+    block; ONE tiny source-keyed combine (sums + min-of-min +
+    max-of-max are all distributive); the ALL row derives from the
+    combined leaf (|sources| rows) at the driver.  Empty means the
+    whitespace-normalized text is '' — the same normalization the
+    dedup operators key on.
+    """
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = _tokens(text)
+        g = pd.DataFrame({
+            group_col: batch[group_col],
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_chars": text.str.len().astype("int64"),
+            "empty": (text.str.replace(_WS, "", regex=True) == "")
+                     .astype("int64")})
+        out = (g.groupby(group_col, sort=False)
+               .agg(n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum"),
+                    n_chars=("n_chars", "sum"),
+                    n_empty=("empty", "sum"),
+                    min_tokens=("n_tokens", "min"),
+                    max_tokens=("n_tokens", "max"))
+               .reset_index())
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: [group[group_col].iloc[0]],
+            "n_docs": [int(group["n_docs"].sum())],
+            "n_tokens": [int(group["n_tokens"].sum())],
+            "n_chars": [int(group["n_chars"].sum())],
+            "n_empty": [int(group["n_empty"].sum())],
+            "min_tokens": [int(group["min_tokens"].min())],
+            "max_tokens": [int(group["max_tokens"].max())]})
+
+    leaf = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(combine,
+                                           batch_format="pandas")
+            .to_pandas())
+    grand = pd.DataFrame({
+        group_col: ["ALL"],
+        "n_docs": [int(leaf["n_docs"].sum())],
+        "n_tokens": [int(leaf["n_tokens"].sum())],
+        "n_chars": [int(leaf["n_chars"].sum())],
+        "n_empty": [int(leaf["n_empty"].sum())],
+        "min_tokens": [int(leaf["min_tokens"].min())
+                       if len(leaf) else 0],
+        "max_tokens": [int(leaf["max_tokens"].max())
+                       if len(leaf) else 0]})
+    out = pd.concat([leaf, grand], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

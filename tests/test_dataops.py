@@ -1879,3 +1879,22 @@ def test_snapshot_diff_statuses(ray_session):
     assert out.to_dict() == {2: "changed", 3: "removed", 5: "added"}
     # doc 1 unchanged (dropped); doc 4 unchanged after normalization
     # (edge strip + lowercase + whitespace collapse)
+
+
+def test_corpus_report_rollup_and_extrema(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import corpus_report
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "b", "b"],
+        "text": ["one two three", "one", "   ", None]})
+    out = (corpus_report(ray.data.from_pandas(docs)).to_pandas()
+           .set_index("source"))
+    assert out.loc["a"].tolist() == [2, 4, 16, 0, 1, 3]
+    # b: whitespace-only and NULL both count as empty, 0 tokens
+    assert out.loc["b", "n_empty"] == 2
+    assert out.loc["b", "n_tokens"] == 0
+    assert out.loc["ALL", "n_docs"] == 4
+    assert out.loc["ALL", "min_tokens"] == 0
+    assert out.loc["ALL", "max_tokens"] == 3
