@@ -65,6 +65,9 @@ def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
         ds.write_lance(tmp)
     else:
         ds.write_parquet(tmp)
+    # a zero-row dataset writes NOTHING (no tmp dir) — an all-filtered
+    # shard is still a legitimately committed, empty partition
+    os.makedirs(tmp, exist_ok=True)
     os.replace(tmp, final)
     return final
 

@@ -115,3 +115,39 @@ def test_read_documents_accepts_file_list(tmp_path):
     part = read_documents(files[::2])
     whole = read_documents(d)
     assert 0 < part.count() < whole.count() == 20
+
+
+def test_run_curate_resume_and_empty_partition(tmp_path):
+    """Curation job commits, resumes, and an all-filtered shard still
+    commits an EMPTY partition (zero-row write must not crash)."""
+    import pandas as pd
+    inp = str(tmp_path / "docs.parquet")
+    # docs 0..39: even ids get 3 proper sentences (funnel survivors at
+    # min-words 5); odd ids stay single-line -> filtered entirely
+    rows = []
+    for i in range(40):
+        t = "the cat and a dog of the barn is in town to see it"
+        if i % 2 == 0:
+            t += ("\nFirst proper sentence with enough words here."
+                  "\nSecond proper sentence with enough words too."
+                  "\nThird proper sentence with enough words again.")
+        rows.append({"doc_id": i, "text": t})
+    pd.DataFrame(rows).to_parquet(inp, index=False)
+    out = str(tmp_path / "job")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+           "--input", inp, "--output", out, "--shards", "2",
+           "--min-words", "5", "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    summary = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert summary["shards_done"] == 2
+    assert summary["rows_out"] == 20      # the 20 even docs survive
+    # resume: both shards skip
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0
+    assert r2.stdout.count("already committed") == 2
+    # parameter drift is refused
+    r3 = subprocess.run(cmd[:-3] + ["7", "--num-cpus", "4"], env=env,
+                        capture_output=True, text=True)
+    assert r3.returncode == 2
