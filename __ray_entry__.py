@@ -494,6 +494,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           threshold=0.6)
         return dedup.verify_pairs_exact(docs, pairs, threshold=0.6)
 
+    def q_dedup_edit_verify(sf_dir):
+        # the last rung of the dedup verify ladder: LSH candidates ->
+        # byte-level Levenshtein ratio on the milli grid
+        docs = _dup_injected_docs(sf_dir)
+        pairs = dedup.minhash_dedup_pairs(docs, num_perm=256,
+                                          num_bands=64, threshold=0.6)
+        return dedup.verify_pairs_edit(docs, pairs,
+                                       max_dist_milli=200)
+
     # ---- similarity search
     def q_similarity_topk(sf_dir):
         emb = _read(sf_dir, "embeddings")
@@ -1363,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_verify": q_dedup_ngram_verify,
+        "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -1595,6 +1605,68 @@ def _minhash_sql() -> str:
                floor(10000.0 * (CAST(m AS DOUBLE) / 64)) / 10000
                    AS est_jaccard
         FROM simm WHERE CAST(m AS DOUBLE) / 64 >= 0.6
+    """
+
+
+def _minhash_edit_sql() -> str:
+    """Bit-exact SQL twin of q_dedup_edit_verify: the seed-1 signature
+    / banding CTEs at num_perm=256 / 64 bands (4 rows per band, same
+    as the 64/16 default) over the injected testbed, candidates kept
+    at est >= 0.6, then DuckDB's byte-level ``levenshtein`` on the
+    normalized texts with the integer milli-ratio the engine states
+    (``strlen`` = UTF-8 byte length — both sides byte-level)."""
+    from doc_ocr_ray.stages.dedup import _perm_params
+    a, b = _perm_params(256, seed=1)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(256))
+    powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
+    shingle = " + ".join(
+        f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers))
+    return f"""
+        WITH {_INJ_JACCARD},
+        nn AS (SELECT doc_id,
+                      CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                           ELSE t END AS t
+               FROM norm WHERE t <> ''),
+        shg AS (SELECT DISTINCT doc_id,
+                       ({shingle}) % 2147483647 AS h
+                FROM nn, LATERAL (SELECT unnest(range(1, length(t) - 3))
+                                      AS i)),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(pi, pa, pb)),
+        sig AS (SELECT doc_id, pi,
+                       CAST(min(((pa::HUGEINT * h + pb)
+                                 % 18446744073709551616)
+                                // 4294967296) AS BIGINT) AS v
+                FROM shg CROSS JOIN perms GROUP BY doc_id, pi
+                UNION ALL
+                SELECT n.doc_id, p.pi, 4294967295 AS v
+                FROM norm n CROSS JOIN perms p WHERE n.t = ''),
+        bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi)
+                    AS bsig
+                FROM sig GROUP BY doc_id, pi // 4),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bnd x JOIN bnd y
+                   ON x.band = y.band AND x.bsig = y.bsig
+                      AND x.doc_id < y.doc_id),
+        simm AS (SELECT c.doc_a, c.doc_b,
+                        CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0
+                                 END) AS BIGINT) AS m
+                 FROM cand c
+                 JOIN sig s1 ON s1.doc_id = c.doc_a
+                 JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
+                 GROUP BY 1, 2),
+        hits AS (SELECT doc_a, doc_b FROM simm
+                 WHERE CAST(m AS DOUBLE) / 256 >= 0.6),
+        ed AS (SELECT h.doc_a, h.doc_b,
+                 CAST(levenshtein(na.t, nb.t) AS BIGINT) AS dist,
+                 greatest(strlen(na.t), strlen(nb.t)) AS mx
+               FROM hits h
+               JOIN norm na ON na.doc_id = h.doc_a
+               JOIN norm nb ON nb.doc_id = h.doc_b)
+        SELECT doc_a, doc_b, dist,
+               CAST((1000 * dist) // mx AS BIGINT) AS dist_milli
+        FROM ed WHERE mx > 0 AND (1000 * dist) // mx <= 200
     """
 
 
@@ -2921,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_sql(),
         "dedup_minhash_incremental": _minhash_incr_sql(),
+        "dedup_edit_verify": _minhash_edit_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": f"""
             WITH RECURSIVE {_INJ_JACCARD},

@@ -1419,3 +1419,103 @@ def snapshot_diff(old_ds, new_ds, key: str = "doc_id",
                                         batch_format="pandas")))
     return tagged.groupby("part").map_groups(resolve,
                                              batch_format="pandas")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein over UTF-8 BYTES, two-row DP vectorized
+    along the inner dimension with numpy (np.minimum.accumulate
+    realizes the column-wise deletion recurrence).  Byte-level on
+    purpose: DuckDB's ``levenshtein()`` operates on bytes, so the SQL
+    twin is bit-exact; for ASCII text bytes == characters."""
+    if a == b:
+        return 0
+    ab, bbytes = a.encode("utf-8"), b.encode("utf-8")
+    if not ab:
+        return len(bbytes)
+    if not bbytes:
+        return len(ab)
+    bb = np.frombuffer(bbytes, dtype=np.uint8)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    for i, ca in enumerate(np.frombuffer(ab, dtype=np.uint8), 1):
+        sub = prev[:-1] + (bb != ca)          # substitution / match
+        ins = prev[1:] + 1                    # insertion (from above)
+        cur = np.empty(len(bb) + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(sub, ins)
+        # deletion (from the left) needs a running scan:
+        # cur[j] = min(cur[j], cur[j-1] + 1)
+        cur = np.minimum.accumulate(cur + np.arange(len(cur), 0, -1)) \
+            - np.arange(len(cur), 0, -1)
+        prev = cur
+    return int(prev[-1])
+
+
+def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
+                      text_col: str = "text"):
+    """Edit-distance verification of candidate pairs — the
+    finest-grained (and most expensive) dedup verifier, run LAST in
+    the ladder after LSH banding and n-gram Jaccard have cut the
+    candidate set: keep pairs whose normalized-text Levenshtein
+    distance is at most ``max_dist_milli``/1000 of the longer text.
+    Returns (doc_a, doc_b, dist, dist_milli) with the ratio on the
+    integer milli grid ``(1000*dist)//max(bytes_a,bytes_b)`` — pure
+    integers over UTF-8 BYTE lengths (DuckDB's levenshtein and
+    octet_length are byte-level), so the SQL twin is trivially
+    bit-exact.
+
+    Same distributed shape as :func:`verify_pairs_exact`: candidate
+    ids broadcast, texts gathered by a distributed filter
+    (candidate-sized output), pairs scored per partition.  Per-pair
+    cost is O(len_a*len_b/simd) — that is WHY this runs last.
+    """
+    import ray
+
+    pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    need = set()
+    for b in pairs.iter_batches(batch_size=65536,
+                                batch_format="pandas"):
+        need.update(b["doc_a"].tolist())
+        need.update(b["doc_b"].tolist())
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "dist": pd.Series([], dtype="int64"),
+        "dist_milli": pd.Series([], dtype="int64")})
+    if not need:
+        import ray.data as _rd
+        return _rd.from_pandas(empty)
+    need_ref = ray.put(need)
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(need_ref)
+        hit = batch[batch["doc_id"].isin(ns)]
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": hit["doc_id"].astype("int64").to_numpy(),
+            "norm": _normalize(hit[text_col]).to_numpy()}))
+
+    got = ds.map_batches(gather, batch_format="pandas").take_all()
+    texts = {int(r["doc_id"]): r["norm"] for r in got}
+    texts_ref = ray.put(texts)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(texts_ref)
+        out_a, out_b, out_d, out_m = [], [], [], []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            ta, tb = ts.get(int(a)), ts.get(int(b))
+            if ta is None or tb is None:
+                continue
+            la, lb = len(ta.encode("utf-8")), len(tb.encode("utf-8"))
+            if not max(la, lb):
+                continue
+            d = _levenshtein(ta, tb)
+            m = (1000 * d) // max(la, lb)
+            if m <= max_dist_milli:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_d.append(d); out_m.append(m)
+        return typed_if_empty(pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "dist": pd.Series(out_d, dtype="int64"),
+            "dist_milli": pd.Series(out_m, dtype="int64")}))
+
+    return pairs.map_batches(score, batch_format="pandas")

@@ -1898,3 +1898,27 @@ def test_corpus_report_rollup_and_extrema(ray_session):
     assert out.loc["ALL", "n_docs"] == 4
     assert out.loc["ALL", "min_tokens"] == 0
     assert out.loc["ALL", "max_tokens"] == 3
+
+
+def test_verify_pairs_edit_milli_grid(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import verify_pairs_edit, _levenshtein
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps",
+                 "the quick brown fox jump",     # dist 1 of 25 bytes
+                 "completely different thing"]}))
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [1, 1], "doc_b": [2, 3]}))
+    out = (verify_pairs_edit(docs, pairs, max_dist_milli=200)
+           .to_pandas().set_index("doc_b"))
+    assert list(out.index) == [2]
+    assert out.loc[2, "dist"] == 1
+    assert out.loc[2, "dist_milli"] == 1000 // 25
+    # byte-level parity with DuckDB on multibyte text
+    import duckdb
+    for a, b in [("中文字符", "中字符号"), ("naïve", "naive")]:
+        want = duckdb.sql(
+            f"SELECT levenshtein('{a}', '{b}')").df().iloc[0, 0]
+        assert _levenshtein(a, b) == want
