@@ -294,10 +294,15 @@ def _pagerank_sql() -> str:
 _BPE_MERGES = 3
 
 
-def _bpe_sql(merges: int = _BPE_MERGES) -> str:
+def _bpe_sql(merges: int = _BPE_MERGES,
+             include_final: bool = False) -> str:
     """Chained-CTE twin of stages/text_analysis.py:bpe_train —
     identical word histogram, overlapping pair counts, (cnt DESC, a,
-    b) tie-break, and the same TWO space-bounded replaces per merge."""
+    b) tie-break, and the same TWO space-bounded replaces per merge.
+    With ``include_final`` the LAST merge is applied too (table
+    ``w{merges}``) and only the CTE chain is returned, so the
+    bpe_apply oracle can encode documents with the learned
+    merges."""
     sql = f"""
         WITH tk AS (SELECT unnest({_TOKENS}) AS word FROM documents
                     WHERE {_STRIP} <> ''),
@@ -318,7 +323,7 @@ def _bpe_sql(merges: int = _BPE_MERGES) -> str:
                  GROUP BY 1, 2),
         m{k} AS (SELECT a, b, c FROM p{k}
                  ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
-        if k < merges:
+        if k < merges or include_final:
             pat = (f"' ' || (SELECT a FROM m{k}) || ' ' || "
                    f"(SELECT b FROM m{k}) || ' '")
             rep = (f"' ' || (SELECT a FROM m{k}) || "
@@ -328,11 +333,32 @@ def _bpe_sql(merges: int = _BPE_MERGES) -> str:
                         replace(replace(seq, {pat}, {rep}),
                                 {pat}, {rep}) AS seq
                  FROM {prev})"""
+    if include_final:
+        return sql
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS rank, a AS left_sym, "
         f"b AS right_sym, a || b AS merged, CAST(c AS BIGINT) AS cnt "
         f"FROM m{k}" for k in range(1, merges + 1))
     return sql + "\n        " + selects
+
+
+def _bpe_apply_sql(merges: int = _BPE_MERGES) -> str:
+    """bpe_apply twin: learn the merges (same chained CTEs), apply
+    the last one too, then encode every document as the sum of its
+    words' final symbol counts (empty docs encode to 0)."""
+    return _bpe_sql(merges, include_final=True) + f""",
+        fin AS (SELECT word,
+                  CAST(len(regexp_split_to_array(trim(seq, ' '), ' '))
+                       AS BIGINT) AS ns
+                FROM w{merges}),
+        dt AS (SELECT doc_id, unnest({_TOKENS}) AS word
+               FROM documents WHERE {_STRIP} <> ''),
+        enc AS (SELECT dt.doc_id, CAST(sum(fin.ns) AS BIGINT) AS n
+                FROM dt JOIN fin USING (word) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(enc.n, 0) AS BIGINT) AS n_symbols
+        FROM documents d LEFT JOIN enc USING (doc_id)
+    """
 
 
 def _canon_url_sql(expr: str) -> str:
@@ -1301,6 +1327,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .map_batches(_inject_urls, batch_format="pandas"))
         return filter_blocked_domains(ds, _BLOCKED_DOMAINS)
 
+    def q_bpe_apply(sf_dir):
+        # train then encode: the learned merges ride the closure
+        merges = text_analysis.bpe_train(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            merges=_BPE_MERGES)
+        return text_analysis.bpe_apply(
+            _read(sf_dir, "documents", ["doc_id", "text"]), merges)
+
     def q_bpe_train(sf_dir):
         # distributed BPE tokenizer training, 3 merge rounds
         from doc_ocr_ray.stages.text_analysis import bpe_train
@@ -1362,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "zscore_by_source": q_zscore_by_source,
         "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         "dedup_lines": q_dedup_lines,
@@ -2483,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "bpe_train": _bpe_sql(),
+        "bpe_apply": _bpe_apply_sql(),
         # per-source z-score: integer num/radicand, then ONE double
         # multiply/sqrt/divide in the stated order -> bit-identical
         # doubles (bm25 discipline); zero-variance groups define z=0

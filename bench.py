@@ -231,6 +231,7 @@ def run_benchmarks() -> dict:
           lambda: qs["customers_without_events_native"](SF_DIR).count())
     timed("embedding_clusters",
           lambda: qs["embedding_clusters"](SF_DIR).count())
+    timed("bpe_apply", lambda: qs["bpe_apply"](SF_DIR).count())
     timed("dedup_edit_verify",
           lambda: qs["dedup_edit_verify"](SF_DIR).count())
     timed("corpus_report",

@@ -1830,3 +1830,40 @@ def corpus_report(ds, group_col: str = "source"):
                        if len(leaf) else 0]})
     out = pd.concat([leaf, grand], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bpe_apply(ds, merges_tbl):
+    """Encode the corpus with LEARNED BPE merges — the application
+    half that :func:`bpe_train` trains: per document, the total
+    symbol count after every merge is applied in rank order.  Output:
+    ``(doc_id, n_symbols)`` (empty docs encode to 0).
+
+    The merge table (a handful of rows) rides the task closure; the
+    pass is ONE stateless vectorized ``map_batches``, no shuffle.
+    Semantics are bpe_train's exactly — TWO space-bounded substring
+    replaces per merge — applied to a per-DOC sentinel string with
+    DOUBLE spaces between words, so a merge pattern (single interior
+    spaces) can never cross a word boundary and the result equals the
+    per-word application the SQL twin states.
+    """
+    m = (merges_tbl.to_pandas()
+         if not isinstance(merges_tbl, pd.DataFrame) else merges_tbl)
+    pairs = list(zip(m.sort_values("rank")["left_sym"],
+                     m.sort_values("rank")["right_sym"]))
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        s = pd.Series(
+            [(" " + "  ".join(" ".join(w) for w in ws) + " ")
+             if len(ws) else "" for ws in toks],
+            index=batch.index, dtype="object")
+        for a, b in pairs:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            s = (s.str.replace(pat, rep, regex=False)
+                 .str.replace(pat, rep, regex=False))
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_symbols": s.str.split().str.len()
+                          .fillna(0).astype("int64")}))
+
+    return ds.map_batches(encode, batch_format="pandas")

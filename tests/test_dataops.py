@@ -1922,3 +1922,22 @@ def test_verify_pairs_edit_milli_grid(ray_session):
         want = duckdb.sql(
             f"SELECT levenshtein('{a}', '{b}')").df().iloc[0, 0]
         assert _levenshtein(a, b) == want
+
+
+def test_bpe_apply_counts_after_merges(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import bpe_apply
+
+    merges = pd.DataFrame({
+        "rank": [1, 2], "left_sym": ["e", "er"],
+        "right_sym": ["r", "s"], "merged": ["er", "ers"],
+        "cnt": [9, 9]})
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["hers verse", "", "xy"]}))
+    out = bpe_apply(docs, merges).to_pandas().set_index("doc_id")
+    # hers: h e r s -> h er s -> h ers (2); verse: v e r s e ->
+    # v er s e -> v ers e (3)
+    assert out.loc[1, "n_symbols"] == 2 + 3
+    assert out.loc[2, "n_symbols"] == 0
+    assert out.loc[3, "n_symbols"] == 2
