@@ -1585,25 +1585,27 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_sql() -> str:
-    """Bit-exact SQL twin of minhash_dedup_pairs(num_perm=64,
-    num_bands=16, threshold=0.6) over the injected testbed: the
-    polynomial shingle hash is 5 integer literals, the multiply-shift
-    permutations are the engine's own seed-1 constants baked as a
-    VALUES table, and the uint64 wrap is HUGEINT arithmetic mod 2^64.
-    Buckets compare the 4-value band tuple directly where the engine
-    compares a 63-bit md5 of the same bytes — equal values ⟺ equal
-    md5 up to a collision the est>=0.6 verify would reject anyway."""
+def _minhash_sig_ctes(num_perm: int) -> str:
+    """Shared seed-1 MinHash signature / banding CTE fragment
+    (``nn → shg → perms → sig → bnd → cand → simm``), parameterized by
+    ``num_perm`` (bands are always 4 rows wide: 64 perms → 16 bands,
+    256 → 64) — ONE copy so the bit-exactness-critical constants
+    (shingle-hash integer literals, HUGEINT uint64 wrap, band tuple
+    compare, all-MAXH empty-doc sentinel) cannot drift between the
+    three minhash oracles.  Expects a ``norm`` CTE in scope with
+    ``(doc_id, t)``.  Buckets compare the 4-value band tuple directly
+    where the engine compares a 63-bit md5 of the same bytes — equal
+    values ⟺ equal md5 up to a collision the est-threshold verify
+    would reject anyway."""
     from doc_ocr_ray.stages.dedup import _perm_params
-    a, b = _perm_params(64, seed=1)
+    a, b = _perm_params(num_perm, seed=1)
     perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
-                          for i in range(64))
+                          for i in range(num_perm))
     powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
     shingle = " + ".join(
         f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
         for j, p in enumerate(powers))
     return f"""
-        WITH {_INJ_JACCARD},
         nn AS (SELECT doc_id,
                       CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
                            ELSE t END AS t
@@ -1623,60 +1625,6 @@ def _minhash_sql() -> str:
                 -- signature, so two empty docs pair at est = 1.0
                 SELECT n.doc_id, p.pi, 4294967295 AS v
                 FROM norm n CROSS JOIN perms p WHERE n.t = ''),
-        bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi) AS bsig
-                FROM sig GROUP BY doc_id, pi // 4),
-        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM bnd x JOIN bnd y
-                   ON x.band = y.band AND x.bsig = y.bsig
-                      AND x.doc_id < y.doc_id),
-        simm AS (SELECT c.doc_a, c.doc_b,
-                        CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END)
-                             AS BIGINT) AS m
-                 FROM cand c
-                 JOIN sig s1 ON s1.doc_id = c.doc_a
-                 JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
-                 GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               floor(10000.0 * (CAST(m AS DOUBLE) / 64)) / 10000
-                   AS est_jaccard
-        FROM simm WHERE CAST(m AS DOUBLE) / 64 >= 0.6
-    """
-
-
-def _minhash_edit_sql() -> str:
-    """Bit-exact SQL twin of q_dedup_edit_verify: the seed-1 signature
-    / banding CTEs at num_perm=256 / 64 bands (4 rows per band, same
-    as the 64/16 default) over the injected testbed, candidates kept
-    at est >= 0.6, then DuckDB's byte-level ``levenshtein`` on the
-    normalized texts with the integer milli-ratio the engine states
-    (``strlen`` = UTF-8 byte length — both sides byte-level)."""
-    from doc_ocr_ray.stages.dedup import _perm_params
-    a, b = _perm_params(256, seed=1)
-    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
-                          for i in range(256))
-    powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
-    shingle = " + ".join(
-        f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
-        for j, p in enumerate(powers))
-    return f"""
-        WITH {_INJ_JACCARD},
-        nn AS (SELECT doc_id,
-                      CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
-                           ELSE t END AS t
-               FROM norm WHERE t <> ''),
-        shg AS (SELECT DISTINCT doc_id,
-                       ({shingle}) % 2147483647 AS h
-                FROM nn, LATERAL (SELECT unnest(range(1, length(t) - 3))
-                                      AS i)),
-        perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(pi, pa, pb)),
-        sig AS (SELECT doc_id, pi,
-                       CAST(min(((pa::HUGEINT * h + pb)
-                                 % 18446744073709551616)
-                                // 4294967296) AS BIGINT) AS v
-                FROM shg CROSS JOIN perms GROUP BY doc_id, pi
-                UNION ALL
-                SELECT n.doc_id, p.pi, 4294967295 AS v
-                FROM norm n CROSS JOIN perms p WHERE n.t = ''),
         bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi)
                     AS bsig
                 FROM sig GROUP BY doc_id, pi // 4),
@@ -1690,7 +1638,33 @@ def _minhash_edit_sql() -> str:
                  FROM cand c
                  JOIN sig s1 ON s1.doc_id = c.doc_a
                  JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
-                 GROUP BY 1, 2),
+                 GROUP BY 1, 2)"""
+
+
+def _minhash_sql() -> str:
+    """Bit-exact SQL twin of minhash_dedup_pairs(num_perm=64,
+    num_bands=16, threshold=0.6) over the injected testbed: the
+    signature / banding fragment is :func:`_minhash_sig_ctes`."""
+    return f"""
+        WITH {_INJ_JACCARD},
+        {_minhash_sig_ctes(64)}
+        SELECT doc_a, doc_b,
+               floor(10000.0 * (CAST(m AS DOUBLE) / 64)) / 10000
+                   AS est_jaccard
+        FROM simm WHERE CAST(m AS DOUBLE) / 64 >= 0.6
+    """
+
+
+def _minhash_edit_sql() -> str:
+    """Bit-exact SQL twin of q_dedup_edit_verify: the
+    :func:`_minhash_sig_ctes` fragment at num_perm=256 / 64 bands over
+    the injected testbed, candidates kept at est >= 0.6, then DuckDB's
+    byte-level ``levenshtein`` on the normalized texts with the
+    integer milli-ratio the engine states (``strlen`` = UTF-8 byte
+    length — both sides byte-level)."""
+    return f"""
+        WITH {_INJ_JACCARD},
+        {_minhash_sig_ctes(256)},
         hits AS (SELECT doc_a, doc_b FROM simm
                  WHERE CAST(m AS DOUBLE) / 256 >= 0.6),
         ed AS (SELECT h.doc_a, h.doc_b,
@@ -1713,14 +1687,6 @@ def _minhash_incr_sql() -> str:
     rule as ONE NOT EXISTS.  Corpus ids are always < new ids here, so
     "corpus doc or smaller-id new doc" reduces to "any bucket partner
     with a smaller doc_id"."""
-    from doc_ocr_ray.stages.dedup import _perm_params
-    a, b = _perm_params(64, seed=1)
-    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
-                          for i in range(64))
-    powers = [pow(257, 4 - j, 2147483647) for j in range(5)]
-    shingle = " + ".join(
-        f"CAST(unicode(substr(t, i + {j}, 1)) AS BIGINT) * {p}"
-        for j, p in enumerate(powers))
     return f"""
         WITH inp AS (
           -- coalesce in every arm: the engine fillna('')s BEFORE
@@ -1743,37 +1709,7 @@ def _minhash_incr_sql() -> str:
                  regexp_replace(lower(regexp_replace(text,
                      '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
           FROM inp),
-        nn AS (SELECT doc_id,
-                      CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
-                           ELSE t END AS t
-               FROM norm WHERE t <> ''),
-        shg AS (SELECT DISTINCT doc_id,
-                       ({shingle}) % 2147483647 AS h
-                FROM nn, LATERAL (SELECT unnest(range(1, length(t) - 3))
-                                      AS i)),
-        perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(pi, pa, pb)),
-        sig AS (SELECT doc_id, pi,
-                       CAST(min(((pa::HUGEINT * h + pb)
-                                 % 18446744073709551616)
-                                // 4294967296) AS BIGINT) AS v
-                FROM shg CROSS JOIN perms GROUP BY doc_id, pi
-                UNION ALL
-                SELECT n.doc_id, p.pi, 4294967295 AS v
-                FROM norm n CROSS JOIN perms p WHERE n.t = ''),
-        bnd AS (SELECT doc_id, pi // 4 AS band, list(v ORDER BY pi)
-                    AS bsig
-                FROM sig GROUP BY doc_id, pi // 4),
-        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM bnd x JOIN bnd y
-                   ON x.band = y.band AND x.bsig = y.bsig
-                      AND x.doc_id < y.doc_id),
-        simm AS (SELECT c.doc_a, c.doc_b,
-                        CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0
-                                 END) AS BIGINT) AS m
-                 FROM cand c
-                 JOIN sig s1 ON s1.doc_id = c.doc_a
-                 JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.pi = s1.pi
-                 GROUP BY 1, 2),
+        {_minhash_sig_ctes(64)},
         drops AS (SELECT DISTINCT doc_b AS doc_id FROM simm
                   WHERE CAST(m AS DOUBLE) / 64 >= 0.6)
         SELECT i.doc_id, coalesce(i.text, '') AS text
@@ -2453,9 +2389,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE reps > 0
         """,
         # ROLLUP with the ALL sentinel (the events_rollup discipline);
-        # empty = whitespace-normalized text is '' on both sides
+        # empty = whitespace-normalized text is '' on both sides; NULL
+        # sources become their own '(null)' group BEFORE the rollup so
+        # only the subtotal row carries the rollup NULL
         "corpus_report": f"""
-            WITH d AS (SELECT source, coalesce(text, '') AS text
+            WITH d AS (SELECT coalesce(source, '(null)') AS source,
+                              coalesce(text, '') AS text
                        FROM documents),
             t AS (SELECT source,
                          CAST({_NTOK} AS BIGINT) AS ntok,

@@ -66,10 +66,29 @@ def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
     else:
         ds.write_parquet(tmp)
     # a zero-row dataset writes NOTHING (no tmp dir) — an all-filtered
-    # shard is still a legitimately committed, empty partition
+    # shard is still a legitimately committed, empty partition.  Write a
+    # schema-bearing zero-row file so the partition list stays readable
+    # (read_parquet over a path list chokes on a file-less directory).
     os.makedirs(tmp, exist_ok=True)
+    if not os.listdir(tmp):
+        _write_empty_marker(ds, tmp)
     os.replace(tmp, final)
     return final
+
+
+def _write_empty_marker(ds, tmp: str) -> None:
+    """Persist a zero-row parquet file carrying the dataset's schema (if
+    known) into ``tmp`` so empty partitions read back like any other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    try:
+        sch = ds.schema()
+    except Exception:
+        sch = None
+    base = getattr(sch, "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        base = pa.schema([])
+    pq.write_table(base.empty_table(), os.path.join(tmp, "empty.parquet"))
 
 
 def read_questions(out_dir: str):
@@ -79,8 +98,25 @@ def read_questions(out_dir: str):
                    if d.startswith("part-"))
     if not parts:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    # skip file-less partitions (all-filtered shards from before the
+    # empty-marker fix); zero-row marker files read back like any other
+    nonempty = [p for p in parts if os.listdir(p)]
+    if not nonempty:
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({}))
+    parts = nonempty
     if _have_lance():
         # partitions were written as Lance datasets: read each and union
         dsets = [ray.data.read_lance(p) for p in parts]
         return dsets[0] if len(dsets) == 1 else dsets[0].union(*dsets[1:])
-    return ray.data.read_parquet(parts)
+    # read_parquet accepts a list of FILES or one directory, not a list
+    # of directories — enumerate the committed files explicitly
+    files: List[str] = []
+    for p in parts:
+        for root, _dirs, fnames in os.walk(p):
+            files.extend(os.path.join(root, f) for f in sorted(fnames)
+                         if f.endswith(".parquet"))
+    if not files:
+        import pyarrow as pa
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.read_parquet(files)

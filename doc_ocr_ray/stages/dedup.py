@@ -852,55 +852,71 @@ def _md5_shingle_set(text: str, k: int = 5) -> np.ndarray:
         dtype=np.int64, count=-1))
 
 
-def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
-    """Exact n-gram Jaccard verification of candidate pairs — fully
+def _pair_verify_scaffold(ds, pairs_ds, per_doc, empty_df):
+    """Shared broadcast/gather skeleton for the pair verifiers
+    (:func:`verify_pairs_exact`, :func:`verify_pairs_edit`) — fully
     distributed; nothing corpus-sized touches the driver:
 
     1. candidate pairs materialize once (consumed for the id-set and
        for scoring);
     2. the candidate id-set is broadcast (``ray.put``) and each doc's
-       shingle-hash set is computed by a distributed filter over the
-       corpus — output is candidate-sized;
-    3. the gathered hash sets are broadcast back and each pair
-       partition scores its pairs locally.
+       payload (``per_doc(hit_rows) -> list``) is computed by a
+       distributed filter over the corpus — output is candidate-sized;
+    3. the gathered payload map is broadcast back for each pair
+       partition to score its pairs locally.
 
     Scale assumption: the candidate set (LSH output) fits the object
     store — true whenever the verified pair list itself is storable.
-    Pairs where either side has no shingles (empty text) are dropped.
-    ``jaccard`` uses the grid-safe ratio floor(1e4*inter/union)/1e4
-    (identical op order to the SQL oracle; round() is half-up in
-    DuckDB but half-even here).  Returns a Dataset (doc_a, doc_b,
-    jaccard)."""
+    Returns ``(pairs_dataset, payload_ref)`` or ``(None,
+    empty_dataset)`` when there are no candidates."""
     import ray
+    import ray.data as _rd
 
     pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
     need = set()
     for b in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
         need.update(b["doc_a"].tolist()); need.update(b["doc_b"].tolist())
     if not need:
-        import ray.data as _rd
-        return _rd.from_pandas(pd.DataFrame({
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64")}))
+        return None, _rd.from_pandas(empty_df)
     need_ref = ray.put(need)
 
     def gather(batch: pd.DataFrame) -> pd.DataFrame:
         ns = ray.get(need_ref)
         hit = batch[batch["doc_id"].isin(ns)]
-        return pd.DataFrame({
-            "doc_id": hit["doc_id"].to_numpy(),
-            "shingles": [_md5_shingle_set(t, k).tobytes()
-                         for t in hit["text"].fillna("")],
-        })
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": hit["doc_id"].astype("int64").to_numpy(),
+            "payload": per_doc(hit)}))
 
     got = ds.map_batches(gather, batch_format="pandas").take_all()
-    sets = {int(r["doc_id"]): np.frombuffer(r["shingles"], dtype=np.int64)
-            for r in got}
-    sets_ref = ray.put(sets)
+    payload_ref = ray.put({int(r["doc_id"]): r["payload"] for r in got})
+    return pairs, payload_ref
+
+
+def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
+    """Exact n-gram Jaccard verification of candidate pairs — the
+    :func:`_pair_verify_scaffold` shape with shingle-hash sets as the
+    per-doc payload.  Pairs where either side has no shingles (empty
+    text) are dropped.  ``jaccard`` uses the grid-safe ratio
+    floor(1e4*inter/union)/1e4 (identical op order to the SQL oracle;
+    round() is half-up in DuckDB but half-even here).  Returns a
+    Dataset (doc_a, doc_b, jaccard)."""
+    import ray
+
+    pairs, ref_or_empty = _pair_verify_scaffold(
+        ds, pairs_ds,
+        lambda hit: [_md5_shingle_set(t, k).tobytes()
+                     for t in hit["text"].fillna("")],
+        pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")}))
+    if pairs is None:
+        return ref_or_empty
+    sets_ref = ref_or_empty
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ss = ray.get(sets_ref)
+        ss = {d: np.frombuffer(p, dtype=np.int64)
+              for d, p in ray.get(sets_ref).items()}
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["doc_a"], batch["doc_b"]):
             sa = ss.get(int(a))
@@ -1463,39 +1479,25 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
     octet_length are byte-level), so the SQL twin is trivially
     bit-exact.
 
-    Same distributed shape as :func:`verify_pairs_exact`: candidate
-    ids broadcast, texts gathered by a distributed filter
-    (candidate-sized output), pairs scored per partition.  Per-pair
-    cost is O(len_a*len_b/simd) — that is WHY this runs last.
+    Shares :func:`_pair_verify_scaffold` with
+    :func:`verify_pairs_exact` (normalized text is the per-doc
+    payload).  Per-pair cost is O(len_a*len_b/simd) — that is WHY this
+    runs last — so pairs whose byte-length difference alone already
+    exceeds the ratio bound (dist >= \\|la-lb\\|) skip the DP for free.
     """
     import ray
 
-    pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
-    need = set()
-    for b in pairs.iter_batches(batch_size=65536,
-                                batch_format="pandas"):
-        need.update(b["doc_a"].tolist())
-        need.update(b["doc_b"].tolist())
-    empty = pd.DataFrame({
-        "doc_a": pd.Series([], dtype="int64"),
-        "doc_b": pd.Series([], dtype="int64"),
-        "dist": pd.Series([], dtype="int64"),
-        "dist_milli": pd.Series([], dtype="int64")})
-    if not need:
-        import ray.data as _rd
-        return _rd.from_pandas(empty)
-    need_ref = ray.put(need)
-
-    def gather(batch: pd.DataFrame) -> pd.DataFrame:
-        ns = ray.get(need_ref)
-        hit = batch[batch["doc_id"].isin(ns)]
-        return typed_if_empty(pd.DataFrame({
-            "doc_id": hit["doc_id"].astype("int64").to_numpy(),
-            "norm": _normalize(hit[text_col]).to_numpy()}))
-
-    got = ds.map_batches(gather, batch_format="pandas").take_all()
-    texts = {int(r["doc_id"]): r["norm"] for r in got}
-    texts_ref = ray.put(texts)
+    pairs, ref_or_empty = _pair_verify_scaffold(
+        ds, pairs_ds,
+        lambda hit: _normalize(hit[text_col]).to_numpy(),
+        pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+            "dist_milli": pd.Series([], dtype="int64")}))
+    if pairs is None:
+        return ref_or_empty
+    texts_ref = ref_or_empty
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         ts = ray.get(texts_ref)
@@ -1507,6 +1509,8 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
             la, lb = len(ta.encode("utf-8")), len(tb.encode("utf-8"))
             if not max(la, lb):
                 continue
+            if (1000 * abs(la - lb)) // max(la, lb) > max_dist_milli:
+                continue          # guaranteed rejected: dist >= |la-lb|
             d = _levenshtein(ta, tb)
             m = (1000 * d) // max(la, lb)
             if m <= max_dist_milli:

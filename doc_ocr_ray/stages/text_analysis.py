@@ -1779,7 +1779,9 @@ def corpus_report(ds, group_col: str = "source"):
     max-of-max are all distributive); the ALL row derives from the
     combined leaf (|sources| rows) at the driver.  Empty means the
     whitespace-normalized text is '' — the same normalization the
-    dedup operators key on.
+    dedup operators key on.  NULL sources report as their own
+    ``(null)`` group (pandas groupby silently drops NaN keys, and a
+    bare ROLLUP would conflate a NULL group with its subtotal row).
     """
     import pyarrow as pa
 
@@ -1787,7 +1789,7 @@ def corpus_report(ds, group_col: str = "source"):
         text = batch["text"].fillna("")
         toks = _tokens(text)
         g = pd.DataFrame({
-            group_col: batch[group_col],
+            group_col: batch[group_col].fillna("(null)"),
             "n_tokens": toks.str.len().astype("int64"),
             "n_chars": text.str.len().astype("int64"),
             "empty": (text.str.replace(_WS, "", regex=True) == "")

@@ -20,16 +20,15 @@ This script owns the Ray session (unlike the library / __ray_entry__).
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from jobs.run_extract import _input_files  # shared sharding rules
+from jobs._driver import (files_fingerprint, init_session,  # noqa: E402
+                          prepare_manifest, shard_slice)
 
 
 def main() -> int:
@@ -47,42 +46,20 @@ def main() -> int:
     args = ap.parse_args()
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
-    from doc_ocr_ray.runtime import configure_data_context
-    configure_data_context(args.num_cpus)
+    init_session(args.num_cpus)
 
     from doc_ocr_ray.pipelines.curate import curate_quality_funnel
-    from doc_ocr_ray.sources.io import read_documents, write_table
-    from doc_ocr_ray.state.manifest import JobManifest
+    from doc_ocr_ray.sources.io import write_table
 
     job_params = {"input": args.input, "shards": args.shards,
                   "min_words": args.min_words,
                   "min_sentences": args.min_sentences,
                   "min_ent_micro": args.min_ent_micro,
-                  "input_files_md5": hashlib.md5(
-                      "\n".join(_input_files(args.input)).encode()
-                  ).hexdigest()}
-    manifest_path = os.path.join(args.output, "manifest.json")
-    if args.fresh and os.path.isdir(args.output):
-        if os.path.exists(manifest_path):
-            os.remove(manifest_path)
-        for d in os.listdir(args.output):
-            if d.startswith("part-") or d.startswith(".tmp-"):
-                shutil.rmtree(os.path.join(args.output, d))
-    manifest = JobManifest(manifest_path)
-    recorded = manifest.records.get("_job")
-    if recorded is not None and recorded.get("params") != job_params:
-        print(f"ERROR: existing manifest was written by a job with "
-              f"different parameters {recorded.get('params')} != "
-              f"{job_params}. Use --fresh to restart.", file=sys.stderr)
+                  "input_files_md5": files_fingerprint(args.input)}
+    manifest, err = prepare_manifest(args.output, job_params, args.fresh)
+    if manifest is None:
         ray.shutdown()
-        return 2
-    if recorded is None:
-        manifest.records["_job"] = {"params": job_params}
-        manifest._flush()
+        return err
 
     t_start = time.time()
     for shard in range(args.shards):
@@ -91,26 +68,11 @@ def main() -> int:
                   flush=True)
             continue
         t0 = time.time()
-        files = _input_files(args.input)
-        if len(files) >= args.shards or len(files) > 1:
-            mine = files[shard::args.shards]
-            if not mine:
-                manifest.mark_done(shard, rows_in=0, rows_out=0,
-                                   output="", wall_sec=0.0)
-                continue
-            ds = read_documents(mine)
-        else:
-            import pyarrow as pa
-
-            def pick(batch: pa.Table, shard=shard,
-                     n=args.shards) -> pa.Table:
-                keep = [i for i, d in
-                        enumerate(batch["doc_id"].to_pylist())
-                        if int(hashlib.md5(str(d).encode())
-                               .hexdigest()[:8], 16) % n == shard]
-                return batch.take(keep)
-            ds = read_documents(args.input).map_batches(
-                pick, batch_format="pyarrow")
+        ds = shard_slice(args.input, shard, args.shards)
+        if ds is None:
+            manifest.mark_done(shard, rows_in=0, rows_out=0,
+                               output="", wall_sec=0.0)
+            continue
         out = curate_quality_funnel(ds, min_words=args.min_words,
                                     min_sentences=args.min_sentences,
                                     min_ent_micro=args.min_ent_micro)

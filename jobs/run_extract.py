@@ -26,25 +26,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _input_files(path: str):
-    if os.path.isdir(path):
-        if os.path.exists(os.path.join(path, "_versions")):
-            # a Lance dataset directory is ONE input, not a file list —
-            # its internal entries (data/, _versions/, ...) must not be
-            # sharded as if they were parquet files
-            return [path]
-        return sorted(
-            os.path.join(path, f) for f in os.listdir(path)
-            if os.path.isfile(os.path.join(path, f))
-            and not f.startswith(".") and f != "manifest.json")
-    return [path]
+from jobs._driver import (files_fingerprint, init_session,  # noqa: E402
+                          input_files as _input_files, prepare_manifest,
+                          shard_slice)
 
 
 def main() -> int:
@@ -61,48 +50,20 @@ def main() -> int:
     args = ap.parse_args()
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
-    from doc_ocr_ray.runtime import configure_data_context
-    configure_data_context(args.num_cpus)
+    init_session(args.num_cpus)
 
     from doc_ocr_ray import synth
     from doc_ocr_ray.pipelines.extract import extract_questions
-    from doc_ocr_ray.sources.io import read_documents, write_table
-    from doc_ocr_ray.state.manifest import JobManifest
+    from doc_ocr_ray.sources.io import write_table
 
     job_params = {"input": args.input, "shards": args.shards,
                   "seed": args.seed, "mega_doc_every": args.mega_doc_every}
     if not args.input.startswith("synth:"):
-        # shard slices depend on the resolved file list — a file added,
-        # removed, or renamed between runs would silently shift every
-        # slice, so the list's fingerprint is part of the job identity
-        import hashlib
-        job_params["input_files_md5"] = hashlib.md5(
-            "\n".join(_input_files(args.input)).encode()).hexdigest()
-    manifest_path = os.path.join(args.output, "manifest.json")
-    if args.fresh and os.path.isdir(args.output):
-        # stale partitions from a prior (possibly differently-sharded)
-        # run would be unioned into reads — remove everything
-        if os.path.exists(manifest_path):
-            os.remove(manifest_path)
-        for d in os.listdir(args.output):
-            if d.startswith("part-") or d.startswith(".tmp-"):
-                shutil.rmtree(os.path.join(args.output, d))
-    manifest = JobManifest(manifest_path)
-    recorded = manifest.records.get("_job")
-    if recorded is not None and recorded.get("params") != job_params:
-        print(f"ERROR: existing manifest was written by a job with "
-              f"different parameters {recorded.get('params')} != "
-              f"{job_params}; shard indices would mean different slices. "
-              f"Use --fresh to restart.", file=sys.stderr)
+        job_params["input_files_md5"] = files_fingerprint(args.input)
+    manifest, err = prepare_manifest(args.output, job_params, args.fresh)
+    if manifest is None:
         ray.shutdown()
-        return 2
-    if recorded is None:
-        manifest.records["_job"] = {"params": job_params}
-        manifest._flush()
+        return err
 
     t_start = time.time()
 
@@ -125,32 +86,12 @@ def main() -> int:
                                         start=start)
             rows_in = count
         else:
-            files = _input_files(args.input)
-            if len(files) >= args.shards or len(files) > 1:
-                # file-based sharding: each shard reads ONLY its files
-                mine = files[shard::args.shards]
-                if not mine:
-                    manifest.mark_done(shard, rows_in=0, rows_out=0,
-                                       output="", wall_sec=0.0)
-                    continue
-                ds = read_documents(mine)
-                rows_in = -1            # unknown without an extra pass
-            else:
-                # single unsplittable file: hash-shard by doc_id (each
-                # shard re-reads the file — documented trade-off)
-                ds = read_documents(args.input)
-                import hashlib
-                import pyarrow as pa
-
-                def pick(batch: pa.Table, shard=shard,
-                         n=args.shards) -> pa.Table:
-                    keep = [i for i, d in
-                            enumerate(batch["doc_id"].to_pylist())
-                            if int(hashlib.md5(d.encode()).hexdigest()[:8],
-                                   16) % n == shard]
-                    return batch.take(keep)
-                ds = ds.map_batches(pick, batch_format="pyarrow")
-                rows_in = -1
+            ds = shard_slice(args.input, shard, args.shards)
+            if ds is None:
+                manifest.mark_done(shard, rows_in=0, rows_out=0,
+                                   output="", wall_sec=0.0)
+                continue
+            rows_in = -1                # unknown without an extra pass
         out = extract_questions(ds)
         final = write_table(out, args.output, partition_id=shard)
         # per-partition lineage metrics computed from the committed

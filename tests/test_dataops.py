@@ -1898,6 +1898,16 @@ def test_corpus_report_rollup_and_extrema(ray_session):
     assert out.loc["ALL", "n_docs"] == 4
     assert out.loc["ALL", "min_tokens"] == 0
     assert out.loc["ALL", "max_tokens"] == 3
+    # NULL sources are their own labeled group, not silently dropped
+    docs2 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["a", None],
+        "text": ["one two", "three"]})
+    out2 = (corpus_report(ray.data.from_pandas(docs2)).to_pandas()
+            .set_index("source"))
+    assert out2.loc["(null)", "n_docs"] == 1
+    assert out2.loc["ALL", "n_docs"] == 2
+    assert out2.loc["ALL", "n_tokens"] == 3
 
 
 def test_verify_pairs_edit_milli_grid(ray_session):

@@ -120,18 +120,24 @@ def test_read_documents_accepts_file_list(tmp_path):
 def test_run_curate_resume_and_empty_partition(tmp_path):
     """Curation job commits, resumes, and an all-filtered shard still
     commits an EMPTY partition (zero-row write must not crash)."""
+    import hashlib
     import pandas as pd
     inp = str(tmp_path / "docs.parquet")
-    # docs 0..39: even ids get 3 proper sentences (funnel survivors at
-    # min-words 5); odd ids stay single-line -> filtered entirely
+    # docs 0..39: every doc hashing into shard 0 (the driver's md5 pick
+    # rule) gets 3 proper sentences (funnel survivors at min-words 5);
+    # shard-1 docs stay single-line -> shard 1 commits an EMPTY partition
     rows = []
+    n_keep = 0
     for i in range(40):
+        shard = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
         t = "the cat and a dog of the barn is in town to see it"
-        if i % 2 == 0:
+        if shard == 0:
+            n_keep += 1
             t += ("\nFirst proper sentence with enough words here."
                   "\nSecond proper sentence with enough words too."
                   "\nThird proper sentence with enough words again.")
         rows.append({"doc_id": i, "text": t})
+    assert n_keep not in (0, 40)    # both shard fates represented
     pd.DataFrame(rows).to_parquet(inp, index=False)
     out = str(tmp_path / "job")
     env = dict(os.environ, RAY_GRAFT_CPUS="4")
@@ -142,7 +148,20 @@ def test_run_curate_resume_and_empty_partition(tmp_path):
     assert r1.returncode == 0, r1.stderr[-2000:]
     summary = json.loads(r1.stdout.strip().splitlines()[-1])
     assert summary["shards_done"] == 2
-    assert summary["rows_out"] == 20      # the 20 even docs survive
+    assert summary["rows_out"] == n_keep  # only shard-0 docs survive
+    # one partition is empty but still committed AND the partitioned
+    # output reads back whole (empty marker file, not a bare dir)
+    assert r1.stdout.count("kept=0") == 1
+    read_cmd = [sys.executable, "-c",
+                "import sys; sys.path.insert(0, %r); "
+                "import ray; ray.init(address='local', num_cpus=4, "
+                "include_dashboard=False, logging_level='ERROR'); "
+                "from doc_ocr_ray.sources.io import read_questions; "
+                "print('ROWS', read_questions(%r).count()); "
+                "ray.shutdown()" % (REPO, out)]
+    rb = subprocess.run(read_cmd, env=env, capture_output=True, text=True)
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    assert f"ROWS {n_keep}" in rb.stdout
     # resume: both shards skip
     r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
     assert r2.returncode == 0
