@@ -1241,6 +1241,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return median_value_by_type(
             _read(sf_dir, "events", ["event_type", "value"]))
 
+    def q_moving_sum_per_user(sf_dir):
+        # fixed-width ROWS window + lag — sliding counterpart of the
+        # running sum (same coarse key partition, window math in-group)
+        from doc_ocr_ray.stages.sketch import moving_sum_per_user
+        return moving_sum_per_user(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+    def q_events_cube(sf_dir):
+        from doc_ocr_ray.pipelines.events import events_cube
+        return events_cube(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+    def q_above_avg_orders(sf_dir):
+        # correlated-subquery shape: one coarse custkey exchange,
+        # division-free cross-multiplied group-average comparison
+        return relational.above_avg_orders(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"]))
+
+    def q_daily_activity(sf_dir):
+        # native FULL OUTER join of two per-day aggregate tables —
+        # both sides dangle (events-only days, orders-only days)
+        return relational.daily_activity(
+            _read(sf_dir, "events", ["ts"]),
+            _read(sf_dir, "orders", ["o_orderdate"]))
+
     def q_distinct_event_types(sf_dir):
         # Dataset.unique — the native distinct (a shuffle).  None-safe
         # sort key: SELECT DISTINCT retains NULLs and None < str raises.
@@ -1491,6 +1517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_kmv": q_distinct_tokens_kmv,
         "running_sum_per_user": q_running_sum_per_user,
         "median_value_by_type": q_median_value_by_type,
+        "moving_sum_per_user": q_moving_sum_per_user,
+        "events_cube": q_events_cube,
+        "above_avg_orders": q_above_avg_orders,
+        "daily_activity": q_daily_activity,
         "distinct_event_types": q_distinct_event_types,
         "events_by_type": q_events_by_type,
         "events_by_type_native": q_events_by_type_native,
@@ -3766,6 +3796,66 @@ def oracle_sql() -> dict[str, str]:
                    floor(10000 * quantile_cont(value, 0.5)) / 10000
                        AS median_value
             FROM events GROUP BY event_type
+        """,
+        "moving_sum_per_user": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS moving_cents,
+                   CAST(lag(cents, 1, 0) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS prev_cents
+            FROM e
+        """,
+        # CUBE with the ALL sentinel in whichever key is aggregated
+        # away (the events_rollup discipline, plus the by-day level)
+        "events_cube": """
+            WITH e AS (SELECT event_type,
+                              strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM e GROUP BY CUBE (event_type, day)
+        """,
+        # correlated subquery as a window: price*n > sum is the
+        # division-free twin of price > avg (no grid anywhere)
+        "above_avg_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS price_cents
+                       FROM orders),
+            w AS (SELECT *,
+                         sum(price_cents) OVER (PARTITION BY o_custkey)
+                             AS s,
+                         count(*) OVER (PARTITION BY o_custkey) AS c
+                  FROM o)
+            SELECT o_orderkey, o_custkey, price_cents
+            FROM w WHERE price_cents * c > s
+        """,
+        "daily_activity": """
+            WITH ev_d AS (SELECT CAST(floor(floor(epoch(ts)) / 86400.0)
+                                      AS BIGINT) AS day,
+                                 CAST(count(*) AS BIGINT) AS n_events
+                          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+                 or_d AS (SELECT CAST(floor(floor(epoch(o_orderdate))
+                                            / 86400.0)
+                                      AS BIGINT) AS day,
+                                 CAST(count(*) AS BIGINT) AS n_orders
+                          FROM orders WHERE o_orderdate IS NOT NULL
+                          GROUP BY 1)
+            SELECT coalesce(ev_d.day, or_d.day) AS day,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(n_orders, 0) AS n_orders
+            FROM ev_d FULL OUTER JOIN or_d ON ev_d.day = or_d.day
         """,
         "props_k_histogram": """
             SELECT CAST(floor(coalesce(

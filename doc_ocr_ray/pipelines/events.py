@@ -593,22 +593,15 @@ def funnel_counts(ds, steps, ts_col: str = "ts",
             .groupby("step").map_groups(combine, batch_format="pandas"))
 
 
-def events_rollup(ds):
-    """GROUP BY ROLLUP parity: (event_type, day) leaf aggregates plus
-    per-type subtotals plus the grand total, with the literal ``ALL``
-    standing in for the rollup NULL (a real NULL in a key column is
-    indistinguishable from the rollup marker — the classic warehouse
-    footgun — so both engines emit the sentinel).  Output:
-    ``(event_type, day, n, sum_value)``.
-
-    Shape: one distributed partial-aggregate pass collapses the corpus
-    to (type x day) leaf partials (cardinality-bounded, NOT
-    corpus-bounded), one tiny groupby combines them, and the two
-    higher rollup levels are derived FROM the combined leaf at the
-    driver — rows touched after the one exchange = |types| x |days|.
-    Cents discipline as everywhere (see events_by_type).
-    """
-    import pyarrow as pa
+def _events_type_day_leaf(ds) -> pd.DataFrame:
+    """(event_type, day) leaf aggregates — the shared base of
+    :func:`events_rollup` and :func:`events_cube`: one distributed
+    partial-aggregate pass collapses the corpus to (type x day) leaf
+    partials (cardinality-bounded, NOT corpus-bounded), one tiny
+    groupby combines them.  Higher grouping levels derive FROM the
+    combined leaf at the driver — rows touched after the one exchange
+    = |types| x |days|.  Cents discipline as everywhere
+    (see events_by_type)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
@@ -629,10 +622,24 @@ def events_rollup(ds):
         out["sum_cents"] = out["sum_cents"].astype("int64")
         return _typed_if_empty(out)
 
-    leaf = (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
             .groupby(["event_type", "day"])
             .map_groups(combine, batch_format="pandas")
             .to_pandas())
+
+
+def events_rollup(ds):
+    """GROUP BY ROLLUP parity: (event_type, day) leaf aggregates plus
+    per-type subtotals plus the grand total, with the literal ``ALL``
+    standing in for the rollup NULL (a real NULL in a key column is
+    indistinguishable from the rollup marker — the classic warehouse
+    footgun — so both engines emit the sentinel).  Output:
+    ``(event_type, day, n, sum_value)``.  Leaf shape:
+    :func:`_events_type_day_leaf`.
+    """
+    import pyarrow as pa
+
+    leaf = _events_type_day_leaf(ds)
     by_type = (leaf.groupby("event_type", as_index=False)
                .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
     by_type["day"] = "ALL"
@@ -645,6 +652,44 @@ def events_rollup(ds):
     if leaf.empty:
         # SQL ROLLUP on an empty input still emits the grand row,
         # with sum() NULL (not 0): mirror it
+        allr["sum_value"] = np.nan
+    allr["n"] = allr["n"].astype("int64")
+    out = allr[["event_type", "day", "n", "sum_value"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_cube(ds):
+    """GROUP BY CUBE parity: every grouping level over (event_type,
+    day) — the leaf, per-type subtotals, per-DAY subtotals (the level
+    ROLLUP lacks), and the grand total, with the ``ALL`` sentinel in
+    whichever key is aggregated away (same footgun rationale as
+    :func:`events_rollup`).  Output: ``(event_type, day, n,
+    sum_value)``.
+
+    Same scale shape as the rollup: ONE distributed exchange builds
+    the (type x day) leaf (:func:`_events_type_day_leaf`); all four
+    cube levels derive from it at the driver, touching |types| x
+    |days| rows — a second corpus pass per level (what CUBE naively
+    costs) is never needed because every level is a re-aggregation of
+    the leaf."""
+    import pyarrow as pa
+
+    leaf = _events_type_day_leaf(ds)
+    by_type = (leaf.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    by_type["day"] = "ALL"
+    by_day = (leaf.groupby("day", as_index=False)
+              .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    by_day["event_type"] = "ALL"
+    grand = pd.DataFrame({
+        "event_type": ["ALL"], "day": ["ALL"],
+        "n": [int(leaf["n"].sum())],
+        "sum_cents": [int(leaf["sum_cents"].sum())]})
+    allr = pd.concat([leaf, by_type, by_day, grand], ignore_index=True)
+    allr["sum_value"] = allr["sum_cents"].astype("int64") / 100.0
+    if leaf.empty:
+        # SQL CUBE on an empty input still emits the grand row, with
+        # sum() NULL (not 0): mirror it
         allr["sum_value"] = np.nan
     allr["n"] = allr["n"].astype("int64")
     out = allr[["event_type", "day", "n", "sum_value"]]

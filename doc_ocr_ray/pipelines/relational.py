@@ -283,3 +283,106 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_ds,
     return (joined.map_batches(partial, batch_format="pandas")
             .groupby("n_nationkey")
             .map_groups(final, batch_format="pandas"))
+
+
+def above_avg_orders(orders_ds, num_partitions: int = 128):
+    """Orders priced above their customer's average order price — the
+    correlated-subquery shape (``WHERE o_totalprice > (SELECT avg(..)
+    .. same custkey)``) without a second corpus pass: ONE coarse
+    custkey-hash exchange co-locates each customer's orders, and the
+    group filter is the DIVISION-FREE cross-multiplied comparison
+    ``price_cents * n > sum_cents`` — no average is ever computed, so
+    no float or rounding grid exists anywhere and the DuckDB window
+    twin is trivially bit-exact.  Output: ``(o_orderkey, o_custkey,
+    price_cents)``.
+
+    Scale shape: the exchange carries (orderkey, custkey, cents) only;
+    per-group work is two vectorized transforms.  Skewed customers cap
+    at orders-per-customer, which is bounded in practice."""
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        return typed_if_empty(pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].astype("int64"),
+            "o_custkey": batch["o_custkey"].astype("int64"),
+            "price_cents": np.floor(batch["o_totalprice"] * 100
+                                    + 0.5).astype("int64"),
+            "part": (batch["o_custkey"] % num_partitions)
+                    .astype("int64")}))
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        by_cust = group.groupby("o_custkey", sort=False)["price_cents"]
+        s = by_cust.transform("sum")
+        n = by_cust.transform("size")
+        keep = group[group["price_cents"] * n > s]
+        return keep[["o_orderkey", "o_custkey", "price_cents"]]
+
+    return (orders_ds.map_batches(prep, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
+def daily_activity(events_ds, orders_ds, num_partitions: int = 8):
+    """Per-day activity reconciliation across two logs: event counts
+    FULL OUTER order counts on the integer epoch day — the join mode
+    where BOTH sides dangle (days with only events, days with only
+    orders), completing the native-join ladder
+    (inner/left_semi/left_anti/full_outer).  Output: ``(day,
+    n_events, n_orders)`` with 0 on the absent side.
+
+    Scale shape: each side collapses to per-day partials (in-batch
+    combine, one tiny day-keyed groupby) BEFORE the join, so Ray
+    Data's native hash-shuffle ``full_outer`` joins two
+    cardinality-bounded aggregate tables, never event/order rows.
+    Days use floor(epoch_seconds / 86400) (tz-proof, exact for
+    pre-1970 dates too — same rule as retention_cohorts)."""
+    def day_counts(ts_col, out_col):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            from doc_ocr_ray.util import typed_if_empty
+            ts = batch[ts_col]
+            days = (ts[ts.notna()].astype("datetime64[ns]")
+                    .astype("int64") // 10**9 // 86400)
+            out = (days.value_counts().rename_axis("day")
+                   .reset_index(name=out_col))
+            out["day"] = out["day"].astype("int64")
+            out[out_col] = out[out_col].astype("int64")
+            return typed_if_empty(out)
+
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "day": [int(group["day"].iloc[0])],
+                out_col: [int(group[out_col].sum())]})
+
+        return partial, combine
+
+    ep, ec = day_counts("ts", "n_events")
+    op, oc = day_counts("o_orderdate", "n_orders")
+    ev = (events_ds.map_batches(ep, batch_format="pandas")
+          .groupby("day").map_groups(ec, batch_format="pandas"))
+    od = (orders_ds.map_batches(op, batch_format="pandas")
+          .groupby("day").map_groups(oc, batch_format="pandas"))
+    joined = ev.join(od, join_type="full_outer",
+                     num_partitions=num_partitions,
+                     on=("day",), right_on=("day",),
+                     left_suffix="_e", right_suffix="_o")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64")})
+        if batch.empty:
+            return typed_if_empty(empty)
+        cols = {c: batch[c] for c in batch.columns}
+        # full_outer emits each side's key column; the dangling side's
+        # is NULL — coalesce to one day key, absent counts to 0
+        day_e = cols.get("day_e", cols.get("day"))
+        day_o = cols.get("day_o", cols.get("day"))
+        day = day_e.where(day_e.notna(), day_o)
+        out = pd.DataFrame({
+            "day": day.astype("int64"),
+            "n_events": cols["n_events"].fillna(0).astype("int64"),
+            "n_orders": cols["n_orders"].fillna(0).astype("int64")})
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

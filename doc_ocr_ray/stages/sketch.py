@@ -114,6 +114,39 @@ def running_sum_per_user(ds):
               .groupby("part").map_groups(per_part, batch_format="pandas"))
 
 
+def moving_sum_per_user(ds, window: int = 3):
+    """(user_id, event_id, moving_cents, prev_cents): per-user
+    ROWS-window aggregates in (ts, event_id) order — the fixed-width
+    sliding-window counterpart of :func:`running_sum_per_user`:
+    ``moving_cents`` is the sum of the last ``window`` rows (SQL ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW), ``prev_cents`` the
+    previous row's value with default 0 (SQL ``lag(cents, 1, 0)``).
+
+    Same shape: coarse hash partition on the key, per-user vectorized
+    window math inside (the moving sum is cumsum minus the
+    window-shifted cumsum — no per-row loop, no rolling object).
+    Integer cents throughout so aggregation order cannot perturb the
+    values (see running_sum_per_user)."""
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        return batch
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        by_user = cents.groupby(g["user_id"], sort=False)
+        cs = by_user.cumsum()
+        cs_lag = (cs.groupby(g["user_id"], sort=False).shift(window)
+                  .fillna(0).astype("int64"))
+        g["moving_cents"] = cs - cs_lag
+        g["prev_cents"] = (by_user.shift(1).fillna(0).astype("int64"))
+        return g[["user_id", "event_id", "moving_cents", "prev_cents"]]
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pandas"))
+
+
 def median_value_by_type(ds):
     """(event_type, median_value): exact per-group median with linear
     interpolation (same definition as SQL quantile_cont)."""

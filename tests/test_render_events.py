@@ -323,6 +323,81 @@ def test_events_rollup_levels_consistent(ray_session):
     assert len(out) == 7
 
 
+def test_events_cube_adds_by_day_level(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import events_cube
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b", "b"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 11:00",
+                              "2024-01-01 09:00", "2024-01-01 09:30",
+                              "2024-01-02 23:59"]),
+        "value": [1.00, 2.50, 0.25, 0.25, 10.00]})
+    out = (events_cube(ray.data.from_pandas(ev)).to_pandas()
+           .set_index(["event_type", "day"]))
+    # the rollup levels survive...
+    assert out.loc[("a", "ALL"), "sum_value"] == 3.50
+    assert out.loc[("ALL", "ALL"), "n"] == 5
+    # ...plus the per-day level rollup lacks
+    assert out.loc[("ALL", "2024-01-01"), "n"] == 3
+    assert out.loc[("ALL", "2024-01-01"), "sum_value"] == 1.50
+    assert out.loc[("ALL", "2024-01-02"), "sum_value"] == 12.50
+    # 4 leaf + 2 per-type + 2 per-day + 1 grand
+    assert len(out) == 9
+
+
+def test_moving_sum_window_and_lag(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import moving_sum_per_user
+
+    ev = pd.DataFrame({
+        "user_id": [7, 7, 7, 7, 9],
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "2024-01-03", "2024-01-04",
+                              "2024-01-01"]),
+        "value": [1.00, 2.00, 4.00, 8.00, 5.00]})
+    out = (moving_sum_per_user(ray.data.from_pandas(ev), window=3)
+           .to_pandas().set_index("event_id").sort_index())
+    # window clamps at the partition start, then slides
+    assert out["moving_cents"].tolist() == [100, 300, 700, 1400, 500]
+    # lag default 0 at each partition start (user 9 restarts)
+    assert out["prev_cents"].tolist() == [0, 100, 200, 400, 0]
+
+
+def test_above_avg_orders_cross_multiply(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import above_avg_orders
+
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_custkey": [10, 10, 10, 20, 20],
+        # cust 10: avg 200 -> only the 300 order beats it;
+        # cust 20: both exactly on the average -> ties excluded
+        "o_totalprice": [100.0, 200.0, 300.0, 50.0, 50.0]})
+    out = above_avg_orders(ray.data.from_pandas(orders)).to_pandas()
+    assert out["o_orderkey"].tolist() == [3]
+    assert out["price_cents"].tolist() == [30000]
+
+
+def test_daily_activity_full_outer_dangles(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import daily_activity
+
+    ev = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 06:00", "2024-01-02 07:00"])})
+    od = pd.DataFrame({"o_orderdate": pd.to_datetime(
+        ["2024-01-02", "2024-01-03", "2024-01-03"])})
+    out = (daily_activity(ray.data.from_pandas(ev),
+                          ray.data.from_pandas(od))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    epoch_day = pd.Timestamp("2024-01-01").value // 10**9 // 86400
+    assert out["day"].tolist() == [epoch_day, epoch_day + 1,
+                                   epoch_day + 2]
+    assert out["n_events"].tolist() == [2, 1, 0]   # day 3 events-dangle
+    assert out["n_orders"].tolist() == [0, 1, 2]   # day 1 orders-dangle
+
+
 def test_distinct_users_by_type_exact(ray_session):
     import ray.data
     from doc_ocr_ray.pipelines.events import distinct_users_by_type
