@@ -1241,6 +1241,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return median_value_by_type(
             _read(sf_dir, "events", ["event_type", "value"]))
 
+    def q_normalize_unicode(sf_dir):
+        # deterministic non-ASCII injection (decomposed accent for
+        # doc_id%3==0 — NFC composes it; fi-ligature for %3==1 —
+        # NFC-stable) so `changed` is non-vacuous by construction
+        from doc_ocr_ray.stages.text_analysis import (
+            normalize_unicode_batch)
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"]
+            batch["text"] = (batch["text"].fillna("")
+                             + np.select(
+                                 [d % 3 == 0, d % 3 == 1],
+                                 [" café", " ﬁn"], ""))
+            return batch
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(inject, batch_format="pandas")
+                .map_batches(normalize_unicode_batch,
+                             batch_format="pandas"))
+
+    def q_mode_event_type(sf_dir):
+        from doc_ocr_ray.pipelines.events import mode_event_type_per_user
+        return mode_event_type_per_user(
+            _read(sf_dir, "events", ["user_id", "event_type"]))
+
     def q_moving_sum_per_user(sf_dir):
         # fixed-width ROWS window + lag — sliding counterpart of the
         # running sum (same coarse key partition, window math in-group)
@@ -1519,6 +1543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": q_median_value_by_type,
         "moving_sum_per_user": q_moving_sum_per_user,
         "events_cube": q_events_cube,
+        "normalize_unicode": q_normalize_unicode,
+        "mode_event_type": q_mode_event_type,
         "above_avg_orders": q_above_avg_orders,
         "daily_activity": q_daily_activity,
         "distinct_event_types": q_distinct_event_types,
@@ -3796,6 +3822,36 @@ def oracle_sql() -> dict[str, str]:
                    floor(10000 * quantile_cont(value, 0.5)) / 10000
                        AS median_value
             FROM events GROUP BY event_type
+        """,
+        # NFC parity: DuckDB nfc_normalize == Python unicodedata bit
+        # for bit (pyarrow's kernel decomposes and is NOT used); the
+        # injection derives the same literals from doc_id on both sides
+        "normalize_unicode": """
+            WITH d AS (SELECT doc_id,
+                              coalesce(text, '')
+                              || CASE CAST(doc_id % 3 AS INTEGER)
+                                   WHEN 0 THEN ' cafe' || chr(769)
+                                   WHEN 1 THEN ' ' || chr(64257) || 'n'
+                                   ELSE '' END AS text
+                       FROM documents)
+            SELECT doc_id, nfc_normalize(text) AS norm_text,
+                   CAST(nfc_normalize(text) <> text AS BIGINT)
+                       AS changed
+            FROM d
+        """,
+        # grouped MODE with deterministic tie-break (count DESC, type
+        # ASC); NULL types carry no signal — both sides exclude them
+        "mode_event_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, event_type ASC) AS rk
+                  FROM c)
+            SELECT user_id, event_type AS top_type, n
+            FROM r WHERE rk = 1
         """,
         "moving_sum_per_user": """
             WITH e AS (SELECT user_id, event_id, ts,

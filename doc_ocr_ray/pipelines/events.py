@@ -658,6 +658,42 @@ def events_rollup(ds):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def mode_event_type_per_user(ds, num_partitions: int = 128):
+    """(user_id, top_type, n): each user's most frequent event type —
+    grouped MODE with a deterministic tie-break (higher count wins,
+    ties to the lexicographically smallest type), the per-key
+    categorical summary a personalization/feature pipeline derives
+    from an event log.  NULL event types carry no signal and are
+    excluded (documented; the oracle filters them identically).
+
+    Shape: per-batch (user, type) count partials are the combiner —
+    the exchange carries the distinct pair set, never event rows —
+    then ONE coarse user-keyed exchange resolves the argmax in-group
+    with a vectorized sort + drop_duplicates (no per-user loop)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[batch["event_type"].notna()]
+        out = (g.groupby(["user_id", "event_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        out["part"] = (out["user_id"] % num_partitions).astype("int64")
+        return _typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        c = (group.groupby(["user_id", "event_type"], sort=False)["n"]
+             .sum().reset_index())
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = c.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "top_type": top["event_type"],
+            "n": top["n"].astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
 def events_cube(ds):
     """GROUP BY CUBE parity: every grouping level over (event_type,
     day) — the leaf, per-type subtotals, per-DAY subtotals (the level

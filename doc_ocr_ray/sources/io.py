@@ -46,6 +46,19 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     return ray.data.read_parquet(uri, columns=columns)
 
 
+def read_documents_jsonl(uri, columns: Optional[List[str]] = None):
+    """JSONL documents table -> ray.data.Dataset — the arrival format
+    of most web-corpus drops (Dolma / Common Crawl derivatives ship
+    newline-delimited JSON, not parquet).  Distributed line-parallel
+    parse via ``ray.data.read_json``; pass ``columns`` to prune after
+    parse (JSON is row-major, so unlike parquet the prune cannot skip
+    IO — re-encode hot corpora to parquet/lance for the scale path,
+    which is exactly what a first curation pass does)."""
+    import ray.data
+    ds = ray.data.read_json(uri)
+    return ds.select_columns(columns) if columns else ds
+
+
 def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
     """Atomic partitioned write: stream into ``<out_dir>/.tmp-<id>``,
     rename to ``<out_dir>/part-<id>`` on success.  The rename is the

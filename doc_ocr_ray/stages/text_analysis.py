@@ -1766,6 +1766,32 @@ def dup_line_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "dup_line_chars": dup_chars}))
 
 
+def normalize_unicode_batch(batch: pd.DataFrame,
+                            form: str = "NFC") -> pd.DataFrame:
+    """doc_id, norm_text, changed — Unicode normalization of the text
+    column: corpus canonicalization run BEFORE any hashing/dedup stage
+    so visually identical strings with different codepoint sequences
+    (decomposed accents, ligature forms from PDF extraction) collide.
+    NFC is the oracle-checked default — DuckDB ``nfc_normalize`` ==
+    Python ``unicodedata.normalize`` bit for bit (verified on
+    combining marks, ligatures, width forms).  NFKC/NFD/NFKD are
+    available engine-side (DuckDB has no kernel to twin them).
+
+    Deliberately NOT ``pyarrow.compute.utf8_normalize``: pyarrow
+    16.1's ``form='NFC'`` emits DECOMPOSED output (é -> e+U+0301), so
+    the "vectorized" kernel would diverge from both the oracle and
+    Python.  ``unicodedata.normalize`` is a per-row call but C-level
+    per string; NULL text normalizes from '' like the dedup
+    normalizers."""
+    import unicodedata
+    text = batch["text"].fillna("")
+    norm = text.map(lambda s: unicodedata.normalize(form, s))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "norm_text": norm,
+        "changed": (norm != text).astype("int64")})
+
+
 def corpus_report(ds, group_col: str = "source"):
     """Corpus report card: per-source document/token/char totals,
     empty-after-normalization counts and token-count extrema, plus an

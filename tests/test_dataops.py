@@ -1951,3 +1951,20 @@ def test_bpe_apply_counts_after_merges(ray_session):
     assert out.loc[1, "n_symbols"] == 2 + 3
     assert out.loc[2, "n_symbols"] == 0
     assert out.loc[3, "n_symbols"] == 2
+
+
+def test_normalize_unicode_nfc_and_nfkc():
+    from doc_ocr_ray.stages.text_analysis import normalize_unicode_batch
+
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["café", "ﬁn", "plain", None]})
+    nfc = normalize_unicode_batch(b)
+    assert nfc["norm_text"].tolist() == ["café", "ﬁn",
+                                         "plain", ""]
+    assert nfc["changed"].tolist() == [1, 0, 0, 0]
+    # NFKC additionally folds compatibility forms (no SQL twin)
+    nfkc = normalize_unicode_batch(b, form="NFKC")
+    assert nfkc["norm_text"].tolist() == ["café", "fin",
+                                          "plain", ""]
+    assert nfkc["changed"].tolist() == [1, 1, 0, 0]

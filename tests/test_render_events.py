@@ -435,3 +435,18 @@ def test_retention_cohorts_offsets_and_dedup(ray_session):
     assert out.loc[(c0 + 1, 1), "n_users"] == 1
     assert out.loc[(c0 + 3, 0), "n_users"] == 1
     assert len(out) == 6
+
+
+def test_mode_event_type_tiebreak_and_nulls(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import mode_event_type_per_user
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2, 3],
+        "event_type": ["b", "a", "b", "z", "a", None, None]})
+    out = (mode_event_type_per_user(ray.data.from_pandas(ev))
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.loc[1, "top_type"] == "b" and out.loc[1, "n"] == 2
+    # tie at 1-1 -> lexicographically smallest; NULL types excluded
+    assert out.loc[2, "top_type"] == "a" and out.loc[2, "n"] == 1
+    assert 3 not in out.index      # all-NULL user emits nothing

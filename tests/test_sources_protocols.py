@@ -305,3 +305,29 @@ def test_make_aggregator_replay():
     assert agg.aggregate("d", []) == [{"type": "text", "members": [0]}]
     # unknown doc degrades to the heuristic fallback, not []
     assert agg.fallback is not None
+
+
+def test_read_documents_jsonl(ray_session, tmp_path):
+    import pandas as pd
+    from doc_ocr_ray.sources.io import read_documents_jsonl
+    p = tmp_path / "docs"
+    p.mkdir()
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["one two", "três quatro", ""],
+        "source": ["a", "b", "a"]})
+    rows.iloc[:2].to_json(p / "part0.jsonl", orient="records",
+                          lines=True, force_ascii=False)
+    rows.iloc[2:].to_json(p / "part1.jsonl", orient="records",
+                          lines=True, force_ascii=False)
+    ds = read_documents_jsonl([str(p / "part0.jsonl"),
+                               str(p / "part1.jsonl")],
+                              columns=["doc_id", "text"])
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["text"].tolist() == ["one two", "três quatro", ""]
+    assert list(got.columns) == ["doc_id", "text"]
+    # composes with downstream stages (token_count over jsonl input)
+    from doc_ocr_ray.stages.text_analysis import token_count_batch
+    toks = (ds.map_batches(token_count_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id"))
+    assert toks["n_tokens"].tolist() == [2, 2, 0]
