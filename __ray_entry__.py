@@ -1108,6 +1108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_exact_n(
             _read(sf_dir, "documents", ["doc_id"]), n=50)
 
+    def q_shuffle_positions(sf_dir):
+        # deterministic global training order with EXACT positions:
+        # 256 md5 buckets -> offsets -> one bucket-keyed exchange
+        from doc_ocr_ray.pipelines.curate import shuffle_positions
+        return shuffle_positions(
+            _read(sf_dir, "documents", ["doc_id"]), seed=42)
+
     def q_select_top_quality(sf_dir):
         # FineWeb-style "keep the best 30%": histogram quantile over
         # the bounded integer score grid, then a stateless filter —
@@ -1514,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": q_per_source_cap,
         "token_budget_select": q_token_budget_select,
         "sample_exact_n": q_sample_exact_n,
+        "shuffle_positions": q_shuffle_positions,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
@@ -3575,6 +3583,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact-N deterministic sample: the 50 smallest md5(seed:key)
         # ranks, tie-break on the key, numbered in rank order
+        # full 32-hex md5 order (hex-string compare == the engine's
+        # string sort), key tie-break, 0-based positions
+        "shuffle_positions": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY
+                        md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                        - 1 AS BIGINT) AS position
+            FROM documents
+        """,
         "sample_exact_n": """
             SELECT doc_id, smp_rank FROM (
               SELECT doc_id,

@@ -122,6 +122,72 @@ def assign_split(ds, key: str = "doc_id", seed: int = 42,
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def shuffle_positions(ds, key: str = "doc_id", seed: int = 42):
+    """Deterministic global training-order shuffle with EXACT global
+    positions — the final step before sharded export: every row gets
+    ``position`` = its rank in the md5(seed:key) order, a pure
+    function of (seed, key) so re-runs, resumes and multi-reader data
+    loaders agree on the order without any shared state.  Output:
+    ``(key, position)``, a permutation of 0..n-1.
+
+    Shape — global positions WITHOUT a native global sort: the md5
+    rank is uniform, so its first byte makes 256 balanced buckets
+    whose cumulative counts are the bucket base offsets.  One
+    distributed count pass (256-row result to the driver), offsets
+    broadcast in the task closure, then ONE bucket-keyed exchange
+    where each group sorts locally and adds its base offset.  The
+    exchange carries (key, rank) only; no stage ever holds more than
+    a bucket.  Tie-break on key after the full 32-hex rank (md5
+    collisions being the usual documented envelope).
+
+    The DuckDB twin is ``row_number() OVER (ORDER BY md5(..), key) -
+    1`` — hex-string order == the engine's string compare."""
+    import hashlib
+
+    def add_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        ranks = [hashlib.md5(f"{seed}:{k}".encode()).hexdigest()
+                 for k in batch[key].astype(str)]
+        out = pd.DataFrame({key: batch[key], "rank": ranks})
+        out["bucket"] = [int(r[:2], 16) for r in ranks]
+        return typed_if_empty(out)
+
+    # consumed by BOTH passes; deliberately NOT materialized — the
+    # rank map is a deterministic stateless recompute (one md5/row),
+    # cheaper at corpus scale than spilling a corpus-sized rank table
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+
+    # pass 1: bucket histogram -> base offsets (256 rows on the driver)
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch.groupby("bucket", sort=False).size()
+             .reset_index(name="n"))
+        c["n"] = c["n"].astype("int64")
+        return typed_if_empty(c)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": [int(group["bucket"].iloc[0])],
+                             "n": [int(group["n"].sum())]})
+
+    hist = (ranked.map_batches(bucket_counts, batch_format="pandas")
+            .groupby("bucket").map_groups(combine, batch_format="pandas")
+            .to_pandas().sort_values("bucket"))
+    base = {}
+    acc = 0
+    for b, n in zip(hist["bucket"], hist["n"]):
+        base[int(b)] = acc
+        acc += int(n)
+
+    # pass 2: per-bucket local sort + base offset
+    def place(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["rank", key])
+        off = base[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "position": np.arange(off, off + len(g), dtype="int64")})
+
+    return (ranked.groupby("bucket").map_groups(place,
+                                                batch_format="pandas"))
+
+
 def curate_training_set(docs_ds, min_tokens: int = 40,
                         jaccard: float = 0.6, seed: int = 42):
     """The full training-corpus curation funnel, composed from the

@@ -1968,3 +1968,25 @@ def test_normalize_unicode_nfc_and_nfkc():
     assert nfkc["norm_text"].tolist() == ["café", "fin",
                                           "plain", ""]
     assert nfkc["changed"].tolist() == [1, 1, 0, 0]
+
+
+def test_shuffle_positions_exact_permutation(ray_session):
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import shuffle_positions
+
+    docs = pd.DataFrame({"doc_id": list(range(500))})
+    out = (shuffle_positions(ray.data.from_pandas(docs), seed=7)
+           .to_pandas().sort_values("position").reset_index(drop=True))
+    # exact permutation of 0..n-1
+    assert sorted(out["position"]) == list(range(500))
+    # order matches the single-process md5 rank (cross-bucket offsets
+    # are correct, not just within-bucket order)
+    want = sorted(range(500),
+                  key=lambda d: (hashlib.md5(f"7:{d}".encode())
+                                 .hexdigest(), d))
+    assert out["doc_id"].tolist() == want
+    # pure function of (seed, key): a second run is identical
+    again = (shuffle_positions(ray.data.from_pandas(docs), seed=7)
+             .to_pandas().sort_values("position").reset_index(drop=True))
+    assert again["doc_id"].tolist() == want
