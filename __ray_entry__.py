@@ -1267,6 +1267,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(normalize_unicode_batch,
                              batch_format="pandas"))
 
+    def q_events_pivot(sf_dir):
+        # long-to-wide per-user feature table; explicit value list =
+        # stable output schema, stragglers land in n_other
+        from doc_ocr_ray.pipelines.events import pivot_counts
+        return pivot_counts(
+            _read(sf_dir, "events", ["user_id", "event_type"]))
+
+    def q_table_stats(sf_dir):
+        # catalog profiling pass: counts + md5-digest exact distincts,
+        # raw values never ride the exchange
+        from doc_ocr_ray.stages.catalog import table_stats
+        return table_stats(
+            _read(sf_dir, "documents",
+                  ["doc_id", "text", "lang", "source"]),
+            columns=["doc_id", "text", "lang", "source"])
+
     def q_mode_event_type(sf_dir):
         from doc_ocr_ray.pipelines.events import mode_event_type_per_user
         return mode_event_type_per_user(
@@ -1553,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "normalize_unicode": q_normalize_unicode,
         "mode_event_type": q_mode_event_type,
+        "events_pivot": q_events_pivot,
+        "table_stats": q_table_stats,
         "above_avg_orders": q_above_avg_orders,
         "daily_activity": q_daily_activity,
         "distinct_event_types": q_distinct_event_types,
@@ -3855,6 +3873,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nfc_normalize(text) <> text AS BIGINT)
                        AS changed
             FROM d
+        """,
+        # long-to-wide pivot: the explicit value list IS the schema
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type IS NULL
+                        OR event_type NOT IN ('click', 'error',
+                            'purchase', 'signup', 'view'))
+                        AS BIGINT) AS n_other
+            FROM events GROUP BY user_id
+        """,
+        # catalog profile: n_distinct counts the VARCHAR form (the
+        # engine digests str(v) — same canonicalization)
+        "table_stats": """
+            SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT CAST(doc_id AS VARCHAR))
+                        AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source) FROM documents
         """,
         # grouped MODE with deterministic tie-break (count DESC, type
         # ASC); NULL types carry no signal — both sides exclude them

@@ -658,6 +658,48 @@ def events_rollup(ds):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def pivot_counts(ds, key: str = "user_id", pivot_col: str = "event_type",
+                 values: tuple = ("click", "error", "purchase",
+                                  "signup", "view"),
+                 num_partitions: int = 128):
+    """Long-to-wide pivot: one row per ``key`` with a count column per
+    named ``pivot_col`` value — the per-user feature table a
+    personalization model trains on.  ``values`` is EXPLICIT (the
+    caller names the output schema — a pivot whose columns depend on
+    the data is not a stable contract); everything else, including
+    NULL, lands in ``n_other``.  Output: ``(key, n_<v>..., n_other)``.
+
+    Shape: per-batch (key, value) count partials are the combiner (the
+    exchange carries the distinct pair set, never event rows), ONE
+    coarse key exchange, in-group vectorized unstack."""
+    val_list = list(values)
+    cols = [f"n_{v}" for v in val_list] + ["n_other"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[pivot_col].where(batch[pivot_col].isin(val_list),
+                                   "\x00other")
+        g = (pd.DataFrame({key: batch[key], "v": v})
+             .groupby([key, "v"], sort=False).size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        g["part"] = (g[key] % num_partitions).astype("int64")
+        return _typed_if_empty(g)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        wide = (group.groupby([key, "v"], sort=False)["n"].sum()
+                .unstack("v", fill_value=0))
+        out = pd.DataFrame({key: wide.index.astype("int64")})
+        for v, c in zip(val_list + ["\x00other"], cols):
+            out[c] = (wide[v].astype("int64").to_numpy()
+                      if v in wide.columns
+                      else np.zeros(len(wide), dtype="int64"))
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
 def mode_event_type_per_user(ds, num_partitions: int = 128):
     """(user_id, top_type, n): each user's most frequent event type —
     grouped MODE with a deterministic tie-break (higher count wins,

@@ -1990,3 +1990,19 @@ def test_shuffle_positions_exact_permutation(ray_session):
     again = (shuffle_positions(ray.data.from_pandas(docs), seed=7)
              .to_pandas().sort_values("position").reset_index(drop=True))
     assert again["doc_id"].tolist() == want
+
+
+def test_table_stats_counts_nulls_distincts(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.catalog import table_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a", "a", None, "b"],
+        "lang": ["zh", "zh", "zh", "zh"]})
+    out = (table_stats(ray.data.from_pandas(df),
+                       columns=["doc_id", "text", "lang"])
+           .to_pandas().set_index("col_name"))
+    assert out.loc["doc_id"].tolist() == [4, 0, 4]
+    assert out.loc["text"].tolist() == [4, 1, 2]   # null excluded
+    assert out.loc["lang"].tolist() == [4, 0, 1]

@@ -450,3 +450,18 @@ def test_mode_event_type_tiebreak_and_nulls(ray_session):
     # tie at 1-1 -> lexicographically smallest; NULL types excluded
     assert out.loc[2, "top_type"] == "a" and out.loc[2, "n"] == 1
     assert 3 not in out.index      # all-NULL user emits nothing
+
+
+def test_pivot_counts_other_and_nulls(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import pivot_counts
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["click", "click", "weird", None, "view"]})
+    out = (pivot_counts(ray.data.from_pandas(ev))
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.loc[1, "n_click"] == 2
+    assert out.loc[1, "n_other"] == 2      # unknown value + NULL
+    assert out.loc[2, "n_view"] == 1 and out.loc[2, "n_other"] == 0
+    assert out.loc[1, "n_view"] == 0
