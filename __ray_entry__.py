@@ -3258,8 +3258,10 @@ def oracle_sql() -> dict[str, str]:
         # (event_type/day contain no real NULLs, asserted by the
         # leaf rows' own values)
         "events_rollup": """
-            WITH e AS (SELECT event_type,
-                         strftime(ts, '%Y-%m-%d') AS day,
+            WITH e AS (SELECT coalesce(event_type, '(null)')
+                           AS event_type,
+                         coalesce(strftime(ts, '%Y-%m-%d'), '(null)')
+                           AS day,
                          CAST(floor(value * 100 + 0.5) AS BIGINT)
                              AS cents
                        FROM events)
@@ -3599,8 +3601,6 @@ def oracle_sql() -> dict[str, str]:
                        AS is_template
             FROM flagged
         """,
-        # exact-N deterministic sample: the 50 smallest md5(seed:key)
-        # ranks, tie-break on the key, numbered in rank order
         # full 32-hex md5 order (hex-string compare == the engine's
         # string sort), key tie-break, 0-based positions
         "shuffle_positions": """
@@ -3610,6 +3610,8 @@ def oracle_sql() -> dict[str, str]:
                         - 1 AS BIGINT) AS position
             FROM documents
         """,
+        # exact-N deterministic sample: the 50 smallest md5(seed:key)
+        # ranks, tie-break on the key, numbered in rank order
         "sample_exact_n": """
             SELECT doc_id, smp_rank FROM (
               SELECT doc_id,
@@ -3943,8 +3945,10 @@ def oracle_sql() -> dict[str, str]:
         # CUBE with the ALL sentinel in whichever key is aggregated
         # away (the events_rollup discipline, plus the by-day level)
         "events_cube": """
-            WITH e AS (SELECT event_type,
-                              strftime(ts, '%Y-%m-%d') AS day,
+            WITH e AS (SELECT coalesce(event_type, '(null)')
+                              AS event_type,
+                              coalesce(strftime(ts, '%Y-%m-%d'),
+                                       '(null)') AS day,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)
                                   AS cents
                        FROM events)

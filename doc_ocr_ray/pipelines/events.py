@@ -419,6 +419,7 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
             .map_groups(per_part, batch_format="pandas"))
 
 
+from doc_ocr_ray.util import epoch_days as _epoch_days  # noqa: E402
 from doc_ocr_ray.util import typed_if_empty as _typed_if_empty  # noqa: E402
 
 
@@ -601,12 +602,16 @@ def _events_type_day_leaf(ds) -> pd.DataFrame:
     groupby combines them.  Higher grouping levels derive FROM the
     combined leaf at the driver — rows touched after the one exchange
     = |types| x |days|.  Cents discipline as everywhere
-    (see events_by_type)."""
+    (see events_by_type).  Genuine NULL keys become their own
+    ``(null)`` group (pandas groupby drops NaN keys silently, and the
+    rollup/cube 'ALL' sentinel must never conflate with a real NULL —
+    the corpus_report discipline)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
-            "event_type": batch["event_type"],
-            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "event_type": batch["event_type"].fillna("(null)"),
+            "day": (batch["ts"].dt.strftime("%Y-%m-%d")
+                    .fillna("(null)")),
             "cents": np.floor(batch["value"] * 100
                               + 0.5).astype("int64")})
         out = (g.groupby(["event_type", "day"], sort=False)["cents"]
@@ -628,34 +633,46 @@ def _events_type_day_leaf(ds) -> pd.DataFrame:
             .to_pandas())
 
 
-def events_rollup(ds):
-    """GROUP BY ROLLUP parity: (event_type, day) leaf aggregates plus
-    per-type subtotals plus the grand total, with the literal ``ALL``
-    standing in for the rollup NULL (a real NULL in a key column is
-    indistinguishable from the rollup marker — the classic warehouse
-    footgun — so both engines emit the sentinel).  Output:
-    ``(event_type, day, n, sum_value)``.  Leaf shape:
-    :func:`_events_type_day_leaf`.
-    """
+def _levels_from_leaf(leaf: pd.DataFrame, with_by_day: bool):
+    """Derive the higher grouping levels from the combined (type, day)
+    leaf — shared tail of :func:`events_rollup` (by-type + grand) and
+    :func:`events_cube` (adds the by-day level): 'ALL' sentinels in
+    the aggregated-away keys, cents to value with ONE division, and
+    the SQL empty-input mirror (ROLLUP/CUBE on an empty input still
+    emit the grand row, with sum() NULL, not 0)."""
     import pyarrow as pa
 
-    leaf = _events_type_day_leaf(ds)
     by_type = (leaf.groupby("event_type", as_index=False)
                .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
     by_type["day"] = "ALL"
-    grand = pd.DataFrame({
+    levels = [leaf, by_type]
+    if with_by_day:
+        by_day = (leaf.groupby("day", as_index=False)
+                  .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+        by_day["event_type"] = "ALL"
+        levels.append(by_day)
+    levels.append(pd.DataFrame({
         "event_type": ["ALL"], "day": ["ALL"],
         "n": [int(leaf["n"].sum())],
-        "sum_cents": [int(leaf["sum_cents"].sum())]})
-    allr = pd.concat([leaf, by_type, grand], ignore_index=True)
+        "sum_cents": [int(leaf["sum_cents"].sum())]}))
+    allr = pd.concat(levels, ignore_index=True)
     allr["sum_value"] = allr["sum_cents"].astype("int64") / 100.0
     if leaf.empty:
-        # SQL ROLLUP on an empty input still emits the grand row,
-        # with sum() NULL (not 0): mirror it
         allr["sum_value"] = np.nan
     allr["n"] = allr["n"].astype("int64")
     out = allr[["event_type", "day", "n", "sum_value"]]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_rollup(ds):
+    """GROUP BY ROLLUP parity: (event_type, day) leaf aggregates plus
+    per-type subtotals plus the grand total, with the literal ``ALL``
+    standing in for the rollup NULL (a real NULL key becomes its own
+    ``(null)`` group BEFORE the rollup on both sides, so the sentinel
+    never conflates with it).  Output: ``(event_type, day, n,
+    sum_value)``.  Leaf shape: :func:`_events_type_day_leaf`."""
+    return _levels_from_leaf(_events_type_day_leaf(ds),
+                             with_by_day=False)
 
 
 def pivot_counts(ds, key: str = "user_id", pivot_col: str = "event_type",
@@ -682,13 +699,13 @@ def pivot_counts(ds, key: str = "user_id", pivot_col: str = "event_type",
              .groupby([key, "v"], sort=False).size()
              .reset_index(name="n"))
         g["n"] = g["n"].astype("int64")
-        g["part"] = (g[key] % num_partitions).astype("int64")
+        g["part"] = _coarse_part(g[key], num_partitions)
         return _typed_if_empty(g)
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         wide = (group.groupby([key, "v"], sort=False)["n"].sum()
                 .unstack("v", fill_value=0))
-        out = pd.DataFrame({key: wide.index.astype("int64")})
+        out = pd.DataFrame({key: wide.index.to_numpy()})
         for v, c in zip(val_list + ["\x00other"], cols):
             out[c] = (wide[v].astype("int64").to_numpy()
                       if v in wide.columns
@@ -717,7 +734,7 @@ def mode_event_type_per_user(ds, num_partitions: int = 128):
         out = (g.groupby(["user_id", "event_type"], sort=False)
                .size().reset_index(name="n"))
         out["n"] = out["n"].astype("int64")
-        out["part"] = (out["user_id"] % num_partitions).astype("int64")
+        out["part"] = _coarse_part(out["user_id"], num_partitions)
         return _typed_if_empty(out)
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -746,32 +763,12 @@ def events_cube(ds):
 
     Same scale shape as the rollup: ONE distributed exchange builds
     the (type x day) leaf (:func:`_events_type_day_leaf`); all four
-    cube levels derive from it at the driver, touching |types| x
-    |days| rows — a second corpus pass per level (what CUBE naively
-    costs) is never needed because every level is a re-aggregation of
-    the leaf."""
-    import pyarrow as pa
-
-    leaf = _events_type_day_leaf(ds)
-    by_type = (leaf.groupby("event_type", as_index=False)
-               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
-    by_type["day"] = "ALL"
-    by_day = (leaf.groupby("day", as_index=False)
-              .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
-    by_day["event_type"] = "ALL"
-    grand = pd.DataFrame({
-        "event_type": ["ALL"], "day": ["ALL"],
-        "n": [int(leaf["n"].sum())],
-        "sum_cents": [int(leaf["sum_cents"].sum())]})
-    allr = pd.concat([leaf, by_type, by_day, grand], ignore_index=True)
-    allr["sum_value"] = allr["sum_cents"].astype("int64") / 100.0
-    if leaf.empty:
-        # SQL CUBE on an empty input still emits the grand row, with
-        # sum() NULL (not 0): mirror it
-        allr["sum_value"] = np.nan
-    allr["n"] = allr["n"].astype("int64")
-    out = allr[["event_type", "day", "n", "sum_value"]]
-    return pa.Table.from_pandas(out, preserve_index=False)
+    cube levels derive from it at the driver
+    (:func:`_levels_from_leaf`), touching |types| x |days| rows — a
+    second corpus pass per level (what CUBE naively costs) is never
+    needed because every level is a re-aggregation of the leaf."""
+    return _levels_from_leaf(_events_type_day_leaf(ds),
+                             with_by_day=True)
 
 
 def distinct_users_by_type(ds, num_parts: int = 64):
@@ -831,8 +828,7 @@ def retention_cohorts(ds, num_parts: int = 64):
         # epoch day; NULL-ts events carry no activity signal — drop
         # them (the oracle's epoch(NULL) likewise yields no day)
         batch = batch.dropna(subset=["ts", "user_id"])
-        days = (batch["ts"].astype("datetime64[ns]").astype("int64")
-                // 10**9 // 86400)
+        days = _epoch_days(batch["ts"])
         out = pd.DataFrame({"user_id": batch["user_id"],
                             "day": days.astype("int64")})
         out = out.drop_duplicates()

@@ -300,14 +300,13 @@ def above_avg_orders(orders_ds, num_partitions: int = 128):
     per-group work is two vectorized transforms.  Skewed customers cap
     at orders-per-customer, which is bounded in practice."""
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        from doc_ocr_ray.util import typed_if_empty
+        from doc_ocr_ray.util import coarse_part, typed_if_empty
         return typed_if_empty(pd.DataFrame({
             "o_orderkey": batch["o_orderkey"].astype("int64"),
             "o_custkey": batch["o_custkey"].astype("int64"),
             "price_cents": np.floor(batch["o_totalprice"] * 100
                                     + 0.5).astype("int64"),
-            "part": (batch["o_custkey"] % num_partitions)
-                    .astype("int64")}))
+            "part": coarse_part(batch["o_custkey"], num_partitions)}))
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
         by_cust = group.groupby("o_custkey", sort=False)["price_cents"]
@@ -337,10 +336,9 @@ def daily_activity(events_ds, orders_ds, num_partitions: int = 8):
     pre-1970 dates too — same rule as retention_cohorts)."""
     def day_counts(ts_col, out_col):
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            from doc_ocr_ray.util import typed_if_empty
+            from doc_ocr_ray.util import epoch_days, typed_if_empty
             ts = batch[ts_col]
-            days = (ts[ts.notna()].astype("datetime64[ns]")
-                    .astype("int64") // 10**9 // 86400)
+            days = epoch_days(ts[ts.notna()])
             out = (days.value_counts().rename_axis("day")
                    .reset_index(name=out_col))
             out["day"] = out["day"].astype("int64")

@@ -22,6 +22,16 @@ def coarse_part(series: pd.Series, num_partitions: int) -> np.ndarray:
             % num_partitions).astype("int64")
 
 
+def epoch_days(ts: pd.Series) -> pd.Series:
+    """Timestamps -> integer epoch days by floor division — tz-proof
+    and exact for pre-1970 dates too (``//`` floors toward -inf,
+    matching the oracle's floor(epoch(ts)/86400.0)).  The single
+    audited home of the day rule shared by retention_cohorts and
+    daily_activity; NaT rows must be filtered by the caller first."""
+    return (ts.astype("datetime64[ns]").astype("int64")
+            // 10**9 // 86400)
+
+
 def typed_if_empty(df: pd.DataFrame):
     """Return empty results as TYPED Arrow blocks.
 

@@ -465,3 +465,24 @@ def test_pivot_counts_other_and_nulls(ray_session):
     assert out.loc[1, "n_other"] == 2      # unknown value + NULL
     assert out.loc[2, "n_view"] == 1 and out.loc[2, "n_other"] == 0
     assert out.loc[1, "n_view"] == 0
+
+
+def test_rollup_and_cube_null_keys_sentinel(ray_session):
+    """Genuine NULL keys become their own '(null)' group instead of
+    being dropped (and never conflate with the 'ALL' sentinel)."""
+    import ray.data
+    from doc_ocr_ray.pipelines.events import events_cube, events_rollup
+
+    ev = pd.DataFrame({
+        "event_type": ["a", None, "a"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01", None]),
+        "value": [1.0, 2.0, 4.0]})
+    roll = (events_rollup(ray.data.from_pandas(ev)).to_pandas()
+            .set_index(["event_type", "day"]))
+    assert roll.loc[("(null)", "2024-01-01"), "sum_value"] == 2.0
+    assert roll.loc[("a", "(null)"), "sum_value"] == 4.0
+    assert roll.loc[("ALL", "ALL"), "n"] == 3          # nothing dropped
+    cube = (events_cube(ray.data.from_pandas(ev)).to_pandas()
+            .set_index(["event_type", "day"]))
+    assert cube.loc[("ALL", "2024-01-01"), "n"] == 2
+    assert cube.loc[("ALL", "(null)"), "sum_value"] == 4.0
