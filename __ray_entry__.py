@@ -1108,6 +1108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_exact_n(
             _read(sf_dir, "documents", ["doc_id"]), n=50)
 
+    def q_interleave_positions(sf_dir):
+        # source-balanced round-robin training order: closed-form
+        # global positions from broadcast per-source totals, no sort
+        from doc_ocr_ray.pipelines.curate import interleave_positions
+        return interleave_positions(
+            _read(sf_dir, "documents", ["doc_id", "source"]), seed=42)
+
     def q_shuffle_positions(sf_dir):
         # deterministic global training order with EXACT positions:
         # 256 md5 buckets -> offsets -> one bucket-keyed exchange
@@ -1538,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": q_token_budget_select,
         "sample_exact_n": q_sample_exact_n,
         "shuffle_positions": q_shuffle_positions,
+        "interleave_positions": q_interleave_positions,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
@@ -3600,6 +3608,26 @@ def oracle_sql() -> dict[str, str]:
                     floor(10000.0 * n_prefix / n_source) / 10000 >= 0.2)
                        AS is_template
             FROM flagged
+        """,
+        # round-robin across sources: row p of every source precedes
+        # row p+1 of any source; within-source order is the md5
+        # shuffle; the engine computes the outer row_number in closed
+        # form from per-source totals
+        "interleave_positions": """
+            WITH d AS (SELECT doc_id, coalesce(source, '(null)')
+                           AS source
+                       FROM documents),
+            r AS (SELECT doc_id, source,
+                    CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY md5('42:' ||
+                                      CAST(doc_id AS VARCHAR)),
+                                  doc_id) - 1 AS BIGINT)
+                        AS pos_in_source
+                  FROM d)
+            SELECT doc_id, source, pos_in_source,
+                   CAST(row_number() OVER (ORDER BY pos_in_source,
+                        source) - 1 AS BIGINT) AS position
+            FROM r
         """,
         # full 32-hex md5 order (hex-string compare == the engine's
         # string sort), key tie-break, 0-based positions

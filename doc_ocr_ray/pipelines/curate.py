@@ -188,6 +188,95 @@ def shuffle_positions(ds, key: str = "doc_id", seed: int = 42):
                                                 batch_format="pandas"))
 
 
+def interleave_positions(ds, key: str = "doc_id",
+                         source_col: str = "source", seed: int = 42):
+    """Source-balanced deterministic training order: round-robin
+    interleave across sources — row p of every source precedes row
+    p+1 of any source, sources tie-broken by name — with each
+    source's internal order the md5(seed:key) shuffle.  The mixing
+    counterpart of :func:`shuffle_positions`: a loader reading the
+    corpus in ``position`` order sees all sources interleaved
+    proportionally instead of in storage clumps.  Output: ``(key,
+    source, pos_in_source, position)``, ``position`` a permutation of
+    0..n-1.
+
+    Shape — closed form, NO global sort: per-(source, md5-bucket)
+    counts (one distributed pass, |sources| x 256 rows to the driver)
+    give both the within-source bucket base offsets AND the
+    per-source totals n_s; ``pos_in_source`` is assigned in ONE
+    (source, bucket)-keyed exchange like shuffle_positions; the
+    GLOBAL position then needs no second exchange because rows
+    ordered by (pos_in_source, source) sit at
+    ``position = Σ_s' min(p, n_s') + |{s' < s : n_s' > p}|`` — a
+    vectorized formula over the broadcast totals (NULL sources group
+    under '(null)', the corpus_report discipline).
+
+    The DuckDB twin nests two row_numbers (per-source md5 order, then
+    the global (p, source) order)."""
+    import hashlib
+
+    def add_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        ranks = [hashlib.md5(f"{seed}:{k}".encode()).hexdigest()
+                 for k in batch[key].astype(str)]
+        out = pd.DataFrame({
+            key: batch[key],
+            "source": batch[source_col].fillna("(null)"),
+            "rank": ranks})
+        out["bucket"] = [int(r[:2], 16) for r in ranks]
+        return typed_if_empty(out)
+
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch.groupby(["source", "bucket"], sort=False).size()
+             .reset_index(name="n"))
+        c["n"] = c["n"].astype("int64")
+        return typed_if_empty(c)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [group["source"].iloc[0]],
+            "bucket": [int(group["bucket"].iloc[0])],
+            "n": [int(group["n"].sum())]})
+
+    hist = (ranked.map_batches(bucket_counts, batch_format="pandas")
+            .groupby(["source", "bucket"])
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas().sort_values(["source", "bucket"]))
+    base: Dict[tuple, int] = {}
+    totals: Dict[str, int] = {}
+    for src, grp in hist.groupby("source", sort=True):
+        acc = 0
+        for b, n in zip(grp["bucket"], grp["n"]):
+            base[(src, int(b))] = acc
+            acc += int(n)
+        totals[str(src)] = acc
+    sources = sorted(totals)           # tie-break order of the formula
+    n_by_src = np.array([totals[s] for s in sources], dtype="int64")
+    src_index = {s: i for i, s in enumerate(sources)}
+
+    def place(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["rank", key])
+        src = g["source"].iloc[0]
+        p = np.arange(base[(src, int(g["bucket"].iloc[0]))],
+                      base[(src, int(g["bucket"].iloc[0]))] + len(g),
+                      dtype="int64")
+        # rows before (p, src) in (pos, source) order:
+        #   every source contributes its first min(p, n_s') rows,
+        #   plus sources ordered before src still alive at p
+        before = np.minimum.outer(p, n_by_src).sum(axis=1)
+        alive_earlier = (n_by_src[None, :src_index[src]]
+                         > p[:, None]).sum(axis=1)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "source": g["source"].to_numpy(),
+            "pos_in_source": p,
+            "position": before + alive_earlier})
+
+    return (ranked.groupby(["source", "bucket"])
+            .map_groups(place, batch_format="pandas"))
+
+
 def curate_training_set(docs_ds, min_tokens: int = 40,
                         jaccard: float = 0.6, seed: int = 42):
     """The full training-corpus curation funnel, composed from the

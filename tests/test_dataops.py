@@ -2006,3 +2006,31 @@ def test_table_stats_counts_nulls_distincts(ray_session):
     assert out.loc["doc_id"].tolist() == [4, 0, 4]
     assert out.loc["text"].tolist() == [4, 1, 2]   # null excluded
     assert out.loc["lang"].tolist() == [4, 0, 1]
+
+
+def test_interleave_positions_round_robin(ray_session):
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import interleave_positions
+
+    # skewed sources: a=6 docs, b=2, NULL=1 -> b and (null) exhaust
+    docs = pd.DataFrame({
+        "doc_id": list(range(9)),
+        "source": ["a"] * 6 + ["b"] * 2 + [None]})
+    out = (interleave_positions(ray.data.from_pandas(docs), seed=3)
+           .to_pandas().sort_values("position").reset_index(drop=True))
+    assert sorted(out["position"]) == list(range(9))
+    # single-process replay of the contract: (pos_in_source, source)
+    srcs = {d: ("a" if d < 6 else "b" if d < 8 else "(null)")
+            for d in range(9)}
+    pos = {}
+    for s in ("(null)", "a", "b"):
+        members = sorted((d for d in range(9) if srcs[d] == s),
+                         key=lambda d: (hashlib.md5(f"3:{d}".encode())
+                                        .hexdigest(), d))
+        for p, d in enumerate(members):
+            pos[d] = p
+    want = sorted(range(9), key=lambda d: (pos[d], srcs[d]))
+    assert out["doc_id"].tolist() == want
+    # round-robin property: first |sources| rows are one per source
+    assert set(out.loc[:2, "source"]) == {"a", "b", "(null)"}
