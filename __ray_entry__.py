@@ -1302,6 +1302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return moving_sum_per_user(
             _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
 
+    def q_trailing_window(sf_dir):
+        # time-RANGE trailing sum (peers share a frame — order-free);
+        # one composite-key searchsorted resolves every frame in-group
+        from doc_ocr_ray.stages.sketch import trailing_window_sum
+        return trailing_window_sum(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
     def q_events_cube(sf_dir):
         from doc_ocr_ray.pipelines.events import events_cube
         return events_cube(
@@ -1574,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_per_user": q_running_sum_per_user,
         "median_value_by_type": q_median_value_by_type,
         "moving_sum_per_user": q_moving_sum_per_user,
+        "trailing_window": q_trailing_window,
         "events_cube": q_events_cube,
         "normalize_unicode": q_normalize_unicode,
         "mode_event_type": q_mode_event_type,
@@ -3968,6 +3976,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lag(cents, 1, 0) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
                        AS BIGINT) AS prev_cents
+            FROM e
+        """,
+        # RANGE frame: peers (equal ts) share the frame on both sides
+        "trailing_window": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+                       AS trailing_cents
             FROM e
         """,
         # CUBE with the ALL sentinel in whichever key is aggregated

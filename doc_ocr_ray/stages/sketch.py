@@ -147,6 +147,56 @@ def moving_sum_per_user(ds, window: int = 3):
                                           batch_format="pandas"))
 
 
+def trailing_window_sum(ds, window_minutes: int = 60):
+    """(user_id, event_id, trailing_cents): per-user TIME-based
+    trailing window — the sum of ``value`` over the last
+    ``window_minutes`` INCLUDING the current row's timestamp peers
+    (SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``
+    semantics: the frame is defined by the inequality
+    ``ts in [t - window, t]``, so equal-timestamp rows share one
+    frame and the result is order-free).  The time-RANGE counterpart
+    of :func:`moving_sum_per_user`'s ROWS window.
+
+    Shape: coarse user partition, then FULLY vectorized in-group —
+    rows sort by (user, ts), each user's slice boundaries come from a
+    composite ``dense_user_idx * span + ts_offset`` key so ONE
+    ``np.searchsorted`` pair resolves every row's frame (no per-user
+    or per-row loop).  The composite stays in int64 because span is
+    the partition's own ts range + window (documented bound:
+    users-per-partition x ts-span-in-us must fit 2^63 — decades of
+    microseconds x millions of users).  Integer cents as everywhere."""
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        return batch
+
+    win = np.int64(window_minutes) * 60_000_000     # us
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"]).copy()
+        ts = (g["ts"].astype("datetime64[us]").astype("int64")
+              .to_numpy())
+        cents = np.floor(g["value"] * 100 + 0.5).astype("int64") \
+            .to_numpy()
+        uid = g["user_id"].to_numpy()
+        # dense user index within this partition
+        uidx = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])
+        lo_ts, hi_ts = (int(ts.min()), int(ts.max())) if len(ts) \
+            else (0, 0)
+        span = np.int64(hi_ts - lo_ts) + win + 2
+        key = uidx * span + (ts - lo_ts)
+        cs = np.r_[0, np.cumsum(cents)]
+        upper = np.searchsorted(key, key, side="right")
+        lower = np.searchsorted(key, uidx * span
+                                + np.maximum(ts - lo_ts - win, 0),
+                                side="left")
+        g["trailing_cents"] = cs[upper] - cs[lower]
+        return g[["user_id", "event_id", "trailing_cents"]]
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pandas"))
+
+
 def median_value_by_type(ds):
     """(event_type, median_value): exact per-group median with linear
     interpolation (same definition as SQL quantile_cont)."""

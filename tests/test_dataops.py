@@ -2034,3 +2034,31 @@ def test_interleave_positions_round_robin(ray_session):
     assert out["doc_id"].tolist() == want
     # round-robin property: first |sources| rows are one per source
     assert set(out.loc[:2, "source"]) == {"a", "b", "(null)"}
+
+
+def test_trailing_window_range_semantics(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import trailing_window_sum
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:30",
+        "2024-01-01 10:30",                       # peer of the above
+        "2024-01-01 11:15",                       # 10:00 falls out
+        "2024-01-02 09:00",                       # fresh frame
+        "2024-01-01 10:45"])                      # other user
+    ev = pd.DataFrame({
+        "user_id": [5, 5, 5, 5, 5, 6],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": ts,
+        "value": [1.00, 2.00, 4.00, 8.00, 16.00, 32.00]})
+    out = (trailing_window_sum(ray.data.from_pandas(ev),
+                               window_minutes=60)
+           .to_pandas().set_index("event_id").sort_index())
+    # peers at 10:30 share one frame (both see 1+2+4)
+    assert out.loc[2, "trailing_cents"] == 700
+    assert out.loc[3, "trailing_cents"] == 700
+    # at 11:15 the 10:00 row is outside [10:15, 11:15]
+    assert out.loc[4, "trailing_cents"] == 1400
+    assert out.loc[1, "trailing_cents"] == 100
+    assert out.loc[5, "trailing_cents"] == 1600   # next day: alone
+    assert out.loc[6, "trailing_cents"] == 3200   # user isolation
