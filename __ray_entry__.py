@@ -1108,6 +1108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_exact_n(
             _read(sf_dir, "documents", ["doc_id"]), n=50)
 
+    def q_weighted_sample(sf_dir):
+        # E-S weighted order sampling as min-of-w-hashes: integer
+        # exact, no ln/float anywhere; weight = 1 + doc_id % 4
+        from doc_ocr_ray.pipelines.curate import weighted_sample_n
+        return weighted_sample_n(
+            _read(sf_dir, "documents", ["doc_id"]), n=60)
+
     def q_interleave_positions(sf_dir):
         # source-balanced round-robin training order: closed-form
         # global positions from broadcast per-source totals, no sort
@@ -1553,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_n": q_sample_exact_n,
         "shuffle_positions": q_shuffle_positions,
         "interleave_positions": q_interleave_positions,
+        "weighted_sample": q_weighted_sample,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "source_salient_terms": q_source_salient_terms,
         "curate_web_corpus": q_curate_web_corpus,
@@ -3616,6 +3624,22 @@ def oracle_sql() -> dict[str, str]:
                     floor(10000.0 * n_prefix / n_source) / 10000 >= 0.2)
                        AS is_template
             FROM flagged
+        """,
+        # min of w uniform hashes == the Beta(1,w) E-S order key;
+        # weight stated identically on both sides
+        "weighted_sample": """
+            WITH w AS (SELECT doc_id,
+                              1 + doc_id % 4 AS weight
+                       FROM documents),
+            r AS (SELECT doc_id, weight,
+                    (SELECT min(CAST(('0x' || substr(md5('42:' ||
+                         CAST(doc_id AS VARCHAR) || ':' ||
+                         CAST(j AS VARCHAR)), 1, 8))::UINTEGER
+                         AS BIGINT))
+                     FROM unnest(range(weight)) AS t(j)) AS rank
+                  FROM w)
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight, rank
+            FROM r ORDER BY rank, doc_id LIMIT 60
         """,
         # round-robin across sources: row p of every source precedes
         # row p+1 of any source; within-source order is the md5

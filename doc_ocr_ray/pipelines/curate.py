@@ -277,6 +277,55 @@ def interleave_positions(ds, key: str = "doc_id",
             .map_groups(place, batch_format="pandas"))
 
 
+def weighted_sample_n(ds, n: int, key: str = "doc_id", seed: int = 42,
+                      max_weight: int = 4):
+    """Deterministic weighted sampling without replacement: draw ``n``
+    rows with probability proportional to an INTEGER weight —
+    Efraimidis-Spirakis order sampling realized as min-of-w-hashes,
+    so it is integer-exact end to end (no u^(1/w), no ln, no float
+    grid anywhere): a row with weight w gets w independent uniform
+    hashes md5(seed:key:j) and ranks by their MINIMUM; the min of w
+    uniforms is exactly the Beta(1, w) key the E-S scheme needs, so
+    top-n-by-smallest-min IS the weighted sample.  Deterministic in
+    (seed, key): reruns and resumes draw the same rows.
+
+    The demo weight is ``1 + key % max_weight`` (stated identically
+    in the SQL twin); swap in any integer weight column (quality
+    tiers, dedup cluster sizes).  Output: ``(key, weight, rank)`` for
+    the n winners, rank = the 32-bit min-hash (tie-break on key).
+
+    Shape: stateless per-batch partial top-n (weight*w hashes per
+    row, vectorized per copy-index), tiny driver merge of per-batch
+    candidates — no shuffle, same pattern as similarity's partial
+    top-k."""
+    import hashlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key]
+        w = (1 + (keys.astype("int64") % max_weight)).to_numpy() \
+            if pd.api.types.is_integer_dtype(keys) \
+            else np.ones(len(keys), dtype="int64")
+        best = np.full(len(keys), np.iinfo(np.int64).max,
+                       dtype="int64")
+        ks = keys.astype(str).to_numpy()
+        for j in range(int(w.max()) if len(w) else 0):
+            live = w > j
+            hs = np.fromiter(
+                (int(hashlib.md5(f"{seed}:{k}:{j}".encode())
+                     .hexdigest()[:8], 16) for k in ks[live]),
+                dtype="int64", count=int(live.sum()))
+            best[live] = np.minimum(best[live], hs)
+        out = pd.DataFrame({key: keys, "weight": w, "rank": best})
+        out = out.sort_values(["rank", key]).head(n)
+        return typed_if_empty(out)
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    win = cand.sort_values(["rank", key]).head(n).reset_index(drop=True)
+    win["weight"] = win["weight"].astype("int64")
+    win["rank"] = win["rank"].astype("int64")
+    return pa.Table.from_pandas(win, preserve_index=False)
+
+
 def curate_training_set(docs_ds, min_tokens: int = 40,
                         jaccard: float = 0.6, seed: int = 42):
     """The full training-corpus curation funnel, composed from the

@@ -2062,3 +2062,25 @@ def test_trailing_window_range_semantics(ray_session):
     assert out.loc[1, "trailing_cents"] == 100
     assert out.loc[5, "trailing_cents"] == 1600   # next day: alone
     assert out.loc[6, "trailing_cents"] == 3200   # user isolation
+
+
+def test_weighted_sample_min_of_w_and_bias(ray_session):
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import weighted_sample_n
+
+    docs = pd.DataFrame({"doc_id": list(range(400))})
+    out = (weighted_sample_n(ray.data.from_pandas(docs), n=80, seed=42)
+           .to_pandas())
+    # single-process replay: rank == min of w hashes
+    def rank(d):
+        w = 1 + d % 4
+        return min(int(hashlib.md5(f"42:{d}:{j}".encode())
+                       .hexdigest()[:8], 16) for j in range(w))
+    want = sorted(range(400), key=lambda d: (rank(d), d))[:80]
+    assert out["doc_id"].tolist() == want
+    # weighted: weight-4 docs (25% of corpus) should dominate the
+    # weight-1 docs in the sample (E[share] 40% vs 10%)
+    w4 = (out["weight"] == 4).sum()
+    w1 = (out["weight"] == 1).sum()
+    assert w4 > w1
