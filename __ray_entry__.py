@@ -1297,6 +1297,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["doc_id", "text", "lang", "source"]),
             columns=["doc_id", "text", "lang", "source"])
 
+    def q_common_paths(sf_dir):
+        # journey-prefix mining: per-user first-3 event types, global
+        # top-20 paths (funnel_counts' discovery complement)
+        from doc_ocr_ray.pipelines.events import common_paths
+        return common_paths(
+            _read(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "event_type"]))
+
     def q_mode_event_type(sf_dir):
         from doc_ocr_ray.pipelines.events import mode_event_type_per_user
         return mode_event_type_per_user(
@@ -1593,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "normalize_unicode": q_normalize_unicode,
         "mode_event_type": q_mode_event_type,
+        "common_paths": q_common_paths,
         "events_pivot": q_events_pivot,
         "table_stats": q_table_stats,
         "above_avg_orders": q_above_avg_orders,
@@ -3972,6 +3981,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source', count(*), count(*) - count(source),
                    count(DISTINCT source) FROM documents
+        """,
+        # per-user first-3 path via ordered string_agg over the
+        # row_number head; top-20 with (n DESC, path ASC) tie-break
+        "common_paths": """
+            WITH e AS (SELECT user_id, event_id, ts, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                         AND user_id IS NOT NULL),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM e WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path ASC LIMIT 20
         """,
         # grouped MODE with deterministic tie-break (count DESC, type
         # ASC); NULL types carry no signal — both sides exclude them

@@ -717,6 +717,59 @@ def pivot_counts(ds, key: str = "user_id", pivot_col: str = "event_type",
                                         batch_format="pandas"))
 
 
+def common_paths(ds, depth: int = 3, k: int = 20,
+                 num_partitions: int = 128):
+    """Top-k most common user journey prefixes: each user's first
+    ``depth`` event types in (ts, event_id) order joined as
+    ``a>b>c``, counted across users — the unordered-discovery
+    complement of :func:`funnel_counts` (that one checks a GIVEN
+    sequence; this one finds which sequences actually happen).
+    Users with fewer than ``depth`` events contribute their full
+    shorter path.  NULL-ts or NULL-type events are dropped (no
+    order / no signal).  Output: ``(path, n_users)``, ties broken by
+    path ascending.
+
+    Shape: slim (user, ts, event_id, type) rows ride ONE coarse
+    user-keyed exchange; each group sorts and takes per-user heads
+    vectorized (groupby cumcount mask, no per-user loop), collapses
+    to (path, partial count); a tiny path-keyed combine + driver
+    top-k finish (path cardinality is bounded by |types|^depth, not
+    by users)."""
+    import pyarrow as pa
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.dropna(subset=["ts", "event_type", "user_id"])
+        out = pd.DataFrame({
+            "user_id": g["user_id"], "ts": g["ts"],
+            "event_id": g["event_id"], "event_type": g["event_type"]})
+        out["part"] = _coarse_part(out["user_id"], num_partitions)
+        return _typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        head = g[g.groupby("user_id", sort=False).cumcount() < depth]
+        paths = (head.groupby("user_id", sort=False)["event_type"]
+                 .agg(">".join))
+        out = (paths.value_counts().rename_axis("path")
+               .reset_index(name="n_users"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return _typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "path": [group["path"].iloc[0]],
+            "n_users": [int(group["n_users"].sum())]})
+
+    agg = (ds.map_batches(slim, batch_format="pandas")
+           .groupby("part").map_groups(per_part, batch_format="pandas")
+           .groupby("path").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    top = (agg.sort_values(["n_users", "path"],
+                           ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def mode_event_type_per_user(ds, num_partitions: int = 128):
     """(user_id, top_type, n): each user's most frequent event type —
     grouped MODE with a deterministic tie-break (higher count wins,

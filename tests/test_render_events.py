@@ -486,3 +486,25 @@ def test_rollup_and_cube_null_keys_sentinel(ray_session):
             .set_index(["event_type", "day"]))
     assert cube.loc[("ALL", "2024-01-01"), "n"] == 2
     assert cube.loc[("ALL", "(null)"), "sum_value"] == 4.0
+
+
+def test_common_paths_depth_and_short_users(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import common_paths
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+        "2024-01-01 10:03",                       # 4th event ignored
+        "2024-01-01 11:00", "2024-01-01 11:01", "2024-01-01 11:02",
+        "2024-01-01 12:00"])                      # short user: 1 event
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 3],
+        "event_id": list(range(1, 9)),
+        "ts": ts,
+        "event_type": ["a", "b", "c", "z",
+                       "a", "b", "c", "a"]})
+    out = (common_paths(ray.data.from_pandas(ev), depth=3)
+           .to_pandas().set_index("path"))
+    assert out.loc["a>b>c", "n_users"] == 2       # 4th event excluded
+    assert out.loc["a", "n_users"] == 1           # short path kept
+    assert len(out) == 2
