@@ -4028,12 +4028,15 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS prev_cents
             FROM e
         """,
-        # RANGE frame: peers (equal ts) share the frame on both sides
+        # RANGE frame: peers (equal ts) share the frame on both sides;
+        # NULL ts defines no frame (dropped both sides), NULL value
+        # coalesces to 0 cents on both sides (so an all-NULL frame is
+        # 0, not SQL-sum NULL)
         "trailing_window": """
             WITH e AS (SELECT user_id, event_id, ts,
-                              CAST(floor(value * 100 + 0.5) AS BIGINT)
-                                  AS cents
-                       FROM events)
+                              CAST(floor(coalesce(value, 0) * 100
+                                         + 0.5) AS BIGINT) AS cents
+                       FROM events WHERE ts IS NOT NULL)
             SELECT user_id, event_id,
                    CAST(sum(cents) OVER (
                        PARTITION BY user_id ORDER BY ts

@@ -220,7 +220,10 @@ def interleave_positions(ds, key: str = "doc_id",
                  for k in batch[key].astype(str)]
         out = pd.DataFrame({
             key: batch[key],
-            "source": batch[source_col].fillna("(null)"),
+            # astype(str) AFTER fillna: every source handled as a
+            # string everywhere (the offset dicts and the tie-break
+            # order must key identically for int source columns too)
+            "source": batch[source_col].fillna("(null)").astype(str),
             "rank": ranks})
         out["bucket"] = [int(r[:2], 16) for r in ranks]
         return typed_if_empty(out)
@@ -302,9 +305,14 @@ def weighted_sample_n(ds, n: int, key: str = "doc_id", seed: int = 42,
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[key]
-        w = (1 + (keys.astype("int64") % max_weight)).to_numpy() \
-            if pd.api.types.is_integer_dtype(keys) \
-            else np.ones(len(keys), dtype="int64")
+        if not pd.api.types.is_integer_dtype(keys):
+            # silently falling back to weight=1 would return a UNIFORM
+            # sample still labeled "weighted" — fail loudly instead
+            raise TypeError(
+                f"weighted_sample_n: the demo weight 1 + {key} % "
+                f"{max_weight} needs an integer key column; got "
+                f"{keys.dtype}. Derive an integer weight column first.")
+        w = (1 + (keys.astype("int64") % max_weight)).to_numpy()
         best = np.full(len(keys), np.iinfo(np.int64).max,
                        dtype="int64")
         ks = keys.astype(str).to_numpy()

@@ -22,6 +22,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from doc_ocr_ray.util import coarse_part as _coarse_part
+
 # explicit class == RE2 \s (see text_analysis._WS: unicode \s would
 # diverge from the SQL oracles); edge-strip with the same class
 _WS = re.compile(r"[\t\n\f\r ]+")
@@ -101,7 +103,7 @@ def running_sum_per_user(ds):
     rounding-grid boundaries (values are 2-decimal), so only integer
     arithmetic hash-matches an independent implementation."""
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        batch["part"] = _coarse_part(batch["user_id"], 128)
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -128,7 +130,7 @@ def moving_sum_per_user(ds, window: int = 3):
     Integer cents throughout so aggregation order cannot perturb the
     values (see running_sum_per_user)."""
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        batch["part"] = _coarse_part(batch["user_id"], 128)
         return batch
 
     def per_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -164,9 +166,15 @@ def trailing_window_sum(ds, window_minutes: int = 60):
     or per-row loop).  The composite stays in int64 because span is
     the partition's own ts range + window (documented bound:
     users-per-partition x ts-span-in-us must fit 2^63 — decades of
-    microseconds x millions of users).  Integer cents as everywhere."""
+    microseconds x millions of users).  Integer cents as everywhere.
+    A NULL ts defines no frame — those rows are dropped on both sides
+    (NaT's int64 sentinel would poison the composite key); a NULL
+    value keeps its row but contributes 0 to every frame, matching
+    SQL sum()'s NULL-skipping."""
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (batch["user_id"] % 128).astype("int64")
+        batch = batch[batch["ts"].notna()]
+        batch = batch.assign(
+            part=_coarse_part(batch["user_id"], 128))
         return batch
 
     win = np.int64(window_minutes) * 60_000_000     # us
@@ -175,8 +183,9 @@ def trailing_window_sum(ds, window_minutes: int = 60):
         g = group.sort_values(["user_id", "ts", "event_id"]).copy()
         ts = (g["ts"].astype("datetime64[us]").astype("int64")
               .to_numpy())
-        cents = np.floor(g["value"] * 100 + 0.5).astype("int64") \
-            .to_numpy()
+        val = g["value"].to_numpy(dtype="float64")
+        cents = np.where(np.isnan(val), 0,
+                         np.floor(val * 100 + 0.5)).astype("int64")
         uid = g["user_id"].to_numpy()
         # dense user index within this partition
         uidx = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])

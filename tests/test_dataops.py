@@ -2084,3 +2084,44 @@ def test_weighted_sample_min_of_w_and_bias(ray_session):
     w4 = (out["weight"] == 4).sum()
     w1 = (out["weight"] == 1).sum()
     assert w4 > w1
+
+
+def test_trailing_window_null_ts_and_value(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import trailing_window_sum
+
+    ev = pd.DataFrame({
+        "user_id": [5, 5, 5],
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 10:00", None,
+                              "2024-01-01 10:30"]),
+        "value": [1.00, 2.00, None]})
+    out = (trailing_window_sum(ray.data.from_pandas(ev))
+           .to_pandas().set_index("event_id").sort_index())
+    assert 2 not in out.index            # NULL ts: no frame, dropped
+    assert out.loc[1, "trailing_cents"] == 100
+    assert out.loc[3, "trailing_cents"] == 100   # NULL value adds 0
+
+
+def test_interleave_positions_int_source(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import interleave_positions
+
+    docs = pd.DataFrame({"doc_id": list(range(6)),
+                         "src": [1, 1, 2, 2, 2, None]})
+    out = (interleave_positions(ray.data.from_pandas(docs),
+                                source_col="src")
+           .to_pandas().sort_values("position"))
+    assert sorted(out["position"]) == list(range(6))
+    assert set(out["source"]) == {"1.0", "2.0", "(null)"} or \
+        set(out["source"]) == {"1", "2", "(null)"}
+
+
+def test_weighted_sample_rejects_non_integer_key(ray_session):
+    import pytest as _pt
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import weighted_sample_n
+
+    docs = pd.DataFrame({"doc_id": ["a", "b", "c"]})
+    with _pt.raises(Exception, match="integer key column"):
+        weighted_sample_n(ray.data.from_pandas(docs), n=2)
