@@ -1449,6 +1449,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return zscore_by_group(
             _read(sf_dir, "documents", ["doc_id", "text", "source"]))
 
+    def q_triangle_count(sf_dir):
+        # exact triangles over the same synthetic link graph as
+        # pagerank (degree-ordered orientation, ids-only exchanges)
+        from doc_ocr_ray.stages.graph import triangle_count
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+
+        def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            return pd.concat(
+                [pd.DataFrame({"src": d, "dst": (d * d * p + c) % n})
+                 for p, c in _PR_EDGE_RULES], ignore_index=True)
+
+        return triangle_count(
+            docs.map_batches(mk_edges, batch_format="pandas"))
+
     def q_pagerank(sf_dir):
         # link-graph authority over the deterministic synthetic
         # hyperlink graph (crawl-quality signal)
@@ -1496,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "zscore_by_source": q_zscore_by_source,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
@@ -2571,6 +2588,22 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        # undirected triangles u<v<w via the canonical three-edge
+        # self-join over the SAME derived link graph as pagerank
+        "triangle_count": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS ({' UNION ALL '.join(
+                f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c})"
+                f" % (SELECT n FROM nn) AS dst FROM documents"
+                for p, c in _PR_EDGE_RULES)}),
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v
+                    FROM e0 WHERE src <> dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
         "bpe_train": _bpe_sql(),
         "bpe_apply": _bpe_apply_sql(),
         # per-source z-score: integer num/radicand, then ONE double

@@ -151,3 +151,173 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
             "rank_scaled": batch["r"].astype("int64")})
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def triangle_count(edges_ds, num_parts: int = 64):
+    """Exact global triangle count over the (undirected) link graph —
+    the clustering/link-spam signal next to :func:`pagerank`.  Input
+    (src, dst) directed links; loops drop, multi-edges and direction
+    collapse to canonical u<v pairs.  Returns a 1-row table
+    ``(n_triangles,)``.
+
+    Scale shape — the standard degree-ordered orientation (each edge
+    is charged to its lower-(degree, id) endpoint, so per-node
+    out-degree is O(sqrt(m)) and hub wedges never blow up):
+
+    1. canonical edges + per-node degrees (one node-keyed exchange of
+       (node, 1) partials);
+    2. each edge learns both endpoint degrees through TWO tagged-union
+       node-keyed exchanges (the dedup_keep_best join shape — no
+       broadcast, the degree table can be graph-sized);
+    3. oriented adjacency groups by its source; each group emits its
+       out-neighbor PAIRS (the wedges) — bounded by outdeg^2 <= m per
+       node thanks to the orientation;
+    4. wedges meet canonical edges on a coarse (min, max) pair key;
+       matches are triangles, counted with per-partition partials.
+
+    Every exchange carries ids only.  Each triangle u<v<w (by the
+    orientation order) is emitted exactly once — by its smallest
+    vertex's wedge — so the count is exact, no de-dup pass needed."""
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        e = batch[batch["src"] != batch["dst"]]
+        u = np.minimum(e["src"].astype("int64"), e["dst"].astype("int64"))
+        v = np.maximum(e["src"].astype("int64"), e["dst"].astype("int64"))
+        out = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        out["part"] = coarse_part(out["u"] * 1_000_003 + out["v"],
+                                  num_parts)
+        return typed_if_empty(out)
+
+    def dedupe_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(
+            group[["u", "v"]].drop_duplicates())
+
+    edges = (edges_ds.map_batches(canon, batch_format="pandas")
+             .groupby("part").map_groups(dedupe_pairs,
+                                         batch_format="pandas")
+             .materialize())      # consumed 3x: degrees, orient, close
+
+    # --- per-node degree (value-count combiner, one node exchange)
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (pd.concat([batch["u"], batch["v"]])
+             .value_counts().rename_axis("node")
+             .reset_index(name="cnt"))
+        c["cnt"] = c["cnt"].astype("int64")
+        c["part"] = coarse_part(c["node"], num_parts)
+        return typed_if_empty(c)
+
+    def deg_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("node", sort=False)["cnt"].sum()
+             .reset_index(name="deg"))
+        g["deg"] = g["deg"].astype("int64")
+        return typed_if_empty(g)
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pandas")
+               .groupby("part").map_groups(deg_combine,
+                                           batch_format="pandas")
+               .materialize())    # consumed 2x (one per endpoint)
+
+    # --- annotate an endpoint with its degree (tagged union join)
+    def annotate(edge_tbl, endpoint, out_col):
+        def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            b["node"] = b[endpoint]
+            b["deg"] = np.int64(-1)
+            b["side"] = np.int8(0)
+            b["part"] = coarse_part(b["node"], num_parts)
+            return typed_if_empty(b)
+
+        def tag_deg(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node": batch["node"],
+                                "deg": batch["deg"]})
+            out["side"] = np.int8(1)
+            out["part"] = coarse_part(out["node"], num_parts)
+            return typed_if_empty(out)
+
+        def resolve(group: pd.DataFrame) -> pd.DataFrame:
+            dmap = group[group["side"] == 1].set_index("node")["deg"]
+            e = group[group["side"] == 0].copy()
+            if not len(e):
+                return typed_if_empty(
+                    e.drop(columns=["node", "deg", "side", "part"],
+                           errors="ignore"))
+            e[out_col] = e["node"].map(dmap).astype("int64")
+            e = e.drop(columns=["node", "deg", "side", "part"])
+            # the tagged union turns the absent side's id columns into
+            # float64 (NaN fill) — restore int64 or the NEXT exchange
+            # hashes float objects and misroutes every row
+            for c in e.columns:
+                e[c] = e[c].astype("int64")
+            return typed_if_empty(e)
+
+        tagged = (edge_tbl.map_batches(tag_edges, batch_format="pandas")
+                  .union(degrees.map_batches(tag_deg,
+                                             batch_format="pandas")))
+        return (tagged.groupby("part")
+                .map_groups(resolve, batch_format="pandas"))
+
+    with_du = annotate(edges, "u", "deg_u")
+    with_both = annotate(with_du, "v", "deg_v")
+
+    # --- orient low->high by (deg, id); group by source; emit wedges
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_first = (batch["deg_u"] < batch["deg_v"]) | \
+                   ((batch["deg_u"] == batch["deg_v"])
+                    & (batch["u"] < batch["v"]))
+        out = pd.DataFrame({
+            "x": np.where(lo_first, batch["u"], batch["v"]),
+            "y": np.where(lo_first, batch["v"], batch["u"])})
+        out["x"] = out["x"].astype("int64")
+        out["y"] = out["y"].astype("int64")
+        out["part"] = coarse_part(out["x"], num_parts)
+        return typed_if_empty(out)
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _x, nbrs in group.groupby("x", sort=False)["y"]:
+            a = np.sort(nbrs.to_numpy())
+            if len(a) < 2:
+                continue
+            iu = np.triu_indices(len(a), k=1)
+            outs.append(pd.DataFrame({"wu": a[iu[0]], "wv": a[iu[1]]}))
+        if not outs:
+            return typed_if_empty(pd.DataFrame({
+                "wu": pd.Series([], dtype="int64"),
+                "wv": pd.Series([], dtype="int64")}))
+        w = pd.concat(outs, ignore_index=True)
+        return w
+
+    wedge_ds = (with_both.map_batches(orient, batch_format="pandas")
+                .groupby("part").map_groups(wedges,
+                                            batch_format="pandas"))
+
+    # --- close wedges against canonical edges on the pair key
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.minimum(batch["wu"], batch["wv"]).astype("int64")
+        v = np.maximum(batch["wu"], batch["wv"]).astype("int64")
+        out = pd.DataFrame({"u": u, "v": v})
+        out["side"] = np.int8(0)
+        out["part"] = coarse_part(out["u"] * 1_000_003 + out["v"],
+                                  num_parts)
+        return typed_if_empty(out)
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["u", "v"]].copy()
+        out["side"] = np.int8(1)
+        out["part"] = coarse_part(out["u"] * 1_000_003 + out["v"],
+                                  num_parts)
+        return typed_if_empty(out)
+
+    def close(group: pd.DataFrame) -> pd.DataFrame:
+        real = group[group["side"] == 1][["u", "v"]]
+        cand = group[group["side"] == 0][["u", "v"]]
+        if not len(cand) or not len(real):
+            return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+        merged = cand.merge(real.drop_duplicates(), on=["u", "v"])
+        return pd.DataFrame({"n": [np.int64(len(merged))]})
+
+    parts = (wedge_ds.map_batches(tag_wedge, batch_format="pandas")
+             .union(edges.map_batches(tag_edge, batch_format="pandas"))
+             .groupby("part").map_groups(close, batch_format="pandas")
+             .to_pandas())
+    total = int(parts["n"].sum()) if len(parts) else 0
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

@@ -275,3 +275,22 @@ def test_kmeans_fit_drops_empty_cluster():
     assert 1 not in labels            # duplicate-seed cluster dropped
     assert labels <= {0, 2} and len(out) == len(labels) * 8
     assert (out["n"] > 0).all()
+
+
+def test_triangle_count_k4_and_noise(ray_session):
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles), given as DIRECTED dupes + loops,
+    # plus a pendant edge and an isolated edge (no new triangles)
+    e = pd.DataFrame({
+        "src": [0, 1, 0, 2, 0, 3, 1, 2, 1, 3, 2, 3, 3, 0, 4, 8],
+        "dst": [1, 0, 2, 0, 3, 0, 2, 1, 3, 1, 3, 2, 3, 4, 5, 9]})
+    out = triangle_count(ray.data.from_pandas(e)).to_pandas()
+    assert out["n_triangles"].tolist() == [4]
+
+    # triangle-free: a path
+    p = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    out2 = triangle_count(ray.data.from_pandas(p)).to_pandas()
+    assert out2["n_triangles"].tolist() == [0]
