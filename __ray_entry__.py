@@ -1288,6 +1288,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pivot_counts(
             _read(sf_dir, "events", ["user_id", "event_type"]))
 
+    def q_ntile_by_source(sf_dir):
+        # distributed NTILE: equal-count quartiles per source, exact
+        # SQL tie + size rules, offsets instead of a global sort
+        from doc_ocr_ray.stages.text_analysis import ntile_by_group
+        return ntile_by_group(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
     def q_table_stats(sf_dir):
         # catalog profiling pass: counts + md5-digest exact distincts,
         # raw values never ride the exchange
@@ -1621,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_paths": q_common_paths,
         "events_pivot": q_events_pivot,
         "table_stats": q_table_stats,
+        "ntile_by_source": q_ntile_by_source,
         "above_avg_orders": q_above_avg_orders,
         "daily_activity": q_daily_activity,
         "distinct_event_types": q_distinct_event_types,
@@ -3996,6 +4004,19 @@ def oracle_sql() -> dict[str, str]:
                             'purchase', 'signup', 'view'))
                         AS BIGINT) AS n_other
             FROM events GROUP BY user_id
+        """,
+        # NTILE parity: total order via the doc_id tie-break, DuckDB's
+        # first-n%k-tiles-get-the-extra-row size rule restated as an
+        # integer formula engine-side
+        "ntile_by_source": f"""
+            WITH t AS (SELECT doc_id,
+                              coalesce(source, '(null)') AS source,
+                              CAST({_NTOK} AS BIGINT) AS n_tokens
+                       FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   CAST(ntile(4) OVER (PARTITION BY source
+                        ORDER BY n_tokens, doc_id) AS BIGINT) AS tile
+            FROM t
         """,
         # catalog profile: n_distinct counts the VARCHAR form (the
         # engine digests str(v) — same canonicalization)

@@ -1792,6 +1792,96 @@ def normalize_unicode_batch(batch: pd.DataFrame,
         "changed": (norm != text).astype("int64")})
 
 
+def ntile_by_group(ds, tiles: int = 4, group_col: str = "source",
+                   num_partitions: int = 64):
+    """Distributed NTILE: equal-COUNT quantile buckets of the
+    whitespace token count per group — SQL ``ntile(k) OVER
+    (PARTITION BY group ORDER BY n_tokens, doc_id)`` semantics
+    exactly, including the tie rule (the doc_id tie-break makes the
+    order total, so bucket boundaries cut BETWEEN equal scores where
+    SQL's row-order ntile does) and the size rule (the first n%k
+    tiles get one extra row).  The difference from the
+    value-threshold stratifiers (ccnet_buckets, quantiles): those
+    give every equal score the same bucket; NTILE balances bucket
+    SIZES.  Output: ``(doc_id, group, n_tokens, tile)``.
+
+    Shape — global per-group ranks WITHOUT a global sort (the
+    shuffle_positions offset pattern, keyed by value instead of a
+    uniform hash): (1) per-batch (group, score) value counts collapse
+    to a tiny (group x distinct-score) table; the driver sorts it and
+    broadcasts per-(group, score) base offsets + group totals via
+    ``ray.put``; (2) ONE coarse (group, score)-keyed exchange gives
+    each equal-score run its doc_id-ordered local ordinal; rank =
+    offset + ordinal, tile = the integer size-rule formula.  NULL
+    groups become '(null)' (corpus_report discipline)."""
+    import ray
+
+    def score_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: batch[group_col].fillna("(null)"),
+            "score": _tokens(batch["text"]).str.len().astype("int64")})
+        out = (g.groupby([group_col, "score"], sort=False).size()
+               .reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return typed_if_empty(out)
+
+    hist = (ds.map_batches(score_counts, batch_format="pandas")
+            .groupby([group_col, "score"])
+            .sum("cnt").to_pandas()
+            .rename(columns={"sum(cnt)": "cnt"})
+            .sort_values([group_col, "score"]))
+    offsets = {}
+    totals = {}
+    for grp, rows in hist.groupby(group_col, sort=False):
+        acc = 0
+        for s, c in zip(rows["score"], rows["cnt"]):
+            offsets[(grp, int(s))] = acc
+            acc += int(c)
+        totals[grp] = acc
+    maps_ref = ray.put((offsets, totals))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            group_col: batch[group_col].fillna("(null)"),
+            "score": _tokens(batch["text"]).str.len().astype("int64")})
+        g["part"] = coarse_part(
+            g[group_col] + ":" + g["score"].astype(str),
+            num_partitions)
+        return typed_if_empty(g)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        off, tot = ray.get(maps_ref)
+        g = group.sort_values([group_col, "score", "doc_id"]).copy()
+        ordinal = g.groupby([group_col, "score"], sort=False).cumcount()
+        base = np.fromiter(
+            (off[(s, int(v))] for s, v in
+             zip(g[group_col], g["score"])),
+            dtype="int64", count=len(g))
+        rank = base + ordinal.to_numpy()           # 0-based in group
+        n = np.fromiter((tot[s] for s in g[group_col]),
+                        dtype="int64", count=len(g))
+        k = tiles
+        small = n // k
+        m = n % k
+        big = small + 1
+        in_big = rank < m * big
+        tile = np.where(
+            in_big, rank // np.maximum(big, 1),
+            m + np.where(small > 0,
+                         (rank - m * big) // np.maximum(small, 1), 0)
+        ) + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            group_col: g[group_col].to_numpy(),
+            "n_tokens": g["score"].to_numpy(),
+            "tile": tile.astype("int64")})
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
 def corpus_report(ds, group_col: str = "source"):
     """Corpus report card: per-source document/token/char totals,
     empty-after-normalization counts and token-count extrema, plus an

@@ -2125,3 +2125,31 @@ def test_weighted_sample_rejects_non_integer_key(ray_session):
     docs = pd.DataFrame({"doc_id": ["a", "b", "c"]})
     with _pt.raises(Exception, match="integer key column"):
         weighted_sample_n(ray.data.from_pandas(docs), n=2)
+
+
+def test_ntile_size_and_tie_rules(ray_session):
+    import duckdb
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import ntile_by_group
+
+    # 10 docs in one source with heavy score ties (words repeated),
+    # plus a 3-doc source (n < k: each row its own tile)
+    rows = []
+    for i in range(10):
+        rows.append({"doc_id": i, "source": "a",
+                     "text": " ".join(["w"] * (1 + i // 3))})
+    for i in range(10, 13):
+        rows.append({"doc_id": i, "source": "b", "text": "x y"})
+    df = pd.DataFrame(rows)
+    out = (ntile_by_group(ray.data.from_pandas(df), tiles=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT doc_id,
+               ntile(4) OVER (PARTITION BY source
+                              ORDER BY len(str_split(trim(text), ' ')),
+                                       doc_id) AS tile
+        FROM df ORDER BY doc_id""").df()
+    assert out["tile"].tolist() == want["tile"].tolist()
+    # size rule: source a (10 rows, k=4) -> tiles sized 3,3,2,2
+    a = out[out["source"] == "a"]["tile"].value_counts().sort_index()
+    assert a.tolist() == [3, 3, 2, 2]
