@@ -1288,6 +1288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pivot_counts(
             _read(sf_dir, "events", ["user_id", "event_type"]))
 
+    def q_pmi_pairs(sf_dir):
+        # collocation mining: top-30 bigrams by PMI (floor >= 5),
+        # integer micro grid, one stated float op order
+        from doc_ocr_ray.stages.text_analysis import pmi_top_pairs
+        return pmi_top_pairs(_read(sf_dir, "documents", ["text"]))
+
     def q_ntile_by_source(sf_dir):
         # distributed NTILE: equal-count quartiles per source, exact
         # SQL tie + size rules, offsets instead of a global sort
@@ -1629,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "table_stats": q_table_stats,
         "ntile_by_source": q_ntile_by_source,
+        "pmi_pairs": q_pmi_pairs,
         "above_avg_orders": q_above_avg_orders,
         "daily_activity": q_daily_activity,
         "distinct_event_types": q_distinct_event_types,
@@ -4004,6 +4011,33 @@ def oracle_sql() -> dict[str, str]:
                             'purchase', 'signup', 'view'))
                         AS BIGINT) AS n_other
             FROM events GROUP BY user_id
+        """,
+        # PMI grid: ONE float op order on both sides (c*N, cx*cy,
+        # divide, ln, *1e6, floor) — np.log == DuckDB ln here (the
+        # bm25/tfidf precedent)
+        "pmi_pairs": f"""
+            WITH w AS (SELECT {_TOKENS} AS lst FROM documents
+                       WHERE {_STRIP} <> ''),
+            flat AS (SELECT unnest(lst) AS word FROM w),
+            uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                    FROM flat GROUP BY 1),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            bg AS (SELECT lst[i] AS w1, lst[i + 1] AS w2
+                   FROM w, LATERAL (SELECT
+                       unnest(range(1, len(lst))) AS i)
+                   WHERE len(lst) >= 2),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                   FROM bg GROUP BY 1, 2)
+            SELECT w1, w2, bc.c AS n_pair,
+                   CAST(floor(1000000 * ln(
+                       (CAST(bc.c AS DOUBLE) * (SELECT n FROM nn))
+                       / (CAST(u1.c AS DOUBLE) * u2.c)))
+                        AS BIGINT) AS pmi_micro
+            FROM bc
+            JOIN uni u1 ON u1.word = bc.w1
+            JOIN uni u2 ON u2.word = bc.w2
+            WHERE bc.c >= 5
+            ORDER BY pmi_micro DESC, w1, w2 LIMIT 30
         """,
         # NTILE parity: total order via the doc_id tie-break, DuckDB's
         # first-n%k-tiles-get-the-extra-row size rule restated as an

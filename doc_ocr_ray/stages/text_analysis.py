@@ -1985,3 +1985,141 @@ def bpe_apply(ds, merges_tbl):
                           .fillna(0).astype("int64")}))
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def pmi_top_pairs(ds, k: int = 30, min_count: int = 5,
+                  num_partitions: int = 64):
+    """Corpus collocation mining: top-k word bigrams by pointwise
+    mutual information ``PMI = ln(c_xy * N / (c_x * c_y))`` with a
+    ``min_count`` occurrence floor (rare pairs have unreliable PMI
+    and unbounded scores).  Output: ``(w1, w2, n_pair, pmi_micro)``,
+    ties broken (pmi DESC, w1, w2).
+
+    Shape: ONE corpus pass emits per-batch bigram and unigram count
+    partials (vectorized shift-concat, the repetition_signals
+    machinery); each collapses through its own coarse token-keyed
+    exchange.  Each surviving bigram (>= min_count — applied BEFORE
+    the joins, so the expensive part is floor-bounded) then learns
+    c_x and c_y through two tagged-union token-keyed exchanges (the
+    triangle_count annotate shape — no vocab broadcast; web vocabs
+    don't fit one node).  PMI lands on the integer micro grid with
+    ONE stated float op order (c*N double-mult, cx*cy double-mult,
+    divide, ln, *1e6, floor) so the DuckDB twin is bit-identical
+    (np.log == DuckDB ln on this platform — the bm25/tfidf
+    precedent).  Driver merges per-partition top-k partials."""
+    import pyarrow as pa
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        uni: Dict[str, int] = {}
+        big: Dict[tuple, int] = {}
+        flat = [w for ws in toks for w in ws]
+        s = pd.Series(flat, dtype="object")
+        for w, c in s.value_counts().items():
+            uni[w] = int(c)
+        # bigrams never cross documents: shift within each doc list
+        firsts, seconds = [], []
+        for ws in toks:
+            if len(ws) >= 2:
+                firsts.extend(ws[:-1])
+                seconds.extend(ws[1:])
+        bg = pd.DataFrame({"w1": firsts, "w2": seconds})
+        out_u = pd.DataFrame({
+            "w1": list(uni), "w2": "", "cnt": list(uni.values()),
+            "kind": np.int8(0)})
+        if len(bg):
+            bgc = (bg.groupby(["w1", "w2"], sort=False).size()
+                   .reset_index(name="cnt"))
+            bgc["kind"] = np.int8(1)
+            out = pd.concat([out_u, bgc], ignore_index=True)
+        else:
+            out = out_u
+        out["cnt"] = out["cnt"].astype("int64")
+        out["part"] = coarse_part(out["w1"] + "\x00" + out["w2"],
+                                  num_partitions)
+        return typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["w1", "w2", "kind"], sort=False)["cnt"]
+             .sum().reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return typed_if_empty(g)
+
+    tallied = (ds.map_batches(counts, batch_format="pandas")
+               .groupby("part").map_groups(combine,
+                                           batch_format="pandas")
+               .materialize())    # unigrams consumed 3x, bigrams 1x
+
+    def keep_uni(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(batch[batch["kind"] == 0])
+
+    def keep_big(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(batch[(batch["kind"] == 1)
+                                    & (batch["cnt"] >= min_count)])
+
+    unigrams = tallied.map_batches(keep_uni, batch_format="pandas")
+    n_total = int(unigrams.sum("cnt"))     # scalar for a single column
+
+    bigrams = tallied.map_batches(keep_big, batch_format="pandas")
+
+    def annotate(tbl, endpoint, out_col):
+        def tag_b(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            b["word"] = b[endpoint]
+            b["ucnt"] = np.int64(-1)
+            b["side"] = np.int8(0)
+            b["part"] = coarse_part(b["word"], num_partitions)
+            return typed_if_empty(b)
+
+        def tag_u(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"word": batch["w1"],
+                                "ucnt": batch["cnt"]})
+            out["side"] = np.int8(1)
+            out["part"] = coarse_part(out["word"], num_partitions)
+            return typed_if_empty(out)
+
+        def resolve(group: pd.DataFrame) -> pd.DataFrame:
+            umap = group[group["side"] == 1].set_index("word")["ucnt"]
+            e = group[group["side"] == 0].copy()
+            if not len(e):
+                return typed_if_empty(pd.DataFrame())
+            e[out_col] = e["word"].map(umap).astype("int64")
+            e = e.drop(columns=["word", "ucnt", "side", "part"])
+            for c in ("cnt",) + (("c_x",) if "c_x" in e else ()):
+                e[c] = e[c].astype("int64")   # un-float the union fill
+            return typed_if_empty(e)
+
+        tagged = (tbl.map_batches(tag_b, batch_format="pandas")
+                  .union(unigrams.map_batches(tag_u,
+                                              batch_format="pandas")))
+        return (tagged.groupby("part")
+                .map_groups(resolve, batch_format="pandas"))
+
+    with_cx = annotate(bigrams, "w1", "c_x")
+    with_both = annotate(with_cx, "w2", "c_y")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return typed_if_empty(pd.DataFrame())
+        c = batch["cnt"].to_numpy(dtype="float64")
+        cx = batch["c_x"].to_numpy(dtype="float64")
+        cy = batch["c_y"].to_numpy(dtype="float64")
+        pmi = np.floor(1e6 * np.log((c * float(n_total)) / (cx * cy))) \
+            .astype("int64")
+        out = pd.DataFrame({
+            "w1": batch["w1"].to_numpy(),
+            "w2": batch["w2"].to_numpy(),
+            "n_pair": batch["cnt"].astype("int64").to_numpy(),
+            "pmi_micro": pmi})
+        out = out.sort_values(["pmi_micro", "w1", "w2"],
+                              ascending=[False, True, True]).head(k)
+        return typed_if_empty(out)
+
+    cand = with_both.map_batches(score,
+                                 batch_format="pandas").to_pandas()
+    top = (cand.sort_values(["pmi_micro", "w1", "w2"],
+                            ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    for c in ("n_pair", "pmi_micro"):
+        top[c] = top[c].astype("int64")
+    return pa.Table.from_pandas(top, preserve_index=False)

@@ -2153,3 +2153,25 @@ def test_ntile_size_and_tie_rules(ray_session):
     # size rule: source a (10 rows, k=4) -> tiles sized 3,3,2,2
     a = out[out["source"] == "a"]["tile"].value_counts().sort_index()
     assert a.tolist() == [3, 3, 2, 2]
+
+
+def test_pmi_top_pairs_counts_and_floor(ray_session):
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import pmi_top_pairs
+
+    # "strong glue" appears 6x and only together; "the the" 5x among
+    # many "the"; "rare pair" once (filtered by min_count)
+    docs = pd.DataFrame({"text": (
+        ["strong glue"] * 6 + ["the the"] * 5
+        + ["the end of the story"] * 3 + ["rare pair"])})
+    out = (pmi_top_pairs(ray.data.from_pandas(docs), k=10,
+                         min_count=5).to_pandas())
+    assert "rare" not in set(out["w1"])                # floored out
+    row = out[(out["w1"] == "strong") & (out["w2"] == "glue")].iloc[0]
+    n_total = 6 * 2 + 5 * 2 + 3 * 5 + 2
+    want = math.floor(1e6 * math.log((6 * float(n_total)) / (6.0 * 6)))
+    assert row["n_pair"] == 6 and row["pmi_micro"] == want
+    # exclusive pair ranks above the promiscuous "the the"
+    the = out[(out["w1"] == "the") & (out["w2"] == "the")].iloc[0]
+    assert row["pmi_micro"] > the["pmi_micro"]
