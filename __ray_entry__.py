@@ -1310,6 +1310,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["doc_id", "text", "lang", "source"]),
             columns=["doc_id", "text", "lang", "source"])
 
+    def q_top3_orders_salted(sf_dir):
+        # the hot-key-safe two-stage variant — same rows, same oracle
+        # as top3_orders_per_cust (top-k is mergeable)
+        from doc_ocr_ray.pipelines.events import top_k_per_group_salted
+        return top_k_per_group_salted(
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"]),
+            key="o_custkey", order_col="o_totalprice",
+            tiebreak_col="o_orderkey", k=3)
+
     def q_common_paths(sf_dir):
         # journey-prefix mining: per-user first-3 event types, global
         # top-20 paths (funnel_counts' discovery complement)
@@ -1575,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
+        "top3_orders_salted": q_top3_orders_salted,
         "customers_without_events": q_customers_without_events,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "customers_without_events_native": q_customers_without_events_native,
@@ -3412,6 +3423,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         "sessionize_streaming": SESSIONIZE_SQL,
+        # the salted variant is byte-identical (top-k is mergeable):
+        # same SQL
+        "top3_orders_salted": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rank
+              FROM orders)
+            SELECT o_custkey, o_orderkey, o_totalprice, rank
+            FROM r WHERE rank <= 3
+        """,
         "top3_orders_per_cust": """
             WITH r AS (
               SELECT o_custkey, o_orderkey, o_totalprice,

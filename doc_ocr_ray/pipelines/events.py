@@ -248,6 +248,56 @@ def top_k_per_group(ds, key: str, order_col: str, tiebreak_col: str,
               .groupby("part").map_groups(per_part, batch_format="pandas"))
 
 
+def top_k_per_group_salted(ds, key: str, order_col: str,
+                           tiebreak_col: str, k: int = 3,
+                           salt: int = 8):
+    """:func:`top_k_per_group` for HOT keys: when one key owns a
+    material fraction of the corpus (a mega-customer, a bot user),
+    the plain coarse-key partition puts that key's entire row set in
+    ONE group and the job runs at the speed of its slowest straggler.
+    Top-k is MERGEABLE — the top-k of a union is contained in the
+    union of the parts' top-ks — so the salted two-stage version is
+    exactly equivalent:
+
+    1. partition by (key, hash(tiebreak) % salt): a hot key's rows
+       spread over ``salt`` groups; per-sub-group vectorized top-k
+       caps every exchange-2 contribution at k rows per sub-group;
+    2. a second exchange on the bare key merges the ≤ salt*k
+       candidates per key and takes the final top-k + rank.
+
+    Byte-identical output to the unsalted operator (same oracle), at
+    the cost of one extra (tiny: |keys|*salt*k rows) exchange."""
+    def add_salted_part(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = _coarse_part(batch[tiebreak_col], salt)
+        batch["skey"] = batch[key].astype("int64") * salt + sub
+        batch["part"] = _coarse_part(batch["skey"], 128)
+        return batch
+
+    def sub_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["skey", order_col, tiebreak_col],
+                              ascending=[True, False, True])
+        top = g.groupby("skey", sort=False).head(k)
+        return top.drop(columns=["part", "skey"])
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = _coarse_part(batch[key], 128)
+        return batch
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, order_col, tiebreak_col],
+                              ascending=[True, False, True])
+        top = g.groupby(key, sort=False).head(k).copy()
+        top["rank"] = top.groupby(key, sort=False).cumcount() + 1
+        return top.drop(columns=["part"])
+
+    cand = (ds.map_batches(add_salted_part, batch_format="pandas")
+            .groupby("part").map_groups(sub_topk,
+                                        batch_format="pandas"))
+    return (cand.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(final_topk,
+                                        batch_format="pandas"))
+
+
 def parse_props_k(ds):
     """Structured-JSON field extraction from the ``props`` column
     (vectorized per batch) + distribution of the extracted value bucket:

@@ -508,3 +508,28 @@ def test_common_paths_depth_and_short_users(ray_session):
     assert out.loc["a>b>c", "n_users"] == 2       # 4th event excluded
     assert out.loc["a", "n_users"] == 1           # short path kept
     assert len(out) == 2
+
+
+def test_salted_topk_equals_unsalted_on_hot_key(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import (top_k_per_group,
+                                              top_k_per_group_salted)
+
+    # one mega-customer owns 90% of rows (the skew case salting is
+    # for), plus ties at the cut boundary
+    rows = [{"o_custkey": 1, "o_orderkey": i,
+             "o_totalprice": float(i % 7)} for i in range(900)]
+    rows += [{"o_custkey": c, "o_orderkey": 1000 + c,
+              "o_totalprice": 5.0} for c in range(2, 102)]
+    df = pd.DataFrame(rows)
+
+    def canon(ds_out):
+        return sorted((r["o_custkey"], r["o_orderkey"], r["rank"])
+                      for r in ds_out.take_all())
+    plain = canon(top_k_per_group(
+        ray.data.from_pandas(df), key="o_custkey",
+        order_col="o_totalprice", tiebreak_col="o_orderkey", k=3))
+    salted = canon(top_k_per_group_salted(
+        ray.data.from_pandas(df), key="o_custkey",
+        order_col="o_totalprice", tiebreak_col="o_orderkey", k=3))
+    assert plain == salted and len(plain) == 3 + 100
