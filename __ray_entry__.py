@@ -1310,6 +1310,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["doc_id", "text", "lang", "source"]),
             columns=["doc_id", "text", "lang", "source"])
 
+    def q_kmv_users_by_type(sf_dir):
+        # per-group KMV sketch: approximate estimator, DETERMINISTIC
+        # md5 hashes -> the oracle reproduces the estimate bit-exactly
+        from doc_ocr_ray.stages.sketch import kmv_distinct_users_by_type
+        return kmv_distinct_users_by_type(
+            _read(sf_dir, "events", ["event_type", "user_id"]))
+
     def q_top3_orders_salted(sf_dir):
         # the hot-key-safe two-stage variant — same rows, same oracle
         # as top3_orders_per_cust (top-k is mergeable)
@@ -1586,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "top3_orders_salted": q_top3_orders_salted,
+        "kmv_users_by_type": q_kmv_users_by_type,
         "customers_without_events": q_customers_without_events,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "customers_without_events_native": q_customers_without_events_native,
@@ -3423,6 +3431,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         "sessionize_streaming": SESSIONIZE_SQL,
+        # KMV sketch twin: the k-th smallest DISTINCT md5-64 user hash
+        # per type, identical float op order for the estimate; groups
+        # under k hashes report their exact count
+        "kmv_users_by_type": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL),
+            h AS (SELECT DISTINCT event_type,
+                         ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 16))::UBIGINT AS h
+                  FROM u),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM h)
+            SELECT event_type,
+                   CASE WHEN n < 256
+                        THEN floor(10 * CAST(n AS DOUBLE)) / 10
+                        ELSE floor(10 * ((256 - 1)
+                             / (CAST(h AS DOUBLE)
+                                / 18446744073709551616.0))) / 10
+                   END AS est_users
+            FROM r WHERE rn = least(n, 256)
+        """,
         # the salted variant is byte-identical (top-k is mergeable):
         # same SQL
         "top3_orders_salted": """

@@ -217,3 +217,52 @@ def median_value_by_type(ds):
         })
     return ds.groupby("event_type").map_groups(per_group,
                                                batch_format="pandas")
+
+
+def kmv_distinct_users_by_type(ds, k: int = 256):
+    """(event_type, est_users): per-GROUP K-minimum-values distinct
+    sketch — what replaces ``distinct_users_by_type``'s exact
+    distinct-pair exchange when the pair set itself is too big (the
+    same trade the global KMV makes for tokens, now with the sketch
+    as the per-group MERGEABLE partial).  Deterministic: the hash is
+    md5, so the estimate is a pure function of the data and the
+    DuckDB twin reproduces it bit for bit (an APPROXIMATE operator
+    with an EXACT oracle — the estimator itself is deterministic,
+    only its relation to the true count is approximate).
+
+    Shape: per batch, per type, the k smallest distinct user hashes
+    (<= k * |types| rows ride the exchange, never user rows); one
+    tiny type-keyed combine re-takes the k smallest; groups that
+    never fill the sketch report their exact distinct count.
+    Estimate grid: floor(10 * est) / 10, est = (k-1) /
+    (kth_min / 2^64) with the stated float op order."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.dropna(subset=["event_type", "user_id"])
+        outs = []
+        for t, users in g.groupby("event_type",
+                                  sort=False)["user_id"]:
+            hs = np.sort(np.array(
+                [int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big")
+                 for u in set(users)], dtype=np.uint64))[:k]
+            outs.append(pd.DataFrame({
+                "event_type": t, "h": hs.astype("uint64")}))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "h": pd.Series([], dtype="uint64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(np.unique(group["h"].to_numpy()))[:k]
+        if len(hs) < k:
+            est = float(len(hs))
+        else:
+            est = (k - 1) / (float(hs[-1]) / _SCALE)
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "est_users": [np.floor(10 * est) / 10]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(combine,
+                                              batch_format="pandas"))

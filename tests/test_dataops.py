@@ -2175,3 +2175,20 @@ def test_pmi_top_pairs_counts_and_floor(ray_session):
     # exclusive pair ranks above the promiscuous "the the"
     the = out[(out["w1"] == "the") & (out["w2"] == "the")].iloc[0]
     assert row["pmi_micro"] > the["pmi_micro"]
+
+
+def test_kmv_by_type_exact_when_small_and_estimates(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import kmv_distinct_users_by_type
+
+    # type 'small': 30 users (< k=16 after override -> exact);
+    # type 'big': 500 users -> sketch path
+    rows = ([{"event_type": "small", "user_id": u} for u in range(30)]
+            + [{"event_type": "big", "user_id": 1000 + u}
+               for u in range(500)] * 2)       # dupes don't inflate
+    ev = pd.DataFrame(rows)
+    out = (kmv_distinct_users_by_type(ray.data.from_pandas(ev), k=64)
+           .to_pandas().set_index("event_type"))
+    assert out.loc["small", "est_users"] == 30.0     # exact (< k)
+    est = out.loc["big", "est_users"]
+    assert 350 <= est <= 700                          # ~500 +/- sketch err
