@@ -1310,6 +1310,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["doc_id", "text", "lang", "source"]),
             columns=["doc_id", "text", "lang", "source"])
 
+    def q_value_time_corr(sf_dir):
+        # per-type Pearson drift: integer moments, python-int combine,
+        # one stated double order (the zscore discipline)
+        from doc_ocr_ray.stages.sketch import value_time_corr
+        return value_time_corr(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+    def q_median_value_hist(sf_dir):
+        # scale-safe exact median: tiny (type, cents) histogram
+        # instead of whole-group sort; same oracle as the sort path
+        from doc_ocr_ray.stages.sketch import median_value_by_type_hist
+        return median_value_by_type_hist(
+            _read(sf_dir, "events", ["event_type", "value"]))
+
     def q_kmv_users_by_type(sf_dir):
         # per-group KMV sketch: approximate estimator, DETERMINISTIC
         # md5 hashes -> the oracle reproduces the estimate bit-exactly
@@ -1594,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "top3_orders_salted": q_top3_orders_salted,
         "kmv_users_by_type": q_kmv_users_by_type,
+        "median_value_hist": q_median_value_hist,
+        "value_time_corr": q_value_time_corr,
         "customers_without_events": q_customers_without_events,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "customers_without_events_native": q_customers_without_events_native,
@@ -4028,6 +4044,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "median_value_by_type": """
+            SELECT event_type,
+                   floor(10000 * quantile_cont(value, 0.5)) / 10000
+                       AS median_value
+            FROM events GROUP BY event_type
+        """,
+        # HUGEINT moments, the same stated double order as the engine
+        # (cast-to-double at exactly num / each radicand)
+        "value_time_corr": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS x,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                                  - 1500000000 AS y
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL
+                         AND event_type IS NOT NULL),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(y * y) AS HUGEINT) AS syy
+                  FROM e GROUP BY 1)
+            SELECT event_type,
+                   CASE WHEN n * sxx - sx * sx <= 0
+                             OR n * syy - sy * sy <= 0 THEN 0
+                        ELSE CAST(floor(1000000 *
+                            (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy
+                                            AS DOUBLE)))))
+                            AS BIGINT)
+                   END AS corr_micro
+            FROM s
+        """,
+        # histogram path must equal the sort path exactly: same oracle
+        "median_value_hist": """
             SELECT event_type,
                    floor(10000 * quantile_cont(value, 0.5)) / 10000
                        AS median_value

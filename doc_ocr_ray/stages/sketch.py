@@ -266,3 +266,108 @@ def kmv_distinct_users_by_type(ds, k: int = 256):
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(combine,
                                               batch_format="pandas"))
+
+
+def median_value_by_type_hist(ds):
+    """(event_type, median_value): exact interpolated median per
+    group — same output (and SAME oracle) as
+    :func:`median_value_by_type`, but scale-safe: that operator sorts
+    each whole group in one task (a 100 TB corpus with 5 event types
+    puts 20 TB in one sort); this one exploits the 2-decimal value
+    grid — per-batch (type, cents) value counts collapse to a tiny
+    histogram (|types| x |distinct cents| rows), and the driver reads
+    the two middle order statistics straight off the cumulative
+    counts.  Interpolation is the same double formula as SQL
+    quantile_cont on values that sit exactly on the cents grid, so
+    the floor(1e4*x)/1e4 result is bit-identical."""
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.dropna(subset=["event_type", "value"])
+        cents = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        out = (pd.DataFrame({"event_type": g["event_type"],
+                             "cents": cents})
+               .groupby(["event_type", "cents"], sort=False).size()
+               .reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "cents"]).sum("cnt").to_pandas()
+            .rename(columns={"sum(cnt)": "cnt"})
+            .sort_values(["event_type", "cents"]))
+    rows = []
+    for t, grp in hist.groupby("event_type", sort=True):
+        n = int(grp["cnt"].sum())
+        cum = grp["cnt"].cumsum()
+        h = (n - 1) * 0.5
+        lo_rank, hi_rank = int(np.floor(h)), int(np.ceil(h))
+        lo = float(grp["cents"].to_numpy()[
+            np.searchsorted(cum.to_numpy(), lo_rank + 1)]) / 100.0
+        hi = float(grp["cents"].to_numpy()[
+            np.searchsorted(cum.to_numpy(), hi_rank + 1)]) / 100.0
+        med = lo + (h - lo_rank) * (hi - lo)
+        rows.append({"event_type": t,
+                     "median_value": np.floor(10000 * med) / 10000})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
+def value_time_corr(ds, y_offset: int = 1_500_000_000):
+    """(event_type, corr_micro): Pearson correlation between event
+    value and event TIME per type — the drift detector (are purchases
+    getting bigger over the log's life?).  Integer-exact moments, the
+    zscore_by_group discipline: per-batch integer partials (n, Σx,
+    Σy, Σxy, Σx², Σy²) over value CENTS and OFFSET epoch seconds
+    (the fixed ``y_offset`` shrinks per-row products so batch sums
+    stay far inside int64 — envelope: rows-per-batch x ~1e12 must fit
+    2^63, five orders of headroom at 64k-row batches); the tiny
+    per-type combine runs at the driver in PYTHON ints (arbitrary
+    precision — corpus-scale Σxy overflows int64, exactly like the
+    zscore radicand), then corr = (nΣxy - ΣxΣy) /
+    (sqrt(nΣx²-Σx²_) * sqrt(nΣy²-Σy²_)) with ONE stated
+    double-conversion order so the HUGEINT-summing DuckDB twin is
+    bit-identical.  Zero-variance groups define corr_micro = 0.
+    NULL ts/value/type rows carry no signal — dropped both sides."""
+    import math
+
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.dropna(subset=["event_type", "ts", "value"])
+        x = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        y = (g["ts"].astype("datetime64[ns]").astype("int64")
+             // 10**9) - y_offset
+        f = pd.DataFrame({"event_type": g["event_type"],
+                          "x": x, "y": y,
+                          "xy": x * y, "xx": x * x, "yy": y * y})
+        out = (f.groupby("event_type", sort=False)
+               .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                    sxy=("xy", "sum"), sxx=("xx", "sum"),
+                    syy=("yy", "sum"))
+               .reset_index())
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for t, grp in parts.groupby("event_type", sort=True):
+        n = int(grp["n"].sum())
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        syy = sum(int(v) for v in grp["syy"])
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            cm = 0
+        else:
+            corr = float(num) / (math.sqrt(float(d1))
+                                 * math.sqrt(float(d2)))
+            cm = int(np.floor(1e6 * corr))
+        rows.append({"event_type": t, "corr_micro": cm})
+    out = pd.DataFrame(rows)
+    out["corr_micro"] = out["corr_micro"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

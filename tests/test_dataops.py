@@ -2192,3 +2192,21 @@ def test_kmv_by_type_exact_when_small_and_estimates(ray_session):
     assert out.loc["small", "est_users"] == 30.0     # exact (< k)
     est = out.loc["big", "est_users"]
     assert 350 <= est <= 700                          # ~500 +/- sketch err
+
+
+def test_value_time_corr_signs_and_zero_variance(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import value_time_corr
+
+    ts = pd.date_range("2024-01-01", periods=50, freq="h")
+    ev = pd.DataFrame({
+        "event_type": (["up"] * 50 + ["down"] * 50 + ["flat"] * 50),
+        "ts": list(ts) * 3,
+        "value": ([float(i) for i in range(50)]
+                  + [float(50 - i) for i in range(50)]
+                  + [7.0] * 50)})
+    out = (value_time_corr(ray.data.from_pandas(ev)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["up", "corr_micro"] in (999999, 1000000)
+    assert out.loc["down", "corr_micro"] == -1000000
+    assert out.loc["flat", "corr_micro"] == 0    # zero variance
