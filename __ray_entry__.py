@@ -256,6 +256,18 @@ _PR_SCALE = 10 ** 12
 _PR_DAMPING = 85
 
 
+
+def _mk_pr_edges_fn(n):
+    """The synthetic link-graph builder shared by q_pagerank and
+    q_triangle_count (and mirrored by the SQL e0 CTEs)."""
+    def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        return pd.concat(
+            [pd.DataFrame({"src": d, "dst": (d * d * p + c) % n})
+             for p, c in _PR_EDGE_RULES], ignore_index=True)
+    return mk_edges
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE twin of stages/graph.py:pagerank — identical
     integer grid and floor-division points, one i_k/r_k CTE pair per
@@ -1499,13 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doc_ocr_ray.stages.graph import triangle_count
         n = _doc_count(sf_dir)
         docs = _read(sf_dir, "documents", ["doc_id"])
-
-        def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
-            d = batch["doc_id"].astype("int64")
-            return pd.concat(
-                [pd.DataFrame({"src": d, "dst": (d * d * p + c) % n})
-                 for p, c in _PR_EDGE_RULES], ignore_index=True)
-
+        mk_edges = _mk_pr_edges_fn(n)
         return triangle_count(
             docs.map_batches(mk_edges, batch_format="pandas"))
 
@@ -1516,11 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = _doc_count(sf_dir)
         docs = _read(sf_dir, "documents", ["doc_id"])
 
-        def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
-            d = batch["doc_id"].astype("int64")
-            return pd.concat(
-                [pd.DataFrame({"src": d, "dst": (d * d * p + c) % n})
-                 for p, c in _PR_EDGE_RULES], ignore_index=True)
+        mk_edges = _mk_pr_edges_fn(n)
 
         def mk_nodes(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": batch["doc_id"].astype("int64")})
@@ -4080,12 +4082,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS corr_micro
             FROM s
         """,
-        # histogram path must equal the sort path exactly: same oracle
+        # histogram path must equal the sort path exactly (same
+        # formula); NULL types/values carry no signal — filtered like
+        # the engine's dropna
         "median_value_hist": """
             SELECT event_type,
                    floor(10000 * quantile_cont(value, 0.5)) / 10000
                        AS median_value
-            FROM events GROUP BY event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type
         """,
         # NFC parity: DuckDB nfc_normalize == Python unicodedata bit
         # for bit (pyarrow's kernel decomposes and is NOT used); the

@@ -268,16 +268,19 @@ def top_k_per_group_salted(ds, key: str, order_col: str,
     Byte-identical output to the unsalted operator (same oracle), at
     the cost of one extra (tiny: |keys|*salt*k rows) exchange."""
     def add_salted_part(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = _coarse_part(batch[tiebreak_col], salt)
-        batch["skey"] = batch[key].astype("int64") * salt + sub
-        batch["part"] = _coarse_part(batch["skey"], 128)
+        # string-composed sub-key: works for ANY key dtype (the
+        # unsalted operator's contract), not just integers
+        batch["sub"] = _coarse_part(batch[tiebreak_col], salt)
+        batch["part"] = _coarse_part(
+            batch[key].astype(str) + ":" + batch["sub"].astype(str),
+            128)
         return batch
 
     def sub_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["skey", order_col, tiebreak_col],
-                              ascending=[True, False, True])
-        top = g.groupby("skey", sort=False).head(k)
-        return top.drop(columns=["part", "skey"])
+        g = group.sort_values([key, "sub", order_col, tiebreak_col],
+                              ascending=[True, True, False, True])
+        top = g.groupby([key, "sub"], sort=False).head(k)
+        return top.drop(columns=["part", "sub"])
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = _coarse_part(batch[key], 128)

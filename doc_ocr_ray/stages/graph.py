@@ -216,44 +216,14 @@ def triangle_count(edges_ds, num_parts: int = 64):
                                            batch_format="pandas")
                .materialize())    # consumed 2x (one per endpoint)
 
-    # --- annotate an endpoint with its degree (tagged union join)
+    # --- annotate an endpoint with its degree (the shared
+    # tagged-union lookup join; see util.tagged_union_annotate)
+    from doc_ocr_ray.util import tagged_union_annotate
+
     def annotate(edge_tbl, endpoint, out_col):
-        def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.copy()
-            b["node"] = b[endpoint]
-            b["deg"] = np.int64(-1)
-            b["side"] = np.int8(0)
-            b["part"] = coarse_part(b["node"], num_parts)
-            return typed_if_empty(b)
-
-        def tag_deg(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"node": batch["node"],
-                                "deg": batch["deg"]})
-            out["side"] = np.int8(1)
-            out["part"] = coarse_part(out["node"], num_parts)
-            return typed_if_empty(out)
-
-        def resolve(group: pd.DataFrame) -> pd.DataFrame:
-            dmap = group[group["side"] == 1].set_index("node")["deg"]
-            e = group[group["side"] == 0].copy()
-            if not len(e):
-                return typed_if_empty(
-                    e.drop(columns=["node", "deg", "side", "part"],
-                           errors="ignore"))
-            e[out_col] = e["node"].map(dmap).astype("int64")
-            e = e.drop(columns=["node", "deg", "side", "part"])
-            # the tagged union turns the absent side's id columns into
-            # float64 (NaN fill) — restore int64 or the NEXT exchange
-            # hashes float objects and misroutes every row
-            for c in e.columns:
-                e[c] = e[c].astype("int64")
-            return typed_if_empty(e)
-
-        tagged = (edge_tbl.map_batches(tag_edges, batch_format="pandas")
-                  .union(degrees.map_batches(tag_deg,
-                                             batch_format="pandas")))
-        return (tagged.groupby("part")
-                .map_groups(resolve, batch_format="pandas"))
+        return tagged_union_annotate(edge_tbl, degrees, endpoint,
+                                     "node", "deg", out_col,
+                                     num_partitions=num_parts)
 
     with_du = annotate(edges, "u", "deg_u")
     with_both = annotate(with_du, "v", "deg_v")

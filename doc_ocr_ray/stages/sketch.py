@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from doc_ocr_ray.util import coarse_part as _coarse_part
+from doc_ocr_ray.util import typed_if_empty
 
 # explicit class == RE2 \s (see text_analysis._WS: unicode \s would
 # diverge from the SQL oracles); edge-strip with the same class
@@ -238,9 +239,13 @@ def kmv_distinct_users_by_type(ds, k: int = 256):
     (kth_min / 2^64) with the stated float op order."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.dropna(subset=["event_type", "user_id"])
+        uid = g["user_id"]
+        if pd.api.types.is_float_dtype(uid):
+            # a null in the batch promoted int64 -> float64; str(u)
+            # would hash '1000.0' where the oracle hashes '1000'
+            uid = uid.astype("int64")
         outs = []
-        for t, users in g.groupby("event_type",
-                                  sort=False)["user_id"]:
+        for t, users in uid.groupby(g["event_type"], sort=False):
             hs = np.sort(np.array(
                 [int.from_bytes(
                     hashlib.md5(str(u).encode()).digest()[:8], "big")
@@ -248,9 +253,9 @@ def kmv_distinct_users_by_type(ds, k: int = 256):
             outs.append(pd.DataFrame({
                 "event_type": t, "h": hs.astype("uint64")}))
         if not outs:
-            return pd.DataFrame({
+            return typed_if_empty(pd.DataFrame({
                 "event_type": pd.Series([], dtype="object"),
-                "h": pd.Series([], dtype="uint64")})
+                "h": pd.Series([], dtype="uint64")}))
         return pd.concat(outs, ignore_index=True)
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
@@ -290,7 +295,7 @@ def median_value_by_type_hist(ds):
                .groupby(["event_type", "cents"], sort=False).size()
                .reset_index(name="cnt"))
         out["cnt"] = out["cnt"].astype("int64")
-        return out
+        return typed_if_empty(out)
 
     hist = (ds.map_batches(partial, batch_format="pandas")
             .groupby(["event_type", "cents"]).sum("cnt").to_pandas()
@@ -318,13 +323,12 @@ def value_time_corr(ds, y_offset: int = 1_500_000_000):
     value and event TIME per type — the drift detector (are purchases
     getting bigger over the log's life?).  Integer-exact moments, the
     zscore_by_group discipline: per-batch integer partials (n, Σx,
-    Σy, Σxy, Σx², Σy²) over value CENTS and OFFSET epoch seconds
-    (the fixed ``y_offset`` shrinks per-row products so batch sums
-    stay far inside int64 — envelope: rows-per-batch x ~1e12 must fit
-    2^63, five orders of headroom at 64k-row batches); the tiny
-    per-type combine runs at the driver in PYTHON ints (arbitrary
-    precision — corpus-scale Σxy overflows int64, exactly like the
-    zscore radicand), then corr = (nΣxy - ΣxΣy) /
+    Σy, Σxy, Σx², Σy²) over value CENTS and OFFSET epoch seconds —
+    summed as PYTHON ints per batch (object-dtype products: y² alone
+    is ~4e16/row on 2024 epochs, so int64 batch sums wrap at a few
+    hundred same-type rows) and shipped as DECIMAL STRINGS, exact at
+    any magnitude; the tiny per-type combine re-parses and sums at
+    the driver, then corr = (nΣxy - ΣxΣy) /
     (sqrt(nΣx²-Σx²_) * sqrt(nΣy²-Σy²_)) with ONE stated
     double-conversion order so the HUGEINT-summing DuckDB twin is
     bit-identical.  Zero-variance groups define corr_micro = 0.
@@ -338,15 +342,22 @@ def value_time_corr(ds, y_offset: int = 1_500_000_000):
         x = np.floor(g["value"] * 100 + 0.5).astype("int64")
         y = (g["ts"].astype("datetime64[ns]").astype("int64")
              // 10**9) - y_offset
+        # object-dtype → python-int products/sums: EXACT at any
+        # magnitude (int64 y² sums wrap within one large batch)
+        xo = x.astype(object)
+        yo = y.astype(object)
         f = pd.DataFrame({"event_type": g["event_type"],
-                          "x": x, "y": y,
-                          "xy": x * y, "xx": x * x, "yy": y * y})
+                          "x": xo, "y": yo, "xy": xo * yo,
+                          "xx": xo * xo, "yy": yo * yo})
         out = (f.groupby("event_type", sort=False)
                .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
                     sxy=("xy", "sum"), sxx=("xx", "sum"),
                     syy=("yy", "sum"))
                .reset_index())
-        return out
+        out["n"] = out["n"].astype("int64")
+        for c in ("sx", "sy", "sxy", "sxx", "syy"):
+            out[c] = out[c].map(str)      # decimal strings ride Arrow
+        return typed_if_empty(out)
 
     parts = (ds.map_batches(partial, batch_format="pandas")
              .to_pandas())

@@ -1807,7 +1807,9 @@ def ntile_by_group(ds, tiles: int = 4, group_col: str = "source",
 
     Shape — global per-group ranks WITHOUT a global sort (the
     shuffle_positions offset pattern, keyed by value instead of a
-    uniform hash): (1) per-batch (group, score) value counts collapse
+    uniform hash): the corpus is tokenized ONCE into a materialized
+    (doc_id, group, score) table that feeds both passes; (1)
+    per-batch (group, score) value counts collapse
     to a tiny (group x distinct-score) table; the driver sorts it and
     broadcasts per-(group, score) base offsets + group totals via
     ``ray.put``; (2) ONE coarse (group, score)-keyed exchange gives
@@ -1816,16 +1818,24 @@ def ntile_by_group(ds, tiles: int = 4, group_col: str = "source",
     groups become '(null)' (corpus_report discipline)."""
     import ray
 
-    def score_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
+    def score_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"],
             group_col: batch[group_col].fillna("(null)"),
-            "score": _tokens(batch["text"]).str.len().astype("int64")})
-        out = (g.groupby([group_col, "score"], sort=False).size()
+            "score": _tokens(batch["text"]).str.len()
+            .astype("int64")}))
+
+    # tokenize ONCE; both the histogram and the exchange read this
+    scored = ds.map_batches(score_rows,
+                            batch_format="pandas").materialize()
+
+    def score_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (batch.groupby([group_col, "score"], sort=False).size()
                .reset_index(name="cnt"))
         out["cnt"] = out["cnt"].astype("int64")
         return typed_if_empty(out)
 
-    hist = (ds.map_batches(score_counts, batch_format="pandas")
+    hist = (scored.map_batches(score_counts, batch_format="pandas")
             .groupby([group_col, "score"])
             .sum("cnt").to_pandas()
             .rename(columns={"sum(cnt)": "cnt"})
@@ -1841,10 +1851,7 @@ def ntile_by_group(ds, tiles: int = 4, group_col: str = "source",
     maps_ref = ray.put((offsets, totals))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            group_col: batch[group_col].fillna("(null)"),
-            "score": _tokens(batch["text"]).str.len().astype("int64")})
+        g = batch.copy()
         g["part"] = coarse_part(
             g[group_col] + ":" + g["score"].astype(str),
             num_partitions)
@@ -1877,7 +1884,7 @@ def ntile_by_group(ds, tiles: int = 4, group_col: str = "source",
             "n_tokens": g["score"].to_numpy(),
             "tile": tile.astype("int64")})
 
-    return (ds.map_batches(assign, batch_format="pandas")
+    return (scored.map_batches(assign, batch_format="pandas")
             .groupby("part").map_groups(per_part,
                                         batch_format="pandas"))
 
@@ -2062,38 +2069,12 @@ def pmi_top_pairs(ds, k: int = 30, min_count: int = 5,
 
     bigrams = tallied.map_batches(keep_big, batch_format="pandas")
 
+    from doc_ocr_ray.util import tagged_union_annotate
+
     def annotate(tbl, endpoint, out_col):
-        def tag_b(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.copy()
-            b["word"] = b[endpoint]
-            b["ucnt"] = np.int64(-1)
-            b["side"] = np.int8(0)
-            b["part"] = coarse_part(b["word"], num_partitions)
-            return typed_if_empty(b)
-
-        def tag_u(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"word": batch["w1"],
-                                "ucnt": batch["cnt"]})
-            out["side"] = np.int8(1)
-            out["part"] = coarse_part(out["word"], num_partitions)
-            return typed_if_empty(out)
-
-        def resolve(group: pd.DataFrame) -> pd.DataFrame:
-            umap = group[group["side"] == 1].set_index("word")["ucnt"]
-            e = group[group["side"] == 0].copy()
-            if not len(e):
-                return typed_if_empty(pd.DataFrame())
-            e[out_col] = e["word"].map(umap).astype("int64")
-            e = e.drop(columns=["word", "ucnt", "side", "part"])
-            for c in ("cnt",) + (("c_x",) if "c_x" in e else ()):
-                e[c] = e[c].astype("int64")   # un-float the union fill
-            return typed_if_empty(e)
-
-        tagged = (tbl.map_batches(tag_b, batch_format="pandas")
-                  .union(unigrams.map_batches(tag_u,
-                                              batch_format="pandas")))
-        return (tagged.groupby("part")
-                .map_groups(resolve, batch_format="pandas"))
+        return tagged_union_annotate(tbl, unigrams, endpoint,
+                                     "w1", "cnt", out_col,
+                                     num_partitions=num_partitions)
 
     with_cx = annotate(bigrams, "w1", "c_x")
     with_both = annotate(with_cx, "w2", "c_y")

@@ -32,6 +32,61 @@ def epoch_days(ts: pd.Series) -> pd.Series:
             // 10**9 // 86400)
 
 
+def tagged_union_annotate(tbl, lookup, endpoint: str,
+                          lookup_key: str, lookup_val: str,
+                          out_col: str, num_partitions: int = 64):
+    """Distributed lookup-join via a tagged union — the shape shared
+    by triangle_count (edge learns endpoint degree) and pmi_top_pairs
+    (bigram learns unigram count): no broadcast, so the lookup table
+    may be graph-/vocab-sized.
+
+    Rows of ``tbl`` are tagged side 0 with ``node = row[endpoint]``;
+    rows of ``lookup`` are tagged side 1 carrying ``(lookup_key ->
+    node, lookup_val -> val)``.  ONE coarse node-keyed exchange
+    resolves ``out_col = val`` for every side-0 row.  Two invariants
+    live here ONCE: (a) empty side-0 groups return a frame that still
+    carries tbl's columns (a column-less empty emits schema-less
+    blocks Ray warns about); (b) numeric id columns are re-cast to
+    int64 after the union (the absent side's NaN fill silently
+    promotes them to float64, and float objects hash differently in
+    the NEXT exchange's coarse_part)."""
+
+    def tag_main(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["node"] = b[endpoint]
+        b["val"] = np.int64(-1)
+        b["side"] = np.int8(0)
+        b["part"] = coarse_part(b["node"], num_partitions)
+        return typed_if_empty(b)
+
+    def tag_lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": batch[lookup_key],
+                            "val": batch[lookup_val].astype("int64")})
+        out["side"] = np.int8(1)
+        out["part"] = coarse_part(out["node"], num_partitions)
+        return typed_if_empty(out)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        vmap = group[group["side"] == 1].set_index("node")["val"]
+        e = group[group["side"] == 0].copy()
+        e = e.drop(columns=["node", "val", "side", "part"])
+        if not len(e):
+            e[out_col] = pd.Series([], dtype="int64")
+            return typed_if_empty(e)
+        e[out_col] = group.loc[e.index, "node"].map(vmap) \
+            .astype("int64")
+        for c in e.columns:
+            if pd.api.types.is_float_dtype(e[c]):
+                e[c] = e[c].astype("int64")
+        return typed_if_empty(e)
+
+    tagged = (tbl.map_batches(tag_main, batch_format="pandas")
+              .union(lookup.map_batches(tag_lookup,
+                                        batch_format="pandas")))
+    return (tagged.groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
 def typed_if_empty(df: pd.DataFrame):
     """Return empty results as TYPED Arrow blocks.
 
