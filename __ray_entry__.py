@@ -1392,6 +1392,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "orders",
                   ["o_orderkey", "o_custkey", "o_totalprice"]))
 
+    def q_orders_per_cust_hist(sf_dir):
+        # TPC-H Q13 shape: native left_outer fills the zero-order
+        # bucket; counts (never order rows) ride the join
+        return relational.orders_per_customer_hist(
+            _read(sf_dir, "customer", ["c_custkey"]),
+            _read(sf_dir, "orders", ["o_custkey"]))
+
     def q_daily_activity(sf_dir):
         # native FULL OUTER join of two per-day aggregate tables —
         # both sides dangle (events-only days, orders-only days)
@@ -1675,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": q_pmi_pairs,
         "above_avg_orders": q_above_avg_orders,
         "daily_activity": q_daily_activity,
+        "orders_per_cust_hist": q_orders_per_cust_hist,
         "distinct_event_types": q_distinct_event_types,
         "events_by_type": q_events_by_type,
         "events_by_type_native": q_events_by_type_native,
@@ -4279,6 +4287,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM o)
             SELECT o_orderkey, o_custkey, price_cents
             FROM w WHERE price_cents * c > s
+        """,
+        # Q13: LEFT JOIN keeps zero-order customers in the histogram
+        "orders_per_cust_hist": """
+            WITH pc2 AS (SELECT c_custkey,
+                                CAST(count(o_custkey) AS BIGINT)
+                                    AS n_orders
+                         FROM customer c
+                         LEFT JOIN orders o
+                           ON o.o_custkey = c.c_custkey
+                         GROUP BY c_custkey)
+            SELECT n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM pc2 GROUP BY n_orders
         """,
         "daily_activity": """
             WITH ev_d AS (SELECT CAST(floor(floor(epoch(ts)) / 86400.0)

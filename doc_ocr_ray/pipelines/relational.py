@@ -384,3 +384,73 @@ def daily_activity(events_ds, orders_ds, num_partitions: int = 8):
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def orders_per_customer_hist(customer_ds, orders_ds,
+                             num_partitions: int | None = None):
+    """TPC-H Q13 shape: the distribution of orders per customer
+    INCLUDING zero-order customers — (n_orders, n_customers).  The
+    zero bucket is why this is not a plain groupby: customers with no
+    orders never appear in the orders table, so the per-customer
+    counts LEFT-join back onto the customer table.
+
+    Shape: orders collapse to per-custkey count partials (in-batch
+    combiner, one tiny custkey groupby — the exchange carries counts,
+    never order rows), then Ray Data's native hash-shuffle
+    ``left_outer`` join against the customer key table fills the
+    zero bucket, and a cardinality-bounded histogram combine
+    finishes.  Output rows are bounded by max orders-per-customer."""
+    def order_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        out = (batch.groupby("o_custkey", sort=False).size()
+               .reset_index(name="cnt"))
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return typed_if_empty(out)
+
+    def count_combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": [int(group["o_custkey"].iloc[0])],
+            "cnt": [int(group["cnt"].sum())]})
+
+    if num_partitions is None:
+        # half the CPUs, like revenue_by_nation: the join's aggregator
+        # actors reserve cores, and a partition count at or above the
+        # session CPU count starves upstream ops (deadlock at 4 cpus)
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    per_cust = (orders_ds.map_batches(order_partial,
+                                      batch_format="pandas")
+                .groupby("o_custkey").map_groups(
+                    count_combine, batch_format="pandas"))
+    cust_keys = customer_ds.select_columns(["c_custkey"])
+    joined = cust_keys.join(per_cust, join_type="left_outer",
+                            num_partitions=num_partitions,
+                            on=("c_custkey",),
+                            right_on=("o_custkey",))
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from doc_ocr_ray.util import typed_if_empty
+        empty = pd.DataFrame({
+            "n_orders": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64")})
+        if batch.empty or "c_custkey" not in batch.columns:
+            return typed_if_empty(empty)
+        n = batch["cnt"].fillna(0).astype("int64") \
+            if "cnt" in batch.columns \
+            else pd.Series(np.zeros(len(batch), dtype="int64"))
+        out = (n.value_counts().rename_axis("n_orders")
+               .reset_index(name="n_customers"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return typed_if_empty(out)
+
+    def hist_combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_orders": [int(group["n_orders"].iloc[0])],
+            "n_customers": [int(group["n_customers"].sum())]})
+
+    return (joined.map_batches(hist_partial, batch_format="pandas")
+            .groupby("n_orders").map_groups(hist_combine,
+                                            batch_format="pandas"))

@@ -533,3 +533,18 @@ def test_salted_topk_equals_unsalted_on_hot_key(ray_session):
         ray.data.from_pandas(df), key="o_custkey",
         order_col="o_totalprice", tiebreak_col="o_orderkey", k=3))
     assert plain == salted and len(plain) == 3 + 100
+
+
+def test_orders_per_customer_hist_zero_bucket(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import orders_per_customer_hist
+
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4, 5]})
+    orders = pd.DataFrame({"o_custkey": [1, 1, 1, 2, 2, 3]})
+    out = (orders_per_customer_hist(ray.data.from_pandas(cust),
+                                    ray.data.from_pandas(orders))
+           .to_pandas().set_index("n_orders").sort_index())
+    assert out.loc[0, "n_customers"] == 2     # custs 4,5: zero orders
+    assert out.loc[1, "n_customers"] == 1
+    assert out.loc[2, "n_customers"] == 1
+    assert out.loc[3, "n_customers"] == 1
