@@ -897,6 +897,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
         return joined.map_batches(proj, batch_format="pandas")
 
+    def q_range_join_lookback(sf_dir):
+        # aggregating range join over OVERLAPPING lookback windows:
+        # per purchase, count + value-sum of the same user's events in
+        # the preceding hour ((user, time-bucket) partition, anchors
+        # replicated to <=2 buckets — see pipelines/events.py)
+        from doc_ocr_ray.pipelines.events import range_join_lookback
+        ev = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type", "value"])
+        return range_join_lookback(ev, anchor_type="purchase",
+                                   window_minutes=60)
+
     def q_pii_redact(sf_dir):
         # deterministic PII injection (both sides derive the same
         # strings from doc_id) -> regex scrub; non-vacuous by
@@ -1623,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "customers_without_events_native": q_customers_without_events_native,
         "asof_clicks_views": q_asof_clicks_views,
+        "range_join_lookback": q_range_join_lookback,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "dup_ngram_frac": q_dup_ngram_frac,
@@ -3534,6 +3546,20 @@ def oracle_sql() -> dict[str, str]:
                                     AND v.ts <= c.ts)
             SELECT event_id, user_id, view_event_id, gap_us
             FROM j WHERE rn = 1
+        """,
+        "range_join_lookback": """
+            SELECT a.event_id, a.user_id,
+                   count(b.event_id) AS n_prior,
+                   coalesce(sum(CAST(floor(b.value * 100 + 0.5)
+                                     AS BIGINT)), 0) / 100.0
+                       AS sum_prior_value
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts - INTERVAL 60 MINUTE
+             AND b.ts < a.ts
+            WHERE a.event_type = 'purchase'
+            GROUP BY a.event_id, a.user_id
         """,
         "pii_redact": f"""
             WITH inj AS (

@@ -472,6 +472,119 @@ def label_sessions(ds, gap_minutes: int = 30, num_partitions: int = 128):
             .map_groups(per_part, batch_format="pandas"))
 
 
+def range_join_lookback(ds, anchor_type: str = "purchase",
+                        window_minutes: int = 60,
+                        num_partitions: int = 64):
+    """Aggregating range join over OVERLAPPING lookback windows: every
+    anchor row (``event_type == anchor_type``) collects ALL events of
+    the same user with ``ts`` in ``[anchor.ts - window, anchor.ts)``
+    — the attribution-window query (how much activity preceded each
+    purchase).  Output per anchor: ``(event_id, user_id, n_prior,
+    sum_prior_value)``; zero-match anchors are KEPT with n=0 (left
+    semantics).
+
+    This is the bounded-lookback fan-out :func:`label_sessions`'s
+    docstring promises for overlapping intervals.  Scale shape: both
+    sides ride ONE coarse hash exchange on ``(user, time-bucket)``
+    with bucket width == window length, so an anchor's window spans at
+    most TWO buckets; each anchor is replicated to both (bounded 2x
+    fan-out, never a broadcast), probe rows land in exactly one.  A
+    hot user's traffic spreads across time buckets instead of melting
+    a single reducer — the skew defuse the user-keyed asof_join can't
+    offer.  Inside each group one argsort + prefix-sum answers every
+    anchor via two ``searchsorted`` probes (no per-row Python); the
+    per-(anchor, bucket) partials combine in a second, anchor-sized
+    exchange keyed on event_id.  Partitioning assumption, per the
+    operator contract: window length <= bucket width (bucket is SET to
+    the window, so it holds by construction).
+
+    Value sums use the house integer-cents grid (floor(x*100+0.5),
+    one division at the end) so the result bit-matches the SQL oracle
+    regardless of partial-sum order.
+    """
+    win_us = int(window_minutes) * 60 * 1_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        tsu = batch["ts"].astype("datetime64[us]").astype("int64")
+        uid = batch["user_id"].astype("int64")
+        bucket = tsu // win_us
+        probes = pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": uid,
+            "bucket": bucket,
+            "tsu": tsu,
+            "cents": np.floor(batch["value"] * 100 + 0.5).astype("int64"),
+            "_side": np.ones(len(batch), dtype="int8"),
+        })
+        anchors = probes[(batch["event_type"] == anchor_type).to_numpy()]
+        anchors = anchors.assign(_side=np.int8(0))
+        # replicate each anchor to its own bucket AND the previous one:
+        # with bucket == window, [ts-win, ts) can touch no others
+        prev = anchors.assign(bucket=anchors["bucket"] - 1)
+        out = pd.concat([probes, anchors, prev], ignore_index=True)
+        # int64 wraparound is fine here — it's a hash input, and mixing
+        # bucket in keeps one user's buckets on different reducers
+        mixed = out["user_id"] * np.int64(1_000_003) + out["bucket"]
+        out["part"] = _coarse_part(mixed, num_partitions)
+        return out
+
+    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+        anc = group[group["_side"] == 0]
+        if not len(anc):
+            return _typed_if_empty(pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+                "part2": pd.Series([], dtype="int64")}))
+        pr = group[group["_side"] == 1]
+        # dense cell rank over (user, bucket); offsets within a bucket
+        # are < win_us, so key = r*(2*win_us) + offset is collision-free
+        # and monotone per cell (anchor hi bound offset+win < 2*win)
+        cells = pd.concat([pr[["user_id", "bucket"]],
+                           anc[["user_id", "bucket"]]],
+                          ignore_index=True).drop_duplicates()
+        cells = cells.sort_values(["user_id", "bucket"]).reset_index(drop=True)
+        cells["r"] = np.arange(len(cells), dtype="int64")
+        M = np.int64(2 * win_us)
+        pk = pr.merge(cells, on=["user_id", "bucket"], how="left")
+        off = pk["tsu"].to_numpy() - pk["bucket"].to_numpy() * win_us
+        keys = pk["r"].to_numpy() * M + off
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        csum = np.concatenate([[0], np.cumsum(
+            pk["cents"].to_numpy()[order])])
+        ak = anc.merge(cells, on=["user_id", "bucket"], how="left")
+        a_off = ak["tsu"].to_numpy() - ak["bucket"].to_numpy() * win_us
+        lo = ak["r"].to_numpy() * M + np.maximum(a_off - win_us, 0)
+        hi = ak["r"].to_numpy() * M + a_off
+        i0 = np.searchsorted(keys, lo, side="left")
+        i1 = np.searchsorted(keys, hi, side="left")
+        out = pd.DataFrame({
+            "event_id": ak["event_id"].to_numpy(),
+            "user_id": ak["user_id"].to_numpy(),
+            "n": (i1 - i0).astype("int64"),
+            "cents": csum[i1] - csum[i0],
+        })
+        out["part2"] = _coarse_part(out["event_id"], num_partitions)
+        return out
+
+    partials = (ds.map_batches(tag, batch_format="pandas")
+                .groupby("part").map_groups(per_cell,
+                                            batch_format="pandas"))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("event_id", sort=False).agg(
+            user_id=("user_id", "first"),
+            n_prior=("n", "sum"), cents=("cents", "sum")).reset_index()
+        g["n_prior"] = g["n_prior"].astype("int64")
+        g["sum_prior_value"] = g["cents"].astype("int64") / 100.0
+        return g[["event_id", "user_id", "n_prior", "sum_prior_value"]]
+
+    return (partials.groupby("part2")
+            .map_groups(combine, batch_format="pandas"))
+
+
 from doc_ocr_ray.util import epoch_days as _epoch_days  # noqa: E402
 from doc_ocr_ray.util import typed_if_empty as _typed_if_empty  # noqa: E402
 

@@ -548,3 +548,33 @@ def test_orders_per_customer_hist_zero_bucket(ray_session):
     assert out.loc[1, "n_customers"] == 1
     assert out.loc[2, "n_customers"] == 1
     assert out.loc[3, "n_customers"] == 1
+
+
+def test_range_join_lookback_window_edges():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import range_join_lookback
+    ts = pd.to_datetime
+    # user 1's purchase at 01:30 has a window [00:30, 01:30) that SPANS
+    # the 01:00 hour-bucket boundary: the 00:30 view sits exactly ON
+    # the inclusive lower bound (in the PREVIOUS bucket), the 01:30
+    # view exactly ON the exclusive upper bound; user 2's purchase has
+    # no prior events at all (left semantics keeps it with n=0)
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id":  [1, 1, 1, 1, 2, 1],
+        "ts": ts(["2026-01-01 00:29:59", "2026-01-01 00:30:00",
+                  "2026-01-01 01:10:00", "2026-01-01 01:30:00",
+                  "2026-01-01 05:00:00", "2026-01-01 01:30:00"]),
+        "event_type": ["view", "view", "view", "purchase",
+                       "purchase", "view"],
+        "value": [10.0, 0.25, 1.115, 99.0, 5.0, 7.0],
+    })
+    out = range_join_lookback(ray.data.from_pandas(ev),
+                              anchor_type="purchase",
+                              window_minutes=60).take_all()
+    got = {r["event_id"]: (r["n_prior"], r["sum_prior_value"])
+           for r in out}
+    # event 4: matches 2 (00:30 inclusive) and 3; NOT 1 (before
+    # window), NOT 6 (equal ts excluded), NOT itself.
+    # cents grid: floor(0.25*100+0.5)=25, floor(1.115*100+0.5)=112
+    assert got == {4: (2, 1.37), 5: (0, 0.0)}
