@@ -401,17 +401,21 @@ def orders_per_customer_hist(customer_ds, orders_ds,
     zero bucket, and a cardinality-bounded histogram combine
     finishes.  Output rows are bounded by max orders-per-customer."""
     def order_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        from doc_ocr_ray.util import typed_if_empty
+        from doc_ocr_ray.util import coarse_part, typed_if_empty
         out = (batch.groupby("o_custkey", sort=False).size()
                .reset_index(name="cnt"))
         out["o_custkey"] = out["o_custkey"].astype("int64")
         out["cnt"] = out["cnt"].astype("int64")
+        out["part"] = coarse_part(out["o_custkey"], 256)
         return typed_if_empty(out)
 
     def count_combine(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_custkey": [int(group["o_custkey"].iloc[0])],
-            "cnt": [int(group["cnt"].sum())]})
+        # custkey cardinality is corpus-sized: the Ray-level exchange
+        # keys on coarse_part, the real per-custkey sum happens here
+        g = (group.groupby("o_custkey", sort=False)["cnt"].sum()
+             .reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
 
     if num_partitions is None:
         # half the CPUs, like revenue_by_nation: the join's aggregator
@@ -422,7 +426,7 @@ def orders_per_customer_hist(customer_ds, orders_ds,
         num_partitions = max(2, cpus // 2)
     per_cust = (orders_ds.map_batches(order_partial,
                                       batch_format="pandas")
-                .groupby("o_custkey").map_groups(
+                .groupby("part").map_groups(
                     count_combine, batch_format="pandas"))
     cust_keys = customer_ds.select_columns(["c_custkey"])
     joined = cust_keys.join(per_cust, join_type="left_outer",
@@ -432,14 +436,13 @@ def orders_per_customer_hist(customer_ds, orders_ds,
 
     def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
         from doc_ocr_ray.util import typed_if_empty
-        empty = pd.DataFrame({
-            "n_orders": pd.Series([], dtype="int64"),
-            "n_customers": pd.Series([], dtype="int64")})
-        if batch.empty or "c_custkey" not in batch.columns:
-            return typed_if_empty(empty)
-        n = batch["cnt"].fillna(0).astype("int64") \
-            if "cnt" in batch.columns \
-            else pd.Series(np.zeros(len(batch), dtype="int64"))
+        if batch.empty:
+            return typed_if_empty(pd.DataFrame({
+                "n_orders": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64")}))
+        # KeyError loudly on schema drift — a missing join column must
+        # fail at this stage, not surface as an all-zero histogram
+        n = batch["cnt"].fillna(0).astype("int64")
         out = (n.value_counts().rename_axis("n_orders")
                .reset_index(name="n_customers"))
         for c in out.columns:

@@ -550,6 +550,7 @@ def test_orders_per_customer_hist_zero_bucket(ray_session):
     assert out.loc[3, "n_customers"] == 1
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_range_join_lookback_window_edges():
     import ray.data
     from doc_ocr_ray.pipelines.events import range_join_lookback
