@@ -254,6 +254,10 @@ def run_benchmarks() -> dict:
     timed("events_by_type", lambda: relational.events_by_type(
         ray.data.read_parquet(f"{SF_DIR}/events.parquet",
                               columns=["event_type", "value"])).count())
+    timed("range_join_lookback",
+          lambda: qs["range_join_lookback"](SF_DIR).count())
+    timed("orders_per_cust_hist",
+          lambda: qs["orders_per_cust_hist"](SF_DIR).count())
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "
