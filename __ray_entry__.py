@@ -1448,6 +1448,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["l_orderkey", "l_extendedprice", "l_discount"]),
             _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]))
 
+    def q_shipping_priority(sf_dir):
+        # TPC-H Q3 shape: selective 3-way join, filter pushdown on
+        # both fact sides, coarse-key per-order combine, partial top-k
+        return relational.shipping_priority(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]))
+
+    def q_large_volume_orders(sf_dir):
+        # TPC-H Q18 shape: HAVING semi-join + two native hash joins
+        return relational.large_volume_orders(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice",
+                   "o_orderdate"]),
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
+
     def q_revenue_by_nation(sf_dir):
         # TPC-H Q5 shape: two chained native hash joins + broadcast
         # supplier/nation/region dimensions
@@ -1700,6 +1720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type_native": q_events_by_type_native,
         "lineitem_pricing": q_lineitem_pricing,
         "order_priority_revenue": q_order_priority_revenue,
+        "shipping_priority": q_shipping_priority,
+        "large_volume_orders": q_large_volume_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
@@ -4370,6 +4392,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) / 10000.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "shipping_priority": """
+            WITH agg AS (
+              SELECT l_orderkey,
+                     CAST(floor(floor(epoch(o_orderdate)) / 86400.0)
+                          AS BIGINT) AS order_day,
+                     CAST(sum(CAST(floor(l_extendedprice
+                                         * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1999-01-01'
+                AND l_shipdate > TIMESTAMP '1999-01-01'
+              GROUP BY 1, 2
+            )
+            SELECT l_orderkey, order_day,
+                   sum_cents / 10000.0 AS revenue
+            FROM agg
+            ORDER BY sum_cents DESC, order_day, l_orderkey
+            LIMIT 10
+        """,
+        "large_volume_orders": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(floor(floor(epoch(o_orderdate)) / 86400.0)
+                        AS BIGINT) AS order_day,
+                   o_totalprice, total_qty
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE o_orderdate IS NOT NULL
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -457,3 +457,188 @@ def orders_per_customer_hist(customer_ds, orders_ds,
     return (joined.map_batches(hist_partial, batch_format="pandas")
             .groupby("n_orders").map_groups(hist_combine,
                                             batch_format="pandas"))
+
+
+def shipping_priority(customer_ds, orders_ds, lineitem_ds,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1999-01-01", k: int = 10,
+                      num_partitions: int | None = None):
+    """TPC-H Q3-shaped shipping priority: top-k unshipped orders by
+    revenue within one market segment — the classic selective
+    three-way join with filter pushdown on BOTH fact sides
+    (``o_orderdate < cutoff`` prunes orders, ``l_shipdate > cutoff``
+    prunes lineitems BEFORE either shuffle, so only qualifying rows
+    ride the exchanges).  Both corpus-sized joins run through Ray
+    Data's NATIVE hash shuffle join; revenue accumulates per order on
+    the exact ten-thousandths integer grid, the per-order combine
+    lands on a coarse 256-way key, each partition forwards only its
+    local top-k, and the global sort+limit runs over <= 256*k
+    candidate rows.  Output: ``(l_orderkey, order_day, revenue)``
+    ordered by (revenue desc, order_day, l_orderkey).
+
+    ``order_day`` is the integer epoch day (the house-audited day
+    rule, :func:`doc_ocr_ray.util.epoch_days`) so the value hash is
+    engine-neutral."""
+    import ray
+    from doc_ocr_ray.util import coarse_part, epoch_days, typed_if_empty
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    cut = pd.Timestamp(cutoff)
+
+    def cust_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["c_mktsegment"] == segment, ["c_custkey"]]
+        return typed_if_empty(out.reset_index(drop=True))
+
+    def ord_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["o_orderdate"].notna() & (batch["o_orderdate"] < cut)
+        out = batch.loc[keep, ["o_orderkey", "o_custkey"]].copy()
+        out["order_day"] = epoch_days(batch.loc[keep, "o_orderdate"])
+        return typed_if_empty(out.reset_index(drop=True))
+
+    def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["l_shipdate"].notna() & (batch["l_shipdate"] > cut)
+        b = batch.loc[keep]
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+            "cents": np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
+                              * 10000 + 0.5).astype("int64"),
+        })
+        return typed_if_empty(out)
+
+    cust = customer_ds.map_batches(cust_filter, batch_format="pandas")
+    orders = orders_ds.map_batches(ord_filter, batch_format="pandas")
+    li = lineitem_ds.map_batches(li_filter, batch_format="pandas")
+
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.join(oc, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "order_day": pd.Series([], dtype="int64"),
+        "sum_cents": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)   # 0-col empty join partition
+        g = (batch.groupby(["l_orderkey", "order_day"], sort=False)
+             ["cents"].sum().reset_index(name="sum_cents"))
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        g["part"] = coarse_part(g["l_orderkey"], 256)
+        return g
+
+    def combine_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["l_orderkey", "order_day"], sort=False)
+             ["sum_cents"].sum().reset_index())
+        g = g.sort_values(["sum_cents", "order_day", "l_orderkey"],
+                          ascending=[False, True, True]).head(k)
+        for c in ("l_orderkey", "order_day", "sum_cents"):
+            g[c] = g[c].astype("int64")
+        return g[["l_orderkey", "order_day", "sum_cents"]]
+
+    cand = (joined.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(combine_topk,
+                                        batch_format="pandas"))
+    top = cand.sort(["sum_cents", "order_day", "l_orderkey"],
+                    descending=[True, False, False]).limit(k)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+            "order_day": batch["order_day"].astype("int64").to_numpy(),
+            "revenue": (batch["sum_cents"] / 10000.0).to_numpy(),
+        }))
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def large_volume_orders(customer_ds, orders_ds, lineitem_ds,
+                        qty_threshold: int = 150, k: int = 100,
+                        num_partitions: int | None = None):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, with their customer —
+    the HAVING-filter semi-join shape.  The quantity total collapses
+    to per-order partials inside ``map_batches`` (combiner before the
+    exchange), the HAVING filter runs inside the coarse-key combine
+    (only qualifying orders leave the group stage), and both
+    enrichment joins — qualifying⋈orders and ⋈customer — are Ray
+    Data NATIVE hash shuffle joins (at web scale both sides are
+    corpus-sized; nothing broadcasts).  Per-batch partial top-k
+    shrinks the candidate set before the global sort+limit.  Output:
+    ``(c_name, c_custkey, o_orderkey, order_day, o_totalprice,
+    total_qty)`` ordered by (o_totalprice desc, o_orderkey)."""
+    import ray
+    from doc_ocr_ray.util import coarse_part, epoch_days, typed_if_empty
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"] + 0.5).astype("int64")
+        g = (pd.DataFrame({"l_orderkey":
+                           batch["l_orderkey"].astype("int64"),
+                           "qty": qty})
+             .groupby("l_orderkey", sort=False)["qty"]
+             .sum().reset_index(name="qty"))
+        g["qty"] = g["qty"].astype("int64")
+        g["part"] = coarse_part(g["l_orderkey"], 256)
+        return typed_if_empty(g)
+
+    def qty_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("l_orderkey", sort=False)["qty"]
+             .sum().reset_index(name="total_qty"))
+        g = g[g["total_qty"] > qty_threshold]
+        g["total_qty"] = g["total_qty"].astype("int64")
+        return typed_if_empty(g[["l_orderkey", "total_qty"]]
+                              .reset_index(drop=True))
+
+    qualifying = (lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
+                  .map_batches(qty_partial, batch_format="pandas")
+                  .groupby("part").map_groups(qty_combine,
+                                              batch_format="pandas"))
+
+    def ord_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["o_orderdate"].notna()
+        b = batch.loc[keep]
+        out = b[["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+        out["order_day"] = epoch_days(b["o_orderdate"])
+        return typed_if_empty(out.reset_index(drop=True))
+
+    orders = orders_ds.map_batches(ord_prep, batch_format="pandas")
+    oq = qualifying.join(orders, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = customer_ds.select_columns(["c_custkey", "c_name"])
+    full = oq.join(cust, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("o_custkey",), right_on=("c_custkey",))
+
+    cols = ["c_name", "c_custkey", "o_orderkey", "order_day",
+            "o_totalprice", "total_qty"]
+    empty = pd.DataFrame({
+        "c_name": pd.Series([], dtype="object"),
+        "c_custkey": pd.Series([], dtype="int64"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "order_day": pd.Series([], dtype="int64"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "total_qty": pd.Series([], dtype="int64")})
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "c_name" not in batch.columns:
+            return typed_if_empty(empty)
+        out = batch.rename(columns={"l_orderkey": "o_orderkey",
+                                    "o_custkey": "c_custkey"})
+        out = out.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return out[cols].reset_index(drop=True)
+
+    return (full.map_batches(local_topk, batch_format="pandas")
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k))
