@@ -258,6 +258,10 @@ def run_benchmarks() -> dict:
           lambda: qs["range_join_lookback"](SF_DIR).count())
     timed("orders_per_cust_hist",
           lambda: qs["orders_per_cust_hist"](SF_DIR).count())
+    timed("shipping_priority",
+          lambda: qs["shipping_priority"](SF_DIR).count())
+    timed("large_volume_orders",
+          lambda: qs["large_volume_orders"](SF_DIR).count())
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "
