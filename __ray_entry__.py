@@ -1459,6 +1459,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["l_orderkey", "l_extendedprice", "l_discount",
                    "l_shipdate"]))
 
+    def q_promo_revenue_share(sf_dir):
+        # TPC-H Q14 shape: conditional aggregate over lineitem⋈part
+        return relational.promo_revenue_share(
+            _read(sf_dir, "part", ["p_partkey", "p_type"]),
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]))
+
     def q_large_volume_orders(sf_dir):
         # TPC-H Q18 shape: HAVING semi-join + two native hash joins
         return relational.large_volume_orders(
@@ -1722,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": q_order_priority_revenue,
         "shipping_priority": q_shipping_priority,
         "large_volume_orders": q_large_volume_orders,
+        "promo_revenue_share": q_promo_revenue_share,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
@@ -4415,6 +4424,27 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        "promo_revenue_share": """
+            WITH c AS (
+              SELECT CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT) AS cents,
+                     CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                         AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate < TIMESTAMP '1999-04-01'
+            ), s AS (
+              SELECT CAST(sum(CASE WHEN is_promo = 1 THEN cents
+                                   ELSE 0 END) AS BIGINT) AS promo,
+                     CAST(sum(cents) AS BIGINT) AS total
+              FROM c
+            )
+            SELECT promo / 10000.0 AS promo_revenue,
+                   total / 10000.0 AS total_revenue,
+                   floor(10000 * (100 * promo) / total) / 10000
+                       AS promo_share_pct
+            FROM s
         """,
         "large_volume_orders": """
             WITH q AS (

@@ -642,3 +642,80 @@ def large_volume_orders(customer_ds, orders_ds, lineitem_ds,
     return (full.map_batches(local_topk, batch_format="pandas")
             .sort(["o_totalprice", "o_orderkey"],
                   descending=[True, False]).limit(k))
+
+
+def promo_revenue_share(part_ds, lineitem_ds,
+                        start: str = "1999-01-01",
+                        end: str = "1999-04-01",
+                        promo_type: str = "PROMO",
+                        num_partitions: int | None = None):
+    """TPC-H Q14-shaped promotion effect: the revenue share of promo
+    parts within a shipdate window — the conditional-aggregate-over-
+    a-join shape.  The shipdate filter prunes lineitem BEFORE the
+    exchange, part projects to (key, flag), the join is Ray Data's
+    NATIVE hash shuffle join (at TPC-H scale part is SF x 200k rows —
+    too big to assume broadcastable), and each batch collapses to ONE
+    (promo_cents, total_cents) partial so the final combine sees
+    block-count rows.  The percentage lands on the exact ratio grid
+    floor(10000 * (100 * promo) / total) / 10000 with the identical
+    operation order in the DuckDB twin (both engines: exact integer
+    numerator, one IEEE-double division, floor).  Output: one row
+    ``(promo_revenue, total_revenue, promo_share_pct)``."""
+    import math
+    import ray
+    from doc_ocr_ray.util import typed_if_empty
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    lo, hi = pd.Timestamp(start), pd.Timestamp(end)
+
+    def part_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(pd.DataFrame({
+            "p_partkey": batch["p_partkey"].astype("int64").to_numpy(),
+            "is_promo": (batch["p_type"] == promo_type)
+            .astype("int64").to_numpy()}))
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["l_shipdate"].notna()
+                & (batch["l_shipdate"] >= lo)
+                & (batch["l_shipdate"] < hi))
+        b = batch.loc[keep]
+        return typed_if_empty(pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64").to_numpy(),
+            "cents": np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
+                              * 10000 + 0.5).astype("int64")}))
+
+    li = lineitem_ds.map_batches(li_prep, batch_format="pandas")
+    parts = part_ds.map_batches(part_prep, batch_format="pandas")
+    joined = li.join(parts, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    empty = pd.DataFrame({
+        "k": pd.Series([], dtype="int64"),
+        "promo_cents": pd.Series([], dtype="int64"),
+        "total_cents": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)
+        c = batch["cents"].to_numpy()
+        return pd.DataFrame({
+            "k": np.array([0], dtype="int64"),
+            "promo_cents": [int(c[batch["is_promo"].to_numpy() == 1]
+                                .sum())],
+            "total_cents": [int(c.sum())]})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        promo = int(group["promo_cents"].sum())
+        total = int(group["total_cents"].sum())
+        pct = (math.floor(10000 * (100 * promo) / total) / 10000
+               if total else 0.0)
+        return pd.DataFrame({
+            "promo_revenue": [promo / 10000.0],
+            "total_revenue": [total / 10000.0],
+            "promo_share_pct": [pct]})
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("k").map_groups(final, batch_format="pandas"))
