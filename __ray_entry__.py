@@ -4435,15 +4435,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate >= TIMESTAMP '1999-01-01'
                 AND l_shipdate < TIMESTAMP '1999-04-01'
             ), s AS (
-              SELECT CAST(sum(CASE WHEN is_promo = 1 THEN cents
-                                   ELSE 0 END) AS BIGINT) AS promo,
-                     CAST(sum(cents) AS BIGINT) AS total
+              SELECT CAST(coalesce(sum(CASE WHEN is_promo = 1
+                                            THEN cents ELSE 0 END), 0)
+                          AS HUGEINT) AS promo,
+                     CAST(coalesce(sum(cents), 0) AS HUGEINT) AS total
               FROM c
             )
             SELECT promo / 10000.0 AS promo_revenue,
                    total / 10000.0 AS total_revenue,
-                   floor(10000 * (100 * promo) / total) / 10000
-                       AS promo_share_pct
+                   CASE WHEN total = 0 THEN 0.0
+                        ELSE floor(10000 * (100 * promo) / total)
+                             / 10000 END AS promo_share_pct
             FROM s
         """,
         "large_volume_orders": """

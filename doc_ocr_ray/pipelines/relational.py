@@ -13,6 +13,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from doc_ocr_ray.util import default_join_partitions, revenue_cents
+
 
 def events_by_type(ds):
     """events -> (event_type, n, sum_value): per-batch partial
@@ -174,9 +176,8 @@ def order_priority_revenue(lineitem_ds, orders_ds, num_partitions: int = 32):
                 "n_items": pd.Series([], dtype="int64"),
                 "sum_cents": pd.Series([], dtype="int64"),
             }))
-        cents = np.floor(batch["l_extendedprice"]
-                         * (1 - batch["l_discount"]) * 10000
-                         + 0.5).astype("int64")
+        cents = revenue_cents(batch["l_extendedprice"],
+                              batch["l_discount"])
         g = (batch.assign(cents=cents)
              .groupby("o_orderpriority", sort=False)["cents"]
              .agg(["count", "sum"]).reset_index())
@@ -222,8 +223,7 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_ds,
     import ray
 
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
+        num_partitions = default_join_partitions()
 
     nat = nation_tbl.to_pandas()
     reg = region_tbl.to_pandas()
@@ -265,8 +265,7 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_ds,
         b = batch[keep]
         if not len(b):
             return typed_if_empty(empty)
-        cents = np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
-                         * 10000 + 0.5).astype("int64")
+        cents = revenue_cents(b["l_extendedprice"], b["l_discount"])
         g = (b.assign(cents=cents, n_nationkey=s_nat[keep]
                       .astype("int64"))
              .groupby("n_nationkey", sort=False)["cents"]
@@ -421,9 +420,7 @@ def orders_per_customer_hist(customer_ds, orders_ds,
         # half the CPUs, like revenue_by_nation: the join's aggregator
         # actors reserve cores, and a partition count at or above the
         # session CPU count starves upstream ops (deadlock at 4 cpus)
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
+        num_partitions = default_join_partitions()
     per_cust = (orders_ds.map_batches(order_partial,
                                       batch_format="pandas")
                 .groupby("part").map_groups(
@@ -459,6 +456,20 @@ def orders_per_customer_hist(customer_ds, orders_ds,
                                             batch_format="pandas"))
 
 
+def _join_seed(ds, **sentinel):
+    """Union ONE sentinel row (negative join keys that nothing real
+    can match — the synth/TPC-H key domains are non-negative) onto a
+    join input that could arrive with ZERO blocks (a filter that
+    emptied every batch of an empty read); paired with
+    :func:`doc_ocr_ray.util.sentinel_if_empty` inside the filter
+    functions, which keeps every EMITTED block non-empty (see its
+    docstring for the Ray hash-shuffle schema-broadcast race).  The
+    sentinel is dropped by the inner join as unmatched."""
+    import ray.data as _rd
+    from doc_ocr_ray.util import sentinel_frame
+    return ds.union(_rd.from_pandas(sentinel_frame(sentinel)))
+
+
 def shipping_priority(customer_ds, orders_ds, lineitem_ds,
                       segment: str = "BUILDING",
                       cutoff: str = "1999-01-01", k: int = 10,
@@ -479,37 +490,54 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds,
     ``order_day`` is the integer epoch day (the house-audited day
     rule, :func:`doc_ocr_ray.util.epoch_days`) so the value hash is
     engine-neutral."""
-    import ray
-    from doc_ocr_ray.util import coarse_part, epoch_days, typed_if_empty
+    from doc_ocr_ray.util import (coarse_part, epoch_days,
+                                  sentinel_if_empty, typed_if_empty)
 
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
+        num_partitions = default_join_partitions()
     cut = pd.Timestamp(cutoff)
 
     def cust_filter(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.loc[batch["c_mktsegment"] == segment, ["c_custkey"]]
-        return typed_if_empty(out.reset_index(drop=True))
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 c_custkey=-2)
 
     def ord_filter(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch["o_orderdate"].notna() & (batch["o_orderdate"] < cut)
         out = batch.loc[keep, ["o_orderkey", "o_custkey"]].copy()
         out["order_day"] = epoch_days(batch.loc[keep, "o_orderdate"])
-        return typed_if_empty(out.reset_index(drop=True))
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 o_orderkey=-3, o_custkey=-1,
+                                 order_day=0)
 
     def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch["l_shipdate"].notna() & (batch["l_shipdate"] > cut)
         b = batch.loc[keep]
         out = pd.DataFrame({
             "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
-            "cents": np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
-                              * 10000 + 0.5).astype("int64"),
+            "cents": revenue_cents(b["l_extendedprice"],
+                                   b["l_discount"]),
         })
-        return typed_if_empty(out)
+        return sentinel_if_empty(out, l_orderkey=-4, cents=0)
 
-    cust = customer_ds.map_batches(cust_filter, batch_format="pandas")
-    orders = orders_ds.map_batches(ord_filter, batch_format="pandas")
-    li = lineitem_ds.map_batches(li_filter, batch_format="pandas")
+    # sentinel topology: per-batch sentinels are unmatchable (so they
+    # never multiply through a join), and the orders⋈cust pair gets
+    # ONE matched seed pair (o_custkey=-1 ⋈ c_custkey=-1) whose joined
+    # row keeps the oc stream non-empty — oc feeds the SECOND hash
+    # join, and a map_batches cannot resurrect an all-empty stream
+    # (Ray never invokes the UDF on 0-row blocks), so the sentinel
+    # must SURVIVE join 1.  The li sentinel (-4) matches nothing, and
+    # the surviving oc sentinel (o_orderkey=-3) matches no real
+    # l_orderkey, so nothing synthetic reaches the aggregate.
+    cust = _join_seed(
+        customer_ds.map_batches(cust_filter, batch_format="pandas"),
+        c_custkey=-1)
+    orders = _join_seed(
+        orders_ds.map_batches(ord_filter, batch_format="pandas"),
+        o_orderkey=-3, o_custkey=-1, order_day=0)
+    li = _join_seed(
+        lineitem_ds.map_batches(li_filter, batch_format="pandas"),
+        l_orderkey=-4, cents=0)
 
     oc = orders.join(cust, join_type="inner",
                      num_partitions=num_partitions,
@@ -573,12 +601,11 @@ def large_volume_orders(customer_ds, orders_ds, lineitem_ds,
     shrinks the candidate set before the global sort+limit.  Output:
     ``(c_name, c_custkey, o_orderkey, order_day, o_totalprice,
     total_qty)`` ordered by (o_totalprice desc, o_orderkey)."""
-    import ray
-    from doc_ocr_ray.util import coarse_part, epoch_days, typed_if_empty
+    from doc_ocr_ray.util import (coarse_part, epoch_days,
+                                  sentinel_if_empty, typed_if_empty)
 
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
+        num_partitions = default_join_partitions()
 
     def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
         qty = np.floor(batch["l_quantity"] + 0.5).astype("int64")
@@ -594,10 +621,9 @@ def large_volume_orders(customer_ds, orders_ds, lineitem_ds,
     def qty_combine(group: pd.DataFrame) -> pd.DataFrame:
         g = (group.groupby("l_orderkey", sort=False)["qty"]
              .sum().reset_index(name="total_qty"))
-        g = g[g["total_qty"] > qty_threshold]
-        g["total_qty"] = g["total_qty"].astype("int64")
-        return typed_if_empty(g[["l_orderkey", "total_qty"]]
-                              .reset_index(drop=True))
+        g = g[g["total_qty"] > qty_threshold].reset_index(drop=True)
+        return sentinel_if_empty(g[["l_orderkey", "total_qty"]],
+                                 l_orderkey=-2, total_qty=0)
 
     qualifying = (lineitem_ds.select_columns(["l_orderkey", "l_quantity"])
                   .map_batches(qty_partial, batch_format="pandas")
@@ -609,13 +635,23 @@ def large_volume_orders(customer_ds, orders_ds, lineitem_ds,
         b = batch.loc[keep]
         out = b[["o_orderkey", "o_custkey", "o_totalprice"]].copy()
         out["order_day"] = epoch_days(b["o_orderdate"])
-        return typed_if_empty(out.reset_index(drop=True))
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 o_orderkey=-3, o_custkey=-4,
+                                 o_totalprice=0.0, order_day=0)
 
-    orders = orders_ds.map_batches(ord_prep, batch_format="pandas")
+    # matched seed pair (l_orderkey=-3 ⋈ o_orderkey=-3): its joined
+    # row keeps oq non-empty for the SECOND hash join (see the
+    # sentinel-topology note in shipping_priority); the surviving oq
+    # sentinel's o_custkey=-4 then matches no customer and drops
+    qualifying = _join_seed(qualifying, l_orderkey=-3, total_qty=0)
+    orders = _join_seed(
+        orders_ds.map_batches(ord_prep, batch_format="pandas"),
+        o_orderkey=-3, o_custkey=-4, o_totalprice=0.0, order_day=0)
     oq = qualifying.join(orders, join_type="inner",
                          num_partitions=num_partitions,
                          on=("l_orderkey",), right_on=("o_orderkey",))
-    cust = customer_ds.select_columns(["c_custkey", "c_name"])
+    cust = _join_seed(customer_ds.select_columns(["c_custkey", "c_name"]),
+                      c_custkey=-5, c_name="")
     full = oq.join(cust, join_type="inner",
                    num_partitions=num_partitions,
                    on=("o_custkey",), right_on=("c_custkey",))
@@ -662,32 +698,36 @@ def promo_revenue_share(part_ds, lineitem_ds,
     numerator, one IEEE-double division, floor).  Output: one row
     ``(promo_revenue, total_revenue, promo_share_pct)``."""
     import math
-    import ray
-    from doc_ocr_ray.util import typed_if_empty
+
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
 
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
+        num_partitions = default_join_partitions()
     lo, hi = pd.Timestamp(start), pd.Timestamp(end)
 
     def part_prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return typed_if_empty(pd.DataFrame({
+        return sentinel_if_empty(pd.DataFrame({
             "p_partkey": batch["p_partkey"].astype("int64").to_numpy(),
             "is_promo": (batch["p_type"] == promo_type)
-            .astype("int64").to_numpy()}))
+            .astype("int64").to_numpy()}), p_partkey=-3, is_promo=0)
 
     def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
         keep = (batch["l_shipdate"].notna()
                 & (batch["l_shipdate"] >= lo)
                 & (batch["l_shipdate"] < hi))
         b = batch.loc[keep]
-        return typed_if_empty(pd.DataFrame({
+        return sentinel_if_empty(pd.DataFrame({
             "l_partkey": b["l_partkey"].astype("int64").to_numpy(),
-            "cents": np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
-                              * 10000 + 0.5).astype("int64")}))
+            "cents": revenue_cents(b["l_extendedprice"],
+                                   b["l_discount"])}),
+            l_partkey=-2, cents=0)
 
-    li = lineitem_ds.map_batches(li_prep, batch_format="pandas")
-    parts = part_ds.map_batches(part_prep, batch_format="pandas")
+    li = _join_seed(
+        lineitem_ds.map_batches(li_prep, batch_format="pandas"),
+        l_partkey=-2, cents=0)
+    parts = _join_seed(
+        part_ds.map_batches(part_prep, batch_format="pandas"),
+        p_partkey=-3, is_promo=0)
     joined = li.join(parts, join_type="inner",
                      num_partitions=num_partitions,
                      on=("l_partkey",), right_on=("p_partkey",))
@@ -710,12 +750,26 @@ def promo_revenue_share(part_ds, lineitem_ds,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         promo = int(group["promo_cents"].sum())
         total = int(group["total_cents"].sum())
-        pct = (math.floor(10000 * (100 * promo) / total) / 10000
-               if total else 0.0)
+        # identical-operation-order ratio: exact integer numerator,
+        # then fl(num)/fl(den) — DuckDB casts the HUGEINT operands to
+        # double BEFORE dividing, so the engine must too (a raw
+        # int/int in Python is the correctly-rounded true quotient,
+        # which can differ by 1 ulp and flip the floor)
+        pct = (math.floor(float(10000 * (100 * promo)) / float(total))
+               / 10000 if total else 0.0)
         return pd.DataFrame({
             "promo_revenue": [promo / 10000.0],
             "total_revenue": [total / 10000.0],
             "promo_share_pct": [pct]})
 
+    # seed one all-zero partial so the single output row exists even
+    # when the shipdate window matches nothing (the oracle's scalar
+    # aggregate always returns a row; COALESCE makes it zeros there)
+    import ray.data as _rd
+    seed = _rd.from_pandas(pd.DataFrame({
+        "k": np.array([0], dtype="int64"),
+        "promo_cents": np.array([0], dtype="int64"),
+        "total_cents": np.array([0], dtype="int64")}))
     return (joined.map_batches(partial, batch_format="pandas")
+            .union(seed)
             .groupby("k").map_groups(final, batch_format="pandas"))

@@ -22,6 +22,60 @@ def coarse_part(series: pd.Series, num_partitions: int) -> np.ndarray:
             % num_partitions).astype("int64")
 
 
+def revenue_cents(price: pd.Series, discount: pd.Series) -> "np.ndarray":
+    """Discounted price -> exact ten-thousandths grid:
+    floor(price * (1 - discount) * 10000 + 0.5) as int64 — explicit
+    half-up, bit-matching the DuckDB oracle idiom
+    ``CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS
+    BIGINT)``.  The single audited home of the revenue-grid rule
+    (order_priority_revenue, revenue_by_nation, shipping_priority,
+    promo_revenue_share): sums accumulate as integers, ONE division
+    at the end."""
+    import numpy as np
+    return np.floor(price * (1 - discount) * 10000 + 0.5).astype("int64")
+
+
+def sentinel_frame(sentinel: dict) -> pd.DataFrame:
+    """One-row frame from {column: scalar} (int scalars become int64,
+    floats float64, strings object) — the unmatchable-row building
+    block for :func:`sentinel_if_empty` and join seeding."""
+    import numpy as np
+    return pd.DataFrame({k: np.array([v]) for k, v in sentinel.items()})
+
+
+def sentinel_if_empty(df: pd.DataFrame, **sentinel) -> pd.DataFrame:
+    """Replace a filtered-to-empty JOIN-INPUT batch with ONE
+    unmatchable sentinel row (negative join keys — the table key
+    domains are non-negative).
+
+    Why not a typed empty frame: Ray's hash shuffle broadcasts the
+    schema to its aggregators only with the FIRST block it shuffles
+    per input side, and ``_shuffle_block`` returns early on
+    ``num_rows == 0`` — an empty first block consumes that one
+    broadcast while shipping nothing, so partitions that never
+    receive a row stay schema-less and pyarrow's join rejects the key
+    FieldRef (crash instead of 0 rows).  Keeping every block
+    non-empty makes the first broadcast always carry the schema; the
+    sentinel itself is dropped by the inner join as unmatched."""
+    if len(df):
+        return df
+    return sentinel_frame(sentinel)
+
+
+def default_join_partitions() -> int:
+    """Default ``num_partitions`` for Dataset.join: half the cluster
+    CPUs.  Each native hash join reserves its own HashShuffleAggregator
+    actors for the duration of the query, so a partition count at or
+    above the CPU count starves upstream map operators outright on a
+    small cluster (the fixed-pool deadlock noted in CLAUDE.md, join
+    edition).  Queries that chain several concurrent joins inherit
+    this per join; pass an explicit count on a real multi-node
+    cluster."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
 def epoch_days(ts: pd.Series) -> pd.Series:
     """Timestamps -> integer epoch days by floor division — tz-proof
     and exact for pre-1970 dates too (``//`` floors toward -inf,
