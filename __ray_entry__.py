@@ -956,6 +956,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             + w(9, 0, "\nPlease click here to continue reading today."))
         return batch
 
+    def _inject_html(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic per-doc HTML page exercising every extractor
+        # rule (dropped subtrees, heading, entity decode, media span,
+        # link-density farm, length floor, inline anchor, nested
+        # blocks, mid-paragraph image split); the SQL twin states the
+        # EXPECTED spans from the same doc_id arithmetic — the engine
+        # side must really parse, the oracle side only assembles
+        d = batch["doc_id"].astype("int64")
+        s = d.astype(str)
+        w = lambda cond, part: np.where(cond, part, "")
+        paras = ""
+        for i in range(4):
+            paras = paras + w(
+                i < 2 + d % 3,
+                "<p>Paragraph " + str(i) + " of document " + s
+                + " contains enough words to pass the length floor "
+                  "easily.</p>")
+        batch["html"] = (
+            '<html><head><title>T</title><script>var x = "<p>decoy'
+            '</p>";</script></head><body><header><h1>Site junk</h1>'
+            '</header><nav><a href="/">Home</a> <a href="/a">About'
+            "</a></nav><h1>Document " + s + " heading</h1>"
+            "<!-- comment with <p>fake</p> -->" + paras
+            + w(d % 4 == 0,
+                "<p>Entities &amp; escapes &lt;tag&gt; &quot;quoted"
+                "&quot; stay textual in doc " + s + ".</p>")
+            + w(d % 5 == 0, '<img src="img/' + s + '.png" alt="x">')
+            + w(d % 3 == 1,
+                '<p><a href="1">click here now</a> <a href="2">more '
+                "spam links here</a></p>")
+            + w(d % 6 == 2, "<p>tiny.</p>")
+            + w(d % 2 == 1,
+                "<p>This long paragraph of document " + s
+                + ' has one small <a href="#">link</a> inside but '
+                  "mostly real prose text.</p>")
+            + w(d % 7 == 3,
+                "<div><div><p>Nested paragraph inside two divs for "
+                "document " + s + " stays kept as well.</p></div></div>")
+            + w(d % 10 == 6,
+                "<p>Before image text long enough to be kept in "
+                "document " + s + ' yes indeed.<img src="mid/' + s
+                + '.jpg"/>After image text long enough to be kept in '
+                  "document " + s + " too.</p>")
+            + "<footer>(c) footer " + s + "</footer></body></html>")
+        return batch[["doc_id", "html"]]
+
+    def q_html_main_content(sf_dir):
+        from doc_ocr_ray.stages.html_extract import extract_main_content
+        return extract_main_content(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(_inject_html, batch_format="pandas"))
+
     def q_gopher_filter(sf_dir):
         from doc_ocr_ray.stages.text_analysis import gopher_filter_batch
         return (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -1671,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "pack_interleaved": q_pack_interleaved,
         "quality_classifier": q_quality_classifier,
+        "html_main_content": q_html_main_content,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "curate_quality_funnel": q_curate_quality_funnel,
@@ -3619,6 +3672,68 @@ def oracle_sql() -> dict[str, str]:
                                         '[IP]', 'g') AS redacted
                   FROM p)
             SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
+        """,
+        # expected spans assembled from the SAME doc_id arithmetic the
+        # injected HTML generator uses; the engine side really parses
+        # the markup (tags, entities, link density, subtree drops)
+        "html_main_content": """
+            WITH d AS (SELECT doc_id FROM documents),
+            parts AS (
+              SELECT doc_id, 10 AS rnk, 'text' AS kind,
+                     'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' heading' AS text,
+                     '' AS media_ref FROM d
+              UNION ALL
+              SELECT doc_id, 20 + i, 'text',
+                     'Paragraph ' || CAST(i AS VARCHAR)
+                       || ' of document ' || CAST(doc_id AS VARCHAR)
+                       || ' contains enough words to pass the length'
+                       || ' floor easily.', ''
+              FROM d, range(4) r(i) WHERE i < 2 + doc_id % 3
+              UNION ALL
+              SELECT doc_id, 30, 'text',
+                     'Entities & escapes <tag> "quoted" stay textual'
+                       || ' in doc ' || CAST(doc_id AS VARCHAR) || '.',
+                     ''
+              FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, 40, 'media', '',
+                     'img/' || CAST(doc_id AS VARCHAR) || '.png'
+              FROM d WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 50, 'text',
+                     'This long paragraph of document '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' has one small link inside but mostly real'
+                       || ' prose text.', ''
+              FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id, 60, 'text',
+                     'Nested paragraph inside two divs for document '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' stays kept as well.', ''
+              FROM d WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id, 70, 'text',
+                     'Before image text long enough to be kept in'
+                       || ' document ' || CAST(doc_id AS VARCHAR)
+                       || ' yes indeed.', ''
+              FROM d WHERE doc_id % 10 = 6
+              UNION ALL
+              SELECT doc_id, 71, 'media', '',
+                     'mid/' || CAST(doc_id AS VARCHAR) || '.jpg'
+              FROM d WHERE doc_id % 10 = 6
+              UNION ALL
+              SELECT doc_id, 72, 'text',
+                     'After image text long enough to be kept in'
+                       || ' document ' || CAST(doc_id AS VARCHAR)
+                       || ' too.', ''
+              FROM d WHERE doc_id % 10 = 6)
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY rnk) - 1 AS "offset",
+                   kind, text, media_ref
+            FROM parts
         """,
         # every ratio rule is a cross-multiplied integer comparison,
         # so no rounding grid is needed anywhere

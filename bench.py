@@ -206,6 +206,8 @@ def run_benchmarks() -> dict:
     timed("zscore_by_source",
           lambda: qs["zscore_by_source"](SF_DIR).count())
     timed("bpe_train", lambda: qs["bpe_train"](SF_DIR).num_rows)
+    timed("html_main_content",
+          lambda: qs["html_main_content"](SF_DIR).count())
     timed("gopher_filter", lambda: qs["gopher_filter"](SF_DIR).count())
     timed("c4_filter", lambda: qs["c4_filter"](SF_DIR).count())
     timed("ccnet_buckets", lambda: qs["ccnet_buckets"](SF_DIR).count())

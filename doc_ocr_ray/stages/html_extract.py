@@ -1,0 +1,226 @@
+"""HTML main-content extraction: raw page markup -> interleaved spans.
+
+This is the web-corpus front door the north rule names ("HTML
+boilerplate strip, DOM heuristics"): a crawl delivers pages as raw
+HTML strings; this stage parses each page with a real HTML parser and
+emits the engine's canonical interleaved span rows ``(doc_id, offset,
+kind, text, media_ref)`` — the exact table shape every downstream
+operator (dedup, quality funnel, packing, rendering) already consumes.
+The reference engine ingests already-parsed layout JSON
+(`/root/reference/src/question_extraction/extractor.py:36` reads the
+PP-OCR output); this stage is the analogous ingestion boundary for
+HTML-origin corpora, built on jusText/Arc90-style block heuristics
+(Pomikalek 2011) rather than a port of anything.
+
+Content model (all thresholds explicit so the deterministic-generator
+oracle in ``__ray_entry__`` can state the expected spans exactly):
+
+- **Dropped subtrees**: everything inside ``<script> <style>
+  <noscript> <template> <head> <nav> <header> <footer> <aside>
+  <form> <iframe> <svg>`` is boilerplate/markup by construction —
+  text AND images inside them never reach the output.
+- **Blocks**: text accumulates into the current block; any open or
+  close of a block-level tag (``p div h1-h6 li ul ol table tr td th
+  pre blockquote article section main br hr``) flushes it.  ``<img>``
+  also flushes (so a mid-paragraph image splits its paragraph into
+  two independently-judged text spans, keeping document order exact).
+- **Keep rule** per flushed block, over entity-decoded text with
+  whitespace collapsed per the repo contract (``[\\t\\n\\f\\r ]+`` ->
+  one space, edges stripped):
+    1. non-empty after collapsing;
+    2. clean length >= ``min_text_chars`` (25), or >=
+       ``min_heading_chars`` (3) when the block was opened by a
+       heading tag — headings are short by nature but high-signal;
+    3. link density <= 1/2: ``2 * link_chars <= raw_chars`` where
+       both counts are raw (pre-collapse) character counts and
+       ``link_chars`` is text emitted inside any open ``<a>`` —
+       the classic link-farm / nav-remnant discriminator.
+- **Media**: ``<img src=...>`` outside dropped subtrees emits a
+  ``kind='media'`` span carrying ``src`` as ``media_ref`` (no length
+  or density rule — images are not boilerplate-judged, matching how
+  the span-domain pipeline treats ``media_ref`` spans as opaque).
+- **Offsets**: ``offset`` is the span's index within its document
+  (the same order-index convention ``synth.make_doc`` uses), so the
+  output feeds ``restitch_documents`` / ``pack_interleaved``
+  unchanged.
+
+Scale shape: ONE stateless ``map_batches`` — parsing is per-document
+string work (exactly like the question-extraction kernel), state is a
+per-worker compiled parser class, nothing shuffles, mega-pages cost
+only their own parse.  At 100 TB this stage is embarrassingly
+parallel and reads only (doc_id, html) columns.
+"""
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Tuple
+
+import pandas as pd
+
+from doc_ocr_ray.util import typed_if_empty
+
+_WS = re.compile(r"[\t\n\f\r ]+")
+
+DROP_SUBTREES = frozenset(
+    "script style noscript template head nav header footer aside "
+    "form iframe svg".split())
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol table tr td th pre blockquote "
+    "article section main br hr".split())
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+MIN_TEXT_CHARS = 25
+MIN_HEADING_CHARS = 3
+
+
+class MainContentParser(HTMLParser):
+    """Streaming tag-event parser (stdlib ``html.parser`` — lenient on
+    broken markup, decodes entities via ``convert_charrefs``) that
+    applies the block model above and collects spans."""
+
+    def __init__(self, min_text_chars: int = MIN_TEXT_CHARS,
+                 min_heading_chars: int = MIN_HEADING_CHARS):
+        super().__init__(convert_charrefs=True)
+        self._min_t = min_text_chars
+        self._min_h = min_heading_chars
+        self.spans: List[Tuple[str, str, str]] = []  # (kind, text, ref)
+        self._pieces: List[str] = []
+        self._raw = 0          # raw chars accumulated in current block
+        self._link = 0         # raw chars accumulated while inside <a>
+        self._drop = 0         # depth of open dropped subtrees
+        self._a = 0            # depth of open <a>
+        self._heading = False  # current block opened by a heading tag
+
+    def _flush(self) -> None:
+        raw, link = self._raw, self._link
+        text = _WS.sub(" ", "".join(self._pieces)).strip(" ")
+        self._pieces.clear()
+        self._raw = self._link = 0
+        if not text:
+            return
+        if len(text) < (self._min_h if self._heading else self._min_t):
+            return
+        if 2 * link > raw:
+            return
+        self.spans.append(("text", text, ""))
+
+    # -- tag events ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_SUBTREES:
+            self._flush()
+            self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag == "a":
+            self._a += 1
+            return
+        if tag == "img":
+            self._flush()
+            src = next((v for k, v in attrs if k == "src" and v), "")
+            if src:
+                self.spans.append(("media", "", src))
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._heading = tag in HEADING_TAGS
+
+    def handle_endtag(self, tag):
+        if tag in DROP_SUBTREES:
+            # max() keeps stray close tags from corrupting the counter
+            self._drop = max(0, self._drop - 1)
+            return
+        if self._drop:
+            return
+        if tag == "a":
+            self._a = max(0, self._a - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._heading = False
+
+    # void elements written as <img .../> arrive here; route both ways
+    # through the same handlers (the stdlib default does the same, but
+    # being explicit keeps the contract visible)
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        if self._drop or not data:
+            return
+        self._pieces.append(data)
+        self._raw += len(data)
+        if self._a:
+            self._link += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_to_spans_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                        id_col: str = "doc_id",
+                        min_text_chars: int = MIN_TEXT_CHARS,
+                        min_heading_chars: int = MIN_HEADING_CHARS,
+                        ) -> pd.DataFrame:
+    """One flat span row per kept block / image, in document order.
+
+    Per-document Python parse is the honest cost model here (markup
+    parsing has no columnar kernel); everything around it is batch-
+    columnar and the stage fuses with its reader."""
+    ids, offs, kinds, texts, refs = [], [], [], [], []
+    for doc_id, html in zip(batch[id_col].to_numpy(),
+                            batch[html_col].to_numpy()):
+        parser = MainContentParser(min_text_chars, min_heading_chars)
+        parser.feed(html or "")
+        parser.close()
+        for i, (kind, text, ref) in enumerate(parser.spans):
+            ids.append(doc_id)
+            offs.append(i)
+            kinds.append(kind)
+            texts.append(text)
+            refs.append(ref)
+    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                        "offset": pd.Series(offs, dtype="int64"),
+                        "kind": pd.Series(kinds, dtype="object"),
+                        "text": pd.Series(texts, dtype="object"),
+                        "media_ref": pd.Series(refs, dtype="object")})
+    return typed_if_empty(out)
+
+
+def extract_main_content(ds, *, html_col: str = "html",
+                         min_text_chars: int = MIN_TEXT_CHARS,
+                         min_heading_chars: int = MIN_HEADING_CHARS):
+    """Dataset of (doc_id, html) -> Dataset of flat interleaved span
+    rows.  Single stateless map_batches; no shuffle."""
+    return ds.map_batches(
+        html_to_spans_batch,
+        batch_format="pandas",
+        fn_kwargs={"html_col": html_col,
+                   "min_text_chars": min_text_chars,
+                   "min_heading_chars": min_heading_chars})
+
+
+def html_to_documents_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                            id_col: str = "doc_id"):
+    """Nested variant: one row per document with the ``spans``
+    list-of-struct column of the canonical interleaved table
+    (FIXTURES.md section 1), so HTML corpora can feed the flagship
+    extraction pipeline without a restitch groupby — spans of one
+    page are born co-located, no shuffle needed to nest them.
+    Returns an Arrow block typed exactly as ``DOCUMENTS_SCHEMA``
+    (string doc_id, ``html-`` prefixed for provenance)."""
+    import pyarrow as pa
+
+    from doc_ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    flat = html_to_spans_batch(batch, html_col=html_col, id_col=id_col)
+    rows = []
+    for doc_id, g in flat.groupby("doc_id", sort=False):
+        rows.append({"doc_id": f"html-{doc_id}", "spans": [
+            {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+            for k, t, r, o in zip(g["kind"], g["text"],
+                                  g["media_ref"], g["offset"])]})
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)

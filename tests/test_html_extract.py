@@ -1,0 +1,146 @@
+"""HTML main-content extraction: block heuristics, entity decoding,
+dropped subtrees, media spans, and the nested-document assembly."""
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from doc_ocr_ray.schema import DOCUMENTS_SCHEMA
+from doc_ocr_ray.stages.html_extract import (MainContentParser,
+                                             extract_main_content,
+                                             html_to_documents_batch,
+                                             html_to_spans_batch)
+
+
+def spans_of(html, **kw):
+    p = MainContentParser(**kw)
+    p.feed(html)
+    p.close()
+    return p.spans
+
+
+LONG = "x" * 30  # comfortably over the 25-char text floor
+
+
+def test_adversarial_page_end_to_end():
+    html = (
+        '<html><head><title>T</title>'
+        '<script>var x = "<p>decoy</p>";</script></head><body>'
+        '<header><h1>Site junk</h1></header>'
+        '<nav><a href="/">Home</a> <a>About</a></nav>'
+        '<h1>Doc heading</h1>'
+        '<!-- comment with <p>fake</p> -->'
+        f'<p>{LONG} first</p>'
+        '<p><a href="1">click here now</a> <a href="2">more spam here</a></p>'
+        '<p>tiny.</p>'
+        f'<p>{LONG} has one small <a href="#">link</a> inline</p>'
+        '<IMG SRC="img/1.png" alt="x">'
+        f'<div><div><p>{LONG} nested</p></div></div>'
+        f'<p>{LONG} before.<img src="mid/1.jpg"/>{LONG} after.</p>'
+        '<p>Entities &amp; escapes &lt;tag&gt; &quot;q&quot; '
+        'stay textual here.</p>'
+        '<footer>(c) footer</footer></body></html>')
+    assert spans_of(html) == [
+        ("text", "Doc heading", ""),
+        ("text", f"{LONG} first", ""),
+        ("text", f"{LONG} has one small link inline", ""),
+        ("media", "", "img/1.png"),
+        ("text", f"{LONG} nested", ""),
+        ("text", f"{LONG} before.", ""),
+        ("media", "", "mid/1.jpg"),
+        ("text", f"{LONG} after.", ""),
+        ("text", 'Entities & escapes <tag> "q" stay textual here.', ""),
+    ]
+
+
+def test_link_density_boundary_exactly_half_kept():
+    # 30 linked chars, 30 unlinked -> 2*30 <= 60, kept
+    html = f'<p><a href="#">{"l" * 30}</a>{"t" * 30}</p>'
+    assert spans_of(html) == [("text", "l" * 30 + "t" * 30, "")]
+    # one more linked char tips it over -> dropped
+    html = f'<p><a href="#">{"l" * 31}</a>{"t" * 30}</p>'
+    assert spans_of(html) == []
+
+
+def test_heading_floor_and_text_floor():
+    assert spans_of("<h1>ab</h1>") == []            # < 3 chars
+    assert spans_of("<h2>abc</h2>") == [("text", "abc", "")]
+    assert spans_of(f"<p>{'y' * 24}</p>") == []     # < 25 chars
+    assert spans_of(f"<p>{'y' * 25}</p>") == [("text", "y" * 25, "")]
+    # heading leniency does not leak into the following paragraph
+    assert spans_of(f"<h1>abc</h1><p>{'y' * 24}</p>") == [
+        ("text", "abc", "")]
+
+
+def test_img_without_src_and_img_in_dropped_subtree():
+    assert spans_of('<img alt="no src"><img src="">') == []
+    assert spans_of('<nav><img src="x.png"></nav>') == []
+    assert spans_of('<a href="#"><img src="x.png"></a>') == [
+        ("media", "", "x.png")]
+
+
+def test_unclosed_block_flushes_at_eof_and_stray_close_tags():
+    assert spans_of(f"</footer></div><p>{LONG} tail") == [
+        ("text", f"{LONG} tail", "")]
+
+
+def test_br_and_hr_split_blocks():
+    a, b = "a" * 30, "b" * 30
+    assert spans_of(f"<p>{a}<br>{b}</p>") == [
+        ("text", a, ""), ("text", b, "")]
+    assert spans_of(f"{a}<hr>{b}") == [("text", a, ""), ("text", b, "")]
+    # each half is judged on its own: a short half drops alone
+    assert spans_of(f"<p>{a}<br>tiny</p>") == [("text", a, "")]
+
+
+def test_whitespace_collapse_contract():
+    html = f"<p>  {LONG}\t\n multi   space\f{LONG} </p>"
+    assert spans_of(html) == [
+        ("text", f"{LONG} multi space {LONG}", "")]
+
+
+def test_nested_drop_subtrees_and_numeric_entities():
+    html = ('<div><nav><div><p>deep boilerplate stays dropped here</p>'
+            '</div></nav></div>'
+            f'<p>&#65;&#66; {LONG} numeric entities decode</p>')
+    assert spans_of(html) == [
+        ("text", f"AB {LONG} numeric entities decode", "")]
+
+
+def test_batch_fn_flat_rows_and_typed_empty():
+    batch = pd.DataFrame({
+        "doc_id": pd.Series([7, 8], dtype="int64"),
+        "html": [f"<p>{LONG} seven</p><img src='s.png'>", ""]})
+    out = html_to_spans_batch(batch)
+    assert list(out["doc_id"]) == [7, 7]
+    assert list(out["offset"]) == [0, 1]
+    assert list(out["kind"]) == ["text", "media"]
+    empty = html_to_spans_batch(batch.iloc[:0])
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+    assert empty.schema.field("doc_id").type == pa.int64()
+    assert empty.schema.field("text").type == pa.string()
+
+
+def test_nested_documents_match_flat_and_schema():
+    batch = pd.DataFrame({
+        "doc_id": pd.Series([3], dtype="int64"),
+        "html": [f"<h1>Head three</h1><p>{LONG}</p><img src='i.png'>"]})
+    tbl = html_to_documents_batch(batch)
+    assert tbl.schema.equals(DOCUMENTS_SCHEMA)
+    rows = tbl.to_pylist()
+    assert rows[0]["doc_id"] == "html-3"
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in rows[0]["spans"]] == [
+        ("text", "Head three", "", 0),
+        ("text", LONG, "", 1),
+        ("media", "", "i.png", 2)]
+
+
+def test_dataset_stage_streams(ray_session):
+    import ray.data
+    batch = pd.DataFrame({
+        "doc_id": pd.Series(range(20), dtype="int64"),
+        "html": [f"<p>{LONG} body {i}</p>" for i in range(20)]})
+    ds = ray.data.from_pandas(batch).repartition(4)
+    out = extract_main_content(ds).to_pandas()
+    assert len(out) == 20
+    assert set(out["kind"]) == {"text"}
