@@ -708,6 +708,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_media_table(doc_ids, refs))
         return multimodal.media_dedup(media)
 
+    def q_media_neardup_phash(sf_dir):
+        # perceptual (dHash) image near-dup over REAL decoded pixels:
+        # groups of three share a base pattern — variant 1 perturbs
+        # only coordinates the 2x resize never samples (hamming 0),
+        # variant 2 bumps one sampled pixel (hamming <= 1); the SQL
+        # twin recomputes the 64-bit dHash from the closed-form pixels
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_neardup_ppm_table(doc_ids))
+        return multimodal.media_dhash_pairs(media, max_hamming=3)
+
     def q_multimodal_ppm(sf_dir):
         # REAL image decode (binary PPM, pure bytes+numpy): synthesize
         # closed-form gradient images -> decode -> channel means
@@ -1690,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_events_semi": q_customers_with_events_semi,
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
+        "media_neardup_phash": q_media_neardup_phash,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
@@ -3203,6 +3218,41 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        # recompute the 64-bit dHash in SQL from the closed-form pixel
+        # formula at the 2x-resize sample grid (y=2r, x=2c; the odd-
+        # coordinate perturbation never lands on it), then the plain
+        # hamming predicate — banding is pigeonhole-implied coverage,
+        # not part of the contract
+        "media_neardup_phash": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            px AS (
+              SELECT doc_id, r.r AS r, c.c AS c,
+                     SUM((
+                       (3 + (doc_id // 3) % 11) * (2*c.c) * (2*c.c)
+                       + (5 + (doc_id // 3) % 7) * (2*c.c) * (2*r.r)
+                       + 11 * ch.ch + 7 * (doc_id // 3)
+                       + CASE WHEN doc_id % 3 = 2 AND r.r = 0
+                                   AND c.c = 0
+                              THEN 128 ELSE 0 END
+                     ) % 256) AS gsum
+              FROM d, range(8) r(r), range(9) c(c), range(3) ch(ch)
+              GROUP BY 1, 2, 3),
+            bits AS (
+              SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                     CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b ON b.doc_id = a.doc_id
+                                 AND b.r = a.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     SUM(CASE WHEN x.bit <> y.bit
+                              THEN 1 ELSE 0 END) AS hamming
+              FROM bits x JOIN bits y ON x.pos = y.pos
+                                     AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 3
         """,
         "multimodal_ppm": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),

@@ -781,12 +781,26 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def simhash_dedup_pairs(ds, max_hamming: int = 3):
     """SimHash near-dup pairs via 16-bit band blocking + hamming verify."""
-    import ray.data
-
     # materialize: four per-band pipelines consume this — without it,
     # simhash recomputes 4x (lazy lineage re-execution)
     hashed = ds.map_batches(simhash_batch,
                             batch_format="pandas").materialize()
+    return hash64_band_pairs(hashed, hash_col="simhash",
+                             max_hamming=max_hamming)
+
+
+def hash64_band_pairs(hashed, hash_col: str = "simhash",
+                      max_hamming: int = 3):
+    """Banded near-dup pairs over ANY 64-bit per-doc hash: the
+    4x16-bit pigeonhole blocking + in-bucket hamming verify that
+    `simhash_dedup_pairs` introduced, factored out so other hash
+    domains (perceptual image dHash in `stages/multimodal.py`) reuse
+    the identical shuffle shape.  ``hashed`` must carry ``doc_id``,
+    ``hash_col`` (int64, two's-complement of the uint64 hash) and
+    ``band0..band3`` (the 16-bit slices); hamming <= 3 pigeonhole-
+    implies a shared band, so the plain hamming predicate is the
+    output contract.  Callers materialize ``hashed`` first — four
+    per-band pipelines consume it."""
 
     def bucket_pairs_factory(band_col):
         def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -796,7 +810,7 @@ def simhash_dedup_pairs(ds, max_hamming: int = 3):
                     continue
                 g = bucket.sort_values("doc_id")
                 docs = g["doc_id"].tolist()
-                hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+                hs = g[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
                 for i in range(len(docs)):
                     x = hs[i + 1:] ^ hs[i]
                     # vectorized popcount via bit tricks
@@ -809,11 +823,13 @@ def simhash_dedup_pairs(ds, max_hamming: int = 3):
 
     per_band = []
     for band in range(4):
-        cols = hashed.select_columns(["doc_id", "simhash", f"band{band}"])
+        cols = hashed.select_columns(["doc_id", hash_col, f"band{band}"])
 
         def add_part(batch: pd.DataFrame, band=band) -> pd.DataFrame:
-            batch["part"] = (batch[f"band{band}"] % 64).astype("int64")
-            return batch
+            # assign (copy) — the Project upstream hands us a view and
+            # in-place writes spam SettingWithCopyWarning per batch
+            return batch.assign(
+                part=(batch[f"band{band}"] % 64).astype("int64"))
         per_band.append(
             cols.map_batches(add_part, batch_format="pandas")
                 .groupby("part").map_groups(bucket_pairs_factory(f"band{band}"),

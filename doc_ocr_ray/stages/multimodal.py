@@ -516,6 +516,119 @@ def wav_audio_stats(media_ds, batch_size: int = 32):
                                 batch_size=batch_size)
 
 
+# --------------------------------------------- perceptual image dedup
+# A crawl re-hosts the same picture at many sizes / re-encodes — exact
+# byte dedup (media_dedup below) misses every one of those.  dHash
+# (difference hash) is the standard cheap perceptual key: resize to a
+# 9x8 grid, one bit per horizontally-adjacent comparison, 64 bits per
+# image; near-duplicate iff hamming distance <= k.  The banding+verify
+# shuffle is shared with SimHash (`dedup.hash64_band_pairs`).
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Container sniff: route PPM / PNG payloads to their real
+    decoders (the two formats with full no-codec decode paths)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError("unrecognized image container")
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash: nearest-resize to 9 wide x 8 high, grayscale
+    as the CHANNEL SUM (monotone in luminance, no division so the SQL
+    twin is exact), bit (r, c) = [g[r, c+1] > g[r, c]], packed
+    row-major into a uint64 returned in two's complement (the int64
+    storage convention `simhash64` uses)."""
+    small = resize_nearest(img, 8, 9).astype(np.int64)
+    g = small.sum(axis=2) if small.ndim == 3 else small
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    h = np.uint64(0)
+    for i in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(i)
+    return int(h.astype(np.int64))
+
+
+def media_dhash_batch(batch: pa.Table) -> "pd.DataFrame":
+    """Real decode -> dHash -> the (doc_id, dhash, band0..3) layout
+    `dedup.hash64_band_pairs` consumes.  doc_id passes through as
+    int64 (pair emission sorts and hashes on it)."""
+    import pandas as pd
+
+    ids, hashes = [], []
+    for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                               batch["payload"].to_pylist()):
+        ids.append(int(doc_id))
+        hashes.append(dhash64(decode_image(payload)))
+    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
+    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+    out["dhash"] = hs.astype(np.int64)
+    for band in range(4):
+        out[f"band{band}"] = ((hs >> np.uint64(band * 16))
+                              & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def media_dhash_pairs(media_ds, max_hamming: int = 3,
+                      batch_size: int = 32):
+    """Perceptual near-duplicate image pairs: (doc_a, doc_b, hamming)
+    with hamming <= ``max_hamming``.  Decode+hash is one stateless
+    map (small batches — fat binary rows); only 40 bytes/image ride
+    the banding shuffle, never pixels."""
+    from doc_ocr_ray.stages.dedup import hash64_band_pairs
+
+    hashed = media_ds.map_batches(media_dhash_batch,
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size).materialize()
+    return hash64_band_pairs(hashed, hash_col="dhash",
+                             max_hamming=max_hamming)
+
+
+def synthesize_neardup_ppm_table(doc_ids, width: int = 18,
+                                 height: int = 16) -> pa.Table:
+    """Deterministic near-duplicate image testbed (closed-form pixels
+    so the SQL oracle recomputes the dHash exactly).  Docs come in
+    groups of three sharing a base pattern (g = doc_id // 3):
+    variant 0 is the base; variant 1 perturbs ODD coordinates only —
+    the 2x nearest-resize samples even coordinates, so its dHash is
+    identical (hamming 0); variant 2 additionally bumps the sampled
+    pixel (0, 0) by 128, flipping at most bit (0, 0) (hamming <= 1).
+
+    pixel(y, x, ch) = ((3 + g%11) x^2 + (5 + g%7) xy + 11ch + 7g
+                       + [v>=1][x or y odd]((x + y + g) % 97)
+                       + [v=2][x=y=0] * 128) % 256
+
+    The x^2 and xy coefficients depend on g, so different groups have
+    genuinely different comparison structure (a constant inter-group
+    shift would leave every dHash bit equal mod the 256-wraps).
+    """
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    ch = np.arange(3)[None, None, :]
+    odd = ((x % 2) | (y % 2))
+    refs, docs, payloads = [], [], []
+    for d in doc_ids:
+        d = int(d)
+        g, v = d // 3, d % 3
+        img = (3 + g % 11) * x * x + (5 + g % 7) * x * y + 11 * ch + 7 * g
+        if v >= 1:
+            img = img + odd * ((x + y + g) % 97)
+        if v == 2:
+            img = img.copy()
+            img[0, 0, :] += 128
+        refs.append(f"nd:{d}")
+        docs.append(d)
+        payloads.append(encode_ppm((img % 256).astype(np.uint8)))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "media_type": pa.array(["image"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
 def media_dedup(media_ds, num_parts: int = 64):
     """Exact binary dedup of media payloads — the image/asset-level
     dedup a multimodal corpus needs (the same bytes crawled under many

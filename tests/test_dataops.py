@@ -2210,3 +2210,41 @@ def test_value_time_corr_signs_and_zero_variance(ray_session):
     assert out.loc["up", "corr_micro"] in (999999, 1000000)
     assert out.loc["down", "corr_micro"] == -1000000
     assert out.loc["flat", "corr_micro"] == 0    # zero variance
+
+
+def test_dhash_perceptual_dedup(ray_session):
+    """dHash: resize-invariant bits, PPM/PNG container identity, and
+    the banded pair stage finding exactly the designed near-dups."""
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import (
+        decode_image, dhash64, encode_png, encode_ppm,
+        media_dhash_pairs, synthesize_neardup_ppm_table)
+
+    # same pixels through both real decoders -> same hash
+    img = (np.arange(16 * 18 * 3).reshape(16, 18, 3) % 251).astype(np.uint8)
+    assert dhash64(decode_image(encode_ppm(img))) == \
+        dhash64(decode_image(encode_png(img)))
+
+    # perturbing only coordinates the 2x resize never samples leaves
+    # the hash unchanged; flipping a sampled comparison changes it
+    pert = img.copy()
+    pert[1::2, :, :] = 0
+    pert[:, 1::2, :] = 255
+    assert dhash64(pert) == dhash64(img)
+    flip = img.astype(np.int64)
+    flip[0, 0, :] += 1000
+    assert dhash64(flip.clip(0, 255).astype(np.uint8)) != dhash64(img)
+
+    # the distributed stage: groups of 3 -> (v0,v1) hamming 0,
+    # (v0,v2) and (v1,v2) hamming <= 1, nothing across groups here
+    media = ray.data.from_arrow(synthesize_neardup_ppm_table(range(9)))
+    pairs = media_dhash_pairs(media, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])}
+    for g in range(3):
+        assert got[(3 * g, 3 * g + 1)] == 0
+        assert got[(3 * g, 3 * g + 2)] <= 1
+        assert got[(3 * g + 1, 3 * g + 2)] <= 1
+    assert len(got) == 9  # no cross-group pair at 9 docs
+    # duplicate-pair suppression across bands: every pair once
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
