@@ -722,6 +722,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_neardup_ppm_table(doc_ids))
         return multimodal.media_dhash_pairs(media, max_hamming=3)
 
+    def q_media_neardup_keep(sf_dir):
+        # image-dedup endgame composed end to end: real decode ->
+        # dHash -> banded pairs -> distributed label propagation ->
+        # scoreless keep-min survivor per perceptual cluster
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_neardup_ppm_table(doc_ids))
+        pairs = multimodal.media_dhash_pairs(media, max_hamming=3)
+        labels = dedup.dedup_clusters(pairs)
+        return dedup.dedup_keep_min(
+            media.select_columns(["doc_id"]), labels)
+
     def q_multimodal_ppm(sf_dir):
         # REAL image decode (binary PPM, pure bytes+numpy): synthesize
         # closed-form gradient images -> decode -> channel means
@@ -826,6 +841,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hopping_window(
             _read(sf_dir, "events", ["event_type", "ts", "value"]),
             size_minutes=120, hop_minutes=30)
+
+    def q_watermark_late(sf_dir):
+        # out-of-order arrival injected from event_id (arrival order):
+        # every 10th event's event-time lags its stream position by
+        # 300s (always late at 60s allowed lateness), the %10==3 ones
+        # by 45s (late only when the stream gap around them is small)
+        from doc_ocr_ray.pipelines.events import watermark_late_events
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            eid = batch["event_id"].astype("int64")
+            us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            delay = (np.where(eid % 10 == 7, 300_000_000, 0)
+                     + np.where(eid % 10 == 3, 45_000_000, 0))
+            return pd.DataFrame({"event_id": eid,
+                                 "event_us": us - delay})
+
+        return watermark_late_events(
+            _read(sf_dir, "events", ["event_id", "ts"])
+            .map_batches(inject, batch_format="pandas"),
+            lateness_us=60_000_000)
 
     def q_funnel_counts(sf_dir):
         from doc_ocr_ray.pipelines.events import funnel_counts
@@ -1705,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
         "media_neardup_phash": q_media_neardup_phash,
+        "media_neardup_keep": q_media_neardup_keep,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
@@ -1714,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_context": q_media_context,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_hopping_window,
+        "watermark_late": q_watermark_late,
         "events_rollup": q_events_rollup,
         "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -1812,6 +1849,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # char-5-gram Jaccard pair graph, shared by the ngram-verify and
 # clusters oracles.  toks[1:7]+toks[9:] drops the 8th 1-based token =
 # Python's enumerate-index-7.
+# dHash of the closed-form near-dup image testbed, recomputed in SQL
+# at the 2x-resize sample grid (y=2r, x=2c; the odd-coordinate
+# perturbation never lands on it): pixel sums -> comparison bits ->
+# pairwise hamming.  Shared by media_neardup_phash (pair predicate)
+# and media_neardup_keep (clusters + survivor on top).
+_PHASH_PAIR_CTES = """
+            d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            px AS (
+              SELECT doc_id, r.r AS r, c.c AS c,
+                     SUM((
+                       (3 + (doc_id // 3) % 11) * (2*c.c) * (2*c.c)
+                       + (5 + (doc_id // 3) % 7) * (2*c.c) * (2*r.r)
+                       + 11 * ch.ch + 7 * (doc_id // 3)
+                       + CASE WHEN doc_id % 3 = 2 AND r.r = 0
+                                   AND c.c = 0
+                              THEN 128 ELSE 0 END
+                     ) % 256) AS gsum
+              FROM d, range(8) r(r), range(9) c(c), range(3) ch(ch)
+              GROUP BY 1, 2, 3),
+            bits AS (
+              SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                     CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b ON b.doc_id = a.doc_id
+                                 AND b.r = a.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            hpairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     SUM(CASE WHEN x.bit <> y.bit
+                              THEN 1 ELSE 0 END) AS hamming
+              FROM bits x JOIN bits y ON x.pos = y.pos
+                                     AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)"""
+
 _INJ_JACCARD = """
 inj AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -3219,40 +3289,35 @@ def oracle_sql() -> dict[str, str]:
                         4) AS feat_sum
             FROM h
         """,
-        # recompute the 64-bit dHash in SQL from the closed-form pixel
-        # formula at the 2x-resize sample grid (y=2r, x=2c; the odd-
-        # coordinate perturbation never lands on it), then the plain
-        # hamming predicate — banding is pigeonhole-implied coverage,
-        # not part of the contract
-        "media_neardup_phash": """
-            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-            px AS (
-              SELECT doc_id, r.r AS r, c.c AS c,
-                     SUM((
-                       (3 + (doc_id // 3) % 11) * (2*c.c) * (2*c.c)
-                       + (5 + (doc_id // 3) % 7) * (2*c.c) * (2*r.r)
-                       + 11 * ch.ch + 7 * (doc_id // 3)
-                       + CASE WHEN doc_id % 3 = 2 AND r.r = 0
-                                   AND c.c = 0
-                              THEN 128 ELSE 0 END
-                     ) % 256) AS gsum
-              FROM d, range(8) r(r), range(9) c(c), range(3) ch(ch)
-              GROUP BY 1, 2, 3),
-            bits AS (
-              SELECT a.doc_id, a.r * 8 + a.c AS pos,
-                     CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
-              FROM px a JOIN px b ON b.doc_id = a.doc_id
-                                 AND b.r = a.r AND b.c = a.c + 1
-              WHERE a.c < 8),
-            pairs AS (
-              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                     SUM(CASE WHEN x.bit <> y.bit
-                              THEN 1 ELSE 0 END) AS hamming
-              FROM bits x JOIN bits y ON x.pos = y.pos
-                                     AND x.doc_id < y.doc_id
-              GROUP BY 1, 2)
+        # plain hamming predicate over the SQL-recomputed dHash —
+        # banding is pigeonhole-implied coverage, not the contract
+        "media_neardup_phash": f"""
+            WITH {_PHASH_PAIR_CTES}
             SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-            FROM pairs WHERE hamming <= 3
+            FROM hpairs WHERE hamming <= 3
+        """,
+        # image-dedup endgame: phash pairs -> connected components ->
+        # smallest id per cluster, singletons keep themselves
+        "media_neardup_keep": f"""
+            WITH RECURSIVE {_PHASH_PAIR_CTES},
+            hp AS (SELECT doc_a, doc_b FROM hpairs WHERE hamming <= 3),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM hp
+              UNION ALL
+              SELECT doc_b, doc_a FROM hp),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node),
+            labels AS (
+              SELECT node AS doc_id, min(lab) AS cluster
+              FROM reach GROUP BY node),
+            resolved AS (
+              SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+              FROM d LEFT JOIN labels l USING (doc_id))
+            SELECT cluster, min(doc_id) AS doc_id
+            FROM resolved GROUP BY cluster
         """,
         "multimodal_ppm": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
@@ -3581,6 +3646,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, count(*) AS n,
                    CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        # watermark = running max of event time at strictly earlier
+        # arrival positions (epoch micros; 0 floor for the first row)
+        "watermark_late": """
+            WITH e AS (SELECT event_id,
+                         CAST(epoch_us(ts) AS BIGINT)
+                         - CASE WHEN event_id % 10 = 7 THEN 300000000
+                                WHEN event_id % 10 = 3 THEN 45000000
+                                ELSE 0 END AS event_us
+                       FROM events),
+            w AS (SELECT event_id, event_us,
+                         COALESCE(MAX(event_us) OVER (
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+                             AS watermark_us
+                  FROM e)
+            SELECT event_id, event_us, watermark_us,
+                   CASE WHEN event_us < watermark_us - 60000000
+                        THEN 1 ELSE 0 END AS late
+            FROM w
         """,
         "sessionize": SESSIONIZE_SQL,
         # earliest strictly-increasing completion chain per user;

@@ -182,6 +182,7 @@ def run_benchmarks() -> dict:
     timed("media_dedup", lambda: qs["media_dedup"](SF_DIR).count())
     timed("media_neardup_phash",
           lambda: qs["media_neardup_phash"](SF_DIR).count())
+    timed("watermark_late", lambda: qs["watermark_late"](SF_DIR).count())
     timed("sample_exact_n",
           lambda: qs["sample_exact_n"](SF_DIR).count())
     timed("multimodal_png",

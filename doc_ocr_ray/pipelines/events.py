@@ -1076,3 +1076,70 @@ def retention_cohorts(ds, num_parts: int = 64):
                                         batch_format="pandas")
             .groupby(["cohort_day", "day_offset"])
             .map_groups(final, batch_format="pandas"))
+
+
+def watermark_late_events(ds, lateness_us: int,
+                          arrival_col: str = "event_id",
+                          ts_col: str = "event_us",
+                          num_partitions: int = 64):
+    """Flink-style watermark / late-data classification over an
+    arrival-ordered stream: at each event, the watermark is the
+    maximum event time seen at any STRICTLY EARLIER arrival position,
+    and the event is late when its own event time trails that
+    watermark by more than ``lateness_us``.  This is the missing
+    policy half of the window operators above (tumbling / hopping /
+    session assign perfect in-order delivery; real streams do not).
+
+    Input: integer ``arrival_col`` (globally unique arrival sequence)
+    and integer ``ts_col`` (event-time micros).  Output adds
+    ``watermark_us`` (0 for the stream's first arrival — epoch zero
+    predates any event) and ``late`` (0/1).
+
+    Shape (the ``pack_sequences`` prefix discipline): an ordered
+    prefix MAX without a global sort — range-partition on the arrival
+    key (one min/max aggregate fixes the bins), take each partition's
+    event-time max, prefix-combine the ~``num_partitions`` maxima on
+    the driver (BOUNDED driver state: one int per partition), then a
+    vectorized shifted cummax inside each partition.  The DuckDB twin
+    is ``MAX(event_us) OVER (ORDER BY arrival ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    proj = ds.select_columns([arrival_col, ts_col]).materialize()
+    if proj.count() == 0:
+        return proj
+    lo = proj.min(arrival_col)
+    hi = proj.max(arrival_col)
+    span = hi - lo + 1
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(part=(
+            (batch[arrival_col].astype("int64") - lo)
+            * num_partitions // span).astype("int64"))
+
+    parted = proj.map_batches(add_part,
+                              batch_format="pandas").materialize()
+    maxes = {int(r["part"]): int(r[f"max({ts_col})"])
+             for r in parted.groupby("part").max(ts_col).take_all()}
+    prefix, running = {}, 0          # 0 = epoch floor for first rows
+    for p in sorted(maxes):
+        prefix[p] = running
+        running = max(running, maxes[p])
+
+    def late_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(arrival_col, kind="mergesort")
+        ts = g[ts_col].astype("int64")
+        base = prefix[int(g["part"].iloc[0])]
+        prior = ts.cummax().shift(1, fill_value=0)
+        wm = np.maximum(prior.to_numpy(), base)
+        out = pd.DataFrame({
+            arrival_col: g[arrival_col].astype("int64").to_numpy(),
+            ts_col: ts.to_numpy(),
+            "watermark_us": wm,
+            "late": (ts.to_numpy() < wm - lateness_us)
+                    .astype("int64")})
+        return typed_if_empty(out)
+
+    return (parted.groupby("part")
+            .map_groups(late_part, batch_format="pandas"))

@@ -1023,6 +1023,69 @@ def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
             .map_groups(argmax_per_cluster, batch_format="pandas"))
 
 
+def dedup_keep_min(ids_ds, clusters_ds, id_col: str = "doc_id",
+                   num_partitions: int = 64):
+    """Scoreless survivor selection: keep the SMALLEST id per
+    near-duplicate cluster, singletons keep themselves — the
+    `dedup_keep_best` shape for domains without a quality column
+    (perceptual image clusters have no token count to argmax).
+
+    ``ids_ds`` carries every id in the corpus (``id_col``);
+    ``clusters_ds`` the (doc_id, cluster) labels from
+    :func:`dedup_clusters` (a subset — only docs that had a pair).
+    Same two-exchange tagged-union shape as keep_best: ids ⊎ labels
+    on one coarse doc partition resolve each doc's cluster, a second
+    coarse cluster partition takes the min.  Output:
+    (cluster, doc_id) — one surviving id per cluster.
+    """
+    def part_of(series: pd.Series) -> np.ndarray:
+        return coarse_part(series, num_partitions)
+
+    def tag_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids, "val": ids,
+            "side": np.zeros(len(ids), dtype="int64"),
+            "part": part_of(ids)})
+
+    def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "val": batch["cluster"].astype("int64"),
+            "side": np.ones(len(batch), dtype="int64"),
+            "part": part_of(batch["doc_id"])})
+
+    tagged = (ids_ds.map_batches(tag_ids, batch_format="pandas")
+              .union(clusters_ds.map_batches(tag_labels,
+                                             batch_format="pandas")))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        # label rows (side 1) override the id row's own-id default;
+        # sort puts them last so tail(1) per doc picks the label
+        g = group.sort_values(["doc_id", "side"], kind="mergesort")
+        last = g.groupby("doc_id", sort=False).tail(1)
+        # docs absent from ids_ds (defensive: labels must be a subset)
+        # contribute no survivor candidate
+        present = set(g.loc[g["side"] == 0, "doc_id"].to_numpy())
+        last = last[last["doc_id"].isin(present)]
+        out = pd.DataFrame({
+            "doc_id": last["doc_id"].to_numpy(),
+            "cluster": last["val"].to_numpy()})
+        out["part"] = part_of(out["cluster"])
+        return typed_if_empty(out)
+
+    def min_per_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("cluster", sort=False)["doc_id"]
+             .min().reset_index())
+        return typed_if_empty(
+            g[["cluster", "doc_id"]].astype("int64"))
+
+    return (tagged.groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .groupby("part")
+            .map_groups(min_per_cluster, batch_format="pandas"))
+
+
 # ----------------------------------------------------------- line dedup
 def dedup_lines(ds, text_col: str = "text", num_parts: int = 256):
     """C4/Dolma-style duplicated-LINE removal across the whole corpus:

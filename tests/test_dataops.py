@@ -2248,3 +2248,20 @@ def test_dhash_perceptual_dedup(ray_session):
     assert len(got) == 9  # no cross-group pair at 9 docs
     # duplicate-pair suppression across bands: every pair once
     assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_dedup_keep_min_singletons_and_clusters(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.dedup import dedup_keep_min
+
+    ids = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([1, 2, 3, 4, 5, 9], dtype="int64")}))
+    labels = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([2, 3, 5], dtype="int64"),
+         "cluster": pd.Series([2, 2, 5], dtype="int64")}))
+    out = (dedup_keep_min(ids, labels).to_pandas()
+           .sort_values("cluster").reset_index(drop=True))
+    # cluster {2,3} keeps 2; the self-labelled 5 keeps itself;
+    # unlabeled 1, 4, 9 are singletons keeping themselves
+    assert list(map(tuple, out[["cluster", "doc_id"]].to_numpy())) == [
+        (1, 1), (2, 2), (4, 4), (5, 5), (9, 9)]

@@ -579,3 +579,34 @@ def test_range_join_lookback_window_edges():
     # window), NOT 6 (equal ts excluded), NOT itself.
     # cents grid: floor(0.25*100+0.5)=25, floor(1.115*100+0.5)=112
     assert got == {4: (2, 1.37), 5: (0, 0.0)}
+
+
+def test_watermark_late_events_cross_partition(ray_session):
+    """The watermark must carry the running max ACROSS range-partition
+    boundaries: a huge early event time keeps later partitions' events
+    late even when their own partition never saw it."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.pipelines.events import watermark_late_events
+
+    n = 200
+    ts = np.full(n, 1_000_000, dtype=np.int64) + np.arange(n)
+    ts[5] = 500_000_000          # early outlier drives the watermark
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "event_us": ts})
+    out = (watermark_late_events(
+               ray.data.from_pandas(df).repartition(8),
+               lateness_us=1_000, num_partitions=16)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(out) == n
+    # first arrival: watermark 0, never late
+    assert out.loc[0, "watermark_us"] == 0 and out.loc[0, "late"] == 0
+    # before the outlier: watermark = previous ts, on time
+    assert out.loc[5, "watermark_us"] == ts[4]
+    # every event after the outlier is late by ~499s >> 1ms lateness,
+    # including ones in far-away partitions
+    assert (out.loc[6:, "watermark_us"] == 500_000_000).all()
+    assert (out.loc[6:, "late"] == 1).all()
+    # exact oracle twin: pandas shifted cummax
+    exp_wm = pd.Series(ts).cummax().shift(1, fill_value=0)
+    assert (out["watermark_us"].to_numpy() == exp_wm.to_numpy()).all()
