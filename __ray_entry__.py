@@ -862,6 +862,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(inject, batch_format="pandas"),
             lateness_us=60_000_000)
 
+    def q_tumbling_on_time(sf_dir):
+        # the streaming-window policy composed end to end: classify
+        # late arrivals against the watermark, DROP them, then the
+        # hourly tumbling aggregate over the survivors only — windows
+        # a real stream processor would have emitted
+        from doc_ocr_ray.pipelines.events import watermark_late_events
+        from doc_ocr_ray.util import typed_if_empty
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            eid = batch["event_id"].astype("int64")
+            us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            delay = (np.where(eid % 10 == 7, 300_000_000, 0)
+                     + np.where(eid % 10 == 3, 45_000_000, 0))
+            return pd.DataFrame({"event_id": eid,
+                                 "event_us": us - delay,
+                                 "event_type": batch["event_type"],
+                                 "value": batch["value"]})
+
+        marked = watermark_late_events(
+            _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                     "value"])
+            .map_batches(inject, batch_format="pandas"),
+            lateness_us=60_000_000,
+            carry_cols=("event_type", "value"))
+
+        hour_us = 3_600_000_000
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["late"] == 0]
+            g = (pd.DataFrame({
+                    "event_type": b["event_type"],
+                    "window_us": (b["event_us"] // hour_us) * hour_us,
+                    "cents": np.floor(b["value"] * 100
+                                      + 0.5).astype("int64")})
+                 .groupby(["event_type", "window_us"], sort=False)
+                 ["cents"].agg(["count", "sum"]).reset_index())
+            g.columns = ["event_type", "window_us", "n", "cents"]
+            return typed_if_empty(g)
+
+        def final(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_type": [group["event_type"].iloc[0]],
+                "window_us": [int(group["window_us"].iloc[0])],
+                "n": [int(group["n"].sum())],
+                "sum_value": [int(group["cents"].sum()) / 100.0]})
+
+        return (marked.map_batches(partial, batch_format="pandas")
+                .groupby(["event_type", "window_us"])
+                .map_groups(final, batch_format="pandas"))
+
     def q_funnel_counts(sf_dir):
         from doc_ocr_ray.pipelines.events import funnel_counts
         return funnel_counts(
@@ -1054,6 +1104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_html_main_content(sf_dir):
         from doc_ocr_ray.stages.html_extract import extract_main_content
         return extract_main_content(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(_inject_html, batch_format="pandas"))
+
+    def q_html_corpus_stats(sf_dir):
+        from doc_ocr_ray.stages.html_extract import html_corpus_stats
+        return html_corpus_stats(
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(_inject_html, batch_format="pandas"))
 
@@ -1751,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_hopping_window,
         "watermark_late": q_watermark_late,
+        "tumbling_on_time": q_tumbling_on_time,
         "events_rollup": q_events_rollup,
         "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -1776,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_interleaved": q_pack_interleaved,
         "quality_classifier": q_quality_classifier,
         "html_main_content": q_html_main_content,
+        "html_corpus_stats": q_html_corpus_stats,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "curate_quality_funnel": q_curate_quality_funnel,
@@ -1849,6 +1907,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # char-5-gram Jaccard pair graph, shared by the ngram-verify and
 # clusters oracles.  toks[1:7]+toks[9:] drops the 8th 1-based token =
 # Python's enumerate-index-7.
+# expected spans of the injected HTML pages, assembled from the SAME
+# doc_id arithmetic the generator uses (queries()._inject_html); the
+# engine side must really parse the markup.  Shared by
+# html_main_content (span rows) and html_corpus_stats (per-page
+# rebuild + counts).
+_HTML_PARTS_CTES = """
+            d AS (SELECT doc_id FROM documents),
+            parts AS (
+              SELECT doc_id, 10 AS rnk, 'text' AS kind,
+                     'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' heading' AS text,
+                     '' AS media_ref FROM d
+              UNION ALL
+              SELECT doc_id, 20 + i, 'text',
+                     'Paragraph ' || CAST(i AS VARCHAR)
+                       || ' of document ' || CAST(doc_id AS VARCHAR)
+                       || ' contains enough words to pass the length'
+                       || ' floor easily.', ''
+              FROM d, range(4) r(i) WHERE i < 2 + doc_id % 3
+              UNION ALL
+              SELECT doc_id, 30, 'text',
+                     'Entities & escapes <tag> "quoted" stay textual'
+                       || ' in doc ' || CAST(doc_id AS VARCHAR) || '.',
+                     ''
+              FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, 40, 'media', '',
+                     'img/' || CAST(doc_id AS VARCHAR) || '.png'
+              FROM d WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 50, 'text',
+                     'This long paragraph of document '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' has one small link inside but mostly real'
+                       || ' prose text.', ''
+              FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id, 60, 'text',
+                     'Nested paragraph inside two divs for document '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' stays kept as well.', ''
+              FROM d WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id, 70, 'text',
+                     'Before image text long enough to be kept in'
+                       || ' document ' || CAST(doc_id AS VARCHAR)
+                       || ' yes indeed.', ''
+              FROM d WHERE doc_id % 10 = 6
+              UNION ALL
+              SELECT doc_id, 71, 'media', '',
+                     'mid/' || CAST(doc_id AS VARCHAR) || '.jpg'
+              FROM d WHERE doc_id % 10 = 6
+              UNION ALL
+              SELECT doc_id, 72, 'text',
+                     'After image text long enough to be kept in'
+                       || ' document ' || CAST(doc_id AS VARCHAR)
+                       || ' too.', ''
+              FROM d WHERE doc_id % 10 = 6)"""
+
 # dHash of the closed-form near-dup image testbed, recomputed in SQL
 # at the 2x-resize sample grid (y=2r, x=2c; the odd-coordinate
 # perturbation never lands on it): pixel sums -> comparison bits ->
@@ -3668,6 +3785,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS late
             FROM w
         """,
+        # windows over on-time events only: the watermark filter then
+        # the hourly tumbling aggregate (event_us > 0 here, so plain
+        # // floor-divides correctly)
+        "tumbling_on_time": """
+            WITH e AS (SELECT event_id, event_type, value,
+                         CAST(epoch_us(ts) AS BIGINT)
+                         - CASE WHEN event_id % 10 = 7 THEN 300000000
+                                WHEN event_id % 10 = 3 THEN 45000000
+                                ELSE 0 END AS event_us
+                       FROM events),
+            w AS (SELECT event_type, value, event_us,
+                         COALESCE(MAX(event_us) OVER (
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+                             AS watermark_us
+                  FROM e)
+            SELECT event_type,
+                   (event_us // 3600000000) * 3600000000 AS window_us,
+                   count(*) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
+            FROM w
+            WHERE event_us >= watermark_us - 60000000
+            GROUP BY 1, 2
+        """,
         "sessionize": SESSIONIZE_SQL,
         # earliest strictly-increasing completion chain per user;
         # greedy-earliest is optimal so the chained min-ts CTEs ARE
@@ -3809,67 +3952,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT doc_id, redacted, n_emails, n_phones, n_ips FROM i
         """,
-        # expected spans assembled from the SAME doc_id arithmetic the
-        # injected HTML generator uses; the engine side really parses
-        # the markup (tags, entities, link density, subtree drops)
-        "html_main_content": """
-            WITH d AS (SELECT doc_id FROM documents),
-            parts AS (
-              SELECT doc_id, 10 AS rnk, 'text' AS kind,
-                     'Document ' || CAST(doc_id AS VARCHAR)
-                       || ' heading' AS text,
-                     '' AS media_ref FROM d
-              UNION ALL
-              SELECT doc_id, 20 + i, 'text',
-                     'Paragraph ' || CAST(i AS VARCHAR)
-                       || ' of document ' || CAST(doc_id AS VARCHAR)
-                       || ' contains enough words to pass the length'
-                       || ' floor easily.', ''
-              FROM d, range(4) r(i) WHERE i < 2 + doc_id % 3
-              UNION ALL
-              SELECT doc_id, 30, 'text',
-                     'Entities & escapes <tag> "quoted" stay textual'
-                       || ' in doc ' || CAST(doc_id AS VARCHAR) || '.',
-                     ''
-              FROM d WHERE doc_id % 4 = 0
-              UNION ALL
-              SELECT doc_id, 40, 'media', '',
-                     'img/' || CAST(doc_id AS VARCHAR) || '.png'
-              FROM d WHERE doc_id % 5 = 0
-              UNION ALL
-              SELECT doc_id, 50, 'text',
-                     'This long paragraph of document '
-                       || CAST(doc_id AS VARCHAR)
-                       || ' has one small link inside but mostly real'
-                       || ' prose text.', ''
-              FROM d WHERE doc_id % 2 = 1
-              UNION ALL
-              SELECT doc_id, 60, 'text',
-                     'Nested paragraph inside two divs for document '
-                       || CAST(doc_id AS VARCHAR)
-                       || ' stays kept as well.', ''
-              FROM d WHERE doc_id % 7 = 3
-              UNION ALL
-              SELECT doc_id, 70, 'text',
-                     'Before image text long enough to be kept in'
-                       || ' document ' || CAST(doc_id AS VARCHAR)
-                       || ' yes indeed.', ''
-              FROM d WHERE doc_id % 10 = 6
-              UNION ALL
-              SELECT doc_id, 71, 'media', '',
-                     'mid/' || CAST(doc_id AS VARCHAR) || '.jpg'
-              FROM d WHERE doc_id % 10 = 6
-              UNION ALL
-              SELECT doc_id, 72, 'text',
-                     'After image text long enough to be kept in'
-                       || ' document ' || CAST(doc_id AS VARCHAR)
-                       || ' too.', ''
-              FROM d WHERE doc_id % 10 = 6)
+        "html_main_content": f"""
+            WITH {_HTML_PARTS_CTES}
             SELECT doc_id,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY rnk) - 1 AS "offset",
                    kind, text, media_ref
             FROM parts
+        """,
+        # per-page rebuild: kept text spans joined " " in rank order,
+        # whitespace token count over the rebuilt text, media count
+        "html_corpus_stats": f"""
+            WITH {_HTML_PARTS_CTES},
+            agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(
+                         CASE WHEN kind = 'text' THEN text END,
+                         ' ' ORDER BY rnk), '') AS text,
+                     SUM(CASE WHEN kind = 'media'
+                              THEN 1 ELSE 0 END) AS n_media
+              FROM parts GROUP BY doc_id)
+            SELECT doc_id, text AS main_text, {_NTOK} AS n_tokens,
+                   CAST(n_media AS BIGINT) AS n_media
+            FROM agg
         """,
         # every ratio rule is a cross-multiplied integer comparison,
         # so no rounding grid is needed anywhere

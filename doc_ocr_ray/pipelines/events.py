@@ -1081,6 +1081,7 @@ def retention_cohorts(ds, num_parts: int = 64):
 def watermark_late_events(ds, lateness_us: int,
                           arrival_col: str = "event_id",
                           ts_col: str = "event_us",
+                          carry_cols: tuple = (),
                           num_partitions: int = 64):
     """Flink-style watermark / late-data classification over an
     arrival-ordered stream: at each event, the watermark is the
@@ -1106,7 +1107,8 @@ def watermark_late_events(ds, lateness_us: int,
     """
     from doc_ocr_ray.util import typed_if_empty
 
-    proj = ds.select_columns([arrival_col, ts_col]).materialize()
+    proj = ds.select_columns(
+        [arrival_col, ts_col, *carry_cols]).materialize()
     if proj.count() == 0:
         return proj
     lo = proj.min(arrival_col)
@@ -1138,7 +1140,8 @@ def watermark_late_events(ds, lateness_us: int,
             ts_col: ts.to_numpy(),
             "watermark_us": wm,
             "late": (ts.to_numpy() < wm - lateness_us)
-                    .astype("int64")})
+                    .astype("int64"),
+            **{c: g[c].to_numpy() for c in carry_cols}})
         return typed_if_empty(out)
 
     return (parted.groupby("part")

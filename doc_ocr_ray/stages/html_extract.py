@@ -224,3 +224,42 @@ def html_to_documents_batch(batch: pd.DataFrame, *, html_col: str = "html",
             for k, t, r, o in zip(g["kind"], g["text"],
                                   g["media_ref"], g["offset"])]})
     return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def html_corpus_stats_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                            id_col: str = "doc_id") -> pd.DataFrame:
+    """Compose the HTML front door with the text stack: per page, the
+    rebuilt main text (kept text spans joined " " in order — the A1
+    merged_text convention), its whitespace token count (same
+    tokenizer contract as ``token_count_batch``) and the media-span
+    count.  Pages whose markup yields no kept span still emit a row
+    (empty text, zero counts) so corpus accounting stays total."""
+    from doc_ocr_ray.stages.text_analysis import _tokens
+
+    flat = html_to_spans_batch(batch, html_col=html_col, id_col=id_col)
+    if isinstance(flat, pd.DataFrame) and len(flat):
+        is_text = flat["kind"] == "text"
+        text_per = (flat[is_text].groupby("doc_id", sort=False)["text"]
+                    .agg(" ".join))
+        media_per = (flat[~is_text].groupby("doc_id", sort=False)
+                     .size())
+    else:
+        text_per = pd.Series(dtype="object")
+        media_per = pd.Series(dtype="int64")
+    ids = batch[id_col].astype("int64")
+    main = ids.map(text_per).fillna("").astype("object")
+    out = pd.DataFrame({
+        "doc_id": ids.to_numpy(),
+        "main_text": main.to_numpy(),
+        "n_tokens": _tokens(main).str.len().astype("int64").to_numpy(),
+        "n_media": ids.map(media_per).fillna(0).astype("int64")
+                      .to_numpy()})
+    return typed_if_empty(out)
+
+
+def html_corpus_stats(ds, *, html_col: str = "html"):
+    """Dataset of (doc_id, html) -> (doc_id, main_text, n_tokens,
+    n_media).  One stateless map_batches, fuses with the reader."""
+    return ds.map_batches(html_corpus_stats_batch,
+                          batch_format="pandas",
+                          fn_kwargs={"html_col": html_col})
