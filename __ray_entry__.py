@@ -737,6 +737,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_keep_min(
             media.select_columns(["doc_id"]), labels)
 
+    def q_audio_neardup_fp(sf_dir):
+        # perceptual audio near-dup over REAL WAV decodes: energy-
+        # contour fingerprint on the 2x-decimated signal; the SQL twin
+        # recomputes the 64 frame-energy comparisons from the closed-
+        # form samples (odd-index perturbations never reach them)
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_neardup_wav_table(doc_ids))
+        return multimodal.media_afp_pairs(media, max_hamming=3)
+
     def q_multimodal_ppm(sf_dir):
         # REAL image decode (binary PPM, pure bytes+numpy): synthesize
         # closed-form gradient images -> decode -> channel means
@@ -1797,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "media_neardup_phash": q_media_neardup_phash,
         "media_neardup_keep": q_media_neardup_keep,
+        "audio_neardup_fp": q_audio_neardup_fp,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
@@ -3405,6 +3419,42 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        # energy-contour fingerprint recomputed in SQL from the
+        # closed-form samples at the decimated grid (raw index
+        # 32f + 2k is always even, so the odd-index perturbation
+        # never contributes); engine energy = sum(sample+32768) and
+        # sample+32768 = formula % 65536 exactly
+        "audio_neardup_fp": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            en AS (
+              SELECT doc_id, f.f AS f,
+                     SUM((
+                       (f.f*32 + 2*k.k) * (f.f*32 + 2*k.k)
+                           * (3 + (doc_id // 3) % 13)
+                       + (f.f*32 + 2*k.k) * (7 + (doc_id // 3) % 5)
+                       + 11 * (doc_id // 3)
+                       + CASE WHEN doc_id % 3 = 2 AND f.f = 0
+                                   AND k.k = 0
+                              THEN 5000 ELSE 0 END
+                     ) % 65536) AS e
+              FROM d, range(65) f(f), range(16) k(k)
+              GROUP BY 1, 2),
+            bits AS (
+              SELECT a.doc_id, a.f AS pos,
+                     CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+              FROM en a JOIN en b ON b.doc_id = a.doc_id
+                                 AND b.f = a.f + 1
+              WHERE a.f < 64),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     SUM(CASE WHEN x.bit <> y.bit
+                              THEN 1 ELSE 0 END) AS hamming
+              FROM bits x JOIN bits y ON x.pos = y.pos
+                                     AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 3
         """,
         # plain hamming predicate over the SQL-recomputed dHash —
         # banding is pigeonhole-implied coverage, not the contract

@@ -183,6 +183,8 @@ def run_benchmarks() -> dict:
     timed("media_neardup_phash",
           lambda: qs["media_neardup_phash"](SF_DIR).count())
     timed("watermark_late", lambda: qs["watermark_late"](SF_DIR).count())
+    timed("audio_neardup_fp",
+          lambda: qs["audio_neardup_fp"](SF_DIR).count())
     timed("sample_exact_n",
           lambda: qs["sample_exact_n"](SF_DIR).count())
     timed("multimodal_png",

@@ -516,6 +516,115 @@ def wav_audio_stats(media_ds, batch_size: int = 32):
                                 batch_size=batch_size)
 
 
+# ------------------------------------------ perceptual audio dedup
+# The audio counterpart of dHash below: re-encoded / re-hosted copies
+# of the same clip share their ENERGY CONTOUR even when bytes differ.
+# Fingerprint: decimate by 2 (every other sample — cheap anti-alias-
+# free downsample; integer, so the SQL twin is exact), frame the
+# decimated signal into 65 frames of 16, per-frame energy = sum of
+# offset-shifted samples, one bit per adjacent-frame comparison ->
+# 64 bits; near-dup iff hamming <= k via the shared
+# `dedup.hash64_band_pairs` banding.
+
+_AFP_FRAMES = 65
+_AFP_FRAME_LEN = 16            # decimated samples per frame
+_AFP_MIN_SAMPLES = _AFP_FRAMES * _AFP_FRAME_LEN * 2   # 2080 raw
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit energy-contour fingerprint of an int16 clip.  Clips
+    shorter than the 2080-sample analysis window are zero-padded
+    (silence) so the operator is total."""
+    s = samples.astype(np.int64) + 32768        # non-negative shift
+    if len(s) < _AFP_MIN_SAMPLES:
+        s = np.pad(s, (0, _AFP_MIN_SAMPLES - len(s)))
+    dec = s[0:_AFP_MIN_SAMPLES:2]
+    energy = dec.reshape(_AFP_FRAMES, _AFP_FRAME_LEN).sum(axis=1)
+    bits = energy[1:] > energy[:-1]
+    h = np.uint64(0)
+    for i in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(i)
+    return int(h.astype(np.int64))
+
+
+def media_afp_batch(batch: pa.Table) -> "pd.DataFrame":
+    """Real WAV decode -> fingerprint -> the (doc_id, afp, band0..3)
+    layout `dedup.hash64_band_pairs` consumes."""
+    import pandas as pd
+
+    ids, hashes = [], []
+    for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                               batch["payload"].to_pylist()):
+        samples, _ = decode_wav(payload)
+        ids.append(int(doc_id))
+        hashes.append(audio_fingerprint64(samples))
+    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
+    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+    out["afp"] = hs.astype(np.int64)
+    for band in range(4):
+        out[f"band{band}"] = ((hs >> np.uint64(band * 16))
+                              & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def media_afp_pairs(media_ds, max_hamming: int = 3,
+                    batch_size: int = 32):
+    """Perceptual near-duplicate audio pairs (doc_a, doc_b, hamming).
+    Decode+fingerprint is one stateless map; 40 bytes/clip ride the
+    banding shuffle, never samples."""
+    from doc_ocr_ray.stages.dedup import hash64_band_pairs
+
+    hashed = media_ds.map_batches(media_afp_batch,
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size).materialize()
+    return hash64_band_pairs(hashed, hash_col="afp",
+                             max_hamming=max_hamming)
+
+
+def synthesize_neardup_wav_table(doc_ids,
+                                 n_samples: int = _AFP_MIN_SAMPLES,
+                                 sample_rate: int = 16000) -> pa.Table:
+    """Deterministic near-duplicate audio testbed (closed-form samples
+    so the SQL oracle recomputes the fingerprint exactly).  Groups of
+    three share a base clip (g = doc_id // 3): variant 0 is the base;
+    variant 1 perturbs ODD sample indices only — the 2x decimation
+    keeps even indices, so its fingerprint is identical (hamming 0);
+    variant 2 additionally bumps SAMPLED sample 0 by 5000 — a
+    sub-contour change (frame-energy gaps here are ~10^5) that the
+    fingerprint absorbs, the robustness-to-small-perturbation case.
+    Nonzero hamming is exercised by cross-group pairs: distinct base
+    clips whose contours agree on 61+ of 64 comparisons land at
+    hamming 3 and are (correctly, per the predicate) reported too.
+
+    sample(i) = ((i^2 (3 + g%13) + i (7 + g%5) + 11 g
+                  + [v>=1][i odd]((i + g) % 997)
+                  + [v=2][i=0] * 5000) % 65536) - 32768
+    """
+    refs, docs, payloads = [], [], []
+    i = np.arange(n_samples, dtype=np.int64)
+    odd = i % 2
+    for d in doc_ids:
+        d = int(d)
+        g, v = d // 3, d % 3
+        s = i * i * (3 + g % 13) + i * (7 + g % 5) + 11 * g
+        if v >= 1:
+            s = s + odd * ((i + g) % 997)
+        if v == 2:
+            s = s.copy()
+            s[0] += 5000
+        refs.append(f"afp:{d}")
+        docs.append(d)
+        payloads.append(encode_wav((s % 65536 - 32768).astype(np.int16),
+                                   sample_rate))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "media_type": pa.array(["audio"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
 # --------------------------------------------- perceptual image dedup
 # A crawl re-hosts the same picture at many sizes / re-encodes — exact
 # byte dedup (media_dedup below) misses every one of those.  dHash

@@ -2265,3 +2265,39 @@ def test_dedup_keep_min_singletons_and_clusters(ray_session):
     # unlabeled 1, 4, 9 are singletons keeping themselves
     assert list(map(tuple, out[["cluster", "doc_id"]].to_numpy())) == [
         (1, 1), (2, 2), (4, 4), (5, 5), (9, 9)]
+
+
+def test_audio_fingerprint_dedup(ray_session):
+    """Energy-contour fingerprint: decimation-invariant, zero-padding
+    for short clips, and the banded pair stage on the testbed."""
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import (
+        audio_fingerprint64, decode_wav, encode_wav, media_afp_pairs,
+        synthesize_neardup_wav_table)
+
+    base = ((np.arange(2080, dtype=np.int64) ** 2 * 5) % 65536
+            - 32768).astype(np.int16)
+    # odd-index perturbation invisible to the decimated fingerprint
+    pert = base.copy()
+    pert[1::2] = 12345
+    assert audio_fingerprint64(pert) == audio_fingerprint64(base)
+    # sampled-index change at a contour-dominant scale flips bits
+    loud = base.astype(np.int64)
+    loud[0:64:2] = 32767
+    assert audio_fingerprint64(loud.astype(np.int16)) != \
+        audio_fingerprint64(base)
+    # short clip: zero-pad, no crash, deterministic
+    assert audio_fingerprint64(base[:100]) == \
+        audio_fingerprint64(base[:100])
+    # fingerprint survives a real encode/decode round trip
+    dec, _ = decode_wav(encode_wav(base))
+    assert audio_fingerprint64(dec) == audio_fingerprint64(base)
+
+    media = ray.data.from_arrow(synthesize_neardup_wav_table(range(9)))
+    pairs = media_afp_pairs(media, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])}
+    for g in range(3):
+        assert got[(3 * g, 3 * g + 1)] == 0     # odd-noise copy
+        assert got[(3 * g, 3 * g + 2)] == 0     # sub-contour bump
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
