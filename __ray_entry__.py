@@ -750,6 +750,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_neardup_wav_table(doc_ids))
         return multimodal.media_afp_pairs(media, max_hamming=3)
 
+    def q_pdf_extract(sf_dir):
+        # REAL PDF parse (object graph + /Kids walk + content-stream
+        # tokenizer, FlateDecode via stdlib zlib on odd docs): the SQL
+        # twin assembles the expected lines from the same arithmetic
+        import ray.data
+        from doc_ocr_ray.stages.pdf_extract import (extract_pdf_lines,
+                                                    synthesize_pdf_table)
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(synthesize_pdf_table(doc_ids))
+        return extract_pdf_lines(media.select_columns(
+            ["doc_id", "payload"]))
+
     def q_multimodal_ppm(sf_dir):
         # REAL image decode (binary PPM, pure bytes+numpy): synthesize
         # closed-form gradient images -> decode -> channel means
@@ -1811,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_neardup_phash": q_media_neardup_phash,
         "media_neardup_keep": q_media_neardup_keep,
         "audio_neardup_fp": q_audio_neardup_fp,
+        "pdf_extract": q_pdf_extract,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
@@ -3419,6 +3434,27 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        # expected PDF text lines assembled from the generator
+        # arithmetic; the engine really parses objects, walks /Kids,
+        # inflates odd docs' streams, and decodes string escapes
+        "pdf_extract": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            base AS (
+              SELECT doc_id, p.p AS page, j.j AS "offset",
+                     'Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' page ' || CAST(p.p AS VARCHAR)
+                       || ' line ' || CAST(j.j AS VARCHAR)
+                       || ' content.' AS text
+              FROM d, range(2) p(p), range(3) j(j)
+              WHERE p.p < 1 + doc_id % 2
+                AND j.j < 2 + (doc_id + p.p) % 2
+              UNION ALL
+              SELECT doc_id, 0, CAST(2 + doc_id % 2 AS BIGINT),
+                     'Escape (paren) and \\ slash in doc '
+                       || CAST(doc_id AS VARCHAR) || '.'
+              FROM d WHERE doc_id % 3 = 0)
+            SELECT doc_id, page, "offset", text FROM base
         """,
         # energy-contour fingerprint recomputed in SQL from the
         # closed-form samples at the decimated grid (raw index

@@ -1,0 +1,327 @@
+"""PDF text extraction: real content-stream parsing, no codec libs.
+
+The third leg of the north rule's ingestion triad ("HTML boilerplate
+strip, PDF/layout parse, DOM heuristics"): HTML pages enter through
+``stages/html_extract``, layout JSON through ``sources/layout_json``;
+this module ingests PDF documents.  Like the repo's PNG decoder, the
+parse is REAL and built only on stdlib: the PDF object graph is
+length-delimited text (objects, dictionaries, the /Pages tree), and
+content streams are either plain bytes or /FlateDecode — stdlib zlib.
+Scope (documented, raised-on loudly): PDF 1.x with uncompressed xref,
+Type1/standard-font text operators, literal ``(...)`` strings.  No
+object streams (/ObjStm), no encryption, no hex strings, no CID/UTF-16
+fonts — those need a real PDF library and raise ``ValueError`` with a
+clear message instead of silently extracting garbage.
+
+Text model: inside each page's content stream, ``BT..ET`` blocks emit
+text with ``Tj`` (show string) and ``TJ`` (show array with kerning —
+numbers adjust spacing and are ignored, strings concatenate, the
+universal extractor simplification); every ``Td``/``TD``/``T*``
+line-move starts a NEW line.  Escapes in literal strings follow the
+spec: ``\\(`` ``\\)`` ``\\\\`` ``\\n`` ``\\r`` ``\\t`` and octal
+``\\ddd``; a backslash-newline continuation joins lines.
+
+Output: one row per text line, ``(doc_id, page, offset, text)`` with
+``page`` 0-based in /Kids order and ``offset`` the line index within
+the page — the same order-index convention the span domain uses, so
+PDF corpora feed the text stack (token counts, dedup, quality) the
+way HTML pages do.
+
+Scale shape: ONE stateless ``map_batches`` over fat binary rows
+(small batches), per-document parse cost only, nothing shuffles.
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+from doc_ocr_ray.util import typed_if_empty
+
+# ---------------------------------------------------------------- writer
+
+_ESC = {ord("("): b"\\(", ord(")"): b"\\)", ord("\\"): b"\\\\"}
+
+
+def _pdf_string(s: str) -> bytes:
+    out = bytearray(b"(")
+    for b in s.encode("latin-1"):
+        out += _ESC.get(b, bytes([b]))
+    out += b")"
+    return bytes(out)
+
+
+def encode_pdf(pages: List[List[str]], compress: bool = False) -> bytes:
+    """Minimal single-font PDF with one content stream per page.
+    ``pages`` is a list of pages, each a list of text lines.  With
+    ``compress`` the content streams are /FlateDecode (stdlib zlib) —
+    the dominant real-world encoding, so the reader's inflate path is
+    exercised by the same writer round trip."""
+    objs: Dict[int, bytes] = {}
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+               .encode())
+    font_num = 3 + 2 * n_pages
+    for i, lines in enumerate(pages):
+        page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            if j % 2:
+                # exercise the TJ-array path: split the line in two
+                # with a kerning number between the halves
+                half = len(line) // 2
+                ops += (b"[" + _pdf_string(line[:half]) + b" -120 "
+                        + _pdf_string(line[half:]) + b"] TJ\n")
+            else:
+                ops += _pdf_string(line) + b" Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops)) if compress else bytes(ops)
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {stream_num} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            .encode())
+        objs[stream_num] = (b"<< /Length " + str(len(data)).encode()
+                            + filt + b" >>\nstream\n" + data
+                            + b"\nendstream")
+    objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for num in sorted(objs):
+        buf += f"{offsets[num]:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF").encode()
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------- reader
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*)\nendstream\s*$", re.S)
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
+_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+# tokens that may sit between a string and its showing operator
+# without invalidating it: numbers (TJ kerning) and array brackets
+_NEUTRAL_TOKEN = re.compile(rb"^(\[|\]|[-+]?[0-9.]+)$")
+
+_STR_ESCAPES = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+                ord("b"): "\b", ord("f"): "\f", ord("("): "(",
+                ord(")"): ")", ord("\\"): "\\"}
+
+
+def _parse_objects(payload: bytes) -> Dict[int, bytes]:
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload (missing %PDF- header)")
+    objs = {int(m.group(1)): m.group(2)
+            for m in _OBJ_RE.finditer(payload)}
+    if not objs:
+        raise ValueError("malformed PDF: no indirect objects found")
+    return objs
+
+
+def _stream_bytes(obj: bytes) -> bytes:
+    m = _STREAM_RE.search(obj)
+    if m is None:
+        raise ValueError("content object has no stream")
+    data = m.group(1)
+    if b"/FlateDecode" in obj[:m.start()]:
+        data = zlib.decompress(data)
+    elif b"/Filter" in obj[:m.start()]:
+        raise ValueError("unsupported stream /Filter (only FlateDecode)")
+    return data
+
+
+def _literal_strings_and_ops(stream: bytes):
+    """One linear scan: yields ('str', decoded) for each literal
+    string and ('op', name) for the operators between them.  Hex
+    strings ``<..>`` are rejected loudly (out of scope)."""
+    i, n = 0, len(stream)
+    token = bytearray()
+
+    def flush_tokens():
+        for t in bytes(token).split():
+            yield ("op", t)
+        token.clear()
+
+    while i < n:
+        c = stream[i]
+        if c == ord("("):
+            yield from flush_tokens()
+            depth, i = 1, i + 1
+            out = []
+            while i < n and depth:
+                c = stream[i]
+                if c == ord("\\"):
+                    i += 1
+                    if i >= n:
+                        break
+                    e = stream[i]
+                    if ord("0") <= e <= ord("7"):     # octal \ddd
+                        oct_digits = chr(e)
+                        for _ in range(2):
+                            if (i + 1 < n and ord("0") <= stream[i + 1]
+                                    <= ord("7")):
+                                i += 1
+                                oct_digits += chr(stream[i])
+                        out.append(chr(int(oct_digits, 8)))
+                    elif e == ord("\n"):
+                        pass                          # continuation
+                    else:
+                        out.append(_STR_ESCAPES.get(e, chr(e)))
+                    i += 1
+                    continue
+                if c == ord("("):
+                    depth += 1
+                elif c == ord(")"):
+                    depth -= 1
+                    if not depth:
+                        i += 1
+                        break
+                out.append(chr(c))
+                i += 1
+            yield ("str", "".join(out))
+            continue
+        if c == ord("<") and not stream[i:i + 2] == b"<<":
+            raise ValueError("hex strings are out of scope")
+        token.append(c)
+        i += 1
+    yield from flush_tokens()
+
+
+def decode_pdf_text(payload: bytes) -> List[List[str]]:
+    """PDF bytes -> per-page lists of text lines (see module doc)."""
+    objs = _parse_objects(payload)
+    root_m = _ROOT_RE.search(payload)
+    if root_m is None:
+        raise ValueError("malformed PDF: no /Root in trailer")
+    pages_m = _PAGES_RE.search(objs[int(root_m.group(1))])
+    if pages_m is None:
+        raise ValueError("catalog has no /Pages")
+    kids_m = _KIDS_RE.search(objs[int(pages_m.group(1))])
+    if kids_m is None:
+        raise ValueError("pages tree has no /Kids (nested trees are "
+                         "out of scope)")
+    pages: List[List[str]] = []
+    for ref in _REF_RE.finditer(kids_m.group(1)):
+        page_obj = objs[int(ref.group(1))]
+        cont_m = _CONTENTS_RE.search(page_obj)
+        if cont_m is None:
+            pages.append([])
+            continue
+        stream = _stream_bytes(objs[int(cont_m.group(1))])
+        lines: List[str] = []
+        cur: List[str] = []
+        pending: List[str] = []
+        in_text = False
+        for kind, val in _literal_strings_and_ops(stream):
+            if kind == "str":
+                pending.append(val)
+                continue
+            if val == b"BT":
+                in_text = True
+            elif val == b"ET":
+                in_text = False
+            elif val in (b"Tj", b"TJ", b"'", b'"'):
+                if in_text:
+                    cur.extend(pending)
+                if val in (b"'", b'"'):          # show-with-newline ops
+                    lines.append("".join(cur))
+                    cur = []
+                pending.clear()
+            elif val in (b"Td", b"TD", b"T*"):
+                if cur:
+                    lines.append("".join(cur))
+                    cur = []
+                pending.clear()
+            elif _NEUTRAL_TOKEN.match(val):
+                pass        # numbers / array brackets: TJ operands
+            else:
+                pending.clear()       # a real operator we don't show
+        if cur:
+            lines.append("".join(cur))
+        pages.append(lines)
+    return pages
+
+
+# ----------------------------------------------------------------- stage
+
+def pdf_to_lines_batch(batch, *, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> pd.DataFrame:
+    """One row per extracted text line: (doc_id, page, offset, text).
+    Same honest per-document parse cost model as the HTML stage."""
+    if not isinstance(batch, pd.DataFrame):
+        batch = batch.to_pandas()
+    ids, pgs, offs, texts = [], [], [], []
+    for doc_id, payload in zip(batch[id_col].to_numpy(),
+                               batch[payload_col]):
+        for p, lines in enumerate(decode_pdf_text(bytes(payload))):
+            for j, line in enumerate(lines):
+                ids.append(int(doc_id))
+                pgs.append(p)
+                offs.append(j)
+                texts.append(line)
+    out = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "page": pd.Series(pgs, dtype="int64"),
+        "offset": pd.Series(offs, dtype="int64"),
+        "text": pd.Series(texts, dtype="object")})
+    return typed_if_empty(out)
+
+
+def extract_pdf_lines(ds, batch_size: int = 32):
+    """Dataset of (doc_id, payload) -> flat text-line rows.  Small
+    batches (fat binary rows), stateless, fuses with the reader."""
+    return ds.map_batches(pdf_to_lines_batch, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def synthesize_pdf_table(doc_ids):
+    """Deterministic PDF testbed whose expected lines have a closed
+    form (the SQL oracle assembles them from the same arithmetic):
+    doc d has ``1 + d%2`` pages; page p has ``2 + (d+p)%2`` lines,
+    line j = 'Doc {d} page {p} line {j} content.'; docs with d%3==0
+    append an escape-torture line (parens + backslash); odd-index
+    lines are written as split TJ arrays (kern-joined), the rest as
+    plain Tj; odd docs compress their streams with FlateDecode."""
+    import pyarrow as pa
+
+    refs, ids, payloads = [], [], []
+    for d in doc_ids:
+        d = int(d)
+        pages = []
+        for p in range(1 + d % 2):
+            lines = [f"Doc {d} page {p} line {j} content."
+                     for j in range(2 + (d + p) % 2)]
+            if d % 3 == 0 and p == 0:
+                lines.append(f"Escape (paren) and \\ slash in doc {d}.")
+            pages.append(lines)
+        refs.append(f"pdf:{d}")
+        ids.append(d)
+        payloads.append(encode_pdf(pages, compress=bool(d % 2)))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["pdf"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(x) for x in payloads], pa.int64()),
+    })

@@ -2301,3 +2301,49 @@ def test_audio_fingerprint_dedup(ray_session):
         assert got[(3 * g, 3 * g + 1)] == 0     # odd-noise copy
         assert got[(3 * g, 3 * g + 2)] == 0     # sub-contour bump
     assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_pdf_extract_parser_edges(ray_session):
+    """Real PDF parse: escapes, octal, TJ kerning joins, FlateDecode,
+    multi-page order, out-of-scope constructs raising loudly."""
+    import ray.data
+    from doc_ocr_ray.stages.pdf_extract import (
+        decode_pdf_text, encode_pdf, extract_pdf_lines,
+        synthesize_pdf_table)
+
+    pages = [["plain line", "with (nested (parens)) ok",
+              "back\\slash and tab\there"],
+             ["second page"]]
+    for comp in (False, True):
+        assert decode_pdf_text(encode_pdf(pages, comp)) == pages
+
+    # octal escape and backslash-newline continuation decode per spec
+    raw = encode_pdf([["AB"]])
+    hacked = raw.replace(b"(AB)", b"(\\101\\102 j\\\noined)")
+    assert decode_pdf_text(hacked) == [["AB joined"]]
+
+    # out-of-scope constructs fail loudly, never extract garbage
+    with pytest.raises(ValueError):
+        decode_pdf_text(b"%FDP not a pdf")
+    with pytest.raises(ValueError):
+        decode_pdf_text(raw.replace(b"(AB) Tj", b"<4142> Tj"))
+    with pytest.raises(ValueError):
+        decode_pdf_text(raw.replace(b"/Length", b"/Filter /LZWDecode"
+                                    b" /Length"))
+
+    # distributed stage over the testbed: exact expected rows
+    media = ray.data.from_arrow(synthesize_pdf_table(range(7)))
+    out = (extract_pdf_lines(media.select_columns(["doc_id", "payload"]))
+           .to_pandas().sort_values(["doc_id", "page", "offset"])
+           .reset_index(drop=True))
+    exp = []
+    for d in range(7):
+        for p in range(1 + d % 2):
+            for j in range(2 + (d + p) % 2):
+                exp.append((d, p, j, f"Doc {d} page {p} line {j} content."))
+            if d % 3 == 0 and p == 0:
+                exp.append((d, p, 2 + d % 2,
+                            f"Escape (paren) and \\ slash in doc {d}."))
+    got = list(map(tuple, out[["doc_id", "page", "offset",
+                               "text"]].to_numpy()))
+    assert got == sorted(exp)
