@@ -1110,7 +1110,28 @@ def watermark_late_events(ds, lateness_us: int,
     proj = ds.select_columns(
         [arrival_col, ts_col, *carry_cols]).materialize()
     if proj.count() == 0:
-        return proj
+        # return the FULL output schema, not the bare projection —
+        # downstream consumers index the watermark_us/late columns
+        import pyarrow as pa
+        import ray.data
+        sch = proj.schema()
+        carry_types = dict(zip(sch.names, sch.types))
+
+        def as_arrow(t):      # ray Schema types may be numpy dtypes
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()      # object dtype = textual
+
+        fields = [(arrival_col, pa.int64()), (ts_col, pa.int64()),
+                  ("watermark_us", pa.int64()), ("late", pa.int64())]
+        fields += [(c, as_arrow(carry_types[c])) for c in carry_cols]
+        # via a pandas block: a zero-block arrow dataset's to_pandas
+        # drops the column list entirely (Ray quirk)
+        return ray.data.from_pandas(
+            pa.schema(fields).empty_table().to_pandas())
     lo = proj.min(arrival_col)
     hi = proj.max(arrival_col)
     span = hi - lo + 1

@@ -109,6 +109,7 @@ class MainContentParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in DROP_SUBTREES:
             self._flush()
+            self._a = 0          # auto-close an <a> left open
             self._drop += 1
             return
         if self._drop:
@@ -124,6 +125,11 @@ class MainContentParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            # browsers auto-close an unclosed <a> at block boundaries;
+            # html.parser does not — without this reset one missing
+            # </a> marks the REST OF THE PAGE as link text and the
+            # density rule silently deletes all remaining content
+            self._a = 0
             self._heading = tag in HEADING_TAGS
 
     def handle_endtag(self, tag):
@@ -138,6 +144,7 @@ class MainContentParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            self._a = 0          # block boundary auto-closes <a>
             self._heading = False
 
     # void elements written as <img .../> arrive here; route both ways
@@ -217,6 +224,10 @@ def html_to_documents_batch(batch: pd.DataFrame, *, html_col: str = "html",
     from doc_ocr_ray.schema import DOCUMENTS_SCHEMA
 
     flat = html_to_spans_batch(batch, html_col=html_col, id_col=id_col)
+    if not isinstance(flat, pd.DataFrame):
+        # typed_if_empty returned an Arrow table: zero kept spans
+        # (empty batch, or every page was pure boilerplate)
+        return pa.Table.from_pylist([], schema=DOCUMENTS_SCHEMA)
     rows = []
     for doc_id, g in flat.groupby("doc_id", sort=False):
         rows.append({"doc_id": f"html-{doc_id}", "spans": [

@@ -531,6 +531,49 @@ _AFP_FRAME_LEN = 16            # decimated samples per frame
 _AFP_MIN_SAMPLES = _AFP_FRAMES * _AFP_FRAME_LEN * 2   # 2080 raw
 
 
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 comparison bits -> uint64 packed low-to-high, returned in
+    two's complement (the repo's int64 hash storage contract).  The
+    ONE definition both dHash and the audio fingerprint use."""
+    h = np.uint64(0)
+    for i in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(i)
+    return int(h.astype(np.int64))
+
+
+def _banded_hash_frame(ids, hashes, hash_col: str) -> "pd.DataFrame":
+    """(doc_id, <hash_col>, band0..3) — the layout
+    `dedup.hash64_band_pairs` consumes, built once for every 64-bit
+    media hash domain."""
+    import pandas as pd
+
+    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
+    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+    out[hash_col] = hs.astype(np.int64)
+    for band in range(4):
+        out[f"band{band}"] = ((hs >> np.uint64(band * 16))
+                              & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def _media_hash64_pairs(media_ds, row_hash, hash_col: str,
+                        max_hamming: int, batch_size: int):
+    """Shared decode->hash->band->pair plumbing: ``row_hash`` maps one
+    payload to its 64-bit perceptual hash; everything after that is
+    identical across media domains."""
+    from doc_ocr_ray.stages.dedup import hash64_band_pairs
+
+    def hash_batch(batch: pa.Table):
+        ids = [int(d) for d in batch["doc_id"].to_pylist()]
+        hashes = [row_hash(p) for p in batch["payload"].to_pylist()]
+        return _banded_hash_frame(ids, hashes, hash_col)
+
+    hashed = media_ds.map_batches(hash_batch, batch_format="pyarrow",
+                                  batch_size=batch_size).materialize()
+    return hash64_band_pairs(hashed, hash_col=hash_col,
+                             max_hamming=max_hamming)
+
+
 def audio_fingerprint64(samples: np.ndarray) -> int:
     """64-bit energy-contour fingerprint of an int16 clip.  Clips
     shorter than the 2080-sample analysis window are zero-padded
@@ -540,31 +583,16 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
         s = np.pad(s, (0, _AFP_MIN_SAMPLES - len(s)))
     dec = s[0:_AFP_MIN_SAMPLES:2]
     energy = dec.reshape(_AFP_FRAMES, _AFP_FRAME_LEN).sum(axis=1)
-    bits = energy[1:] > energy[:-1]
-    h = np.uint64(0)
-    for i in np.nonzero(bits)[0]:
-        h |= np.uint64(1) << np.uint64(i)
-    return int(h.astype(np.int64))
+    return _pack_bits64(energy[1:] > energy[:-1])
 
 
 def media_afp_batch(batch: pa.Table) -> "pd.DataFrame":
     """Real WAV decode -> fingerprint -> the (doc_id, afp, band0..3)
     layout `dedup.hash64_band_pairs` consumes."""
-    import pandas as pd
-
-    ids, hashes = [], []
-    for doc_id, payload in zip(batch["doc_id"].to_pylist(),
-                               batch["payload"].to_pylist()):
-        samples, _ = decode_wav(payload)
-        ids.append(int(doc_id))
-        hashes.append(audio_fingerprint64(samples))
-    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
-    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
-    out["afp"] = hs.astype(np.int64)
-    for band in range(4):
-        out[f"band{band}"] = ((hs >> np.uint64(band * 16))
-                              & np.uint64(0xFFFF)).astype(np.int64)
-    return out
+    ids = [int(d) for d in batch["doc_id"].to_pylist()]
+    hashes = [audio_fingerprint64(decode_wav(p)[0])
+              for p in batch["payload"].to_pylist()]
+    return _banded_hash_frame(ids, hashes, "afp")
 
 
 def media_afp_pairs(media_ds, max_hamming: int = 3,
@@ -572,13 +600,9 @@ def media_afp_pairs(media_ds, max_hamming: int = 3,
     """Perceptual near-duplicate audio pairs (doc_a, doc_b, hamming).
     Decode+fingerprint is one stateless map; 40 bytes/clip ride the
     banding shuffle, never samples."""
-    from doc_ocr_ray.stages.dedup import hash64_band_pairs
-
-    hashed = media_ds.map_batches(media_afp_batch,
-                                  batch_format="pyarrow",
-                                  batch_size=batch_size).materialize()
-    return hash64_band_pairs(hashed, hash_col="afp",
-                             max_hamming=max_hamming)
+    return _media_hash64_pairs(
+        media_ds, lambda p: audio_fingerprint64(decode_wav(p)[0]),
+        "afp", max_hamming, batch_size)
 
 
 def synthesize_neardup_wav_table(doc_ids,
@@ -652,31 +676,17 @@ def dhash64(img: np.ndarray) -> int:
     storage convention `simhash64` uses)."""
     small = resize_nearest(img, 8, 9).astype(np.int64)
     g = small.sum(axis=2) if small.ndim == 3 else small
-    bits = (g[:, 1:] > g[:, :-1]).ravel()
-    h = np.uint64(0)
-    for i in np.nonzero(bits)[0]:
-        h |= np.uint64(1) << np.uint64(i)
-    return int(h.astype(np.int64))
+    return _pack_bits64((g[:, 1:] > g[:, :-1]).ravel())
 
 
 def media_dhash_batch(batch: pa.Table) -> "pd.DataFrame":
     """Real decode -> dHash -> the (doc_id, dhash, band0..3) layout
     `dedup.hash64_band_pairs` consumes.  doc_id passes through as
     int64 (pair emission sorts and hashes on it)."""
-    import pandas as pd
-
-    ids, hashes = [], []
-    for doc_id, payload in zip(batch["doc_id"].to_pylist(),
-                               batch["payload"].to_pylist()):
-        ids.append(int(doc_id))
-        hashes.append(dhash64(decode_image(payload)))
-    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
-    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
-    out["dhash"] = hs.astype(np.int64)
-    for band in range(4):
-        out[f"band{band}"] = ((hs >> np.uint64(band * 16))
-                              & np.uint64(0xFFFF)).astype(np.int64)
-    return out
+    ids = [int(d) for d in batch["doc_id"].to_pylist()]
+    hashes = [dhash64(decode_image(p))
+              for p in batch["payload"].to_pylist()]
+    return _banded_hash_frame(ids, hashes, "dhash")
 
 
 def media_dhash_pairs(media_ds, max_hamming: int = 3,
@@ -685,13 +695,9 @@ def media_dhash_pairs(media_ds, max_hamming: int = 3,
     with hamming <= ``max_hamming``.  Decode+hash is one stateless
     map (small batches — fat binary rows); only 40 bytes/image ride
     the banding shuffle, never pixels."""
-    from doc_ocr_ray.stages.dedup import hash64_band_pairs
-
-    hashed = media_ds.map_batches(media_dhash_batch,
-                                  batch_format="pyarrow",
-                                  batch_size=batch_size).materialize()
-    return hash64_band_pairs(hashed, hash_col="dhash",
-                             max_hamming=max_hamming)
+    return _media_hash64_pairs(
+        media_ds, lambda p: dhash64(decode_image(p)),
+        "dhash", max_hamming, batch_size)
 
 
 def synthesize_neardup_ppm_table(doc_ids, width: int = 18,

@@ -112,8 +112,9 @@ def encode_pdf(pages: List[List[str]], compress: bool = False) -> bytes:
 
 # ---------------------------------------------------------------- reader
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*)\nendstream\s*$", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+0\s+R)?")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
@@ -129,24 +130,72 @@ _STR_ESCAPES = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
                 ord(")"): ")", ord("\\"): "\\"}
 
 
-def _parse_objects(payload: bytes) -> Dict[int, bytes]:
+def _parse_objects(payload: bytes):
+    """Sequential, /Length-bounded object scan.  Stream payloads are
+    jumped over using the dict's /Length, never pattern-matched — a
+    compressed stream (or prose) containing the bytes ``endobj`` must
+    not truncate the object graph.  Returns num -> (head, stream):
+    the dictionary bytes and the raw stream bytes (or None)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
-    objs = {int(m.group(1)): m.group(2)
-            for m in _OBJ_RE.finditer(payload)}
+    objs: Dict[int, tuple] = {}
+    pos = 0
+    while True:
+        hdr = _OBJ_HDR_RE.search(payload, pos)
+        if hdr is None:
+            break
+        num = int(hdr.group(1))
+        body_at = hdr.end()
+        j_stream = _STREAM_KW_RE.search(payload, body_at)
+        j_end = payload.find(b"endobj", body_at)
+        if j_end == -1:
+            raise ValueError("malformed PDF: unterminated object")
+        if j_stream is not None and j_stream.start() < j_end:
+            head = payload[body_at:j_stream.start()]
+            lm = _LENGTH_RE.search(head)
+            if lm is None:
+                raise ValueError("stream object without direct /Length")
+            if lm.group(2):
+                raise ValueError("indirect /Length is out of scope")
+            data_at = j_stream.end()
+            data_end = data_at + int(lm.group(1))
+            # primary: trust /Length.  Stale lengths are common in
+            # the wild — verify 'endstream' actually follows, else
+            # fall back to the standard keyword-scan recovery.
+            if (payload[data_end:data_end + 16].lstrip(b"\r\n \t")
+                    .startswith(b"endstream")):
+                data = payload[data_at:data_end]
+            else:
+                k = payload.find(b"endstream", data_at)
+                if k == -1:
+                    raise ValueError("malformed PDF: stream without "
+                                     "endstream")
+                data = payload[data_at:k]
+                if data.endswith(b"\r\n"):
+                    data = data[:-2]
+                elif data.endswith(b"\n") or data.endswith(b"\r"):
+                    data = data[:-1]
+                data_end = k
+            j_end = payload.find(b"endobj", data_end)
+            if j_end == -1:
+                raise ValueError("malformed PDF: unterminated stream "
+                                 "object")
+            objs[num] = (head, data)
+        else:
+            objs[num] = (payload[body_at:j_end], None)
+        pos = j_end + len(b"endobj")
     if not objs:
         raise ValueError("malformed PDF: no indirect objects found")
     return objs
 
 
-def _stream_bytes(obj: bytes) -> bytes:
-    m = _STREAM_RE.search(obj)
-    if m is None:
+def _stream_bytes(obj: tuple) -> bytes:
+    head, data = obj
+    if data is None:
         raise ValueError("content object has no stream")
-    data = m.group(1)
-    if b"/FlateDecode" in obj[:m.start()]:
+    if b"/FlateDecode" in head:
         data = zlib.decompress(data)
-    elif b"/Filter" in obj[:m.start()]:
+    elif b"/Filter" in head:
         raise ValueError("unsupported stream /Filter (only FlateDecode)")
     return data
 
@@ -201,7 +250,13 @@ def _literal_strings_and_ops(stream: bytes):
                 i += 1
             yield ("str", "".join(out))
             continue
-        if c == ord("<") and not stream[i:i + 2] == b"<<":
+        if c == ord("<"):
+            if stream[i:i + 2] == b"<<":
+                # skip BOTH chars of a dict opener, or the second '<'
+                # would be misread as a hex-string opener
+                token += b"<<"
+                i += 2
+                continue
             raise ValueError("hex strings are out of scope")
         token.append(c)
         i += 1
@@ -214,16 +269,16 @@ def decode_pdf_text(payload: bytes) -> List[List[str]]:
     root_m = _ROOT_RE.search(payload)
     if root_m is None:
         raise ValueError("malformed PDF: no /Root in trailer")
-    pages_m = _PAGES_RE.search(objs[int(root_m.group(1))])
+    pages_m = _PAGES_RE.search(objs[int(root_m.group(1))][0])
     if pages_m is None:
         raise ValueError("catalog has no /Pages")
-    kids_m = _KIDS_RE.search(objs[int(pages_m.group(1))])
+    kids_m = _KIDS_RE.search(objs[int(pages_m.group(1))][0])
     if kids_m is None:
         raise ValueError("pages tree has no /Kids (nested trees are "
                          "out of scope)")
     pages: List[List[str]] = []
     for ref in _REF_RE.finditer(kids_m.group(1)):
-        page_obj = objs[int(ref.group(1))]
+        page_obj = objs[int(ref.group(1))][0]
         cont_m = _CONTENTS_RE.search(page_obj)
         if cont_m is None:
             pages.append([])
@@ -241,12 +296,20 @@ def decode_pdf_text(payload: bytes) -> List[List[str]]:
                 in_text = True
             elif val == b"ET":
                 in_text = False
-            elif val in (b"Tj", b"TJ", b"'", b'"'):
-                if in_text:
-                    cur.extend(pending)
-                if val in (b"'", b'"'):          # show-with-newline ops
+                if cur:                 # a text block ends its line
                     lines.append("".join(cur))
                     cur = []
+            elif val in (b"Tj", b"TJ"):
+                if in_text:
+                    cur.extend(pending)
+                pending.clear()
+            elif val in (b"'", b'"'):
+                # spec: move to the NEXT line, THEN show — the break
+                # goes before the string, not after it
+                if in_text:
+                    if cur:
+                        lines.append("".join(cur))
+                    cur = list(pending)
                 pending.clear()
             elif val in (b"Td", b"TD", b"T*"):
                 if cur:

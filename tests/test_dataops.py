@@ -2347,3 +2347,47 @@ def test_pdf_extract_parser_edges(ray_session):
     got = list(map(tuple, out[["doc_id", "page", "offset",
                                "text"]].to_numpy()))
     assert got == sorted(exp)
+
+
+def test_pdf_parser_hardening():
+    """Review-fix regressions: 'endobj' in prose, dicts in content
+    streams, quote-operator line semantics, compressed streams whose
+    bytes collide with structure keywords."""
+    import zlib
+    from doc_ocr_ray.stages.pdf_extract import decode_pdf_text, encode_pdf
+
+    # the word endobj in page prose must not truncate the object scan
+    pages = [["the word endobj appears in prose", "and obj too"]]
+    for comp in (False, True):
+        assert decode_pdf_text(encode_pdf(pages, comp)) == pages
+
+    # a compressed stream whose INFLATED bytes contain structure
+    # keywords round-trips (the /Length jump never pattern-matches)
+    tricky = [["stream endstream endobj 4 0 obj xref trailer"]]
+    assert decode_pdf_text(encode_pdf(tricky, True)) == tricky
+
+    # a dictionary in the content stream (marked content) is skipped,
+    # not misread as a hex string
+    raw = encode_pdf([["AB"]])
+    hacked = raw.replace(b"BT", b"/OC << /Type /OCMD >> BDC BT")
+    assert decode_pdf_text(hacked) == [["AB"]]
+
+    # quote operators: move to next line THEN show
+    hacked = raw.replace(b"(AB) Tj", b"(first) Tj (second) '")
+    assert decode_pdf_text(hacked) == [["first", "second"]]
+
+
+def test_watermark_empty_input_keeps_schema(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import watermark_late_events
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "event_us": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object")}))
+    out = watermark_late_events(empty, lateness_us=1,
+                                carry_cols=("event_type",))
+    # Dataset.to_pandas() flattens ANY zero-row dataset to a
+    # column-less frame (Ray quirk); the schema is the contract
+    assert out.schema().names == ["event_id", "event_us",
+                                  "watermark_us", "late", "event_type"]
+    assert out.count() == 0

@@ -144,3 +144,25 @@ def test_dataset_stage_streams(ray_session):
     out = extract_main_content(ds).to_pandas()
     assert len(out) == 20
     assert set(out["kind"]) == {"text"}
+
+
+def test_unclosed_anchor_auto_closes_at_block_boundary():
+    # a single missing </a> must not mark the rest of the page as
+    # link text (browsers auto-close <a> at block boundaries)
+    html = (f'<p><a href="#">click here now more spam</a> x</p>'
+            f'<p><a href="#">unclosed link text goes here</p>'
+            f'<p>{LONG} real prose survives</p>')
+    assert spans_of(html) == [("text", f"{LONG} real prose survives", "")]
+
+
+def test_documents_batch_empty_and_all_boilerplate():
+    for frame in (
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "html": pd.Series([], dtype="object")}),
+        pd.DataFrame({"doc_id": pd.Series([1, 2], dtype="int64"),
+                      "html": ["<nav><a>x</a></nav>",
+                               "<script>junk()</script>"]}),
+    ):
+        tbl = html_to_documents_batch(frame)
+        assert tbl.num_rows == 0
+        assert tbl.schema.equals(DOCUMENTS_SCHEMA)
