@@ -1134,6 +1134,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(_inject_html, batch_format="pandas"))
 
+    def _inject_html_tables(batch: pd.DataFrame) -> pd.DataFrame:
+        # table 0: (2 + d%2) rows x (2 + d%3) cols, header row in th;
+        # docs with d%4==0 add a second table exercising entities and
+        # inline markup inside cells
+        d = batch["doc_id"].astype("int64")
+        s = d.astype(str)
+        w = lambda cond, part: np.where(cond, part, "")
+        html = "<table>"
+        for r in range(3):
+            row = "<tr>"
+            for c in range(4):
+                tag = "th" if r == 0 else "td"
+                row = row + w(
+                    c < 2 + d % 3,
+                    f"<{tag}>T0 r{r} c{c} doc " + s + f"</{tag}>")
+            row = row + "</tr>"
+            html = html + w(r < 2 + d % 2, row)
+        html = html + "</table>" + w(
+            d % 4 == 0,
+            "<table><tr><td>A &amp; B doc " + s
+            + "</td><td><b>bold</b> cell doc " + s
+            + "</td></tr></table>")
+        return pd.DataFrame({"doc_id": d, "html": html})
+
+    def q_html_tables(sf_dir):
+        from doc_ocr_ray.stages.html_extract import extract_tables
+        return extract_tables(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(_inject_html_tables, batch_format="pandas"))
+
     def q_html_corpus_stats(sf_dir):
         from doc_ocr_ray.stages.html_extract import html_corpus_stats
         return html_corpus_stats(
@@ -1863,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "html_main_content": q_html_main_content,
         "html_corpus_stats": q_html_corpus_stats,
+        "html_tables": q_html_tables,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "curate_quality_funnel": q_curate_quality_funnel,
@@ -3434,6 +3465,32 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        # expected table cells assembled from the same generator
+        # arithmetic; the engine really parses tr/td/th nesting,
+        # entities, and inline markup inside cells
+        "html_tables": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cells AS (
+              SELECT doc_id, 0 AS table_idx, r.r AS rw, c.c AS cl,
+                     CASE WHEN r.r = 0 THEN 1 ELSE 0 END AS is_header,
+                     'T0 r' || CAST(r.r AS VARCHAR)
+                       || ' c' || CAST(c.c AS VARCHAR)
+                       || ' doc ' || CAST(doc_id AS VARCHAR) AS cell
+              FROM d, range(3) r(r), range(4) c(c)
+              WHERE r.r < 2 + doc_id % 2 AND c.c < 2 + doc_id % 3
+              UNION ALL
+              SELECT doc_id, 1, 0, c.c, 0,
+                     CASE c.c WHEN 0
+                          THEN 'A & B doc ' || CAST(doc_id AS VARCHAR)
+                          ELSE 'bold cell doc '
+                               || CAST(doc_id AS VARCHAR) END
+              FROM d, range(2) c(c) WHERE doc_id % 4 = 0)
+            SELECT doc_id, table_idx,
+                   CAST(rw AS BIGINT) AS "row",
+                   CAST(cl AS BIGINT) AS "col",
+                   CAST(is_header AS BIGINT) AS is_header, cell
+            FROM cells
         """,
         # expected PDF text lines assembled from the generator
         # arithmetic; the engine really parses objects, walks /Kids,

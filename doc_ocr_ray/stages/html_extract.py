@@ -274,3 +274,108 @@ def html_corpus_stats(ds, *, html_col: str = "html"):
     return ds.map_batches(html_corpus_stats_batch,
                           batch_format="pandas",
                           fn_kwargs={"html_col": html_col})
+
+
+class TableParser(HTMLParser):
+    """Structured <table> extraction: one record per cell with
+    (table_idx, row, col, is_header, text).  Tables are numbered in
+    document order of their OPEN tags; nested tables stack — cells
+    attribute to the innermost open table.  Inline markup inside a
+    cell contributes its text; dropped subtrees (script/style/...)
+    contribute nothing.  colspan/rowspan are ignored (cells keep
+    their source-order coordinates — the standard web-table-mining
+    simplification)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.cells = []        # (table_idx, row, col, is_header, text)
+        self._next_table = 0
+        self._stack = []       # per open table: [table_idx, row, col]
+        self._cell = None      # (is_header, [pieces]) when in a cell
+        self._drop = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_SUBTREES:
+            self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag == "table":
+            self._flush_cell()
+            self._stack.append([self._next_table, -1, -1])
+            self._next_table += 1
+        elif tag == "tr" and self._stack:
+            self._flush_cell()
+            self._stack[-1][1] += 1
+            self._stack[-1][2] = -1
+        elif tag in ("td", "th") and self._stack:
+            self._flush_cell()
+            self._stack[-1][2] += 1
+            self._cell = (1 if tag == "th" else 0, [])
+
+    def handle_endtag(self, tag):
+        if tag in DROP_SUBTREES:
+            self._drop = max(0, self._drop - 1)
+            return
+        if self._drop:
+            return
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "table":
+            self._flush_cell()
+            if self._stack:
+                self._stack.pop()
+
+    def handle_data(self, data):
+        if self._cell is not None and not self._drop:
+            self._cell[1].append(data)
+
+    def _flush_cell(self):
+        if self._cell is None or not self._stack:
+            self._cell = None
+            return
+        is_header, pieces = self._cell
+        self._cell = None
+        t, r, c = self._stack[-1]
+        if r < 0 or c < 0:
+            return              # td outside any tr: ignore
+        text = _WS.sub(" ", "".join(pieces)).strip(" ")
+        self.cells.append((t, r, c, is_header, text))
+
+    def close(self):
+        super().close()
+        self._flush_cell()
+
+
+def html_tables_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """One row per table cell: (doc_id, table_idx, row, col,
+    is_header, cell)."""
+    ids, tbls, rows_, cols_, hdrs, texts = [], [], [], [], [], []
+    for doc_id, html in zip(batch[id_col].to_numpy(),
+                            batch[html_col].to_numpy()):
+        p = TableParser()
+        p.feed(html or "")
+        p.close()
+        for t, r, c, h, text in p.cells:
+            ids.append(int(doc_id))
+            tbls.append(t)
+            rows_.append(r)
+            cols_.append(c)
+            hdrs.append(h)
+            texts.append(text)
+    out = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "table_idx": pd.Series(tbls, dtype="int64"),
+        "row": pd.Series(rows_, dtype="int64"),
+        "col": pd.Series(cols_, dtype="int64"),
+        "is_header": pd.Series(hdrs, dtype="int64"),
+        "cell": pd.Series(texts, dtype="object")})
+    return typed_if_empty(out)
+
+
+def extract_tables(ds, *, html_col: str = "html"):
+    """Dataset of (doc_id, html) -> flat table-cell rows.  Stateless,
+    fuses with the reader, no shuffle."""
+    return ds.map_batches(html_tables_batch, batch_format="pandas",
+                          fn_kwargs={"html_col": html_col})

@@ -166,3 +166,26 @@ def test_documents_batch_empty_and_all_boilerplate():
         tbl = html_to_documents_batch(frame)
         assert tbl.num_rows == 0
         assert tbl.schema.equals(DOCUMENTS_SCHEMA)
+
+
+def test_table_extraction_nesting_and_structure():
+    from doc_ocr_ray.stages.html_extract import html_tables_batch
+    html = ("<p>pre</p><table><tr><th>H1</th><th>H &amp; 2</th></tr>"
+            "<tr><td>a <b>bold</b></td><td><script>x</script>b</td></tr>"
+            "</table>"
+            "<table><tr><td>t2</td>"
+            "<td><table><tr><td>inner</td></tr></table></td></tr></table>")
+    out = html_tables_batch(pd.DataFrame(
+        {"doc_id": pd.Series([5], dtype="int64"), "html": [html]}))
+    got = list(map(tuple, out[["table_idx", "row", "col", "is_header",
+                               "cell"]].to_numpy()))
+    assert got == [
+        (0, 0, 0, 1, "H1"), (0, 0, 1, 1, "H & 2"),
+        (0, 1, 0, 0, "a bold"), (0, 1, 1, 0, "b"),
+        (1, 0, 0, 0, "t2"), (1, 0, 1, 0, ""),     # structural empty
+        (2, 0, 0, 0, "inner")]                    # nested = own table
+    # td outside any tr is ignored; stray close tags are harmless
+    out = html_tables_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"),
+         "html": ["</table><table><td>orphan</td></table>"]}))
+    assert len(out) == 0
