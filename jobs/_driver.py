@@ -93,7 +93,10 @@ def shard_slice(input_path: str, shard: int, n_shards: int):
         keep = [i for i, d in enumerate(batch["doc_id"].to_pylist())
                 if int(hashlib.md5(str(d).encode()).hexdigest()[:8],
                        16) % n == shard]
-        return batch.take(keep)
+        # explicit int32 indices: an empty Python list infers a
+        # null-typed array and array_take has no (T, null) kernel —
+        # any batch with zero matches for this shard would crash
+        return batch.take(pa.array(keep, type=pa.int32()))
 
     return read_documents(input_path).map_batches(
         pick, batch_format="pyarrow")

@@ -43,6 +43,12 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--mega-doc-every", type=int, default=0)
+    ap.add_argument("--format", choices=["spans", "html"],
+                    default="spans",
+                    help="path-input row format: 'spans' = the "
+                         "canonical (doc_id, spans) documents table; "
+                         "'html' = raw pages (doc_id, html) converted "
+                         "through the main-content extractor first")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--fresh", action="store_true",
@@ -57,7 +63,8 @@ def main() -> int:
     from doc_ocr_ray.sources.io import write_table
 
     job_params = {"input": args.input, "shards": args.shards,
-                  "seed": args.seed, "mega_doc_every": args.mega_doc_every}
+                  "seed": args.seed, "mega_doc_every": args.mega_doc_every,
+                  "format": args.format}
     if not args.input.startswith("synth:"):
         job_params["input_files_md5"] = files_fingerprint(args.input)
     manifest, err = prepare_manifest(args.output, job_params, args.fresh)
@@ -92,6 +99,15 @@ def main() -> int:
                                    output="", wall_sec=0.0)
                 continue
             rows_in = -1                # unknown without an extra pass
+        if args.format == "html" and not args.input.startswith("synth:"):
+            # raw crawl pages: main-content extraction nests straight
+            # into the canonical documents shape (spans born
+            # co-located per page — no restitch shuffle), then the
+            # flagship pipeline runs unchanged
+            from doc_ocr_ray.stages.html_extract import \
+                html_to_documents_batch
+            ds = ds.map_batches(html_to_documents_batch,
+                                batch_format="pandas")
         out = extract_questions(ds)
         final = write_table(out, args.output, partition_id=shard)
         # per-partition lineage metrics computed from the committed

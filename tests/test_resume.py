@@ -170,3 +170,36 @@ def test_run_curate_resume_and_empty_partition(tmp_path):
     r3 = subprocess.run(cmd[:-3] + ["7", "--num-cpus", "4"], env=env,
                         capture_output=True, text=True)
     assert r3.returncode == 2
+
+
+def test_run_extract_html_format(tmp_path):
+    """--format html: raw crawl pages flow through the main-content
+    extractor into the flagship pipeline, sharded + resumable."""
+    import pandas as pd
+    pages = pd.DataFrame({
+        "doc_id": pd.Series(range(40), dtype="int64"),
+        "html": [f"<nav><a>junk</a></nav><h1>Page {i}</h1>"
+                 f"<p>{'content words ' * 4}for page {i}.</p>"
+                 f"<img src='im/{i}.png'><footer>f</footer>"
+                 for i in range(40)]})
+    src = str(tmp_path / "pages.parquet")
+    pages.to_parquet(src)
+    out = str(tmp_path / "job")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_extract.py"),
+           "--input", src, "--output", out, "--shards", "2",
+           "--format", "html", "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(out, format="parquet",
+                       ignore_prefixes=[".", "_", "manifest"]).to_table()
+    df = tbl.to_pandas()
+    # every page contributed groups under its html- provenance id
+    assert df["doc_id"].str.startswith("html-").all()
+    assert df["doc_id"].nunique() == 40
+    # rerun skips both committed shards
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "[shard 0] already committed, skipping" in r2.stdout
+    assert "[shard 1] already committed, skipping" in r2.stdout
