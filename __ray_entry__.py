@@ -1164,6 +1164,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(_inject_html_tables, batch_format="pandas"))
 
+    def _warc_testbed(sf_dir):
+        import ray.data
+        from doc_ocr_ray.sources.warc import synthesize_warc_table
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        return ray.data.from_arrow(synthesize_warc_table(doc_ids))
+
+    def q_warc_pages(sf_dir):
+        # REAL WARC record scan (Content-Length-bounded, decoy
+        # 'WARC/1.0' bytes inside every body): response records with
+        # HTTP 200, request/warcinfo/404s skipped
+        from doc_ocr_ray.sources.warc import read_warc_pages
+        return read_warc_pages(
+            _warc_testbed(sf_dir).select_columns(["doc_id", "payload"]))
+
+    def q_warc_html_spans(sf_dir):
+        # the full web front door composed: WARC archive -> HTTP-200
+        # pages -> main-content extraction -> interleaved spans
+        from doc_ocr_ray.sources.warc import read_warc_pages
+        from doc_ocr_ray.stages.html_extract import extract_main_content
+        pages = read_warc_pages(
+            _warc_testbed(sf_dir).select_columns(["doc_id", "payload"]))
+
+        def page_key(batch: pd.DataFrame) -> pd.DataFrame:
+            # unique per-page int id (rec_idx < 4 by construction)
+            return pd.DataFrame({
+                "doc_id": (batch["doc_id"] * 4
+                           + batch["rec_idx"]).astype("int64"),
+                "html": batch["html"]})
+
+        return extract_main_content(
+            pages.map_batches(page_key, batch_format="pandas"))
+
     def q_html_corpus_stats(sf_dir):
         from doc_ocr_ray.stages.html_extract import html_corpus_stats
         return html_corpus_stats(
@@ -1894,6 +1928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": q_html_main_content,
         "html_corpus_stats": q_html_corpus_stats,
         "html_tables": q_html_tables,
+        "warc_pages": q_warc_pages,
+        "warc_html_spans": q_warc_html_spans,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "curate_quality_funnel": q_curate_quality_funnel,
@@ -3465,6 +3501,41 @@ def oracle_sql() -> dict[str, str]:
                         i -> ('0x' || substr(h2, 2*i+1, 2))::INT / 255.0)),
                         4) AS feat_sum
             FROM h
+        """,
+        # expected WARC pages from the generator arithmetic: 2 + d%2
+        # response records, page 0 of every fifth doc is a filtered
+        # 404 (but still consumes its rec_idx)
+        "warc_pages": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+            SELECT doc_id, k.k AS rec_idx,
+                   'http://site' || CAST(doc_id AS VARCHAR)
+                     || '.test/page' || CAST(k.k AS VARCHAR) AS url,
+                   CAST(200 AS BIGINT) AS status,
+                   '<html><body><nav><a href=''/''>x</a></nav><p>'
+                     || 'WARC/1.0 decoy bytes stay inside body '
+                     || CAST(doc_id AS VARCHAR) || ' page '
+                     || CAST(k.k AS VARCHAR)
+                     || ' of this record.</p><footer>f</footer>'
+                     || '</body></html>' AS html
+            FROM d, range(3) k(k)
+            WHERE k.k < 2 + doc_id % 2
+              AND NOT (doc_id % 5 = 0 AND k.k = 0)
+        """,
+        # composed front door: per kept page exactly one main-content
+        # span survives (nav + footer drop, the <p> passes the floor)
+        "warc_html_spans": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+            SELECT doc_id * 4 + k.k AS doc_id,
+                   CAST(0 AS BIGINT) AS "offset",
+                   'text' AS kind,
+                   'WARC/1.0 decoy bytes stay inside body '
+                     || CAST(doc_id AS VARCHAR) || ' page '
+                     || CAST(k.k AS VARCHAR)
+                     || ' of this record.' AS text,
+                   '' AS media_ref
+            FROM d, range(3) k(k)
+            WHERE k.k < 2 + doc_id % 2
+              AND NOT (doc_id % 5 = 0 AND k.k = 0)
         """,
         # expected table cells assembled from the same generator
         # arithmetic; the engine really parses tr/td/th nesting,

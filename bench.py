@@ -187,6 +187,8 @@ def run_benchmarks() -> dict:
           lambda: qs["audio_neardup_fp"](SF_DIR).count())
     timed("pdf_extract", lambda: qs["pdf_extract"](SF_DIR).count())
     timed("html_tables", lambda: qs["html_tables"](SF_DIR).count())
+    timed("warc_html_spans",
+          lambda: qs["warc_html_spans"](SF_DIR).count())
     timed("sample_exact_n",
           lambda: qs["sample_exact_n"](SF_DIR).count())
     timed("multimodal_png",

@@ -331,3 +331,46 @@ def test_read_documents_jsonl(ray_session, tmp_path):
     toks = (ds.map_batches(token_count_batch, batch_format="pandas")
             .to_pandas().sort_values("doc_id"))
     assert toks["n_tokens"].tolist() == [2, 2, 0]
+
+
+def test_warc_record_scan_and_page_filter():
+    """Content-Length-bounded WARC scan: decoy version lines inside
+    bodies, non-response records, status filtering, malformed
+    framing raising loudly."""
+    import pytest
+    from doc_ocr_ray.sources.warc import (encode_warc, http_response,
+                                          iter_warc_records, split_http,
+                                          warc_pages_batch)
+    import pandas as pd
+
+    body = b"<p>contains\r\nWARC/1.0\r\nand Content-Length: 7</p>"
+    raw = encode_warc([
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/"},
+         http_response(body)),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://b/"},
+         http_response(b"<p>gone</p>", status=404)),
+    ])
+    recs = list(iter_warc_records(raw))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo",
+                                                 "response", "response"]
+    assert split_http(recs[1][1]) == (200, body)
+
+    out = warc_pages_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"), "payload": [raw]}))
+    assert list(out["url"]) == ["http://a/"]       # 404 filtered
+    assert list(out["rec_idx"]) == [0]             # response ordinal
+    assert out["html"].iloc[0] == body.decode()
+
+    # keep_statuses widens the filter
+    out = warc_pages_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"), "payload": [raw]}),
+        keep_statuses=(200, 404))
+    assert list(out["rec_idx"]) == [0, 1]
+
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"NOTWARC/9.9\r\n\r\n"))
+    with pytest.raises(ValueError):                # gzip out of scope
+        list(iter_warc_records(b"\x1f\x8b rest"))
+    with pytest.raises(ValueError):                # no Content-Length
+        list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
