@@ -1198,6 +1198,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
 
+    def q_robots_classify(sf_dir):
+        # crawl-politeness filter: longest-prefix REP rules with the
+        # Google tie-to-allow; urls exercise scheme/www/query
+        # canonicalization; d%7 in {1,5} end up blocked
+        from doc_ocr_ray.stages.urls import robots_classify
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            s = d.astype(str)
+            scheme = pd.Series(np.where(d % 2 == 1, "https://www.",
+                                        "http://"),
+                               index=d.index, dtype="object")
+            query = pd.Series(np.where(d % 3 == 0, "?q=1", ""),
+                              index=d.index, dtype="object")
+            url = (scheme + "site" + (d % 20).astype(str) + ".test/p"
+                   + (d % 7).astype(str) + "/page" + s + query)
+            return pd.DataFrame({"doc_id": d, "url": url})
+
+        rules = [(f"site{j}.test", p, a) for j in range(20)
+                 for p, a in [("/p1", 0), ("/p2", 0), ("/p2/page", 1),
+                              ("/p4", 0), ("/p4", 1), ("/p5/page", 0)]]
+        return robots_classify(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"), rules)
+
     def q_html_corpus_stats(sf_dir):
         from doc_ocr_ray.stages.html_extract import html_corpus_stats
         return html_corpus_stats(
@@ -1929,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_corpus_stats": q_html_corpus_stats,
         "html_tables": q_html_tables,
         "warc_pages": q_warc_pages,
+        "robots_classify": q_robots_classify,
         "warc_html_spans": q_warc_html_spans,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -3083,6 +3109,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one survivor per canonical URL (the regexp_replace chain is
         # generated from the SAME rule table the engine applies)
+        # longest-prefix REP decision with the tie-to-allow rule,
+        # over the same canonicalization chain as the engine
+        "robots_classify": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            u AS (SELECT doc_id,
+                    CASE WHEN doc_id % 2 = 1 THEN 'https://www.'
+                         ELSE 'http://' END
+                    || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.test/p' || CAST(doc_id % 7 AS VARCHAR)
+                    || '/page' || CAST(doc_id AS VARCHAR)
+                    || CASE WHEN doc_id % 3 = 0 THEN '?q=1'
+                            ELSE '' END AS url
+                  FROM d),
+            c AS (SELECT doc_id, url,
+                         {_canon_url_sql('url')} AS canon_url FROM u),
+            p AS (SELECT *,
+                    regexp_replace(canon_url, '/.*$', '') AS domain,
+                    CASE WHEN strpos(canon_url, '/') > 0
+                         THEN substr(canon_url, strpos(canon_url, '/'))
+                         ELSE '/' END AS path
+                  FROM c),
+            rules AS (
+              SELECT 'site' || CAST(j.j AS VARCHAR) || '.test'
+                         AS domain,
+                     r.prefix, r.allow
+              FROM range(20) j(j),
+                   (VALUES ('/p1', 0), ('/p2', 0), ('/p2/page', 1),
+                           ('/p4', 0), ('/p4', 1), ('/p5/page', 0))
+                       r(prefix, allow)),
+            m AS (SELECT p.doc_id, r.allow,
+                    row_number() OVER (
+                        PARTITION BY p.doc_id
+                        ORDER BY length(r.prefix) DESC,
+                                 r.allow DESC) AS rn
+                  FROM p JOIN rules r
+                    ON r.domain = p.domain
+                   AND starts_with(p.path, r.prefix)),
+            best AS (SELECT doc_id, allow FROM m WHERE rn = 1)
+            SELECT p.doc_id, p.url, p.canon_url, p.domain, p.path,
+                   CAST(coalesce(b.allow, 1) AS BIGINT) AS allowed
+            FROM p LEFT JOIN best b USING (doc_id)
+        """,
         "url_dedup": f"""
             WITH u AS (SELECT doc_id, {_URL_INJECT_SQL} AS url
                        FROM documents),

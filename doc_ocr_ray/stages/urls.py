@@ -127,3 +127,57 @@ def filter_blocked_domains(ds, blocked_domains, url_col: str = "url"):
 # worker-resident deserialized-blocklist cache (pipelines/extract.py
 # _STAGE_CACHE pattern); keyed by ObjectRef hex, keep-latest-only
 _BLOCKLIST_CACHE: dict = {}
+
+
+def robots_classify(ds, rules, url_col: str = "url"):
+    """Robots-exclusion classification — the crawl-politeness filter
+    that sits next to the domain blocklist.  ``rules`` is an iterable
+    of ``(domain, path_prefix, allow)`` triples (simplified REP:
+    plain PATH PREFIXES only — ``*``/``$`` wildcards are out of
+    scope and raise; prefixes must start with ``/``).  Per URL, the
+    LONGEST matching prefix among the url's domain's rules decides;
+    an allow and a disallow of equal length tie to ALLOW (Google REP
+    tie rule); no matching rule means allowed.
+
+    Output appends ``canon_url``, ``domain``, ``path`` and
+    ``allowed`` (0/1).  The rule set is broadcast once via
+    ``ray.put`` grouped by domain (robots corpora are
+    domain-partitioned by nature) and applied in one shuffle-free
+    ``map_batches``; per URL only its own domain's rules are scanned.
+    """
+    import ray
+
+    grouped: dict = {}
+    for domain, prefix, allow in rules:
+        if "*" in prefix or prefix.endswith("$"):
+            raise ValueError("wildcard robots rules are out of scope")
+        if not prefix.startswith("/"):
+            raise ValueError("robots path prefixes must start with /")
+        grouped.setdefault(domain, []).append((prefix, int(allow)))
+    rules_ref = ray.put(grouped)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        key = rules_ref.hex()
+        rls = _BLOCKLIST_CACHE.get(key)
+        if rls is None:
+            _BLOCKLIST_CACHE.clear()
+            rls = _BLOCKLIST_CACHE[key] = ray.get(rules_ref)
+        out = canonicalize_urls(batch, url_col)
+        slash = out["canon_url"].str.find("/")
+        out["path"] = [
+            (u[i:] if i >= 0 else "/")
+            for u, i in zip(out["canon_url"], slash)]
+        allowed = []
+        for dom, path in zip(out["domain"], out["path"]):
+            best = (-1, 1)          # (rule length, allow): default allow
+            for prefix, allow in rls.get(dom, ()):
+                if path.startswith(prefix):
+                    cand = (len(prefix), allow)
+                    # longer wins; equal length: allow (1) wins
+                    if cand > best:
+                        best = cand
+            allowed.append(best[1])
+        out["allowed"] = pd.Series(allowed, dtype="int64").to_numpy()
+        return typed_if_empty(out.reset_index(drop=True))
+
+    return ds.map_batches(classify, batch_format="pandas")

@@ -189,3 +189,20 @@ def test_table_extraction_nesting_and_structure():
         {"doc_id": pd.Series([1], dtype="int64"),
          "html": ["</table><table><td>orphan</td></table>"]}))
     assert len(out) == 0
+
+
+def test_mega_page_containment():
+    """A multi-megabyte page parses in bounded time/memory and only
+    costs its own document — the mega-doc skew story for the parse
+    stages (north rule: mega-documents must not stall the stream)."""
+    import time
+    n_blocks = 20_000
+    html = "".join(
+        f"<p>Block {i} of the mega page holds enough words to pass "
+        f"the length floor.</p>" for i in range(n_blocks))
+    assert len(html) > 1_500_000
+    t0 = time.time()
+    spans = spans_of(html)
+    wall = time.time() - t0
+    assert len(spans) == n_blocks
+    assert wall < 20.0      # parse is linear; generous CI allowance

@@ -374,3 +374,30 @@ def test_warc_record_scan_and_page_filter():
         list(iter_warc_records(b"\x1f\x8b rest"))
     with pytest.raises(ValueError):                # no Content-Length
         list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+
+
+def test_robots_classify_longest_match_and_ties(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_classify
+
+    rules = [("a.test", "/p", 0), ("a.test", "/p/keep", 1),
+             ("a.test", "/tie", 0), ("a.test", "/tie", 1)]
+    urls = pd.DataFrame({
+        "doc_id": pd.Series(range(5), dtype="int64"),
+        "url": ["http://a.test/p/drop", "https://WWW.a.test/p/keep/x",
+                "http://a.test/tie/page", "http://a.test/other",
+                "http://b.test/p/drop"]})
+    out = (robots_classify(ray.data.from_pandas(urls), rules)
+           .to_pandas().sort_values("doc_id"))
+    # longest-match: /p/keep allow overrides /p disallow; tie->allow;
+    # no rule (other path, other domain) -> allowed
+    assert list(out["allowed"]) == [0, 1, 1, 1, 1]
+    assert out["path"].iloc[1] == "/p/keep/x"   # www+scheme stripped
+    with pytest.raises(ValueError):
+        robots_classify(ray.data.from_pandas(urls),
+                        [("a.test", "/x*", 0)])
+    with pytest.raises(ValueError):
+        robots_classify(ray.data.from_pandas(urls),
+                        [("a.test", "nope", 0)])
