@@ -1198,6 +1198,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
 
+    def q_html_links(sf_dir):
+        # outlink extraction + RFC-lite resolution: absolute,
+        # protocol-relative, root-relative, directory-relative, and
+        # skipped fragment hrefs, each present by doc_id arithmetic
+        from doc_ocr_ray.stages.html_extract import extract_links
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            s = d.astype(str)
+            w = lambda cond, part: np.where(cond, part, "")
+            base = ("http://site" + (d % 20).astype(str)
+                    + ".test/dir" + (d % 3).astype(str) + "/page" + s)
+            html = (
+                '<nav><a href="/top">t</a></nav>'
+                + w(d % 2 == 0, '<p><a href="http://ext'
+                    + (d % 5).astype(str) + '.test/x">e</a></p>')
+                + w(d % 3 == 0, '<p><a href="//cdn'
+                    + (d % 4).astype(str) + '.test/lib.js">c</a></p>')
+                + '<p><a href="sub/page' + s + '.html">r</a>'
+                  '<a href="#frag">skip</a></p>'
+                + w(d % 2 == 1, '<p><a href="/r'
+                    + (d % 7).astype(str) + '">rr</a></p>')
+                + '<script><a href="decoy">never</a></script>')
+            return pd.DataFrame({"doc_id": d, "url": base,
+                                 "html": html})
+
+        return extract_links(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_robots_classify(sf_dir):
         # crawl-politeness filter: longest-prefix REP rules with the
         # Google tie-to-allow; urls exercise scheme/www/query
@@ -1955,6 +1985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": q_html_tables,
         "warc_pages": q_warc_pages,
         "robots_classify": q_robots_classify,
+        "html_links": q_html_links,
         "warc_html_spans": q_warc_html_spans,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -3109,6 +3140,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one survivor per canonical URL (the regexp_replace chain is
         # generated from the SAME rule table the engine applies)
+        # expected outlinks from the generator arithmetic; rank is
+        # the document-order index over PRESENT links (fragments and
+        # script decoys never emit)
+        "html_links": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 20 AS VARCHAR) AS m,
+                              CAST(doc_id AS VARCHAR) AS s
+                       FROM documents),
+            links AS (
+              SELECT doc_id, 1 AS ord, '/top' AS href,
+                     'http://site' || m || '.test/top' AS target
+              FROM d
+              UNION ALL
+              SELECT doc_id, 2,
+                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/x',
+                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/x'
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 3,
+                     '//cdn' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.test/lib.js',
+                     'http://cdn' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.test/lib.js'
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 4, 'sub/page' || s || '.html',
+                     'http://site' || m || '.test/dir'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '/sub/page' || s || '.html'
+              FROM d
+              UNION ALL
+              SELECT doc_id, 5, '/r' || CAST(doc_id % 7 AS VARCHAR),
+                     'http://site' || m || '.test/r'
+                       || CAST(doc_id % 7 AS VARCHAR)
+              FROM d WHERE doc_id % 2 = 1)
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY ord) - 1 AS rank,
+                   href, target
+            FROM links
+        """,
         # longest-prefix REP decision with the tie-to-allow rule,
         # over the same canonicalization chain as the engine
         "robots_classify": f"""

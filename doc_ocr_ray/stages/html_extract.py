@@ -379,3 +379,101 @@ def extract_tables(ds, *, html_col: str = "html"):
     fuses with the reader, no shuffle."""
     return ds.map_batches(html_tables_batch, batch_format="pandas",
                           fn_kwargs={"html_col": html_col})
+
+
+# link extraction keeps nav/header/footer links — for a crawler's
+# frontier and the link graph those ARE the signal; only non-content
+# containers that never hold real hrefs are dropped
+LINK_DROP_SUBTREES = frozenset(
+    "script style noscript template head svg iframe".split())
+
+# an RFC 3986 scheme prefix ("http:", "mailto:", "ftp:") marks an
+# absolute reference that passes through resolution untouched
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+class LinkParser(HTMLParser):
+    """Collects <a href> targets in document order (entity-decoded by
+    the parser), skipping dropped subtrees and empty/fragment-only
+    hrefs."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: List[str] = []
+        self._drop = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in LINK_DROP_SUBTREES:
+            self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href" and v), "")
+            if href and not href.startswith("#"):
+                self.hrefs.append(href)
+
+    def handle_endtag(self, tag):
+        if tag in LINK_DROP_SUBTREES:
+            self._drop = max(0, self._drop - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+
+def resolve_href(base_url: str, href: str) -> str:
+    """RFC-lite reference resolution against an absolute base URL
+    (scheme://host/path, no query).  Contract (each branch exact so
+    the SQL twin can state it): absolute refs pass through;
+    protocol-relative ``//host/x`` adopts http; root-relative ``/x``
+    joins the base host; anything else joins the base DIRECTORY
+    (base up to its last ``/``).  No ``..`` normalization (out of
+    scope — crawl frontiers tolerate it; documented)."""
+    if _SCHEME_RE.match(href):      # any scheme: pass through as-is
+        return href
+    if href.startswith("//"):
+        return "http:" + href
+    rest = base_url.split("://", 1)[1] if "://" in base_url else base_url
+    host = rest.split("/", 1)[0]
+    if href.startswith("/"):
+        return "http://" + host + href
+    path = rest[len(host):] or "/"
+    base_dir = path[:path.rfind("/") + 1]
+    return "http://" + host + base_dir + href
+
+
+def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                     url_col: str = "url",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """One row per outlink: (doc_id, rank, href, target) where
+    ``rank`` is the link's document-order index, ``href`` the raw
+    attribute and ``target`` the resolved absolute URL.  Feeds the
+    link graph (`stages/graph.pagerank` edges) and the crawl
+    frontier."""
+    ids, ranks, hrefs, targets = [], [], [], []
+    for doc_id, base, html in zip(batch[id_col].to_numpy(),
+                                  batch[url_col].to_numpy(),
+                                  batch[html_col].to_numpy()):
+        p = LinkParser()
+        p.feed(html or "")
+        p.close()
+        for i, href in enumerate(p.hrefs):
+            ids.append(int(doc_id))
+            ranks.append(i)
+            hrefs.append(href)
+            targets.append(resolve_href(base or "", href))
+    out = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "rank": pd.Series(ranks, dtype="int64"),
+        "href": pd.Series(hrefs, dtype="object"),
+        "target": pd.Series(targets, dtype="object")})
+    return typed_if_empty(out)
+
+
+def extract_links(ds, *, html_col: str = "html", url_col: str = "url"):
+    """Dataset of (doc_id, url, html) -> outlink rows.  Stateless,
+    fuses with the reader."""
+    return ds.map_batches(html_links_batch, batch_format="pandas",
+                          fn_kwargs={"html_col": html_col,
+                                     "url_col": url_col})

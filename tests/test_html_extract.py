@@ -206,3 +206,30 @@ def test_mega_page_containment():
     wall = time.time() - t0
     assert len(spans) == n_blocks
     assert wall < 20.0      # parse is linear; generous CI allowance
+
+
+def test_link_extraction_and_resolution():
+    from doc_ocr_ray.stages.html_extract import (html_links_batch,
+                                                 resolve_href)
+    assert resolve_href("http://a.test/d/p", "mailto:x@y") == "mailto:x@y"
+    assert resolve_href("http://a.test/d/p", "ftp://f.test/z") == \
+        "ftp://f.test/z"
+    assert resolve_href("http://a.test/d/p", "//c.test/j") == \
+        "http://c.test/j"
+    assert resolve_href("http://a.test/d/p", "/abs") == \
+        "http://a.test/abs"
+    assert resolve_href("http://a.test/d/p", "rel.html") == \
+        "http://a.test/d/rel.html"
+    assert resolve_href("http://a.test", "rel.html") == \
+        "http://a.test/rel.html"
+
+    b = pd.DataFrame({
+        "doc_id": pd.Series([1], dtype="int64"),
+        "url": ["http://a.test/d/p"],
+        "html": ["<nav><a href='/n'>n</a></nav>"
+                 "<p><a href='r'>r</a><a href='#f'>skip</a><a>none</a>"
+                 "</p><script><a href='decoy'>x</a></script>"]})
+    out = html_links_batch(b)
+    assert list(out["rank"]) == [0, 1]   # nav kept, fragment/script not
+    assert list(out["target"]) == ["http://a.test/n",
+                                   "http://a.test/d/r"]
