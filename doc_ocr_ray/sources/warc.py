@@ -33,7 +33,8 @@ from doc_ocr_ray.util import typed_if_empty
 
 _CRLF = b"\r\n"
 _VERSION_RE = re.compile(rb"^WARC/\d+\.\d+$")
-_STATUS_RE = re.compile(rb"^HTTP/\d\.\d\s+(\d{3})")
+# dotless versions too: crawlers record 'HTTP/2 200' status lines
+_STATUS_RE = re.compile(rb"^HTTP/\d(?:\.\d)?\s+(\d{3})")
 
 
 def encode_warc(records: List[Tuple[Dict[str, str], bytes]]) -> bytes:
@@ -87,6 +88,12 @@ def iter_warc_records(payload: bytes):
             raise ValueError("malformed WARC: record without a "
                              "numeric Content-Length") from None
         body_at = hdr_end + 4
+        if body_at + length > n:
+            # a truncated archive (interrupted download) must raise
+            # like every other framing error, not flow a partial body
+            # downstream as if it were a complete page
+            raise ValueError("malformed WARC: Content-Length extends "
+                             "past end of file (truncated archive)")
         yield headers, payload[body_at:body_at + length]
         i = body_at + length
 

@@ -107,6 +107,13 @@ class MainContentParser(HTMLParser):
 
     # -- tag events ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            # the </head> close tag is optional in HTML (browsers
+            # auto-close at <body>); html.parser never synthesizes it,
+            # so without this reset a page omitting </head> would stay
+            # inside the dropped head subtree forever
+            self._drop = 0
+            return
         if tag in DROP_SUBTREES:
             self._flush()
             self._a = 0          # auto-close an <a> left open
@@ -181,7 +188,7 @@ def html_to_spans_batch(batch: pd.DataFrame, *, html_col: str = "html",
     for doc_id, html in zip(batch[id_col].to_numpy(),
                             batch[html_col].to_numpy()):
         parser = MainContentParser(min_text_chars, min_heading_chars)
-        parser.feed(html or "")
+        parser.feed(html if isinstance(html, str) else "")
         parser.close()
         for i, (kind, text, ref) in enumerate(parser.spans):
             ids.append(doc_id)
@@ -291,17 +298,25 @@ class TableParser(HTMLParser):
         self.cells = []        # (table_idx, row, col, is_header, text)
         self._next_table = 0
         self._stack = []       # per open table: [table_idx, row, col]
+        self._susp = []        # suspended enclosing cells, one/table
         self._cell = None      # (is_header, [pieces]) when in a cell
         self._drop = 0
 
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            self._drop = 0       # optional </head> (see main parser)
+            return
         if tag in DROP_SUBTREES:
             self._drop += 1
             return
         if self._drop:
             return
         if tag == "table":
-            self._flush_cell()
+            # suspend the enclosing cell (if any) instead of flushing
+            # it: '<td>Total: <table>..</table> 42</td>' must emit ONE
+            # outer cell 'Total: 42', not a truncated 'Total:'
+            self._susp.append(self._cell)
+            self._cell = None
             self._stack.append([self._next_table, -1, -1])
             self._next_table += 1
         elif tag == "tr" and self._stack:
@@ -322,9 +337,12 @@ class TableParser(HTMLParser):
         if tag in ("td", "th"):
             self._flush_cell()
         elif tag == "table":
-            self._flush_cell()
+            self._flush_cell()   # an unclosed inner td flushes here
             if self._stack:
                 self._stack.pop()
+            # resume the enclosing cell: its trailing text (after the
+            # nested table) keeps accumulating until its own </td>
+            self._cell = self._susp.pop() if self._susp else None
 
     def handle_data(self, data):
         if self._cell is not None and not self._drop:
@@ -355,7 +373,7 @@ def html_tables_batch(batch: pd.DataFrame, *, html_col: str = "html",
     for doc_id, html in zip(batch[id_col].to_numpy(),
                             batch[html_col].to_numpy()):
         p = TableParser()
-        p.feed(html or "")
+        p.feed(html if isinstance(html, str) else "")
         p.close()
         for t, r, c, h, text in p.cells:
             ids.append(int(doc_id))
@@ -403,6 +421,9 @@ class LinkParser(HTMLParser):
         self._drop = 0
 
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            self._drop = 0       # optional </head> (see main parser)
+            return
         if tag in LINK_DROP_SUBTREES:
             self._drop += 1
             return
@@ -410,6 +431,9 @@ class LinkParser(HTMLParser):
             return
         if tag == "a":
             href = next((v for k, v in attrs if k == "href" and v), "")
+            # the WHATWG URL parser strips attribute whitespace; do
+            # the same so ' #frag' is a fragment and '\n/x\n' resolves
+            href = href.strip("\t\n\f\r ")
             if href and not href.startswith("#"):
                 self.hrefs.append(href)
 
@@ -426,21 +450,25 @@ def resolve_href(base_url: str, href: str) -> str:
     """RFC-lite reference resolution against an absolute base URL
     (scheme://host/path, no query).  Contract (each branch exact so
     the SQL twin can state it): absolute refs pass through;
-    protocol-relative ``//host/x`` adopts http; root-relative ``/x``
-    joins the base host; anything else joins the base DIRECTORY
-    (base up to its last ``/``).  No ``..`` normalization (out of
-    scope — crawl frontiers tolerate it; documented)."""
+    protocol-relative ``//host/x``, root-relative ``/x`` and
+    directory-relative refs all adopt the BASE's scheme (an https
+    page's internal links stay https; http is the fallback when the
+    base carries no scheme).  No ``..`` normalization (out of scope —
+    crawl frontiers tolerate it; documented)."""
     if _SCHEME_RE.match(href):      # any scheme: pass through as-is
         return href
+    if "://" in base_url:
+        scheme, rest = base_url.split("://", 1)
+    else:
+        scheme, rest = "http", base_url
     if href.startswith("//"):
-        return "http:" + href
-    rest = base_url.split("://", 1)[1] if "://" in base_url else base_url
+        return scheme + ":" + href
     host = rest.split("/", 1)[0]
     if href.startswith("/"):
-        return "http://" + host + href
+        return scheme + "://" + host + href
     path = rest[len(host):] or "/"
     base_dir = path[:path.rfind("/") + 1]
-    return "http://" + host + base_dir + href
+    return scheme + "://" + host + base_dir + href
 
 
 def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",
@@ -455,8 +483,12 @@ def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",
     for doc_id, base, html in zip(batch[id_col].to_numpy(),
                                   batch[url_col].to_numpy(),
                                   batch[html_col].to_numpy()):
+        # 'or ""' alone misses float NaN (truthy) from null-promoted
+        # pandas columns
+        base = base if isinstance(base, str) else ""
+        html = html if isinstance(html, str) else ""
         p = LinkParser()
-        p.feed(html or "")
+        p.feed(html)
         p.close()
         for i, href in enumerate(p.hrefs):
             ids.append(int(doc_id))

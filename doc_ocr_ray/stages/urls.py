@@ -125,8 +125,13 @@ def filter_blocked_domains(ds, blocked_domains, url_col: str = "url"):
 
 
 # worker-resident deserialized-blocklist cache (pipelines/extract.py
-# _STAGE_CACHE pattern); keyed by ObjectRef hex, keep-latest-only
+# _STAGE_CACHE pattern); keyed by ObjectRef hex, keep-latest-only.
+# robots rules get their OWN cache: a politeness pipeline composes
+# domain blocklist + robots in one fused task, and a shared
+# keep-latest slot would make the two stages evict each other every
+# batch (re-unpickling multi-million-entry structures each time)
 _BLOCKLIST_CACHE: dict = {}
+_ROBOTS_CACHE: dict = {}
 
 
 def robots_classify(ds, rules, url_col: str = "url"):
@@ -153,15 +158,18 @@ def robots_classify(ds, rules, url_col: str = "url"):
             raise ValueError("wildcard robots rules are out of scope")
         if not prefix.startswith("/"):
             raise ValueError("robots path prefixes must start with /")
-        grouped.setdefault(domain, []).append((prefix, int(allow)))
+        # URL domains come out of canonicalize_urls lowercased; an
+        # uppercase rule domain would silently never match
+        grouped.setdefault(domain.lower(), []).append((prefix,
+                                                       int(allow)))
     rules_ref = ray.put(grouped)
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
         key = rules_ref.hex()
-        rls = _BLOCKLIST_CACHE.get(key)
+        rls = _ROBOTS_CACHE.get(key)
         if rls is None:
-            _BLOCKLIST_CACHE.clear()
-            rls = _BLOCKLIST_CACHE[key] = ray.get(rules_ref)
+            _ROBOTS_CACHE.clear()
+            rls = _ROBOTS_CACHE[key] = ray.get(rules_ref)
         out = canonicalize_urls(batch, url_col)
         slash = out["canon_url"].str.find("/")
         out["path"] = [

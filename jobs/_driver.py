@@ -46,11 +46,15 @@ def files_fingerprint(path: str) -> str:
     return hashlib.md5("\n".join(input_files(path)).encode()).hexdigest()
 
 
-def prepare_manifest(output: str, job_params: dict, fresh: bool):
+def prepare_manifest(output: str, job_params: dict, fresh: bool,
+                     param_defaults: dict | None = None):
     """Open (or create) the job manifest under ``output``: ``--fresh``
     wipes the manifest AND all committed partitions (stale partitions
     from a prior, possibly differently-sharded run would be unioned
     into reads); resuming with different parameters is refused.
+    ``param_defaults`` backfills parameters ADDED to the identity
+    after a manifest was written, so upgrading the job code does not
+    refuse resume of semantically-identical old runs.
     Returns (manifest, None) or (None, exit_code)."""
     from doc_ocr_ray.state.manifest import JobManifest
     manifest_path = os.path.join(output, "manifest.json")
@@ -62,6 +66,10 @@ def prepare_manifest(output: str, job_params: dict, fresh: bool):
                 shutil.rmtree(os.path.join(output, d))
     manifest = JobManifest(manifest_path)
     recorded = manifest.records.get("_job")
+    if recorded is not None and param_defaults:
+        recorded = {**recorded,
+                    "params": {**param_defaults,
+                               **recorded.get("params", {})}}
     if recorded is not None and recorded.get("params") != job_params:
         print(f"ERROR: existing manifest was written by a job with "
               f"different parameters {recorded.get('params')} != "

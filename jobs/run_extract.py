@@ -67,7 +67,8 @@ def main() -> int:
                   "format": args.format}
     if not args.input.startswith("synth:"):
         job_params["input_files_md5"] = files_fingerprint(args.input)
-    manifest, err = prepare_manifest(args.output, job_params, args.fresh)
+    manifest, err = prepare_manifest(args.output, job_params, args.fresh,
+                                     param_defaults={"format": "spans"})
     if manifest is None:
         ray.shutdown()
         return err

@@ -179,11 +179,20 @@ def test_table_extraction_nesting_and_structure():
         {"doc_id": pd.Series([5], dtype="int64"), "html": [html]}))
     got = list(map(tuple, out[["table_idx", "row", "col", "is_header",
                                "cell"]].to_numpy()))
-    assert got == [
+    # cells emit at CLOSE time: the outer cell hosting the nested
+    # table completes after its inner table's cells
+    assert sorted(got) == [
         (0, 0, 0, 1, "H1"), (0, 0, 1, 1, "H & 2"),
         (0, 1, 0, 0, "a bold"), (0, 1, 1, 0, "b"),
         (1, 0, 0, 0, "t2"), (1, 0, 1, 0, ""),     # structural empty
         (2, 0, 0, 0, "inner")]                    # nested = own table
+    # text AFTER a nested table stays part of the enclosing cell
+    out = html_tables_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"),
+         "html": ["<table><tr><td>Total: <table><tr><td>i</td></tr>"
+                  "</table> 42 USD</td></tr></table>"]}))
+    outer = out[out["table_idx"] == 0]
+    assert list(outer["cell"]) == ["Total: 42 USD"]
     # td outside any tr is ignored; stray close tags are harmless
     out = html_tables_batch(pd.DataFrame(
         {"doc_id": pd.Series([1], dtype="int64"),
@@ -233,3 +242,45 @@ def test_link_extraction_and_resolution():
     assert list(out["rank"]) == [0, 1]   # nav kept, fragment/script not
     assert list(out["target"]) == ["http://a.test/n",
                                    "http://a.test/d/r"]
+
+
+def test_review_fixes_head_close_optional_and_href_hygiene():
+    from doc_ocr_ray.stages.html_extract import (html_links_batch,
+                                                 html_tables_batch,
+                                                 resolve_href)
+    # legal HTML5: no </head> — <body> must exit the dropped subtree
+    html = ('<html><head><title>t</title><body>'
+            f'<p>{LONG} content survives the missing head close</p>'
+            '<p><a href="/x">link</a></p>'
+            '<table><tr><td>cell</td></tr></table>')
+    assert spans_of(html) == [
+        ("text", f"{LONG} content survives the missing head close", "")]
+    frame = pd.DataFrame({"doc_id": pd.Series([1], dtype="int64"),
+                          "url": ["http://a.test/"], "html": [html]})
+    assert list(html_links_batch(frame)["href"]) == ["/x"]
+    assert list(html_tables_batch(frame)["cell"]) == ["cell"]
+
+    # https base keeps its scheme on every relative branch
+    assert resolve_href("https://a.test/d/p", "/abs") == \
+        "https://a.test/abs"
+    assert resolve_href("https://a.test/d/p", "r.html") == \
+        "https://a.test/d/r.html"
+    assert resolve_href("https://a.test/d/p", "//c.test/j") == \
+        "https://c.test/j"
+
+    # attribute whitespace strips; whitespace-only and padded
+    # fragments never emit
+    frame = pd.DataFrame({"doc_id": pd.Series([1], dtype="int64"),
+                          "url": ["http://a.test/"],
+                          "html": ['<a href=" #top">f</a>'
+                                   '<a href="   ">w</a>'
+                                   '<a href="\n/ok\n">k</a>']})
+    out = html_links_batch(frame)
+    assert list(out["target"]) == ["http://a.test/ok"]
+
+    # NaN url/html cells are skipped, not a TypeError
+    frame = pd.DataFrame({"doc_id": pd.Series([1, 2], dtype="int64"),
+                          "url": [float("nan"), "http://a.test/"],
+                          "html": ['<a href="/x">x</a>', float("nan")]})
+    out = html_links_batch(frame)
+    assert list(out["target"]) == ["http:///x"]  # empty base, kept raw-ish

@@ -401,3 +401,33 @@ def test_robots_classify_longest_match_and_ties(ray_session):
     with pytest.raises(ValueError):
         robots_classify(ray.data.from_pandas(urls),
                         [("a.test", "nope", 0)])
+
+
+def test_warc_http2_status_and_truncation():
+    import pytest
+    from doc_ocr_ray.sources.warc import (encode_warc, iter_warc_records,
+                                          split_http, warc_pages_batch)
+    import pandas as pd
+
+    raw = encode_warc([
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://h2/"},
+         b"HTTP/2 200 OK\r\nx: y\r\n\r\n<p>h2 body</p>")])
+    out = warc_pages_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"), "payload": [raw]}))
+    assert list(out["url"]) == ["http://h2/"]
+    assert split_http(b"HTTP/2 404 NF\r\n\r\nx")[0] == 404
+
+    # truncated archive raises instead of yielding a partial body
+    with pytest.raises(ValueError):
+        list(iter_warc_records(raw[:-20]))
+
+
+def test_robots_uppercase_rule_domain_matches(ray_session):
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_classify
+    urls = pd.DataFrame({"doc_id": pd.Series([0], dtype="int64"),
+                         "url": ["http://Example.com/private/x"]})
+    out = robots_classify(ray.data.from_pandas(urls),
+                          [("Example.com", "/private", 0)]).to_pandas()
+    assert list(out["allowed"]) == [0]
