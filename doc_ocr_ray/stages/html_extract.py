@@ -58,7 +58,7 @@ from typing import List, Tuple
 
 import pandas as pd
 
-from doc_ocr_ray.util import typed_if_empty
+from doc_ocr_ray.util import str_or_empty, typed_if_empty
 
 _WS = re.compile(r"[\t\n\f\r ]+")
 
@@ -89,6 +89,7 @@ class MainContentParser(HTMLParser):
         self._raw = 0          # raw chars accumulated in current block
         self._link = 0         # raw chars accumulated while inside <a>
         self._drop = 0         # depth of open dropped subtrees
+        self._head_mark = None  # drop depth at which <head> opened
         self._a = 0            # depth of open <a>
         self._heading = False  # current block opened by a heading tag
 
@@ -109,14 +110,19 @@ class MainContentParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag == "body":
             # the </head> close tag is optional in HTML (browsers
-            # auto-close at <body>); html.parser never synthesizes it,
-            # so without this reset a page omitting </head> would stay
-            # inside the dropped head subtree forever
-            self._drop = 0
+            # auto-close at <body>); html.parser never synthesizes it.
+            # Close ONLY an innermost open head subtree — a <body>
+            # inside <template>/<noscript> must NOT cancel that drop
+            if self._head_mark is not None and \
+                    self._drop == self._head_mark + 1:
+                self._drop = self._head_mark
+            self._head_mark = None
             return
         if tag in DROP_SUBTREES:
             self._flush()
             self._a = 0          # auto-close an <a> left open
+            if tag == "head" and self._head_mark is None:
+                self._head_mark = self._drop
             self._drop += 1
             return
         if self._drop:
@@ -143,6 +149,8 @@ class MainContentParser(HTMLParser):
         if tag in DROP_SUBTREES:
             # max() keeps stray close tags from corrupting the counter
             self._drop = max(0, self._drop - 1)
+            if tag == "head":
+                self._head_mark = None
             return
         if self._drop:
             return
@@ -188,7 +196,7 @@ def html_to_spans_batch(batch: pd.DataFrame, *, html_col: str = "html",
     for doc_id, html in zip(batch[id_col].to_numpy(),
                             batch[html_col].to_numpy()):
         parser = MainContentParser(min_text_chars, min_heading_chars)
-        parser.feed(html if isinstance(html, str) else "")
+        parser.feed(str_or_empty(html))
         parser.close()
         for i, (kind, text, ref) in enumerate(parser.spans):
             ids.append(doc_id)
@@ -301,12 +309,20 @@ class TableParser(HTMLParser):
         self._susp = []        # suspended enclosing cells, one/table
         self._cell = None      # (is_header, [pieces]) when in a cell
         self._drop = 0
+        self._head_mark = None
 
     def handle_starttag(self, tag, attrs):
         if tag == "body":
-            self._drop = 0       # optional </head> (see main parser)
+            # close ONLY an innermost open head (optional </head>);
+            # see MainContentParser for the template/noscript hazard
+            if self._head_mark is not None and \
+                    self._drop == self._head_mark + 1:
+                self._drop = self._head_mark
+            self._head_mark = None
             return
         if tag in DROP_SUBTREES:
+            if tag == "head" and self._head_mark is None:
+                self._head_mark = self._drop
             self._drop += 1
             return
         if self._drop:
@@ -331,6 +347,8 @@ class TableParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in DROP_SUBTREES:
             self._drop = max(0, self._drop - 1)
+            if tag == "head":
+                self._head_mark = None
             return
         if self._drop:
             return
@@ -363,6 +381,13 @@ class TableParser(HTMLParser):
     def close(self):
         super().close()
         self._flush_cell()
+        # drain suspended enclosing cells (their nested tables never
+        # closed — truncated markup): flush each against ITS table
+        while self._susp:
+            if self._stack:
+                self._stack.pop()
+            self._cell = self._susp.pop()
+            self._flush_cell()
 
 
 def html_tables_batch(batch: pd.DataFrame, *, html_col: str = "html",
@@ -373,7 +398,7 @@ def html_tables_batch(batch: pd.DataFrame, *, html_col: str = "html",
     for doc_id, html in zip(batch[id_col].to_numpy(),
                             batch[html_col].to_numpy()):
         p = TableParser()
-        p.feed(html if isinstance(html, str) else "")
+        p.feed(str_or_empty(html))
         p.close()
         for t, r, c, h, text in p.cells:
             ids.append(int(doc_id))
@@ -409,6 +434,9 @@ LINK_DROP_SUBTREES = frozenset(
 # absolute reference that passes through resolution untouched
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
+# WHATWG removes ASCII tab/LF/CR ANYWHERE in a URL, not just edges
+_HREF_JUNK = re.compile(r"[\t\n\r]")
+
 
 class LinkParser(HTMLParser):
     """Collects <a href> targets in document order (entity-decoded by
@@ -419,27 +447,37 @@ class LinkParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.hrefs: List[str] = []
         self._drop = 0
+        self._head_mark = None
 
     def handle_starttag(self, tag, attrs):
         if tag == "body":
-            self._drop = 0       # optional </head> (see main parser)
+            # close ONLY an innermost open head (optional </head>)
+            if self._head_mark is not None and \
+                    self._drop == self._head_mark + 1:
+                self._drop = self._head_mark
+            self._head_mark = None
             return
         if tag in LINK_DROP_SUBTREES:
+            if tag == "head" and self._head_mark is None:
+                self._head_mark = self._drop
             self._drop += 1
             return
         if self._drop:
             return
         if tag == "a":
             href = next((v for k, v in attrs if k == "href" and v), "")
-            # the WHATWG URL parser strips attribute whitespace; do
-            # the same so ' #frag' is a fragment and '\n/x\n' resolves
-            href = href.strip("\t\n\f\r ")
+            # WHATWG URL hygiene: strip edge whitespace AND remove
+            # tab/newline/CR anywhere (attribute values wrapped across
+            # source lines are common in crawled HTML)
+            href = _HREF_JUNK.sub("", href.strip("\t\n\f\r "))
             if href and not href.startswith("#"):
                 self.hrefs.append(href)
 
     def handle_endtag(self, tag):
         if tag in LINK_DROP_SUBTREES:
             self._drop = max(0, self._drop - 1)
+            if tag == "head":
+                self._head_mark = None
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -475,26 +513,29 @@ def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",
                      url_col: str = "url",
                      id_col: str = "doc_id") -> pd.DataFrame:
     """One row per outlink: (doc_id, rank, href, target) where
-    ``rank`` is the link's document-order index, ``href`` the raw
-    attribute and ``target`` the resolved absolute URL.  Feeds the
-    link graph (`stages/graph.pagerank` edges) and the crawl
-    frontier."""
+    ``rank`` is the link's document-order index, ``href`` the
+    attribute after WHATWG whitespace hygiene and ``target`` the
+    resolved absolute URL.  Rows whose page has no base URL emit only
+    scheme-absolute hrefs.  Feeds the link graph
+    (`stages/graph.pagerank` edges) and the crawl frontier."""
     ids, ranks, hrefs, targets = [], [], [], []
     for doc_id, base, html in zip(batch[id_col].to_numpy(),
                                   batch[url_col].to_numpy(),
                                   batch[html_col].to_numpy()):
-        # 'or ""' alone misses float NaN (truthy) from null-promoted
-        # pandas columns
-        base = base if isinstance(base, str) else ""
-        html = html if isinstance(html, str) else ""
+        base = str_or_empty(base)
         p = LinkParser()
-        p.feed(html)
+        p.feed(str_or_empty(html))
         p.close()
         for i, href in enumerate(p.hrefs):
+            if not base and not _SCHEME_RE.match(href):
+                # no base URL: a relative href cannot resolve — drop
+                # it rather than fabricate 'http:///...' junk for the
+                # frontier / link graph
+                continue
             ids.append(int(doc_id))
             ranks.append(i)
             hrefs.append(href)
-            targets.append(resolve_href(base or "", href))
+            targets.append(resolve_href(base, href))
     out = pd.DataFrame({
         "doc_id": pd.Series(ids, dtype="int64"),
         "rank": pd.Series(ranks, dtype="int64"),

@@ -158,10 +158,14 @@ def robots_classify(ds, rules, url_col: str = "url"):
             raise ValueError("wildcard robots rules are out of scope")
         if not prefix.startswith("/"):
             raise ValueError("robots path prefixes must start with /")
-        # URL domains come out of canonicalize_urls lowercased; an
-        # uppercase rule domain would silently never match
-        grouped.setdefault(domain.lower(), []).append((prefix,
-                                                       int(allow)))
+        # rule domains must match URL-side domains, which come out of
+        # canonicalize_urls lowercased AND www-stripped — apply the
+        # same normalization or 'www.example.com' rules silently
+        # never match
+        dom = domain.lower()
+        if dom.startswith("www."):
+            dom = dom[4:]
+        grouped.setdefault(dom, []).append((prefix, int(allow)))
     rules_ref = ray.put(grouped)
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -171,3 +171,10 @@ def typed_if_empty(df: pd.DataFrame):
                     t = pa.string()
         cols[c] = pa.array([], t)
     return pa.table(cols)
+
+
+def str_or_empty(value) -> str:
+    """Cell value -> str with one audited NaN contract: pandas object
+    columns deliver None AND float NaN for missing values; ``or ""``
+    misses NaN (truthy).  Shared by the html/pdf/warc batch parsers."""
+    return value if isinstance(value, str) else ""

@@ -278,9 +278,49 @@ def test_review_fixes_head_close_optional_and_href_hygiene():
     out = html_links_batch(frame)
     assert list(out["target"]) == ["http://a.test/ok"]
 
-    # NaN url/html cells are skipped, not a TypeError
+    # NaN url/html cells: no TypeError; a base-less page emits ONLY
+    # scheme-absolute hrefs (relative ones cannot resolve)
     frame = pd.DataFrame({"doc_id": pd.Series([1, 2], dtype="int64"),
                           "url": [float("nan"), "http://a.test/"],
-                          "html": ['<a href="/x">x</a>', float("nan")]})
+                          "html": ['<a href="/x">x</a>'
+                                   '<a href="http://abs.test/y">y</a>',
+                                   float("nan")]})
     out = html_links_batch(frame)
-    assert list(out["target"]) == ["http:///x"]  # empty base, kept raw-ish
+    assert list(out["target"]) == ["http://abs.test/y"]
+    # internal tab/newline removed ANYWHERE per WHATWG
+    frame = pd.DataFrame({"doc_id": pd.Series([1], dtype="int64"),
+                          "url": ["http://a.test/"],
+                          "html": ['<a href="/a\n/b\tc">x</a>']})
+    assert list(html_links_batch(frame)["target"]) == \
+        ["http://a.test/a/bc"]
+
+
+def test_body_reset_is_head_scoped():
+    """<body> closes ONLY an open head subtree: embedded documents
+    inside template/noscript stay dropped in all three parsers."""
+    from doc_ocr_ray.stages.html_extract import (html_links_batch,
+                                                 html_tables_batch)
+    leak = ('<template><html><head></head><body>'
+            f'<p>{LONG} embedded boilerplate</p>'
+            '<a href="/tracking-pixel">t</a>'
+            '<table><tr><td>ghost</td></tr></table>'
+            '</body></html></template>'
+            f'<p>{LONG} real content</p>'
+            '<a href="/real">r</a>'
+            '<table><tr><td>real cell</td></tr></table>')
+    assert spans_of(leak) == [("text", f"{LONG} real content", "")]
+    frame = pd.DataFrame({"doc_id": pd.Series([1], dtype="int64"),
+                          "url": ["http://a.test/"], "html": [leak]})
+    assert list(html_links_batch(frame)["href"]) == ["/real"]
+    assert list(html_tables_batch(frame)["cell"]) == ["real cell"]
+
+
+def test_truncated_nested_table_drains_suspended_cells():
+    from doc_ocr_ray.stages.html_extract import html_tables_batch
+    out = html_tables_batch(pd.DataFrame(
+        {"doc_id": pd.Series([1], dtype="int64"),
+         "html": ["<table><tr><td>Total: <table><tr><td>i"]}))
+    got = sorted(map(tuple, out[["table_idx", "row", "col",
+                                 "cell"]].to_numpy()))
+    # the suspended outer cell survives truncation
+    assert got == [(0, 0, 0, "Total:"), (1, 0, 0, "i")]

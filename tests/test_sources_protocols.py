@@ -431,3 +431,14 @@ def test_robots_uppercase_rule_domain_matches(ray_session):
     out = robots_classify(ray.data.from_pandas(urls),
                           [("Example.com", "/private", 0)]).to_pandas()
     assert list(out["allowed"]) == [0]
+
+
+def test_robots_www_rule_domain_matches(ray_session):
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_classify
+    urls = pd.DataFrame({"doc_id": pd.Series([0], dtype="int64"),
+                         "url": ["http://www.example.com/private/x"]})
+    out = robots_classify(ray.data.from_pandas(urls),
+                          [("www.Example.com", "/private", 0)]).to_pandas()
+    assert list(out["allowed"]) == [0]
