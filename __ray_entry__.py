@@ -737,6 +737,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dedup_keep_min(
             media.select_columns(["doc_id"]), labels)
 
+    def q_media_dedup_incremental(sf_dir):
+        # incremental crawl: the new snapshot re-ships every even old
+        # image (relabeled +1000, pixels identical) plus 50 fresh
+        # patterns; re-crawled copies and the two fresh ids that fall
+        # into the last old group drop, genuinely-new patterns survive
+        import pyarrow.compute as pc_
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        ids = sorted(int(d) for d in df[df["doc_id"] < 150]["doc_id"])
+        old_ids = [d for d in ids if d < 100]
+        new_pixel_ids = [d for d in ids
+                         if (d < 100 and d % 2 == 0) or d >= 100]
+        old = ray.data.from_arrow(
+            multimodal.synthesize_neardup_ppm_table(old_ids))
+        newt = multimodal.synthesize_neardup_ppm_table(new_pixel_ids)
+        idx = newt.schema.get_field_index("doc_id")
+        newt = newt.set_column(idx, "doc_id",
+                               pc_.add(newt["doc_id"], 1000))
+        return multimodal.media_dhash_incremental(
+            ray.data.from_arrow(newt), old)
+
     def q_audio_neardup_fp(sf_dir):
         # perceptual audio near-dup over REAL WAV decodes: energy-
         # contour fingerprint on the 2x-decimated signal; the SQL twin
@@ -1944,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_neardup_phash": q_media_neardup_phash,
         "media_neardup_keep": q_media_neardup_keep,
         "audio_neardup_fp": q_audio_neardup_fp,
+        "media_dedup_incremental": q_media_dedup_incremental,
         "pdf_extract": q_pdf_extract,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
@@ -3761,6 +3784,30 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
             FROM pairs WHERE hamming <= 3
+        """,
+        # survivors = new pixel ids with NO old image within hamming 3
+        # (bits CTE reused from the shared phash fragments; the
+        # relabel +1000 happens on the output ids only)
+        "media_dedup_incremental": f"""
+            WITH {_PHASH_PAIR_CTES},
+            old AS (SELECT doc_id FROM d WHERE doc_id < 100),
+            newp AS (SELECT doc_id FROM d
+                     WHERE (doc_id % 2 = 0 AND doc_id < 100)
+                        OR (doc_id >= 100 AND doc_id < 150)),
+            ham AS (
+              SELECT n.doc_id AS p,
+                     SUM(CASE WHEN bn.bit <> bo.bit
+                              THEN 1 ELSE 0 END) AS h
+              FROM newp n
+              JOIN old o ON true
+              JOIN bits bn ON bn.doc_id = n.doc_id
+              JOIN bits bo ON bo.doc_id = o.doc_id
+                          AND bo.pos = bn.pos
+              GROUP BY n.doc_id, o.doc_id),
+            victims AS (SELECT DISTINCT p FROM ham WHERE h <= 3)
+            SELECT n.doc_id + 1000 AS doc_id
+            FROM newp n
+            WHERE n.doc_id NOT IN (SELECT p FROM victims)
         """,
         # plain hamming predicate over the SQL-recomputed dHash —
         # banding is pigeonhole-implied coverage, not the contract

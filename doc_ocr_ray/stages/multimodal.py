@@ -700,6 +700,78 @@ def media_dhash_pairs(media_ds, max_hamming: int = 3,
         "dhash", max_hamming, batch_size)
 
 
+def media_dhash_incremental(new_media_ds, old_media_ds,
+                            max_hamming: int = 3, batch_size: int = 32,
+                            num_parts: int = 64):
+    """Incremental perceptual image dedup: drop NEW images that
+    near-duplicate ANY image of the existing snapshot — the
+    per-crawl-snapshot pattern `dedup.exact_dedup_incremental` /
+    `minhash_dedup_incremental` implement for text, completed for the
+    media domain.  Returns the surviving NEW doc_ids (one column).
+
+    Shape: both sides hash through the shared decode->dHash->band
+    plumbing with a side bit folded into the id (old = 2*id,
+    new = 2*id+1 — no assumption that the two tables' id spaces are
+    disjoint), ONE banding exchange finds candidate pairs, cross-side
+    pairs mark their new id as a victim, and survivors come from a
+    coarse-keyed tagged anti-join (no broadcast: the victim set is
+    new-corpus-sized in the worst case of a fully-duplicate crawl).
+    """
+    import pandas as pd
+
+    from doc_ocr_ray.stages.dedup import hash64_band_pairs
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    def hash_side(side):
+        def fn(batch: pa.Table):
+            df = media_dhash_batch(batch)
+            df["doc_id"] = df["doc_id"] * 2 + side
+            return df
+        return fn
+
+    hashed = (old_media_ds.map_batches(hash_side(0),
+                                       batch_format="pyarrow",
+                                       batch_size=batch_size)
+              .union(new_media_ds.map_batches(hash_side(1),
+                                              batch_format="pyarrow",
+                                              batch_size=batch_size))
+              ).materialize()
+    pairs = hash64_band_pairs(hashed, hash_col="dhash",
+                              max_hamming=max_hamming)
+
+    def victims(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        cross = (a % 2) != (b % 2)
+        new_enc = np.where(a % 2 == 1, a, b)[cross]
+        out = pd.DataFrame({"doc_id": (new_enc // 2).astype("int64")})
+        out["side"] = np.int64(1)
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    def tag_new(batch: pa.Table) -> pd.DataFrame:
+        ids = pd.Series([int(d) for d in batch["doc_id"].to_pylist()],
+                        dtype="int64")
+        out = pd.DataFrame({"doc_id": ids})
+        out["side"] = np.int64(0)
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    tagged = (new_media_ds.select_columns(["doc_id"])
+              .map_batches(tag_new, batch_format="pyarrow")
+              .union(pairs.map_batches(victims, batch_format="pandas")))
+
+    def survivors(group: pd.DataFrame) -> pd.DataFrame:
+        dead = set(group.loc[group["side"] == 1, "doc_id"].to_numpy())
+        keep = group[(group["side"] == 0)
+                     & ~group["doc_id"].isin(dead)]
+        return typed_if_empty(
+            keep[["doc_id"]].drop_duplicates().reset_index(drop=True))
+
+    return (tagged.groupby("part")
+            .map_groups(survivors, batch_format="pandas"))
+
+
 def synthesize_neardup_ppm_table(doc_ids, width: int = 18,
                                  height: int = 16) -> pa.Table:
     """Deterministic near-duplicate image testbed (closed-form pixels

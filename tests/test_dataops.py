@@ -2391,3 +2391,30 @@ def test_watermark_empty_input_keeps_schema(ray_session):
     assert out.schema().names == ["event_id", "event_us",
                                   "watermark_us", "late", "event_type"]
     assert out.count() == 0
+
+
+def test_media_dhash_incremental_drops_recrawls(ray_session):
+    """Incremental perceptual dedup: re-crawled copies (same pixels,
+    new ids in an OVERLAPPING id space) drop; fresh patterns
+    survive."""
+    import pyarrow.compute as pc_
+    import ray.data
+    from doc_ocr_ray.stages.multimodal import (
+        media_dhash_incremental, synthesize_neardup_ppm_table)
+
+    old = ray.data.from_arrow(synthesize_neardup_ppm_table(range(12)))
+    # new crawl: pixel-copies of ids 0..5 plus fresh patterns 30..35,
+    # relabeled into ids that COLLIDE with old ones (0..11) — the
+    # side bit must keep them apart
+    newt = synthesize_neardup_ppm_table(list(range(6))
+                                        + list(range(30, 36)))
+    idx = newt.schema.get_field_index("doc_id")
+    newt = newt.set_column(
+        idx, "doc_id",
+        pc_.add(pc_.subtract(newt["doc_id"],
+                             pc_.min(newt["doc_id"])), 0))
+    new = ray.data.from_arrow(newt)
+    out = media_dhash_incremental(new, old).to_pandas()
+    # copies of 0..5 (groups 0-1, fully present in old) drop; fresh
+    # 30..35 (groups 10-11) survive under their original labels
+    assert sorted(out["doc_id"]) == list(range(30, 36))
