@@ -185,6 +185,8 @@ def run_benchmarks() -> dict:
     timed("watermark_late", lambda: qs["watermark_late"](SF_DIR).count())
     timed("audio_neardup_fp",
           lambda: qs["audio_neardup_fp"](SF_DIR).count())
+    timed("media_dedup_incremental",
+          lambda: qs["media_dedup_incremental"](SF_DIR).count())
     timed("pdf_extract", lambda: qs["pdf_extract"](SF_DIR).count())
     timed("html_tables", lambda: qs["html_tables"](SF_DIR).count())
     timed("warc_html_spans",
