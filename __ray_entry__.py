@@ -595,6 +595,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.kmeans_fit(emb, k=8, iters=2)
 
+    def q_pq_encode(sf_dir):
+        # product-quantization codes: 4 subspaces x 8 seed-pick
+        # centroids on the integer grid — 64 floats -> 4 small ints
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.pq_encode(emb, m=4, n_codes=8)
+
+    def q_pq_search(sf_dir):
+        # asymmetric-distance PQ top-k (the IVF-PQ scoring half):
+        # exact int64 LUT sums, ties by vec_id, self excluded
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.pq_search(emb, query_ids=list(range(20)),
+                                    k=5, m=4, n_codes=8)
+
     def q_curate_semantic(sf_dir):
         # two-table curation: quality gate on documents x SemDeDup
         # survivors of embeddings, intersected via the native hash
@@ -1952,6 +1965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
         "curate_semantic": q_curate_semantic,
@@ -2550,6 +2565,36 @@ def _qscore_sql(rel: str = "documents") -> str:
 
 
 _QSCORE_SQL = _qscore_sql()
+
+# shared product-quantization CTE fragment (m=4, n_codes=8,
+# scale=1e6): scaled coordinates with the (dimpos*m)//dim subspace
+# formula, seed-pick sub-centroids, and the integer-grid argmin
+# encoding — mirrors stages/similarity.py pq_encode/pq_search exactly
+_PQ_CTES = """
+            x0 AS (
+              SELECT vec_id, len(embedding) AS d,
+                     generate_subscripts(embedding, 1) - 1 AS dimpos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM embeddings),
+            x AS (
+              SELECT vec_id, dimpos, (dimpos * 4) // d AS sub, sv
+              FROM x0),
+            c AS (
+              SELECT vec_id AS cid, dimpos, sub, sv AS cv
+              FROM x WHERE vec_id < 8),
+            enc0 AS (
+              SELECT x.vec_id, x.sub, c.cid,
+                     CAST(sum((x.sv - c.cv) * (x.sv - c.cv))
+                          AS BIGINT) AS dist
+              FROM x JOIN c ON x.dimpos = c.dimpos
+              GROUP BY x.vec_id, x.sub, c.cid),
+            enc AS (
+              SELECT vec_id, sub, cid AS code FROM (
+                SELECT vec_id, sub, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cid) AS rn
+                FROM enc0) WHERE rn = 1)"""
 
 
 def _prefix_flag_ctes(rel: str) -> str:
@@ -3624,6 +3669,32 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_val,
                    count(*) AS n
             FROM x JOIN a2 USING (vec_id) GROUP BY a2.cid, x.dim
+        """,
+        "pq_encode": f"""
+            WITH {_PQ_CTES}
+            SELECT vec_id, sub, code FROM enc
+        """,
+        "pq_search": f"""
+            WITH {_PQ_CTES},
+            lut AS (
+              SELECT q.vec_id AS qid, q.sub, c.cid,
+                     CAST(sum((q.sv - c.cv) * (q.sv - c.cv))
+                          AS BIGINT) AS dd
+              FROM x q JOIN c ON q.dimpos = c.dimpos
+              WHERE q.vec_id < 20
+              GROUP BY q.vec_id, q.sub, c.cid),
+            adc AS (
+              SELECT l.qid, e.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc
+              FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+              GROUP BY l.qid, e.vec_id),
+            r AS (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adc, vec_id) AS rn
+              FROM adc WHERE vec_id <> qid)
+            SELECT qid AS query_id, rn AS rank, vec_id,
+                   adc AS adc_scaled
+            FROM r WHERE rn <= 5
         """,
         "semdedup": f"""
             WITH raw AS (

@@ -132,6 +132,9 @@ def run_benchmarks() -> dict:
     timed("similarity_ivf", lambda: similarity.knn_ivf(
         emb, query_ids=list(range(20)), k=5, n_centroids=16,
         nprobe=4).num_rows)
+    timed("similarity_pq", lambda: similarity.pq_search(
+        emb, query_ids=list(range(20)), k=5, m=4,
+        n_codes=8).num_rows)
 
     # new-in-round-2 operators, timed on their driver-query testbeds
     # (fixed injected-candidate scale) for round-over-round tracking

@@ -562,6 +562,165 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     })
 
 
+def _pq_subspaces(dim: int, m: int) -> np.ndarray:
+    """Column -> subspace assignment by the closed form ``(p*m)//dim``
+    — the SAME expression the SQL twin states, so bucket boundaries
+    cannot drift between engines when ``dim % m != 0``.  With
+    ``m <= dim`` every subspace receives at least one column (the
+    floor steps by at most 1 per column and ends at ``m-1``)."""
+    if m > dim:
+        raise ValueError(f"pq: m={m} exceeds embedding dim={dim}")
+    return (np.arange(dim, dtype=np.int64) * m) // dim
+
+
+def pq_encode(ds, m: int = 4, n_codes: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding", scale: int = 1_000_000):
+    """Product-quantization encoding (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", 2011): each vector is
+    reduced to ``m`` one-byte-ish codes, one per contiguous column
+    subspace, where code j is the id of the nearest seed-pick centroid
+    (rows with id < ``n_codes`` — the :func:`kmeans_assign` rule)
+    restricted to subspace j's columns.  Distances live on the integer
+    grid (``floor(x*scale+0.5)`` per coordinate, int64 squared L2), so
+    the argmin (ties -> smallest centroid id) is bit-identical in any
+    engine and the DuckDB twin reproduces the codes exactly.
+
+    At 100 TB this is the embedding-search memory story: ``m`` small
+    ints replace ``dim`` floats per vector (64 f32 -> 4 codes is 64x),
+    which is what lets a corpus-scale index stay in the object store.
+    One tiny centroid broadcast, one stateless pass, no shuffle.
+    Output long format: (vec_id, sub, code).
+    """
+    import ray
+
+    cids, Cf = _seed_centroids(ds, n_codes, id_col, vec_col)
+    C = np.floor(Cf * scale + 0.5).astype(np.int64)
+    mm = int(m)
+    _pq_subspaces(C.shape[1], mm)      # fail fast on m > dim
+    ref = ray.put((cids, C))
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        cids_, C_ = ray.get(ref)
+        X = np.floor(_matrix_from_arrow(batch, vec_col) * scale
+                     + 0.5).astype(np.int64)
+        if X.size == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "sub": pd.Series([], dtype="int64"),
+                                 "code": pd.Series([], dtype="int64")})
+        subs = _pq_subspaces(X.shape[1], mm)
+        ids = batch[id_col].to_numpy()
+        out_id, out_sub, out_code = [], [], []
+        for j in range(mm):
+            cols = subs == j
+            d = ((X[:, None, cols] - C_[None, :, cols]) ** 2).sum(axis=2)
+            best = d.argmin(axis=1)        # first occurrence == smallest cid
+            out_id.append(ids)
+            out_sub.append(np.full(len(ids), j, dtype=np.int64))
+            out_code.append(cids_[best])
+        return pd.DataFrame({id_col: np.concatenate(out_id),
+                             "sub": np.concatenate(out_sub),
+                             "code": np.concatenate(out_code)})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
+              n_codes: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding", scale: int = 1_000_000) -> pa.Table:
+    """Asymmetric-distance PQ top-k: the IVF-PQ scale path's scoring
+    half.  Queries stay EXACT (never quantized); each query precomputes
+    a (m x n_codes) int64 lookup table of squared L2 to every
+    sub-centroid, the LUT rides one ``ray.put`` broadcast, and a batch
+    is scored by encoding it (same integer-grid argmin as
+    :func:`pq_encode`) and summing ``m`` LUT gathers — no float math
+    anywhere, so the ADC total is aggregation-order-free and the DuckDB
+    twin is bit-exact.  Per-batch partial top-k keeps candidates by the
+    FULL (adc, vec_id) tie order (int ADC ties are common, unlike
+    cosine floats), the driver merges tiny partials.  No shuffle.
+
+    Returns (query_id, rank, vec_id, adc_scaled); self-matches
+    excluded; ties break by vec_id ascending.
+    """
+    import ray
+
+    cids, Cf = _seed_centroids(ds, n_codes, id_col, vec_col)
+    C = np.floor(Cf * scale + 0.5).astype(np.int64)
+    qset = set(int(q) for q in query_ids)
+
+    def grab_queries(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].isin(qset)]
+    qrows = ds.map_batches(grab_queries, batch_format="pandas").take_all()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "adc_scaled": pa.array([], pa.int64())})
+    if not qrows:
+        return empty
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    Qi = np.floor(_matrix([r[vec_col] for r in qrows]) * scale
+                  + 0.5).astype(np.int64)
+    mm = int(m)
+    subs = _pq_subspaces(Qi.shape[1], mm)
+    lut = np.empty((len(q_ids), mm, len(cids)), dtype=np.int64)
+    for j in range(mm):
+        cols = subs == j
+        lut[:, j, :] = ((Qi[:, None, cols] - C[None, :, cols]) ** 2).sum(axis=2)
+    ref = ray.put((q_ids, C, lut))
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        ids_, C_, L_ = ray.get(ref)
+        X = np.floor(_matrix_from_arrow(batch, vec_col) * scale
+                     + 0.5).astype(np.int64)
+        if X.size == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "adc_scaled": pd.Series([], dtype="int64")})
+        subs_ = _pq_subspaces(X.shape[1], mm)
+        codepos = np.empty((X.shape[0], mm), dtype=np.int64)
+        for j in range(mm):
+            cols = subs_ == j
+            d = ((X[:, None, cols] - C_[None, :, cols]) ** 2).sum(axis=2)
+            codepos[:, j] = d.argmin(axis=1)
+        adc = np.zeros((L_.shape[0], X.shape[0]), dtype=np.int64)
+        for j in range(mm):
+            adc += L_[:, j, :][:, codepos[:, j]]
+        vids = batch[id_col].to_numpy()
+        kk = min(k + 1, adc.shape[1])           # +1 to survive self-drop
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids_):
+            row = adc[qi]
+            # lexicographic (adc, vec_id) so integer ties at the cut
+            # keep the same candidates the SQL rank keeps
+            idx = np.lexsort((vids, row))[:kk]
+            for jx in idx:
+                if int(vids[jx]) == int(qid):
+                    continue
+                out_q.append(int(qid)); out_v.append(int(vids[jx]))
+                out_s.append(int(row[jx]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                             "adc_scaled": out_s})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096).take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append(
+            (r["adc_scaled"], r["vec_id"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid])[:k]
+        for rank, (adc_v, vid) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(adc_v)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "adc_scaled": pa.array(out_s, pa.int64()),
+    })
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,

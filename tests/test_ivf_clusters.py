@@ -294,3 +294,102 @@ def test_triangle_count_k4_and_noise(ray_session):
     p = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
     out2 = triangle_count(ray.data.from_pandas(p)).to_pandas()
     assert out2["n_triangles"].tolist() == [0]
+
+
+def test_pq_encode_matches_numpy_replay():
+    """PQ codes: integer-grid argmin per (p*m)//dim subspace against
+    the seed-pick sub-centroids, replayed single-process."""
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import pq_encode
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (pq_encode(ds, m=4, n_codes=8).to_pandas()
+           .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    order = df["vec_id"].to_numpy().argsort()
+    S = S[order]
+    dim = S.shape[1]
+    subs = (np.arange(dim) * 4) // dim
+    want = []
+    for j in range(4):
+        cols = subs == j
+        d = ((S[:, None, cols] - S[None, :8, cols]) ** 2).sum(axis=2)
+        want.append(d.argmin(axis=1))
+    assert len(out) == 4 * len(df)
+    for j in range(4):
+        got = out[out["sub"] == j].sort_values("vec_id")["code"].to_numpy()
+        assert np.array_equal(got, want[j])
+
+
+def test_pq_search_adc_replay_and_recall():
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import pq_search, knn_brute
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    qids = list(range(6))
+    res = pq_search(ds, qids, k=5, m=4, n_codes=8).to_pylist()
+    # single-process ADC replay: encode everything, LUT-sum per query
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    S = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+    order = df["vec_id"].to_numpy().argsort()
+    S = S[order]
+    dim = S.shape[1]
+    subs = (np.arange(dim) * 4) // dim
+    adc = np.zeros((len(qids), len(S)), dtype=np.int64)
+    for j in range(4):
+        cols = subs == j
+        d = ((S[:, None, cols] - S[None, :8, cols]) ** 2).sum(axis=2)
+        code = d.argmin(axis=1)
+        lut = ((S[qids][:, None, cols] - S[None, :8, cols]) ** 2).sum(axis=2)
+        adc += lut[:, code]
+    want = []
+    for qi, qid in enumerate(qids):
+        cand = sorted((int(adc[qi, v]), v) for v in range(len(S))
+                      if v != qid)[:5]
+        for rank, (a, v) in enumerate(cand, start=1):
+            want.append((qid, rank, v, a))
+    got = [(r["query_id"], r["rank"], r["vec_id"], r["adc_scaled"])
+           for r in res]
+    assert got == want
+    # sanity: PQ top-5 overlaps the exact cosine top-5 for most queries
+    brute = {}
+    for r in knn_brute(ds, qids, k=5).to_pylist():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq_top = {}
+    for r in res:
+        pq_top.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for q in qids if pq_top[q] & brute[q])
+    assert hits >= 3
+
+
+def test_pq_uneven_dim_and_guards():
+    """dim % m != 0: subspace boundaries come from (p*m)//dim on BOTH
+    sides; m > dim is refused; empty query set returns empty."""
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+    from doc_ocr_ray.stages.similarity import pq_encode, pq_search
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(12, 10)).round(3)
+    df = pd.DataFrame({"vec_id": np.arange(12, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in vecs]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (pq_encode(ds, m=4, n_codes=3).to_pandas()
+           .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    S = np.floor(vecs * 1_000_000 + 0.5).astype(np.int64)
+    subs = (np.arange(10) * 4) // 10
+    assert [int((subs == j).sum()) for j in range(4)] == [3, 2, 3, 2]
+    for j in range(4):
+        cols = subs == j
+        d = ((S[:, None, cols] - S[None, :3, cols]) ** 2).sum(axis=2)
+        got = out[out["sub"] == j].sort_values("vec_id")["code"].to_numpy()
+        assert np.array_equal(got, d.argmin(axis=1))
+    with _pytest.raises(ValueError):
+        pq_encode(ds, m=11, n_codes=3).to_pandas()
+    empty = pq_search(ds, query_ids=[999], k=3, m=2, n_codes=3)
+    assert empty.num_rows == 0
