@@ -268,17 +268,19 @@ def _mk_pr_edges_fn(n):
     return mk_edges
 
 
-def _pagerank_sql() -> str:
+def _pagerank_ctes() -> tuple[str, str]:
     """Chained-CTE twin of stages/graph.py:pagerank — identical
     integer grid and floor-division points, one i_k/r_k CTE pair per
-    iteration (the kmeans_fit oracle pattern)."""
+    iteration (the kmeans_fit oracle pattern).  Returns (cte body
+    WITHOUT the leading WITH, final rank table name) so composed
+    oracles (crawl_frontier) can extend the chain."""
     base = f"({_PR_SCALE} * {100 - _PR_DAMPING} // 100) // (SELECT n FROM nn)"
     e0 = " UNION ALL ".join(
         f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
         f"(SELECT n FROM nn) AS dst FROM documents"
         for p, c in _PR_EDGE_RULES)
     sql = f"""
-        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
         e0 AS ({e0}),
         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
@@ -298,9 +300,132 @@ def _pagerank_sql() -> str:
                  FROM documents d
                  LEFT JOIN i{k} ON i{k}.node = d.doc_id)"""
         prev = f"r{k}"
-    sql += f"""
-        SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev}"""
-    return sql
+    return sql, prev
+
+
+def _pagerank_sql() -> str:
+    body, final = _pagerank_ctes()
+    return f"""
+        WITH {body}
+        SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {final}"""
+
+
+# robots rules for the crawl_frontier testbed: both polarities, the
+# longest-prefix override (/r blocked, /r2 re-allowed) and the
+# equal-length tie-to-allow (/r4 allow + disallow) all fire
+_FRONTIER_RULES = (
+    [("ext1.test", "/x", 0), ("ext3.test", "/x", 0)]
+    + [(f"site{j}.test", "/top", 0) for j in range(0, 20, 4)]
+    + [(f"site{j}.test", "/r", 0) for j in range(20)]
+    + [(f"site{j}.test", "/r2", 1) for j in range(20)]
+    + [(f"site{j}.test", "/r4", 1) for j in range(20)]
+    + [(f"site{j}.test", "/r4", 0) for j in range(20)])
+
+
+def _inject_frontier_html(n: int):
+    """Synthetic crawl snapshot for the frontier: every page links a
+    same-host /top, even pages an external host, every page the NEXT
+    page's exact base URL (dropped by the crawled anti-join), odd
+    pages a robots-governed /r{k}; fragment + script decoys never
+    emit."""
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        s = d.astype(str)
+        m = (d % 20).astype(str)
+        nx = (d + 1) % n
+        base = ("http://site" + m + ".test/dir" + (d % 3).astype(str)
+                + "/page" + s)
+        w = lambda cond, part: np.where(cond, part, "")
+        html = (
+            '<nav><a href="/top">t</a></nav>'
+            + w(d % 2 == 0, '<p><a href="http://ext'
+                + (d % 5).astype(str) + '.test/x">e</a></p>')
+            + '<p><a href="http://site' + (nx % 20).astype(str)
+            + '.test/dir' + (nx % 3).astype(str) + '/page'
+            + nx.astype(str) + '">n</a>'
+              '<a href="#frag">skip</a></p>'
+            + w(d % 2 == 1, '<p><a href="/r'
+                + (d % 7).astype(str) + '">rr</a></p>')
+            + '<script><a href="decoy">never</a></script>')
+        return pd.DataFrame({"doc_id": d, "url": base, "html": html})
+    return inject
+
+
+def _frontier_sql() -> str:
+    """Composed twin of pipelines/frontier.py:crawl_frontier over the
+    _inject_frontier_html testbed: the pagerank CTE chain extended
+    with link reconstruction, canonicalization, the REP argmax, the
+    crawled NOT IN, the rank-mass sum and the per-host cap."""
+    body, final = _pagerank_ctes()
+    rules_vals = ", ".join(f"('{d}', '{p}', {a})"
+                           for d, p, a in _FRONTIER_RULES)
+    base = ("'http://site' || m || '.test/dir' || "
+            "CAST(doc_id % 3 AS VARCHAR) || '/page' || s")
+    return f"""
+        WITH {body},
+        dd AS (SELECT doc_id,
+                      CAST(doc_id % 20 AS VARCHAR) AS m,
+                      CAST(doc_id AS VARCHAR) AS s,
+                      (doc_id + 1) % (SELECT n FROM nn) AS nx
+               FROM documents),
+        lk AS (
+          SELECT doc_id, 'http://site' || m || '.test/top' AS target
+          FROM dd
+          UNION ALL
+          SELECT doc_id, 'http://ext' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.test/x'
+          FROM dd WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, 'http://site' || CAST(nx % 20 AS VARCHAR)
+                 || '.test/dir' || CAST(nx % 3 AS VARCHAR)
+                 || '/page' || CAST(nx AS VARCHAR)
+          FROM dd
+          UNION ALL
+          SELECT doc_id, 'http://site' || m || '.test/r'
+                 || CAST(doc_id % 7 AS VARCHAR)
+          FROM dd WHERE doc_id % 2 = 1),
+        cc AS (SELECT doc_id, {_canon_url_sql('target')} AS canon_url
+               FROM lk),
+        pp AS (SELECT *,
+                      regexp_replace(canon_url, '/.*$', '') AS domain,
+                      CASE WHEN strpos(canon_url, '/') > 0
+                           THEN substr(canon_url, strpos(canon_url, '/'))
+                           ELSE '/' END AS path
+               FROM cc),
+        rules AS (SELECT * FROM (VALUES {rules_vals})
+                  r(domain, prefix, allow)),
+        mm AS (SELECT pp.doc_id, pp.canon_url, r.allow,
+                      row_number() OVER (
+                          PARTITION BY pp.doc_id, pp.canon_url
+                          ORDER BY length(r.prefix) DESC,
+                                   r.allow DESC) AS rn
+               FROM pp JOIN rules r
+                 ON r.domain = pp.domain
+                AND starts_with(pp.path, r.prefix)),
+        alw AS (SELECT pp.doc_id, pp.canon_url, pp.domain
+                FROM pp LEFT JOIN (SELECT doc_id, canon_url, allow
+                                   FROM mm WHERE rn = 1) b
+                     USING (doc_id, canon_url)
+                WHERE coalesce(b.allow, 1) = 1),
+        crawled AS (SELECT DISTINCT {_canon_url_sql(base)} AS canon_url
+                    FROM dd),
+        fresh AS (SELECT * FROM alw
+                  WHERE canon_url NOT IN (SELECT canon_url
+                                          FROM crawled)),
+        sc AS (SELECT f.canon_url, f.domain,
+                      CAST(sum({final}.r) AS BIGINT) AS frontier_score,
+                      count(*) AS n_links
+               FROM fresh f JOIN {final} ON {final}.node = f.doc_id
+               GROUP BY f.canon_url, f.domain),
+        tk AS (SELECT *,
+                      row_number() OVER (
+                          PARTITION BY domain
+                          ORDER BY frontier_score DESC,
+                                   canon_url) AS host_rank
+               FROM sc)
+        SELECT domain, canon_url, frontier_score, n_links, host_rank
+        FROM tk WHERE host_rank <= 3
+    """
 
 
 _BPE_MERGES = 3
@@ -1916,6 +2041,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         iters=_PR_ITERS, damping_pct=_PR_DAMPING,
                         scale=_PR_SCALE)
 
+    def q_crawl_frontier(sf_dir):
+        # the composed frontier: outlinks -> robots politeness ->
+        # drop already-crawled (native left_anti on canon_url) ->
+        # pagerank authority mass per candidate -> per-host top-3
+        from doc_ocr_ray.pipelines.frontier import crawl_frontier
+        from doc_ocr_ray.stages.graph import pagerank
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        pages = docs.map_batches(_inject_frontier_html(n),
+                                 batch_format="pandas")
+        ranks = pagerank(
+            docs.map_batches(_mk_pr_edges_fn(n), batch_format="pandas"),
+            docs.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["doc_id"].astype("int64")}),
+                batch_format="pandas"),
+            iters=_PR_ITERS, damping_pct=_PR_DAMPING, scale=_PR_SCALE)
+        return crawl_frontier(pages, ranks, _FRONTIER_RULES,
+                              k_per_host=3)
+
     def q_dedup_incremental(sf_dir):
         # dedup a synthetic "new crawl snapshot" against the documents
         # table as the established corpus: exact corpus copies drop,
@@ -1942,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
+        "crawl_frontier": q_crawl_frontier,
         "triangle_count": q_triangle_count,
         "zscore_by_source": q_zscore_by_source,
         "bpe_train": q_bpe_train,
@@ -3167,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        "crawl_frontier": _frontier_sql(),
         # undirected triangles u<v<w via the canonical three-edge
         # self-join over the SAME derived link graph as pagerank
         "triangle_count": f"""

@@ -190,6 +190,8 @@ def run_benchmarks() -> dict:
           lambda: qs["audio_neardup_fp"](SF_DIR).count())
     timed("media_dedup_incremental",
           lambda: qs["media_dedup_incremental"](SF_DIR).count())
+    timed("crawl_frontier",
+          lambda: qs["crawl_frontier"](SF_DIR).count())
     timed("pdf_extract", lambda: qs["pdf_extract"](SF_DIR).count())
     timed("html_tables", lambda: qs["html_tables"](SF_DIR).count())
     timed("warc_html_spans",

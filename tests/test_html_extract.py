@@ -324,3 +324,34 @@ def test_truncated_nested_table_drains_suspended_cells():
                                  "cell"]].to_numpy()))
     # the suspended outer cell survives truncation
     assert got == [(0, 0, 0, "Total:"), (1, 0, 0, "i")]
+
+
+def test_crawl_frontier_composition():
+    """Crawled anti-join, robots block, rank-mass aggregation and the
+    per-host cap all fire on a handcrafted 2-page snapshot."""
+    import ray.data
+    from doc_ocr_ray.pipelines.frontier import crawl_frontier
+
+    pages = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "url": ["http://a.test/p0", "http://a.test/p1"],
+        "html": [
+            '<p><a href="http://b.test/x">1</a>'
+            '<a href="http://a.test/p1">crawled</a>'
+            '<a href="http://c.test/blocked">rob</a></p>',
+            '<p><a href="http://b.test/x">1</a>'
+            '<a href="http://b.test/y">2</a>'
+            '<a href="http://b.test/z">3</a>'
+            '<a href="http://b.test/w">4</a></p>',
+        ]}))
+    ranks = ray.data.from_pandas(pd.DataFrame(
+        {"node": [0, 1], "rank_scaled": [100, 10]}))
+    out = (crawl_frontier(pages, ranks, [("c.test", "/", 0)],
+                          k_per_host=2)
+           .to_pandas().sort_values(["domain", "host_rank"])
+           .reset_index(drop=True))
+    got = [tuple(r) for r in out[["domain", "canon_url",
+                                  "frontier_score", "n_links",
+                                  "host_rank"]].itertuples(index=False)]
+    assert got == [("b.test", "b.test/x", 110, 2, 1),
+                   ("b.test", "b.test/w", 10, 1, 2)]
