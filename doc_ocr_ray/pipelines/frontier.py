@@ -30,7 +30,6 @@ perturb them and a DuckDB twin is bit-exact.
 """
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 

@@ -48,6 +48,23 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _grab_rows_by_id(ds, ids, id_col: str):
+    """Distributed row gather by id set, Arrow-side (``pc.is_in`` on
+    zero-copy batches) so no-hit batches keep their exact schema —
+    a pandas filter would leave empty OBJECT columns that trip Ray's
+    block-size estimator and string-typing them would clash with the
+    list<float> embedding schema."""
+    import pyarrow.compute as pc
+
+    qarr = pa.array(sorted(set(int(q) for q in ids)), pa.int64())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch[id_col], value_set=qarr.cast(batch[id_col].type)))
+
+    return ds.map_batches(grab, batch_format="pyarrow").take_all()
+
+
 def knn_brute(ds, query_ids: List[int], k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Exact cosine top-k of every query id against the whole corpus.
@@ -57,11 +74,7 @@ def knn_brute(ds, query_ids: List[int], k: int = 5,
     """
     import ray
 
-    qset = set(int(q) for q in query_ids)
-
-    def grab_queries(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(qset)]
-    qrows = ds.map_batches(grab_queries, batch_format="pandas").take_all()
+    qrows = _grab_rows_by_id(ds, query_ids, id_col)
     if not qrows:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
@@ -645,11 +658,7 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
 
     cids, Cf = _seed_centroids(ds, n_codes, id_col, vec_col)
     C = np.floor(Cf * scale + 0.5).astype(np.int64)
-    qset = set(int(q) for q in query_ids)
-
-    def grab_queries(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(qset)]
-    qrows = ds.map_batches(grab_queries, batch_format="pandas").take_all()
+    qrows = _grab_rows_by_id(ds, query_ids, id_col)
     empty = pa.table({"query_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int64()),
                       "vec_id": pa.array([], pa.int64()),

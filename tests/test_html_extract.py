@@ -326,7 +326,7 @@ def test_truncated_nested_table_drains_suspended_cells():
     assert got == [(0, 0, 0, "Total:"), (1, 0, 0, "i")]
 
 
-def test_crawl_frontier_composition():
+def test_crawl_frontier_composition(ray_session):
     """Crawled anti-join, robots block, rank-mass aggregation and the
     per-host cap all fire on a handcrafted 2-page snapshot."""
     import ray.data
