@@ -1817,6 +1817,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmv_distinct_users_by_type(
             _read(sf_dir, "events", ["event_type", "user_id"]))
 
+    def q_hll_users_by_type(sf_dir):
+        # per-group HyperLogLog: constant 64 registers vs KMV's k
+        # hashes; deterministic md5 registers -> bit-exact oracle
+        from doc_ocr_ray.stages.sketch import hll_distinct_users_by_type
+        return hll_distinct_users_by_type(
+            _read(sf_dir, "events", ["event_type", "user_id"]))
+
     def q_top3_orders_salted(sf_dir):
         # the hot-key-safe two-stage variant — same rows, same oracle
         # as top3_orders_per_cust (top-k is mergeable)
@@ -2149,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "top3_orders_salted": q_top3_orders_salted,
         "kmv_users_by_type": q_kmv_users_by_type,
+        "hll_users_by_type": q_hll_users_by_type,
         "median_value_hist": q_median_value_hist,
         "value_time_corr": q_value_time_corr,
         "customers_without_events": q_customers_without_events,
@@ -4477,6 +4485,46 @@ def oracle_sql() -> dict[str, str]:
                                 / 18446744073709551616.0))) / 10
                    END AS est_users
             FROM r WHERE rn = least(n, 256)
+        """,
+        # HyperLogLog twin: register maxes from the same md5-64 user
+        # hash, EXACT HUGEINT indicator sum (BIGINT shifts, HUGEINT
+        # total), the one stated float expression + linear-counting
+        # branch; bin(sfx) has no leading zeros so its length is the
+        # exact bit length
+        "hll_users_by_type": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL),
+            h AS (SELECT DISTINCT event_type,
+                         ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 16))::UBIGINT AS h
+                  FROM u),
+            rj AS (SELECT event_type,
+                          CAST(h >> 58 AS BIGINT) AS j,
+                          CAST(h & 288230376151711743 AS BIGINT) AS sfx
+                   FROM h),
+            reg AS (SELECT event_type, j,
+                           max(CASE WHEN sfx = 0 THEN 59
+                                    ELSE 58 - length(bin(sfx)) + 1
+                               END) AS m_val
+                    FROM rj GROUP BY event_type, j),
+            s AS (SELECT event_type,
+                         sum(CAST(CAST(1 AS BIGINT) << (59 - m_val)
+                                  AS HUGEINT))
+                         + CAST(64 - count(*) AS HUGEINT)
+                           * CAST(576460752303423488 AS HUGEINT) AS S,
+                         64 - count(*) AS V
+                  FROM reg GROUP BY event_type),
+            est AS (SELECT event_type, V,
+                           (0.709 * 4096.0 * 576460752303423488.0)
+                               / CAST(S AS DOUBLE) AS raw
+                    FROM s)
+            SELECT event_type,
+                   floor(10 * CASE WHEN V > 0 AND raw <= 160.0
+                                   THEN 64.0 * ln(64.0
+                                            / CAST(V AS DOUBLE))
+                                   ELSE raw END) / 10 AS est_users
+            FROM est
         """,
         # the salted variant is byte-identical (top-k is mergeable):
         # same SQL

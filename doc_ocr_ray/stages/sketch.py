@@ -273,6 +273,81 @@ def kmv_distinct_users_by_type(ds, k: int = 256):
                                               batch_format="pandas"))
 
 
+def hll_distinct_users_by_type(ds):
+    """(event_type, est_users): per-group HyperLogLog (Flajolet et
+    al. 2007), the CONSTANT-size companion to the KMV sketch — 64
+    registers per group no matter the cardinality, where KMV carries
+    k=256 hashes.  Deterministic like KMV: md5-derived registers make
+    the estimate a pure function of the data, so this approximate
+    operator still has a bit-exact DuckDB twin.
+
+    Register rule (b=6, m=64): the md5-64 hash's TOP 6 bits pick the
+    register, rho = 1 + leading zeros of the remaining 58 bits (zero
+    suffix -> rho = 59); register value = max rho.  The mergeable
+    partial is (event_type, register, M) maxes — <= 64 x |types| rows
+    ride the ONE exchange, never user rows.
+
+    Estimator with the float ops pinned: the indicator sum is EXACT —
+    S = sum_j 2^(59 - M_j) as a Python int (untouched registers
+    contribute 2^59; max 64 * 2^59 needs > int64, same HUGEINT
+    discipline as the SQL twin) — then ONE stated float expression
+    raw = (0.709 * 4096.0 * 2^59) / double(S); small-range correction
+    (V = zero registers > 0 and raw <= 160.0) switches to linear
+    counting 64 * ln(64 / V) (ln parity with DuckDB is verified by
+    the bm25 oracle).  The 2^32 large-range correction of the paper
+    does not exist here: the hash is 64-bit.  Grid: floor(10*est)/10.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.dropna(subset=["event_type", "user_id"])
+        uid = g["user_id"]
+        if pd.api.types.is_float_dtype(uid):
+            # null promotion int64 -> float64 (see KMV above)
+            uid = uid.astype("int64")
+        outs = []
+        for t, users in uid.groupby(g["event_type"], sort=False):
+            regs: dict = {}
+            for u in set(users):
+                h = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big")
+                j = h >> 58
+                sfx = h & ((1 << 58) - 1)
+                rho = 59 if sfx == 0 else 58 - sfx.bit_length() + 1
+                if rho > regs.get(j, 0):
+                    regs[j] = rho
+            outs.append(pd.DataFrame({
+                "event_type": t,
+                "j": np.fromiter(regs.keys(), dtype=np.int64,
+                                 count=len(regs)),
+                "m_val": np.fromiter(regs.values(), dtype=np.int64,
+                                     count=len(regs))}))
+        if not outs:
+            return typed_if_empty(pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "j": pd.Series([], dtype="int64"),
+                "m_val": pd.Series([], dtype="int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        import math
+        M = np.zeros(64, dtype=np.int64)
+        agg = group.groupby("j")["m_val"].max()
+        M[agg.index.to_numpy()] = agg.to_numpy()
+        S = sum(1 << (59 - int(mj)) for mj in M)     # exact, > int64
+        V = int((M == 0).sum())
+        raw = (0.709 * 4096.0 * float(1 << 59)) / float(S)
+        if V > 0 and raw <= 160.0:
+            est = 64.0 * math.log(64.0 / float(V))
+        else:
+            est = raw
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "est_users": [np.floor(10 * est) / 10]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(combine,
+                                              batch_format="pandas"))
+
+
 def median_value_by_type_hist(ds):
     """(event_type, median_value): exact interpolated median per
     group — same output (and SAME oracle) as

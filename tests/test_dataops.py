@@ -2418,3 +2418,31 @@ def test_media_dhash_incremental_drops_recrawls(ray_session):
     # copies of 0..5 (groups 0-1, fully present in old) drop; fresh
     # 30..35 (groups 10-11) survive under their original labels
     assert sorted(out["doc_id"]) == list(range(30, 36))
+
+
+def test_hll_sketch_accuracy_merge_and_linear_counting():
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.sketch import hll_distinct_users_by_type
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = ev.dropna().groupby("event_type")["user_id"].nunique()
+    ds = ray.data.from_pandas(ev).repartition(6)
+    out = hll_distinct_users_by_type(ds).to_pandas()
+    assert set(out["event_type"]) == set(exact.index)
+    # HLL with m=64 has sigma ~ 1.04/8 = 13%; allow 3.5 sigma
+    for _, r in out.iterrows():
+        true = exact[r["event_type"]]
+        assert abs(r["est_users"] - true) <= max(3.0, 0.45 * true)
+    # merge invariance: registers are maxes, batching cannot matter
+    out1 = (hll_distinct_users_by_type(ds.repartition(1)).to_pandas()
+            .sort_values("event_type").reset_index(drop=True))
+    out8 = (hll_distinct_users_by_type(ds.repartition(8)).to_pandas()
+            .sort_values("event_type").reset_index(drop=True))
+    assert out1.equals(out8)
+    # linear-counting branch pinned: one user -> 64*ln(64/63) -> 1.0
+    one = ray.data.from_pandas(pd.DataFrame(
+        {"event_type": ["t"], "user_id": [12345]}))
+    got = hll_distinct_users_by_type(one).to_pandas()["est_users"][0]
+    import numpy as _np
+    assert got == _np.floor(10 * (64.0 * math.log(64.0 / 63.0))) / 10
