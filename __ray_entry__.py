@@ -322,6 +322,48 @@ _FRONTIER_RULES = (
     + [(f"site{j}.test", "/r4", 0) for j in range(20)])
 
 
+def _inject_changelog(n: int):
+    """Synthetic CDC stream over the documents snapshot: upserts
+    (d%3==0), a later delete overriding an earlier upsert (d%6==0),
+    an earlier delete LOSING to a later upsert (d%21==15), plain
+    deletes (d%7==1), an equal-timestamp seq tie (d%9==4, two
+    upserts), and brand-new keys beyond the snapshot (d%11==0 ->
+    key d+n)."""
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        outs = []
+
+        def emit(mask, key_fn, text_fn, ts, seq_fn, op):
+            dd = d[mask]
+            outs.append(pd.DataFrame({
+                "doc_id": key_fn(dd).astype("int64"),
+                "text": text_fn(dd),
+                "ts": np.full(len(dd), ts, dtype=np.int64),
+                "seq": seq_fn(dd).astype("int64"),
+                "op": np.full(len(dd), op, dtype=object)}))
+
+        blank = lambda x: pd.Series(np.full(len(x), "", dtype=object),
+                                    index=x.index)
+        emit(d % 3 == 0, lambda x: x,
+             lambda x: "u1:" + x.astype(str), 10, lambda x: 2 * x,
+             "upsert")
+        emit(d % 6 == 0, lambda x: x, blank, 20,
+             lambda x: 2 * x + 1, "delete")
+        emit(d % 7 == 1, lambda x: x, blank, 5, lambda x: 2 * x,
+             "delete")
+        emit(d % 9 == 4, lambda x: x,
+             lambda x: "tieA:" + x.astype(str), 30, lambda x: 2 * x,
+             "upsert")
+        emit(d % 9 == 4, lambda x: x,
+             lambda x: "tieB:" + x.astype(str), 30,
+             lambda x: 2 * x + 1, "upsert")
+        emit(d % 11 == 0, lambda x: x + n,
+             lambda x: "new:" + (x + n).astype(str), 1,
+             lambda x: 2 * x, "upsert")
+        return pd.concat(outs, ignore_index=True)
+    return inject
+
+
 def _inject_frontier_html(n: int):
     """Synthetic crawl snapshot for the frontier: every page links a
     same-host /top, even pages an external host, every page the NEXT
@@ -2048,6 +2090,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         iters=_PR_ITERS, damping_pct=_PR_DAMPING,
                         scale=_PR_SCALE)
 
+    def q_cdc_apply(sf_dir):
+        # CDC merge: documents as the snapshot, an injected
+        # upsert/delete changelog with every rule firing (override,
+        # out-of-order loss, seq tie, fresh insert)
+        from doc_ocr_ray.stages.catalog import apply_changelog
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        changes = docs.map_batches(_inject_changelog(n),
+                                   batch_format="pandas")
+        return apply_changelog(docs, changes)
+
     def q_crawl_frontier(sf_dir):
         # the composed frontier: outlinks -> robots politeness ->
         # drop already-crawled (native left_anti on canon_url) ->
@@ -2095,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
         "crawl_frontier": q_crawl_frontier,
+        "cdc_apply": q_cdc_apply,
         "triangle_count": q_triangle_count,
         "zscore_by_source": q_zscore_by_source,
         "bpe_train": q_bpe_train,
@@ -3322,6 +3376,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "crawl_frontier": _frontier_sql(),
+        # CDC merge twin: reconstruct the changelog from the same
+        # doc_id arithmetic, latest (ts, seq) wins per key, deletes
+        # drop, untouched keys keep their snapshot row
+        "cdc_apply": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            ch AS (
+              SELECT doc_id, 'u1:' || CAST(doc_id AS VARCHAR) AS text,
+                     10 AS ts, 2 * doc_id AS seq, 'upsert' AS op
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, '', 20, 2 * doc_id + 1, 'delete'
+              FROM documents WHERE doc_id % 6 = 0
+              UNION ALL
+              SELECT doc_id, '', 5, 2 * doc_id, 'delete'
+              FROM documents WHERE doc_id % 7 = 1
+              UNION ALL
+              SELECT doc_id, 'tieA:' || CAST(doc_id AS VARCHAR),
+                     30, 2 * doc_id, 'upsert'
+              FROM documents WHERE doc_id % 9 = 4
+              UNION ALL
+              SELECT doc_id, 'tieB:' || CAST(doc_id AS VARCHAR),
+                     30, 2 * doc_id + 1, 'upsert'
+              FROM documents WHERE doc_id % 9 = 4
+              UNION ALL
+              SELECT doc_id + (SELECT n FROM nn),
+                     'new:' || CAST(doc_id + (SELECT n FROM nn)
+                                    AS VARCHAR),
+                     1, 2 * doc_id, 'upsert'
+              FROM documents WHERE doc_id % 11 = 0),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY ts DESC, seq DESC) AS rn
+                  FROM ch),
+            win AS (SELECT doc_id, text, op FROM w WHERE rn = 1)
+            SELECT coalesce(w.doc_id, s.doc_id) AS doc_id,
+                   CASE WHEN w.doc_id IS NULL THEN s.text
+                        ELSE w.text END AS text
+            FROM documents s FULL OUTER JOIN win w
+              ON w.doc_id = s.doc_id
+            WHERE w.op IS NULL OR w.op <> 'delete'
+        """,
         # undirected triangles u<v<w via the canonical three-edge
         # self-join over the SAME derived link graph as pagerank
         "triangle_count": f"""

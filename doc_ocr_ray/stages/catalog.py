@@ -83,3 +83,63 @@ def table_stats(ds, columns: List[str], num_partitions: int = 64):
             .groupby("part").map_groups(per_part, batch_format="pandas")
             .groupby("col_name").map_groups(combine,
                                             batch_format="pandas"))
+
+
+def apply_changelog(snapshot_ds, changes_ds, num_parts: int = 256):
+    """CDC merge — maintain a keyed table under a change stream (the
+    Delta/Hudi/Iceberg MERGE shape a living web corpus needs when
+    re-crawls arrive as upsert/delete events instead of full
+    snapshots).
+
+    ``snapshot_ds``: (doc_id, text) — the current table.
+    ``changes_ds``: (doc_id, text, ts, seq, op) with op in
+    {'upsert', 'delete'}; (ts, seq) is the change total order (seq
+    breaks equal-timestamp ties — the arrival sequence a changelog
+    always has).  Returns the NEW snapshot (doc_id, text): per key
+    the LATEST change wins (upsert rewrites, delete removes, a
+    change-only key inserts); keys with no change keep their
+    snapshot row.
+
+    Shuffle discipline: tagged union, ONE coarse key exchange, and
+    the winner resolution is a vectorized in-group sort +
+    keep-last — no per-key loop, no broadcast (both sides are
+    corpus-sized).  The exchange carries each row once; at 10^12
+    keys this is the same single-exchange cost as exact dedup.
+    """
+    def tag_snap(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "text": batch["text"].astype("object"),
+            "ts": np.full(len(batch), -1, dtype=np.int64),
+            "seq": np.full(len(batch), -1, dtype=np.int64),
+            "op": np.full(len(batch), "snap", dtype=object),
+            "part": coarse_part(batch["doc_id"], num_parts)}))
+
+    def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = set(batch["op"]) - {"upsert", "delete"}
+        if bad:
+            raise ValueError(f"unknown changelog ops: {sorted(bad)}")
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "text": batch["text"].astype("object"),
+            "ts": batch["ts"].astype("int64"),
+            "seq": batch["seq"].astype("int64"),
+            "op": batch["op"].astype("object"),
+            "part": coarse_part(batch["doc_id"], num_parts)}))
+
+    tagged = (snapshot_ds.map_batches(tag_snap, batch_format="pandas")
+              .union(changes_ds.map_batches(tag_change,
+                                            batch_format="pandas")))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        # snapshot rows carry (ts, seq) = (-1, -1), so any change
+        # outranks them in the same (ts, seq) order — one sort, one
+        # keep-last, no per-key loop
+        g = group.sort_values(["doc_id", "ts", "seq"], kind="mergesort")
+        win = g.drop_duplicates("doc_id", keep="last")
+        win = win[win["op"] != "delete"]
+        return typed_if_empty(
+            win[["doc_id", "text"]].reset_index(drop=True))
+
+    return tagged.groupby("part").map_groups(resolve,
+                                             batch_format="pandas")

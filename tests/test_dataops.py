@@ -2446,3 +2446,32 @@ def test_hll_sketch_accuracy_merge_and_linear_counting():
     got = hll_distinct_users_by_type(one).to_pandas()["est_users"][0]
     import numpy as _np
     assert got == _np.floor(10 * (64.0 * math.log(64.0 / 63.0))) / 10
+
+
+def test_apply_changelog_semantics():
+    """Upsert rewrite, delete, last-wins ordering, equal-ts seq tie,
+    delete-then-upsert revival and fresh insert, all pinned."""
+    import ray.data
+    from doc_ocr_ray.stages.catalog import apply_changelog
+    snap = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a", "b", "c", "d", "e"]}))
+    ch = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [2, 3, 4, 4, 6, 5, 5],
+        "text": ["B", "", "X", "", "F", "", "E2"],
+        "ts":   [2, 1, 5, 5, 0, 1, 2],
+        "seq":  [1, 0, 0, 1, 0, 0, 1],
+        "op": ["upsert", "delete", "upsert", "delete", "upsert",
+               "delete", "upsert"]}))
+    out = (apply_changelog(snap, ch).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["text"])) == [
+        (1, "a"), (2, "B"), (5, "E2"), (6, "F")]
+    # unknown ops are refused loudly
+    bad = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": ["x"], "ts": [1], "seq": [0],
+        "op": ["merge"]}))
+    import pytest as _pytest
+    import ray.exceptions
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        apply_changelog(snap, bad).to_pandas()
