@@ -775,6 +775,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.pq_search(emb, query_ids=list(range(20)),
                                     k=5, m=4, n_codes=8)
 
+    def q_similarity_ivfpq(sf_dir):
+        # full IVF-PQ: coarse cells pruned by nprobe, survivors
+        # ADC-scored — the billion-vector scale path (approximate;
+        # recall-tested in pytest, exact twin below carries the hash)
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.pq_search_ivf(
+            emb, query_ids=list(range(20)), k=5, m=4, n_codes=8,
+            n_centroids=16, nprobe=4)
+
+    def q_similarity_ivfpq_exact(sf_dir):
+        # nprobe == n_centroids probes every cell -> provably equal
+        # to pq_search, hash-checked by the brute ADC oracle
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return similarity.pq_search_ivf(
+            emb, query_ids=list(range(20)), k=5, m=4, n_codes=8,
+            n_centroids=16, nprobe=16)
+
     def q_curate_semantic(sf_dir):
         # two-table curation: quality gate on documents x SemDeDup
         # survivors of embeddings, intersected via the native hash
@@ -2174,6 +2191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans_fit,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "similarity_ivfpq": q_similarity_ivfpq,
+        "similarity_ivfpq_exact": q_similarity_ivfpq_exact,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
         "curate_semantic": q_curate_semantic,
@@ -2803,6 +2822,31 @@ _PQ_CTES = """
                        row_number() OVER (PARTITION BY vec_id, sub
                                           ORDER BY dist, cid) AS rn
                 FROM enc0) WHERE rn = 1)"""
+
+# brute asymmetric-distance PQ top-5 — the oracle for pq_search AND
+# for similarity_ivfpq_exact (full-probe IVF-PQ == pq_search)
+_PQ_SEARCH_SQL = f"""
+            WITH {_PQ_CTES},
+            lut AS (
+              SELECT q.vec_id AS qid, q.sub, c.cid,
+                     CAST(sum((q.sv - c.cv) * (q.sv - c.cv))
+                          AS BIGINT) AS dd
+              FROM x q JOIN c ON q.dimpos = c.dimpos
+              WHERE q.vec_id < 20
+              GROUP BY q.vec_id, q.sub, c.cid),
+            adc AS (
+              SELECT l.qid, e.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc
+              FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+              GROUP BY l.qid, e.vec_id),
+            r AS (
+              SELECT qid, vec_id, adc,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adc, vec_id) AS rn
+              FROM adc WHERE vec_id <> qid)
+            SELECT qid AS query_id, rn AS rank, vec_id,
+                   adc AS adc_scaled
+            FROM r WHERE rn <= 5
+        """
 
 
 def _prefix_flag_ctes(rel: str) -> str:
@@ -3924,28 +3968,11 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PQ_CTES}
             SELECT vec_id, sub, code FROM enc
         """,
-        "pq_search": f"""
-            WITH {_PQ_CTES},
-            lut AS (
-              SELECT q.vec_id AS qid, q.sub, c.cid,
-                     CAST(sum((q.sv - c.cv) * (q.sv - c.cv))
-                          AS BIGINT) AS dd
-              FROM x q JOIN c ON q.dimpos = c.dimpos
-              WHERE q.vec_id < 20
-              GROUP BY q.vec_id, q.sub, c.cid),
-            adc AS (
-              SELECT l.qid, e.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc
-              FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
-              GROUP BY l.qid, e.vec_id),
-            r AS (
-              SELECT qid, vec_id, adc,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY adc, vec_id) AS rn
-              FROM adc WHERE vec_id <> qid)
-            SELECT qid AS query_id, rn AS rank, vec_id,
-                   adc AS adc_scaled
-            FROM r WHERE rn <= 5
-        """,
+        "pq_search": _PQ_SEARCH_SQL,
+        # nprobe == n_centroids probes every coarse cell, so IVF-PQ
+        # provably equals pq_search and its brute ADC oracle
+        # hash-checks the whole inverted-file code path
+        "similarity_ivfpq_exact": _PQ_SEARCH_SQL,
         "semdedup": f"""
             WITH raw AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -637,6 +637,30 @@ def pq_encode(ds, m: int = 4, n_codes: int = 8, id_col: str = "vec_id",
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def _pq_lut(Qi: np.ndarray, C: np.ndarray, subs: np.ndarray,
+            m: int) -> np.ndarray:
+    """(n_q, m, n_codes) int64 table of squared L2 between each query
+    subvector and each sub-centroid."""
+    lut = np.empty((Qi.shape[0], m, C.shape[0]), dtype=np.int64)
+    for j in range(m):
+        cols = subs == j
+        lut[:, j, :] = ((Qi[:, None, cols] - C[None, :, cols]) ** 2
+                        ).sum(axis=2)
+    return lut
+
+
+def _pq_code_positions(X: np.ndarray, C: np.ndarray, subs: np.ndarray,
+                       m: int) -> np.ndarray:
+    """(n, m) centroid POSITIONS (0..k-1) per subspace — integer-grid
+    argmin, first occurrence == smallest centroid id."""
+    codepos = np.empty((X.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        cols = subs == j
+        d = ((X[:, None, cols] - C[None, :, cols]) ** 2).sum(axis=2)
+        codepos[:, j] = d.argmin(axis=1)
+    return codepos
+
+
 def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
               n_codes: int = 8, id_col: str = "vec_id",
               vec_col: str = "embedding", scale: int = 1_000_000) -> pa.Table:
@@ -671,10 +695,7 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
                   + 0.5).astype(np.int64)
     mm = int(m)
     subs = _pq_subspaces(Qi.shape[1], mm)
-    lut = np.empty((len(q_ids), mm, len(cids)), dtype=np.int64)
-    for j in range(mm):
-        cols = subs == j
-        lut[:, j, :] = ((Qi[:, None, cols] - C[None, :, cols]) ** 2).sum(axis=2)
+    lut = _pq_lut(Qi, C, subs, mm)
     ref = ray.put((q_ids, C, lut))
 
     def partial_topk(batch: pa.Table) -> pd.DataFrame:
@@ -685,12 +706,8 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "vec_id": pd.Series([], dtype="int64"),
                                  "adc_scaled": pd.Series([], dtype="int64")})
-        subs_ = _pq_subspaces(X.shape[1], mm)
-        codepos = np.empty((X.shape[0], mm), dtype=np.int64)
-        for j in range(mm):
-            cols = subs_ == j
-            d = ((X[:, None, cols] - C_[None, :, cols]) ** 2).sum(axis=2)
-            codepos[:, j] = d.argmin(axis=1)
+        codepos = _pq_code_positions(
+            X, C_, _pq_subspaces(X.shape[1], mm), mm)
         adc = np.zeros((L_.shape[0], X.shape[0]), dtype=np.int64)
         for j in range(mm):
             adc += L_[:, j, :][:, codepos[:, j]]
@@ -706,6 +723,110 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
                 if int(vids[jx]) == int(qid):
                     continue
                 out_q.append(int(qid)); out_v.append(int(vids[jx]))
+                out_s.append(int(row[jx]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                             "adc_scaled": out_s})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096).take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append(
+            (r["adc_scaled"], r["vec_id"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid])[:k]
+        for rank, (adc_v, vid) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(adc_v)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "adc_scaled": pa.array(out_s, pa.int64()),
+    })
+
+
+def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
+                  n_codes: int = 8, n_centroids: int = 16,
+                  nprobe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  scale: int = 1_000_000) -> pa.Table:
+    """Full IVF-PQ (Jegou et al. 2011): the coarse quantizer of
+    :func:`knn_ivf` composed with the ADC scoring of
+    :func:`pq_search` — THE standard corpus-scale ANN shape (a
+    billion-vector index is an inverted file over coarse cells whose
+    entries are PQ codes, ~m bytes each).
+
+    Each query probes its ``nprobe`` nearest coarse cells (integer-grid
+    distance, ties -> smaller centroid id); a batch vector is
+    ADC-scored for a query only when its own coarse cell (same
+    integer-grid argmin, seed-pick rows with id < ``n_centroids``) is
+    in that query's probe set.  ``nprobe == n_centroids`` probes
+    everything, making the operator provably equal to
+    :func:`pq_search` — the exact-probe twin that lets the brute PQ
+    SQL oracle hash-check this whole code path while the approximate
+    default stays the scale path.  One stateless pass, two tiny
+    broadcasts, no shuffle.
+    """
+    import ray
+
+    cids_c, Ccf = _seed_centroids(ds, n_centroids, id_col, vec_col)
+    Cc = np.floor(Ccf * scale + 0.5).astype(np.int64)
+    cids_q, Cqf = _seed_centroids(ds, n_codes, id_col, vec_col)
+    Cq = np.floor(Cqf * scale + 0.5).astype(np.int64)
+    qrows = _grab_rows_by_id(ds, query_ids, id_col)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "adc_scaled": pa.array([], pa.int64())})
+    if not qrows:
+        return empty
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    Qi = np.floor(_matrix([r[vec_col] for r in qrows]) * scale
+                  + 0.5).astype(np.int64)
+    mm = int(m)
+    subs = _pq_subspaces(Qi.shape[1], mm)
+    lut = _pq_lut(Qi, Cq, subs, mm)
+    # probe sets: nprobe nearest coarse cells per query (ties -> the
+    # POSITION order, which is ascending centroid id)
+    dq = ((Qi[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(dq, axis=1, kind="stable")
+    probe = np.zeros((len(q_ids), Cc.shape[0]), dtype=bool)
+    take = min(int(nprobe), Cc.shape[0])
+    np.put_along_axis(probe, order[:, :take], True, axis=1)
+    ref = ray.put((q_ids, Cq, lut, Cc, probe))
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        ids_, Cq_, L_, Cc_, probe_ = ray.get(ref)
+        X = np.floor(_matrix_from_arrow(batch, vec_col) * scale
+                     + 0.5).astype(np.int64)
+        if X.size == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "adc_scaled": pd.Series([], dtype="int64")})
+        cell = ((X[:, None, :] - Cc_[None, :, :]) ** 2
+                ).sum(axis=2).argmin(axis=1)        # coarse positions
+        codepos = _pq_code_positions(
+            X, Cq_, _pq_subspaces(X.shape[1], mm), mm)
+        adc = np.zeros((L_.shape[0], X.shape[0]), dtype=np.int64)
+        for j in range(mm):
+            adc += L_[:, j, :][:, codepos[:, j]]
+        vids = batch[id_col].to_numpy()
+        kk = min(k + 1, adc.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids_):
+            hit = probe_[qi, cell]
+            if not hit.any():
+                continue
+            row = adc[qi, hit]
+            vh = vids[hit]
+            idx = np.lexsort((vh, row))[:kk]
+            for jx in idx:
+                if int(vh[jx]) == int(qid):
+                    continue
+                out_q.append(int(qid)); out_v.append(int(vh[jx]))
                 out_s.append(int(row[jx]))
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
                              "adc_scaled": out_s})

@@ -393,3 +393,31 @@ def test_pq_uneven_dim_and_guards():
         pq_encode(ds, m=11, n_codes=3).to_pandas()
     empty = pq_search(ds, query_ids=[999], k=3, m=2, n_codes=3)
     assert empty.num_rows == 0
+
+
+def test_pq_search_ivf_full_probe_equals_pq_and_recall():
+    import ray.data
+    from doc_ocr_ray.stages.similarity import pq_search, pq_search_ivf
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    qids = list(range(8))
+    exact = pq_search(ds, qids, k=5, m=4, n_codes=8).to_pylist()
+    full = pq_search_ivf(ds, qids, k=5, m=4, n_codes=8,
+                         n_centroids=8, nprobe=8).to_pylist()
+    key = lambda rows: [(r["query_id"], r["rank"], r["vec_id"],
+                         r["adc_scaled"]) for r in rows]
+    assert key(exact) == key(full)
+    # pruned probing: deterministic, and every returned row's ADC is
+    # present in the unpruned ranking (a subset, possibly re-ranked)
+    ap1 = pq_search_ivf(ds, qids, k=5, m=4, n_codes=8,
+                        n_centroids=8, nprobe=2).to_pylist()
+    ap2 = pq_search_ivf(ds, qids, k=5, m=4, n_codes=8,
+                        n_centroids=8, nprobe=2).to_pylist()
+    assert key(ap1) == key(ap2)
+    exact_pairs = {(r["query_id"], r["vec_id"], r["adc_scaled"])
+                   for r in exact}
+    hits = sum(1 for r in ap1 if r["rank"] == 1 and
+               (r["query_id"], r["vec_id"], r["adc_scaled"])
+               in exact_pairs)
+    assert hits >= 3     # top-1 recall vs unpruned PQ on >= 3/8 queries
