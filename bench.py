@@ -192,6 +192,11 @@ def run_benchmarks() -> dict:
           lambda: qs["media_dedup_incremental"](SF_DIR).count())
     timed("crawl_frontier",
           lambda: qs["crawl_frontier"](SF_DIR).count())
+    timed("cdc_apply", lambda: qs["cdc_apply"](SF_DIR).count())
+    timed("similarity_ivfpq",
+          lambda: qs["similarity_ivfpq"](SF_DIR).num_rows)
+    timed("hll_users_by_type",
+          lambda: qs["hll_users_by_type"](SF_DIR).count())
     timed("pdf_extract", lambda: qs["pdf_extract"](SF_DIR).count())
     timed("html_tables", lambda: qs["html_tables"](SF_DIR).count())
     timed("warc_html_spans",
