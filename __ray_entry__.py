@@ -775,6 +775,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.pq_search(emb, query_ids=list(range(20)),
                                     k=5, m=4, n_codes=8)
 
+    def q_search_rerank(sf_dir):
+        # hybrid RAG retrieval: BM25 top-20 lexical candidates,
+        # reranked by cosine against the vec_id-0 embedding
+        return similarity.search_rerank(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            ["hash", "join", "window"], query_vec_id=0,
+            n_candidates=20, k=5)
+
     def q_similarity_ivfpq(sf_dir):
         # full IVF-PQ: coarse cells pruned by nprobe, survivors
         # ADC-scored — the billion-vector scale path (approximate;
@@ -2193,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_search": q_pq_search,
         "similarity_ivfpq": q_similarity_ivfpq,
         "similarity_ivfpq_exact": q_similarity_ivfpq_exact,
+        "search_rerank": q_search_rerank,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
         "curate_semantic": q_curate_semantic,
@@ -2752,6 +2762,51 @@ _NTOK = f"CASE WHEN {_STRIP} = '' THEN 0 ELSE len({_TOKENS}) END"
 _STOP_EN = "('the','a','of','and','to','in','is')"
 _NORM = f"regexp_replace(lower({_STRIP}), '\\s+', ' ', 'g')"
 
+
+def _bm25_sql(limit: int) -> str:
+    """BM25 ranked-retrieval twin (see stages/text_analysis.py:
+    bm25_search — identical idf/tf expression association order,
+    integer micro-grid term scores summed as BIGINT).  Parameterized
+    by the rank cutoff so search_rerank can nest the same chain as
+    its candidate CTE."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(
+                       regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            s AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                         (SELECT count(*) FROM toks) AS tdl),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks
+                   GROUP BY doc_id),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('hash', 'join', 'window')
+                   GROUP BY doc_id, tok),
+            dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                    WHERE tok IN ('hash', 'join', 'window')
+                    GROUP BY tok),
+            term AS (
+              SELECT t.doc_id,
+                     CAST(floor(1000000.0 * (
+                       ln((((s.nd - d.df) + 0.5) / (d.df + 0.5)) + 1.0)
+                       * ((t.tf * (1.2 + 1.0))
+                          / (t.tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * (l.dl
+                                / (s.tdl / CAST(s.nd AS DOUBLE)))))))
+                     ) AS BIGINT) AS tm
+              FROM tf t
+              JOIN dfs d ON t.tok = d.tok
+              JOIN dl l ON t.doc_id = l.doc_id
+              CROSS JOIN s),
+            sc AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
+                   FROM term GROUP BY doc_id),
+            r AS (SELECT doc_id, score_micro,
+                         row_number() OVER (ORDER BY score_micro DESC,
+                                            doc_id) AS rank
+                  FROM sc)
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+            FROM r WHERE rank <= {limit}
+        """
+
 # deterministic multi-line injection for the Gopher/C4 filter queries
 # (same concat ORDER as queries()._inject_filter_lines — one rule per
 # doc_id residue so every filter rule fires on some stratum)
@@ -3264,42 +3319,27 @@ def oracle_sql() -> dict[str, str]:
         # ln/arithmetic are bit-identical on doubles), per-term scores
         # floored to micro units and summed as integers so the total
         # is independent of SQL aggregation order
-        "bm25_search": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(
-                       regexp_split_to_array({_NORM}, ' ')) AS tok
-              FROM documents WHERE {_NORM} != ''),
-            s AS (SELECT (SELECT count(*) FROM documents) AS nd,
-                         (SELECT count(*) FROM toks) AS tdl),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks
-                   GROUP BY doc_id),
-            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
-                   WHERE tok IN ('hash', 'join', 'window')
-                   GROUP BY doc_id, tok),
-            dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
-                    WHERE tok IN ('hash', 'join', 'window')
-                    GROUP BY tok),
-            term AS (
-              SELECT t.doc_id,
-                     CAST(floor(1000000.0 * (
-                       ln((((s.nd - d.df) + 0.5) / (d.df + 0.5)) + 1.0)
-                       * ((t.tf * (1.2 + 1.0))
-                          / (t.tf + 1.2 * ((1.0 - 0.75)
-                             + 0.75 * (l.dl
-                                / (s.tdl / CAST(s.nd AS DOUBLE)))))))
-                     ) AS BIGINT) AS tm
-              FROM tf t
-              JOIN dfs d ON t.tok = d.tok
-              JOIN dl l ON t.doc_id = l.doc_id
-              CROSS JOIN s),
-            sc AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
-                   FROM term GROUP BY doc_id),
-            r AS (SELECT doc_id, score_micro,
-                         row_number() OVER (ORDER BY score_micro DESC,
+        "bm25_search": _bm25_sql(10),
+        # hybrid retrieve-then-rerank: the bm25 chain (top-20) nested
+        # as the candidate CTE, cosine against the vec_id-0 embedding
+        # on the same round-4 grid as similarity_topk
+        "search_rerank": f"""
+            WITH cand AS ({_bm25_sql(20)}),
+            sc AS (SELECT c.doc_id, c.score_micro,
+                          round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              (SELECT CAST(embedding AS DOUBLE[])
+                               FROM embeddings WHERE vec_id = 0)),
+                              4) AS cos_sim
+                   FROM cand c JOIN embeddings e
+                     ON e.vec_id = c.doc_id),
+            r AS (SELECT doc_id, score_micro, cos_sim,
+                         row_number() OVER (ORDER BY cos_sim DESC,
                                             doc_id) AS rank
                   FROM sc)
-            SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_micro
-            FROM r WHERE rank <= 10
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+                   cos_sim
+            FROM r WHERE rank <= 5
         """,
         # value at 1-based sorted position (q_milli*n + 999)//1000 ==
         # the engine's integer rank rule; row_number makes the pick

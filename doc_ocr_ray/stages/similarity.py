@@ -851,6 +851,59 @@ def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
     })
 
 
+def search_rerank(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,
+                  n_candidates: int = 20, k: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> pa.Table:
+    """Hybrid retrieve-then-rerank — the RAG serving shape: lexical
+    RECALL from :func:`doc_ocr_ray.stages.text_analysis.bm25_search`
+    (two shuffle-free corpus passes, integer micro-grid scores), then
+    semantic PRECISION by cosine against a query embedding over the
+    candidate set only.
+
+    The candidate set is ≤ ``n_candidates`` BY CONSTRUCTION, so the
+    rerank stage is a bounded gather (the Arrow-side distributed
+    filter of :func:`_grab_rows_by_id` — only candidate + query rows
+    leave the corpus) and a driver-side sort of ≤ ``n_candidates``
+    rows; the corpus is touched exactly three streaming times total
+    (BM25 stats, BM25 score, embedding gather), never shuffled.
+
+    Candidates without an embedding row are dropped (stated
+    contract).  Cosine on the round-4 grid of :func:`knn_brute`; rank
+    by (cos_sim DESC, doc_id ASC).  Returns (rank, doc_id,
+    score_micro, cos_sim) — the BM25 integer score rides along for
+    score fusion downstream.
+    """
+    from doc_ocr_ray.stages.text_analysis import bm25_search
+
+    cands = bm25_search(docs_ds, query_tokens, k=n_candidates)
+    cand_ids = [int(v) for v in cands["doc_id"]]       # pandas frame
+    bm = dict(zip(cand_ids, (int(v) for v in cands["score_micro"])))
+    rows = _grab_rows_by_id(emb_ds, set(cand_ids) | {int(query_vec_id)},
+                            id_col)
+    vecs = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+            for r in rows}
+    if int(query_vec_id) not in vecs:
+        raise ValueError(f"query embedding {query_vec_id} not found")
+    q = vecs[int(query_vec_id)]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    scored = []
+    for did in cand_ids:
+        v = vecs.get(did)
+        if v is None:
+            continue
+        vn = v / (np.linalg.norm(v) or 1.0)
+        scored.append((round(float(qn @ vn), 4), did))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        "doc_id": pa.array([d for _, d in top], pa.int64()),
+        "score_micro": pa.array([bm[d] for _, d in top], pa.int64()),
+        "cos_sim": pa.array([s for s, _ in top], pa.float64()),
+    })
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,

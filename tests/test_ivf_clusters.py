@@ -421,3 +421,27 @@ def test_pq_search_ivf_full_probe_equals_pq_and_recall():
                (r["query_id"], r["vec_id"], r["adc_scaled"])
                in exact_pairs)
     assert hits >= 3     # top-1 recall vs unpruned PQ on >= 3/8 queries
+
+
+def test_search_rerank_flips_lexical_order_and_drops_unembedded():
+    import ray.data
+    from doc_ocr_ray.stages.similarity import search_rerank
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hash hash hash join window",   # strongest BM25
+                 "hash join",
+                 "hash window join hash",
+                 "nothing relevant"]}))
+    emb = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [99, 0, 1],                    # doc 2 unembedded
+        "embedding": [[1.0, 0.0], [0.6, 0.8], [1.0, 0.0]]}))
+    out = search_rerank(docs, emb, ["hash", "join", "window"],
+                        query_vec_id=99, n_candidates=3, k=3).to_pylist()
+    # BM25 ranks doc 0 first, but cosine puts doc 1 (identical to the
+    # query) on top; the unembedded candidate 2 is dropped
+    assert [(r["rank"], r["doc_id"], r["cos_sim"]) for r in out] == [
+        (1, 1, 1.0), (2, 0, 0.6)]
+    assert all(r["score_micro"] > 0 for r in out)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        search_rerank(docs, emb, ["hash"], query_vec_id=777)
