@@ -322,6 +322,33 @@ _FRONTIER_RULES = (
     + [(f"site{j}.test", "/r4", 0) for j in range(20)])
 
 
+_VALIDATION_RULES = [
+    ("r_text_notnull", "not_null", "text"),
+    ("r_doc_unique", "unique", "doc_id"),
+    ("r_chars_range", "int_range", "n_chars", 10, 100000),
+    ("r_lang_regex", "regex_full", "lang", "[a-z]{2}"),
+    ("r_source_set", "in_set", "source",
+     [f"src{j}" for j in range(20)]),
+]
+
+
+def _inject_validation(batch: pd.DataFrame) -> pd.DataFrame:
+    """Documents with every validation rule violated somewhere: NULL
+    texts (d%13), duplicate keys (d%17), out-of-range n_chars (d%19),
+    malformed lang (d%23), rogue source (d%29)."""
+    d = batch["doc_id"].astype("int64")
+    out = batch.copy()
+    out["text"] = out["text"].where(d % 13 != 0, None)
+    out["lang"] = out["lang"].where(d % 23 != 0, "ZZZ")
+    out["source"] = out["source"].where(d % 29 != 0, "rogue")
+    out["n_chars"] = out["n_chars"].where(d % 19 != 0, -5)
+    dup = d % 17 == 0
+    extra = pd.DataFrame({"doc_id": d[dup], "text": "dup",
+                          "lang": "en", "source": "src0",
+                          "n_chars": np.int64(42)})
+    return pd.concat([out, extra], ignore_index=True)
+
+
 def _inject_changelog(n: int):
     """Synthetic CDC stream over the documents snapshot: upserts
     (d%3==0), a later delete overriding an earlier upsert (d%6==0),
@@ -2116,6 +2143,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         iters=_PR_ITERS, damping_pct=_PR_DAMPING,
                         scale=_PR_SCALE)
 
+    def q_validate_table(sf_dir):
+        # data-quality gate: five rule kinds over an injected corpus
+        # where every rule fires; one scan + one unique-key exchange
+        from doc_ocr_ray.stages.catalog import validate_table
+        docs = _read(sf_dir, "documents",
+                     ["doc_id", "text", "lang", "source", "n_chars"])
+        return validate_table(
+            docs.map_batches(_inject_validation, batch_format="pandas"),
+            _VALIDATION_RULES)
+
     def q_cdc_apply(sf_dir):
         # CDC merge: documents as the snapshot, an injected
         # upsert/delete changelog with every rule firing (override,
@@ -2175,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
+        "validate_table": q_validate_table,
         "triangle_count": q_triangle_count,
         "zscore_by_source": q_zscore_by_source,
         "bpe_train": q_bpe_train,
@@ -3460,6 +3498,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "crawl_frontier": _frontier_sql(),
+        # validation twin: same injected corpus, five counts; NULLs
+        # are exempt from range/regex/set rules (not_null's job)
+        "validate_table": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 23 = 0 THEN 'ZZZ'
+                          ELSE lang END AS lang,
+                     CASE WHEN doc_id % 29 = 0 THEN 'rogue'
+                          ELSE source END AS source,
+                     CASE WHEN doc_id % 19 = 0 THEN -5
+                          ELSE n_chars END AS n_chars
+              FROM documents),
+            t AS (SELECT * FROM base
+                  UNION ALL
+                  SELECT doc_id, 'dup', 'en', 'src0', 42
+                  FROM documents WHERE doc_id % 17 = 0)
+            SELECT 'r_chars_range' AS rule_id,
+                   CAST(count(*) AS BIGINT) AS n_violations FROM t
+            WHERE n_chars IS NOT NULL
+              AND (n_chars < 10 OR n_chars > 100000)
+            UNION ALL
+            SELECT 'r_doc_unique', CAST(count(*) AS BIGINT) FROM t
+            WHERE doc_id IN (SELECT doc_id FROM t GROUP BY doc_id
+                             HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'r_lang_regex', CAST(count(*) AS BIGINT) FROM t
+            WHERE lang IS NOT NULL
+              AND NOT regexp_full_match(lang, '[a-z]{{2}}')
+            UNION ALL
+            SELECT 'r_source_set', CAST(count(*) AS BIGINT) FROM t
+            WHERE source IS NOT NULL AND source NOT IN
+              ({", ".join(f"'src{j}'" for j in range(20))})
+            UNION ALL
+            SELECT 'r_text_notnull', CAST(count(*) AS BIGINT) FROM t
+            WHERE text IS NULL
+        """,
         # CDC merge twin: reconstruct the changelog from the same
         # doc_id arithmetic, latest (ts, seq) wins per key, deletes
         # drop, untouched keys keep their snapshot row

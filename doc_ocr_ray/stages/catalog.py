@@ -143,3 +143,103 @@ def apply_changelog(snapshot_ds, changes_ds, num_parts: int = 256):
 
     return tagged.groupby("part").map_groups(resolve,
                                              batch_format="pandas")
+
+
+def validate_table(ds, rules, num_parts: int = 64):
+    """Distributed data-quality validation — the Great-Expectations /
+    dbt-test shape that gates a corpus before training: every rule is
+    checked in ONE streaming pass and the answer is a tiny
+    (rule_id, n_violations) table.
+
+    ``rules``: iterable of tuples
+      ("id", "not_null", col)
+      ("id", "unique", col)
+      ("id", "int_range", col, lo, hi)   # NULLs exempt (not_null's job)
+      ("id", "regex_full", col, pattern) # RE2-parity full match, NULLs exempt
+      ("id", "in_set", col, values)      # NULLs exempt
+
+    Row-local rules fold to per-batch partial counts inside the scan
+    (the combiner shape — one count row per rule per batch rides the
+    final tiny combine).  ``unique`` needs co-location: per-batch
+    (value, count) partials flow through ONE coarse value exchange;
+    a row violates when its value's total count exceeds 1, so the
+    violation count is the sum of group counts > 1.  Values ride the
+    exchange as raw keys (slim by construction: one row per DISTINCT
+    batch value), never whole rows.
+    """
+    import re as _re
+
+    row_rules, uniq_rules = [], []
+    for r in rules:
+        (uniq_rules if r[1] == "unique" else row_rules).append(r)
+    for r in row_rules:
+        if r[1] not in ("not_null", "int_range", "regex_full", "in_set"):
+            raise ValueError(f"unknown validation rule kind: {r[1]}")
+    compiled = {r[0]: _re.compile(r[3]) for r in row_rules
+                if r[1] == "regex_full"}
+
+    def row_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ns = [], []
+        for r in row_rules:
+            rid, kind, col = r[0], r[1], r[2]
+            s = batch[col]
+            if kind == "not_null":
+                n = int(s.isna().sum())
+            elif kind == "int_range":
+                lo, hi = r[3], r[4]
+                v = s.dropna()
+                n = int(((v < lo) | (v > hi)).sum())
+            elif kind == "regex_full":
+                pat = compiled[rid]
+                v = s.dropna()
+                n = int(sum(1 for x in v if pat.fullmatch(str(x)) is None))
+            else:                                    # in_set
+                allowed = set(r[3])
+                v = s.dropna()
+                n = int((~v.isin(allowed)).sum())
+            ids.append(rid); ns.append(n)
+        return pd.DataFrame({"rule_id": pd.Series(ids, dtype="object"),
+                             "n": pd.Series(ns, dtype="int64"),
+                             "part": pd.Series(np.zeros(len(ids),
+                                                        dtype=np.int64))})
+
+    outs = []
+    if row_rules:
+        outs.append(ds.map_batches(row_partial, batch_format="pandas"))
+
+    for rid, _, col in [(r[0], r[1], r[2]) for r in uniq_rules]:
+        def key_partial(batch: pd.DataFrame, rid=rid, col=col) -> pd.DataFrame:
+            g = (batch[[col]].dropna().groupby(col, sort=False)
+                 .size().reset_index(name="cnt"))
+            return typed_if_empty(pd.DataFrame({
+                "rule_id": np.full(len(g), rid, dtype=object),
+                "key": g[col].to_numpy(),
+                "cnt": g["cnt"].astype("int64"),
+                "kpart": coarse_part(g[col], num_parts)}))
+
+        def key_combine(group: pd.DataFrame) -> pd.DataFrame:
+            tot = group.groupby("key", sort=False)["cnt"].sum()
+            n = int(tot[tot > 1].sum())
+            return pd.DataFrame({
+                "rule_id": [group["rule_id"].iloc[0]],
+                "n": pd.Series([n], dtype="int64"),
+                "part": pd.Series([0], dtype="int64")})
+
+        outs.append(ds.map_batches(key_partial, batch_format="pandas")
+                      .groupby("kpart")
+                      .map_groups(key_combine, batch_format="pandas"))
+
+    if not outs:
+        raise ValueError("validate_table: no rules given")
+    tagged = outs[0]
+    for o in outs[1:]:
+        tagged = tagged.union(o)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("rule_id", sort=True)["n"].sum()
+             .reset_index(name="n_violations"))
+        g["n_violations"] = g["n_violations"].astype("int64")
+        return g
+
+    return tagged.groupby("part").map_groups(final,
+                                             batch_format="pandas")

@@ -2475,3 +2475,32 @@ def test_apply_changelog_semantics():
     import ray.exceptions
     with _pytest.raises(ray.exceptions.RayTaskError):
         apply_changelog(snap, bad).to_pandas()
+
+
+def test_validate_table_rules_and_cross_batch_unique():
+    import ray.data
+    from doc_ocr_ray.stages.catalog import validate_table
+    df = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5, 6, 7, 1, 2, 1],     # 1 x3, 2 x2 dup
+        "txt": ["a", None, "c", "d", None, "f", "g", "h", "i", "j"],
+        "n": [5, 50, 500, -1, 50, 50, 50, 50, 50, None],
+        "tag": ["aa", "bb", "xx", "ZZ", "aa", "a1", "aa", "aa",
+                None, "aa"]})
+    ds = ray.data.from_pandas(df).repartition(5)   # dups cross batches
+    rules = [("u", "unique", "k"),
+             ("nn", "not_null", "txt"),
+             ("rng", "int_range", "n", 1, 100),
+             ("re", "regex_full", "tag", "[a-z]{2}"),
+             ("set", "in_set", "tag", ["aa", "bb", "xx", "ZZ", "a1"])]
+    out = (validate_table(ds, rules).to_pandas()
+           .sort_values("rule_id").reset_index(drop=True))
+    got = dict(zip(out["rule_id"], out["n_violations"]))
+    # u: keys 1 (3 rows) + 2 (2 rows) = 5; nn: 2 NULLs; rng: -1 and
+    # 500 (NULL n exempt) = 2; re: 'ZZ' and 'a1' fail, NULL exempt = 2;
+    # set: all non-null in set = 0
+    assert got == {"u": 5, "nn": 2, "rng": 2, "re": 2, "set": 0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        validate_table(ds, [("bad", "between", "n", 1, 2)])
+    with _pytest.raises(ValueError):
+        validate_table(ds, [])
