@@ -387,7 +387,8 @@ def _inject_changelog(n: int):
         emit(d % 11 == 0, lambda x: x + n,
              lambda x: "new:" + (x + n).astype(str), 1,
              lambda x: 2 * x, "upsert")
-        return pd.concat(outs, ignore_index=True)
+        from doc_ocr_ray.util import typed_if_empty
+        return typed_if_empty(pd.concat(outs, ignore_index=True))
     return inject
 
 

@@ -118,7 +118,13 @@ def apply_changelog(snapshot_ds, changes_ds, num_parts: int = 256):
     def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
         bad = set(batch["op"]) - {"upsert", "delete"}
         if bad:
-            raise ValueError(f"unknown changelog ops: {sorted(bad)}")
+            raise ValueError("unknown changelog ops: "
+                             f"{sorted(str(b) for b in bad)}")
+        if len(batch) and (int(batch["ts"].min()) < 0
+                           or int(batch["seq"].min()) < 0):
+            # the snapshot sentinel is (ts, seq) = (-1, -1); negative
+            # changelog coordinates would silently lose to it
+            raise ValueError("changelog ts/seq must be non-negative")
         return typed_if_empty(pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
             "text": batch["text"].astype("object"),
@@ -163,9 +169,11 @@ def validate_table(ds, rules, num_parts: int = 64):
     final tiny combine).  ``unique`` needs co-location: per-batch
     (value, count) partials flow through ONE coarse value exchange;
     a row violates when its value's total count exceeds 1, so the
-    violation count is the sum of group counts > 1.  Values ride the
-    exchange as raw keys (slim by construction: one row per DISTINCT
-    batch value), never whole rows.
+    violation count is the sum of group counts > 1.  All unique rules
+    share that ONE extra scan; keys ride the exchange in canonical
+    ``str()`` form (the table_stats envelope — one exchange schema
+    for differently-typed key columns; one row per DISTINCT batch
+    value, never whole rows).
     """
     import re as _re
 
@@ -190,9 +198,9 @@ def validate_table(ds, rules, num_parts: int = 64):
                 v = s.dropna()
                 n = int(((v < lo) | (v > hi)).sum())
             elif kind == "regex_full":
-                pat = compiled[rid]
                 v = s.dropna()
-                n = int(sum(1 for x in v if pat.fullmatch(str(x)) is None))
+                n = int((~v.astype(str).str.fullmatch(
+                    compiled[rid])).sum())
             else:                                    # in_set
                 allowed = set(r[3])
                 v = s.dropna()
@@ -207,23 +215,35 @@ def validate_table(ds, rules, num_parts: int = 64):
     if row_rules:
         outs.append(ds.map_batches(row_partial, batch_format="pandas"))
 
-    for rid, _, col in [(r[0], r[1], r[2]) for r in uniq_rules]:
-        def key_partial(batch: pd.DataFrame, rid=rid, col=col) -> pd.DataFrame:
-            g = (batch[[col]].dropna().groupby(col, sort=False)
-                 .size().reset_index(name="cnt"))
-            return typed_if_empty(pd.DataFrame({
-                "rule_id": np.full(len(g), rid, dtype=object),
-                "key": g[col].to_numpy(),
-                "cnt": g["cnt"].astype("int64"),
-                "kpart": coarse_part(g[col], num_parts)}))
+    if uniq_rules:
+        ucols = [(r[0], r[2]) for r in uniq_rules]
+
+        # ALL unique rules fold into ONE scan: keys ride in canonical
+        # str() form (the table_stats envelope) so differently-typed
+        # key columns share one exchange schema
+        def key_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for rid, col in ucols:
+                g = (batch[[col]].dropna().groupby(col, sort=False)
+                     .size().reset_index(name="cnt"))
+                keys = g[col].astype(str)
+                frames.append(pd.DataFrame({
+                    "rule_id": np.full(len(g), rid, dtype=object),
+                    "key": keys.to_numpy(dtype=object),
+                    "cnt": g["cnt"].astype("int64"),
+                    "kpart": coarse_part(keys, num_parts)}))
+            return typed_if_empty(
+                pd.concat(frames, ignore_index=True))
 
         def key_combine(group: pd.DataFrame) -> pd.DataFrame:
-            tot = group.groupby("key", sort=False)["cnt"].sum()
-            n = int(tot[tot > 1].sum())
-            return pd.DataFrame({
-                "rule_id": [group["rule_id"].iloc[0]],
-                "n": pd.Series([n], dtype="int64"),
-                "part": pd.Series([0], dtype="int64")})
+            tot = (group.groupby(["rule_id", "key"], sort=False)["cnt"]
+                   .sum().reset_index())
+            v = (tot[tot["cnt"] > 1].groupby("rule_id", sort=False)
+                 ["cnt"].sum().reset_index())
+            return typed_if_empty(pd.DataFrame({
+                "rule_id": v["rule_id"].astype("object"),
+                "n": v["cnt"].astype("int64"),
+                "part": np.zeros(len(v), dtype=np.int64)}))
 
         outs.append(ds.map_batches(key_partial, batch_format="pandas")
                       .groupby("kpart")
@@ -231,6 +251,13 @@ def validate_table(ds, rules, num_parts: int = 64):
 
     if not outs:
         raise ValueError("validate_table: no rules given")
+    # every rule reports even with zero violations (the unique combine
+    # emits only positive partials)
+    import ray.data as _rd
+    outs.append(_rd.from_pandas(pd.DataFrame({
+        "rule_id": pd.Series([r[0] for r in rules], dtype="object"),
+        "n": pd.Series([0] * len(rules), dtype="int64"),
+        "part": pd.Series([0] * len(rules), dtype="int64")})))
     tagged = outs[0]
     for o in outs[1:]:
         tagged = tagged.union(o)

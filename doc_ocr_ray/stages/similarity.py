@@ -661,6 +661,47 @@ def _pq_code_positions(X: np.ndarray, C: np.ndarray, subs: np.ndarray,
     return codepos
 
 
+_PQ_EMPTY = {"query_id": pa.int64(), "rank": pa.int64(),
+             "vec_id": pa.int64(), "adc_scaled": pa.int64()}
+
+
+def _pq_gather_queries(ds, query_ids, id_col, vec_col, scale):
+    """Distributed query gather + integer-grid scaling shared by
+    pq_search and pq_search_ivf (the exact-twin equality depends on
+    both using the SAME prep).  Returns (q_ids, Qi) or (None, None)
+    when no query row exists."""
+    qrows = _grab_rows_by_id(ds, query_ids, id_col)
+    if not qrows:
+        return None, None
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    Qi = np.floor(_matrix([r[vec_col] for r in qrows]) * scale
+                  + 0.5).astype(np.int64)
+    return q_ids, Qi
+
+
+def _pq_merge_topk(partials, k: int) -> pa.Table:
+    """Driver merge of per-batch (query_id, vec_id, adc_scaled)
+    candidates -> ranked top-k table; shared by pq_search and
+    pq_search_ivf so tie handling cannot drift between the twins."""
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append(
+            (r["adc_scaled"], r["vec_id"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid])[:k]
+        for rank, (adc_v, vid) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(adc_v)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "adc_scaled": pa.array(out_s, pa.int64()),
+    })
+
+
 def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
               n_codes: int = 8, id_col: str = "vec_id",
               vec_col: str = "embedding", scale: int = 1_000_000) -> pa.Table:
@@ -682,17 +723,9 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
 
     cids, Cf = _seed_centroids(ds, n_codes, id_col, vec_col)
     C = np.floor(Cf * scale + 0.5).astype(np.int64)
-    qrows = _grab_rows_by_id(ds, query_ids, id_col)
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "adc_scaled": pa.array([], pa.int64())})
-    if not qrows:
-        return empty
-    qrows.sort(key=lambda r: int(r[id_col]))
-    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
-    Qi = np.floor(_matrix([r[vec_col] for r in qrows]) * scale
-                  + 0.5).astype(np.int64)
+    q_ids, Qi = _pq_gather_queries(ds, query_ids, id_col, vec_col, scale)
+    if q_ids is None:
+        return pa.table({c: pa.array([], t) for c, t in _PQ_EMPTY.items()})
     mm = int(m)
     subs = _pq_subspaces(Qi.shape[1], mm)
     lut = _pq_lut(Qi, C, subs, mm)
@@ -729,22 +762,7 @@ def pq_search(ds, query_ids: List[int], k: int = 5, m: int = 4,
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096).take_all()
-    best: dict = {}
-    for r in partials:
-        best.setdefault(r["query_id"], []).append(
-            (r["adc_scaled"], r["vec_id"]))
-    out_q, out_rank, out_v, out_s = [], [], [], []
-    for qid in sorted(best):
-        cand = sorted(best[qid])[:k]
-        for rank, (adc_v, vid) in enumerate(cand, start=1):
-            out_q.append(qid); out_rank.append(rank)
-            out_v.append(vid); out_s.append(adc_v)
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "adc_scaled": pa.array(out_s, pa.int64()),
-    })
+    return _pq_merge_topk(partials, k)
 
 
 def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
@@ -766,26 +784,24 @@ def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
     everything, making the operator provably equal to
     :func:`pq_search` — the exact-probe twin that lets the brute PQ
     SQL oracle hash-check this whole code path while the approximate
-    default stays the scale path.  One stateless pass, two tiny
+    default stays the scale path.  Three streaming passes (one shared
+    seed scan, the query gather, the scoring pass), two tiny
     broadcasts, no shuffle.
     """
     import ray
 
-    cids_c, Ccf = _seed_centroids(ds, n_centroids, id_col, vec_col)
-    Cc = np.floor(Ccf * scale + 0.5).astype(np.int64)
-    cids_q, Cqf = _seed_centroids(ds, n_codes, id_col, vec_col)
-    Cq = np.floor(Cqf * scale + 0.5).astype(np.int64)
-    qrows = _grab_rows_by_id(ds, query_ids, id_col)
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "adc_scaled": pa.array([], pa.int64())})
-    if not qrows:
-        return empty
-    qrows.sort(key=lambda r: int(r[id_col]))
-    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
-    Qi = np.floor(_matrix([r[vec_col] for r in qrows]) * scale
-                  + 0.5).astype(np.int64)
+    if int(nprobe) < 1:
+        raise ValueError(f"pq_search_ivf: nprobe={nprobe} must be >= 1")
+    # ONE seed scan covers both centroid sets (coarse ids and PQ
+    # codebook ids are each a prefix of the id < kmax rows)
+    cids_all, Call = _seed_centroids(
+        ds, max(n_centroids, n_codes), id_col, vec_col)
+    Ci_all = np.floor(Call * scale + 0.5).astype(np.int64)
+    Cc = Ci_all[cids_all < n_centroids]
+    Cq = Ci_all[cids_all < n_codes]
+    q_ids, Qi = _pq_gather_queries(ds, query_ids, id_col, vec_col, scale)
+    if q_ids is None:
+        return pa.table({c: pa.array([], t) for c, t in _PQ_EMPTY.items()})
     mm = int(m)
     subs = _pq_subspaces(Qi.shape[1], mm)
     lut = _pq_lut(Qi, Cq, subs, mm)
@@ -833,22 +849,7 @@ def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096).take_all()
-    best: dict = {}
-    for r in partials:
-        best.setdefault(r["query_id"], []).append(
-            (r["adc_scaled"], r["vec_id"]))
-    out_q, out_rank, out_v, out_s = [], [], [], []
-    for qid in sorted(best):
-        cand = sorted(best[qid])[:k]
-        for rank, (adc_v, vid) in enumerate(cand, start=1):
-            out_q.append(qid); out_rank.append(rank)
-            out_v.append(vid); out_s.append(adc_v)
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "adc_scaled": pa.array(out_s, pa.int64()),
-    })
+    return _pq_merge_topk(partials, k)
 
 
 def search_rerank(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,

@@ -2475,6 +2475,13 @@ def test_apply_changelog_semantics():
     import ray.exceptions
     with _pytest.raises(ray.exceptions.RayTaskError):
         apply_changelog(snap, bad).to_pandas()
+    # negative changelog coordinates would lose to the snapshot
+    # sentinel — refused loudly
+    neg = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": ["x"], "ts": [-2], "seq": [0],
+        "op": ["upsert"]}))
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        apply_changelog(snap, neg).to_pandas()
 
 
 def test_validate_table_rules_and_cross_batch_unique():
@@ -2488,6 +2495,7 @@ def test_validate_table_rules_and_cross_batch_unique():
                 None, "aa"]})
     ds = ray.data.from_pandas(df).repartition(5)   # dups cross batches
     rules = [("u", "unique", "k"),
+             ("u2", "unique", "txt"),            # no dups -> reports 0
              ("nn", "not_null", "txt"),
              ("rng", "int_range", "n", 1, 100),
              ("re", "regex_full", "tag", "[a-z]{2}"),
@@ -2498,7 +2506,8 @@ def test_validate_table_rules_and_cross_batch_unique():
     # u: keys 1 (3 rows) + 2 (2 rows) = 5; nn: 2 NULLs; rng: -1 and
     # 500 (NULL n exempt) = 2; re: 'ZZ' and 'a1' fail, NULL exempt = 2;
     # set: all non-null in set = 0
-    assert got == {"u": 5, "nn": 2, "rng": 2, "re": 2, "set": 0}
+    assert got == {"u": 5, "u2": 0, "nn": 2, "rng": 2, "re": 2,
+                   "set": 0}
     import pytest as _pytest
     with _pytest.raises(ValueError):
         validate_table(ds, [("bad", "between", "n", 1, 2)])

@@ -421,6 +421,9 @@ def test_pq_search_ivf_full_probe_equals_pq_and_recall():
                (r["query_id"], r["vec_id"], r["adc_scaled"])
                in exact_pairs)
     assert hits >= 3     # top-1 recall vs unpruned PQ on >= 3/8 queries
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_search_ivf(ds, qids, nprobe=0)
 
 
 def test_search_rerank_flips_lexical_order_and_drops_unembedded():
