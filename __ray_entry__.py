@@ -392,6 +392,48 @@ def _inject_changelog(n: int):
     return inject
 
 
+def _inject_index_changelog(n: int):
+    """The cdc changelog reshaped for INDEX maintenance: same key /
+    (ts, seq) structure as :func:`_inject_changelog`, but winner
+    texts carry common corpus words ('merge', 'scan') so affected
+    tokens have existing base postings — the delta operator's
+    merge-exchange path fires, not just tombstoning."""
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        outs = []
+
+        def emit(mask, key_fn, text_fn, ts, seq_fn, op):
+            dd = d[mask]
+            outs.append(pd.DataFrame({
+                "doc_id": key_fn(dd).astype("int64"),
+                "text": text_fn(dd),
+                "ts": np.full(len(dd), ts, dtype=np.int64),
+                "seq": seq_fn(dd).astype("int64"),
+                "op": np.full(len(dd), op, dtype=object)}))
+
+        blank = lambda x: pd.Series(np.full(len(x), "", dtype=object),
+                                    index=x.index)
+        emit(d % 3 == 0, lambda x: x,
+             lambda x: "u1:" + x.astype(str) + " merge", 10,
+             lambda x: 2 * x, "upsert")
+        emit(d % 6 == 0, lambda x: x, blank, 20,
+             lambda x: 2 * x + 1, "delete")
+        emit(d % 7 == 1, lambda x: x, blank, 5, lambda x: 2 * x,
+             "delete")
+        emit(d % 9 == 4, lambda x: x,
+             lambda x: "tieA:" + x.astype(str), 30, lambda x: 2 * x,
+             "upsert")
+        emit(d % 9 == 4, lambda x: x,
+             lambda x: "tieB:" + x.astype(str) + " scan", 30,
+             lambda x: 2 * x + 1, "upsert")
+        emit(d % 11 == 0, lambda x: x + n,
+             lambda x: "new:" + (x + n).astype(str) + " scan merge", 1,
+             lambda x: 2 * x, "upsert")
+        from doc_ocr_ray.util import typed_if_empty
+        return typed_if_empty(pd.concat(outs, ignore_index=True))
+    return inject
+
+
 def _inject_frontier_html(n: int):
     """Synthetic crawl snapshot for the frontier: every page links a
     same-host /top, even pages an external host, every page the NEXT
@@ -2165,6 +2207,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    batch_format="pandas")
         return apply_changelog(docs, changes)
 
+    def q_index_delta(sf_dir):
+        # incremental inverted-index maintenance: uncapped base index
+        # + CDC changelog -> new index WITHOUT re-shipping unaffected
+        # tokens; equals the full rebuild by construction (unit test
+        # pins equality; the oracle IS the rebuild in SQL)
+        from doc_ocr_ray.stages.text_analysis import (
+            inverted_index, inverted_index_delta)
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        changes = docs.map_batches(_inject_index_changelog(n),
+                                   batch_format="pandas")
+        base = inverted_index(docs, min_df=1,
+                              max_postings=None).materialize()
+        return inverted_index_delta(base, changes)
+
     def q_crawl_frontier(sf_dir):
         # the composed frontier: outlinks -> robots politeness ->
         # drop already-crawled (native left_anti on canon_url) ->
@@ -2213,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
+        "index_delta": q_index_delta,
         "validate_table": q_validate_table,
         "triangle_count": q_triangle_count,
         "zscore_by_source": q_zscore_by_source,
@@ -3577,6 +3635,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents s FULL OUTER JOIN win w
               ON w.doc_id = s.doc_id
             WHERE w.op IS NULL OR w.op <> 'delete'
+        """,
+        # incremental index maintenance twin: the oracle IS the full
+        # rebuild the delta operator replaces — cdc winner CTEs (the
+        # index-changelog injection with its common-word suffixes)
+        # merged into the snapshot, then the uncapped/unpruned
+        # inverted-index SQL over the merged table
+        "index_delta": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     'u1:' || CAST(doc_id AS VARCHAR) || ' merge'
+                         AS text,
+                     10 AS ts, 2 * doc_id AS seq, 'upsert' AS op
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, '', 20, 2 * doc_id + 1, 'delete'
+              FROM documents WHERE doc_id % 6 = 0
+              UNION ALL
+              SELECT doc_id, '', 5, 2 * doc_id, 'delete'
+              FROM documents WHERE doc_id % 7 = 1
+              UNION ALL
+              SELECT doc_id, 'tieA:' || CAST(doc_id AS VARCHAR),
+                     30, 2 * doc_id, 'upsert'
+              FROM documents WHERE doc_id % 9 = 4
+              UNION ALL
+              SELECT doc_id,
+                     'tieB:' || CAST(doc_id AS VARCHAR) || ' scan',
+                     30, 2 * doc_id + 1, 'upsert'
+              FROM documents WHERE doc_id % 9 = 4
+              UNION ALL
+              SELECT doc_id + (SELECT n FROM nn),
+                     'new:' || CAST(doc_id + (SELECT n FROM nn)
+                                    AS VARCHAR) || ' scan merge',
+                     1, 2 * doc_id, 'upsert'
+              FROM documents WHERE doc_id % 11 = 0),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY ts DESC, seq DESC) AS rn
+                  FROM ch),
+            win AS (SELECT doc_id, text, op FROM w WHERE rn = 1),
+            merged AS (
+              SELECT coalesce(w.doc_id, s.doc_id) AS doc_id,
+                     CASE WHEN w.doc_id IS NULL THEN s.text
+                          ELSE w.text END AS text
+              FROM documents s FULL OUTER JOIN win w
+                ON w.doc_id = s.doc_id
+              WHERE w.op IS NULL OR w.op <> 'delete'),
+            toks AS (
+              SELECT doc_id, unnest(
+                       regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM merged WHERE {_NORM} != ''),
+            p AS (SELECT DISTINCT tok AS token, doc_id FROM toks)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p GROUP BY token
         """,
         # undirected triangles u<v<w via the canonical three-edge
         # self-join over the SAME derived link graph as pagerank

@@ -1184,6 +1184,190 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
             .groupby("part").map_groups(build, batch_format="pandas"))
 
 
+def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
+    """Incremental inverted-index maintenance — apply a CDC changelog
+    (the :func:`doc_ocr_ray.stages.catalog.apply_changelog` event
+    shape) to a persisted FULL index without rebuilding it: the
+    Lucene segment-merge discipline collapsed to one compaction pass.
+
+    ``base_index_ds``: (token, df, postings) built UNCAPPED and
+    unpruned (``inverted_index(snapshot, min_df=1,
+    max_postings=None)``) — the maintainable artifact.  A capped or
+    min_df-pruned index is LOSSY (a tombstone on a capped posting
+    list cannot reveal the 65th doc), so maintenance refuses it
+    loudly: every row must satisfy ``df == len(postings)``.  Capping
+    and hapax pruning are query-time views over this artifact.
+
+    ``changes_ds``: (doc_id, text, ts, seq, op) with op in
+    {'upsert', 'delete'} — (ts, seq) total order, exactly the
+    ``apply_changelog`` contract.
+
+    Output: the new full index, byte-equal to
+    ``inverted_index(apply_changelog(snapshot, changes), min_df=1,
+    max_postings=None)`` — the rebuild it replaces.
+
+    Scale shape (why this beats the rebuild): the rebuild re-ships
+    every (token, doc) pair of the corpus through the token exchange;
+    here the only exchanges are DELTA-sized —
+      1. changelog winner resolution (one coarse key exchange over
+         change rows only),
+      2. the merge exchange, which carries new-winner pairs plus the
+         postings of AFFECTED tokens only (tokens occurring in winner
+         texts).  Honest cost note: a stopword token touched by any
+         changed doc re-ships its full posting list — inherent to
+         exact df maintenance.
+    Everything else is shuffle-free: changed doc ids (delta-sized)
+    and the affected-token vocabulary (delta-vocab-sized) broadcast
+    once via ``ray.put`` (the ``decontaminate`` trade, bound stated
+    there), and the base index streams through stateless tombstone
+    filtering — unaffected tokens never enter an exchange.  The base
+    is consumed by TWO map_batches consumers; pass it materialized
+    (or as a persisted parquet read) so the upstream isn't re-run.
+    """
+    import ray
+
+    def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = set(batch["op"]) - {"upsert", "delete"}
+        if bad:
+            raise ValueError("unknown changelog ops: "
+                             f"{sorted(str(b) for b in bad)}")
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "text": batch["text"].astype("object"),
+            "ts": batch["ts"].astype("int64"),
+            "seq": batch["seq"].astype("int64"),
+            "op": batch["op"].astype("object"),
+            "part": coarse_part(batch["doc_id"], num_parts)}))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        # latest (ts, seq) wins per key; delete winners contribute no
+        # new postings (their old ones die by tombstone)
+        g = group.sort_values(["doc_id", "ts", "seq"], kind="mergesort")
+        win = g.drop_duplicates("doc_id", keep="last")
+        win = win[win["op"] == "upsert"]
+        return typed_if_empty(
+            win[["doc_id", "text"]].reset_index(drop=True))
+
+    winners = (changes_ds.map_batches(tag_change, batch_format="pandas")
+               .groupby("part")
+               .map_groups(resolve, batch_format="pandas")
+               .materialize())
+
+    _empty_pairs = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def win_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty_pairs)
+        ids = batch["doc_id"].to_numpy()[doc_idx]
+        p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
+        p["doc_id"] = p["doc_id"].astype("int64")
+        p["part"] = coarse_part(p["token"], num_parts)
+        return p
+
+    new_pairs = winners.map_batches(win_pairs, batch_format="pandas")
+
+    # delta-sized driver state, broadcast once: every changed key is a
+    # tombstone; every token of a winner text is an affected token
+    tomb = sorted({int(r["doc_id"]) for r in
+                   changes_ds.select_columns(["doc_id"]).take_all()})
+    affected = set()
+    for b in new_pairs.select_columns(["token"]).iter_batches(
+            batch_format="pandas"):
+        affected.update(b["token"].tolist())
+    bcast = ray.put((np.asarray(tomb, dtype=np.int64),
+                     frozenset(affected)))
+
+    def _split_base(batch: pd.DataFrame):
+        """One vectorized tombstone pass over base rows: returns
+        (kept-postings flat arrays per row, affected mask)."""
+        tomb_arr, aff = ray.get(bcast)
+        n = len(batch)
+        posts = batch["postings"].astype(str).to_numpy()
+        counts = batch["df"].to_numpy(dtype=np.int64)
+        if n:
+            flat = np.array(",".join(posts).split(","), dtype=np.int64)
+            if len(flat) != int(counts.sum()):
+                raise ValueError(
+                    "inverted_index_delta requires an UNCAPPED base "
+                    "index (df == len(postings) on every row); build "
+                    "it with min_df=1, max_postings=None")
+            row_idx = np.repeat(np.arange(n), counts)
+            keep = ~np.isin(flat, tomb_arr)
+        else:
+            flat = np.array([], dtype=np.int64)
+            row_idx = np.array([], dtype=np.int64)
+            keep = np.array([], dtype=bool)
+        aff_mask = batch["token"].isin(aff).to_numpy()
+        return flat, row_idx, keep, aff_mask
+
+    _empty_final = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "df": pd.Series([], dtype="int64"),
+        "postings": pd.Series([], dtype="object")})
+
+    def finals(batch: pd.DataFrame) -> pd.DataFrame:
+        # unaffected tokens: tombstone-filter in place, emit directly
+        # — NO exchange; rows losing every posting drop
+        flat, row_idx, keep, aff_mask = _split_base(batch)
+        n = len(batch)
+        new_cnt = np.bincount(row_idx[keep], minlength=n)
+        toks = batch["token"].to_numpy()
+        out_tok, out_df, out_post = [], [], []
+        changed = new_cnt != batch["df"].to_numpy(dtype=np.int64)
+        kept_flat = flat[keep]
+        # rows untouched by any tombstone pass through zero-copy-ish;
+        # only changed rows re-join their posting strings
+        starts = np.concatenate(([0], np.cumsum(new_cnt)))
+        for i in np.nonzero(~aff_mask & (new_cnt > 0))[0]:
+            out_tok.append(toks[i])
+            out_df.append(int(new_cnt[i]))
+            if changed[i]:
+                ids = kept_flat[starts[i]:starts[i + 1]]
+                out_post.append(",".join(str(v) for v in ids))
+            else:
+                out_post.append(batch["postings"].iat[i])
+        return typed_if_empty(pd.DataFrame({
+            "token": pd.Series(out_tok, dtype="object"),
+            "df": pd.Series(out_df, dtype="int64"),
+            "postings": pd.Series(out_post, dtype="object")}))
+
+    def affected_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # affected tokens: their SURVIVING base postings enter the
+        # merge exchange as pairs alongside the new-winner pairs
+        flat, row_idx, keep, aff_mask = _split_base(batch)
+        sel = keep & aff_mask[row_idx]
+        if not sel.any():
+            return typed_if_empty(_empty_pairs)
+        toks = batch["token"].to_numpy()[row_idx[sel]]
+        p = pd.DataFrame({"token": toks,
+                          "doc_id": flat[sel].astype(np.int64)})
+        p["part"] = coarse_part(p["token"], num_parts)
+        return p
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["token", "doc_id"])
+        out_tok, out_df, out_post = [], [], []
+        for tok, sub in g.groupby("token", sort=False):
+            out_tok.append(tok)
+            out_df.append(len(sub))
+            out_post.append(",".join(str(i) for i in sub["doc_id"]))
+        return typed_if_empty(pd.DataFrame({
+            "token": pd.Series(out_tok, dtype="object"),
+            "df": pd.Series(out_df, dtype="int64"),
+            "postings": pd.Series(out_post, dtype="object")}))
+
+    merged = (base_index_ds.map_batches(affected_pairs,
+                                        batch_format="pandas")
+              .union(new_pairs)
+              .groupby("part").map_groups(build, batch_format="pandas"))
+    return base_index_ds.map_batches(
+        finals, batch_format="pandas").union(merged)
+
+
 def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48):
     """Fixed-size token-window chunking with overlap — the standard
     RAG / training-prep doc splitter — over the normalized token

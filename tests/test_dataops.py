@@ -2513,3 +2513,48 @@ def test_validate_table_rules_and_cross_batch_unique():
         validate_table(ds, [("bad", "between", "n", 1, 2)])
     with _pytest.raises(ValueError):
         validate_table(ds, [])
+
+
+def test_inverted_index_delta_equals_rebuild():
+    """Incremental index maintenance == full rebuild over the merged
+    table, with every CDC rule firing: upsert rewrite (token loss +
+    gain), full delete (token dies), fresh insert (new token),
+    out-of-order loss, equal-ts seq tie, and tokens shared between
+    affected and unaffected docs."""
+    import ray.data
+    from doc_ocr_ray.stages.catalog import apply_changelog
+    from doc_ocr_ray.stages.text_analysis import (inverted_index,
+                                                  inverted_index_delta)
+    snap = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 7],
+        "text": ["the cat sat", "the dog sat", "a cat ran",
+                 "lonely tokens here", "the bird", "old seven"]}))
+    ch = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [2, 3, 6, 5, 5, 7, 7],
+        "text": ["the dog BARKED loud", "", "fresh cat",
+                 "WRONG", "", "tiea cat", "tieb cat"],
+        "ts":   [2, 1, 1, 1, 3, 4, 4],
+        "seq":  [0, 0, 0, 0, 0, 0, 1],
+        "op": ["upsert", "delete", "upsert", "upsert", "delete",
+               "upsert", "upsert"]}))
+    base = inverted_index(snap, min_df=1, max_postings=None,
+                          num_parts=8).materialize()
+    got = (inverted_index_delta(base.repartition(3), ch, num_parts=8)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    want = (inverted_index(apply_changelog(snap, ch), min_df=1,
+                           max_postings=None, num_parts=8)
+            .to_pandas().sort_values("token").reset_index(drop=True))
+    assert got.equals(want)
+    # spot-pins: tieb won doc 7; 'cat' = {1, 6, 7}; 'sat' lost doc 2;
+    # 'bird'/'a'/'ran' died; 'fresh'/'barked' born
+    idx = dict(zip(got["token"], got["postings"]))
+    assert idx["cat"] == "1,6,7" and idx["tieb"] == "7"
+    assert idx["sat"] == "1" and idx["barked"] == "2"
+    assert "bird" not in idx and "ran" not in idx and "tiea" not in idx
+    # a capped (lossy) base is refused loudly
+    import pytest as _pytest
+    import ray.exceptions
+    capped = inverted_index(snap, min_df=1, max_postings=1,
+                            num_parts=8).materialize()
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        inverted_index_delta(capped, ch, num_parts=8).to_pandas()
