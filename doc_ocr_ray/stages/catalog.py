@@ -115,6 +115,20 @@ def apply_changelog(snapshot_ds, changes_ds, num_parts: int = 256):
             "op": np.full(len(batch), "snap", dtype=object),
             "part": coarse_part(batch["doc_id"], num_parts)}))
 
+    tagged = (snapshot_ds.map_batches(tag_snap, batch_format="pandas")
+              .union(changes_ds.map_batches(changelog_tag_fn(num_parts),
+                                            batch_format="pandas")))
+
+    return tagged.groupby("part").map_groups(changelog_resolve,
+                                             batch_format="pandas")
+
+
+def changelog_tag_fn(num_parts: int):
+    """The shared changelog validation + tagging map (used by
+    :func:`apply_changelog` and the incremental index maintainer in
+    ``text_analysis.inverted_index_delta`` — ONE place decides what a
+    well-formed changelog row is, so the two operators cannot drift
+    on accepted inputs)."""
     def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
         bad = set(batch["op"]) - {"upsert", "delete"}
         if bad:
@@ -132,23 +146,19 @@ def apply_changelog(snapshot_ds, changes_ds, num_parts: int = 256):
             "seq": batch["seq"].astype("int64"),
             "op": batch["op"].astype("object"),
             "part": coarse_part(batch["doc_id"], num_parts)}))
+    return tag_change
 
-    tagged = (snapshot_ds.map_batches(tag_snap, batch_format="pandas")
-              .union(changes_ds.map_batches(tag_change,
-                                            batch_format="pandas")))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        # snapshot rows carry (ts, seq) = (-1, -1), so any change
-        # outranks them in the same (ts, seq) order — one sort, one
-        # keep-last, no per-key loop
-        g = group.sort_values(["doc_id", "ts", "seq"], kind="mergesort")
-        win = g.drop_duplicates("doc_id", keep="last")
-        win = win[win["op"] != "delete"]
-        return typed_if_empty(
-            win[["doc_id", "text"]].reset_index(drop=True))
-
-    return tagged.groupby("part").map_groups(resolve,
-                                             batch_format="pandas")
+def changelog_resolve(group: pd.DataFrame) -> pd.DataFrame:
+    """Shared per-partition winner resolution: latest (ts, seq) per
+    key, delete winners drop.  Snapshot rows (if present) carry the
+    (-1, -1) sentinel so any change outranks them in the same order —
+    one sort, one keep-last, no per-key loop."""
+    g = group.sort_values(["doc_id", "ts", "seq"], kind="mergesort")
+    win = g.drop_duplicates("doc_id", keep="last")
+    win = win[win["op"] != "delete"]
+    return typed_if_empty(
+        win[["doc_id", "text"]].reset_index(drop=True))
 
 
 def validate_table(ds, rules, num_parts: int = 64):

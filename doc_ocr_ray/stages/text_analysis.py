@@ -1149,21 +1149,40 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
     earlier because df is only known after the exchange.  Output:
     (token, df, postings).
     """
-    _empty = pd.DataFrame({
-        "token": pd.Series([], dtype="object"),
-        "doc_id": pd.Series([], dtype="int64"),
-        "part": pd.Series([], dtype="int64")})
+    return (ds.map_batches(_index_pairs_fn(num_parts),
+                           batch_format="pandas")
+            .groupby("part").map_groups(
+                _index_build_fn(min_df, max_postings),
+                batch_format="pandas"))
 
+
+_EMPTY_TOKEN_PAIRS = pd.DataFrame({
+    "token": pd.Series([], dtype="object"),
+    "doc_id": pd.Series([], dtype="int64"),
+    "part": pd.Series([], dtype="int64")})
+
+
+def _index_pairs_fn(num_parts: int):
+    """Shared (doc text) -> distinct (token, doc_id, part) pair map —
+    the combiner stage of :func:`inverted_index`, reused by
+    :func:`inverted_index_delta` on changelog winners so the two
+    operators tokenize identically by construction."""
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
         if not len(toks):
-            return typed_if_empty(_empty)
+            return typed_if_empty(_EMPTY_TOKEN_PAIRS)
         ids = batch["doc_id"].to_numpy()[doc_idx]
         p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
         p["doc_id"] = p["doc_id"].astype("int64")
         p["part"] = coarse_part(p["token"], num_parts)
         return p
+    return pairs
 
+
+def _index_build_fn(min_df, max_postings):
+    """Shared per-partition posting-list builder (df count, ascending
+    sort, cap, hapax prune) for :func:`inverted_index` and the merge
+    side of :func:`inverted_index_delta`."""
     def build(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["token", "doc_id"])
         out_tok, out_df, out_post = [], [], []
@@ -1179,9 +1198,7 @@ def inverted_index(ds, min_df: int = 2, max_postings: int = 64,
             "token": pd.Series(out_tok, dtype="object"),
             "df": pd.Series(out_df, dtype="int64"),
             "postings": pd.Series(out_post, dtype="object")}))
-
-    return (ds.map_batches(pairs, batch_format="pandas")
-            .groupby("part").map_groups(build, batch_format="pandas"))
+    return build
 
 
 def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
@@ -1194,9 +1211,14 @@ def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
     unpruned (``inverted_index(snapshot, min_df=1,
     max_postings=None)``) — the maintainable artifact.  A capped or
     min_df-pruned index is LOSSY (a tombstone on a capped posting
-    list cannot reveal the 65th doc), so maintenance refuses it
-    loudly: every row must satisfy ``df == len(postings)``.  Capping
-    and hapax pruning are query-time views over this artifact.
+    list cannot reveal the 65th doc).  Capping is DETECTED and
+    refused loudly (per-row ``df == len(postings)`` check); min_df
+    pruning is NOT detectable from the artifact (a pruned hapax row
+    is simply absent, indistinguishable from a token that never
+    occurred) — feeding a pruned base silently loses its pruned
+    postings, so ``min_df=1`` at build time is the caller's contract.
+    Capping and hapax pruning are query-time views over this
+    artifact.
 
     ``changes_ds``: (doc_id, text, ts, seq, op) with op in
     {'upsert', 'delete'} — (ts, seq) total order, exactly the
@@ -1226,54 +1248,33 @@ def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
     """
     import ray
 
-    def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
-        bad = set(batch["op"]) - {"upsert", "delete"}
-        if bad:
-            raise ValueError("unknown changelog ops: "
-                             f"{sorted(str(b) for b in bad)}")
-        return typed_if_empty(pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "text": batch["text"].astype("object"),
-            "ts": batch["ts"].astype("int64"),
-            "seq": batch["seq"].astype("int64"),
-            "op": batch["op"].astype("object"),
-            "part": coarse_part(batch["doc_id"], num_parts)}))
+    from doc_ocr_ray.stages.catalog import (changelog_resolve,
+                                            changelog_tag_fn)
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        # latest (ts, seq) wins per key; delete winners contribute no
-        # new postings (their old ones die by tombstone)
-        g = group.sort_values(["doc_id", "ts", "seq"], kind="mergesort")
-        win = g.drop_duplicates("doc_id", keep="last")
-        win = win[win["op"] == "upsert"]
-        return typed_if_empty(
-            win[["doc_id", "text"]].reset_index(drop=True))
+    # the changelog is consumed twice (winner resolution + tombstone
+    # collection) and is delta-sized — materialize the tagged form
+    # ONCE so an unmaterialized upstream (e.g. a parquet scan + event
+    # derivation) isn't re-executed.  Validation (op whitelist,
+    # non-negative ts/seq) is apply_changelog's own tag fn, so the
+    # two operators accept exactly the same changelogs.
+    tagged = (changes_ds.map_batches(changelog_tag_fn(num_parts),
+                                     batch_format="pandas")
+              .materialize())
+    winners = (tagged.groupby("part")
+               .map_groups(changelog_resolve, batch_format="pandas"))
 
-    winners = (changes_ds.map_batches(tag_change, batch_format="pandas")
-               .groupby("part")
-               .map_groups(resolve, batch_format="pandas")
-               .materialize())
-
-    _empty_pairs = pd.DataFrame({
-        "token": pd.Series([], dtype="object"),
-        "doc_id": pd.Series([], dtype="int64"),
-        "part": pd.Series([], dtype="int64")})
-
-    def win_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
-        if not len(toks):
-            return typed_if_empty(_empty_pairs)
-        ids = batch["doc_id"].to_numpy()[doc_idx]
-        p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
-        p["doc_id"] = p["doc_id"].astype("int64")
-        p["part"] = coarse_part(p["token"], num_parts)
-        return p
-
-    new_pairs = winners.map_batches(win_pairs, batch_format="pandas")
+    # winner texts tokenize through inverted_index's OWN pair map, so
+    # delta and rebuild agree by construction; new_pairs feeds both
+    # the affected-vocab collection and the merge union — materialize
+    # once (delta-sized).
+    new_pairs = (winners.map_batches(_index_pairs_fn(num_parts),
+                                     batch_format="pandas")
+                 .materialize())
 
     # delta-sized driver state, broadcast once: every changed key is a
     # tombstone; every token of a winner text is an affected token
     tomb = sorted({int(r["doc_id"]) for r in
-                   changes_ds.select_columns(["doc_id"]).take_all()})
+                   tagged.select_columns(["doc_id"]).take_all()})
     affected = set()
     for b in new_pairs.select_columns(["token"]).iter_batches(
             batch_format="pandas"):
@@ -1286,15 +1287,18 @@ def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
         (kept-postings flat arrays per row, affected mask)."""
         tomb_arr, aff = ray.get(bcast)
         n = len(batch)
-        posts = batch["postings"].astype(str).to_numpy()
         counts = batch["df"].to_numpy(dtype=np.int64)
         if n:
-            flat = np.array(",".join(posts).split(","), dtype=np.int64)
-            if len(flat) != int(counts.sum()):
+            posts = batch["postings"].astype(str)
+            # per-row lossless-base guard: a capped row has fewer
+            # postings than df (batch-level sums could compensate)
+            if (posts.str.count(",").to_numpy() + 1 != counts).any():
                 raise ValueError(
                     "inverted_index_delta requires an UNCAPPED base "
                     "index (df == len(postings) on every row); build "
                     "it with min_df=1, max_postings=None")
+            flat = np.array(",".join(posts.to_numpy()).split(","),
+                            dtype=np.int64)
             row_idx = np.repeat(np.arange(n), counts)
             keep = ~np.isin(flat, tomb_arr)
         else:
@@ -1311,29 +1315,32 @@ def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
 
     def finals(batch: pd.DataFrame) -> pd.DataFrame:
         # unaffected tokens: tombstone-filter in place, emit directly
-        # — NO exchange; rows losing every posting drop
+        # — NO exchange; rows losing every posting drop.  The dominant
+        # untouched rows pass through as ONE frame slice; only rows a
+        # tombstone actually hit re-join their posting strings.
         flat, row_idx, keep, aff_mask = _split_base(batch)
         n = len(batch)
         new_cnt = np.bincount(row_idx[keep], minlength=n)
-        toks = batch["token"].to_numpy()
-        out_tok, out_df, out_post = [], [], []
         changed = new_cnt != batch["df"].to_numpy(dtype=np.int64)
-        kept_flat = flat[keep]
-        # rows untouched by any tombstone pass through zero-copy-ish;
-        # only changed rows re-join their posting strings
-        starts = np.concatenate(([0], np.cumsum(new_cnt)))
-        for i in np.nonzero(~aff_mask & (new_cnt > 0))[0]:
-            out_tok.append(toks[i])
-            out_df.append(int(new_cnt[i]))
-            if changed[i]:
-                ids = kept_flat[starts[i]:starts[i + 1]]
-                out_post.append(",".join(str(v) for v in ids))
-            else:
-                out_post.append(batch["postings"].iat[i])
-        return typed_if_empty(pd.DataFrame({
-            "token": pd.Series(out_tok, dtype="object"),
-            "df": pd.Series(out_df, dtype="int64"),
-            "postings": pd.Series(out_post, dtype="object")}))
+        emit = ~aff_mask & (new_cnt > 0)
+        passthru = batch.loc[emit & ~changed,
+                             ["token", "df", "postings"]]
+        parts = [_empty_final, passthru]
+        rejoin = np.nonzero(emit & changed)[0]
+        if len(rejoin):
+            kept_flat = flat[keep]
+            starts = np.concatenate(([0], np.cumsum(new_cnt)))
+            toks = batch["token"].to_numpy()
+            parts.append(pd.DataFrame({
+                "token": toks[rejoin],
+                "df": new_cnt[rejoin].astype("int64"),
+                "postings": [
+                    ",".join(str(v) for v in
+                             kept_flat[starts[i]:starts[i + 1]])
+                    for i in rejoin]}))
+        out = pd.concat(parts, ignore_index=True)
+        out["df"] = out["df"].astype("int64")
+        return typed_if_empty(out)
 
     def affected_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         # affected tokens: their SURVIVING base postings enter the
@@ -1341,29 +1348,18 @@ def inverted_index_delta(base_index_ds, changes_ds, num_parts: int = 256):
         flat, row_idx, keep, aff_mask = _split_base(batch)
         sel = keep & aff_mask[row_idx]
         if not sel.any():
-            return typed_if_empty(_empty_pairs)
+            return typed_if_empty(_EMPTY_TOKEN_PAIRS)
         toks = batch["token"].to_numpy()[row_idx[sel]]
         p = pd.DataFrame({"token": toks,
                           "doc_id": flat[sel].astype(np.int64)})
         p["part"] = coarse_part(p["token"], num_parts)
         return p
 
-    def build(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["token", "doc_id"])
-        out_tok, out_df, out_post = [], [], []
-        for tok, sub in g.groupby("token", sort=False):
-            out_tok.append(tok)
-            out_df.append(len(sub))
-            out_post.append(",".join(str(i) for i in sub["doc_id"]))
-        return typed_if_empty(pd.DataFrame({
-            "token": pd.Series(out_tok, dtype="object"),
-            "df": pd.Series(out_df, dtype="int64"),
-            "postings": pd.Series(out_post, dtype="object")}))
-
     merged = (base_index_ds.map_batches(affected_pairs,
                                         batch_format="pandas")
               .union(new_pairs)
-              .groupby("part").map_groups(build, batch_format="pandas"))
+              .groupby("part").map_groups(
+                  _index_build_fn(1, None), batch_format="pandas"))
     return base_index_ds.map_batches(
         finals, batch_format="pandas").union(merged)
 
