@@ -778,6 +778,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.verify_pairs_edit(docs, pairs,
                                        max_dist_milli=200)
 
+    def q_setsim_join(sf_dir):
+        # EXACT prefix-filter set-similarity join (AllPairs/PPJoin):
+        # all word-set Jaccard >= 0.8 pairs with provably no recall
+        # loss — unlike the probabilistic minhash queries above, the
+        # oracle here is the brute-force O(n^2) scan itself, so any
+        # completeness bug in the prefix filter fails the hash gate
+        return dedup.setsim_join_pairs(_dup_injected_docs(sf_dir),
+                                       t_milli=800)
+
     # ---- similarity search
     def q_similarity_topk(sf_dir):
         emb = _read(sf_dir, "embeddings")
@@ -2286,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_verify": q_dedup_ngram_verify,
+        "setsim_join": q_setsim_join,
         "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -2524,7 +2534,7 @@ _PHASH_PAIR_CTES = """
                                      AND x.doc_id < y.doc_id
               GROUP BY 1, 2)"""
 
-_INJ_JACCARD = """
+_INJ_NORM = """
 inj AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
@@ -2534,7 +2544,9 @@ inj AS (
         FROM documents WHERE doc_id < 200)),
 norm AS (
   SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
-  FROM inj),
+  FROM inj)"""
+
+_INJ_JACCARD = _INJ_NORM + """,
 sh AS (
   SELECT DISTINCT doc_id, substr(t, i, 5) AS g
   FROM norm, LATERAL (SELECT unnest(range(1, greatest(2, length(t) - 3))) AS i)
@@ -4483,6 +4495,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_verify": f"""
             WITH {_INJ_JACCARD}
             SELECT doc_a, doc_b, jaccard FROM jac WHERE j >= 0.6
+        """,
+        # the prefix-filter join's oracle IS the brute-force scan it
+        # provably reproduces: exact WORD-token-set Jaccard over the
+        # injected testbed, integer-exact predicate and milli score
+        # (DuckDB // == the engine's floor division)
+        "setsim_join": f"""
+            WITH {_INJ_NORM},
+            dt AS (
+              SELECT DISTINCT doc_id, unnest(str_split(t, ' ')) AS tok
+              FROM norm WHERE t <> ''),
+            sz AS (SELECT doc_id, count(*) AS s FROM dt GROUP BY doc_id),
+            i AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS ninter
+              FROM dt a JOIN dt b ON a.tok = b.tok
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST((1000 * ninter) // (sa.s + sb.s - ninter)
+                        AS BIGINT) AS jac_milli
+            FROM i JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+            WHERE 1000 * ninter >= 800 * (sa.s + sb.s - ninter)
         """,
         "dedup_minhash": _minhash_sql(),
         "dedup_minhash_incremental": _minhash_incr_sql(),

@@ -1602,3 +1602,189 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
             "dist_milli": pd.Series(out_m, dtype="int64")}))
 
     return pairs.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------- prefix-filter join
+def _md5_token_set(text: str) -> np.ndarray:
+    """Sorted unique 63-bit md5 hashes of the normalized WORD-token
+    set (the ``_NORM`` whitespace contract, not char shingles) — the
+    verify payload for :func:`setsim_join_pairs`.  md5 so hash-set
+    Jaccard equals string-set Jaccard up to an md5-64 collision (the
+    table_stats / digest-dedup exactness envelope)."""
+    t = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower())
+    if not t:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.fromiter(
+        (_md5_64(w) >> 1 for w in set(t.split(" "))),
+        dtype=np.int64, count=-1))
+
+
+def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
+                      num_parts: int = 256, num_pair_parts: int = 64):
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair of docs whose normalized word-token sets have
+    Jaccard >= t_milli/1000, with NO probabilistic recall loss — the
+    deterministic counterpart of :func:`minhash_dedup_pairs` (LSH can
+    miss a qualifying pair; the prefix filter provably cannot).
+
+    Completeness lemma (why no pair is lost): order all tokens by ONE
+    global total order; if |A∩B| >= a then the first |A|-a+1 tokens of
+    A and the first |B|-a+1 of B must share a token.  J(A,B) >= t
+    implies |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so emitting each doc's
+    first ``s - ceil(t*s) + 1`` tokens (s = set size, ceil on the
+    integer grid ``(t_milli*s + 999)//1000``) guarantees every
+    qualifying pair meets in some token bucket.  The global order is
+    (df ASC, token ASC) — rarest first, the canonical PPJoin ordering
+    that keeps stopwords OUT of prefixes so their buckets never form.
+
+    Shuffle discipline — four exchanges, all pairs- or candidate-sized:
+      1. distinct (token, doc) pairs keyed by token: each token group
+         knows its global df and annotates its rows in place (no
+         vocabulary broadcast, no separate df join);
+      2. doc-keyed regroup: per doc, sort by (df, token), keep the
+         prefix (vectorized transform/cumcount, no per-doc loop);
+      3. token-keyed candidate buckets: per token, all doc pairs that
+         survive the length filter ``1000*min(s) >= t_milli*max(s)``
+         (J >= t forces min >= t*max).  Per-bucket cost is O(b^2) like
+         every blocking join; the df-ascending order is the mitigation
+         — a token appears in a doc's prefix only while it is among
+         the doc's ~(1-t)*s rarest tokens;
+      4. coarse pair-keyed dedupe (a pair can surface from several
+         shared prefix tokens).
+    Verification reuses :func:`_pair_verify_scaffold` (broadcast
+    candidate id-set, distributed payload gather, per-partition
+    scoring; scale bound stated there).  The verify predicate and the
+    reported score are integer-exact: keep iff ``1000*inter >=
+    t_milli*union``, ``jac_milli = (1000*inter)//union``.
+
+    Returns (doc_a, doc_b, jac_milli) with doc_a < doc_b — EXACTLY the
+    pairs a brute-force O(n^2) Jaccard scan would emit (up to the
+    md5-64 payload envelope).
+    """
+    from doc_ocr_ray.stages.text_analysis import _norm_tokens_flat
+
+    if not 0 < t_milli <= 1000:
+        raise ValueError("t_milli must be in (0, 1000]")
+
+    _empty_tok = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def tok_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch[text_col].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty_tok)
+        ids = batch["doc_id"].to_numpy()[doc_idx]
+        p = pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
+        p["doc_id"] = p["doc_id"].astype("int64")
+        p["part"] = coarse_part(p["token"], num_parts)
+        return p
+
+    def annotate_df(group: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a token are co-located here, so its group size
+        # IS the global df — annotated in place, nothing broadcast
+        out = pd.DataFrame({
+            "token": group["token"].to_numpy(),
+            "doc_id": group["doc_id"].astype("int64").to_numpy(),
+            "df": group.groupby("token")["doc_id"]
+                       .transform("size").astype("int64").to_numpy()})
+        out["part"] = coarse_part(out["doc_id"], num_parts)
+        return typed_if_empty(out)
+
+    _empty_pref = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "set_size": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def prefixes(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        s = g.groupby("doc_id")["token"].transform("size").to_numpy()
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        p_len = s - (t_milli * s + 999) // 1000 + 1
+        keep = rank < p_len
+        out = pd.DataFrame({
+            "token": g["token"].to_numpy()[keep],
+            "doc_id": g["doc_id"].to_numpy()[keep],
+            "set_size": s[keep].astype("int64")})
+        out["part"] = coarse_part(out["token"], num_parts)
+        return typed_if_empty(out)
+
+    _empty_pair = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64")})
+
+    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in group.groupby("token", sort=False):
+            n = len(sub)
+            if n < 2:
+                continue
+            g = sub.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sz = g["set_size"].to_numpy()
+            iu, ju = np.triu_indices(n, k=1)
+            lo = np.minimum(sz[iu], sz[ju])
+            hi = np.maximum(sz[iu], sz[ju])
+            m = 1000 * lo >= t_milli * hi
+            if m.any():
+                outs.append(pd.DataFrame({"doc_a": ids[iu[m]],
+                                          "doc_b": ids[ju[m]]}))
+        if not outs:
+            return typed_if_empty(_empty_pair)
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cand = (ds.map_batches(tok_pairs, batch_format="pandas")
+            .groupby("part").map_groups(annotate_df, batch_format="pandas")
+            .groupby("part").map_groups(prefixes, batch_format="pandas")
+            .groupby("part").map_groups(candidates, batch_format="pandas"))
+
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ppart"] = ((batch["doc_a"] * 31 + batch["doc_b"])
+                          % num_pair_parts).astype("int64")
+        return batch
+
+    def drop_dup(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop_duplicates(["doc_a", "doc_b"])
+                     .drop(columns=["ppart"]))
+
+    uniq_pairs = (cand.map_batches(pair_part, batch_format="pandas")
+                  .groupby("ppart").map_groups(drop_dup,
+                                               batch_format="pandas"))
+
+    import ray
+
+    pairs, ref_or_empty = _pair_verify_scaffold(
+        ds, uniq_pairs,
+        lambda hit: [_md5_token_set(t).tobytes()
+                     for t in hit[text_col].fillna("")],
+        pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jac_milli": pd.Series([], dtype="int64")}))
+    if pairs is None:
+        return ref_or_empty
+    sets_ref = ref_or_empty
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ss = {d: np.frombuffer(p, dtype=np.int64)
+              for d, p in ray.get(sets_ref).items()}
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa = ss.get(int(a))
+            sb = ss.get(int(b))
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+            union = len(sa) + len(sb) - inter
+            if 1000 * inter >= t_milli * union:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_j.append((1000 * inter) // union)
+        return typed_if_empty(pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "jac_milli": pd.Series(out_j, dtype="int64")}))
+
+    return pairs.map_batches(score, batch_format="pandas")

@@ -2558,3 +2558,61 @@ def test_inverted_index_delta_equals_rebuild():
                             num_parts=8).materialize()
     with _pytest.raises(ray.exceptions.RayTaskError):
         inverted_index_delta(capped, ch, num_parts=8).to_pandas()
+
+
+def test_setsim_join_pairs_equals_bruteforce():
+    """Prefix-filter exact Jaccard join == brute-force O(n^2) scan on
+    a corpus built to stress the filter: exact duplicates, a pair
+    exactly AT the threshold, one just below, high-df shared tokens
+    (must not blow recall), and docs whose only shared tokens are
+    common (prefix ordering must still catch qualifying pairs)."""
+    import itertools
+    import ray.data
+    from doc_ocr_ray.stages.dedup import setsim_join_pairs
+
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {
+        0: "w0 w1 w2 w3 w4",          # |5|
+        1: "w0 w1 w2 w3 w4",          # dup of 0 -> J=1000
+        2: "w0 w1 w2 w3 w5",          # J(0,2)=4/6=666
+        3: "w0 w1 w2 w3 w4 w5",       # J(0,3)=5/6=833 >= 800
+        4: "w0 w1 w2 w3 w4 w5 w6 w7", # J(0,4)=5/8=625
+        5: "w20 w21 w22 w23 w24 w25 w26 w27 w28 w29",
+        6: "w20 w21 w22 w23 w24 w25 w26 w27 w28",  # J(5,6)=9/10=900
+        7: "",                        # empty: never pairs
+        8: "w0",                      # singleton set
+        9: "w0",                      # J(8,9)=1000 via one common token
+    }
+    # bulk docs sharing the high-df tokens w0..w3 (stress df ordering)
+    for i in range(10, 40):
+        texts[i] = " ".join(["w0", "w1", "w2", "w3",
+                             vocab[4 + (i % 26)], vocab[(i * 7) % 30],
+                             vocab[(i * 11) % 30], f"u{i}"])
+    t_milli = 800
+
+    def jac(a, b):
+        sa, sb = set(a.split()) - {""}, set(b.split()) - {""}
+        if not sa or not sb:
+            return None
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        return inter, union
+
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        r = jac(texts[a], texts[b])
+        if r and 1000 * r[0] >= t_milli * r[1]:
+            want.add((a, b, (1000 * r[0]) // r[1]))
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}))
+    got = setsim_join_pairs(ds, t_milli=t_milli).to_pandas()
+    got_set = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int),
+                      got["jac_milli"].astype(int)))
+    assert got_set == want
+    # pins: the dup pair, the at-threshold pair, the rejected 666 pair
+    assert (0, 1, 1000) in got_set and (0, 3, 833) in got_set
+    assert (8, 9, 1000) in got_set
+    assert not any(p[:2] == (0, 2) for p in got_set)
+    with pytest.raises(ValueError):
+        setsim_join_pairs(ds, t_milli=0)
