@@ -949,6 +949,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return labels.map_batches(out, batch_format="pandas")
 
+    def q_bloom_semi_orders(sf_dir):
+        # bloom-filtered semi-join: orders of BUILDING-segment
+        # customers; the bitmap broadcast prunes the orders exchange
+        # to bloom survivors, the native left_semi finish makes the
+        # result exactly the EXISTS row set
+        from doc_ocr_ray.pipelines.relational import bloom_semi_join
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderpriority"])
+        cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                .filter(lambda r: r["c_mktsegment"] == "BUILDING"))
+        return bloom_semi_join(orders, cust, "o_custkey", "c_custkey",
+                               m_bits=1 << 16)
+
     def q_customers_with_events_semi(sf_dir):
         # native left_semi: EXISTS with both sides hash-partitioned
         import ray
@@ -2319,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_clusters": q_embedding_clusters,
         "customers_with_events_semi": q_customers_with_events_semi,
+        "bloom_semi_orders": q_bloom_semi_orders,
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
         "media_neardup_phash": q_media_neardup_phash,
@@ -4684,6 +4698,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = c.c_custkey)
+        """,
+        # the bloom stage is an internal exchange reducer: the output
+        # contract is the plain EXISTS semi-join (false positives are
+        # removed by the exact finish, false negatives are impossible)
+        "bloom_semi_orders": """
+            SELECT o_orderkey, o_custkey, o_orderpriority FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

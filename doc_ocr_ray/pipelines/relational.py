@@ -773,3 +773,112 @@ def promo_revenue_share(part_ds, lineitem_ds,
     return (joined.map_batches(partial, batch_format="pandas")
             .union(seed)
             .groupby("k").map_groups(final, batch_format="pandas"))
+
+
+# 64-bit multiply-shift mixers for the bloom probe (odd multipliers;
+# the uint64 wrap IS the scramble — the minhash _perm_params rule)
+_BLOOM_A1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_B1 = np.uint64(0xD1B54A32D192ED03)
+_BLOOM_A2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_BLOOM_B2 = np.uint64(0x165667B19E3779F9)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int,
+                     k_hashes: int) -> np.ndarray:
+    """(n, k_hashes) bit positions via double hashing
+    h_i = (h1 + i*h2) & (m-1); h2 forced odd so the probe sequence
+    cycles through the full power-of-two table."""
+    k = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (_BLOOM_A1 * k + _BLOOM_B1) >> np.uint64(32)
+        h2 = ((_BLOOM_A2 * k + _BLOOM_B2) >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def bloom_semi_join(big_ds, keys_ds, big_key: str, keys_key: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    num_partitions: int = 16):
+    """Bloom-filtered distributed semi-join — the classic exchange
+    reducer every shuffle engine grows once tables stop fitting
+    broadcasts: keep the big side's rows whose ``big_key`` appears in
+    ``keys_ds.keys_key``, EXACTLY, but make the expensive hash
+    exchange carry only bloom SURVIVORS instead of the whole big side.
+
+    Why not broadcast the exact key set (the
+    ``filter_blocked_domains`` strategy)?  At 10 bits/key the bitmap
+    is ~80x smaller than an int64 key set — a 100M-key filter
+    broadcasts as ~125 MB where the exact set would be GBs.  Why not
+    a plain native semi join?  Its exchange ships every big-side row;
+    here only rows that pass the bitmap (true matches + the ~(1/2)^k
+    false-positive sliver) enter the join.
+
+    Stages:
+      1. BUILD — one pass over the key side emits per-batch DISTINCT
+         bit positions; one coarse position-keyed distinct exchange
+         bounds the driver collect by ``m_bits`` rows (never by
+         |keys|); the packed boolean table broadcasts once via
+         ``ray.put``.
+      2. PROBE — stateless vectorized ``map_batches`` over the big
+         side: a row survives iff all ``k_hashes`` bits are set.  No
+         false negatives by construction (same mixers both sides).
+      3. EXACT FINISH — native ``left_semi`` hash join of the
+         survivors against the distinct key side removes the false
+         positives, so the output equals the plain EXISTS semi-join
+         row for row.
+
+    Keys must be integer-valued.  ``m_bits`` must be a power of two
+    (the mask IS the modulus).  Output: the big side's rows/columns.
+    """
+    import ray
+
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    if m_bits <= 0 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError("m_bits must be a positive power of two")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+
+    _empty_pos = pd.DataFrame({"pos": pd.Series([], dtype="int64"),
+                               "part": pd.Series([], dtype="int64")})
+
+    def build_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(batch[keys_key].to_numpy(dtype=np.int64))
+        if not len(ks):
+            return typed_if_empty(_empty_pos)
+        pos = np.unique(_bloom_positions(ks, m_bits, k_hashes))
+        return pd.DataFrame({
+            "pos": pos,
+            "part": coarse_part(pd.Series(pos), num_partitions)})
+
+    def distinct_pos(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["pos"]].drop_duplicates()
+
+    bits = np.zeros(m_bits, dtype=bool)
+    pos_ds = (keys_ds.map_batches(build_positions, batch_format="pandas")
+              .groupby("part").map_groups(distinct_pos,
+                                          batch_format="pandas"))
+    for b in pos_ds.iter_batches(batch_size=65536,
+                                 batch_format="pandas"):
+        bits[b["pos"].to_numpy()] = True
+    bits_ref = ray.put(np.packbits(bits))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bt = np.unpackbits(ray.get(bits_ref), count=m_bits).view(bool)
+        ks = batch[big_key].to_numpy(dtype=np.int64)
+        if not len(ks):
+            return batch
+        idx = _bloom_positions(ks, m_bits, k_hashes)
+        return batch[bt[idx].all(axis=1)]
+
+    def distinct_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return typed_if_empty(pd.DataFrame({
+            keys_key: batch[keys_key].astype("int64")
+        }).drop_duplicates())
+
+    survivors = big_ds.map_batches(probe, batch_format="pandas")
+    keys_slim = keys_ds.map_batches(distinct_keys, batch_format="pandas")
+    return survivors.join(keys_slim, join_type="left_semi",
+                          num_partitions=num_partitions,
+                          on=(big_key,), right_on=(keys_key,))

@@ -2616,3 +2616,33 @@ def test_setsim_join_pairs_equals_bruteforce():
     assert not any(p[:2] == (0, 2) for p in got_set)
     with pytest.raises(ValueError):
         setsim_join_pairs(ds, t_milli=0)
+
+
+def test_bloom_semi_join_exact_even_with_false_positives():
+    """The bloom stage may pass false positives (tiny m_bits forces
+    them here) but the exact finish must remove every one: output ==
+    plain semi join, row for row.  No false negatives by construction."""
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import bloom_semi_join
+
+    big = pd.DataFrame({
+        "k": np.arange(300, dtype=np.int64) % 150,
+        "v": [f"row{i}" for i in range(300)]})
+    keys = pd.DataFrame({"key": np.array(
+        [3, 3, 7, 11, 140, 9999], dtype=np.int64)})  # 9999 matches nothing
+    want = big[big["k"].isin(set(keys["key"]))].reset_index(drop=True)
+
+    for m in (64, 1 << 16):  # m=64 over 6 keys*4 hashes -> fp-rich
+        got = (bloom_semi_join(ray.data.from_pandas(big),
+                               ray.data.from_pandas(keys),
+                               "k", "key", m_bits=m, k_hashes=4)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        assert got.sort_values(["k", "v"]).reset_index(drop=True).equals(
+            want.sort_values(["k", "v"]).reset_index(drop=True)), m
+
+    with pytest.raises(ValueError):
+        bloom_semi_join(ray.data.from_pandas(big),
+                        ray.data.from_pandas(keys), "k", "key", m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_semi_join(ray.data.from_pandas(big),
+                        ray.data.from_pandas(keys), "k", "key", k_hashes=0)
