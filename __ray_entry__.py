@@ -1775,6 +1775,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return shuffle_positions(
             _read(sf_dir, "documents", ["doc_id"]), seed=42)
 
+    def q_pack_tokens(sf_dir):
+        # GPT-style sequence packing: the (bin, doc) slice map of the
+        # corpus token stream in the md5(42:doc_id) order cut into
+        # 512-token training bins — token-weighted shuffle_positions
+        # plus a vectorized interval explode, no global sort
+        from doc_ocr_ray.pipelines.curate import pack_tokens
+        return pack_tokens(_read(sf_dir, "documents",
+                                 ["doc_id", "text"]),
+                           seq_len=512, seed=42)
+
     def q_select_top_quality(sf_dir):
         # FineWeb-style "keep the best 30%": histogram quantile over
         # the bounded integer score grid, then a stateless filter —
@@ -2393,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": q_token_budget_select,
         "sample_exact_n": q_sample_exact_n,
         "shuffle_positions": q_shuffle_positions,
+        "pack_tokens": q_pack_tokens,
         "interleave_positions": q_interleave_positions,
         "weighted_sample": q_weighted_sample,
         "boilerplate_prefixes": q_boilerplate_prefixes,
@@ -5301,6 +5312,35 @@ def oracle_sql() -> dict[str, str]:
                         md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
                         - 1 AS BIGINT) AS position
             FROM documents
+        """,
+        # sequence-packing twin: cumulative token starts over the SAME
+        # md5 order, then each doc's [start, start+n) range exploded
+        # into its touched 512-token bins with identical clip math
+        "pack_tokens": f"""
+            WITH d AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n
+                       FROM documents),
+            ord AS (
+              SELECT doc_id, n,
+                     CAST(SUM(n) OVER (ORDER BY
+                          md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+                       AS strt
+              FROM d),
+            nz AS (SELECT doc_id, n, strt, strt + n AS fin
+                   FROM ord WHERE n > 0),
+            b AS (SELECT doc_id, strt, fin,
+                         unnest(range(strt // 512,
+                                      (fin - 1) // 512 + 1)) AS bin_id
+                  FROM nz)
+            SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+                   CAST(greatest(bin_id * 512, strt) - bin_id * 512
+                        AS BIGINT) AS bin_off,
+                   CAST(greatest(bin_id * 512, strt) - strt
+                        AS BIGINT) AS doc_off,
+                   CAST(least((bin_id + 1) * 512, fin)
+                        - greatest(bin_id * 512, strt)
+                        AS BIGINT) AS n_slice
+            FROM b
         """,
         # exact-N deterministic sample: the 50 smallest md5(seed:key)
         # ranks, tie-break on the key, numbered in rank order

@@ -980,3 +980,117 @@ def curate_quality_funnel(ds, min_words: int = 50,
         return typed_if_empty(out)
 
     return ds.map_batches(funnel, batch_format="pandas")
+
+
+def pack_tokens(ds, seq_len: int = 2048, key: str = "doc_id",
+                seed: int = 42):
+    """GPT-style sequence packing — the training-prep step that turns
+    a curated corpus into fixed-length model inputs: conceptually,
+    concatenate every document's whitespace-token stream in the
+    deterministic md5(seed:key) global shuffle order
+    (:func:`shuffle_positions`'s order) and cut the stream into
+    consecutive ``seq_len``-token bins.  The OUTPUT is the pack map a
+    loader needs — one row per (bin, doc) intersection:
+
+        (bin_id, doc_id, bin_off, doc_off, n_slice)
+
+    meaning: tokens ``doc_off .. doc_off+n_slice`` of ``doc_id`` land
+    at offset ``bin_off`` of training sequence ``bin_id``.  A doc
+    crossing a bin boundary emits one row per bin it touches;
+    zero-token docs emit nothing.  Pure function of (seed, key,
+    corpus), so re-runs, resumes and multi-reader loaders agree
+    without shared state — and every slice is independently
+    addressable (resumable export: a loader can rebuild any bin from
+    the map + the doc store without materializing packed text).
+
+    Shape — exact global token offsets WITHOUT a global sort, the
+    :func:`shuffle_positions` discipline with token-weighted counts:
+    the md5 rank's first byte makes 256 balanced buckets; one
+    distributed pass sums TOKEN counts per bucket (256 rows to the
+    driver -> base token offsets); ONE bucket-keyed exchange sorts
+    each bucket locally by (rank, key), cumsums token counts onto the
+    bucket base, and EXPLODES each doc's [start, end) token range
+    into its bin slices vectorized (np.repeat + clipped interval
+    arithmetic — no per-doc loop, no second exchange).  The exchange
+    carries (key, rank, n_tokens) only; text never rides a shuffle.
+
+    The DuckDB twin: SUM(n) OVER (ORDER BY md5, key) cumulative
+    starts + a range() unnest over each doc's touched bins with the
+    identical greatest/least clip arithmetic.
+    """
+    import hashlib
+
+    from doc_ocr_ray.stages.text_analysis import token_count_batch
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def add_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        n = token_count_batch(batch)["n_tokens"].to_numpy(dtype=np.int64)
+        ranks = [hashlib.md5(f"{seed}:{k}".encode()).hexdigest()
+                 for k in batch[key].astype(str)]
+        out = pd.DataFrame({key: batch[key], "rank": ranks,
+                            "ntok": n})
+        out["bucket"] = [int(r[:2], 16) for r in ranks]
+        return typed_if_empty(out)
+
+    # NOT materialized: one md5 + token count per row is cheaper to
+    # recompute than a corpus-sized rank table is to spill
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+
+    def bucket_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch.groupby("bucket", sort=False)["ntok"].sum()
+             .reset_index(name="n"))
+        c["n"] = c["n"].astype("int64")
+        return typed_if_empty(c)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": [int(group["bucket"].iloc[0])],
+                             "n": [int(group["n"].sum())]})
+
+    hist = (ranked.map_batches(bucket_tokens, batch_format="pandas")
+            .groupby("bucket").map_groups(combine, batch_format="pandas")
+            .to_pandas().sort_values("bucket"))
+    base = {}
+    acc = 0
+    for b, n in zip(hist["bucket"], hist["n"]):
+        base[int(b)] = acc
+        acc += int(n)
+
+    _empty = pd.DataFrame({
+        "bin_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "bin_off": pd.Series([], dtype="int64"),
+        "doc_off": pd.Series([], dtype="int64"),
+        "n_slice": pd.Series([], dtype="int64")})
+
+    def place_and_slice(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["rank", key])
+        ntok = g["ntok"].to_numpy(dtype=np.int64)
+        start = (np.concatenate(([0], np.cumsum(ntok)[:-1]))
+                 + base[int(g["bucket"].iloc[0])])
+        end = start + ntok
+        nz = ntok > 0
+        ids = g[key].to_numpy()[nz]
+        start, end, ntok = start[nz], end[nz], ntok[nz]
+        if not len(ids):
+            return typed_if_empty(_empty)
+        first = start // seq_len
+        nbins = (end - 1) // seq_len - first + 1
+        rep = np.repeat(np.arange(len(ids)), nbins)
+        # bin index within each doc's run: global cumcount minus the
+        # run's base
+        run_base = np.concatenate(([0], np.cumsum(nbins)[:-1]))
+        bin_id = first[rep] + (np.arange(rep.size)
+                               - run_base[rep])
+        lo = np.maximum(bin_id * seq_len, start[rep])
+        hi = np.minimum((bin_id + 1) * seq_len, end[rep])
+        return pd.DataFrame({
+            "bin_id": bin_id.astype("int64"),
+            "doc_id": ids[rep],
+            "bin_off": (lo - bin_id * seq_len).astype("int64"),
+            "doc_off": (lo - start[rep]).astype("int64"),
+            "n_slice": (hi - lo).astype("int64")})
+
+    return ranked.groupby("bucket").map_groups(place_and_slice,
+                                               batch_format="pandas")

@@ -2646,3 +2646,48 @@ def test_bloom_semi_join_exact_even_with_false_positives():
     with pytest.raises(ValueError):
         bloom_semi_join(ray.data.from_pandas(big),
                         ray.data.from_pandas(keys), "k", "key", k_hashes=0)
+
+
+def test_pack_tokens_replay_and_edges():
+    """Pack map == single-process replay of the md5 order + stream
+    chunking; covers multi-bin docs, an exactly-seq_len doc, empty
+    docs (emit nothing), and conservation (slices tile each bin)."""
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import pack_tokens
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(13)),   # crosses bins
+        1: "a b c d e f g h",                       # exactly 8 = L
+        2: "",                                      # nothing
+        3: "x",                                     # single token
+        4: " ".join(f"u{i}" for i in range(21)),   # 3-bin crosser
+        5: "  p   q  ",                             # ws collapse: 2
+    }
+    L, seed = 8, 7
+    order = sorted(texts, key=lambda k: (hashlib.md5(
+        f"{seed}:{k}".encode()).hexdigest(), k))
+    want = []
+    pos = 0
+    for k in order:
+        n = len(texts[k].split())
+        s, e = pos, pos + n
+        pos = e
+        if n == 0:
+            continue
+        for b in range(s // L, (e - 1) // L + 1):
+            lo, hi = max(b * L, s), min((b + 1) * L, e)
+            want.append((b, k, lo - b * L, lo - s, hi - lo))
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": sorted(texts), "text": [texts[k] for k in sorted(texts)]}))
+    got = pack_tokens(ds, seq_len=L, seed=seed).to_pandas()
+    got_rows = sorted(map(tuple, got.to_numpy()))
+    assert got_rows == sorted(want)
+    # conservation: every bin except the last is exactly tiled
+    tot = sum(len(t.split()) for t in texts.values())
+    per_bin = got.groupby("bin_id")["n_slice"].sum()
+    for b, s in per_bin.items():
+        assert s == (L if b < tot // L else tot % L)
+    with pytest.raises(ValueError):
+        pack_tokens(ds, seq_len=0)
