@@ -962,6 +962,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bloom_semi_join(orders, cust, "o_custkey", "c_custkey",
                                m_bits=1 << 16)
 
+    def q_event_value_bands(sf_dir):
+        # broadcast non-equi lookup join (the GeoIP/price-band shape):
+        # each event's integer-cents value mapped to its [lo, hi)
+        # band from a closure-broadcast interval table; the gap at
+        # [20000, 30000) and the tails exercise the default label
+        from doc_ocr_ray.pipelines.relational import interval_lookup
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def cents(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "event_id": batch["event_id"].astype("int64"),
+                "cents": np.floor(batch["value"] * 100 + 0.5)
+                           .astype("int64")})
+
+        bands = [(0, 1000, "micro"), (1000, 5000, "small"),
+                 (5000, 20000, "mid"), (30000, 50000, "big")]
+        return interval_lookup(ev.map_batches(cents,
+                                              batch_format="pandas"),
+                               bands, "cents")
+
     def q_customers_with_events_semi(sf_dir):
         # native left_semi: EXISTS with both sides hash-partitioned
         import ray
@@ -2343,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "customers_with_events_semi": q_customers_with_events_semi,
         "bloom_semi_orders": q_bloom_semi_orders,
+        "event_value_bands": q_event_value_bands,
         "multimodal_decode": q_multimodal_decode,
         "media_dedup": q_media_dedup,
         "media_neardup_phash": q_media_neardup_phash,
@@ -4718,6 +4739,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey
                             AND c.c_mktsegment = 'BUILDING')
+        """,
+        # interval lookup: LEFT non-equi join against the same VALUES
+        # band table; uncovered cents keep the default label
+        "event_value_bands": """
+            WITH e AS (SELECT event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            b(lo, hi, band) AS (VALUES
+              (0, 1000, 'micro'), (1000, 5000, 'small'),
+              (5000, 20000, 'mid'), (30000, 50000, 'big'))
+            SELECT e.event_id, e.cents,
+                   COALESCE(b.band, '(none)') AS band
+            FROM e LEFT JOIN b ON e.cents >= b.lo AND e.cents < b.hi
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

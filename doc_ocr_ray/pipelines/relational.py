@@ -882,3 +882,47 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, keys_key: str,
     return survivors.join(keys_slim, join_type="left_semi",
                           num_partitions=num_partitions,
                           on=(big_key,), right_on=(keys_key,))
+
+
+def interval_lookup(ds, intervals, value_col: str, out_col: str = "band",
+                    default: str = "(none)"):
+    """Broadcast non-equi lookup join — the GeoIP / CIDR-block /
+    price-band shape: map each row's integer value to the label of
+    the unique half-open interval [lo, hi) containing it, from a
+    SMALL interval table that rides the task closure (the ntile
+    threshold-table discipline; never a shuffle — a non-equi join has
+    no hash key, so the distributed alternative is a range-partition
+    exchange this operator exists to avoid).
+
+    ``intervals``: iterable of (lo, hi, label), validated sorted-able,
+    ``hi > lo`` and pairwise non-overlapping (the lookup would be
+    ambiguous otherwise — refused loudly).  Rows covered by no
+    interval keep ``default`` (LEFT-join semantics, no row loss).
+
+    One vectorized ``np.searchsorted`` per batch: O(log k) per row
+    against k intervals, exact for integers.  Output: the input
+    columns plus ``out_col``.
+    """
+    iv = sorted((int(lo), int(hi), str(lab)) for lo, hi, lab in intervals)
+    if not iv:
+        raise ValueError("intervals must be non-empty")
+    for (lo, hi, _), nxt in zip(iv, iv[1:] + [None]):
+        if hi <= lo:
+            raise ValueError(f"empty interval [{lo}, {hi})")
+        if nxt is not None and nxt[0] < hi:
+            raise ValueError(f"overlapping intervals at lo={nxt[0]}")
+    los = np.array([x[0] for x in iv], dtype=np.int64)
+    his = np.array([x[1] for x in iv], dtype=np.int64)
+    labs = np.array([x[2] for x in iv], dtype=object)
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        safe = np.clip(idx, 0, len(los) - 1)
+        hit = (idx >= 0) & (v < his[safe])
+        out = batch.copy()
+        out[out_col] = np.where(hit, labs[safe], default)
+        out[out_col] = out[out_col].astype(object)
+        return out
+
+    return ds.map_batches(lookup, batch_format="pandas")

@@ -2691,3 +2691,25 @@ def test_pack_tokens_replay_and_edges():
         assert s == (L if b < tot // L else tot % L)
     with pytest.raises(ValueError):
         pack_tokens(ds, seq_len=0)
+
+
+def test_interval_lookup_bands_and_validation():
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import interval_lookup
+
+    df = pd.DataFrame({"k": np.arange(8, dtype=np.int64),
+                       "v": np.array([-5, 0, 9, 10, 15, 19, 20, 100],
+                                     dtype=np.int64)})
+    iv = [(0, 10, "lo"), (10, 20, "mid"), (50, 60, "gap-right")]
+    got = (interval_lookup(ray.data.from_pandas(df), iv, "v")
+           .to_pandas().sort_values("k"))
+    # boundaries: lo inclusive, hi exclusive; gaps/outside -> default
+    assert got["band"].tolist() == [
+        "(none)", "lo", "lo", "mid", "mid", "mid", "(none)", "(none)"]
+    with pytest.raises(ValueError):
+        interval_lookup(ray.data.from_pandas(df), [(5, 5, "x")], "v")
+    with pytest.raises(ValueError):
+        interval_lookup(ray.data.from_pandas(df),
+                        [(0, 10, "a"), (9, 20, "b")], "v")
+    with pytest.raises(ValueError):
+        interval_lookup(ray.data.from_pandas(df), [], "v")
