@@ -434,6 +434,30 @@ def _inject_index_changelog(n: int):
     return inject
 
 
+def _inject_links_html(batch: pd.DataFrame) -> pd.DataFrame:
+    """Synthetic outlink pages (the _LINKS_CTES twin): absolute,
+    protocol-relative, root-relative, directory-relative and fragment
+    hrefs each present by doc_id arithmetic; shared by q_html_links
+    and q_host_graph."""
+    d = batch["doc_id"].astype("int64")
+    s = d.astype(str)
+    w = lambda cond, part: np.where(cond, part, "")
+    base = ("http://site" + (d % 20).astype(str)
+            + ".test/dir" + (d % 3).astype(str) + "/page" + s)
+    html = (
+        '<nav><a href="/top">t</a></nav>'
+        + w(d % 2 == 0, '<p><a href="http://ext'
+            + (d % 5).astype(str) + '.test/x">e</a></p>')
+        + w(d % 3 == 0, '<p><a href="//cdn'
+            + (d % 4).astype(str) + '.test/lib.js">c</a></p>')
+        + '<p><a href="sub/page' + s + '.html">r</a>'
+          '<a href="#frag">skip</a></p>'
+        + w(d % 2 == 1, '<p><a href="/r'
+            + (d % 7).astype(str) + '">rr</a></p>')
+        + '<script><a href="decoy">never</a></script>')
+    return pd.DataFrame({"doc_id": d, "url": base, "html": html})
+
+
 def _inject_frontier_html(n: int):
     """Synthetic crawl snapshot for the frontier: every page links a
     same-host /top, even pages an external host, every page the NEXT
@@ -1543,30 +1567,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # protocol-relative, root-relative, directory-relative, and
         # skipped fragment hrefs, each present by doc_id arithmetic
         from doc_ocr_ray.stages.html_extract import extract_links
-
-        def inject(batch: pd.DataFrame) -> pd.DataFrame:
-            d = batch["doc_id"].astype("int64")
-            s = d.astype(str)
-            w = lambda cond, part: np.where(cond, part, "")
-            base = ("http://site" + (d % 20).astype(str)
-                    + ".test/dir" + (d % 3).astype(str) + "/page" + s)
-            html = (
-                '<nav><a href="/top">t</a></nav>'
-                + w(d % 2 == 0, '<p><a href="http://ext'
-                    + (d % 5).astype(str) + '.test/x">e</a></p>')
-                + w(d % 3 == 0, '<p><a href="//cdn'
-                    + (d % 4).astype(str) + '.test/lib.js">c</a></p>')
-                + '<p><a href="sub/page' + s + '.html">r</a>'
-                  '<a href="#frag">skip</a></p>'
-                + w(d % 2 == 1, '<p><a href="/r'
-                    + (d % 7).astype(str) + '">rr</a></p>')
-                + '<script><a href="decoy">never</a></script>')
-            return pd.DataFrame({"doc_id": d, "url": base,
-                                 "html": html})
-
         return extract_links(
             _read(sf_dir, "documents", ["doc_id"])
-            .map_batches(inject, batch_format="pandas"))
+            .map_batches(_inject_links_html, batch_format="pandas"))
+
+    def q_host_graph(sf_dir):
+        # page link graph collapsed to the HOST graph (domain
+        # authority / link-farm aggregation): real HTML parse ->
+        # outlinks -> canonical hosts, n_links + distinct linking
+        # pages per host pair
+        from doc_ocr_ray.stages.graph import host_graph
+        from doc_ocr_ray.stages.html_extract import extract_links
+        pages = (_read(sf_dir, "documents", ["doc_id"])
+                 .map_batches(_inject_links_html, batch_format="pandas"))
+        links = extract_links(pages)
+
+        def add_src(batch: pd.DataFrame) -> pd.DataFrame:
+            # re-attach the source page URL: pure doc_id arithmetic,
+            # the same injection contract the oracle states
+            d = batch["doc_id"].astype("int64")
+            out = batch.copy()
+            out["src_url"] = ("http://site" + (d % 20).astype(str)
+                              + ".test/dir" + (d % 3).astype(str)
+                              + "/page" + d.astype(str))
+            return out
+
+        return host_graph(links.map_batches(add_src,
+                                            batch_format="pandas"),
+                          src_col="src_url", dst_col="target")
 
     def q_robots_classify(sf_dir):
         # crawl-politeness filter: longest-prefix REP rules with the
@@ -2413,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_pages": q_warc_pages,
         "robots_classify": q_robots_classify,
         "html_links": q_html_links,
+        "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -2591,6 +2620,42 @@ inj AS (
 norm AS (
   SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
   FROM inj)"""
+
+# the injected outlink page set (q_html_links's _inject twin),
+# shared by the html_links and host_graph oracles
+_LINKS_CTES = """d AS (SELECT doc_id,
+                              CAST(doc_id % 20 AS VARCHAR) AS m,
+                              CAST(doc_id AS VARCHAR) AS s
+                       FROM documents),
+            links AS (
+              SELECT doc_id, 1 AS ord, '/top' AS href,
+                     'http://site' || m || '.test/top' AS target
+              FROM d
+              UNION ALL
+              SELECT doc_id, 2,
+                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/x',
+                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.test/x'
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 3,
+                     '//cdn' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.test/lib.js',
+                     'http://cdn' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.test/lib.js'
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 4, 'sub/page' || s || '.html',
+                     'http://site' || m || '.test/dir'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '/sub/page' || s || '.html'
+              FROM d
+              UNION ALL
+              SELECT doc_id, 5, '/r' || CAST(doc_id % 7 AS VARCHAR),
+                     'http://site' || m || '.test/r'
+                       || CAST(doc_id % 7 AS VARCHAR)
+              FROM d WHERE doc_id % 2 = 1)"""
 
 _INJ_JACCARD = _INJ_NORM + """,
 sh AS (
@@ -3794,45 +3859,34 @@ def oracle_sql() -> dict[str, str]:
         # expected outlinks from the generator arithmetic; rank is
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
-        "html_links": """
-            WITH d AS (SELECT doc_id,
-                              CAST(doc_id % 20 AS VARCHAR) AS m,
-                              CAST(doc_id AS VARCHAR) AS s
-                       FROM documents),
-            links AS (
-              SELECT doc_id, 1 AS ord, '/top' AS href,
-                     'http://site' || m || '.test/top' AS target
-              FROM d
-              UNION ALL
-              SELECT doc_id, 2,
-                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
-                       || '.test/x',
-                     'http://ext' || CAST(doc_id % 5 AS VARCHAR)
-                       || '.test/x'
-              FROM d WHERE doc_id % 2 = 0
-              UNION ALL
-              SELECT doc_id, 3,
-                     '//cdn' || CAST(doc_id % 4 AS VARCHAR)
-                       || '.test/lib.js',
-                     'http://cdn' || CAST(doc_id % 4 AS VARCHAR)
-                       || '.test/lib.js'
-              FROM d WHERE doc_id % 3 = 0
-              UNION ALL
-              SELECT doc_id, 4, 'sub/page' || s || '.html',
-                     'http://site' || m || '.test/dir'
-                       || CAST(doc_id % 3 AS VARCHAR)
-                       || '/sub/page' || s || '.html'
-              FROM d
-              UNION ALL
-              SELECT doc_id, 5, '/r' || CAST(doc_id % 7 AS VARCHAR),
-                     'http://site' || m || '.test/r'
-                       || CAST(doc_id % 7 AS VARCHAR)
-              FROM d WHERE doc_id % 2 = 1)
+        "html_links": f"""
+            WITH {_LINKS_CTES}
             SELECT doc_id,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY ord) - 1 AS rank,
                    href, target
             FROM links
+        """,
+        # host-graph twin over the SAME links CTEs: src host/page by
+        # the injection arithmetic, dst host via the shared canonical
+        # chain; count partials then distinct linking pages
+        "host_graph": f"""
+            WITH {_LINKS_CTES},
+            pe AS (
+              SELECT 'site' || m || '.test' AS src_host,
+                     regexp_replace({_canon_url_sql("target")},
+                                    '/.*$', '') AS dst_host,
+                     'site' || m || '.test/dir'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '/page' || s AS src_page
+              FROM links JOIN d USING (doc_id)),
+            pp AS (SELECT src_host, dst_host, src_page,
+                          count(*) AS cnt
+                   FROM pe GROUP BY 1, 2, 3)
+            SELECT src_host, dst_host,
+                   CAST(sum(cnt) AS BIGINT) AS n_links,
+                   CAST(count(*) AS BIGINT) AS n_src_pages
+            FROM pp GROUP BY 1, 2
         """,
         # longest-prefix REP decision with the tie-to-allow rule,
         # over the same canonicalization chain as the engine

@@ -291,3 +291,73 @@ def triangle_count(edges_ds, num_parts: int = 64):
              .to_pandas())
     total = int(parts["n"].sum()) if len(parts) else 0
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def host_graph(edges_ds, src_col: str = "src_url",
+               dst_col: str = "dst_url", num_parts: int = 64):
+    """Collapse the page-level link graph to the HOST graph — the
+    domain-authority / link-spam aggregation every web-corpus
+    pipeline runs before host-level decisions (crawl budgets,
+    domain-level quality priors, link-farm detection): one row per
+    (src_host, dst_host) with
+
+      - ``n_links``     total page-level links between the hosts,
+      - ``n_src_pages`` DISTINCT linking source pages (the farm
+        signal: high n_links over one page is a widget, over many
+        pages a sitewide template or farm).
+
+    Hosts come from the shared :func:`doc_ocr_ray.stages.urls`
+    canonicalization chain (scheme/www strip, query cut), so the same
+    URL never splits across scheme variants.  Intra-host edges
+    (src_host == dst_host) are kept — their share is the template
+    signal; filter downstream if not wanted.
+
+    Shuffle shape: the in-batch combiner collapses to DISTINCT
+    (src_host, dst_host, src_page) rows carrying a link-count
+    partial, so a page linking its sibling 10^4 times ships ONE row;
+    one coarse host-pair exchange sums counts and counts distinct
+    pages vectorized in the group.  Exchange volume is bounded by
+    distinct (host-pair, page) — the irreducible distinct-page
+    signal.
+    """
+    from doc_ocr_ray.stages.urls import canonicalize_urls
+
+    _empty = pd.DataFrame({
+        "src_host": pd.Series([], dtype="object"),
+        "dst_host": pd.Series([], dtype="object"),
+        "src_page": pd.Series([], dtype="object"),
+        "cnt": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return typed_if_empty(_empty)
+        s = canonicalize_urls(batch[[src_col]].rename(
+            columns={src_col: "url"}), "url")
+        d = canonicalize_urls(batch[[dst_col]].rename(
+            columns={dst_col: "url"}), "url")
+        g = (pd.DataFrame({"src_host": s["domain"].to_numpy(),
+                           "dst_host": d["domain"].to_numpy(),
+                           "src_page": s["canon_url"].to_numpy()})
+             .groupby(["src_host", "dst_host", "src_page"], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        g["part"] = coarse_part(g["src_host"] + "\x1f" + g["dst_host"],
+                                num_parts)
+        return g
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        # a (pair, page) row may arrive once per upstream batch —
+        # sum its count partials, THEN count distinct pages
+        pp = (group.groupby(["src_host", "dst_host", "src_page"],
+                            sort=False)["cnt"].sum().reset_index())
+        out = (pp.groupby(["src_host", "dst_host"], sort=False)
+               .agg(n_links=("cnt", "sum"),
+                    n_src_pages=("src_page", "nunique"))
+               .reset_index())
+        out["n_links"] = out["n_links"].astype("int64")
+        out["n_src_pages"] = out["n_src_pages"].astype("int64")
+        return typed_if_empty(out)
+
+    return (edges_ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(combine, batch_format="pandas"))

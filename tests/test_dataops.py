@@ -2713,3 +2713,27 @@ def test_interval_lookup_bands_and_validation():
                         [(0, 10, "a"), (9, 20, "b")], "v")
     with pytest.raises(ValueError):
         interval_lookup(ray.data.from_pandas(df), [], "v")
+
+
+def test_host_graph_collapse_counts_and_distinct_pages():
+    import ray.data
+    from doc_ocr_ray.stages.graph import host_graph
+
+    edges = pd.DataFrame({
+        "src_url": ["http://a.test/p1", "https://www.a.test/p1?x=1",
+                    "http://a.test/p2", "http://a.test/p2",
+                    "http://b.test/q", "http://a.test/p3"],
+        "dst_url": ["http://b.test/x", "http://b.test/y",
+                    "https://b.test/z", "http://www.b.test/z2",
+                    "http://a.test/home", "http://a.test/self"]})
+    got = (host_graph(ray.data.from_pandas(edges.sample(
+               frac=1.0, random_state=3)))  # order-free
+           .to_pandas().sort_values(["src_host", "dst_host"])
+           .reset_index(drop=True))
+    # a.test/p1 canonicalizes across scheme/www/query variants -> ONE
+    # distinct page; a->b has 4 links over 2 distinct pages
+    rows = {(r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+            for r in got.itertuples()}
+    assert rows == {("a.test", "b.test"): (4, 2),
+                    ("b.test", "a.test"): (1, 1),
+                    ("a.test", "a.test"): (1, 1)}
