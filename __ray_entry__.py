@@ -1890,6 +1890,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.dsir_weights(
             _read(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
+    def q_cms_counts(sf_dir):
+        # Count-Min Sketch: constant-memory token-frequency upper
+        # bounds from mergeable depth x width counter partials; the
+        # md5 bucket functions make the sketch deterministic, so the
+        # oracle recomputes the identical counter table in SQL
+        from doc_ocr_ray.stages.sketch import cms_token_counts
+        return cms_token_counts(
+            _read(sf_dir, "documents", ["text"]),
+            ["the", "a", "of", "and", "data", "zzqqxx"],
+            depth=4, width=512)
+
     def q_heavy_hitters(sf_dir):
         # two-phase top-k tokens: bounded per-batch candidate
         # summaries, broadcast candidate set, exact recount — the
@@ -2470,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": q_script_profile,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
+        "cms_counts": q_cms_counts,
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
@@ -3496,6 +3508,35 @@ def oracle_sql() -> dict[str, str]:
         # df + ascending capped posting list per token; string_agg
         # ignores the NULLed-out rows past the cap, ORDER BY doc_id
         # states the engine's ascending-sorted postings
+        # deterministic CMS twin: the identical depth x width counter
+        # table (hex-prefix md5 buckets over the token stream), min
+        # over rows per query token; COALESCE(0) for untouched cells
+        "cms_counts": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE {_NORM} != ''),
+            q(token) AS (VALUES ('the'), ('a'), ('of'), ('and'),
+                                ('data'), ('zzqqxx')),
+            cells AS (
+              SELECT j.j AS row_j,
+                     ('0x' || substr(md5(CAST(j.j AS VARCHAR)
+                                         || ':' || tok), 1, 16))
+                       ::UBIGINT % 512 AS bucket,
+                     count(*) AS cnt
+              FROM toks CROSS JOIN range(4) j(j)
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT q.token, j.j AS row_j,
+                     ('0x' || substr(md5(CAST(j.j AS VARCHAR)
+                                         || ':' || q.token), 1, 16))
+                       ::UBIGINT % 512 AS bucket
+              FROM q CROSS JOIN range(4) j(j))
+            SELECT p.token,
+                   CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+            FROM probes p LEFT JOIN cells c
+              ON c.row_j = p.row_j AND c.bucket = p.bucket
+            GROUP BY p.token
+        """,
         "inverted_index": f"""
             WITH toks AS (
               SELECT doc_id, unnest(

@@ -457,3 +457,95 @@ def value_time_corr(ds, y_offset: int = 1_500_000_000):
     out = pd.DataFrame(rows)
     out["corr_micro"] = out["corr_micro"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cms_token_counts(ds, query_tokens, depth: int = 4,
+                     width: int = 1024, text_col: str = "text"):
+    """Count-Min Sketch token-frequency estimation (Cormode &
+    Muthukrishnan 2005) — the CONSTANT-memory companion to the exact
+    :func:`heavy_hitters` recount: estimate each query token's total
+    occurrence count from a depth x width counter table, never
+    holding (or shuffling) the corpus vocabulary.  Like the KMV/HLL
+    sketches here, the estimator is DETERMINISTIC (md5-derived
+    bucket functions), so this approximate operator still has a
+    bit-exact SQL twin.
+
+    Counters are MERGEABLE by plain addition: one corpus pass emits
+    per-batch nonzero (row, bucket, cnt) partials over the normalized
+    token stream (the ``_NORM`` contract, occurrence counts — a
+    token's batch partial is ONE row per hash row, md5 evaluated once
+    per DISTINCT batch token); one tiny groupby bounded by
+    depth*width sums them; the finished sketch (<= depth*width rows)
+    lands on the driver, where each query token reads
+    ``min_j counter[j][h_j(token)]``.  Classic guarantee:
+    ``est >= true`` always (returned estimates are upper bounds);
+    overshoot is collision mass, bounded in expectation by
+    ``total_tokens / width`` per row and min'd across rows.
+
+    ``h_j(tok) = md5('<j>:' || tok)[:16 hex] % width`` — the dsir /
+    simhash hex-prefix idiom both engines compute identically.
+    Output: one row per query token, (token, est), est int64.
+    """
+    from doc_ocr_ray.stages.text_analysis import _norm_tokens_flat
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    qtoks = list(dict.fromkeys(query_tokens))
+    if not qtoks:
+        raise ValueError("query_tokens must be non-empty")
+
+    def _bucket(j: int, tok: str) -> int:
+        return int(hashlib.md5(f"{j}:{tok}".encode())
+                   .hexdigest()[:16], 16) % width
+
+    _empty = pd.DataFrame({
+        "row": pd.Series([], dtype="int64"),
+        "bucket": pd.Series([], dtype="int64"),
+        "cnt": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, toks = _norm_tokens_flat(list(batch[text_col].fillna("")))
+        if not len(toks):
+            return typed_if_empty(_empty)
+        uniq, counts = np.unique(toks, return_counts=True)
+        rows, buckets, cnts = [], [], []
+        for j in range(depth):
+            b = np.fromiter((_bucket(j, u) for u in uniq),
+                            dtype=np.int64, count=len(uniq))
+            agg = np.zeros(width, dtype=np.int64)
+            np.add.at(agg, b, counts)
+            nz = np.nonzero(agg)[0]
+            rows.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz)
+            cnts.append(agg[nz])
+        return pd.DataFrame({
+            "row": np.concatenate(rows),
+            "bucket": np.concatenate(buckets),
+            "cnt": np.concatenate(cnts)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["row", "bucket"], sort=False)["cnt"]
+             .sum().reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return typed_if_empty(g)
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = ((batch["row"] * width + batch["bucket"])
+                         % 64).astype("int64")
+        return batch
+
+    sketch = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(key, batch_format="pandas")
+              .groupby("part").map_groups(
+                  lambda g: combine(g).assign(
+                      part=g["part"].iloc[0]),
+                  batch_format="pandas")
+              .to_pandas())
+    table = {(int(r), int(b)): int(c) for r, b, c in
+             zip(sketch["row"], sketch["bucket"], sketch["cnt"])}
+    return pd.DataFrame({
+        "token": pd.Series(qtoks, dtype="object"),
+        "est": pd.Series(
+            [min(table.get((j, _bucket(j, t)), 0)
+                 for j in range(depth)) for t in qtoks],
+            dtype="int64")})

@@ -2737,3 +2737,39 @@ def test_host_graph_collapse_counts_and_distinct_pages():
     assert rows == {("a.test", "b.test"): (4, 2),
                     ("b.test", "a.test"): (1, 1),
                     ("a.test", "a.test"): (1, 1)}
+
+
+def test_cms_token_counts_bounds_and_exactness():
+    """CMS invariants: est >= true always; with a collision-free width
+    est == true exactly (incl. 0 for absent tokens); partials merge so
+    block layout cannot change the answer."""
+    import collections
+    import ray.data
+    from doc_ocr_ray.stages.sketch import cms_token_counts
+
+    texts = [f"alpha beta beta gamma{i % 7} alpha" for i in range(50)]
+    true = collections.Counter(t for x in texts for t in x.split())
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": texts})
+    q = ["alpha", "beta", "gamma0", "gamma6", "absent"]
+
+    big = cms_token_counts(ray.data.from_pandas(df).repartition(7), q,
+                           depth=4, width=4096)
+    est = dict(zip(big["token"], big["est"]))
+    assert est == {"alpha": 100, "beta": 100, "gamma0": 8,
+                   "gamma6": 7, "absent": 0}
+
+    # tiny width forces collisions: still an upper bound, never under
+    small = cms_token_counts(ray.data.from_pandas(df), q,
+                             depth=3, width=4)
+    for t, e in zip(small["token"], small["est"]):
+        assert e >= true.get(t, 0)
+
+    # merge invariance: 1 block vs 7 blocks, identical sketch answers
+    one = cms_token_counts(ray.data.from_pandas(df), q,
+                           depth=3, width=4)
+    assert one.equals(small)
+    with pytest.raises(ValueError):
+        cms_token_counts(ray.data.from_pandas(df), [], depth=4)
+    with pytest.raises(ValueError):
+        cms_token_counts(ray.data.from_pandas(df), q, width=0)
