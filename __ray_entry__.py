@@ -1309,6 +1309,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
             steps=["view", "click", "purchase"])
 
+    def q_resample_locf(sf_dir):
+        # per-user daily time grid with last-observation-carried-
+        # forward: one user-keyed exchange, vectorized searchsorted
+        # per user; grid instants before a user's first event drop
+        from doc_ocr_ray.pipelines.events import resample_locf
+        return resample_locf(
+            _read(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"]),
+            "2024-01-01", "2024-01-31", 1440)
+
     def q_sessionize(sf_dir):
         from doc_ocr_ray.pipelines.events import sessionize
         return sessionize(
@@ -2425,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
         "sessionize": q_sessionize,
+        "resample_locf": q_resample_locf,
         "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
@@ -5708,6 +5719,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT tok) AS n_distinct_tokens
             FROM (SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
                   FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != '')
+        """,
+        # LOCF twin: correlated latest-event-at-or-before lookup per
+        # (user, grid instant); NULL (no prior event) rows drop; the
+        # (ts DESC, event_id DESC) pick states the engine's tie rule
+        "resample_locf": """
+            WITH g AS (SELECT unnest(generate_series(
+                         TIMESTAMP '2024-01-01',
+                         TIMESTAMP '2024-01-31',
+                         INTERVAL 1 DAY)) AS gts),
+            u AS (SELECT DISTINCT user_id FROM events),
+            lkp AS (
+              SELECT u.user_id, g.gts,
+                     (SELECT e.value FROM events e
+                      WHERE e.user_id = u.user_id AND e.ts <= g.gts
+                      ORDER BY e.ts DESC, e.event_id DESC
+                      LIMIT 1) AS v
+              FROM u CROSS JOIN g)
+            SELECT user_id, gts AS grid_ts,
+                   CAST(floor(v * 100 + 0.5) AS BIGINT) AS cents
+            FROM lkp WHERE v IS NOT NULL
         """,
         "running_sum_per_user": """
             SELECT user_id, event_id,

@@ -1167,3 +1167,66 @@ def watermark_late_events(ds, lateness_us: int,
 
     return (parted.groupby("part")
             .map_groups(late_part, batch_format="pandas"))
+
+
+def resample_locf(ds, start: str, end: str, freq_minutes: int,
+                  num_parts: int = 128):
+    """Per-key regular time-grid resampling with
+    last-observation-carried-forward (LOCF) — the gap-filling step
+    that turns an irregular event stream into the fixed-cadence
+    feature series a training pipeline joins on: for every user and
+    every grid instant t in [start, end] (inclusive, stepping
+    ``freq_minutes``), the value of the user's LATEST event at or
+    before t, as integer cents (the shared float grid).  Grid rows
+    before a user's first event are dropped (LOCF is undefined
+    there); equal-timestamp ties go to the larger event_id, a total
+    order both engines state.
+
+    Shape: ONE coarse user-keyed exchange (events only — the grid is
+    arithmetic, never materialized corpus-wide); per user a single
+    ``np.searchsorted(side='right')`` maps every grid instant to its
+    predecessor event, vectorized.  Output size = users x grid
+    points, the irreducible resample cost.  Output: (user_id,
+    grid_ts, cents).
+    """
+    grid = pd.date_range(start, end, freq=f"{freq_minutes}min")
+    if not len(grid):
+        raise ValueError("empty grid: check start/end/freq")
+    grid_np = grid.to_numpy()
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].astype("int64"),
+            "cents": np.floor(batch["value"] * 100 + 0.5)
+                       .astype("int64")})
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    _empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "grid_ts": pd.Series([], dtype="datetime64[ns]"),
+        "cents": pd.Series([], dtype="int64")})
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            ts = g["ts"].to_numpy()
+            idx = np.searchsorted(ts, grid_np, side="right") - 1
+            keep = idx >= 0
+            if not keep.any():
+                continue
+            out.append(pd.DataFrame({
+                "user_id": np.full(int(keep.sum()), uid,
+                                   dtype=np.int64),
+                "grid_ts": grid_np[keep],
+                "cents": g["cents"].to_numpy()[idx[keep]]}))
+        if not out:
+            return _typed_if_empty(_empty)
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))

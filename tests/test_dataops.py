@@ -2773,3 +2773,32 @@ def test_cms_token_counts_bounds_and_exactness():
         cms_token_counts(ray.data.from_pandas(df), [], depth=4)
     with pytest.raises(ValueError):
         cms_token_counts(ray.data.from_pandas(df), q, width=0)
+
+
+def test_resample_locf_carry_ties_and_leading_gap():
+    import ray.data
+    from doc_ocr_ray.pipelines.events import resample_locf
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": np.array([7, 7, 7, 9, 9], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-02 05:00", "2024-01-02 05:00",
+                              "2024-01-04 12:00", "2024-01-03 00:00",
+                              "2024-01-10 00:00"]),
+        "value": [1.00, 2.00, 3.50, 9.99, 0.01]})
+    got = (resample_locf(ray.data.from_pandas(ev),
+                         "2024-01-01", "2024-01-06", 1440)
+           .to_pandas().sort_values(["user_id", "grid_ts"])
+           .reset_index(drop=True))
+    u7 = got[got["user_id"] == 7]
+    # Jan 1-2 00:00 dropped (before the first event at Jan 2 05:00);
+    # the 05:00 tie -> event_id 2 wins (200); carried through the
+    # Jan 4 00:00 instant (event lands at noon), then 350
+    assert pd.to_datetime(u7["grid_ts"]).dt.day.tolist() == [3, 4, 5, 6]
+    assert u7["cents"].tolist() == [200, 200, 350, 350]
+    u9 = got[got["user_id"] == 9]
+    # exact-boundary event at Jan 3 00:00 included at its own instant
+    assert u9["cents"].tolist() == [999, 999, 999, 999]
+    with pytest.raises(ValueError):
+        resample_locf(ray.data.from_pandas(ev),
+                      "2024-01-06", "2024-01-01", 1440)
