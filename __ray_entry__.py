@@ -1319,6 +1319,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["user_id", "event_id", "ts", "value"]),
             "2024-01-01", "2024-01-31", 1440)
 
+    def q_scd2_intervals(sf_dir):
+        # SCD type-2 validity intervals from the event changelog: one
+        # coarse user-keyed exchange, per-user vectorized shift(-1);
+        # the open (current) interval carries a NULL valid_to
+        from doc_ocr_ray.pipelines.events import scd2_intervals
+        return scd2_intervals(
+            _read(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "value"]))
+
+    def q_decayed_user_score(sf_dir):
+        # exponentially time-decayed per-user engagement score with
+        # EXACT power-of-two integer weights (bit-parity with SQL)
+        from doc_ocr_ray.pipelines.events import decayed_score_per_user
+        return decayed_score_per_user(
+            _read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+    def q_quantile_hist(sf_dir):
+        # mergeable equi-width-histogram p50/p90/p99 per event type —
+        # fixed-memory quantiles, integer-exact interpolation
+        from doc_ocr_ray.stages.sketch import quantile_hist_by_type
+        return quantile_hist_by_type(
+            _read(sf_dir, "events", ["event_type", "value"]))
+
+    def q_winsorize_tokens(sf_dir):
+        # per-source winsorization of token counts via a mergeable
+        # (source, n_tokens) histogram — no per-group sort
+        from doc_ocr_ray.stages.text_analysis import winsorize_by_group
+        return winsorize_by_group(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
+    def q_fuzzy_name_join(sf_dir):
+        # blocked edit-distance self-join over DISTINCT part names
+        # (first-token blocking; quadratic verify block-bounded)
+        from doc_ocr_ray.stages.linkage import fuzzy_self_join
+        return fuzzy_self_join(_read(sf_dir, "part", ["p_name"]),
+                               "p_name")
+
     def q_sessionize(sf_dir):
         from doc_ocr_ray.pipelines.events import sessionize
         return sessionize(
@@ -2436,6 +2473,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "sessionize": q_sessionize,
         "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
+        "decayed_user_score": q_decayed_user_score,
+        "quantile_hist": q_quantile_hist,
+        "winsorize_tokens": q_winsorize_tokens,
+        "fuzzy_name_join": q_fuzzy_name_join,
         "funnel_counts": q_funnel_counts,
         "sessionize_streaming": q_sessionize_streaming,
         "top3_orders_per_cust": q_top3_orders_per_cust,
@@ -5739,6 +5781,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, gts AS grid_ts,
                    CAST(floor(v * 100 + 0.5) AS BIGINT) AS cents
             FROM lkp WHERE v IS NOT NULL
+        """,
+        # SCD-2 twin: lead() over the same (ts, event_id) total order;
+        # the last event per user keeps a NULL valid_to (open interval)
+        "scd2_intervals": """
+            SELECT user_id, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM events
+        """,
+        # exact integer decay: age in whole days before the horizon
+        # (floor, matching numpy //), weight = 1 << (20 - age), terms
+        # outside [0, 20] days contribute 0 (user row survives)
+        "decayed_user_score": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     CAST(floor(date_diff('microsecond', ts,
+                                TIMESTAMP '2024-02-01')
+                                / 86400000000.0) AS BIGINT) AS age
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN age BETWEEN 0 AND 20
+                            THEN cents * (CAST(1 AS BIGINT)
+                                          << CAST(20 - age AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS score
+            FROM e GROUP BY user_id
+        """,
+        # histogram-quantile twin: same width-500 bins, same pure
+        # integer rank/interpolation formula as stages/sketch.py
+        "quantile_hist": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            h AS (SELECT event_type, cents // 500 AS bin,
+                         count(*) AS cnt
+                  FROM e GROUP BY 1, 2),
+            c AS (SELECT event_type, bin, cnt,
+                         sum(cnt) OVER (PARTITION BY event_type
+                                        ORDER BY bin) AS cum,
+                         coalesce(sum(cnt) OVER (
+                             PARTITION BY event_type ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior,
+                         sum(cnt) OVER (PARTITION BY event_type) AS n
+                  FROM h),
+            q AS (SELECT unnest([50, 90, 99]) AS q)
+            SELECT event_type, CAST(q AS BIGINT) AS q,
+                   CAST(bin * 500 + ((r - prior) * 500) // cnt
+                        AS BIGINT) AS est_cents
+            FROM (SELECT c.*, q.q, (q.q * (n - 1)) // 100 AS r
+                  FROM c CROSS JOIN q) t
+            WHERE cum > r AND prior <= r
+        """,
+        # winsorize twin: discrete order statistics at 0-indexed rank
+        # floor(q*(n-1)/100) per source == the engine's histogram scan
+        "winsorize_tokens": f"""
+            WITH t AS (SELECT doc_id, source, {_NTOK} AS n_tokens
+                       FROM documents),
+            rk AS (SELECT source, n_tokens,
+                          row_number() OVER (PARTITION BY source
+                              ORDER BY n_tokens) - 1 AS rk,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM t),
+            b AS (SELECT source,
+                         max(CASE WHEN rk = (5 * (n - 1)) // 100
+                                  THEN n_tokens END) AS lo,
+                         max(CASE WHEN rk = (95 * (n - 1)) // 100
+                                  THEN n_tokens END) AS hi
+                  FROM rk GROUP BY source)
+            SELECT t.doc_id, t.source, t.n_tokens,
+                   least(greatest(t.n_tokens, b.lo), b.hi) AS clipped
+            FROM t JOIN b USING (source)
+        """,
+        # blocked fuzzy join twin: DuckDB levenshtein == the engine's
+        # unit-cost DP; same first-token block, same val_a < val_b
+        "fuzzy_name_join": """
+            WITH d AS (SELECT DISTINCT p_name AS val FROM part),
+            b AS (SELECT val, split_part(val, ' ', 1) AS block FROM d)
+            SELECT x.val AS val_a, y.val AS val_b,
+                   CAST(levenshtein(x.val, y.val) AS BIGINT) AS dist
+            FROM b x JOIN b y
+              ON x.block = y.block AND x.val < y.val
+            WHERE levenshtein(x.val, y.val) <= 6
         """,
         "running_sum_per_user": """
             SELECT user_id, event_id,

@@ -263,6 +263,29 @@ def run_benchmarks() -> dict:
           lambda: qs["snapshot_diff"](SF_DIR).count())
     timed("curate_quality_funnel",
           lambda: qs["curate_quality_funnel"](SF_DIR).count())
+    timed("setsim_join", lambda: qs["setsim_join"](SF_DIR).count())
+    timed("bloom_semi_orders",
+          lambda: qs["bloom_semi_orders"](SF_DIR).count())
+    timed("pack_tokens", lambda: qs["pack_tokens"](SF_DIR).count())
+    timed("event_value_bands",
+          lambda: qs["event_value_bands"](SF_DIR).count())
+    timed("host_graph", lambda: qs["host_graph"](SF_DIR).count())
+    timed("cms_counts", lambda: qs["cms_counts"](SF_DIR).count())
+    timed("resample_locf", lambda: qs["resample_locf"](SF_DIR).count())
+    timed("index_delta", lambda: qs["index_delta"](SF_DIR).count())
+    timed("validate_table", lambda: qs["validate_table"](SF_DIR).count())
+    timed("search_rerank", lambda: qs["search_rerank"](SF_DIR).count())
+    timed("triangle_count", lambda: qs["triangle_count"](SF_DIR).count())
+    timed("pmi_pairs", lambda: qs["pmi_pairs"](SF_DIR).count())
+    timed("scd2_intervals",
+          lambda: qs["scd2_intervals"](SF_DIR).count())
+    timed("decayed_user_score",
+          lambda: qs["decayed_user_score"](SF_DIR).count())
+    timed("quantile_hist", lambda: qs["quantile_hist"](SF_DIR).count())
+    timed("winsorize_tokens",
+          lambda: qs["winsorize_tokens"](SF_DIR).count())
+    timed("fuzzy_name_join",
+          lambda: qs["fuzzy_name_join"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

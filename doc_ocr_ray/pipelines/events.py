@@ -1230,3 +1230,111 @@ def resample_locf(ds, start: str, end: str, freq_minutes: int,
     return (ds.map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(per_part,
                                         batch_format="pandas"))
+
+
+def scd2_intervals(ds, num_parts: int = 128):
+    """Slowly-changing-dimension (type 2) table build from an event
+    changelog — the standard warehouse shape for "what was this
+    user's value AT time t": each event sets the user's current
+    value; the output is one validity interval per state, ``(user_id,
+    cents, valid_from, valid_to)``, where ``valid_to`` is the next
+    event's timestamp and NULL on the open (current) interval.
+    Downstream temporal joins become a plain range predicate instead
+    of a correlated latest-row lookup (the `resample_locf` shape).
+
+    Consecutive events with the SAME value still open a new interval
+    (every change event is a version — the reference warehouse
+    semantics; collapsing equal neighbours is a separate compaction).
+    Equal-timestamp ties order by event_id, the same stated total
+    order as the LOCF twin.
+
+    Shape: ONE coarse user-keyed exchange, then per user a vectorized
+    sort + shift(-1) — no window function materializes more than the
+    user's own rows.  Output rows == input rows (each event opens
+    exactly one interval).
+    """
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].astype("int64"),
+            "cents": np.floor(batch["value"] * 100 + 0.5)
+                       .astype("int64")})
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              ignore_index=True)
+        nxt_ts = g["ts"].shift(-1)
+        nxt_uid = g["user_id"].shift(-1)
+        # last row of each user opens the current (NULL-ended) interval
+        valid_to = nxt_ts.where(nxt_uid == g["user_id"])
+        return _typed_if_empty(pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "cents": g["cents"],
+            "valid_from": g["ts"],
+            "valid_to": valid_to}))
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
+def decayed_score_per_user(ds, horizon: str = "2024-02-01",
+                           half_life_days: int = 1,
+                           max_age_days: int = 20,
+                           num_parts: int = 128):
+    """Per-user exponentially time-decayed engagement score — the
+    recency-weighted feature a ranking/freshness pipeline keeps per
+    entity: ``score = sum(cents * 2^(max_age - age))`` where ``age``
+    is whole half-lives (days by default) between the event and the
+    horizon, so an event one half-life older counts half as much.
+    The weights are kept as EXACT int64 powers of two (a left shift),
+    the sum is exact integer arithmetic — no float accumulation
+    order to match — and events older than ``max_age_days`` (or
+    after the horizon) carry zero weight, so a user whose events all
+    fall outside the window still reports an (exact) score of 0.
+
+    Shape: pure map + tiny per-user aggregate — per-batch partial
+    sums (in-batch combiner) then ONE coarse-keyed groupby of
+    user-count-bounded partials, users regrouped INSIDE the group fn
+    (1500 users must not become 1500 map_groups calls).  No per-user
+    exchange of raw events.
+
+    Envelope: cents < 2^17, weight <= 2^max_age (2^20 default), so
+    one term < 2^37; int64 holds ~2^26 such terms per user — callers
+    with hotter users or longer horizons raise ``half_life_days``
+    (fewer distinct ages) or shrink ``max_age_days``; numpy wraps
+    silently on overflow where DuckDB BIGINT errors, so the envelope
+    is the bit-parity contract, not just a precision nicety.  Output:
+    (user_id, score) with score the exact integer.
+    """
+    horizon_ts = pd.Timestamp(horizon)
+    day_us = 86_400_000_000 * half_life_days
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"] * 100 + 0.5).astype("int64")
+        age = ((horizon_ts - batch["ts"]).to_numpy()
+               .astype("timedelta64[us]").astype("int64") // day_us)
+        keep = (age >= 0) & (age <= max_age_days)
+        w = np.zeros(len(batch), dtype="int64")
+        w[keep] = np.int64(1) << (max_age_days - age[keep])
+        g = pd.DataFrame({"user_id": batch["user_id"].astype("int64"),
+                          "term": cents * w})
+        out = (g.groupby("user_id", sort=False)["term"].sum()
+               .reset_index(name="score"))
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby("user_id", sort=False)["score"].sum()
+               .reset_index(name="score"))
+        out["score"] = out["score"].astype("int64")
+        return _typed_if_empty(out)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(combine,
+                                        batch_format="pandas")
+            .select_columns(["user_id", "score"]))

@@ -549,3 +549,64 @@ def cms_token_counts(ds, query_tokens, depth: int = 4,
             [min(table.get((j, _bucket(j, t)), 0)
                  for j in range(depth)) for t in qtoks],
             dtype="int64")})
+
+
+def quantile_hist_by_type(ds, quantiles=(50, 90, 99),
+                          bin_cents: int = 500):
+    """Mergeable equi-width-histogram quantile estimation per group —
+    the fixed-memory alternative to a distributed sort when a
+    pipeline needs p50/p90/p99 of a value column per key (t-digest /
+    GK-sketch territory, realized here as the simplest mergeable
+    summary with a DETERMINISTIC, SQL-twinnable estimate): values
+    become integer cents, cents bucket into width-``bin_cents`` bins,
+    per-batch (event_type, bin) partial counts merge in ONE tiny
+    groupby, and the quantile estimate interpolates inside the
+    winning bin with pure integer arithmetic:
+
+        r        = q*(n-1) // 100          (0-indexed target rank)
+        bin B    = first bin with cum(B) > r
+        estimate = B*w + (r - cum_before) * w // count(B)
+
+    Exactness: estimate error is bounded by one bin width (choose
+    ``bin_cents`` to taste); the ARITHMETIC is exact integers, so the
+    DuckDB twin reproduces it bit-for-bit — the sketch is approximate
+    but verifiable, the CMS/HLL/KMV discipline.  NULL values and
+    types carry no signal and drop.
+
+    Output: one row per (event_type, q) — ``(event_type, q,
+    est_cents)``, both engines' rows identical.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "value"])
+        cents = np.floor(t["value"] * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": t["event_type"],
+                          "bin": cents // bin_cents})
+        out = (g.groupby(["event_type", "bin"], sort=False)
+               .size().reset_index(name="cnt"))
+        return typed_if_empty(out)
+
+    def estimate(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("bin")
+        bins = g["bin"].to_numpy(dtype="int64")
+        cnt = g.groupby("bin", sort=True)["cnt"].sum().to_numpy(
+            dtype="int64")
+        bins = np.unique(bins)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        rows = []
+        for q in quantiles:
+            r = q * (n - 1) // 100
+            i = int(np.searchsorted(cum, r, side="right"))
+            before = int(cum[i - 1]) if i else 0
+            est = (int(bins[i]) * bin_cents
+                   + (r - before) * bin_cents // int(cnt[i]))
+            rows.append((group["event_type"].iloc[0], int(q), est))
+        return pd.DataFrame(rows, columns=["event_type", "q",
+                                           "est_cents"])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "bin"]).sum("cnt")
+            .map_batches(lambda b: b.rename(
+                columns={"sum(cnt)": "cnt"}), batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(estimate, batch_format="pandas"))

@@ -2284,3 +2284,67 @@ def pmi_top_pairs(ds, k: int = 30, min_count: int = 5,
     for c in ("n_pair", "pmi_micro"):
         top[c] = top[c].astype("int64")
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def winsorize_by_group(ds, lo_q: int = 5, hi_q: int = 95,
+                       group_col: str = "source"):
+    """Per-group winsorization of the whitespace token count — the
+    outlier-clipping normalization a mixed-crawl pipeline applies
+    before any mean-based statistic (one 10M-token megadoc otherwise
+    owns its source's mean): every doc's count is clipped into its
+    source's [p5, p95] (exact DISCRETE order statistics, rank
+    ``floor(q/100 * (n-1))`` 0-indexed into the sorted multiset).
+
+    Scale shape: the quantiles come from a mergeable per-(group,
+    n_tokens) HISTOGRAM, not a per-group sort — token counts are
+    bounded small integers, so the histogram is tiny no matter the
+    corpus size.  Pass 1: per-batch (group, n_tokens) partial counts
+    -> ONE small groupby -> per-group cumulative scan at the driver
+    (distinct-count-bounded) -> bounds broadcast via ``ray.put``.
+    Pass 2: stateless clip map.  Doc rows never shuffle; all
+    arithmetic is exact integers (no percentile interpolation to
+    match across engines).
+
+    Output per doc: ``(doc_id, group, n_tokens, clipped)``.
+    """
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _tokens(batch["text"]).str.len().astype("int64")
+        g = pd.DataFrame({group_col: batch[group_col], "n_tokens": x})
+        out = (g.groupby([group_col, "n_tokens"], sort=False)
+               .size().reset_index(name="cnt"))
+        return typed_if_empty(out)
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([group_col, "n_tokens"])
+            .sum("cnt").to_pandas()
+            .rename(columns={"sum(cnt)": "cnt"}))
+
+    bounds = {}
+    for grp, h in hist.groupby(group_col, sort=False):
+        h = h.sort_values("n_tokens")
+        cnt = h["cnt"].to_numpy(dtype="int64")
+        vals = h["n_tokens"].to_numpy(dtype="int64")
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        # value at 0-indexed rank r of the sorted multiset = first
+        # histogram cell whose cumulative count exceeds r
+        def at_rank(r):
+            return int(vals[np.searchsorted(cum, r, side="right")])
+        bounds[grp] = (at_rank(lo_q * (n - 1) // 100),
+                       at_rank(hi_q * (n - 1) // 100))
+    bounds_ref = ray.put(bounds)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        x = _tokens(batch["text"]).str.len().astype("int64")
+        lo = batch[group_col].map(lambda s: b[s][0]).astype("int64")
+        hi = batch[group_col].map(lambda s: b[s][1]).astype("int64")
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            group_col: batch[group_col],
+            "n_tokens": x,
+            "clipped": x.clip(lower=lo, upper=hi)}))
+
+    return ds.map_batches(clip, batch_format="pandas")

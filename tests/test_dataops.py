@@ -2802,3 +2802,106 @@ def test_resample_locf_carry_ties_and_leading_gap():
     with pytest.raises(ValueError):
         resample_locf(ray.data.from_pandas(ev),
                       "2024-01-06", "2024-01-01", 1440)
+
+
+def test_scd2_intervals_ties_equal_values_open_end(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import scd2_intervals
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": np.array([7, 7, 7, 9], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:00",
+                              "2024-01-02 00:00", "2024-01-05 00:00"]),
+        "value": [1.00, 2.00, 2.00, 5.00]})
+    got = (scd2_intervals(ray.data.from_pandas(ev).repartition(2))
+           .to_pandas()
+           .sort_values(["user_id", "valid_from", "event_id"])
+           .reset_index(drop=True))
+    assert got["event_id"].tolist() == [1, 2, 3, 4]
+    assert got["cents"].tolist() == [100, 200, 200, 500]
+    # equal-timestamp tie: e1's interval closes at the SAME instant
+    # e2 opens; an equal VALUE (e2 -> e3) still opens a new version
+    assert got.loc[0, "valid_to"] == got.loc[1, "valid_from"]
+    assert got.loc[1, "valid_to"] == got.loc[2, "valid_from"]
+    # one open (NULL-ended) interval per user, on its last event
+    assert pd.isna(got.loc[2, "valid_to"]) and pd.isna(got.loc[3, "valid_to"])
+    assert got["valid_to"].notna().sum() == 2
+
+
+def test_decayed_score_exact_weights_and_window(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import decayed_score_per_user
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-31 12:00",   # age 0 -> 2^20
+                              "2024-01-30 00:00",   # age 2 -> 2^18
+                              "2024-01-01 00:00",   # age 31 -> drop
+                              "2024-02-02 00:00"]), # after horizon
+        "value": [1.00, 0.50, 9.99, 9.99]})
+    got = (decayed_score_per_user(ray.data.from_pandas(ev)
+                                  .repartition(2))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # exact integers: 100*2^20 + 50*2^18; out-of-window user stays
+    # with score 0 (weight-zero terms, not dropped rows)
+    assert got["user_id"].tolist() == [1, 2]
+    assert got["score"].tolist() == [100 * 2**20 + 50 * 2**18, 0]
+
+
+def test_quantile_hist_ranks_and_in_bin_interpolation(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.sketch import quantile_hist_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 5 + ["b"] * 8,
+        "value": [1.00, 2.00, 3.00, 4.00, 5.00] + [1.00] * 4 + [1.50] * 4})
+    got = (quantile_hist_by_type(ray.data.from_pandas(ev).repartition(3),
+                                 quantiles=(50,), bin_cents=100)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    # type a: one count per bin -> p50 rank 2 lands at bin 3 exactly
+    # type b: all 8 values share bin 1 -> rank 3 interpolates
+    #         100 + 3*100//8 = 137 (pure integer arithmetic)
+    assert got["event_type"].tolist() == ["a", "b"]
+    assert got["est_cents"].tolist() == [300, 137]
+
+
+def test_winsorize_by_group_discrete_bounds(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import winsorize_by_group
+
+    docs = pd.DataFrame({
+        "doc_id": [f"s{i}" for i in range(21)] + ["t0", "t1"],
+        "source": ["s"] * 21 + ["t"] * 2,
+        "text": ["w " * (i + 1) for i in range(21)]
+                + ["w " * 5, "w " * 100]})
+    got = (winsorize_by_group(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().set_index("doc_id"))
+    # source s: n=21, lo rank 5*20//100=1 -> 2, hi rank 95*20//100=19
+    # -> 20; the tails clip, the middle passes through
+    assert got.loc["s0", "clipped"] == 2
+    assert got.loc["s20", "clipped"] == 20
+    assert got.loc["s10", "clipped"] == got.loc["s10", "n_tokens"] == 11
+    # source t: n=2 -> both ranks 0 -> both bounds = min value 5; the
+    # megadoc is pinned to it (groups do not leak into each other)
+    assert got.loc["t1", "n_tokens"] == 100
+    assert got.loc["t1", "clipped"] == 5
+
+
+def test_fuzzy_self_join_blocking_and_distinct(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.linkage import fuzzy_self_join, levenshtein
+
+    assert levenshtein("red bolt", "red rod") == 3
+    assert levenshtein("", "abc") == 3 and levenshtein("abc", "abc") == 0
+    df = pd.DataFrame({"p_name": ["red bolt", "red rod", "blue bolt",
+                                  "red bolt", None]})
+    got = (fuzzy_self_join(ray.data.from_pandas(df).repartition(2),
+                           "p_name")
+           .to_pandas().sort_values(["val_a", "val_b"])
+           .reset_index(drop=True))
+    # blue bolt is within max_dist of red bolt but shares no block ->
+    # never compared; the duplicate red bolt collapses (distinct join)
+    assert got["val_a"].tolist() == ["red bolt"]
+    assert got["val_b"].tolist() == ["red rod"]
+    assert got["dist"].tolist() == [3]
