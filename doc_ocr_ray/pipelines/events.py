@@ -1267,9 +1267,14 @@ def scd2_intervals(ds, num_parts: int = 128):
         g = group.sort_values(["user_id", "ts", "event_id"],
                               ignore_index=True)
         nxt_ts = g["ts"].shift(-1)
-        nxt_uid = g["user_id"].shift(-1)
+        # user-boundary mask in pure int64 (shift(-1) upcasts int64 to
+        # float64, where ids past 2^53 can alias across the boundary)
+        uid = g["user_id"].to_numpy(dtype="int64")
+        same_user = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same_user[:-1] = uid[1:] == uid[:-1]
         # last row of each user opens the current (NULL-ended) interval
-        valid_to = nxt_ts.where(nxt_uid == g["user_id"])
+        valid_to = nxt_ts.where(same_user)
         return _typed_if_empty(pd.DataFrame({
             "user_id": g["user_id"],
             "event_id": g["event_id"],

@@ -18,19 +18,22 @@ from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Unit-cost edit distance, the textbook two-row DP — semantics
-    identical to DuckDB's ``levenshtein()`` so the SQL twin is
-    bit-exact."""
-    if a == b:
+    """Unit-cost edit distance, the textbook two-row DP — computed
+    over UTF-8 BYTES, not code points, because DuckDB's
+    ``levenshtein()`` is byte-based ('é' vs 'a' = 2) and the SQL twin
+    must be bit-exact on non-ASCII input too."""
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if ab == bb:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
+    if not ab:
+        return len(bb)
+    if not bb:
+        return len(ab)
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
         cur = [i]
-        for j, cb in enumerate(b, 1):
+        for j, cb in enumerate(bb, 1):
             cur.append(min(prev[j] + 1, cur[j - 1] + 1,
                            prev[j - 1] + (ca != cb)))
         prev = cur
@@ -69,16 +72,21 @@ def fuzzy_self_join(ds, col: str, max_dist: int = 6,
         rows = []
         for _, blk in group.groupby("block", sort=False):
             vals = sorted(blk["val"].tolist())
+            lens = [len(v.encode("utf-8")) for v in vals]
             for i in range(len(vals)):
                 for j in range(i + 1, len(vals)):
+                    # edit distance >= byte-length difference: skip
+                    # the DP when the pair cannot pass the cutoff
+                    if abs(lens[i] - lens[j]) > max_dist:
+                        continue
                     d = levenshtein(vals[i], vals[j])
                     if d <= max_dist:
                         rows.append((vals[i], vals[j], d))
         if not rows:
-            return pd.DataFrame({
+            return typed_if_empty(pd.DataFrame({
                 "val_a": pd.Series([], dtype="object"),
                 "val_b": pd.Series([], dtype="object"),
-                "dist": pd.Series([], dtype="int64")})
+                "dist": pd.Series([], dtype="int64")}))
         return pd.DataFrame(rows, columns=["val_a", "val_b", "dist"])
 
     return (ds.map_batches(distinct_partial, batch_format="pandas")

@@ -586,11 +586,11 @@ def quantile_hist_by_type(ds, quantiles=(50, 90, 99),
         return typed_if_empty(out)
 
     def estimate(group: pd.DataFrame) -> pd.DataFrame:
+        # the upstream Ray groupby already merged counts: exactly one
+        # row per (event_type, bin) reaches this fn
         g = group.sort_values("bin")
         bins = g["bin"].to_numpy(dtype="int64")
-        cnt = g.groupby("bin", sort=True)["cnt"].sum().to_numpy(
-            dtype="int64")
-        bins = np.unique(bins)
+        cnt = g["cnt"].to_numpy(dtype="int64")
         n = int(cnt.sum())
         cum = np.cumsum(cnt)
         rows = []

@@ -2310,8 +2310,9 @@ def winsorize_by_group(ds, lo_q: int = 5, hi_q: int = 95,
     import ray
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        x = _tokens(batch["text"]).str.len().astype("int64")
-        g = pd.DataFrame({group_col: batch[group_col], "n_tokens": x})
+        t = batch.dropna(subset=[group_col])
+        x = _tokens(t["text"]).str.len().astype("int64")
+        g = pd.DataFrame({group_col: t[group_col], "n_tokens": x})
         out = (g.groupby([group_col, "n_tokens"], sort=False)
                .size().reset_index(name="cnt"))
         return typed_if_empty(out)
@@ -2320,6 +2321,16 @@ def winsorize_by_group(ds, lo_q: int = 5, hi_q: int = 95,
             .groupby([group_col, "n_tokens"])
             .sum("cnt").to_pandas()
             .rename(columns={"sum(cnt)": "cnt"}))
+    if hist.empty:
+        # zero-row to_pandas() drops the column list (CLAUDE.md) —
+        # short-circuit before groupby would KeyError
+        return ds.map_batches(
+            lambda b: typed_if_empty(pd.DataFrame({
+                "doc_id": pd.Series([], dtype="object"),
+                group_col: pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "clipped": pd.Series([], dtype="int64")})),
+            batch_format="pandas")
 
     bounds = {}
     for grp, h in hist.groupby(group_col, sort=False):
@@ -2338,12 +2349,15 @@ def winsorize_by_group(ds, lo_q: int = 5, hi_q: int = 95,
 
     def clip(batch: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(bounds_ref)
-        x = _tokens(batch["text"]).str.len().astype("int64")
-        lo = batch[group_col].map(lambda s: b[s][0]).astype("int64")
-        hi = batch[group_col].map(lambda s: b[s][1]).astype("int64")
+        # NULL group keys drop, matching the SQL twin's inner JOIN
+        # USING (source) (pass 1's pandas groupby dropped them too)
+        t = batch.dropna(subset=[group_col])
+        x = _tokens(t["text"]).str.len().astype("int64")
+        lo = t[group_col].map(lambda s: b[s][0]).astype("int64")
+        hi = t[group_col].map(lambda s: b[s][1]).astype("int64")
         return typed_if_empty(pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            group_col: batch[group_col],
+            "doc_id": t["doc_id"],
+            group_col: t[group_col],
             "n_tokens": x,
             "clipped": x.clip(lower=lo, upper=hi)}))
 

@@ -2905,3 +2905,49 @@ def test_fuzzy_self_join_blocking_and_distinct(ray_session):
     assert got["val_a"].tolist() == ["red bolt"]
     assert got["val_b"].tolist() == ["red rod"]
     assert got["dist"].tolist() == [3]
+
+
+def test_levenshtein_is_utf8_byte_based_like_duckdb():
+    from doc_ocr_ray.stages.linkage import levenshtein
+    import duckdb
+
+    # DuckDB's levenshtein counts UTF-8 BYTES; the engine must match
+    for a, b in [("é", "a"), ("café bolt", "cafe bolt"),
+                 ("日本", "日木"), ("", "é"), ("naïve", "naive")]:
+        want = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_winsorize_null_source_and_empty_input(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import winsorize_by_group
+
+    # NULL source rows drop (SQL inner-join parity), others survive
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "source": ["s", None, "s"],
+        "text": ["w w", "w w w w", "w"]})
+    got = (winsorize_by_group(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == ["a", "c"]
+
+    # all-NULL / empty input returns a typed empty, no KeyError
+    empty = pd.DataFrame({"doc_id": ["x"], "source": [None],
+                          "text": ["w"]})
+    got2 = winsorize_by_group(ray.data.from_pandas(empty))
+    assert got2.count() == 0
+    assert "clipped" in got2.schema().names
+
+
+def test_scd2_intervals_single_row_user(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import scd2_intervals
+
+    ev = pd.DataFrame({
+        "event_id": [1],
+        "user_id": np.array([5], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01"]),
+        "value": [1.0]})
+    got = scd2_intervals(ray.data.from_pandas(ev)).to_pandas()
+    assert len(got) == 1 and pd.isna(got.loc[0, "valid_to"])
