@@ -2222,6 +2222,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_min_cost_supplier(sf_dir):
+        # TPC-H Q2 shape: correlated min-subquery decorrelated into
+        # ONE part-keyed exchange (min + achieving-row filter in the
+        # same group fn), supplier dimension broadcast
+        import pyarrow.parquet as pq
+        return relational.min_cost_supplier(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]))
+
+    def q_late_orders_by_priority(sf_dir):
+        # TPC-H Q4 shape: EXISTS with a cross-table predicate —
+        # native hash join + in-batch distinct partial + one coarse
+        # order-keyed exchange for the exact EXISTS semantics
+        return relational.late_orders_by_priority(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]))
+
+    def q_copurchase_pairs(sf_dir):
+        # market-basket: distinct parts per order, basket-bounded
+        # pair expansion, exact pair counts, partitioned top-k merge
+        return relational.copurchase_pairs(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]))
+
+    def q_week_over_week(sf_dir):
+        # period-over-period per type: epoch-week grid counts + lag
+        from doc_ocr_ray.pipelines.events import week_over_week
+        return week_over_week(
+            _read(sf_dir, "events", ["event_type", "ts"]))
+
     def q_revenue_by_nation(sf_dir):
         # TPC-H Q5 shape: two chained native hash joins + broadcast
         # supplier/nation/region dimensions
@@ -2569,6 +2601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "large_volume_orders": q_large_volume_orders,
         "promo_revenue_share": q_promo_revenue_share,
+        "min_cost_supplier": q_min_cost_supplier,
+        "late_orders_by_priority": q_late_orders_by_priority,
+        "copurchase_pairs": q_copurchase_pairs,
+        "week_over_week": q_week_over_week,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
@@ -6191,6 +6227,73 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # Q2-decorrelation twin: min-per-part + join back on the
+        # exact cents grid; DISTINCT mirrors the engine's pair dedup
+        "min_cost_supplier": """
+            WITH li AS (
+              SELECT l_partkey,
+                     l_suppkey,
+                     CAST(floor(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS cents
+              FROM lineitem),
+            m AS (SELECT l_partkey, min(cents) AS min_cents
+                  FROM li GROUP BY l_partkey)
+            SELECT DISTINCT li.l_partkey AS p_partkey,
+                   li.l_suppkey AS s_suppkey,
+                   s.s_name,
+                   m.min_cents
+            FROM li
+            JOIN m ON li.l_partkey = m.l_partkey
+                  AND li.cents = m.min_cents
+            JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        """,
+        # Q4-EXISTS twin: same 90-whole-day grace window on the
+        # microsecond grid
+        "late_orders_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        # market-basket twin: distinct (order, part), self-join with
+        # p1 < p2, count, total-order top-20
+        "copurchase_pairs": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b x JOIN b y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n DESC, p1, p2
+            LIMIT 20
+        """,
+        # epoch-week grid + lag() with 0 default — previous OBSERVED
+        # week (gap-aware lag semantics, same as the engine's shift)
+        "week_over_week": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(date_diff('microsecond',
+                                    TIMESTAMP '1970-01-01', ts)
+                          // 604800000000 AS BIGINT) AS week,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events
+              WHERE event_type IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT event_type, week, n,
+                   CAST(coalesce(lag(n) OVER (
+                        PARTITION BY event_type ORDER BY week), 0)
+                        AS BIGINT) AS prev_n,
+                   CAST(n - coalesce(lag(n) OVER (
+                        PARTITION BY event_type ORDER BY week), 0)
+                        AS BIGINT) AS delta
+            FROM c
         """,
         "promo_revenue_share": """
             WITH c AS (

@@ -286,6 +286,14 @@ def run_benchmarks() -> dict:
           lambda: qs["winsorize_tokens"](SF_DIR).count())
     timed("fuzzy_name_join",
           lambda: qs["fuzzy_name_join"](SF_DIR).count())
+    timed("min_cost_supplier",
+          lambda: qs["min_cost_supplier"](SF_DIR).count())
+    timed("late_orders_by_priority",
+          lambda: qs["late_orders_by_priority"](SF_DIR).count())
+    timed("copurchase_pairs",
+          lambda: qs["copurchase_pairs"](SF_DIR).num_rows)
+    timed("week_over_week",
+          lambda: qs["week_over_week"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

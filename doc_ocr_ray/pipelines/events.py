@@ -1343,3 +1343,41 @@ def decayed_score_per_user(ds, horizon: str = "2024-02-01",
             .groupby("part").map_groups(combine,
                                         batch_format="pandas")
             .select_columns(["user_id", "score"]))
+
+
+def week_over_week(ds):
+    """Period-over-period growth per event type — the trend table a
+    monitoring/curation dashboard keeps: events bucket onto a fixed
+    epoch-week grid (``floor(epoch_us / 604800e6)``, the 1970-01-01
+    anchor, so the grid is engine-independent), and each observed
+    (event_type, week) row carries its count, the PREVIOUS OBSERVED
+    week's count (SQL ``lag()`` semantics: across a gap the last
+    observed week is the reference, 0 when none), and the integer
+    delta.
+
+    Shape: per-batch (type, week) partial counts -> ONE tiny groupby
+    -> per-type vectorized sort + shift.  The aggregate is
+    types x weeks rows — sketch-sized no matter the corpus.  NULL
+    event types carry no trend and drop.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type"])
+        week = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype("int64") // np.int64(604_800_000_000))
+        g = pd.DataFrame({"event_type": t["event_type"], "week": week})
+        out = (g.groupby(["event_type", "week"], sort=False)
+               .size().reset_index(name="n"))
+        return _typed_if_empty(out)
+
+    def per_type(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("week", sort=True)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        g["prev_n"] = g["n"].shift(1, fill_value=0).astype("int64")
+        g["delta"] = (g["n"] - g["prev_n"]).astype("int64")
+        g.insert(0, "event_type", group["event_type"].iloc[0])
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))

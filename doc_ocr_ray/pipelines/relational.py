@@ -926,3 +926,200 @@ def interval_lookup(ds, intervals, value_col: str, out_col: str = "band",
         return out
 
     return ds.map_batches(lookup, batch_format="pandas")
+
+
+def min_cost_supplier(lineitem_ds, supplier_tbl: pa.Table,
+                      num_parts: int = 128):
+    """TPC-H Q2-shaped correlated-subquery decorrelation: for every
+    part, which supplier(s) ship it at the part's MINIMUM observed
+    price (``WHERE price = (SELECT min(price) ... WHERE partkey =
+    outer.partkey)``).  The classic rewrite is min-per-group + join
+    back; at scale that join is a second all-to-all over a
+    part-cardinality table, so this runs BOTH halves in ONE exchange:
+    co-partition the pruned projection by part key, compute the
+    group min and filter the achieving rows inside the same group fn.
+    Supplier names resolve from the canonical broadcastable dimension
+    (``ray.put`` once, read per batch).
+
+    Ties keep every achieving supplier (SQL join-back semantics);
+    repeat (part, supplier) hits collapse to one row (DISTINCT).
+    Prices compare on the exact integer-cents grid.  Output:
+    ``(p_partkey, s_suppkey, s_name, min_cents)``.
+    """
+    import ray
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    sup = supplier_tbl.to_pandas()
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_name"])))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p_partkey": batch["l_partkey"].astype("int64"),
+            "s_suppkey": batch["l_suppkey"].astype("int64"),
+            "cents": np.floor(batch["l_extendedprice"] * 100 + 0.5)
+                       .astype("int64")})
+        # in-batch combiner: only per-(part, supplier) minima survive
+        # to the shuffle (row count bounded by distinct pairs)
+        out = (out.groupby(["p_partkey", "s_suppkey"], sort=False)
+               ["cents"].min().reset_index())
+        out["part"] = coarse_part(out["p_partkey"], num_parts)
+        return typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        g = group
+        mins = g.groupby("p_partkey", sort=False)["cents"].transform("min")
+        w = (g.loc[g["cents"] == mins,
+                   ["p_partkey", "s_suppkey", "cents"]]
+             .drop_duplicates(["p_partkey", "s_suppkey"]))
+        return typed_if_empty(pd.DataFrame({
+            "p_partkey": w["p_partkey"],
+            "s_suppkey": w["s_suppkey"],
+            "s_name": w["s_suppkey"].map(names).astype(object),
+            "min_cents": w["cents"]}))
+
+    return (lineitem_ds
+            .select_columns(["l_partkey", "l_suppkey",
+                             "l_extendedprice"])
+            .map_batches(project, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))
+
+
+def late_orders_by_priority(orders_ds, lineitem_ds,
+                            grace_days: int = 90,
+                            num_partitions: int | None = None,
+                            num_parts: int = 128):
+    """TPC-H Q4-shaped EXISTS with a CROSS-TABLE predicate: count per
+    order priority the orders having at least one lineitem shipped
+    more than ``grace_days`` after the order date.  The predicate
+    needs columns from both sides, so a broadcast key set cannot
+    express it — the shape is native hash join (both corpus-sized
+    sides partitioned) -> per-batch predicate filter + in-batch
+    DISTINCT partial -> one coarse order-keyed exchange for the exact
+    cross-batch DISTINCT (EXISTS = at most one count per order) ->
+    tiny per-priority sum.
+
+    Date arithmetic is exact integer microseconds (grace window =
+    ``grace_days`` whole days), matching the SQL twin's INTERVAL
+    comparison bit-for-bit.  Output: ``(o_orderpriority,
+    n_late_orders)``.
+    """
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    joined = lineitem_ds.select_columns(["l_orderkey", "l_shipdate"]).join(
+        orders_ds.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderpriority": pd.Series([], dtype="object")})
+        if batch.empty or "l_shipdate" not in batch.columns:
+            return typed_if_empty(empty)
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        odate = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        # the native join keeps the LEFT key column (l_orderkey)
+        b = batch.loc[ship > odate + grace_us,
+                      ["l_orderkey", "o_orderpriority"]].rename(
+            columns={"l_orderkey": "o_orderkey"})
+        out = b.drop_duplicates("o_orderkey").reset_index(drop=True)
+        if not len(out):
+            return typed_if_empty(empty)
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["part"] = coarse_part(out["o_orderkey"], num_parts)
+        return out
+
+    def distinct_count(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates("o_orderkey")
+        out = (d.groupby("o_orderpriority", sort=False)
+               .size().reset_index(name="n"))
+        return typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [group["o_orderpriority"].iloc[0]],
+            "n_late_orders": [int(group["n"].sum())]})
+
+    return (joined.map_batches(late_partial, batch_format="pandas")
+            .groupby("part").map_groups(distinct_count,
+                                        batch_format="pandas")
+            .groupby("o_orderpriority")
+            .map_groups(final, batch_format="pandas"))
+
+
+def copurchase_pairs(lineitem_ds, k: int = 20, num_parts: int = 128):
+    """Market-basket co-occurrence — the "frequently bought together"
+    aggregation every recommender corpus build runs: baskets are
+    orders, items are the DISTINCT parts in each order, and the
+    output is the top-``k`` unordered part pairs by basket count
+    (ties broken by the pair keys, a total order, so the cut is
+    deterministic).
+
+    Shape: coarse order-keyed exchange of the two-column projection
+    (an in-batch per-(order, part) DISTINCT shrinks it first), pair
+    expansion INSIDE the group fn (baskets are small — the quadratic
+    is basket-bounded), per-partition pair counts re-keyed by pair
+    hash for the exact global count, per-partition top-k, and a
+    num_parts*k-row driver merge — the global sort never touches the
+    full pair table.
+    """
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o": batch["l_orderkey"].astype("int64"),
+            "p": batch["l_partkey"].astype("int64")}
+        ).drop_duplicates()
+        out["part"] = coarse_part(out["o"], num_parts)
+        return typed_if_empty(out)
+
+    def pairs_in_baskets(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        rows = []
+        for _, basket in d.groupby("o", sort=False):
+            ps = basket["p"].to_numpy()
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    rows.append((ps[i], ps[j]))
+        if not rows:
+            return typed_if_empty(pd.DataFrame({
+                "p1": pd.Series([], dtype="int64"),
+                "p2": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "ppart": pd.Series([], dtype="int64")}))
+        out = (pd.DataFrame(rows, columns=["p1", "p2"])
+               .groupby(["p1", "p2"], sort=False)
+               .size().reset_index(name="n"))
+        out["ppart"] = coarse_part(
+            out["p1"] * np.int64(1_000_003) + out["p2"], num_parts)
+        return out
+
+    def topk_per_pairpart(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["p1", "p2"], sort=False)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        g = g.sort_values(["n", "p1", "p2"],
+                          ascending=[False, True, True]).head(k)
+        return typed_if_empty(g[["p1", "p2", "n"]])
+
+    cand = (lineitem_ds.select_columns(["l_orderkey", "l_partkey"])
+            .map_batches(project, batch_format="pandas")
+            .groupby("part").map_groups(pairs_in_baskets,
+                                        batch_format="pandas")
+            .groupby("ppart").map_groups(topk_per_pairpart,
+                                         batch_format="pandas")
+            .to_pandas())
+    top = cand.sort_values(["n", "p1", "p2"],
+                           ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

@@ -2951,3 +2951,85 @@ def test_scd2_intervals_single_row_user(ray_session):
         "value": [1.0]})
     got = scd2_intervals(ray.data.from_pandas(ev)).to_pandas()
     assert len(got) == 1 and pd.isna(got.loc[0, "valid_to"])
+
+
+def test_min_cost_supplier_ties_and_dup_pairs(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.pipelines.relational import min_cost_supplier
+
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+        "l_suppkey": np.array([10, 11, 10, 12, 10], dtype=np.int64),
+        "l_extendedprice": [5.00, 5.00, 5.00, 9.99, 7.77]})
+    sup = pa.table({"s_suppkey": pa.array([10, 11, 12], pa.int64()),
+                    "s_name": ["A", "B", "C"]})
+    got = (min_cost_supplier(ray.data.from_pandas(li).repartition(3),
+                             sup)
+           .to_pandas().sort_values(["p_partkey", "s_suppkey"])
+           .reset_index(drop=True))
+    # part 1: suppliers 10 and 11 tie at the min (both kept); the
+    # repeat (1, 10) hit collapses; supplier 12 misses the min
+    assert got[["p_partkey", "s_suppkey"]].values.tolist() == \
+        [[1, 10], [1, 11], [2, 10]]
+    assert got["min_cents"].tolist() == [500, 500, 777]
+    assert got["s_name"].tolist() == ["A", "B", "A"]
+
+
+def test_late_orders_exists_counts_order_once(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import late_orders_by_priority
+
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3], dtype=np.int64),
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+        "o_orderpriority": ["HI", "HI", "LO"]})
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 2, 3], dtype=np.int64),
+        # order 1: TWO late lineitems -> still counts once (EXISTS);
+        # order 2: exactly at the boundary (not >) -> not late;
+        # order 3: one day past the 90-day grace -> late
+        "l_shipdate": pd.to_datetime(
+            ["2024-06-01", "2024-07-01", "2024-03-31", "2024-04-01"])})
+    got = (late_orders_by_priority(ray.data.from_pandas(orders),
+                                   ray.data.from_pandas(li)
+                                   .repartition(2))
+           .to_pandas().sort_values("o_orderpriority")
+           .reset_index(drop=True))
+    assert got["o_orderpriority"].tolist() == ["HI", "LO"]
+    assert got["n_late_orders"].tolist() == [1, 1]
+
+
+def test_copurchase_pairs_distinct_within_basket(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import copurchase_pairs
+
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+        # part 7 twice in order 1 -> pair (7, 8) counted ONCE there
+        "l_partkey": np.array([7, 7, 8, 7, 8, 9], dtype=np.int64)})
+    got = (copurchase_pairs(ray.data.from_pandas(li).repartition(3),
+                            k=2)
+           .to_pandas())
+    # (7,8) in both baskets; ties below broken by (p1, p2)
+    assert got[["p1", "p2", "n"]].values.tolist() == \
+        [[7, 8, 2], [7, 9, 1]]
+
+
+def test_week_over_week_lag_across_gap(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import week_over_week
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 4 + [None],
+        # weeks 0, 0, 1, 3 of the epoch grid (gap at week 2)
+        "ts": pd.to_datetime(["1970-01-01", "1970-01-07",
+                              "1970-01-08", "1970-01-22",
+                              "1970-01-02"])})
+    got = (week_over_week(ray.data.from_pandas(ev).repartition(2))
+           .to_pandas().sort_values("week").reset_index(drop=True))
+    assert got["week"].tolist() == [0, 1, 3]
+    assert got["n"].tolist() == [2, 1, 1]
+    # lag semantics: week 3's reference is week 1 (last OBSERVED)
+    assert got["prev_n"].tolist() == [0, 2, 1]
+    assert got["delta"].tolist() == [2, -1, 0]
