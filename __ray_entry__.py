@@ -2222,6 +2222,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_ivm_refresh(sf_dir):
+        # incremental view maintenance: agg snapshot of the "old"
+        # events merged with the delta's partials == full recompute;
+        # the base itself is built by the same merge with an empty
+        # snapshot (mergeability exercised twice)
+        import ray.data
+        from doc_ocr_ray.stages.catalog import ivm_refresh
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        old = ev.map_batches(
+            lambda b: b[b["event_id"] % 10 != 0], batch_format="pandas")
+        delta = ev.map_batches(
+            lambda b: b[b["event_id"] % 10 == 0], batch_format="pandas")
+        empty_base = ray.data.from_pandas(pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64")}))
+        base = ivm_refresh(empty_base, old)
+        return ivm_refresh(base, delta)
+
+    def q_supplier_variety(sf_dir):
+        # TPC-H Q16 shape: COUNT(DISTINCT supplier) per brand with a
+        # NOT IN blocklist — native hash join + distinct-pair combiner
+        import pyarrow.parquet as pq
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey"])
+        excluded = [k for k in sup["s_suppkey"].to_pylist()
+                    if k % 13 == 0]
+        return relational.supplier_variety(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            excluded)
+
+    def q_sample_k_per_source(sf_dir):
+        # exact-k per-group uniform sample on the md5(seed:key) grid
+        from doc_ocr_ray.pipelines.curate import sample_k_per_group
+        return sample_k_per_group(
+            _read(sf_dir, "documents", ["doc_id", "source"]), k=10)
+
+    def q_gram_matrix(sf_dir):
+        # distributed X^T X on the integer grid: d^2-sized partials,
+        # corpus never shuffles
+        from doc_ocr_ray.stages.similarity import gram_matrix
+        return gram_matrix(_read(sf_dir, "embeddings", ["embedding"]))
+
     def q_min_cost_supplier(sf_dir):
         # TPC-H Q2 shape: correlated min-subquery decorrelated into
         # ONE part-keyed exchange (min + achieving-row filter in the
@@ -2602,6 +2646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": q_large_volume_orders,
         "promo_revenue_share": q_promo_revenue_share,
         "min_cost_supplier": q_min_cost_supplier,
+        "ivm_refresh": q_ivm_refresh,
+        "supplier_variety": q_supplier_variety,
+        "sample_k_per_source": q_sample_k_per_source,
+        "gram_matrix": q_gram_matrix,
         "late_orders_by_priority": q_late_orders_by_priority,
         "copurchase_pairs": q_copurchase_pairs,
         "week_over_week": q_week_over_week,
@@ -6227,6 +6275,56 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # IVM contract: refresh(agg(old), delta) == agg(old UNION
+        # delta) == full recompute over everything
+        "ivm_refresh": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY event_type
+        """,
+        # Q16 twin: the % 13 == 0 blocklist inlined as the predicate
+        "supplier_variety": """
+            SELECT p_brand,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey % 13 <> 0
+            GROUP BY p_brand
+        """,
+        # per-group exact-k twin: row_number over the same md5 grid
+        "sample_k_per_source": """
+            WITH r AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     source,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS rank_hex,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)))
+                       AS rn
+              FROM documents WHERE source IS NOT NULL)
+            SELECT doc_id, source, rank_hex FROM r WHERE rn <= 10
+        """,
+        # gram twin: per-coordinate quantize on the 1e-6 grid, exact
+        # integer products, upper triangle (1-based list indexing)
+        "gram_matrix": """
+            WITH q AS (
+              SELECT vec_id, t.i AS i,
+                     -- widen to DOUBLE first: FLOAT * INT stays in
+                     -- f32 arithmetic in DuckDB, numpy computes f64
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+                                * 1000000 + 0.5)
+                          AS BIGINT) AS qv
+              FROM embeddings, range(1, 65) AS t(i))
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+            FROM q a JOIN q b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
         """,
         # Q2-decorrelation twin: min-per-part + join back on the
         # exact cents grid; DISTINCT mirrors the engine's pair dedup

@@ -294,6 +294,12 @@ def run_benchmarks() -> dict:
           lambda: qs["copurchase_pairs"](SF_DIR).num_rows)
     timed("week_over_week",
           lambda: qs["week_over_week"](SF_DIR).count())
+    timed("ivm_refresh", lambda: qs["ivm_refresh"](SF_DIR).count())
+    timed("supplier_variety",
+          lambda: qs["supplier_variety"](SF_DIR).count())
+    timed("sample_k_per_source",
+          lambda: qs["sample_k_per_source"](SF_DIR).count())
+    timed("gram_matrix", lambda: qs["gram_matrix"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1094,3 +1094,46 @@ def pack_tokens(ds, seq_len: int = 2048, key: str = "doc_id",
 
     return ranked.groupby("bucket").map_groups(place_and_slice,
                                                batch_format="pandas")
+
+
+def sample_k_per_group(ds, k: int = 10, group_col: str = "source",
+                       key: str = "doc_id", seed: int = 42):
+    """Exact-``k`` uniform sample PER GROUP — the per-domain audit
+    sample / eval-holdout draw (stratified_sample keeps a RATE, this
+    keeps a COUNT): every row ranks by ``md5(seed:key)`` and each
+    group keeps its ``k`` smallest ranks.  Membership is a pure
+    function of (seed, key), so re-runs and incremental arrivals
+    agree on already-sampled rows, and the md5 grid makes the DuckDB
+    twin's ``row_number() OVER (ORDER BY md5(...))`` identical.
+
+    Shape: the distributed top-k discipline — per-batch top-k per
+    group (combiner: at most groups-in-batch x k rows reach the
+    exchange), ONE coarse group-keyed exchange, exact per-group
+    top-k inside the group fn.  Groups with fewer than ``k`` rows
+    keep everything.  Output: ``(key, group_col, rank_hex)``.
+    """
+    import hashlib
+
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    def rank_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=[group_col])
+        out = pd.DataFrame({
+            key: t[key].astype(str),
+            group_col: t[group_col],
+            "rank_hex": [hashlib.md5(f"{seed}:{v}".encode())
+                         .hexdigest() for v in t[key].astype(str)]})
+        out = (out.sort_values("rank_hex")
+               .groupby(group_col, sort=False).head(k))
+        out["part"] = coarse_part(out[group_col], 64)
+        return typed_if_empty(out.reset_index(drop=True))
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.sort_values("rank_hex")
+               .groupby(group_col, sort=False).head(k))
+        return typed_if_empty(
+            out[[key, group_col, "rank_hex"]].reset_index(drop=True))
+
+    return (ds.map_batches(rank_partial, batch_format="pandas")
+            .groupby("part").map_groups(per_group,
+                                        batch_format="pandas"))

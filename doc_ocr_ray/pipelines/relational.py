@@ -1123,3 +1123,69 @@ def copurchase_pairs(lineitem_ds, k: int = 20, num_parts: int = 128):
                            ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def supplier_variety(lineitem_ds, part_ds, excluded_suppkeys,
+                     num_partitions: int | None = None,
+                     num_parts: int = 128):
+    """TPC-H Q16-shaped supplier-variety count: DISTINCT suppliers
+    per part brand, excluding a complaint blocklist (``COUNT(DISTINCT
+    suppkey) ... WHERE suppkey NOT IN (...)``).  Both lineitem and
+    part are corpus-sized at scale, so the brand resolves through the
+    NATIVE hash join; the blocklist is the broadcastable side and
+    filters BEFORE the join (the cheapest place).  The exchange then
+    carries the DISTINCT (brand, suppkey) pair set — in-batch pair
+    dedup first, exact cross-batch dedup in ONE coarse pair-keyed
+    exchange, tiny per-brand count.
+
+    Output: ``(p_brand, n_suppliers)``.
+    """
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    excluded = frozenset(int(k) for k in excluded_suppkeys)
+
+    def pre_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[~batch["l_suppkey"].isin(excluded),
+                        ["l_partkey", "l_suppkey"]].drop_duplicates()
+        return typed_if_empty(out.reset_index(drop=True))
+
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey"]).map_batches(
+        pre_filter, batch_format="pandas")
+    joined = li.join(
+        part_ds.select_columns(["p_partkey", "p_brand"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "l_suppkey": pd.Series([], dtype="int64")})
+        if batch.empty or "p_brand" not in batch.columns:
+            return typed_if_empty(empty)
+        out = (batch[["p_brand", "l_suppkey"]].drop_duplicates()
+               .reset_index(drop=True))
+        out["l_suppkey"] = out["l_suppkey"].astype("int64")
+        out["part"] = coarse_part(
+            out["p_brand"].astype(str) + ":"
+            + out["l_suppkey"].astype(str), num_parts)
+        return out
+
+    def distinct_count(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["p_brand", "l_suppkey"])
+        out = (d.groupby("p_brand", sort=False)
+               .size().reset_index(name="n"))
+        return typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": [group["p_brand"].iloc[0]],
+            "n_suppliers": [int(group["n"].sum())]})
+
+    return (joined.map_batches(pair_partial, batch_format="pandas")
+            .groupby("part").map_groups(distinct_count,
+                                        batch_format="pandas")
+            .groupby("p_brand")
+            .map_groups(final, batch_format="pandas"))

@@ -280,3 +280,57 @@ def validate_table(ds, rules, num_parts: int = 64):
 
     return tagged.groupby("part").map_groups(final,
                                              batch_format="pandas")
+
+
+def ivm_refresh(base_ds, delta_ds, num_parts: int = 64):
+    """Incremental view maintenance for a per-key SUM/COUNT aggregate
+    — the materialized-view refresh a warehouse runs on arrival of a
+    delta batch instead of rescanning the corpus: ``base`` is the
+    PREVIOUS aggregate snapshot ``(event_type, n, sum_cents)``,
+    ``delta`` is the new raw events, and the refreshed view is the
+    merge of the snapshot rows with the delta's partial aggregates —
+    cost proportional to the DELTA (plus the key-cardinality
+    snapshot), never the accumulated history.  Correctness contract:
+    refresh(agg(old), delta) == agg(old UNION delta), which is
+    exactly what the SQL twin checks.
+
+    Shape: delta collapses in-batch to per-key partials (the standard
+    combiner), snapshot rows pass through typed as partials of
+    themselves, ONE tiny key-cardinality groupby merges both.  Keys
+    present only in the delta appear; keys untouched by the delta
+    survive unchanged.  NULL keys carry no view row and drop (GROUP
+    BY parity).
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    def delta_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type"])
+        cents = np.floor(t["value"] * 100 + 0.5).astype("int64")
+        g = (pd.DataFrame({"event_type": t["event_type"],
+                           "cents": cents})
+             .groupby("event_type", sort=False)["cents"]
+             .agg(["count", "sum"]).reset_index())
+        g.columns = ["event_type", "n", "sum_cents"]
+        g["n"] = g["n"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return typed_if_empty(g)
+
+    def base_pass(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "n": batch["n"].astype("int64"),
+            "sum_cents": batch["sum_cents"].astype("int64")})
+        return typed_if_empty(out)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n": [int(group["n"].sum())],
+            "sum_cents": [int(group["sum_cents"].sum())]})
+
+    partials = delta_ds.map_batches(delta_partial,
+                                    batch_format="pandas")
+    base = base_ds.map_batches(base_pass, batch_format="pandas")
+    return (base.union(partials)
+            .groupby("event_type")
+            .map_groups(merge, batch_format="pandas"))

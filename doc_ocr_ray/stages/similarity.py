@@ -1042,3 +1042,60 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         })
 
     return cand.map_batches(score_pairs, batch_format="pandas")
+
+
+def gram_matrix(ds, vec_col: str = "embedding", grid: int = 1_000_000,
+                num_parts: int = 32):
+    """Distributed Gram / scatter matrix of the embedding column —
+    the X^T X reduction under PCA, whitening, and linear-probe
+    fitting: one (i, j, s) row per upper-triangle coordinate pair
+    where ``s = sum_r q(x_ri) * q(x_rj)`` over all rows.
+
+    Exactness: elements quantize once onto the ``1/grid`` integer
+    grid (``floor(v * grid + 0.5)``, half-up — the house cents rule),
+    then every product and sum is int64 — no float accumulation order
+    to match, so the DuckDB twin is bit-exact.  Envelope: |q| < 2^21
+    at grid=1e6 for unit-scale embeddings -> one product < 2^42;
+    int64 absorbs ~2^21 rows before overflow — larger corpora raise
+    the per-batch partial to HUGEINT territory, so callers shrink
+    ``grid`` (the documented bit-parity contract, numpy wraps
+    silently).
+
+    Shape: per-batch vectorized ``Q^T Q`` (one einsum over the whole
+    batch — d^2-sized partial no matter the batch), partials keyed by
+    (i, j), ONE d^2-row groupby sum.  The corpus never shuffles; only
+    d*(d+1)/2-row matrices do.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return typed_if_empty(pd.DataFrame({
+                "i": pd.Series([], dtype="int64"),
+                "j": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64")}))
+        # widen float32 storage to float64 BEFORE the grid multiply:
+        # SQL computes in DOUBLE (exact f32->f64), and a f32 product
+        # rounds differently near floor boundaries
+        x = np.stack(batch[vec_col].to_numpy()).astype("float64")
+        q = np.floor(x * grid + 0.5).astype("int64")
+        g = q.T @ q                      # (d, d) int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame({"i": iu.astype("int64") + 1,
+                            "j": ju.astype("int64") + 1,
+                            "s": g[iu, ju]})
+        # coarse shuffle key: d^2 coordinates regroup INSIDE the
+        # group fn (thousands of 1-row Ray groups cost ~1ms each)
+        out["part"] = (out["i"] * 1009 + out["j"]) % num_parts
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby(["i", "j"], sort=False)["s"].sum()
+               .reset_index())
+        out["s"] = out["s"].astype("int64")
+        return typed_if_empty(out)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(combine,
+                                        batch_format="pandas"))

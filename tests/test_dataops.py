@@ -3033,3 +3033,83 @@ def test_week_over_week_lag_across_gap(ray_session):
     # lag semantics: week 3's reference is week 1 (last OBSERVED)
     assert got["prev_n"].tolist() == [0, 2, 1]
     assert got["delta"].tolist() == [2, -1, 0]
+
+
+def test_ivm_refresh_merges_base_and_delta(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.catalog import ivm_refresh
+
+    base = pd.DataFrame({"event_type": ["a", "b"],
+                         "n": np.array([3, 1], dtype=np.int64),
+                         "sum_cents": np.array([300, 50],
+                                               dtype=np.int64)})
+    delta = pd.DataFrame({
+        "event_type": ["a", "c", None],
+        "value": [1.00, 2.00, 9.99]})
+    got = (ivm_refresh(ray.data.from_pandas(base),
+                       ray.data.from_pandas(delta).repartition(2))
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    # a merges, b passes through untouched, c appears, NULL drops
+    assert got["event_type"].tolist() == ["a", "b", "c"]
+    assert got["n"].tolist() == [4, 1, 1]
+    assert got["sum_cents"].tolist() == [400, 50, 200]
+
+
+def test_supplier_variety_distinct_and_blocklist(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import supplier_variety
+
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        # supplier 10 twice for part 1 -> counted once; 13 blocked
+        "l_suppkey": np.array([10, 10, 13, 10, 11], dtype=np.int64)})
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2], dtype=np.int64),
+        "p_brand": ["X", "X"]})
+    got = (supplier_variety(ray.data.from_pandas(li).repartition(2),
+                            ray.data.from_pandas(part),
+                            excluded_suppkeys=[13], num_partitions=2)
+           .to_pandas())
+    # brand X: suppliers {10, 11} (13 excluded, dup 10 collapsed)
+    assert got["p_brand"].tolist() == ["X"]
+    assert got["n_suppliers"].tolist() == [2]
+
+
+def test_sample_k_per_group_exact_k_and_determinism(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import sample_k_per_group
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(30)),
+        "source": ["big"] * 25 + ["tiny"] * 3 + [None] * 2})
+    a = (sample_k_per_group(ray.data.from_pandas(docs)
+                            .repartition(3), k=5)
+         .to_pandas().sort_values(["source", "rank_hex"])
+         .reset_index(drop=True))
+    # exact k for the big group, everything for the small, NULL drops
+    assert (a["source"] == "big").sum() == 5
+    assert (a["source"] == "tiny").sum() == 3
+    # determinism: a different partitioning yields the same sample
+    b = (sample_k_per_group(ray.data.from_pandas(docs)
+                            .repartition(7), k=5)
+         .to_pandas().sort_values(["source", "rank_hex"])
+         .reset_index(drop=True))
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_gram_matrix_exact_small_case(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.similarity import gram_matrix
+
+    vecs = pd.DataFrame({"embedding": [
+        np.array([1.0, 2.0], dtype=np.float32),
+        np.array([0.5, -1.0], dtype=np.float32)]})
+    got = (gram_matrix(ray.data.from_pandas(vecs).repartition(2),
+                       grid=100)
+           .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+    # q = [[100, 200], [50, -100]]: upper triangle of Q^T Q
+    assert got[["i", "j"]].values.tolist() == [[1, 1], [1, 2], [2, 2]]
+    assert got["s"].tolist() == [100*100 + 50*50,
+                                 100*200 + 50*(-100),
+                                 200*200 + (-100)*(-100)]
