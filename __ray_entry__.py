@@ -6373,13 +6373,17 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         # epoch-week grid + lag() with 0 default — previous OBSERVED
-        # week (gap-aware lag semantics, same as the engine's shift)
+        # week (gap-aware lag semantics, same as the engine's shift).
+        # floor() of a DOUBLE quotient, NOT integer //: DuckDB //
+        # truncates toward zero while numpy floors, so pre-1970
+        # timestamps would land in different buckets (double is exact
+        # here for |ts| within ~2^53 us of the epoch, ~year 2255)
         "week_over_week": """
             WITH c AS (
               SELECT event_type,
-                     CAST(date_diff('microsecond',
+                     CAST(floor(date_diff('microsecond',
                                     TIMESTAMP '1970-01-01', ts)
-                          // 604800000000 AS BIGINT) AS week,
+                          / 604800000000.0) AS BIGINT) AS week,
                      CAST(count(*) AS BIGINT) AS n
               FROM events
               WHERE event_type IS NOT NULL

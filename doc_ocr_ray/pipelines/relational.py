@@ -973,10 +973,14 @@ def min_cost_supplier(lineitem_ds, supplier_tbl: pa.Table,
         w = (g.loc[g["cents"] == mins,
                    ["p_partkey", "s_suppkey", "cents"]]
              .drop_duplicates(["p_partkey", "s_suppkey"]))
+        nm = w["s_suppkey"].map(names)
+        # inner-join parity with the oracle's JOIN supplier: suppliers
+        # absent from the dimension drop instead of carrying NaN names
+        w, nm = w[nm.notna()], nm[nm.notna()]
         return typed_if_empty(pd.DataFrame({
             "p_partkey": w["p_partkey"],
             "s_suppkey": w["s_suppkey"],
-            "s_name": w["s_suppkey"].map(names).astype(object),
+            "s_name": nm.astype(object),
             "min_cents": w["cents"]}))
 
     return (lineitem_ds
@@ -1021,7 +1025,8 @@ def late_orders_by_priority(orders_ds, lineitem_ds,
     def late_partial(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             "o_orderkey": pd.Series([], dtype="int64"),
-            "o_orderpriority": pd.Series([], dtype="object")})
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "part": pd.Series([], dtype="int64")})
         if batch.empty or "l_shipdate" not in batch.columns:
             return typed_if_empty(empty)
         ship = batch["l_shipdate"].to_numpy().astype(
@@ -1119,6 +1124,11 @@ def copurchase_pairs(lineitem_ds, k: int = 20, num_parts: int = 128):
             .groupby("ppart").map_groups(topk_per_pairpart,
                                          batch_format="pandas")
             .to_pandas())
+    if not len(cand):
+        # zero-row to_pandas() drops the column list (CLAUDE.md)
+        return pa.table({"p1": pa.array([], pa.int64()),
+                         "p2": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     top = cand.sort_values(["n", "p1", "p2"],
                            ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
@@ -1162,7 +1172,8 @@ def supplier_variety(lineitem_ds, part_ds, excluded_suppkeys,
     def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             "p_brand": pd.Series([], dtype="object"),
-            "l_suppkey": pd.Series([], dtype="int64")})
+            "l_suppkey": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="int64")})
         if batch.empty or "p_brand" not in batch.columns:
             return typed_if_empty(empty)
         out = (batch[["p_brand", "l_suppkey"]].drop_duplicates()

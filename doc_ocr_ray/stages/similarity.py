@@ -1073,7 +1073,8 @@ def gram_matrix(ds, vec_col: str = "embedding", grid: int = 1_000_000,
             return typed_if_empty(pd.DataFrame({
                 "i": pd.Series([], dtype="int64"),
                 "j": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="int64")}))
+                "s": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64")}))
         # widen float32 storage to float64 BEFORE the grid multiply:
         # SQL computes in DOUBLE (exact f32->f64), and a f32 product
         # rounds differently near floor boundaries

@@ -3113,3 +3113,57 @@ def test_gram_matrix_exact_small_case(ray_session):
     assert got["s"].tolist() == [100*100 + 50*50,
                                  100*200 + 50*(-100),
                                  200*200 + (-100)*(-100)]
+
+
+def test_week_over_week_pre_epoch_floor_parity(ray_session):
+    import duckdb
+    import ray.data
+    import __ray_entry__ as entrymod
+    from doc_ocr_ray.pipelines.events import week_over_week
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a"],
+        # 1969-12-28 is BEFORE the epoch: floor lands it in week -1,
+        # truncation would say week 0 — this pins the floor contract
+        "ts": pd.to_datetime(["1969-12-28", "1970-01-02",
+                              "1970-01-09"])})
+    got = (week_over_week(ray.data.from_pandas(ev))
+           .to_pandas().sort_values("week").reset_index(drop=True))
+    assert got["week"].tolist() == [-1, 0, 1]
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = (con.sql(entrymod.oracle_sql()["week_over_week"]).df()
+            .sort_values("week").reset_index(drop=True))
+    assert got["week"].tolist() == want["week"].tolist()
+    assert got["prev_n"].tolist() == want["prev_n"].tolist()
+
+
+def test_min_cost_supplier_unknown_supplier_drops(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.pipelines.relational import min_cost_supplier
+
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1], dtype=np.int64),
+        # supplier 99 is absent from the dimension; it holds the min,
+        # so part 1 vanishes entirely (inner-join parity), leaving
+        # only the known supplier's non-min row OUT as well
+        "l_suppkey": np.array([99, 10], dtype=np.int64),
+        "l_extendedprice": [1.00, 2.00]})
+    sup = pa.table({"s_suppkey": pa.array([10], pa.int64()),
+                    "s_name": ["A"]})
+    got = min_cost_supplier(ray.data.from_pandas(li), sup).to_pandas()
+    assert len(got) == 0
+
+
+def test_copurchase_pairs_empty_candidates(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import copurchase_pairs
+
+    # single-item baskets -> zero pairs -> typed empty result
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 2], dtype=np.int64),
+        "l_partkey": np.array([7, 8], dtype=np.int64)})
+    got = copurchase_pairs(ray.data.from_pandas(li), k=5)
+    assert got.num_rows == 0
+    assert got.column_names == ["p1", "p2", "n"]
