@@ -2222,6 +2222,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_hard_negatives(sf_dir):
+        # contrastive mining: top-5 different-label cosine neighbors
+        # for the first 20 anchors (broadcast anchors, partial top-k)
+        from doc_ocr_ray.stages.similarity import hard_negatives
+        return hard_negatives(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+            query_ids=list(range(20)), k=5)
+
+    def q_search_snippets(sf_dir):
+        # KWIC presentation for the BM25 top-10: hit ids broadcast,
+        # one more corpus stream extracts the context windows
+        from doc_ocr_ray.stages.text_analysis import search_snippets
+        return search_snippets(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            ["hash", "join", "window"], k=10, window=5)
+
+    def q_unpivot_lineitem(sf_dir):
+        # wide -> long reshape on the cents grid: row-local melt
+        def to_cents(b):
+            import numpy as _np
+            out = b[["l_orderkey", "l_linenumber"]].copy()
+            for src, dst in [("l_quantity", "qty"),
+                             ("l_extendedprice", "price"),
+                             ("l_discount", "discount"),
+                             ("l_tax", "tax")]:
+                out[dst] = _np.floor(b[src] * 100 + 0.5).astype("int64")
+            return out
+        ds = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax"]
+                   ).map_batches(to_cents, batch_format="pandas")
+        return relational.unpivot(
+            ds, ["l_orderkey", "l_linenumber"],
+            ["qty", "price", "discount", "tax"],
+            var_name="measure", value_name="cents")
+
     def q_ivm_refresh(sf_dir):
         # incremental view maintenance: agg snapshot of the "old"
         # events merged with the delta's partials == full recompute;
@@ -2647,6 +2683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": q_promo_revenue_share,
         "min_cost_supplier": q_min_cost_supplier,
         "ivm_refresh": q_ivm_refresh,
+        "hard_negatives": q_hard_negatives,
+        "search_snippets": q_search_snippets,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "supplier_variety": q_supplier_variety,
         "sample_k_per_source": q_sample_k_per_source,
         "gram_matrix": q_gram_matrix,
@@ -6275,6 +6314,56 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # hard-negative twin: similarity_topk's chain + the
+        # different-label mask
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 20),
+                 x AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS xv
+                       FROM embeddings),
+                 s AS (SELECT q.qid AS query_id, x.vec_id,
+                              list_cosine_similarity(q.qv, x.xv) AS raw
+                       FROM q CROSS JOIN x
+                       WHERE x.label <> q.qlabel),
+                 r AS (SELECT query_id, vec_id, raw,
+                              row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, rank, vec_id, round(raw, 4) AS score
+            FROM r WHERE rank <= 5
+        """,
+        # KWIC twin: nest the BM25 chain, find the earliest query-term
+        # position in the same _NORM token list (least() skips NULLs),
+        # slice the 1-based inclusive window and re-join on ' '
+        "search_snippets": f"""
+            WITH hits AS ({_bm25_sql(10)}),
+            d AS (SELECT doc_id,
+                         regexp_split_to_array({_NORM}, ' ') AS l
+                  FROM documents),
+            p AS (SELECT h.rank, h.doc_id, h.score_micro, d.l,
+                         least(list_position(d.l, 'hash'),
+                               list_position(d.l, 'join'),
+                               list_position(d.l, 'window')) AS pos
+                  FROM hits h JOIN d ON d.doc_id = h.doc_id)
+            SELECT rank, doc_id, score_micro,
+                   array_to_string(
+                     l[greatest(1, pos - 5):
+                       least(len(l), pos + 5)], ' ') AS snippet
+            FROM p
+        """,
+        # unpivot twin: UNION ALL, one branch per measure
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, m.measure,
+                   CAST(floor(m.v * 100 + 0.5) AS BIGINT) AS cents
+            FROM lineitem,
+                 LATERAL (VALUES ('qty', l_quantity),
+                                 ('price', l_extendedprice),
+                                 ('discount', l_discount),
+                                 ('tax', l_tax)) AS m(measure, v)
         """,
         # IVM contract: refresh(agg(old), delta) == agg(old UNION
         # delta) == full recompute over everything

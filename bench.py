@@ -300,6 +300,12 @@ def run_benchmarks() -> dict:
     timed("sample_k_per_source",
           lambda: qs["sample_k_per_source"](SF_DIR).count())
     timed("gram_matrix", lambda: qs["gram_matrix"](SF_DIR).count())
+    timed("hard_negatives",
+          lambda: qs["hard_negatives"](SF_DIR).num_rows)
+    timed("search_snippets",
+          lambda: len(qs["search_snippets"](SF_DIR)))
+    timed("unpivot_lineitem",
+          lambda: qs["unpivot_lineitem"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1200,3 +1200,30 @@ def supplier_variety(lineitem_ds, part_ds, excluded_suppkeys,
                                         batch_format="pandas")
             .groupby("p_brand")
             .map_groups(final, batch_format="pandas"))
+
+
+def unpivot(ds, id_cols, value_cols, var_name: str = "measure",
+            value_name: str = "val"):
+    """Wide -> long reshape (the UNPIVOT twin of ``events_pivot``):
+    each input row fans out to one row per value column, tagged with
+    the column's name.  A pure per-batch ``melt`` — row-local fan-out,
+    NO shuffle, output rows = input rows x len(value_cols).  Value
+    columns must share one dtype (pandas melt would silently upcast
+    mixed ints/floats to object; refused loudly instead).
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        dtypes = {str(batch[c].dtype) for c in value_cols}
+        if len(dtypes) > 1:
+            raise ValueError(
+                f"unpivot value columns must share one dtype, got "
+                f"{sorted(dtypes)}")
+        out = batch.melt(id_vars=id_cols, value_vars=value_cols,
+                         var_name=var_name, value_name=value_name)
+        return typed_if_empty(out)
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -1100,3 +1100,77 @@ def gram_matrix(ds, vec_col: str = "embedding", grid: int = 1_000_000,
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("part").map_groups(combine,
                                         batch_format="pandas"))
+
+
+def hard_negatives(ds, query_ids, k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> pa.Table:
+    """Contrastive hard-negative mining — the pair-construction pass
+    of an embedding-training pipeline: for each anchor, the top-``k``
+    most cosine-similar vectors with a DIFFERENT label (near the
+    anchor but semantically wrong — the negatives that actually teach
+    the model).  Same distributed shape as :func:`knn_brute`: anchors
+    (vectors + labels) broadcast once, each batch scores vectorized
+    and emits its local top-k AFTER the same-label/self mask, the
+    driver merges ``n_anchors * k * n_blocks`` candidate rows.
+    Scores round to 4 decimals; ties break by vec_id ascending.
+
+    Output: ``(query_id, rank, vec_id, score)``.
+    """
+    import ray
+
+    qrows = _grab_rows_by_id(ds, query_ids, id_col)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not qrows:
+        return empty
+    qrows.sort(key=lambda r: int(r[id_col]))
+    q_ids = np.array([int(r[id_col]) for r in qrows])
+    q_labels = np.array([int(r[label_col]) for r in qrows])
+    Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
+    ref = ray.put((q_ids, q_labels, Q))
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        ids, labels, Qm = ray.get(ref)
+        X = _norm_rows(_matrix_from_arrow(batch, vec_col))
+        vids = batch[id_col].to_numpy()
+        vlabels = batch[label_col].to_numpy()
+        scores = Qm @ X.T                       # (n_q, n_batch)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            ok = vlabels != labels[qi]          # different label only
+            ok &= vids != qid                   # (self shares a label
+            if not ok.any():                    #  anyway; belt+braces)
+                continue
+            row = scores[qi][ok]
+            cand_ids = vids[ok]
+            kk = min(k, len(row))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([int(qid)] * len(idx))
+            out_v.extend(int(v) for v in cand_ids[idx])
+            out_s.extend(float(s) for s in row[idx])
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int64"),
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64")})
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096).take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["score"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, s) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(round(s, 4))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })

@@ -2362,3 +2362,54 @@ def winsorize_by_group(ds, lo_q: int = 5, hi_q: int = 95,
             "clipped": x.clip(lower=lo, upper=hi)}))
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def search_snippets(ds, query_tokens, k: int = 10, window: int = 5):
+    """Keyword-in-context snippet extraction for the BM25 top-``k`` —
+    the search-result presentation pass: each hit shows the
+    ``2*window + 1``-token context around the EARLIEST occurrence of
+    any query term (the ``least(list_position(...))`` rule the SQL
+    twin states).  Tokenization is the shared ``_NORM`` contract, so
+    positions agree between engines by construction.
+
+    Shape: the ranking is :func:`bm25_search` unchanged (two
+    streaming passes, no shuffle); the snippet pass broadcasts the
+    tiny hit-id set in the task closure and streams the corpus ONCE
+    more through a distributed filter — hit texts never gather on the
+    driver, only k snippet rows do.  Output: ``(rank, doc_id,
+    score_micro, snippet)``.
+    """
+    hits = bm25_search(ds, query_tokens, k=k)
+    empty = pd.DataFrame({
+        "rank": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "score_micro": pd.Series([], dtype="int64"),
+        "snippet": pd.Series([], dtype="object")})
+    if not len(hits):
+        return typed_if_empty(empty)
+    hit_ids = frozenset(int(d) for d in hits["doc_id"])
+    terms = frozenset(query_tokens)
+
+    def snip(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"].isin(hit_ids)]
+        if not len(b):
+            return typed_if_empty(empty[["doc_id", "snippet"]])
+        out_id, out_sn = [], []
+        for did, text in zip(b["doc_id"], b["text"]):
+            toks = _WS.sub(" ", _EDGE_WS.sub("", text or "").lower()
+                           ).split(" ")
+            pos = min((i for i, t in enumerate(toks) if t in terms),
+                      default=None)
+            if pos is None:      # unreachable for BM25 hits; guard
+                continue
+            lo = max(0, pos - window)
+            out_id.append(int(did))
+            out_sn.append(" ".join(toks[lo:pos + window + 1]))
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "snippet": pd.Series(out_sn, dtype="object")}))
+
+    sn = ds.map_batches(snip, batch_format="pandas").to_pandas()
+    out = hits.merge(sn, on="doc_id", how="inner")
+    return out[["rank", "doc_id", "score_micro", "snippet"]].sort_values(
+        "rank").reset_index(drop=True)

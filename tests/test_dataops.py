@@ -3167,3 +3167,60 @@ def test_copurchase_pairs_empty_candidates(ray_session):
     got = copurchase_pairs(ray.data.from_pandas(li), k=5)
     assert got.num_rows == 0
     assert got.column_names == ["p1", "p2", "n"]
+
+
+def test_hard_negatives_label_mask(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.similarity import hard_negatives
+
+    # anchor 0 (label 0): vec 1 is nearly identical but SAME label ->
+    # excluded; vec 2 (different label, orthogonal-ish) must win
+    vecs = pd.DataFrame({
+        "vec_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "label": np.array([0, 0, 1, 1], dtype=np.int64),
+        "embedding": [np.array([1.0, 0.0], dtype=np.float32),
+                      np.array([0.99, 0.01], dtype=np.float32),
+                      np.array([0.5, 0.5], dtype=np.float32),
+                      np.array([0.0, 1.0], dtype=np.float32)]})
+    got = (hard_negatives(ray.data.from_pandas(vecs).repartition(2),
+                          query_ids=[0], k=2).to_pandas())
+    assert got["query_id"].tolist() == [0, 0]
+    assert got["vec_id"].tolist() == [2, 3]   # never the same-label 1
+    assert got["rank"].tolist() == [1, 2]
+
+
+def test_search_snippets_window_and_earliest_term(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import search_snippets
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a b c d e f JOIN h i j k l hash",
+                 "nothing relevant here at all"]})
+    got = search_snippets(ray.data.from_pandas(docs),
+                          ["hash", "join"], k=5, window=2)
+    # earliest term occurrence wins (join at idx 6, hash at idx 12);
+    # lowercase normalization applies; window clips at both ends
+    assert got["doc_id"].tolist() == [1]
+    assert got["snippet"].tolist() == ["e f join h i"]
+
+
+def test_unpivot_reshape_and_dtype_guard(ray_session):
+    import ray.data
+    import pytest
+    from doc_ocr_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame({
+        "id": np.array([1, 2], dtype=np.int64),
+        "a": np.array([10, 20], dtype=np.int64),
+        "b": np.array([30, 40], dtype=np.int64)})
+    got = (unpivot(ray.data.from_pandas(df), ["id"], ["a", "b"],
+                   var_name="m", value_name="v")
+           .to_pandas().sort_values(["id", "m"]).reset_index(drop=True))
+    assert got.values.tolist() == [[1, "a", 10], [1, "b", 30],
+                                   [2, "a", 20], [2, "b", 40]]
+
+    mixed = df.assign(b=df["b"].astype("float64"))
+    with pytest.raises(Exception):
+        unpivot(ray.data.from_pandas(mixed), ["id"],
+                ["a", "b"]).to_pandas()
