@@ -50,6 +50,17 @@ def run_benchmarks() -> dict:
     n_docs = _bench_docs()
     timings: dict = {}
 
+    def nrows(x):
+        # consume any query result shape: Dataset, Arrow Table, frame
+        import pyarrow as _pa
+
+        import ray.data as _rd
+        if isinstance(x, _rd.Dataset):
+            return x.count()
+        if isinstance(x, _pa.Table):
+            return x.num_rows
+        return len(x)
+
     def timed(name, fn):
         t0 = time.time()
         result = fn()
@@ -270,13 +281,13 @@ def run_benchmarks() -> dict:
     timed("event_value_bands",
           lambda: qs["event_value_bands"](SF_DIR).count())
     timed("host_graph", lambda: qs["host_graph"](SF_DIR).count())
-    timed("cms_counts", lambda: qs["cms_counts"](SF_DIR).count())
+    timed("cms_counts", lambda: nrows(qs["cms_counts"](SF_DIR)))
     timed("resample_locf", lambda: qs["resample_locf"](SF_DIR).count())
     timed("index_delta", lambda: qs["index_delta"](SF_DIR).count())
     timed("validate_table", lambda: qs["validate_table"](SF_DIR).count())
-    timed("search_rerank", lambda: qs["search_rerank"](SF_DIR).count())
-    timed("triangle_count", lambda: qs["triangle_count"](SF_DIR).count())
-    timed("pmi_pairs", lambda: qs["pmi_pairs"](SF_DIR).count())
+    timed("search_rerank", lambda: nrows(qs["search_rerank"](SF_DIR)))
+    timed("triangle_count", lambda: nrows(qs["triangle_count"](SF_DIR)))
+    timed("pmi_pairs", lambda: nrows(qs["pmi_pairs"](SF_DIR)))
     timed("scd2_intervals",
           lambda: qs["scd2_intervals"](SF_DIR).count())
     timed("decayed_user_score",
