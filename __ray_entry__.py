@@ -2222,6 +2222,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_count_anomalies(sf_dir):
+        # hourly burst detection: cross-multiplied integer compare
+        # against the trailing-4-observed-hours ROWS frame
+        from doc_ocr_ray.pipelines.events import count_anomalies
+        return count_anomalies(
+            _read(sf_dir, "events", ["event_type", "ts"]))
+
+    def q_extract_entities(sf_dir):
+        # row-local flat extraction on the shared RE2-parity patterns
+        # over the SAME deterministic PII injection as pii_redact
+        # (the raw corpus contains no entities — vacuous otherwise)
+        from doc_ocr_ray.stages.text_analysis import extract_entities
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"]
+            batch["text"] = (
+                batch["text"].fillna("")
+                + " contact user" + d.astype(str) + "@example.com or 555-"
+                + (d % 10000).astype(str).str.zfill(4)
+                + " at 192.168." + (d % 256).astype(str)
+                + "." + ((d * 7) % 256).astype(str))
+            return batch
+        return extract_entities(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(inject, batch_format="pandas"))
+
+    def q_csv_source(sf_dir):
+        # CSV arrival-format fidelity: events written to CSV once
+        # (atomic, cached per sf), read back via ray.data.read_csv,
+        # aggregated on the cents grid — the oracle aggregates the
+        # parquet ground truth, so any roundtrip loss hash-fails
+        import os
+        import shutil
+        import ray.data
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/graft_csv_events_{tag}"
+        if not os.path.isdir(out) or not os.listdir(out):
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (_read(sf_dir, "events",
+                   ["event_id", "event_type", "value"])
+             .repartition(8).write_csv(tmp))
+            os.replace(tmp, out)
+        return relational.events_by_type(ray.data.read_csv(out))
+
     def q_hard_negatives(sf_dir):
         # contrastive mining: top-5 different-label cosine neighbors
         # for the first 20 anchors (broadcast anchors, partial top-k)
@@ -2685,6 +2729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_refresh": q_ivm_refresh,
         "hard_negatives": q_hard_negatives,
         "search_snippets": q_search_snippets,
+        "count_anomalies": q_count_anomalies,
+        "extract_entities": q_extract_entities,
+        "csv_source": q_csv_source,
         "unpivot_lineitem": q_unpivot_lineitem,
         "supplier_variety": q_supplier_variety,
         "sample_k_per_source": q_sample_k_per_source,
@@ -6314,6 +6361,68 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # burst-detection twin: same epoch-hour floor grid, same
+        # ROWS frame, same cross-multiplied integer compare; flags
+        # require a FULL 4-row frame (count(*) OVER the same frame)
+        "count_anomalies": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(date_diff('microsecond',
+                                TIMESTAMP '1970-01-01', ts)
+                          / 3600000000.0) AS BIGINT) AS hour,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT event_type, hour, n,
+                   CAST(coalesce(sum(n) OVER w, 0) AS BIGINT)
+                       AS trail_sum,
+                   (count(*) OVER w = 4)
+                   AND (n * 4 > 2 * coalesce(sum(n) OVER w, 0))
+                       AS is_anomaly
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+        """,
+        # entity-extraction twin: regexp_extract_all per kind on the
+        # raw text; the occurrence ordinal rides an index-lambda
+        # list_transform (range() laterals can't correlate in DuckDB)
+        "extract_entities": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || doc_id
+                          || '@example.com or 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' at 192.168.' || (doc_id % 256)
+                          || '.' || ((doc_id * 7) % 256) AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id, 'email' AS kind,
+                     regexp_extract_all(text, '{PII_EMAIL}') AS vals
+              FROM inj
+              UNION ALL
+              SELECT doc_id, 'phone',
+                     regexp_extract_all(text, '{PII_PHONE}')
+              FROM inj
+              UNION ALL
+              SELECT doc_id, 'ip',
+                     regexp_extract_all(text, '{PII_IP}')
+              FROM inj),
+            u AS (SELECT doc_id, kind,
+                         unnest(list_transform(vals,
+                             (x, i) -> {{'i': i, 'v': x}})) AS s
+                  FROM m)
+            SELECT doc_id, kind, CAST(s.i AS BIGINT) AS idx,
+                   s.v AS value
+            FROM u
+        """,
+        # CSV-roundtrip twin: the parquet ground truth aggregated the
+        # events_by_type way — roundtrip loss through CSV hash-fails
+        "csv_source": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
         """,
         # hard-negative twin: similarity_topk's chain + the
         # different-label mask

@@ -317,6 +317,11 @@ def run_benchmarks() -> dict:
           lambda: len(qs["search_snippets"](SF_DIR)))
     timed("unpivot_lineitem",
           lambda: qs["unpivot_lineitem"](SF_DIR).count())
+    timed("count_anomalies",
+          lambda: qs["count_anomalies"](SF_DIR).count())
+    timed("extract_entities",
+          lambda: qs["extract_entities"](SF_DIR).count())
+    timed("csv_source", lambda: qs["csv_source"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

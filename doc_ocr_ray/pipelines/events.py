@@ -1381,3 +1381,52 @@ def week_over_week(ds):
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(per_type,
                                               batch_format="pandas"))
+
+
+def count_anomalies(ds, trail_hours: int = 4, factor: int = 2):
+    """Burst detection over the event stream — the volume-anomaly
+    monitor a pipeline runs per event type: hourly counts on the
+    epoch-hour grid, each hour compared against the SUM of the
+    ``trail_hours`` previous OBSERVED hours (SQL ``ROWS BETWEEN w
+    PRECEDING AND 1 PRECEDING`` frame semantics), flagged when
+
+        n * trail_hours > factor * trail_sum
+
+    — the cross-multiplied integer comparison (no mean, no division,
+    no rounding grid).  Hours without a FULL trailing window are
+    never flagged (count of frame rows == trail_hours required), so
+    a stream's first hours can't false-positive.  NULL types drop.
+
+    Shape: per-batch (type, hour) partial counts -> ONE tiny groupby
+    (types x hours rows) -> per-type vectorized cumsum/shift.
+    Output: ``(event_type, hour, n, trail_sum, is_anomaly)`` with
+    ``hour`` the epoch-hour integer.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type"])
+        hour = (t["ts"].to_numpy().astype("datetime64[us]")
+                .astype("int64") // np.int64(3_600_000_000))
+        g = pd.DataFrame({"event_type": t["event_type"], "hour": hour})
+        out = (g.groupby(["event_type", "hour"], sort=False)
+               .size().reset_index(name="n"))
+        return _typed_if_empty(out)
+
+    def per_type(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("hour", sort=True)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        c = g["n"].cumsum()
+        # sum of the previous trail_hours OBSERVED rows (ROWS frame)
+        trail = (c.shift(1, fill_value=0)
+                 - c.shift(trail_hours + 1, fill_value=0)).astype("int64")
+        full = np.arange(len(g)) >= trail_hours
+        g["trail_sum"] = trail      # partial sums on early rows, the
+        g["is_anomaly"] = full & (   # SQL ROWS-frame value; flag only
+            g["n"] * trail_hours     # full windows
+            > factor * g["trail_sum"])
+        g.insert(0, "event_type", group["event_type"].iloc[0])
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))

@@ -133,3 +133,96 @@ def read_questions(out_dir: str):
         import pyarrow as pa
         return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(files)
+
+
+def write_clustered(ds, out_dir: str, key: str, num_shards: int = 8,
+                    sample_size: int = 10_000):
+    """Range-clustered parquet write with a zone-map manifest — the
+    output layout that makes later point/range reads CHEAP: rows
+    range-partition by ``key`` (shard bounds from a driver-side
+    sample, exact per-shard min/max recorded after the fact), one
+    directory per shard written atomically, and ``manifest.json``
+    mapping shard -> (min, max, rows).  A reader prunes shards whose
+    [min, max] misses its predicate BEFORE any file is opened (see
+    :func:`read_clustered_range`) — the storage-level analog of
+    parquet row-group pruning, but at directory granularity so a
+    256-node job skips whole shards.
+
+    The sample only picks BOUNDARIES (skew moves rows between
+    shards, never breaks correctness); the manifest min/max are exact
+    aggregates of what each shard actually holds.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    sample = ds.limit(sample_size).select_columns([key]).to_pandas()
+    vals = np.sort(sample[key].to_numpy())
+    qs = np.linspace(0, len(vals) - 1, num_shards + 1)[1:-1]
+    bounds = np.unique(vals[qs.astype(int)]) if len(vals) else np.array([])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__shard"] = np.searchsorted(
+            bounds, batch[key].to_numpy(), side="right").astype("int64")
+        return batch
+
+    tmp = out_dir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    manifest = {}
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["__shard"].iloc[0])
+        g = group.drop(columns="__shard").sort_values(key)
+        path = os.path.join(tmp, f"shard-{sid:05d}.parquet")
+        g.to_parquet(path, index=False)
+        return pd.DataFrame({"shard": [sid],
+                             "min": [int(g[key].min())],
+                             "max": [int(g[key].max())],
+                             "rows": [len(g)]})
+
+    stats = (ds.map_batches(assign, batch_format="pandas")
+             .groupby("__shard")
+             .map_groups(write_shard, batch_format="pandas")
+             .to_pandas())
+    for _, r in stats.iterrows():
+        manifest[str(int(r["shard"]))] = {
+            "min": int(r["min"]), "max": int(r["max"]),
+            "rows": int(r["rows"])}
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"key": key, "shards": manifest}, f, indent=1)
+    os.replace(tmp, out_dir)
+    return manifest
+
+
+def read_clustered_range(out_dir: str, lo: int, hi: int):
+    """Manifest-pruned range read over a :func:`write_clustered`
+    layout: only shards whose [min, max] intersects ``[lo, hi]`` are
+    opened; the residual row filter applies inside the read.  Returns
+    ``(dataset, n_shards_read, n_shards_total)`` so callers (and
+    tests) can assert the pruning actually happened.
+    """
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        mf = json.load(f)
+    key = mf["key"]
+    hit = [s for s, m in mf["shards"].items()
+           if not (m["max"] < lo or m["min"] > hi)]
+    if not hit:
+        return None, 0, len(mf["shards"])
+    files = [os.path.join(out_dir, f"shard-{int(s):05d}.parquet")
+             for s in sorted(hit, key=int)]
+    import pyarrow.dataset as pads
+    ds = ray.data.read_parquet(
+        files, filter=(pads.field(key) >= lo) & (pads.field(key) <= hi))
+    return ds, len(hit), len(mf["shards"])

@@ -2413,3 +2413,39 @@ def search_snippets(ds, query_tokens, k: int = 10, window: int = 5):
     out = hits.merge(sn, on="doc_id", how="inner")
     return out[["rank", "doc_id", "score_micro", "snippet"]].sort_values(
         "rank").reset_index(drop=True)
+
+
+def extract_entities(ds):
+    """Structured entity extraction — the inverse presentation of
+    :func:`pii_redact_batch`: instead of scrubbing, emit one row per
+    match, ``(doc_id, kind, idx, value)``, where ``idx`` is the
+    1-based occurrence index of that kind within the document (the
+    ``generate_subscripts`` ordinal the SQL twin states).  Kinds and
+    patterns are the shared RE2-parity PII set (email, phone, ip),
+    applied to the RAW text independently per kind (no chaining — the
+    redaction interaction rule belongs to the scrub, not the
+    extraction).  A pure row-local flat_map: fan-out only, NO
+    shuffle, docs with no matches emit nothing.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    kinds = [("email", _EMAIL), ("phone", _PHONE), ("ip", _IPV4)]
+
+    def flat(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        ids, out_kind, out_idx, out_val = [], [], [], []
+        for kind, pat in kinds:
+            hits = text.str.findall(pat)
+            for did, vals in zip(batch["doc_id"], hits):
+                for i, v in enumerate(vals, start=1):
+                    ids.append(did)
+                    out_kind.append(kind)
+                    out_idx.append(i)
+                    out_val.append(v)
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "kind": pd.Series(out_kind, dtype="object"),
+            "idx": pd.Series(out_idx, dtype="int64"),
+            "value": pd.Series(out_val, dtype="object")}))
+
+    return ds.map_batches(flat, batch_format="pandas")

@@ -3224,3 +3224,60 @@ def test_unpivot_reshape_and_dtype_guard(ray_session):
     with pytest.raises(Exception):
         unpivot(ray.data.from_pandas(mixed), ["id"],
                 ["a", "b"]).to_pandas()
+
+
+def test_count_anomalies_full_window_gate_and_burst(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import count_anomalies
+
+    # type a: hours 0..3 quiet (1 each), hour 4 bursts to 9 -> flag;
+    # hour 1 (n=1 vs partial trail 1) must NOT flag (window not full)
+    ts = (["1970-01-01 00:30"] + ["1970-01-01 01:30"]
+          + ["1970-01-01 02:30"] + ["1970-01-01 03:30"]
+          + ["1970-01-01 04:30"] * 9)
+    ev = pd.DataFrame({"event_type": ["a"] * len(ts),
+                       "ts": pd.to_datetime(ts)})
+    got = (count_anomalies(ray.data.from_pandas(ev).repartition(3))
+           .to_pandas().sort_values("hour").reset_index(drop=True))
+    assert got["n"].tolist() == [1, 1, 1, 1, 9]
+    assert got["trail_sum"].tolist() == [0, 1, 2, 3, 4]
+    assert got["is_anomaly"].tolist() == [False, False, False, False,
+                                          True]
+
+
+def test_extract_entities_order_and_index(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import extract_entities
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1], dtype=np.int64),
+        "text": ["a@b.com then c@d.org and 10.0.0.1 end"]})
+    got = (extract_entities(ray.data.from_pandas(docs))
+           .to_pandas().sort_values(["kind", "idx"])
+           .reset_index(drop=True))
+    assert got[["kind", "idx", "value"]].values.tolist() == [
+        ["email", 1, "a@b.com"], ["email", 2, "c@d.org"],
+        ["ip", 1, "10.0.0.1"]]
+
+
+def test_write_clustered_prunes_shards(ray_session, tmp_path):
+    import ray.data
+    from doc_ocr_ray.sources.io import (read_clustered_range,
+                                        write_clustered)
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000, dtype=np.int64) * 2})
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(ray.data.from_pandas(df).repartition(4),
+                               out, key="k", num_shards=8)
+    assert sum(m["rows"] for m in manifest.values()) == 1000
+
+    ds, n_read, n_total = read_clustered_range(out, 100, 120)
+    rows = ds.to_pandas().sort_values("k")
+    assert rows["k"].tolist() == list(range(100, 121))
+    assert (rows["v"] == rows["k"] * 2).all()
+    # the range spans ~2 of 8 shards; pruning must actually skip most
+    assert n_total == 8 and n_read <= 2
+
+    none_ds, n0, _ = read_clustered_range(out, 5000, 6000)
+    assert none_ds is None and n0 == 0
