@@ -6373,6 +6373,7 @@ def oracle_sql() -> dict[str, str]:
                           / 3600000000.0) AS BIGINT) AS hour,
                      CAST(count(*) AS BIGINT) AS n
               FROM events WHERE event_type IS NOT NULL
+                AND ts IS NOT NULL
               GROUP BY 1, 2)
             SELECT event_type, hour, n,
                    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT)

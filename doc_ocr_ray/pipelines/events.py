@@ -1403,7 +1403,9 @@ def count_anomalies(ds, trail_hours: int = 4, factor: int = 2):
     ``hour`` the epoch-hour integer.
     """
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.dropna(subset=["event_type"])
+        # NaT would silently cast to int64-min and fabricate an
+        # ancient hour bucket — NULL ts carries no signal, drop it
+        t = batch.dropna(subset=["event_type", "ts"])
         hour = (t["ts"].to_numpy().astype("datetime64[us]")
                 .astype("int64") // np.int64(3_600_000_000))
         g = pd.DataFrame({"event_type": t["event_type"], "hour": hour})

@@ -150,15 +150,51 @@ def write_clustered(ds, out_dir: str, key: str, num_shards: int = 8,
 
     The sample only picks BOUNDARIES (skew moves rows between
     shards, never breaks correctness); the manifest min/max are exact
-    aggregates of what each shard actually holds.
+    aggregates of what each shard actually holds.  The key must be an
+    integer column (the manifest stores exact ints; a float key would
+    truncate and mis-prune — refused loudly).  Boundary candidates
+    come from a BLOCK-SPREAD stride (every block contributes evenly
+    spaced keys), not a prefix — ``limit()`` on key-sorted input
+    would draw every boundary from the lowest keys and degenerate the
+    layout to one giant shard.
     """
     import json
     import os
 
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    sample = ds.limit(sample_size).select_columns([key]).to_pandas()
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    if not pa.types.is_integer(ktype):
+        raise ValueError(
+            f"write_clustered key must be an integer column, got "
+            f"{ktype} — the zone-map manifest stores exact ints")
+
+    per_block = max(16, sample_size // 64)
+
+    def key_stride(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.linspace(0, len(batch) - 1,
+                          min(per_block, len(batch))).astype(int)
+        return pd.DataFrame({key: batch[key].to_numpy()[np.unique(idx)]})
+
+    sample = (ds.select_columns([key])
+              .map_batches(key_stride, batch_format="pandas")
+              .limit(sample_size).to_pandas())
+    if sample.empty:
+        # empty input: commit an empty-but-valid manifest
+        tmp0 = out_dir + ".tmp"
+        if os.path.isdir(tmp0):
+            import shutil
+            shutil.rmtree(tmp0)
+        os.makedirs(tmp0)
+        with open(os.path.join(tmp0, "manifest.json"), "w") as f:
+            json.dump({"key": key, "shards": {}}, f, indent=1)
+        if os.path.isdir(out_dir):
+            import shutil
+            shutil.rmtree(out_dir)
+        os.replace(tmp0, out_dir)
+        return {}
     vals = np.sort(sample[key].to_numpy())
     qs = np.linspace(0, len(vals) - 1, num_shards + 1)[1:-1]
     bounds = np.unique(vals[qs.astype(int)]) if len(vals) else np.array([])
@@ -197,6 +233,11 @@ def write_clustered(ds, out_dir: str, key: str, num_shards: int = 8,
             "rows": int(r["rows"])}
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump({"key": key, "shards": manifest}, f, indent=1)
+    if os.path.isdir(out_dir):
+        # rename(2) cannot replace a non-empty dir: clear a previous
+        # layout so a refresh to the same path succeeds atomically
+        import shutil
+        shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
     return manifest
 

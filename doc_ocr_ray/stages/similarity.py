@@ -65,6 +65,37 @@ def _grab_rows_by_id(ds, ids, id_col: str):
     return ds.map_batches(grab, batch_format="pyarrow").take_all()
 
 
+def _empty_knn_table() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "rank": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())})
+
+
+def _merge_partial_topk(partials, k: int) -> pa.Table:
+    """Driver merge shared by every broadcast-anchor top-k (knn_brute,
+    hard_negatives): n_q * k * n_blocks candidate rows -> ranked
+    (query_id, rank, vec_id, score) with the ONE tie/rounding rule
+    (score DESC, vec_id ASC; round(score, 4)) so the twins never
+    drift."""
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["score"]))
+    out_q, out_rank, out_v, out_s = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, s) in enumerate(cand, start=1):
+            out_q.append(qid); out_rank.append(rank)
+            out_v.append(vid); out_s.append(round(s, 4))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def knn_brute(ds, query_ids: List[int], k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Exact cosine top-k of every query id against the whole corpus.
@@ -76,10 +107,7 @@ def knn_brute(ds, query_ids: List[int], k: int = 5,
 
     qrows = _grab_rows_by_id(ds, query_ids, id_col)
     if not qrows:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64())})
+        return _empty_knn_table()
     qrows.sort(key=lambda r: int(r[id_col]))
     q_ids = np.array([int(r[id_col]) for r in qrows])
     Q = _norm_rows(_matrix([r[vec_col] for r in qrows]))
@@ -105,21 +133,7 @@ def knn_brute(ds, query_ids: List[int], k: int = 5,
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096).take_all()
     # final merge: tiny (n_q * k * n_blocks rows)
-    best: dict = {}
-    for r in partials:
-        best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
-    out_q, out_rank, out_v, out_s = [], [], [], []
-    for qid in sorted(best):
-        cand = sorted(best[qid], key=lambda t: (-t[1], t[0]))[:k]
-        for rank, (vid, s) in enumerate(cand, start=1):
-            out_q.append(qid); out_rank.append(rank)
-            out_v.append(vid); out_s.append(round(s, 4))
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+    return _merge_partial_topk(partials, k)
 
 
 class LshCoder:
@@ -1120,12 +1134,8 @@ def hard_negatives(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     import ray
 
     qrows = _grab_rows_by_id(ds, query_ids, id_col)
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64())})
     if not qrows:
-        return empty
+        return _empty_knn_table()
     qrows.sort(key=lambda r: int(r[id_col]))
     q_ids = np.array([int(r[id_col]) for r in qrows])
     q_labels = np.array([int(r[label_col]) for r in qrows])
@@ -1158,19 +1168,4 @@ def hard_negatives(ds, query_ids, k: int = 5, id_col: str = "vec_id",
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096).take_all()
-    best: dict = {}
-    for r in partials:
-        best.setdefault(r["query_id"], []).append(
-            (r["vec_id"], r["score"]))
-    out_q, out_rank, out_v, out_s = [], [], [], []
-    for qid in sorted(best):
-        cand = sorted(best[qid], key=lambda t: (-t[1], t[0]))[:k]
-        for rank, (vid, s) in enumerate(cand, start=1):
-            out_q.append(qid); out_rank.append(rank)
-            out_v.append(vid); out_s.append(round(s, 4))
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+    return _merge_partial_topk(partials, k)

@@ -3281,3 +3281,53 @@ def test_write_clustered_prunes_shards(ray_session, tmp_path):
 
     none_ds, n0, _ = read_clustered_range(out, 5000, 6000)
     assert none_ds is None and n0 == 0
+
+
+def test_write_clustered_refresh_sorted_input_and_guards(
+        ray_session, tmp_path):
+    import ray.data
+    import pytest
+    from doc_ocr_ray.sources.io import (read_clustered_range,
+                                        write_clustered)
+
+    out = str(tmp_path / "c2")
+    # KEY-SORTED input (the adversarial case for prefix sampling):
+    # boundaries must still spread across the full key range
+    df = pd.DataFrame({"k": np.arange(2000, dtype=np.int64),
+                       "v": np.ones(2000, dtype=np.int64)})
+    m1 = write_clustered(ray.data.from_pandas(df).repartition(8),
+                         out, key="k", num_shards=8, sample_size=256)
+    assert len(m1) >= 4        # not one giant shard
+    _, n_read, n_total = read_clustered_range(out, 0, 100)
+    assert n_read <= 2
+
+    # refresh to the SAME path must replace, not crash
+    m2 = write_clustered(ray.data.from_pandas(df.head(100)),
+                         out, key="k", num_shards=4)
+    assert sum(s["rows"] for s in m2.values()) == 100
+
+    # float keys refused loudly (manifest stores exact ints)
+    fdf = pd.DataFrame({"k": [1.5, 2.5], "v": [1, 2]})
+    with pytest.raises(ValueError):
+        write_clustered(ray.data.from_pandas(fdf),
+                        str(tmp_path / "c3"), key="k")
+
+    # empty input commits an empty-but-valid manifest
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="int64")})
+    m3 = write_clustered(ray.data.from_pandas(empty),
+                         str(tmp_path / "c4"), key="k")
+    assert m3 == {}
+    none_ds, n0, t0 = read_clustered_range(str(tmp_path / "c4"), 0, 9)
+    assert none_ds is None and n0 == 0 and t0 == 0
+
+
+def test_count_anomalies_null_ts_dropped(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import count_anomalies
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a"],
+        "ts": [pd.Timestamp("2024-01-01"), pd.NaT]})
+    got = count_anomalies(ray.data.from_pandas(ev)).to_pandas()
+    assert len(got) == 1 and got["n"].tolist() == [1]
