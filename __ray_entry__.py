@@ -2222,6 +2222,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_pareto_parts(sf_dir):
+        # distributed skyline: local frontier per partition (safe
+        # prune), tiny union, one final single-group prune
+        return relational.pareto_frontier(
+            _read(sf_dir, "part",
+                  ["p_partkey", "p_retailprice", "p_size"]))
+
+    def q_rolling_dau(sf_dir):
+        # exact trailing-7-day distinct users via bounded fan-out of
+        # the distinct (user, day) pair set
+        from doc_ocr_ray.pipelines.events import rolling_dau
+        return rolling_dau(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def q_type_share_by_day(sf_dir):
+        # ratio-to-parent window on the shared floor grid
+        from doc_ocr_ray.pipelines.events import type_share_by_day
+        return type_share_by_day(
+            _read(sf_dir, "events", ["event_type", "ts"]))
+
+    def q_followed_by(sf_dir):
+        # A-then-B-within-T sequence match, earliest-B semantics
+        from doc_ocr_ray.pipelines.events import followed_by
+        return followed_by(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+            first_type="view", then_type="purchase",
+            within_minutes=60)
+
     def q_count_anomalies(sf_dir):
         # hourly burst detection: cross-multiplied integer compare
         # against the trailing-4-observed-hours ROWS frame
@@ -2732,6 +2759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_anomalies": q_count_anomalies,
         "extract_entities": q_extract_entities,
         "csv_source": q_csv_source,
+        "pareto_parts": q_pareto_parts,
+        "rolling_dau": q_rolling_dau,
+        "type_share_by_day": q_type_share_by_day,
+        "followed_by": q_followed_by,
         "unpivot_lineitem": q_unpivot_lineitem,
         "supplier_variety": q_supplier_variety,
         "sample_k_per_source": q_sample_k_per_source,
@@ -6361,6 +6392,82 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # skyline twin: textbook NOT EXISTS dominance
+        "pareto_parts": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(floor(p_retailprice * 100 + 0.5)
+                                   AS BIGINT) AS price_cents,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT p_partkey, price_cents, p_size FROM p x
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p y
+              WHERE y.price_cents <= x.price_cents
+                AND y.p_size >= x.p_size
+                AND (y.price_cents < x.price_cents
+                     OR y.p_size > x.p_size))
+        """,
+        # rolling-DAU twin: distinct pairs joined to observed days
+        # over the trailing window (epoch-day floor grid)
+        "rolling_dau": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(date_diff('microsecond',
+                                TIMESTAMP '1970-01-01', ts)
+                          / 86400000000.0) AS BIGINT) AS day
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            d AS (SELECT DISTINCT day FROM p)
+            SELECT d.day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT)
+                       AS n_users
+            FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
+        # ratio-to-parent twin: same floor-grid basis points
+        "type_share_by_day": """
+            WITH c AS (
+              SELECT CAST(floor(date_diff('microsecond',
+                                TIMESTAMP '1970-01-01', ts)
+                          / 86400000000.0) AS BIGINT) AS day,
+                     event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT day, event_type, n,
+                   CAST((10000 * n) // sum(n) OVER (PARTITION BY day)
+                        AS BIGINT) AS share_bp
+            FROM c
+        """,
+        # A-then-B-within-T twin: latest A strictly before each B,
+        # window filter, earliest qualifying B per user
+        "followed_by": """
+            WITH a AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            b AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            pairs AS (
+              SELECT b.user_id, b.ts AS b_ts, max(a.ts) AS a_ts
+              FROM b JOIN a ON a.user_id = b.user_id
+                           AND a.ts < b.ts
+              GROUP BY b.user_id, b.ts),
+            q AS (SELECT user_id, a_ts, b_ts FROM pairs
+                  WHERE date_diff('microsecond', a_ts, b_ts)
+                        <= 3600000000),
+            r AS (SELECT user_id, a_ts, b_ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY b_ts) AS rn
+                  FROM q)
+            SELECT user_id,
+                   CAST(date_diff('microsecond',
+                        TIMESTAMP '1970-01-01', a_ts) AS BIGINT)
+                       AS a_us,
+                   CAST(date_diff('microsecond',
+                        TIMESTAMP '1970-01-01', b_ts) AS BIGINT)
+                       AS b_us
+            FROM r WHERE rn = 1
         """,
         # burst-detection twin: same epoch-hour floor grid, same
         # ROWS frame, same cross-multiplied integer compare; flags

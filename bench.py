@@ -322,6 +322,11 @@ def run_benchmarks() -> dict:
     timed("extract_entities",
           lambda: qs["extract_entities"](SF_DIR).count())
     timed("csv_source", lambda: qs["csv_source"](SF_DIR).count())
+    timed("pareto_parts", lambda: qs["pareto_parts"](SF_DIR).count())
+    timed("rolling_dau", lambda: qs["rolling_dau"](SF_DIR).count())
+    timed("type_share_by_day",
+          lambda: qs["type_share_by_day"](SF_DIR).count())
+    timed("followed_by", lambda: qs["followed_by"](SF_DIR).count())
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

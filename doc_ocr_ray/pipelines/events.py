@@ -1432,3 +1432,155 @@ def count_anomalies(ds, trail_hours: int = 4, factor: int = 2):
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(per_type,
                                               batch_format="pandas"))
+
+
+def rolling_dau(ds, window_days: int = 7, num_parts: int = 64):
+    """Trailing-window distinct users per observed day — the rolling
+    WAU/DAU metric, computed EXACTLY without any sliding-window
+    distinct state: the distinct (user, day) pair set fans each pair
+    out to the ≤``window_days`` observed days it can contribute to
+    (bounded replication — the window is a constant, never data-
+    sized), then the standard distinct-pair discipline counts per
+    target day.  Only days that actually appear in the stream emit a
+    row (the SQL twin joins the observed-days list).
+
+    Shape: per-batch distinct (user, day) combiner -> bounded fan-out
+    -> ONE coarse (target-day)-keyed exchange with in-group exact
+    dedup -> tiny per-day count.  NULL user/ts drop.
+    Output: ``(day, n_users)`` with ``day`` the epoch-day integer.
+    """
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["user_id", "ts"])
+        day = (t["ts"].to_numpy().astype("datetime64[us]")
+               .astype("int64") // np.int64(86_400_000_000))
+        g = (pd.DataFrame({"user_id": t["user_id"].astype("int64"),
+                           "day": day})
+             .drop_duplicates())
+        return _typed_if_empty(g)
+
+    # observed days: tiny (driver-side list, one per calendar day)
+    days = ds.map_batches(
+        lambda b: _typed_if_empty(pd.DataFrame({
+            "day": pd.unique((b.dropna(subset=["ts"])["ts"]
+                              .to_numpy().astype("datetime64[us]")
+                              .astype("int64")
+                              // np.int64(86_400_000_000)))})),
+        batch_format="pandas").to_pandas()
+    observed = np.sort(days["day"].unique()) if len(days) else \
+        np.array([], dtype="int64")
+    obs_set = frozenset(int(d) for d in observed)
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _typed_if_empty(pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "target": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64")}))
+        reps = []
+        for off in range(window_days):
+            t = batch["day"].to_numpy() + off
+            keep = np.isin(t, observed)
+            reps.append(pd.DataFrame({
+                "user_id": batch["user_id"].to_numpy()[keep],
+                "target": t[keep]}))
+        out = pd.concat(reps, ignore_index=True).drop_duplicates()
+        out["part"] = _coarse_part(out["target"], num_parts)
+        return _typed_if_empty(out)
+
+    def count_per_day(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["user_id", "target"])
+        out = (d.groupby("target", sort=False).size()
+               .reset_index(name="n_users"))
+        out.columns = ["day", "n_users"]
+        out["n_users"] = out["n_users"].astype("int64")
+        return _typed_if_empty(out)
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .map_batches(fan_out, batch_format="pandas")
+            .groupby("part").map_groups(count_per_day,
+                                        batch_format="pandas"))
+
+
+def type_share_by_day(ds):
+    """Ratio-to-parent: each (day, event_type) count with its share
+    of the day's total in basis points on the shared floor grid
+    (``floor(10000 * n / day_total)`` — the engine-identical ratio
+    rule).  Per-batch (day, type) partials -> ONE tiny groupby -> the
+    day totals derive from the SAME leaf (no second corpus pass).
+    Output: ``(day, event_type, n, share_bp)``.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "ts"])
+        day = (t["ts"].to_numpy().astype("datetime64[us]")
+               .astype("int64") // np.int64(86_400_000_000))
+        g = pd.DataFrame({"day": day, "event_type": t["event_type"]})
+        out = (g.groupby(["day", "event_type"], sort=False)
+               .size().reset_index(name="n"))
+        return _typed_if_empty(out)
+
+    def per_day(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("event_type", sort=False)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        total = int(g["n"].sum())
+        g["share_bp"] = (10000 * g["n"] // total).astype("int64")
+        g.insert(0, "day", group["day"].iloc[0])
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("day").map_groups(per_day,
+                                       batch_format="pandas"))
+
+
+def followed_by(ds, first_type: str, then_type: str,
+                within_minutes: int = 60, num_parts: int = 128):
+    """Time-bound sequential pattern: users with an occurrence of
+    ``then_type`` STRICTLY AFTER an occurrence of ``first_type`` and
+    within ``within_minutes`` of it — the A-then-B-within-T conversion
+    question (funnel_counts answers unbounded chains; the bound is
+    what makes this attribution-grade).  Earliest-match semantics:
+    the pair reported per user is the earliest B that any A reaches,
+    with the latest qualifying A before it (deterministic).
+
+    Shape: slim-and-filter map (only A/B rows of the two types ride),
+    ONE coarse user-keyed exchange, per-user vectorized searchsorted
+    of B times into A times.  Output: ``(user_id, a_ts, b_ts)``.
+    """
+    win_us = np.int64(within_minutes) * 60_000_000
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "ts", "user_id"])
+        t = t[t["event_type"].isin([first_type, then_type])]
+        out = pd.DataFrame({
+            "user_id": t["user_id"].astype("int64"),
+            "is_a": (t["event_type"] == first_type).to_numpy(),
+            "us": (t["ts"].to_numpy().astype("datetime64[us]")
+                   .astype("int64"))})
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in group.groupby("user_id", sort=False):
+            a = np.sort(g.loc[g["is_a"], "us"].to_numpy())
+            b = np.sort(g.loc[~g["is_a"], "us"].to_numpy())
+            if not len(a) or not len(b):
+                continue
+            # for each B, the latest A strictly before it
+            idx = np.searchsorted(a, b, side="left") - 1
+            valid = idx >= 0
+            gap_ok = valid.copy()
+            gap_ok[valid] = (b[valid] - a[idx[valid]]) <= win_us
+            if gap_ok.any():
+                j = int(np.argmax(gap_ok))    # earliest qualifying B
+                rows.append((int(uid), int(a[idx[j]]), int(b[j])))
+        if not rows:
+            return _typed_if_empty(pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "a_us": pd.Series([], dtype="int64"),
+                "b_us": pd.Series([], dtype="int64")}))
+        return pd.DataFrame(rows, columns=["user_id", "a_us", "b_us"])
+
+    return (ds.map_batches(slim, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas"))

@@ -1227,3 +1227,73 @@ def unpivot(ds, id_cols, value_cols, var_name: str = "measure",
         return typed_if_empty(out)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def pareto_frontier(part_ds, num_parts: int = 64):
+    """Distributed skyline / Pareto frontier over parts: the rows for
+    which no other part is BOTH cheaper (retail price, minimized) AND
+    larger-or-equal in size (maximized) with one strict improvement —
+    the classic dominance query (best price/size trade-offs).
+
+    Shape: the local-prune-then-merge discipline (the top-k shape
+    generalized to dominance): every partition computes its LOCAL
+    frontier — a row dominated within a partition is dominated
+    globally, so local pruning is safe and the surviving set is a
+    superset of the answer — then the tiny union of local frontiers
+    takes one final single-group prune.  The frontier of a random
+    partition is small (O(log n) expected for independent dims), so
+    the merge input stays driver-safe even at corpus scale; a
+    pathological all-frontier corpus degrades to the exact answer,
+    never a wrong one.
+
+    Prices compare on the exact cents grid.  Output:
+    ``(p_partkey, price_cents, p_size)``.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_if_empty(df.reset_index(drop=True))
+        # sort by (price asc, size desc); prev_best = max size among
+        # strictly earlier rows.  keep = size >= prev_best is SAFE
+        # (any dropped row is dominated by the earlier max-size row:
+        # cheaper, or equal-price with strictly greater size) but may
+        # keep dominated equal-price/equal-size combinations — the
+        # exact pairwise recheck over the frontier-sized survivor set
+        # removes those false positives and never restores drops
+        g = df.sort_values(["price_cents", "p_size"],
+                           ascending=[True, False],
+                           kind="mergesort", ignore_index=True)
+        size = g["p_size"].to_numpy()
+        best = np.maximum.accumulate(size)
+        prev_best = np.concatenate(([np.iinfo(np.int64).min],
+                                    best[:-1]))
+        cand = g[size >= prev_best]
+        vals = cand[["price_cents", "p_size"]].to_numpy()
+        ok = np.ones(len(cand), dtype=bool)
+        for i in range(len(cand)):
+            p, s = vals[i]
+            dom = ((vals[:, 0] <= p) & (vals[:, 1] >= s)
+                   & ((vals[:, 0] < p) | (vals[:, 1] > s)))
+            ok[i] = not dom.any()
+        return typed_if_empty(cand[ok].reset_index(drop=True))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p_partkey": batch["p_partkey"].astype("int64"),
+            "price_cents": np.floor(batch["p_retailprice"] * 100
+                                    + 0.5).astype("int64"),
+            "p_size": batch["p_size"].astype("int64")})
+        return typed_if_empty(frontier(out))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return frontier(group[["p_partkey", "price_cents",
+                               "p_size"]])
+
+    local = (part_ds.select_columns(["p_partkey", "p_retailprice",
+                                     "p_size"])
+             .map_batches(project, batch_format="pandas")
+             .map_batches(lambda b: b.assign(g=np.int64(0)),
+                          batch_format="pandas"))
+    return (local.groupby("g").map_groups(merge,
+                                          batch_format="pandas"))

@@ -3331,3 +3331,76 @@ def test_count_anomalies_null_ts_dropped(ray_session):
         "ts": [pd.Timestamp("2024-01-01"), pd.NaT]})
     got = count_anomalies(ray.data.from_pandas(ev)).to_pandas()
     assert len(got) == 1 and got["n"].tolist() == [1]
+
+
+def test_pareto_frontier_dominance_and_ties(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import pareto_frontier
+
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        # 1: cheap+small (frontier), 2: dominated by 1 (same price,
+        # smaller), 3: pricier+bigger (frontier), 4: duplicate of 3
+        # (neither dominates -> BOTH on frontier), 5: dominated by 3
+        "p_retailprice": [1.00, 1.00, 5.00, 5.00, 6.00],
+        "p_size": np.array([10, 9, 20, 20, 19], dtype=np.int64)})
+    got = (pareto_frontier(ray.data.from_pandas(part).repartition(3))
+           .to_pandas().sort_values("p_partkey").reset_index(drop=True))
+    assert got["p_partkey"].tolist() == [1, 3, 4]
+
+
+def test_rolling_dau_window_and_dedup(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import rolling_dau
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 1], dtype=np.int64),
+        # user 1 active on days 0 and 0 (dup) and day 10;
+        # user 2 on day 5: day-5 window [(-1)..5] catches user 1's
+        # day-0?  no: 0 < 5-6 is false -> 0 IS within [5-6, 5] ->
+        # wait: window_days=7 -> day 5 covers days -1..5, so day 0
+        # counts; day 10 covers 4..10 -> users {1, 2}
+        "ts": pd.to_datetime(["1970-01-01 01:00", "1970-01-01 09:00",
+                              "1970-01-06 00:00", "1970-01-11 00:00"])})
+    got = (rolling_dau(ray.data.from_pandas(ev).repartition(2))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert got["day"].tolist() == [0, 5, 10]
+    assert got["n_users"].tolist() == [1, 2, 2]
+
+
+def test_type_share_floor_grid(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import type_share_by_day
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01"] * 3)})
+    got = (type_share_by_day(ray.data.from_pandas(ev))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    # floor(10000*2/3) = 6666, floor(10000*1/3) = 3333
+    assert got["share_bp"].tolist() == [6666, 3333]
+
+
+def test_followed_by_strict_order_window_and_earliest(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import followed_by
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2, 3, 3], dtype=np.int64),
+        "event_type": ["view", "purchase", "purchase",
+                       "purchase", "view",
+                       "view", "purchase"],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00",   # u1 A
+            "2024-01-01 10:30",   # u1 B within -> earliest B wins
+            "2024-01-01 10:45",   # u1 later B ignored
+            "2024-01-01 09:00",   # u2 B BEFORE its A -> no match
+            "2024-01-01 10:00",   # u2 A
+            "2024-01-01 08:00",   # u3 A
+            "2024-01-01 09:30"])})  # u3 B at 90min -> outside window
+    got = (followed_by(ray.data.from_pandas(ev).repartition(3),
+                       "view", "purchase", within_minutes=60)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == [1]
+    assert pd.Timestamp(got["b_us"][0], unit="us") == \
+        pd.Timestamp("2024-01-01 10:30")
