@@ -2222,6 +2222,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_session_stats(sf_dir):
+        # composition: sessionize -> per-user summary (exact integer
+        # microsecond durations)
+        from doc_ocr_ray.pipelines.events import session_stats
+        return session_stats(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts"]))
+
+    def q_invalid_transitions(sf_dir):
+        # state-machine validation: count illegal (prev, next) pairs
+        # in each user's (ts, event_id) order
+        from doc_ocr_ray.pipelines.events import invalid_transitions
+        allowed = [("view", "click"), ("click", "purchase"),
+                   ("signup", "view"), ("view", "view"),
+                   ("click", "click")]
+        return invalid_transitions(
+            _read(sf_dir, "events",
+                  ["user_id", "event_id", "event_type", "ts"]),
+            allowed)
+
+    def q_rank_fusion(sf_dir):
+        # reciprocal-rank fusion of BM25 and cosine rankings — pure
+        # integer 1e6 // (60 + rank) points, bit-exact twin
+        from doc_ocr_ray.stages.similarity import rank_fusion
+        return rank_fusion(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            ["hash", "join", "window"], query_vec_id=0)
+
     def q_pareto_parts(sf_dir):
         # distributed skyline: local frontier per partition (safe
         # prune), tiny union, one final single-group prune
@@ -2760,6 +2788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": q_extract_entities,
         "csv_source": q_csv_source,
         "pareto_parts": q_pareto_parts,
+        "session_stats": q_session_stats,
+        "invalid_transitions": q_invalid_transitions,
+        "rank_fusion": q_rank_fusion,
         "rolling_dau": q_rolling_dau,
         "type_share_by_day": q_type_share_by_day,
         "followed_by": q_followed_by,
@@ -6392,6 +6423,67 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # session-stats twin: the sessionize chain wrapped in one
+        # more per-user aggregate
+        "session_stats": f"""
+            WITH s AS ({SESSIONIZE_SQL})
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS total_events,
+                   CAST(max(n_events) AS BIGINT)
+                       AS max_session_events,
+                   CAST(sum(date_diff('microsecond', start_ts,
+                            end_ts)) AS BIGINT) AS total_duration_us
+            FROM s GROUP BY user_id
+        """,
+        # transition-validation twin: lag() in the same total order,
+        # the allowed pairs written out as the negated predicate
+        "invalid_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq
+            WHERE prev_type IS NOT NULL
+              AND NOT ((prev_type = 'view' AND event_type = 'click')
+                    OR (prev_type = 'click' AND event_type = 'purchase')
+                    OR (prev_type = 'signup' AND event_type = 'view')
+                    OR (prev_type = 'view' AND event_type = 'view')
+                    OR (prev_type = 'click' AND event_type = 'click'))
+            GROUP BY 1, 2
+        """,
+        # RRF twin: both rank lists full-outer-joined, integer points
+        "rank_fusion": f"""
+            WITH bm AS ({_bm25_sql(20)}),
+            cs AS (SELECT x.vec_id,
+                          list_cosine_similarity(
+                            (SELECT CAST(embedding AS DOUBLE[])
+                             FROM embeddings WHERE vec_id = 0),
+                            CAST(x.embedding AS DOUBLE[])) AS raw
+                   FROM embeddings x WHERE x.vec_id <> 0),
+            cosr AS (SELECT vec_id,
+                            row_number() OVER (ORDER BY raw DESC,
+                                               vec_id) AS rank
+                     FROM cs QUALIFY rank <= 20),
+            u AS (SELECT coalesce(bm.doc_id, cosr.vec_id) AS doc_id,
+                         coalesce(1000000 // (60 + bm.rank), 0)
+                         + coalesce(1000000 // (60 + cosr.rank), 0)
+                             AS rrf_micro
+                  FROM bm FULL OUTER JOIN cosr
+                    ON bm.doc_id = cosr.vec_id),
+            r AS (SELECT doc_id, CAST(rrf_micro AS BIGINT)
+                             AS rrf_micro,
+                         row_number() OVER (ORDER BY rrf_micro DESC,
+                                            doc_id) AS rn
+                  FROM u)
+            SELECT CAST(rn AS BIGINT) AS rank, doc_id, rrf_micro
+            FROM r WHERE rn <= 10
         """,
         # skyline twin: textbook NOT EXISTS dominance
         "pareto_parts": """

@@ -327,6 +327,11 @@ def run_benchmarks() -> dict:
     timed("type_share_by_day",
           lambda: qs["type_share_by_day"](SF_DIR).count())
     timed("followed_by", lambda: qs["followed_by"](SF_DIR).count())
+    timed("session_stats",
+          lambda: qs["session_stats"](SF_DIR).count())
+    timed("invalid_transitions",
+          lambda: qs["invalid_transitions"](SF_DIR).count())
+    timed("rank_fusion", lambda: nrows(qs["rank_fusion"](SF_DIR)))
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1584,3 +1584,111 @@ def followed_by(ds, first_type: str, then_type: str,
     return (ds.map_batches(slim, batch_format="pandas")
             .groupby("part").map_groups(per_part,
                                         batch_format="pandas"))
+
+
+def session_stats(ds, gap_minutes: int = 30):
+    """Per-user session summary — the composition a product-analytics
+    pipeline derives from :func:`sessionize` (sessions are the unit,
+    users the report key): ``(user_id, n_sessions, total_events,
+    max_session_events, total_duration_us)`` with durations exact
+    integer microseconds (sum of per-session end - start).
+
+    Shape: sessionize's one user-keyed exchange does the heavy work;
+    the summary collapses session rows (already user-cardinality-
+    bounded) with an in-batch partial + ONE tiny user groupby.
+    """
+    sess = sessionize(ds, gap_minutes=gap_minutes)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dur = (batch["end_ts"].to_numpy().astype("datetime64[us]")
+               .astype("int64")
+               - batch["start_ts"].to_numpy().astype("datetime64[us]")
+               .astype("int64"))
+        g = (pd.DataFrame({
+                "user_id": batch["user_id"].astype("int64"),
+                "n_sessions": np.int64(1),
+                "total_events": batch["n_events"].astype("int64"),
+                "max_session_events": batch["n_events"].astype("int64"),
+                "dur": dur})
+             .groupby("user_id", sort=False)
+             .agg(n_sessions=("n_sessions", "sum"),
+                  total_events=("total_events", "sum"),
+                  max_session_events=("max_session_events", "max"),
+                  total_duration_us=("dur", "sum"))
+             .reset_index())
+        for c in g.columns[1:]:
+            g[c] = g[c].astype("int64")
+        return _typed_if_empty(g)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [int(group["user_id"].iloc[0])],
+            "n_sessions": [int(group["n_sessions"].sum())],
+            "total_events": [int(group["total_events"].sum())],
+            "max_session_events": [int(group["max_session_events"]
+                                       .max())],
+            "total_duration_us": [int(group["total_duration_us"]
+                                      .sum())]})
+
+    return (sess.map_batches(partial, batch_format="pandas")
+            .groupby("user_id").map_groups(merge,
+                                           batch_format="pandas"))
+
+
+def invalid_transitions(ds, allowed, num_parts: int = 128):
+    """Sequence-level data-quality check: count the (prev, next)
+    event-type transitions NOT in the ``allowed`` set, per ordered
+    pair — the state-machine validation a pipeline runs on lifecycle
+    logs (an order that ships before it's placed is a bug upstream).
+    Order is the per-user (ts, event_id) total order; each user's
+    first event has no prev and checks nothing.
+
+    Shape: slim projection, ONE coarse user-keyed exchange, per-user
+    vectorized shift + pair count; output is transition-cardinality
+    (types x types at most).  Output: ``(prev_type, next_type, n)``
+    for illegal pairs only.
+    """
+    allowed_set = frozenset((str(a), str(b)) for a, b in allowed)
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["user_id", "event_type", "ts"])
+        out = pd.DataFrame({
+            "user_id": t["user_id"].astype("int64"),
+            "event_id": t["event_id"].astype("int64"),
+            "event_type": t["event_type"],
+            "ts": t["ts"]})
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        prev = g["event_type"].shift(1)
+        pairs = pd.DataFrame({"prev_type": prev[same],
+                              "next_type": g["event_type"][same]})
+        if len(pairs):
+            legal = pd.Series(
+                list(zip(pairs["prev_type"], pairs["next_type"])),
+                index=pairs.index).isin(allowed_set)
+            pairs = pairs[~legal]
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64") if len(out) else out.get(
+            "n", pd.Series([], dtype="int64"))
+        return _typed_if_empty(out)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prev_type": [group["prev_type"].iloc[0]],
+            "next_type": [group["next_type"].iloc[0]],
+            "n": [int(group["n"].sum())]})
+
+    return (ds.map_batches(slim, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas")
+            .groupby(["prev_type", "next_type"])
+            .map_groups(combine, batch_format="pandas"))

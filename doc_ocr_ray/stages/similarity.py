@@ -1169,3 +1169,43 @@ def hard_negatives(ds, query_ids, k: int = 5, id_col: str = "vec_id",
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096).take_all()
     return _merge_partial_topk(partials, k)
+
+
+def rank_fusion(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,
+                n_candidates: int = 20, k: int = 10,
+                rrf_k: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion of the lexical and semantic retrievers —
+    the OTHER hybrid-search composition (:func:`search_rerank` is
+    retrieve-then-rerank; RRF fuses two INDEPENDENT rankings, robust
+    when either retriever's score scale is untrustworthy):
+
+        rrf_micro(doc) = sum over lists of  1_000_000 // (rrf_k + rank)
+
+    over the BM25 top-``n_candidates`` and the cosine
+    top-``n_candidates`` (absent from a list = contributes 0).  Pure
+    integer arithmetic — the DuckDB twin reproduces the fusion bit
+    for bit.  Ties break by doc_id ascending; top-``k`` rows return.
+
+    Shape: both retrievers are the existing shuffle-free passes (BM25
+    twice over docs, one broadcast-matmul pass over embeddings); the
+    fusion itself is a driver-side merge of two ≤ n_candidates lists.
+    """
+    from doc_ocr_ray.stages.text_analysis import bm25_search
+
+    bm = bm25_search(docs_ds, query_tokens, k=n_candidates)
+    cos = knn_brute(emb_ds, [int(query_vec_id)], k=n_candidates)
+
+    points: dict = {}
+    for rank, did in zip(bm["rank"], bm["doc_id"]):
+        points[int(did)] = points.get(int(did), 0) \
+            + 1_000_000 // (rrf_k + int(rank))
+    for rank, did in zip(cos["rank"].to_pylist(),
+                         cos["vec_id"].to_pylist()):
+        points[int(did)] = points.get(int(did), 0) \
+            + 1_000_000 // (rrf_k + int(rank))
+    top = sorted(points.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf_micro": pa.array([s for _, s in top], pa.int64()),
+    })

@@ -3404,3 +3404,66 @@ def test_followed_by_strict_order_window_and_earliest(ray_session):
     assert got["user_id"].tolist() == [1]
     assert pd.Timestamp(got["b_us"][0], unit="us") == \
         pd.Timestamp("2024-01-01 10:30")
+
+
+def test_session_stats_durations_and_max(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import session_stats
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+        "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        # session 1: two events 10 min apart; session 2 (after the
+        # 30-min gap): two events at the same instant (duration 0)
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10",
+                              "2024-01-01 12:00", "2024-01-01 12:00"])})
+    got = session_stats(ray.data.from_pandas(ev).repartition(2)
+                        ).to_pandas()
+    assert got["n_sessions"].tolist() == [2]
+    assert got["total_events"].tolist() == [4]
+    assert got["max_session_events"].tolist() == [2]
+    assert got["total_duration_us"].tolist() == [600 * 1_000_000]
+
+
+def test_invalid_transitions_user_boundary(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import invalid_transitions
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+        "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "event_type": ["purchase", "view", "error", "error"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 10:00", "2024-01-01 11:00"])})
+    got = (invalid_transitions(ray.data.from_pandas(ev),
+                               allowed=[("view", "click")])
+           .to_pandas().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    # user 1: purchase->view illegal; user 2: error->error illegal;
+    # the u1-last -> u2-first boundary (view->error) must NOT count
+    assert got[["prev_type", "next_type", "n"]].values.tolist() == [
+        ["error", "error", 1], ["purchase", "view", 1]]
+
+
+def test_rank_fusion_integer_points_and_union(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.similarity import rank_fusion
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["alpha beta", "alpha", "gamma"]})
+    emb = pd.DataFrame({
+        "vec_id": np.array([0, 1, 2], dtype=np.int64),
+        "embedding": [np.array([1.0, 0.0], dtype=np.float32),
+                      np.array([0.0, 1.0], dtype=np.float32),
+                      np.array([1.0, 0.1], dtype=np.float32)]})
+    got = rank_fusion(ray.data.from_pandas(docs),
+                      ray.data.from_pandas(emb),
+                      ["alpha"], query_vec_id=0, n_candidates=2,
+                      k=3).to_pandas()
+    # bm25 ranks docs {0, 1}; cosine (self excluded) ranks {2, 1}.
+    # doc appearing in both lists outranks single-list docs
+    pts = dict(zip(got["doc_id"], got["rrf_micro"]))
+    assert pts[1] == 1_000_000 // 61 + 1_000_000 // 62 \
+        or pts[1] == 1_000_000 // 62 + 1_000_000 // 61
+    assert got.loc[0, "doc_id"] == 1      # in both lists -> rank 1
