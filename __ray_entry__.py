@@ -6446,7 +6446,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id) AS prev_type
               FROM events
               WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-                AND ts IS NOT NULL)
+                AND ts IS NOT NULL AND event_id IS NOT NULL)
             SELECT prev_type, event_type AS next_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM seq

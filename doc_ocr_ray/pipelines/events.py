@@ -1451,24 +1451,20 @@ def rolling_dau(ds, window_days: int = 7, num_parts: int = 64):
     """
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch.dropna(subset=["user_id", "ts"])
-        day = (t["ts"].to_numpy().astype("datetime64[us]")
-               .astype("int64") // np.int64(86_400_000_000))
         g = (pd.DataFrame({"user_id": t["user_id"].astype("int64"),
-                           "day": day})
+                           "day": _epoch_days(t["ts"])})
              .drop_duplicates())
         return _typed_if_empty(g)
 
-    # observed days: tiny (driver-side list, one per calendar day)
-    days = ds.map_batches(
-        lambda b: _typed_if_empty(pd.DataFrame({
-            "day": pd.unique((b.dropna(subset=["ts"])["ts"]
-                              .to_numpy().astype("datetime64[us]")
-                              .astype("int64")
-                              // np.int64(86_400_000_000)))})),
-        batch_format="pandas").to_pandas()
+    # ONE corpus scan: the distinct-pair stage materializes once and
+    # feeds BOTH the observed-day list (tiny: one per calendar day,
+    # derived from the same non-null user+ts rows as the oracle's
+    # CTE) and the fan-out
+    pairs_ds = ds.map_batches(pairs, batch_format="pandas"
+                              ).materialize()
+    days = pairs_ds.select_columns(["day"]).to_pandas()
     observed = np.sort(days["day"].unique()) if len(days) else \
         np.array([], dtype="int64")
-    obs_set = frozenset(int(d) for d in observed)
 
     def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -1495,7 +1491,7 @@ def rolling_dau(ds, window_days: int = 7, num_parts: int = 64):
         out["n_users"] = out["n_users"].astype("int64")
         return _typed_if_empty(out)
 
-    return (ds.map_batches(pairs, batch_format="pandas")
+    return (pairs_ds
             .map_batches(fan_out, batch_format="pandas")
             .groupby("part").map_groups(count_per_day,
                                         batch_format="pandas"))
@@ -1511,9 +1507,8 @@ def type_share_by_day(ds):
     """
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch.dropna(subset=["event_type", "ts"])
-        day = (t["ts"].to_numpy().astype("datetime64[us]")
-               .astype("int64") // np.int64(86_400_000_000))
-        g = pd.DataFrame({"day": day, "event_type": t["event_type"]})
+        g = pd.DataFrame({"day": _epoch_days(t["ts"]),
+                          "event_type": t["event_type"]})
         out = (g.groupby(["day", "event_type"], sort=False)
                .size().reset_index(name="n"))
         return _typed_if_empty(out)
@@ -1618,21 +1613,28 @@ def session_stats(ds, gap_minutes: int = 30):
              .reset_index())
         for c in g.columns[1:]:
             g[c] = g[c].astype("int64")
+        g["part"] = _coarse_part(g["user_id"], 64)
         return _typed_if_empty(g)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [int(group["user_id"].iloc[0])],
-            "n_sessions": [int(group["n_sessions"].sum())],
-            "total_events": [int(group["total_events"].sum())],
-            "max_session_events": [int(group["max_session_events"]
-                                       .max())],
-            "total_duration_us": [int(group["total_duration_us"]
-                                      .sum())]})
+        # coarse key: users regroup INSIDE the group fn (one Ray
+        # group per user costs ~1ms each)
+        out = (group.groupby("user_id", sort=False)
+               .agg(n_sessions=("n_sessions", "sum"),
+                    total_events=("total_events", "sum"),
+                    max_session_events=("max_session_events", "max"),
+                    total_duration_us=("total_duration_us", "sum"))
+               .reset_index())
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return _typed_if_empty(out)
 
     return (sess.map_batches(partial, batch_format="pandas")
-            .groupby("user_id").map_groups(merge,
-                                           batch_format="pandas"))
+            .groupby("part").map_groups(merge,
+                                        batch_format="pandas")
+            .select_columns(["user_id", "n_sessions", "total_events",
+                             "max_session_events",
+                             "total_duration_us"]))
 
 
 def invalid_transitions(ds, allowed, num_parts: int = 128):
@@ -1651,7 +1653,11 @@ def invalid_transitions(ds, allowed, num_parts: int = 128):
     allowed_set = frozenset((str(a), str(b)) for a, b in allowed)
 
     def slim(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.dropna(subset=["user_id", "event_type", "ts"])
+        # event_id is part of the total order: a NULL there has no
+        # defined position — dropped on BOTH sides (oracle filters
+        # identically), never astype-crashed
+        t = batch.dropna(subset=["user_id", "event_id",
+                                 "event_type", "ts"])
         out = pd.DataFrame({
             "user_id": t["user_id"].astype("int64"),
             "event_id": t["event_id"].astype("int64"),

@@ -3467,3 +3467,17 @@ def test_rank_fusion_integer_points_and_union(ray_session):
     assert pts[1] == 1_000_000 // 61 + 1_000_000 // 62 \
         or pts[1] == 1_000_000 // 62 + 1_000_000 // 61
     assert got.loc[0, "doc_id"] == 1      # in both lists -> rank 1
+
+
+def test_rolling_dau_null_user_day_not_observed(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import rolling_dau
+
+    ev = pd.DataFrame({
+        # day 3 exists ONLY via a NULL-user event: it must not become
+        # an output day (oracle parity: observed days come from rows
+        # with BOTH user_id and ts non-null)
+        "user_id": pd.array([1, None], dtype="Int64"),
+        "ts": pd.to_datetime(["1970-01-01", "1970-01-04"])})
+    got = rolling_dau(ray.data.from_pandas(ev)).to_pandas()
+    assert got["day"].tolist() == [0]
