@@ -2222,6 +2222,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    "o_orderdate"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]))
 
+    def q_behavior_strings(sf_dir):
+        # sequence-level GROUP BY: ordered per-user journey strings,
+        # users counted per distinct pattern
+        from doc_ocr_ray.pipelines.events import behavior_strings
+        return behavior_strings(
+            _read(sf_dir, "events",
+                  ["user_id", "event_id", "event_type", "ts"]))
+
+    def q_mad_outliers(sf_dir):
+        # robust outliers: exact discrete median + MAD from two
+        # mergeable-histogram passes, integer compare
+        from doc_ocr_ray.pipelines.events import mad_outliers
+        return mad_outliers(
+            _read(sf_dir, "events",
+                  ["event_id", "event_type", "value"]))
+
+    def q_skipgram_pairs(sf_dir):
+        # word2vec prep: window-3 unordered co-occurrence counts,
+        # shift-concat vectorized, partitioned top-k merge
+        from doc_ocr_ray.stages.text_analysis import skipgram_pairs
+        return skipgram_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_session_stats(sf_dir):
         # composition: sessionize -> per-user summary (exact integer
         # microsecond durations)
@@ -2789,6 +2812,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source": q_csv_source,
         "pareto_parts": q_pareto_parts,
         "session_stats": q_session_stats,
+        "behavior_strings": q_behavior_strings,
+        "mad_outliers": q_mad_outliers,
+        "skipgram_pairs": q_skipgram_pairs,
         "invalid_transitions": q_invalid_transitions,
         "rank_fusion": q_rank_fusion,
         "rolling_dau": q_rolling_dau,
@@ -6423,6 +6449,76 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY sum_cents DESC, order_day, l_orderkey
             LIMIT 10
+        """,
+        # behavior-pattern twin: ordered string_agg per user, then a
+        # pattern GROUP BY
+        "behavior_strings": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS pattern
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY user_id)
+            SELECT pattern, CAST(count(*) AS BIGINT) AS n_users
+            FROM s GROUP BY pattern
+        """,
+        # MAD twin: the same discrete rank-(n-1)//2 statistic picked
+        # twice (values, then absolute deviations), integer compare
+        "mad_outliers": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            m AS (SELECT event_type, cents,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY cents) - 1 AS rk,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM e),
+            med AS (SELECT event_type,
+                           max(CASE WHEN rk = (n - 1) // 2
+                                    THEN cents END) AS med
+                    FROM m GROUP BY event_type),
+            d AS (SELECT e.event_id, e.event_type, e.cents,
+                         abs(e.cents - med.med) AS dev
+                  FROM e JOIN med USING (event_type)),
+            m2 AS (SELECT event_type, dev,
+                          row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev) - 1 AS rk,
+                          count(*) OVER (PARTITION BY event_type)
+                              AS n
+                   FROM d),
+            mad AS (SELECT event_type,
+                           max(CASE WHEN rk = (n - 1) // 2
+                                    THEN dev END) AS mad
+                    FROM m2 GROUP BY event_type)
+            SELECT d.event_id, d.event_type, d.cents
+            FROM d JOIN mad USING (event_type)
+            WHERE d.dev > 3 * mad.mad
+        """,
+        # skip-gram twin: positions via the index-lambda transform,
+        # banded self-join, canonical pair order (DuckDB's binary
+        # UTF-8 collation == Python code-point order)
+        "skipgram_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       regexp_split_to_array({_NORM}, ' '),
+                       (x, i) -> {{'i': i, 'v': x}})) AS s
+              FROM documents WHERE {_NORM} != ''),
+            t AS (SELECT doc_id, s.i AS i, s.v AS v FROM toks),
+            p AS (SELECT least(a.v, b.v) AS w1,
+                         greatest(a.v, b.v) AS w2
+                  FROM t a JOIN t b
+                    ON a.doc_id = b.doc_id
+                   AND b.i - a.i BETWEEN 1 AND 3)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, w1, w2
+            LIMIT 30
         """,
         # session-stats twin: the sessionize chain wrapped in one
         # more per-user aggregate

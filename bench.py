@@ -332,6 +332,12 @@ def run_benchmarks() -> dict:
     timed("invalid_transitions",
           lambda: qs["invalid_transitions"](SF_DIR).count())
     timed("rank_fusion", lambda: nrows(qs["rank_fusion"](SF_DIR)))
+    timed("behavior_strings",
+          lambda: qs["behavior_strings"](SF_DIR).count())
+    timed("mad_outliers",
+          lambda: qs["mad_outliers"](SF_DIR).count())
+    timed("skipgram_pairs",
+          lambda: nrows(qs["skipgram_pairs"](SF_DIR)))
 
     from doc_ocr_ray.pipelines.events import sessionize
     timed("sessionize", lambda: sessionize(

@@ -1698,3 +1698,130 @@ def invalid_transitions(ds, allowed, num_parts: int = 128):
                                         batch_format="pandas")
             .groupby(["prev_type", "next_type"])
             .map_groups(combine, batch_format="pandas"))
+
+
+def behavior_strings(ds, num_parts: int = 64):
+    """Behavior-pattern mining: each user's ordered event-type
+    sequence collapsed to one ``a>b>c`` string (the (ts, event_id)
+    total order), then users counted per distinct pattern — the
+    sequence-level GROUP BY a product team runs to find the dominant
+    journeys.  Output: ``(pattern, n_users)``.
+
+    Shape: slim projection -> ONE coarse user-keyed exchange ->
+    per-user vectorized string join -> pattern strings (one per
+    user) re-keyed coarse for the tiny pattern count.  NULL
+    user/type/ts/event_id rows drop (both sides).
+    """
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["user_id", "event_id",
+                                 "event_type", "ts"])
+        out = pd.DataFrame({
+            "user_id": t["user_id"].astype("int64"),
+            "event_id": t["event_id"].astype("int64"),
+            "event_type": t["event_type"].astype(str),
+            "ts": t["ts"]})
+        out["part"] = _coarse_part(out["user_id"], num_parts)
+        return _typed_if_empty(out)
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        pat = (g.groupby("user_id", sort=False)["event_type"]
+               .agg(">".join).reset_index(name="pattern"))
+        out = pd.DataFrame({"pattern": pat["pattern"]})
+        out["ppart"] = _coarse_part(out["pattern"], num_parts)
+        return _typed_if_empty(out)
+
+    def count_patterns(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby("pattern", sort=False).size()
+               .reset_index(name="n_users"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return _typed_if_empty(out)
+
+    return (ds.map_batches(slim, batch_format="pandas")
+            .groupby("part").map_groups(per_user,
+                                        batch_format="pandas")
+            .groupby("ppart").map_groups(count_patterns,
+                                         batch_format="pandas"))
+
+
+def mad_outliers(ds, k_mad: int = 3):
+    """Robust per-group outlier detection via median absolute
+    deviation — the outlier rule that one megavalue can't corrupt
+    (unlike z-scores, whose mean and stddev the outlier itself
+    drags): per event type, ``med`` = the exact DISCRETE median of
+    the value cents (0-indexed rank ``(n-1)//2`` of the sorted
+    multiset) and ``mad`` = the same rank statistic of
+    ``|cents - med|``; a row is an outlier iff
+    ``|cents - med| > k_mad * mad``.  All arithmetic exact integers.
+
+    Shape: two mergeable-histogram passes (the winsorize_by_group
+    discipline — per-(type, value) counts ride the exchanges, never
+    rows; group medians resolve from distinct-value-bounded
+    histograms at the driver and broadcast in the closure), then one
+    stateless flag map.  Output: outlier rows only,
+    ``(event_id, event_type, cents)``.
+    """
+    def cents_of(t: pd.DataFrame) -> np.ndarray:
+        return np.floor(t["value"] * 100 + 0.5).astype("int64")
+
+    def hist1(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "value"])
+        g = pd.DataFrame({"event_type": t["event_type"],
+                          "cents": cents_of(t)})
+        out = (g.groupby(["event_type", "cents"], sort=False)
+               .size().reset_index(name="cnt"))
+        return _typed_if_empty(out)
+
+    def rank_stat(hist: pd.DataFrame, val_col: str) -> dict:
+        out = {}
+        for grp, h in hist.groupby("event_type", sort=False):
+            h = h.sort_values(val_col)
+            cnt = h["cnt"].to_numpy(dtype="int64")
+            vals = h[val_col].to_numpy(dtype="int64")
+            n = int(cnt.sum())
+            r = (n - 1) // 2
+            cum = np.cumsum(cnt)
+            out[grp] = int(vals[np.searchsorted(cum, r,
+                                                side="right")])
+        return out
+
+    h1 = (ds.map_batches(hist1, batch_format="pandas")
+          .groupby(["event_type", "cents"]).sum("cnt").to_pandas()
+          .rename(columns={"sum(cnt)": "cnt"}))
+    if h1.empty:
+        return ds.map_batches(
+            lambda b: _typed_if_empty(pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "cents": pd.Series([], dtype="int64")})),
+            batch_format="pandas")
+    med = rank_stat(h1, "cents")
+
+    def hist2(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "value"])
+        c = cents_of(t)
+        m = t["event_type"].map(med).astype("int64")
+        g = pd.DataFrame({"event_type": t["event_type"],
+                          "dev": np.abs(c - m)})
+        out = (g.groupby(["event_type", "dev"], sort=False)
+               .size().reset_index(name="cnt"))
+        return _typed_if_empty(out)
+
+    h2 = (ds.map_batches(hist2, batch_format="pandas")
+          .groupby(["event_type", "dev"]).sum("cnt").to_pandas()
+          .rename(columns={"sum(cnt)": "cnt"}))
+    mad = rank_stat(h2, "dev")
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.dropna(subset=["event_type", "value"])
+        c = cents_of(t)
+        m = t["event_type"].map(med).astype("int64")
+        d = t["event_type"].map(mad).astype("int64")
+        keep = np.abs(c - m) > k_mad * d
+        out = pd.DataFrame({
+            "event_id": t["event_id"].astype("int64")[keep],
+            "event_type": t["event_type"][keep],
+            "cents": c[keep]})
+        return _typed_if_empty(out.reset_index(drop=True))
+
+    return ds.map_batches(flag, batch_format="pandas")

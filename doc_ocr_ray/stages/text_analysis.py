@@ -2449,3 +2449,70 @@ def extract_entities(ds):
             "value": pd.Series(out_val, dtype="object")}))
 
     return ds.map_batches(flat, batch_format="pandas")
+
+
+def skipgram_pairs(ds, window: int = 3, k: int = 30,
+                   num_parts: int = 64):
+    """Skip-gram co-occurrence counts — the word2vec/GloVe
+    preparation pass: unordered token pairs within ``window``
+    positions of each other in the shared ``_NORM`` stream, counted
+    corpus-wide, top-``k`` by (count DESC, w1, w2).  Pairs are
+    canonicalized (w1 <= w2 lexicographically); a token never pairs
+    with itself at distance 0, but equal TOKENS at different
+    positions do pair (the standard skip-gram contract).
+
+    Shape: per-batch vectorized shift-concat per offset (``window``
+    aligned slices — no per-token loop), in-batch pair-count
+    combiner, ONE coarse pair-keyed exchange for exact totals,
+    per-partition top-k, driver merge of num_parts * k rows.
+    """
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        frames = []
+        for off in range(1, window + 1):
+            if len(toks) <= off:
+                break
+            a = toks[:-off]
+            b = toks[off:]
+            same = doc_idx[:-off] == doc_idx[off:]
+            if not same.any():
+                continue
+            lo = np.minimum(a[same], b[same])
+            hi = np.maximum(a[same], b[same])
+            frames.append(pd.DataFrame({"w1": lo, "w2": hi}))
+        if not frames:
+            return typed_if_empty(pd.DataFrame({
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64")}))
+        out = (pd.concat(frames, ignore_index=True)
+               .groupby(["w1", "w2"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        out["part"] = coarse_part(out["w1"] + "\x00" + out["w2"],
+                                  num_parts)
+        return out
+
+    def topk_per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["w1", "w2"], sort=False)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        g = g.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True]).head(k)
+        return typed_if_empty(g[["w1", "w2", "n"]])
+
+    import pyarrow as pa
+
+    cand = (ds.map_batches(pair_partial, batch_format="pandas")
+            .groupby("part").map_groups(topk_per_part,
+                                        batch_format="pandas")
+            .to_pandas())
+    if not len(cand):
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    top = cand.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

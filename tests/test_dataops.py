@@ -3481,3 +3481,55 @@ def test_rolling_dau_null_user_day_not_observed(ray_session):
         "ts": pd.to_datetime(["1970-01-01", "1970-01-04"])})
     got = rolling_dau(ray.data.from_pandas(ev)).to_pandas()
     assert got["day"].tolist() == [0]
+
+
+def test_behavior_strings_order_and_count(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import behavior_strings
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+        "event_id": np.array([2, 1, 3, 4, 5], dtype=np.int64),
+        # u1: equal timestamps -> event_id breaks the tie (b then a
+        # by id order: id 1 = 'b' comes first)
+        "event_type": ["a", "b", "b", "a", "c"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:00",
+                              "2024-01-01 09:00", "2024-01-01 10:00",
+                              "2024-01-01 08:00"])})
+    got = (behavior_strings(ray.data.from_pandas(ev).repartition(2))
+           .to_pandas().sort_values("pattern").reset_index(drop=True))
+    assert got[["pattern", "n_users"]].values.tolist() == [
+        ["b>a", 2], ["c", 1]]
+
+
+def test_mad_outliers_exact_median_and_flag(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import mad_outliers
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(1, 8, dtype=np.int64),
+        "event_type": ["a"] * 7,
+        # cents: 100x6 + one 10000: med=100, devs {0 x6, 9900} ->
+        # MAD=0 -> any nonzero deviation flags (strict >)
+        "value": [1.0] * 6 + [100.0]})
+    got = mad_outliers(ray.data.from_pandas(ev).repartition(3)
+                       ).to_pandas()
+    assert got["event_id"].tolist() == [7]
+    assert got["cents"].tolist() == [10000]
+
+
+def test_skipgram_pairs_window_and_canonical_order(ray_session):
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import skipgram_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        # doc 1: pairs within window 2 of "z a b": (a,z),(b,z),(a,b)
+        # doc 2: "c" alone pairs with nothing; doc boundary respected
+        "text": ["z a b", "c"]})
+    got = (skipgram_pairs(ray.data.from_pandas(docs).repartition(2),
+                          window=2, k=10)
+           .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+    assert got[["w1", "w2"]].values.tolist() == [
+        ["a", "b"], ["a", "z"], ["b", "z"]]
+    assert got["n"].tolist() == [1, 1, 1]
