@@ -2242,8 +2242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word2vec prep: window-3 unordered co-occurrence counts,
         # shift-concat vectorized, partitioned top-k merge
         from doc_ocr_ray.stages.text_analysis import skipgram_pairs
-        return skipgram_pairs(
-            _read(sf_dir, "documents", ["doc_id", "text"]))
+        # doc boundaries come from the per-batch row index: text is
+        # the only column that needs to leave storage
+        return skipgram_pairs(_read(sf_dir, "documents", ["text"]))
 
     def q_session_stats(sf_dir):
         # composition: sessionize -> per-user summary (exact integer
@@ -6472,7 +6473,8 @@ def oracle_sql() -> dict[str, str]:
                                   AS cents
                        FROM events
                        WHERE event_type IS NOT NULL
-                         AND value IS NOT NULL),
+                         AND value IS NOT NULL
+                         AND event_id IS NOT NULL),
             m AS (SELECT event_type, cents,
                          row_number() OVER (PARTITION BY event_type
                              ORDER BY cents) - 1 AS rk,

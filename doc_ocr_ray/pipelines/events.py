@@ -1761,11 +1761,16 @@ def mad_outliers(ds, k_mad: int = 3):
     stateless flag map.  Output: outlier rows only,
     ``(event_id, event_type, cents)``.
     """
+    from doc_ocr_ray.util import hist_value_at_rank, value_cents
+
     def cents_of(t: pd.DataFrame) -> np.ndarray:
-        return np.floor(t["value"] * 100 + 0.5).astype("int64")
+        return value_cents(t["value"])
 
     def hist1(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.dropna(subset=["event_type", "value"])
+        # event_id rides to the output: NULL there would astype-crash
+        # the flag pass, so it drops on BOTH sides (oracle filters
+        # identically)
+        t = batch.dropna(subset=["event_id", "event_type", "value"])
         g = pd.DataFrame({"event_type": t["event_type"],
                           "cents": cents_of(t)})
         out = (g.groupby(["event_type", "cents"], sort=False)
@@ -1776,13 +1781,10 @@ def mad_outliers(ds, k_mad: int = 3):
         out = {}
         for grp, h in hist.groupby("event_type", sort=False):
             h = h.sort_values(val_col)
-            cnt = h["cnt"].to_numpy(dtype="int64")
-            vals = h[val_col].to_numpy(dtype="int64")
-            n = int(cnt.sum())
-            r = (n - 1) // 2
-            cum = np.cumsum(cnt)
-            out[grp] = int(vals[np.searchsorted(cum, r,
-                                                side="right")])
+            n = int(h["cnt"].sum())
+            out[grp] = hist_value_at_rank(
+                h[val_col].to_numpy(), h["cnt"].to_numpy(),
+                (n - 1) // 2)
         return out
 
     h1 = (ds.map_batches(hist1, batch_format="pandas")
@@ -1798,7 +1800,7 @@ def mad_outliers(ds, k_mad: int = 3):
     med = rank_stat(h1, "cents")
 
     def hist2(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.dropna(subset=["event_type", "value"])
+        t = batch.dropna(subset=["event_id", "event_type", "value"])
         c = cents_of(t)
         m = t["event_type"].map(med).astype("int64")
         g = pd.DataFrame({"event_type": t["event_type"],
@@ -1813,7 +1815,7 @@ def mad_outliers(ds, k_mad: int = 3):
     mad = rank_stat(h2, "dev")
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.dropna(subset=["event_type", "value"])
+        t = batch.dropna(subset=["event_id", "event_type", "value"])
         c = cents_of(t)
         m = t["event_type"].map(med).astype("int64")
         d = t["event_type"].map(mad).astype("int64")

@@ -178,3 +178,24 @@ def str_or_empty(value) -> str:
     columns deliver None AND float NaN for missing values; ``or ""``
     misses NaN (truthy).  Shared by the html/pdf/warc batch parsers."""
     return value if isinstance(value, str) else ""
+
+
+def value_cents(values: pd.Series) -> "np.ndarray":
+    """2-decimal value -> exact integer cents: floor(x*100 + 0.5) as
+    int64, explicit half-up — bit-matching the DuckDB oracle idiom
+    ``CAST(floor(value * 100 + 0.5) AS BIGINT)``.  The audited home
+    of the cents rule (the 100x sibling of :func:`revenue_cents`);
+    new code must call this instead of inlining the formula."""
+    import numpy as np
+    return np.floor(values * 100 + 0.5).astype("int64")
+
+
+def hist_value_at_rank(vals, cnts, r: int) -> int:
+    """Value at 0-indexed rank ``r`` of the sorted multiset described
+    by a (sorted values, counts) histogram — the cumsum+searchsorted
+    rank pick shared by the histogram-quantile family (discrete
+    medians, winsorize bounds, MAD)."""
+    import numpy as np
+    cum = np.cumsum(np.asarray(cnts, dtype="int64"))
+    return int(np.asarray(vals, dtype="int64")[
+        np.searchsorted(cum, r, side="right")])

@@ -3533,3 +3533,26 @@ def test_skipgram_pairs_window_and_canonical_order(ray_session):
     assert got[["w1", "w2"]].values.tolist() == [
         ["a", "b"], ["a", "z"], ["b", "z"]]
     assert got["n"].tolist() == [1, 1, 1]
+
+
+def test_mad_outliers_null_event_id_and_empty_result(ray_session):
+    import ray.data
+    from doc_ocr_ray.pipelines.events import mad_outliers
+
+    # NULL event_id drops (oracle parity) instead of astype-crashing
+    ev = pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4, 5, 6, None], dtype="Int64"),
+        "event_type": ["a"] * 7,
+        "value": [1.0] * 6 + [100.0]})
+    got = mad_outliers(ray.data.from_pandas(ev)).to_pandas()
+    assert len(got) == 0     # the only outlier had a NULL id
+
+    # zero-outlier answer keeps its schema on the Dataset
+    tight = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "event_type": ["a"] * 3,
+        "value": [1.0, 1.0, 1.0]})
+    res = mad_outliers(ray.data.from_pandas(tight))
+    assert res.count() == 0
+    assert set(res.schema().names) == {"event_id", "event_type",
+                                       "cents"}

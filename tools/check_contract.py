@@ -18,7 +18,14 @@ def to_pandas(result):
     import ray.data
     import pyarrow as pa
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if not len(df) and not len(df.columns):
+            # zero-row Dataset.to_pandas() drops the column list
+            # (CLAUDE.md) — rebuild it from the schema so a correct
+            # empty answer still passes the column compare
+            df = pd.DataFrame({c: pd.Series([], dtype="object")
+                               for c in result.schema().names})
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
