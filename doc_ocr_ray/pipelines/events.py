@@ -1787,9 +1787,33 @@ def mad_outliers(ds, k_mad: int = 3):
                 (n - 1) // 2)
         return out
 
-    h1 = (ds.map_batches(hist1, batch_format="pandas")
-          .groupby(["event_type", "cents"]).sum("cnt").to_pandas()
-          .rename(columns={"sum(cnt)": "cnt"}))
+    def hist_combine(partials_ds, val_col: str) -> pd.DataFrame:
+        # the house coarse-key combine instead of a native groupby
+        # sort: histogram partials re-key on a 32-way hash and merge
+        # INSIDE the group fn (the native (type, value) groupby paid
+        # an all-to-all sort over a near-corpus-sized key space when
+        # values are continuous — 25 s of the old 30 s wall)
+        def add_part(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["part"] = _coarse_part(
+                b["event_type"].astype(str) + ":"
+                + b[val_col].astype(str), 32)
+            return b
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby(["event_type", val_col], sort=False)
+                   ["cnt"].sum().reset_index())
+            out["cnt"] = out["cnt"].astype("int64")
+            return _typed_if_empty(out)
+
+        return (partials_ds.map_batches(add_part,
+                                        batch_format="pandas")
+                .groupby("part").map_groups(combine,
+                                            batch_format="pandas")
+                .to_pandas())
+
+    h1 = hist_combine(ds.map_batches(hist1, batch_format="pandas"),
+                      "cents")
     if h1.empty:
         return ds.map_batches(
             lambda b: _typed_if_empty(pd.DataFrame({
@@ -1809,9 +1833,8 @@ def mad_outliers(ds, k_mad: int = 3):
                .size().reset_index(name="cnt"))
         return _typed_if_empty(out)
 
-    h2 = (ds.map_batches(hist2, batch_format="pandas")
-          .groupby(["event_type", "dev"]).sum("cnt").to_pandas()
-          .rename(columns={"sum(cnt)": "cnt"}))
+    h2 = hist_combine(ds.map_batches(hist2, batch_format="pandas"),
+                      "dev")
     mad = rank_stat(h2, "dev")
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:
