@@ -868,25 +868,38 @@ def _md5_shingle_set(text: str, k: int = 5) -> np.ndarray:
         dtype=np.int64, count=-1))
 
 
-def _pair_verify_scaffold(ds, pairs_ds, per_doc, empty_df):
-    """Shared broadcast/gather skeleton for the pair verifiers
-    (:func:`verify_pairs_exact`, :func:`verify_pairs_edit`) — fully
-    distributed; nothing corpus-sized touches the driver:
+def _pair_verify_scaffold(ds, pairs_ds, per_doc, empty_df,
+                          num_doc_parts: int = 64,
+                          num_pair_parts: int = 64):
+    """Shared distributed-join skeleton for the pair verifiers
+    (:func:`verify_pairs_exact`, :func:`verify_pairs_edit`,
+    :func:`setsim_join_pairs`) — the ``dedup_keep_best`` tagged-union
+    shape (:func:`dedup_keep_best`): payloads meet their pairs inside
+    group functions; NOTHING candidate-set-sized ever lives on the
+    driver (round-2 finding: the previous version ``take_all()``-ed
+    every candidate payload into one driver dict and ``ray.put`` it —
+    tens of GB at 1e9 docs with a 1-5% LSH candidate rate).
 
-    1. candidate pairs materialize once (consumed for the id-set and
-       for scoring);
-    2. the candidate id-set is broadcast (``ray.put``) and each doc's
-       payload (``per_doc(hit_rows) -> list``) is computed by a
-       distributed filter over the corpus — output is candidate-sized;
-    3. the gathered payload map is broadcast back for each pair
-       partition to score its pairs locally.
+    1. candidate pairs materialize once; only the candidate ID SET
+       (ints, 8 bytes each — orders of magnitude below the payloads)
+       is broadcast to prune the corpus scan;
+    2. payload rows ``(doc_id, payload: bytes)`` come from a
+       distributed filter over the corpus (``per_doc(hit_rows) ->
+       sequence[bytes]``) — candidate-sized output;
+    3. exchange A (coarse ``doc_id`` key): payload rows ⊎ per-side
+       pair request rows ``(doc_id, doc_a, doc_b, ppart)``; each
+       request row picks up its doc's payload via a partition-local
+       inner merge (docs absent from the corpus drop here, matching
+       the old ``.get(...) is None`` skip);
+    4. exchange B (coarse pair key): the two sides of each pair meet
+       and pivot into one row per DISTINCT pair.
 
-    Scale assumption: the candidate set (LSH output) fits the object
-    store — true whenever the verified pair list itself is storable.
-    Returns ``(pairs_dataset, payload_ref)`` or ``(None,
-    empty_dataset)`` when there are no candidates."""
+    Returns ``(Dataset[(doc_a, doc_b, payload_a, payload_b)] | None,
+    empty_dataset)`` — callers map their score fn over the joined
+    pairs, reading both payloads straight from the batch."""
     import ray
     import ray.data as _rd
+    import pyarrow as pa
 
     pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
     need = set()
@@ -896,16 +909,89 @@ def _pair_verify_scaffold(ds, pairs_ds, per_doc, empty_df):
         return None, _rd.from_pandas(empty_df)
     need_ref = ray.put(need)
 
-    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+    _TAGGED = pa.schema([
+        ("doc_id", pa.int64()), ("side", pa.int64()),
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("ppart", pa.int64()), ("dpart", pa.int64()),
+        ("payload", pa.binary())])
+    _ATTACHED = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("ppart", pa.int64()), ("doc_id", pa.int64()),
+        ("payload", pa.binary())])
+    _JOINED = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("payload_a", pa.binary()), ("payload_b", pa.binary())])
+
+    def _empty(schema: pa.Schema) -> pa.Table:
+        # typed_if_empty maps object->string; payloads are BINARY, so
+        # empties carry an explicit schema (incl. the shuffle keys —
+        # a key-less empty that wins sort-schema unification crashes
+        # the downstream groupby order-dependently)
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def gather(batch: pd.DataFrame):
         ns = ray.get(need_ref)
         hit = batch[batch["doc_id"].isin(ns)]
-        return typed_if_empty(pd.DataFrame({
-            "doc_id": hit["doc_id"].astype("int64").to_numpy(),
-            "payload": per_doc(hit)}))
+        if not len(hit):
+            return _empty(_TAGGED)
+        ids = hit["doc_id"].astype("int64")
+        n = len(hit)
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy(),
+            "side": np.zeros(n, dtype="int64"),
+            "doc_a": np.full(n, -1, dtype="int64"),
+            "doc_b": np.full(n, -1, dtype="int64"),
+            "ppart": np.full(n, -1, dtype="int64"),
+            "dpart": coarse_part(ids, num_doc_parts),
+            "payload": [bytes(p) for p in per_doc(hit)]})
 
-    got = ds.map_batches(gather, batch_format="pandas").take_all()
-    payload_ref = ray.put({int(r["doc_id"]): r["payload"] for r in got})
-    return pairs, payload_ref
+    def requests(batch: pd.DataFrame):
+        if not len(batch):
+            return _empty(_TAGGED)
+        a = batch["doc_a"].astype("int64").to_numpy()
+        bb = batch["doc_b"].astype("int64").to_numpy()
+        pp = ((a * 31 + bb) % num_pair_parts).astype("int64")
+        ids = np.concatenate([a, bb])
+        return pd.DataFrame({
+            "doc_id": ids,
+            "side": np.ones(2 * len(a), dtype="int64"),
+            "doc_a": np.concatenate([a, a]),
+            "doc_b": np.concatenate([bb, bb]),
+            "ppart": np.concatenate([pp, pp]),
+            "dpart": coarse_part(pd.Series(ids), num_doc_parts),
+            "payload": [b""] * (2 * len(a))})
+
+    tagged = (ds.map_batches(gather, batch_format="pandas")
+              .union(pairs.map_batches(requests, batch_format="pandas")))
+
+    def attach(group: pd.DataFrame):
+        pay = group.loc[group["side"] == 0, ["doc_id", "payload"]]
+        req = group.loc[group["side"] == 1,
+                        ["doc_id", "doc_a", "doc_b", "ppart"]]
+        out = req.merge(pay, on="doc_id", how="inner")
+        if not len(out):
+            return _empty(_ATTACHED)
+        return out[["doc_a", "doc_b", "ppart", "doc_id", "payload"]]
+
+    def assemble(group: pd.DataFrame):
+        a_side = (group.loc[group["doc_id"] == group["doc_a"],
+                            ["doc_a", "doc_b", "payload"]]
+                  .drop_duplicates(["doc_a", "doc_b"])
+                  .rename(columns={"payload": "payload_a"}))
+        b_side = (group.loc[group["doc_id"] == group["doc_b"],
+                            ["doc_a", "doc_b", "payload"]]
+                  .drop_duplicates(["doc_a", "doc_b"])
+                  .rename(columns={"payload": "payload_b"}))
+        out = a_side.merge(b_side, on=["doc_a", "doc_b"], how="inner")
+        if not len(out):
+            return _empty(_JOINED)
+        return out[["doc_a", "doc_b", "payload_a", "payload_b"]]
+
+    joined = (tagged.groupby("dpart")
+              .map_groups(attach, batch_format="pandas")
+              .groupby("ppart")
+              .map_groups(assemble, batch_format="pandas"))
+    return joined, _rd.from_pandas(empty_df)
 
 
 def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
@@ -916,9 +1002,7 @@ def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
     floor(1e4*inter/union)/1e4 (identical op order to the SQL oracle;
     round() is half-up in DuckDB but half-even here).  Returns a
     Dataset (doc_a, doc_b, jaccard)."""
-    import ray
-
-    pairs, ref_or_empty = _pair_verify_scaffold(
+    joined, empty = _pair_verify_scaffold(
         ds, pairs_ds,
         lambda hit: [_md5_shingle_set(t, k).tobytes()
                      for t in hit["text"].fillna("")],
@@ -926,18 +1010,17 @@ def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")}))
-    if pairs is None:
-        return ref_or_empty
-    sets_ref = ref_or_empty
+    if joined is None:
+        return empty
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ss = {d: np.frombuffer(p, dtype=np.int64)
-              for d, p in ray.get(sets_ref).items()}
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa = ss.get(int(a))
-            sb = ss.get(int(b))
-            if sa is None or sb is None or not len(sa) or not len(sb):
+        for a, b, raw_a, raw_b in zip(batch["doc_a"], batch["doc_b"],
+                                      batch["payload_a"],
+                                      batch["payload_b"]):
+            sa = np.frombuffer(raw_a, dtype=np.int64)
+            sb = np.frombuffer(raw_b, dtype=np.int64)
+            if not len(sa) or not len(sb):
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = len(sa) + len(sb) - inter
@@ -949,7 +1032,7 @@ def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
             "doc_b": pd.Series(out_b, dtype="int64"),
             "jaccard": pd.Series(out_j, dtype="float64")})
 
-    return pairs.map_batches(score, batch_format="pandas")
+    return joined.map_batches(score, batch_format="pandas")
 
 
 def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
@@ -1564,33 +1647,29 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
     runs last — so pairs whose byte-length difference alone already
     exceeds the ratio bound (dist >= \\|la-lb\\|) skip the DP for free.
     """
-    import ray
-
-    pairs, ref_or_empty = _pair_verify_scaffold(
+    joined, empty = _pair_verify_scaffold(
         ds, pairs_ds,
-        lambda hit: _normalize(hit[text_col]).to_numpy(),
+        lambda hit: [t.encode("utf-8")
+                     for t in _normalize(hit[text_col])],
         pd.DataFrame({
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "dist": pd.Series([], dtype="int64"),
             "dist_milli": pd.Series([], dtype="int64")}))
-    if pairs is None:
-        return ref_or_empty
-    texts_ref = ref_or_empty
+    if joined is None:
+        return empty
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ts = ray.get(texts_ref)
         out_a, out_b, out_d, out_m = [], [], [], []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            ta, tb = ts.get(int(a)), ts.get(int(b))
-            if ta is None or tb is None:
-                continue
-            la, lb = len(ta.encode("utf-8")), len(tb.encode("utf-8"))
+        for a, b, raw_a, raw_b in zip(batch["doc_a"], batch["doc_b"],
+                                      batch["payload_a"],
+                                      batch["payload_b"]):
+            la, lb = len(raw_a), len(raw_b)
             if not max(la, lb):
                 continue
             if (1000 * abs(la - lb)) // max(la, lb) > max_dist_milli:
                 continue          # guaranteed rejected: dist >= |la-lb|
-            d = _levenshtein(ta, tb)
+            d = _levenshtein(raw_a.decode("utf-8"), raw_b.decode("utf-8"))
             m = (1000 * d) // max(la, lb)
             if m <= max_dist_milli:
                 out_a.append(int(a)); out_b.append(int(b))
@@ -1601,7 +1680,7 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
             "dist": pd.Series(out_d, dtype="int64"),
             "dist_milli": pd.Series(out_m, dtype="int64")}))
 
-    return pairs.map_batches(score, batch_format="pandas")
+    return joined.map_batches(score, batch_format="pandas")
 
 
 # ------------------------------------------------- prefix-filter join
@@ -1652,9 +1731,9 @@ def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
          the doc's ~(1-t)*s rarest tokens;
       4. coarse pair-keyed dedupe (a pair can surface from several
          shared prefix tokens).
-    Verification reuses :func:`_pair_verify_scaffold` (broadcast
-    candidate id-set, distributed payload gather, per-partition
-    scoring; scale bound stated there).  The verify predicate and the
+    Verification reuses :func:`_pair_verify_scaffold` (ids-only
+    broadcast, distributed payload gather, tagged-union payload↔pair
+    exchange; shape stated there).  The verify predicate and the
     reported score are integer-exact: keep iff ``1000*inter >=
     t_milli*union``, ``jac_milli = (1000*inter)//union``.
 
@@ -1754,9 +1833,7 @@ def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
                   .groupby("ppart").map_groups(drop_dup,
                                                batch_format="pandas"))
 
-    import ray
-
-    pairs, ref_or_empty = _pair_verify_scaffold(
+    joined, empty = _pair_verify_scaffold(
         ds, uniq_pairs,
         lambda hit: [_md5_token_set(t).tobytes()
                      for t in hit[text_col].fillna("")],
@@ -1764,18 +1841,17 @@ def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "jac_milli": pd.Series([], dtype="int64")}))
-    if pairs is None:
-        return ref_or_empty
-    sets_ref = ref_or_empty
+    if joined is None:
+        return empty
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ss = {d: np.frombuffer(p, dtype=np.int64)
-              for d, p in ray.get(sets_ref).items()}
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa = ss.get(int(a))
-            sb = ss.get(int(b))
-            if sa is None or sb is None or not len(sa) or not len(sb):
+        for a, b, raw_a, raw_b in zip(batch["doc_a"], batch["doc_b"],
+                                      batch["payload_a"],
+                                      batch["payload_b"]):
+            sa = np.frombuffer(raw_a, dtype=np.int64)
+            sb = np.frombuffer(raw_b, dtype=np.int64)
+            if not len(sa) or not len(sb):
                 continue
             inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
             union = len(sa) + len(sb) - inter
@@ -1787,4 +1863,4 @@ def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
             "doc_b": pd.Series(out_b, dtype="int64"),
             "jac_milli": pd.Series(out_j, dtype="int64")}))
 
-    return pairs.map_batches(score, batch_format="pandas")
+    return joined.map_batches(score, batch_format="pandas")

@@ -67,6 +67,44 @@ def test_minhash_verify_exact_jaccard():
     assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
 
 
+def test_pair_verify_scaffold_matches_bruteforce():
+    """The distributed tagged-union payload↔pair exchange (round-2
+    verdict item 1: no driver-built payload dict) must emit exactly
+    what a per-pair brute-force scorer would: one row per distinct
+    qualifying pair, pairs referencing absent docs dropped, empty
+    shingle sets dropped."""
+    import ray
+    from doc_ocr_ray.stages.dedup import verify_pairs_exact, ngram_jaccard
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumped over the lazy dog",
+                 "a completely different document about ray data",
+                 "",                       # empty shingle set
+                 "a completely different document about ray data!"]})
+    pairs = pd.DataFrame({
+        "doc_a": [1, 1, 3, 4, 7],          # (4,*): empty side
+        "doc_b": [2, 3, 5, 5, 8]})         # (7,8): absent from corpus
+    out = (verify_pairs_exact(ray.data.from_pandas(docs),
+                              ray.data.from_pandas(pairs), threshold=0.5)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    expect = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        if a not in texts or b not in texts:
+            continue
+        if not texts[a] or not texts[b]:
+            continue
+        j = ngram_jaccard(texts[a], texts[b])
+        if j >= 0.5:
+            expect.append((a, b))
+    assert list(zip(out["doc_a"], out["doc_b"])) == sorted(expect)
+    assert (1, 2) in expect and (3, 5) in expect   # non-vacuous
+    assert all(out["jaccard"] >= 0.5)
+
+
 def test_simhash_finds_injected_near_dups():
     from doc_ocr_ray.stages.dedup import simhash_dedup_pairs
     pairs = simhash_dedup_pairs(_docs_with_dups(), max_hamming=3).take_all()
