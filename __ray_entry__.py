@@ -1591,6 +1591,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_warc_pages(
             _warc_testbed(sf_dir).select_columns(["doc_id", "payload"]))
 
+    def q_warc_pages_gz(sf_dir):
+        # same logical corpus as warc_pages but framed as per-record
+        # gzip members (.warc.gz, the real Common Crawl layout) — the
+        # zlib.decompressobj member splitter must agree row-for-row
+        # with the plain reader (identical oracle)
+        import ray.data
+        from doc_ocr_ray.sources.warc import (read_warc_pages,
+                                              synthesize_warc_table)
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        tbl = ray.data.from_arrow(synthesize_warc_table(doc_ids,
+                                                        gzipped=True))
+        return read_warc_pages(tbl.select_columns(["doc_id", "payload"]))
+
     def q_warc_html_spans(sf_dir):
         # the full web front door composed: WARC archive -> HTTP-200
         # pages -> main-content extraction -> interleaved spans
@@ -2738,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_corpus_stats": q_html_corpus_stats,
         "html_tables": q_html_tables,
         "warc_pages": q_warc_pages,
+        "warc_pages_gz": q_warc_pages_gz,
         "robots_classify": q_robots_classify,
         "html_links": q_html_links,
         "host_graph": q_host_graph,
@@ -4715,6 +4731,23 @@ def oracle_sql() -> dict[str, str]:
         # response records, page 0 of every fifth doc is a filtered
         # 404 (but still consumes its rec_idx)
         "warc_pages": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+            SELECT doc_id, k.k AS rec_idx,
+                   'http://site' || CAST(doc_id AS VARCHAR)
+                     || '.test/page' || CAST(k.k AS VARCHAR) AS url,
+                   CAST(200 AS BIGINT) AS status,
+                   '<html><body><nav><a href=''/''>x</a></nav><p>'
+                     || 'WARC/1.0 decoy bytes stay inside body '
+                     || CAST(doc_id AS VARCHAR) || ' page '
+                     || CAST(k.k AS VARCHAR)
+                     || ' of this record.</p><footer>f</footer>'
+                     || '</body></html>' AS html
+            FROM d, range(3) k(k)
+            WHERE k.k < 2 + doc_id % 2
+              AND NOT (doc_id % 5 = 0 AND k.k = 0)
+        """,
+        # .warc.gz framing of the SAME corpus — identical expected rows
+        "warc_pages_gz": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
             SELECT doc_id, k.k AS rec_idx,
                    'http://site' || CAST(doc_id AS VARCHAR)

@@ -18,13 +18,18 @@ query).  warcinfo/request/metadata records are parsed and skipped.
 Scale shape: one Dataset row = one WARC file (or chunk); the batch fn
 fans each file out to its page rows — a stateless flat map, small
 batches for fat payloads, nothing shuffles.  Gzip members (the
-``.warc.gz`` per-record framing) are out of scope here and raise —
-this environment has no streaming-gzip member splitter; plain WARC
-exercises the identical record logic.
+``.warc.gz`` per-record framing real Common Crawl dumps use) are
+split with a stdlib-only ``zlib.decompressobj`` walk: each member is
+inflated until ``eof`` and the next member starts at ``unused_data``
+— the deflate framing itself delimits members, so decoy ``\\x1f\\x8b``
+bytes inside a compressed body cannot desynchronize the scan (the
+same never-pattern-match discipline as the plain reader's
+Content-Length jumps).
 """
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Dict, List, Tuple
 
 import pandas as pd
@@ -50,6 +55,16 @@ def encode_warc(records: List[Tuple[Dict[str, str], bytes]]) -> bytes:
     return bytes(out)
 
 
+def encode_warc_gz(records: List[Tuple[Dict[str, str], bytes]]) -> bytes:
+    """records -> ``.warc.gz`` bytes: one gzip member per record
+    (the Common Crawl framing), deterministic (mtime=0, no name)."""
+    import gzip
+    out = bytearray()
+    for rec in records:
+        out += gzip.compress(encode_warc([rec]), mtime=0)
+    return bytes(out)
+
+
 def http_response(body: bytes, status: int = 200,
                   ctype: str = "text/html") -> bytes:
     """Minimal HTTP envelope for a response record payload."""
@@ -57,13 +72,43 @@ def http_response(body: bytes, status: int = 200,
             .encode() + body)
 
 
+def split_gzip_members(data: bytes):
+    """Yield the decompressed bytes of each gzip member in a
+    multi-member stream (the ``.warc.gz`` framing: one member per
+    record).  ``zlib.decompressobj(wbits=31)`` inflates exactly one
+    member; ``unused_data`` is where the next one starts.  Truncated
+    members and non-gzip trailing bytes raise ValueError — a cut-off
+    download must fail loudly, never flow a partial record."""
+    buf = data
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError("malformed .warc.gz: non-gzip bytes "
+                             "between members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(buf)
+        except zlib.error as e:
+            raise ValueError(f"malformed .warc.gz member: {e}") from None
+        if not d.eof:
+            raise ValueError("malformed .warc.gz: truncated gzip "
+                             "member (interrupted download)")
+        yield out
+        buf = d.unused_data
+
+
 def iter_warc_records(payload: bytes):
     """Yield (headers: dict[str,str], payload: bytes) per record.
-    Content-Length-bounded; malformed framing raises ValueError."""
+    Content-Length-bounded; malformed framing raises ValueError.
+    Accepts plain ``.warc`` bytes or per-record-gzip ``.warc.gz``
+    (detected by the gzip magic)."""
     if payload[:2] == b"\x1f\x8b":
-        raise ValueError("gzipped WARC is out of scope (use plain "
-                         ".warc; per-record gzip members need a "
-                         "streaming splitter)")
+        for member in split_gzip_members(payload):
+            yield from _iter_plain_records(member)
+        return
+    yield from _iter_plain_records(payload)
+
+
+def _iter_plain_records(payload: bytes):
     i, n = 0, len(payload)
     while i < n:
         # skip inter-record blank lines
@@ -150,14 +195,16 @@ def read_warc_pages(ds, batch_size: int = 8, keep_statuses=(200,)):
         fn_kwargs={"keep_statuses": tuple(keep_statuses)})
 
 
-def synthesize_warc_table(doc_ids):
+def synthesize_warc_table(doc_ids, gzipped: bool = False):
     """Deterministic WARC testbed: file d holds one warcinfo record,
     one request record (both skipped), and 2 + d%2 response records.
     Response k targets ``http://site{d}.test/page{k}``; docs with
     d%5==0 serve page 0 as a 404 (filtered out, but it still consumes
     rec_idx 0).  Bodies are small HTML pages whose kept main-content
     span has a closed form — including decoy ``WARC/1.0`` bytes in
-    every body to prove the scan is length-bounded."""
+    every body to prove the scan is length-bounded.  ``gzipped=True``
+    emits the same logical content as per-record-gzip ``.warc.gz``
+    members (so plain and gz readers must agree row-for-row)."""
     import pyarrow as pa
 
     refs, ids, payloads = [], [], []
@@ -181,7 +228,8 @@ def synthesize_warc_table(doc_ids):
                 http_response(body, status=status)))
         refs.append(f"warc:{d}")
         ids.append(d)
-        payloads.append(encode_warc(records))
+        payloads.append(encode_warc_gz(records) if gzipped
+                        else encode_warc(records))
     return pa.table({
         "media_ref": pa.array(refs, pa.string()),
         "doc_id": pa.array(ids, pa.int64()),

@@ -370,10 +370,59 @@ def test_warc_record_scan_and_page_filter():
 
     with pytest.raises(ValueError):
         list(iter_warc_records(b"NOTWARC/9.9\r\n\r\n"))
-    with pytest.raises(ValueError):                # gzip out of scope
+    with pytest.raises(ValueError):                # corrupt gzip magic
         list(iter_warc_records(b"\x1f\x8b rest"))
     with pytest.raises(ValueError):                # no Content-Length
         list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+
+
+def test_warc_gzip_members():
+    """Per-record gzip members (.warc.gz): member splitting must agree
+    with the plain reader, survive decoy gzip magic inside compressed
+    bodies, and raise on truncation / inter-member garbage."""
+    import gzip
+    import pytest
+    import pandas as pd
+    from doc_ocr_ray.sources.warc import (encode_warc, encode_warc_gz,
+                                          http_response, iter_warc_records,
+                                          split_gzip_members,
+                                          warc_pages_batch)
+
+    # decoy gzip magic INSIDE a body: framing follows deflate, not magic
+    body = b"<p>decoy \x1f\x8b\x08 gzip magic and WARC/1.0 inside</p>"
+    records = [
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/"},
+         http_response(body)),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://b/"},
+         http_response(b"<p>two</p>")),
+    ]
+    gz = encode_warc_gz(records)
+    assert gz[:2] == b"\x1f\x8b"
+    assert len(list(split_gzip_members(gz))) == 3
+
+    plain = list(iter_warc_records(encode_warc(records)))
+    via_gz = list(iter_warc_records(gz))
+    assert [(h, p) for h, p in via_gz] == [(h, p) for h, p in plain]
+
+    out = warc_pages_batch(pd.DataFrame(
+        {"doc_id": pd.Series([7], dtype="int64"), "payload": [gz]}))
+    assert list(out["url"]) == ["http://a/", "http://b/"]
+    assert out["html"].iloc[0] == body.decode("utf-8", errors="replace")
+
+    # a member holding SEVERAL records (tolerated: spec says one, real
+    # files occasionally batch) still parses
+    multi = gzip.compress(encode_warc(records), mtime=0)
+    assert len(list(iter_warc_records(multi))) == 3
+
+    with pytest.raises(ValueError):   # truncated final member
+        list(iter_warc_records(gz[:-5]))
+    with pytest.raises(ValueError):   # garbage between members
+        list(iter_warc_records(gz + b"trailing junk"))
+    with pytest.raises(ValueError):   # corrupt member body
+        list(iter_warc_records(gz[:10] + b"\x00" * 20))
+    # empty member contributes nothing but doesn't break the walk
+    assert list(iter_warc_records(gzip.compress(b"", mtime=0))) == []
 
 
 def test_robots_classify_longest_match_and_ties(ray_session):
