@@ -507,13 +507,17 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
                grid: int = 10_000):
     """Full distributed Lloyd's k-means: ``iters`` rounds, each ONE
     fused streaming pass (assign to the broadcast centroids + emit
-    per-batch per-cluster integer partial sums), followed by a
-    driver-side combine of the partials — bounded at ``n_blocks x k x
-    dim`` tiny rows, the same shape as ``knn_brute``'s partial merge,
-    never the corpus.  The input is materialized once (consumed every
-    round); centroids are snapped to the ``1/grid`` float grid after
-    every M-step, so the whole trajectory is integer-deterministic and
-    a single-process numpy replay reproduces it bit for bit (see
+    per-batch per-cluster integer partial sums) followed by a
+    label-keyed ``groupby`` combine (the :func:`label_centroids`
+    shape), so the driver reads exactly ``k x dim`` combined rows per
+    round — NOT ``n_blocks x k x dim`` partials (round-2 finding: a
+    100 TB corpus has 1e5-1e6 blocks, which made the old driver
+    combine GBs per round).  All sums are int64 on the ``scale`` grid,
+    so the distributed combine order cannot perturb the result.  The
+    input is materialized once (consumed every round); centroids are
+    snapped to the ``1/grid`` float grid after every M-step, so the
+    whole trajectory is integer-deterministic and a single-process
+    numpy replay reproduces it bit for bit (see
     tests/test_ivf_clusters.py) — and a SQL twin can chain the same
     E+M rounds as repeated CTEs.
 
@@ -563,10 +567,15 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
                                  "sum_scaled": np.concatenate(out_s),
                                  "n": np.concatenate(out_n)})
 
-        parts = ds.map_batches(partial,
-                               batch_format="pyarrow").to_pandas()
-        agg = (parts.groupby(["label", "dim"], sort=True)
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            # int64 sums on the scale grid: order-free, bit-exact
+            return (group.groupby(["label", "dim"], sort=True)
                     [["sum_scaled", "n"]].sum().reset_index())
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("label")
+               .map_groups(combine, batch_format="pandas")
+               .to_pandas())
         present = np.array(sorted(agg["label"].unique()), dtype=np.int64)
         new_C = np.empty((len(present), dim), dtype=np.float64)
         counts = np.zeros(len(present), dtype=np.int64)
