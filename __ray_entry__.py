@@ -1659,9 +1659,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           src_col="src_url", dst_col="target")
 
     def q_robots_classify(sf_dir):
-        # crawl-politeness filter: longest-prefix REP rules with the
-        # Google tie-to-allow; urls exercise scheme/www/query
-        # canonicalization; d%7 in {1,5} end up blocked
+        # crawl-politeness filter: most-specific-match REP rules with
+        # the Google tie-to-allow, incl. '*' wildcards and '$' end
+        # anchors; urls exercise scheme/www/query canonicalization.
+        # Blocked: d%7==1 (minus doc ids starting with '2', re-allowed
+        # by the longer wildcard allow), d%7==5, d%7==3 (via the
+        # slash-crossing wildcard), d%7==6 with doc id ending in 6
+        # (via the $-anchored rule)
         from doc_ocr_ray.stages.urls import robots_classify
 
         def inject(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1678,7 +1682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         rules = [(f"site{j}.test", p, a) for j in range(20)
                  for p, a in [("/p1", 0), ("/p2", 0), ("/p2/page", 1),
-                              ("/p4", 0), ("/p4", 1), ("/p5/page", 0)]]
+                              ("/p4", 0), ("/p4", 1), ("/p5/page", 0),
+                              ("/p3*/page", 0), ("/p6/page*6$", 0),
+                              ("/p1/page2*", 1)]]
         return robots_classify(
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(inject, batch_format="pandas"), rules)
@@ -4281,11 +4287,15 @@ def oracle_sql() -> dict[str, str]:
             rules AS (
               SELECT 'site' || CAST(j.j AS VARCHAR) || '.test'
                          AS domain,
-                     r.prefix, r.allow
+                     r.prefix, r.rx, r.allow
               FROM range(20) j(j),
-                   (VALUES ('/p1', 0), ('/p2', 0), ('/p2/page', 1),
-                           ('/p4', 0), ('/p4', 1), ('/p5/page', 0))
-                       r(prefix, allow)),
+                   (VALUES ('/p1', NULL, 0), ('/p2', NULL, 0),
+                           ('/p2/page', NULL, 1), ('/p4', NULL, 0),
+                           ('/p4', NULL, 1), ('/p5/page', NULL, 0),
+                           ('/p3*/page', '^/p3.*/page', 0),
+                           ('/p6/page*6$', '^/p6/page.*6$', 0),
+                           ('/p1/page2*', '^/p1/page2.*', 1))
+                       r(prefix, rx, allow)),
             m AS (SELECT p.doc_id, r.allow,
                     row_number() OVER (
                         PARTITION BY p.doc_id
@@ -4293,7 +4303,9 @@ def oracle_sql() -> dict[str, str]:
                                  r.allow DESC) AS rn
                   FROM p JOIN rules r
                     ON r.domain = p.domain
-                   AND starts_with(p.path, r.prefix)),
+                   AND (CASE WHEN r.rx IS NULL
+                             THEN starts_with(p.path, r.prefix)
+                             ELSE regexp_matches(p.path, r.rx) END)),
             best AS (SELECT doc_id, allow FROM m WHERE rn = 1)
             SELECT p.doc_id, p.url, p.canon_url, p.domain, p.path,
                    CAST(coalesce(b.allow, 1) AS BIGINT) AS allowed

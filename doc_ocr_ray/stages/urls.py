@@ -21,6 +21,8 @@ The registered domain is the canonical URL up to the first ``/``.
 """
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from doc_ocr_ray.util import coarse_part, typed_if_empty
@@ -134,15 +136,34 @@ _BLOCKLIST_CACHE: dict = {}
 _ROBOTS_CACHE: dict = {}
 
 
+def _robots_pattern(pattern: str):
+    """Compile one REP path pattern -> ``(raw_len, is_regex,
+    matcher)``.  Google REP wildcard semantics: ``*`` matches any
+    character run (including ``/``); a TRAILING ``$`` anchors the end
+    of the path (``$`` anywhere else is a literal).  Specificity is
+    the RAW pattern length (wildcards count — the google/robotstxt
+    priority rule).  Plain prefixes stay on the ``startswith`` fast
+    path; wildcard/anchored patterns become one anchored regex."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return (len(pattern), False, pattern)
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return (len(pattern), True,
+            re.compile(rx + (r"\Z" if anchored else "")))
+
+
 def robots_classify(ds, rules, url_col: str = "url"):
     """Robots-exclusion classification — the crawl-politeness filter
     that sits next to the domain blocklist.  ``rules`` is an iterable
-    of ``(domain, path_prefix, allow)`` triples (simplified REP:
-    plain PATH PREFIXES only — ``*``/``$`` wildcards are out of
-    scope and raise; prefixes must start with ``/``).  Per URL, the
-    LONGEST matching prefix among the url's domain's rules decides;
-    an allow and a disallow of equal length tie to ALLOW (Google REP
-    tie rule); no matching rule means allowed.
+    of ``(domain, path_pattern, allow)`` triples implementing the
+    Google REP matching rules: plain path prefixes, ``*`` wildcards
+    (any character run), and a trailing ``$`` end anchor (see
+    :func:`_robots_pattern`); patterns must start with ``/`` or
+    ``*``.  Per URL, the MOST SPECIFIC matching rule (longest raw
+    pattern) among the url's domain's rules decides; an allow and a
+    disallow of equal specificity tie to ALLOW (Google REP tie rule);
+    no matching rule means allowed.
 
     Output appends ``canon_url``, ``domain``, ``path`` and
     ``allowed`` (0/1).  The rule set is broadcast once via
@@ -154,10 +175,9 @@ def robots_classify(ds, rules, url_col: str = "url"):
 
     grouped: dict = {}
     for domain, prefix, allow in rules:
-        if "*" in prefix or prefix.endswith("$"):
-            raise ValueError("wildcard robots rules are out of scope")
-        if not prefix.startswith("/"):
-            raise ValueError("robots path prefixes must start with /")
+        if not prefix.startswith(("/", "*")):
+            raise ValueError("robots path patterns must start with "
+                             "'/' or '*'")
         # rule domains must match URL-side domains, which come out of
         # canonicalize_urls lowercased AND www-stripped — apply the
         # same normalization or 'www.example.com' rules silently
@@ -165,7 +185,9 @@ def robots_classify(ds, rules, url_col: str = "url"):
         dom = domain.lower()
         if dom.startswith("www."):
             dom = dom[4:]
-        grouped.setdefault(dom, []).append((prefix, int(allow)))
+        plen, is_rx, matcher = _robots_pattern(prefix)
+        grouped.setdefault(dom, []).append((plen, is_rx, matcher,
+                                            int(allow)))
     rules_ref = ray.put(grouped)
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -181,11 +203,13 @@ def robots_classify(ds, rules, url_col: str = "url"):
             for u, i in zip(out["canon_url"], slash)]
         allowed = []
         for dom, path in zip(out["domain"], out["path"]):
-            best = (-1, 1)          # (rule length, allow): default allow
-            for prefix, allow in rls.get(dom, ()):
-                if path.startswith(prefix):
-                    cand = (len(prefix), allow)
-                    # longer wins; equal length: allow (1) wins
+            best = (-1, 1)          # (specificity, allow): default allow
+            for plen, is_rx, matcher, allow in rls.get(dom, ()):
+                hit = (matcher.match(path) is not None if is_rx
+                       else path.startswith(matcher))
+                if hit:
+                    cand = (plen, allow)
+                    # more specific wins; ties: allow (1) wins
                     if cand > best:
                         best = cand
             allowed.append(best[1])

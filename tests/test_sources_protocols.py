@@ -446,10 +446,50 @@ def test_robots_classify_longest_match_and_ties(ray_session):
     assert out["path"].iloc[1] == "/p/keep/x"   # www+scheme stripped
     with pytest.raises(ValueError):
         robots_classify(ray.data.from_pandas(urls),
-                        [("a.test", "/x*", 0)])
-    with pytest.raises(ValueError):
-        robots_classify(ray.data.from_pandas(urls),
                         [("a.test", "nope", 0)])
+
+
+def test_robots_wildcards_and_anchors(ray_session):
+    """Google REP wildcard semantics: '*' crosses '/', trailing '$'
+    anchors end-of-path, '$' mid-pattern is literal, specificity is
+    raw pattern length (wildcards count), ties go to allow."""
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_classify, _robots_pattern
+
+    rules = [
+        ("w.test", "/*.gif$", 0),        # extension block, any depth
+        ("w.test", "/a*z", 0),           # star crosses slashes
+        ("w.test", "/a/keep*", 1),       # len 8 allow beats len 5 block
+        ("w.test", "/exact$", 0),        # anchored: no suffixes
+        ("w.test", "/lit$eral", 0),      # mid-pattern $ is literal
+        ("w.test", "/t*", 0),            # len 3 vs len 3 plain allow:
+        ("w.test", "/ti", 1),            # -> tie resolves to allow
+    ]
+    urls = pd.DataFrame({
+        "doc_id": pd.Series(range(9), dtype="int64"),
+        "url": ["http://w.test/img/pic.gif",      # 0: blocked by *.gif$
+                "http://w.test/img/pic.gifx",     # 1: $ anchor -> allowed
+                "http://w.test/a/b/c/z",          # 2: /a*z crosses /
+                "http://w.test/a/keep/z",         # 3: longer allow wins
+                "http://w.test/exact",            # 4: anchored block
+                "http://w.test/exact/sub",        # 5: past anchor -> ok
+                "http://w.test/lit$eral/x",       # 6: literal $ matches
+                "http://w.test/ti/page",          # 7: tie -> allow
+                "http://w.test/unrelated"]})      # 8: no rule -> allow
+    out = (robots_classify(ray.data.from_pandas(urls), rules)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["allowed"]) == [0, 1, 0, 1, 0, 1, 0, 1, 1]
+
+    # leading-* patterns are legal REP; regex metachars stay literal
+    plen, is_rx, m = _robots_pattern("/p(1)+?")
+    assert not is_rx and m == "/p(1)+?"
+    out2 = (robots_classify(
+        ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([0, 1], dtype="int64"),
+            "url": ["http://w.test/x/f.pdf", "http://w.test/f.pdfx"]})),
+        [("w.test", "*.pdf$", 0)]).to_pandas().sort_values("doc_id"))
+    assert list(out2["allowed"]) == [0, 1]
 
 
 def test_warc_http2_status_and_truncation():
