@@ -59,9 +59,15 @@ class MediaDecodeStage:
     concurrency fits worker heaps.
     """
 
-    def __init__(self, use_fake_decoder: bool = True, seed: int = 42):
+    def __init__(self, use_fake_decoder: bool = True, seed: int = 42,
+                 codec=None):
         self.seed = seed
         self.use_fake_decoder = use_fake_decoder
+        # codec: caller-injected ``bytes -> uint8 ndarray`` for image
+        # containers beyond PPM/PNG (JPEG via PIL/turbojpeg in a real
+        # deployment) — the VL-client injection pattern; loaded once
+        # per ACTOR here, never per batch
+        self.codec = codec
         self.decoder = None             # real decoder would load here
         try:
             import PIL.Image               # noqa: F401  (absent here)
@@ -74,13 +80,13 @@ class MediaDecodeStage:
         # non-image payload that happens to start with 'P6' must fall
         # through to the documented stub, not mis-parse as pixels
         if media_type == "image" and (payload.startswith(b"P6")
-                                      or payload.startswith(_PNG_SIG)):
+                                      or payload.startswith(_PNG_SIG)
+                                      or self.codec is not None):
             # pure-bytes image path (PPM header parse or PNG chunk
-            # walk + zlib inflate + unfilter): decode -> 4x4 nearest
-            # resize -> grayscale mean per cell = a REAL 16-dim
-            # feature, no codec library needed
-            img = (decode_ppm(payload) if payload.startswith(b"P6")
-                   else decode_png(payload))
+            # walk + zlib inflate + unfilter) or the injected codec:
+            # decode -> 4x4 nearest resize -> grayscale mean per cell
+            # = a REAL 16-dim feature
+            img = decode_image(payload, self.codec)
             if img.ndim == 2:
                 img = np.repeat(img[:, :, None], 3, axis=2)
             small = resize_nearest(img, 4, 4).astype(np.float64)
@@ -88,8 +94,8 @@ class MediaDecodeStage:
             return np.resize(feat, FEATURE_DIM)
         raise NotImplementedError(
             "real media decoding beyond binary PPM/PNG requires an "
-            "image/audio library not present in this environment; run "
-            "with use_fake_decoder=True")
+            "image library not present in this environment; inject "
+            "codec=... or run with use_fake_decoder=True")
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
         """Deterministic stand-in: feature = normalized bytes of
@@ -150,11 +156,16 @@ class FrameSampleStage:
         })
 
 
-def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32):
-    """documents-with-payload Dataset -> feature rows (actor pool)."""
+def decode_media(media_ds, concurrency=(1, 4), batch_size: int = 32,
+                 use_fake_decoder: bool = True, codec=None):
+    """documents-with-payload Dataset -> feature rows (actor pool).
+    ``codec`` is handed to each actor's constructor (once per actor,
+    not per batch) for image containers beyond PPM/PNG."""
     return media_ds.map_batches(
         MediaDecodeStage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"use_fake_decoder": use_fake_decoder,
+                               "codec": codec})
 
 
 # ------------------------------------------------------- real PPM path
@@ -658,14 +669,29 @@ def synthesize_neardup_wav_table(doc_ids,
 # shuffle is shared with SimHash (`dedup.hash64_band_pairs`).
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def decode_image(payload: bytes, codec=None) -> np.ndarray:
     """Container sniff: route PPM / PNG payloads to their real
-    decoders (the two formats with full no-codec decode paths)."""
+    decoders (the two formats with full no-codec decode paths).
+    Any other container (JPEG/WebP/... — codec libraries absent in
+    this environment) goes to the caller-INJECTED ``codec`` callable
+    (``bytes -> (h, w[, c]) uint8 ndarray``) when one is supplied —
+    the VL-client injection pattern (functions/protocols.py) applied
+    to pixels, so a real deployment plugs PIL/turbojpeg without
+    touching any stage — and raises the documented
+    NotImplementedError otherwise."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
-    raise NotImplementedError("unrecognized image container")
+    if codec is not None:
+        img = np.asarray(codec(payload))
+        if img.ndim not in (2, 3) or img.dtype != np.uint8:
+            raise ValueError("injected codec must return a "
+                             "(h, w[, c]) uint8 ndarray")
+        return img
+    raise NotImplementedError(
+        "unrecognized image container (JPEG et al. need a codec "
+        "library not present here; pass codec=... to inject one)")
 
 
 def dhash64(img: np.ndarray) -> int:
@@ -679,30 +705,32 @@ def dhash64(img: np.ndarray) -> int:
     return _pack_bits64((g[:, 1:] > g[:, :-1]).ravel())
 
 
-def media_dhash_batch(batch: pa.Table) -> "pd.DataFrame":
+def media_dhash_batch(batch: pa.Table, codec=None) -> "pd.DataFrame":
     """Real decode -> dHash -> the (doc_id, dhash, band0..3) layout
     `dedup.hash64_band_pairs` consumes.  doc_id passes through as
-    int64 (pair emission sorts and hashes on it)."""
+    int64 (pair emission sorts and hashes on it).  ``codec`` plugs
+    containers beyond PPM/PNG (see :func:`decode_image`)."""
     ids = [int(d) for d in batch["doc_id"].to_pylist()]
-    hashes = [dhash64(decode_image(p))
+    hashes = [dhash64(decode_image(p, codec))
               for p in batch["payload"].to_pylist()]
     return _banded_hash_frame(ids, hashes, "dhash")
 
 
 def media_dhash_pairs(media_ds, max_hamming: int = 3,
-                      batch_size: int = 32):
+                      batch_size: int = 32, codec=None):
     """Perceptual near-duplicate image pairs: (doc_a, doc_b, hamming)
     with hamming <= ``max_hamming``.  Decode+hash is one stateless
     map (small batches — fat binary rows); only 40 bytes/image ride
-    the banding shuffle, never pixels."""
+    the banding shuffle, never pixels.  ``codec`` injects a decoder
+    for containers beyond PPM/PNG (see :func:`decode_image`)."""
     return _media_hash64_pairs(
-        media_ds, lambda p: dhash64(decode_image(p)),
+        media_ds, lambda p: dhash64(decode_image(p, codec)),
         "dhash", max_hamming, batch_size)
 
 
 def media_dhash_incremental(new_media_ds, old_media_ds,
                             max_hamming: int = 3, batch_size: int = 32,
-                            num_parts: int = 64):
+                            num_parts: int = 64, codec=None):
     """Incremental perceptual image dedup: drop NEW images that
     near-duplicate ANY image of the existing snapshot — the
     per-crawl-snapshot pattern `dedup.exact_dedup_incremental` /
@@ -724,7 +752,7 @@ def media_dhash_incremental(new_media_ds, old_media_ds,
 
     def hash_side(side):
         def fn(batch: pa.Table):
-            df = media_dhash_batch(batch)
+            df = media_dhash_batch(batch, codec)
             df["doc_id"] = df["doc_id"] * 2 + side
             return df
         return fn

@@ -2288,6 +2288,66 @@ def test_dhash_perceptual_dedup(ray_session):
     assert not pairs.duplicated(["doc_a", "doc_b"]).any()
 
 
+def test_injected_codec_jpeg_seam(ray_session):
+    """The injected-codec seam (round-2 verdict item 5): a mock JPEG
+    codec plugs into decode_image / media_dhash_pairs /
+    MediaDecodeStage without touching any stage; default stays the
+    loud raise."""
+    import pytest
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.stages.multimodal import (
+        MediaDecodeStage, decode_image, dhash64, decode_media,
+        encode_ppm, media_dhash_pairs, synthesize_neardup_ppm_table)
+
+    base = synthesize_neardup_ppm_table(range(6))
+
+    def mock_jpeg_codec(payload: bytes) -> np.ndarray:
+        # "JPEG" = SOI marker + a real PPM body (a stand-in for what
+        # PIL would do); the seam only sees bytes -> uint8 array
+        assert payload[:3] == b"\xff\xd8\xff"
+        from doc_ocr_ray.stages.multimodal import decode_ppm
+        return decode_ppm(payload[3:])
+
+    jpegized = pa.table({
+        "media_ref": base["media_ref"],
+        "doc_id": base["doc_id"],
+        "media_type": pa.array(["image"] * base.num_rows, pa.string()),
+        "payload": pa.array([b"\xff\xd8\xff" + p.as_py()
+                             for p in base["payload"]], pa.binary()),
+        "payload_len": base["payload_len"]})
+
+    # decode_image: default raises, injected codec decodes
+    jp = jpegized["payload"][0].as_py()
+    with pytest.raises(NotImplementedError):
+        decode_image(jp)
+    assert dhash64(decode_image(jp, mock_jpeg_codec)) == \
+        dhash64(decode_image(base["payload"][0].as_py()))
+
+    # full distributed pair stage through the codec: same pairs as
+    # the PPM originals
+    want = media_dhash_pairs(
+        ray.data.from_arrow(base), max_hamming=3).to_pandas()
+    got = media_dhash_pairs(
+        ray.data.from_arrow(jpegized), max_hamming=3,
+        codec=mock_jpeg_codec).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["hamming"]))
+    assert key(got) == key(want) and len(got) >= 6
+
+    # actor-pool decode stage: real features via the injected codec
+    feats = decode_media(ray.data.from_arrow(jpegized),
+                         use_fake_decoder=False,
+                         codec=mock_jpeg_codec).take_all()
+    assert len(feats) == 6 and all(len(f["feature"]) == 16 for f in feats)
+    # ...and without a codec the real path still raises loudly
+    with pytest.raises(Exception):
+        decode_media(ray.data.from_arrow(jpegized),
+                     use_fake_decoder=False).take_all()
+    # codec returning the wrong dtype is rejected at the seam
+    with pytest.raises(ValueError):
+        decode_image(jp, lambda p: np.zeros((2, 2), dtype=np.float64))
+
+
 def test_dedup_keep_min_singletons_and_clusters(ray_session):
     import ray.data
     from doc_ocr_ray.stages.dedup import dedup_keep_min
