@@ -436,9 +436,9 @@ def _inject_index_changelog(n: int):
 
 def _inject_links_html(batch: pd.DataFrame) -> pd.DataFrame:
     """Synthetic outlink pages (the _LINKS_CTES twin): absolute,
-    protocol-relative, root-relative, directory-relative and fragment
-    hrefs each present by doc_id arithmetic; shared by q_html_links
-    and q_host_graph."""
+    protocol-relative, root-relative, directory-relative, fragment,
+    and RFC 3986 dot-segment-traversal hrefs each present by doc_id
+    arithmetic; shared by q_html_links and q_host_graph."""
     d = batch["doc_id"].astype("int64")
     s = d.astype(str)
     w = lambda cond, part: np.where(cond, part, "")
@@ -454,6 +454,16 @@ def _inject_links_html(batch: pd.DataFrame) -> pd.DataFrame:
           '<a href="#frag">skip</a></p>'
         + w(d % 2 == 1, '<p><a href="/r'
             + (d % 7).astype(str) + '">rr</a></p>')
+        # dot-segment traversals (remove_dot_segments must resolve):
+        # parent hop out of /dir{k}/, a ./ same-dir ref, an absolute
+        # path with an interior ../.. pair, and an over-deep ../../../
+        # that pops past the root
+        + '<p><a href="../up' + (d % 4).astype(str) + '">u</a></p>'
+        + w(d % 2 == 0, '<p><a href="./same/page' + s
+            + '.html">sd</a></p>')
+        + w(d % 3 == 1, '<p><a href="/a/b/../../c'
+            + (d % 5).astype(str) + '">ac</a></p>')
+        + w(d % 4 == 0, '<p><a href="../../../x">ov</a></p>')
         + '<script><a href="decoy">never</a></script>')
     return pd.DataFrame({"doc_id": d, "url": base, "html": html})
 
@@ -3001,7 +3011,28 @@ _LINKS_CTES = """d AS (SELECT doc_id,
               SELECT doc_id, 5, '/r' || CAST(doc_id % 7 AS VARCHAR),
                      'http://site' || m || '.test/r'
                        || CAST(doc_id % 7 AS VARCHAR)
-              FROM d WHERE doc_id % 2 = 1)"""
+              FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id, 6, '../up' || CAST(doc_id % 4 AS VARCHAR),
+                     'http://site' || m || '.test/up'
+                       || CAST(doc_id % 4 AS VARCHAR)
+              FROM d
+              UNION ALL
+              SELECT doc_id, 7, './same/page' || s || '.html',
+                     'http://site' || m || '.test/dir'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '/same/page' || s || '.html'
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 8,
+                     '/a/b/../../c' || CAST(doc_id % 5 AS VARCHAR),
+                     'http://site' || m || '.test/c'
+                       || CAST(doc_id % 5 AS VARCHAR)
+              FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT doc_id, 9, '../../../x',
+                     'http://site' || m || '.test/x'
+              FROM d WHERE doc_id % 4 = 0)"""
 
 _INJ_JACCARD = _INJ_NORM + """,
 sh AS (

@@ -484,15 +484,55 @@ class LinkParser(HTMLParser):
         self.handle_endtag(tag)
 
 
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim: resolve ``.``
+    and ``..`` segments in a merged path; ``..`` at the root is
+    consumed (``/../x`` -> ``/x``), trailing ``/.`` / ``/..`` keep
+    the directory slash.  Without this, relative links with parent
+    traversal mis-resolve and skew host_graph / frontier edges."""
+    out: list = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1)
+            if i == -1:
+                out.append(buf)
+                buf = ""
+            else:
+                out.append(buf[:i])
+                buf = buf[i:]
+    return "".join(out)
+
+
 def resolve_href(base_url: str, href: str) -> str:
     """RFC-lite reference resolution against an absolute base URL
     (scheme://host/path, no query).  Contract (each branch exact so
-    the SQL twin can state it): absolute refs pass through;
+    the SQL twin can state it): absolute refs pass through untouched;
     protocol-relative ``//host/x``, root-relative ``/x`` and
     directory-relative refs all adopt the BASE's scheme (an https
     page's internal links stay https; http is the fallback when the
-    base carries no scheme).  No ``..`` normalization (out of scope —
-    crawl frontiers tolerate it; documented)."""
+    base carries no scheme) and get RFC 3986 §5.2.4
+    :func:`remove_dot_segments` applied to the (merged) path, so
+    ``../`` traversals resolve instead of leaking into the frontier /
+    host graph."""
     if _SCHEME_RE.match(href):      # any scheme: pass through as-is
         return href
     if "://" in base_url:
@@ -500,13 +540,16 @@ def resolve_href(base_url: str, href: str) -> str:
     else:
         scheme, rest = "http", base_url
     if href.startswith("//"):
-        return scheme + ":" + href
+        h, slash, p = href[2:].partition("/")
+        if not slash:
+            return scheme + "://" + h
+        return scheme + "://" + h + remove_dot_segments("/" + p)
     host = rest.split("/", 1)[0]
     if href.startswith("/"):
-        return scheme + "://" + host + href
+        return scheme + "://" + host + remove_dot_segments(href)
     path = rest[len(host):] or "/"
     base_dir = path[:path.rfind("/") + 1]
-    return scheme + "://" + host + base_dir + href
+    return scheme + "://" + host + remove_dot_segments(base_dir + href)
 
 
 def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",

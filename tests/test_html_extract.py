@@ -232,6 +232,41 @@ def test_link_extraction_and_resolution():
     assert resolve_href("http://a.test", "rel.html") == \
         "http://a.test/rel.html"
 
+
+def test_remove_dot_segments_rfc3986():
+    """RFC 3986 §5.2.4 cases incl. the spec's own examples, plus the
+    resolve_href integration (verdict round-2 item 6)."""
+    from doc_ocr_ray.stages.html_extract import (remove_dot_segments,
+                                                 resolve_href)
+    # the two RFC examples
+    assert remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert remove_dot_segments("mid/content=5/../6") == "mid/6"
+    # root-pops are consumed, never leak '..'
+    assert remove_dot_segments("/../x") == "/x"
+    assert remove_dot_segments("/a/../../../x") == "/x"
+    # trailing '.'/'..' keep the directory slash
+    assert remove_dot_segments("/a/b/.") == "/a/b/"
+    assert remove_dot_segments("/a/b/..") == "/a/"
+    # dotted FILENAMES are not dot segments
+    assert remove_dot_segments("/a/..b/c..") == "/a/..b/c.."
+    assert remove_dot_segments("/a/.hidden") == "/a/.hidden"
+    assert remove_dot_segments("") == ""
+    assert remove_dot_segments("..") == ""
+
+    base = "http://a.test/d1/d2/p"
+    assert resolve_href(base, "../up") == "http://a.test/d1/up"
+    assert resolve_href(base, "./here") == "http://a.test/d1/d2/here"
+    assert resolve_href(base, "../../../../x") == "http://a.test/x"
+    assert resolve_href(base, "/a/b/../c") == "http://a.test/a/c"
+    assert resolve_href(base, "//c.test/q/../r") == "http://c.test/r"
+    assert resolve_href(base, "//c.test") == "http://c.test"
+    # absolute refs still pass through untouched (documented contract)
+    assert resolve_href(base, "http://e.test/a/../b") == \
+        "http://e.test/a/../b"
+
+
+def test_html_links_batch_ranks_and_decoys():
+    from doc_ocr_ray.stages.html_extract import html_links_batch
     b = pd.DataFrame({
         "doc_id": pd.Series([1], dtype="int64"),
         "url": ["http://a.test/d/p"],
