@@ -914,6 +914,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, query_ids=list(range(20)), k=5, m=4, n_codes=8,
             n_centroids=16, nprobe=16)
 
+    def q_similarity_lsh_recall(sf_dir):
+        # recall gate for the approximate LSH path (round-2 verdict
+        # item 8): mean recall@5 vs the brute-force twin must clear
+        # the floor — the oracle hash pins the gate row, so a recall
+        # regression FAILS the driver check instead of passing
+        # rows-only.  Measured mean: 890-990 milli across sf tiers;
+        # floor 700.
+        emb = _read(sf_dir, "embeddings")
+        qids = list(range(20))
+        return similarity.ann_recall_floor(
+            similarity.knn_lsh(emb, query_ids=qids, k=5, n_bits=6,
+                               probe_hamming=1),
+            similarity.knn_brute(emb, query_ids=qids, k=5), 700)
+
+    def q_similarity_ivf_recall(sf_dir):
+        # measured mean 580-620 milli at nprobe=4/16 cells; floor 400
+        emb = _read(sf_dir, "embeddings")
+        qids = list(range(20))
+        return similarity.ann_recall_floor(
+            similarity.knn_ivf(emb, query_ids=qids, k=5,
+                               n_centroids=16, nprobe=4),
+            similarity.knn_brute(emb, query_ids=qids, k=5), 400)
+
+    def q_similarity_ivfpq_recall(sf_dir):
+        # IVF-PQ recall vs the EXACT ADC twin (pq_search probes every
+        # cell): isolates the nprobe pruning loss from quantization
+        # loss.  Measured mean 110-170 milli vs brute cosine (PQ at
+        # m=4 quantizes hard on near-uniform synthetic vectors), but
+        # 470-710 vs the full-probe ADC twin across sf tiers;
+        # floor 350.
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qids = list(range(20))
+        return similarity.ann_recall_floor(
+            similarity.pq_search_ivf(emb, query_ids=qids, k=5, m=4,
+                                     n_codes=8, n_centroids=16,
+                                     nprobe=4),
+            similarity.pq_search(emb, query_ids=qids, k=5, m=4,
+                                 n_codes=8), 350)
+
     def q_curate_semantic(sf_dir):
         # two-table curation: quality gate on documents x SemDeDup
         # survivors of embeddings, intersected via the native hash
@@ -2704,6 +2743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_search": q_pq_search,
         "similarity_ivfpq": q_similarity_ivfpq,
         "similarity_ivfpq_exact": q_similarity_ivfpq_exact,
+        "similarity_lsh_recall": q_similarity_lsh_recall,
+        "similarity_ivf_recall": q_similarity_ivf_recall,
+        "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
         "search_rerank": q_search_rerank,
         "semdedup": q_semdedup,
         "curate_documents": q_curate_documents,
@@ -4620,6 +4662,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh_exact": _BRUTE_TOPK_SQL,
         "similarity_ivf_exact": _BRUTE_TOPK_SQL,
+        # recall gates: the literal expected gate row — the engine
+        # computes mean recall@5 vs the exact twin and emits meets=1
+        # iff it clears the floor, so the value hash FAILS on any
+        # recall regression (rows-only no more)
+        "similarity_lsh_recall": """
+            SELECT CAST(20 AS BIGINT) AS n_queries,
+                   CAST(700 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
+        """,
+        "similarity_ivf_recall": """
+            SELECT CAST(20 AS BIGINT) AS n_queries,
+                   CAST(400 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
+        """,
+        "similarity_ivfpq_recall": """
+            SELECT CAST(20 AS BIGINT) AS n_queries,
+                   CAST(350 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
+        """,
         # integer-grid components summed exactly, single final IEEE
         # division — bit-identical to the engine's partial-sum combine
         "label_centroids": """

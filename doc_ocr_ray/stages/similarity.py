@@ -875,6 +875,52 @@ def pq_search_ivf(ds, query_ids: List[int], k: int = 5, m: int = 4,
     return _pq_merge_topk(partials, k)
 
 
+def ann_recall(approx: pa.Table, exact: pa.Table) -> pa.Table:
+    """Per-query recall@k of an approximate ANN result against its
+    exact twin — both in the (query_id, rank, vec_id, score) layout
+    the knn_*/pq_search* family emits.  Returns (query_id, n_exact,
+    n_hit, recall_milli) with ``recall_milli = (1000*n_hit)//n_exact``
+    (integer grid, deterministic).  Driver-side pandas on n_q x k
+    rows — both inputs are top-k results, never corpus-sized."""
+    a = approx.to_pandas()
+    e = exact.to_pandas()
+    qs, n_ex, n_hit, rec = [], [], [], []
+    a_by_q = a.groupby("query_id")["vec_id"].agg(set) if len(a) else {}
+    for qid, grp in e.groupby("query_id"):
+        want = set(grp["vec_id"])
+        got = a_by_q.get(qid, set()) if len(a) else set()
+        qs.append(int(qid))
+        n_ex.append(len(want))
+        n_hit.append(len(want & got))
+        rec.append((1000 * len(want & got)) // len(want))
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "n_exact": pa.array(n_ex, pa.int64()),
+        "n_hit": pa.array(n_hit, pa.int64()),
+        "recall_milli": pa.array(rec, pa.int64())})
+
+
+def ann_recall_floor(approx: pa.Table, exact: pa.Table,
+                     floor_milli: int) -> pa.Table:
+    """One-row recall gate: (n_queries, floor_milli, meets) where
+    ``meets`` = 1 iff the MEAN per-query recall_milli over the exact
+    twin's query set is >= ``floor_milli``.  The gate row is
+    SQL-statable (a literal), so the driver's hash compare pins the
+    approximate variants' recall instead of a rows-only check — any
+    recall regression flips ``meets`` and fails the gate.  Mean (not
+    min) because a single adversarial query can legitimately land at
+    0 recall under an nprobe/hamming budget; the corpus-level promise
+    is the mean."""
+    detail = ann_recall(approx, exact).to_pandas()
+    n_q = len(detail)
+    mean_milli = (int(detail["recall_milli"].sum()) // n_q) if n_q else 0
+    return pa.table({
+        "n_queries": pa.array([n_q], pa.int64()),
+        "floor_milli": pa.array([int(floor_milli)], pa.int64()),
+        "meets": pa.array([1 if mean_milli >= floor_milli else 0],
+                          pa.int64())})
+
+
 def search_rerank(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,
                   n_candidates: int = 20, k: int = 5,
                   id_col: str = "vec_id",

@@ -42,6 +42,50 @@ def test_knn_ivf_full_probe_equals_brute():
            [(r["query_id"], r["rank"], r["vec_id"]) for r in ivf]
 
 
+def test_ann_recall_and_floor_gate():
+    """ann_recall / ann_recall_floor (round-2 verdict item 8): exact
+    per-query arithmetic, missing-query handling, and the one-row
+    oracle gate flipping when recall sinks below the floor."""
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.stages.similarity import (ann_recall,
+                                               ann_recall_floor,
+                                               knn_brute, knn_lsh)
+
+    def topk(rows):
+        q, v = zip(*rows)
+        return pa.table({
+            "query_id": pa.array(q, pa.int64()),
+            "rank": pa.array([1] * len(q), pa.int64()),
+            "vec_id": pa.array(v, pa.int64()),
+            "score": pa.array([0.5] * len(q), pa.float64())})
+
+    exact = topk([(0, 10), (0, 11), (1, 20), (1, 21), (2, 30)])
+    approx = topk([(0, 10), (0, 99), (1, 20), (1, 21)])  # q2 missing
+    d = ann_recall(approx, exact).to_pandas().set_index("query_id")
+    assert d.loc[0, "n_hit"] == 1 and d.loc[0, "recall_milli"] == 500
+    assert d.loc[1, "recall_milli"] == 1000
+    assert d.loc[2, "n_hit"] == 0 and d.loc[2, "recall_milli"] == 0
+    # mean = (500+1000+0)//3 = 500: gate passes at 500, fails at 501
+    assert ann_recall_floor(approx, exact, 500).to_pylist() == \
+        [{"n_queries": 3, "floor_milli": 500, "meets": 1}]
+    assert ann_recall_floor(approx, exact, 501).to_pylist() == \
+        [{"n_queries": 3, "floor_milli": 501, "meets": 0}]
+
+    # end-to-end through the real LSH path on testdata: the gate row
+    # the driver hashes is deterministic run-to-run
+    ds = ray.data.from_pandas(pd.read_parquet(f"{SF}/embeddings.parquet"))
+    qids = list(range(10))
+    ex = knn_brute(ds, qids, k=5)
+    ap = knn_lsh(ds, qids, k=5, n_bits=6, probe_hamming=1)
+    g1 = ann_recall_floor(ap, ex, 700).to_pylist()
+    g2 = ann_recall_floor(
+        knn_lsh(ds, qids, k=5, n_bits=6, probe_hamming=1), ex,
+        700).to_pylist()
+    assert g1 == g2 == [{"n_queries": 10, "floor_milli": 700,
+                         "meets": 1}]
+
+
 def test_dedup_clusters_transitive():
     """A-B and B-C duplicate pairs must land in ONE cluster labeled by
     the min id (keep-min pruning alone would miss A-C transitivity)."""
