@@ -8,10 +8,13 @@ parse is REAL and built only on stdlib: the PDF object graph is
 length-delimited text (objects, dictionaries, the /Pages tree), and
 content streams are either plain bytes or /FlateDecode — stdlib zlib.
 Scope (documented, raised-on loudly): PDF 1.x with uncompressed xref,
-Type1/standard-font text operators, literal ``(...)`` strings.  No
-object streams (/ObjStm), no encryption, no hex strings, no CID/UTF-16
-fonts — those need a real PDF library and raise ``ValueError`` with a
-clear message instead of silently extracting garbage.
+Type1/standard-font text operators, literal ``(...)`` and hex
+``<...>`` strings.  Non-Flate stream filters (DCTDecode et al.)
+dispatch to a caller-injected codec mapping (``filters=``, the
+decode_image seam) and raise without one.  No object streams
+(/ObjStm), no encryption, no CID/UTF-16 fonts — those need a real PDF
+library and raise ``ValueError`` with a clear message instead of
+silently extracting garbage.
 
 Text model: inside each page's content stream, ``BT..ET`` blocks emit
 text with ``Tj`` (show string) and ``TJ`` (show array with kerning —
@@ -189,14 +192,30 @@ def _parse_objects(payload: bytes):
     return objs
 
 
-def _stream_bytes(obj: tuple) -> bytes:
+_FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
+
+
+def _stream_bytes(obj: tuple, filters=None) -> bytes:
+    """Decode one stream object's bytes.  /FlateDecode is native
+    (stdlib zlib); any OTHER single named filter (DCTDecode, LZWDecode,
+    ...) dispatches to the caller-INJECTED ``filters`` mapping
+    ``{b"DCTDecode": bytes -> bytes, ...}`` — the codec-injection seam
+    (stages/multimodal.py decode_image pattern), so scanned-PDF
+    corpora plug a real JPEG codec without touching the parser.
+    Filter ARRAYS (chained filters) stay out of scope and raise."""
     head, data = obj
     if data is None:
         raise ValueError("content object has no stream")
     if b"/FlateDecode" in head:
         data = zlib.decompress(data)
     elif b"/Filter" in head:
-        raise ValueError("unsupported stream /Filter (only FlateDecode)")
+        m = _FILTER_NAME_RE.search(head)
+        if m is not None and filters and m.group(1) in filters:
+            data = filters[m.group(1)](data)
+        else:
+            raise ValueError(
+                "unsupported stream /Filter (FlateDecode is native; "
+                "pass filters={name: fn} to inject another codec)")
     return data
 
 
@@ -257,14 +276,35 @@ def _literal_strings_and_ops(stream: bytes):
                 token += b"<<"
                 i += 2
                 continue
-            raise ValueError("hex strings are out of scope")
+            # hex string <48656C6C6F>: hex pairs, PDF whitespace
+            # ignored, an odd trailing digit pads with '0' (spec
+            # 7.3.4.3); anything else is malformed and raises
+            yield from flush_tokens()
+            j = stream.find(b">", i + 1)
+            if j == -1:
+                raise ValueError("malformed PDF: unterminated hex "
+                                 "string")
+            digits = bytes(stream[i + 1:j].translate(
+                None, b"\x00\t\n\f\r "))
+            if not all(chr(d) in "0123456789abcdefABCDEF"
+                       for d in digits):
+                raise ValueError("malformed PDF: non-hex byte in hex "
+                                 "string")
+            if len(digits) % 2:
+                digits += b"0"
+            yield ("str", bytes.fromhex(digits.decode("ascii"))
+                   .decode("latin-1"))
+            i = j + 1
+            continue
         token.append(c)
         i += 1
     yield from flush_tokens()
 
 
-def decode_pdf_text(payload: bytes) -> List[List[str]]:
-    """PDF bytes -> per-page lists of text lines (see module doc)."""
+def decode_pdf_text(payload: bytes, filters=None) -> List[List[str]]:
+    """PDF bytes -> per-page lists of text lines (see module doc).
+    ``filters`` injects codecs for non-Flate stream filters (see
+    :func:`_stream_bytes`)."""
     objs = _parse_objects(payload)
     root_m = _ROOT_RE.search(payload)
     if root_m is None:
@@ -283,7 +323,7 @@ def decode_pdf_text(payload: bytes) -> List[List[str]]:
         if cont_m is None:
             pages.append([])
             continue
-        stream = _stream_bytes(objs[int(cont_m.group(1))])
+        stream = _stream_bytes(objs[int(cont_m.group(1))], filters)
         lines: List[str] = []
         cur: List[str] = []
         pending: List[str] = []
@@ -329,7 +369,8 @@ def decode_pdf_text(payload: bytes) -> List[List[str]]:
 # ----------------------------------------------------------------- stage
 
 def pdf_to_lines_batch(batch, *, id_col: str = "doc_id",
-                       payload_col: str = "payload") -> pd.DataFrame:
+                       payload_col: str = "payload",
+                       filters=None) -> pd.DataFrame:
     """One row per extracted text line: (doc_id, page, offset, text).
     Same honest per-document parse cost model as the HTML stage."""
     if not isinstance(batch, pd.DataFrame):
@@ -337,7 +378,8 @@ def pdf_to_lines_batch(batch, *, id_col: str = "doc_id",
     ids, pgs, offs, texts = [], [], [], []
     for doc_id, payload in zip(batch[id_col].to_numpy(),
                                batch[payload_col]):
-        for p, lines in enumerate(decode_pdf_text(bytes(payload))):
+        for p, lines in enumerate(decode_pdf_text(bytes(payload),
+                                                    filters)):
             for j, line in enumerate(lines):
                 ids.append(int(doc_id))
                 pgs.append(p)
@@ -351,11 +393,13 @@ def pdf_to_lines_batch(batch, *, id_col: str = "doc_id",
     return typed_if_empty(out)
 
 
-def extract_pdf_lines(ds, batch_size: int = 32):
+def extract_pdf_lines(ds, batch_size: int = 32, filters=None):
     """Dataset of (doc_id, payload) -> flat text-line rows.  Small
-    batches (fat binary rows), stateless, fuses with the reader."""
+    batches (fat binary rows), stateless, fuses with the reader.
+    ``filters`` injects non-Flate stream codecs (DCTDecode et al.)."""
     return ds.map_batches(pdf_to_lines_batch, batch_format="pandas",
-                          batch_size=batch_size)
+                          batch_size=batch_size,
+                          fn_kwargs={"filters": filters})
 
 
 def synthesize_pdf_table(doc_ids):

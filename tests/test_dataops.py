@@ -2424,8 +2424,6 @@ def test_pdf_extract_parser_edges(ray_session):
     with pytest.raises(ValueError):
         decode_pdf_text(b"%FDP not a pdf")
     with pytest.raises(ValueError):
-        decode_pdf_text(raw.replace(b"(AB) Tj", b"<4142> Tj"))
-    with pytest.raises(ValueError):
         decode_pdf_text(raw.replace(b"/Length", b"/Filter /LZWDecode"
                                     b" /Length"))
 
@@ -2445,6 +2443,44 @@ def test_pdf_extract_parser_edges(ray_session):
     got = list(map(tuple, out[["doc_id", "page", "offset",
                                "text"]].to_numpy()))
     assert got == sorted(exp)
+
+
+def test_pdf_hex_strings_and_filter_seam():
+    """Spec 7.3.4.3 hex strings (whitespace inside, odd-digit pad,
+    malformed raising) and the injected non-Flate filter seam."""
+    import zlib
+    from doc_ocr_ray.stages.pdf_extract import decode_pdf_text, encode_pdf
+
+    raw = encode_pdf([["AB"]])
+    # <4142> == (AB); internal PDF whitespace is ignored
+    assert decode_pdf_text(raw.replace(b"(AB) Tj", b"<4142> Tj")) == \
+        [["AB"]]
+    assert decode_pdf_text(raw.replace(b"(AB) Tj",
+                                       b"<41\n4 2> Tj")) == [["AB"]]
+    # odd digit count pads a trailing 0: <414> -> 0x41 0x40 == 'A@'
+    assert decode_pdf_text(raw.replace(b"(AB) Tj", b"<414> Tj")) == \
+        [["A@"]]
+    # hex strings inside TJ arrays join like literals
+    assert decode_pdf_text(raw.replace(
+        b"(AB) Tj", b"[<41> -120 (B)] TJ")) == [["AB"]]
+    with pytest.raises(ValueError):    # unterminated
+        decode_pdf_text(raw.replace(b"(AB) Tj", b"<4142 Tj"))
+    with pytest.raises(ValueError):    # non-hex byte
+        decode_pdf_text(raw.replace(b"(AB) Tj", b"<41zz> Tj"))
+
+    # injected filter: a mock "LZWDecode" (really zlib) plugs in
+    # through the seam; without it the same payload raises
+    comp = encode_pdf([["codec line"]], compress=True)
+    hacked = comp.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    assert decode_pdf_text(
+        hacked, filters={b"LZWDecode": zlib.decompress}) == \
+        [["codec line"]]
+    with pytest.raises(ValueError):
+        decode_pdf_text(hacked)
+    with pytest.raises(ValueError):    # filter ARRAYS stay out of scope
+        decode_pdf_text(comp.replace(b"/Filter /FlateDecode",
+                                     b"/Filter [/A /B]"),
+                        filters={b"A": zlib.decompress})
 
 
 def test_pdf_parser_hardening():
