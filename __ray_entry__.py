@@ -1624,13 +1624,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(_inject_html_tables, batch_format="pandas"))
 
-    def _warc_testbed(sf_dir):
+    def _warc_testbed(sf_dir, gzipped: bool = False):
         import ray.data
         from doc_ocr_ray.sources.warc import synthesize_warc_table
         df = pd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id"])
         doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
-        return ray.data.from_arrow(synthesize_warc_table(doc_ids))
+        return ray.data.from_arrow(synthesize_warc_table(
+            doc_ids, gzipped=gzipped))
 
     def q_warc_pages(sf_dir):
         # REAL WARC record scan (Content-Length-bounded, decoy
@@ -1645,15 +1646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gzip members (.warc.gz, the real Common Crawl layout) — the
         # zlib.decompressobj member splitter must agree row-for-row
         # with the plain reader (identical oracle)
-        import ray.data
-        from doc_ocr_ray.sources.warc import (read_warc_pages,
-                                              synthesize_warc_table)
-        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id"])
-        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
-        tbl = ray.data.from_arrow(synthesize_warc_table(doc_ids,
-                                                        gzipped=True))
-        return read_warc_pages(tbl.select_columns(["doc_id", "payload"]))
+        from doc_ocr_ray.sources.warc import read_warc_pages
+        return read_warc_pages(
+            _warc_testbed(sf_dir, gzipped=True)
+            .select_columns(["doc_id", "payload"]))
 
     def q_warc_html_spans(sf_dir):
         # the full web front door composed: WARC archive -> HTTP-200

@@ -79,21 +79,42 @@ def split_gzip_members(data: bytes):
     member; ``unused_data`` is where the next one starts.  Truncated
     members and non-gzip trailing bytes raise ValueError — a cut-off
     download must fail loudly, never flow a partial record."""
-    buf = data
-    while buf:
-        if buf[:2] != b"\x1f\x8b":
+    # feed bounded chunks from a tracked offset: `buf = d.unused_data`
+    # after a whole-tail decompress would copy the entire remaining
+    # file once per member — O(members^2) memcpy on a real CC chunk
+    # with tens of thousands of members.  The chunk size ADAPTS to
+    # ~2x the previous member's compressed size (doubling within a
+    # member), so the per-member unused_data copy is proportional to
+    # the member itself, not to a fixed large buffer: total work stays
+    # O(file size) for any member-size distribution
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    est = 64 * 1024
+    while pos < n:
+        if data[pos:pos + 2] != b"\x1f\x8b":
             raise ValueError("malformed .warc.gz: non-gzip bytes "
                              "between members")
         d = zlib.decompressobj(wbits=31)
-        try:
-            out = d.decompress(buf)
-        except zlib.error as e:
-            raise ValueError(f"malformed .warc.gz member: {e}") from None
+        parts = []
+        start = pos
+        chunk_size = est
+        while pos < n and not d.eof:
+            chunk = mv[pos:pos + chunk_size]
+            try:
+                parts.append(d.decompress(chunk))
+            except zlib.error as e:
+                raise ValueError(
+                    f"malformed .warc.gz member: {e}") from None
+            pos += len(chunk)
+            chunk_size = min(chunk_size * 2, 8 << 20)
         if not d.eof:
             raise ValueError("malformed .warc.gz: truncated gzip "
                              "member (interrupted download)")
-        yield out
-        buf = d.unused_data
+        # unused_data is a suffix of the LAST chunk fed: rewind to
+        # where the next member starts
+        pos -= len(d.unused_data)
+        est = max(4096, 2 * (pos - start))
+        yield b"".join(parts)
 
 
 def iter_warc_records(payload: bytes):

@@ -1599,15 +1599,19 @@ def snapshot_diff(old_ds, new_ds, key: str = "doc_id",
                                              batch_format="pandas")
 
 
-def _levenshtein(a: str, b: str) -> int:
+def _levenshtein(a, b) -> int:
     """Unit-cost Levenshtein over UTF-8 BYTES, two-row DP vectorized
     along the inner dimension with numpy (np.minimum.accumulate
     realizes the column-wise deletion recurrence).  Byte-level on
     purpose: DuckDB's ``levenshtein()`` operates on bytes, so the SQL
-    twin is bit-exact; for ASCII text bytes == characters."""
+    twin is bit-exact; for ASCII text bytes == characters.  Accepts
+    str or already-encoded bytes (the pair-verify payloads arrive as
+    bytes; re-decoding just to re-encode here would be a wasted round
+    trip per pair)."""
     if a == b:
         return 0
-    ab, bbytes = a.encode("utf-8"), b.encode("utf-8")
+    ab = a.encode("utf-8") if isinstance(a, str) else a
+    bbytes = b.encode("utf-8") if isinstance(b, str) else b
     if not ab:
         return len(bbytes)
     if not bbytes:
@@ -1669,7 +1673,7 @@ def verify_pairs_edit(ds, pairs_ds, max_dist_milli: int = 200,
                 continue
             if (1000 * abs(la - lb)) // max(la, lb) > max_dist_milli:
                 continue          # guaranteed rejected: dist >= |la-lb|
-            d = _levenshtein(raw_a.decode("utf-8"), raw_b.decode("utf-8"))
+            d = _levenshtein(raw_a, raw_b)
             m = (1000 * d) // max(la, lb)
             if m <= max_dist_milli:
                 out_a.append(int(a)); out_b.append(int(b))

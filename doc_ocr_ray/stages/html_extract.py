@@ -522,6 +522,17 @@ def remove_dot_segments(path: str) -> str:
     return "".join(out)
 
 
+def _split_path_suffix(ref: str):
+    """Split a path-reference at the first ``?`` or ``#``: RFC 3986
+    §5.2.4 applies remove_dot_segments to the PATH component only — a
+    query or fragment containing ``/../`` must pass through untouched
+    (and must never pop real path segments)."""
+    for i, c in enumerate(ref):
+        if c in "?#":
+            return ref[:i], ref[i:]
+    return ref, ""
+
+
 def resolve_href(base_url: str, href: str) -> str:
     """RFC-lite reference resolution against an absolute base URL
     (scheme://host/path, no query).  Contract (each branch exact so
@@ -530,9 +541,10 @@ def resolve_href(base_url: str, href: str) -> str:
     directory-relative refs all adopt the BASE's scheme (an https
     page's internal links stay https; http is the fallback when the
     base carries no scheme) and get RFC 3986 §5.2.4
-    :func:`remove_dot_segments` applied to the (merged) path, so
-    ``../`` traversals resolve instead of leaking into the frontier /
-    host graph."""
+    :func:`remove_dot_segments` applied to the merged PATH (query /
+    fragment split off first, reattached verbatim), so ``../``
+    traversals resolve instead of leaking into the frontier / host
+    graph."""
     if _SCHEME_RE.match(href):      # any scheme: pass through as-is
         return href
     if "://" in base_url:
@@ -543,13 +555,17 @@ def resolve_href(base_url: str, href: str) -> str:
         h, slash, p = href[2:].partition("/")
         if not slash:
             return scheme + "://" + h
-        return scheme + "://" + h + remove_dot_segments("/" + p)
+        p, suffix = _split_path_suffix(p)
+        return scheme + "://" + h + remove_dot_segments("/" + p) + suffix
     host = rest.split("/", 1)[0]
     if href.startswith("/"):
-        return scheme + "://" + host + remove_dot_segments(href)
+        p, suffix = _split_path_suffix(href)
+        return scheme + "://" + host + remove_dot_segments(p) + suffix
     path = rest[len(host):] or "/"
     base_dir = path[:path.rfind("/") + 1]
-    return scheme + "://" + host + remove_dot_segments(base_dir + href)
+    p, suffix = _split_path_suffix(href)
+    return (scheme + "://" + host
+            + remove_dot_segments(base_dir + p) + suffix)
 
 
 def html_links_batch(batch: pd.DataFrame, *, html_col: str = "html",

@@ -193,6 +193,7 @@ def _parse_objects(payload: bytes):
 
 
 _FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
+_FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[")
 
 
 def _stream_bytes(obj: tuple, filters=None) -> bytes:
@@ -206,16 +207,23 @@ def _stream_bytes(obj: tuple, filters=None) -> bytes:
     head, data = obj
     if data is None:
         raise ValueError("content object has no stream")
-    if b"/FlateDecode" in head:
-        data = zlib.decompress(data)
-    elif b"/Filter" in head:
-        m = _FILTER_NAME_RE.search(head)
-        if m is not None and filters and m.group(1) in filters:
-            data = filters[m.group(1)](data)
+    if b"/Filter" in head:
+        # array check FIRST: '/Filter [/ASCIIHexDecode /FlateDecode]'
+        # must raise, not match the FlateDecode substring and silently
+        # inflate a still-hex-encoded stream
+        if _FILTER_ARRAY_RE.search(head):
+            raise ValueError("chained /Filter arrays are out of scope")
+        if b"/FlateDecode" in head:
+            data = zlib.decompress(data)
         else:
-            raise ValueError(
-                "unsupported stream /Filter (FlateDecode is native; "
-                "pass filters={name: fn} to inject another codec)")
+            m = _FILTER_NAME_RE.search(head)
+            if m is not None and filters and m.group(1) in filters:
+                data = filters[m.group(1)](data)
+            else:
+                raise ValueError(
+                    "unsupported stream /Filter (FlateDecode is "
+                    "native; pass filters={name: fn} to inject "
+                    "another codec)")
     return data
 
 

@@ -2481,6 +2481,12 @@ def test_pdf_hex_strings_and_filter_seam():
         decode_pdf_text(comp.replace(b"/Filter /FlateDecode",
                                      b"/Filter [/A /B]"),
                         filters={b"A": zlib.decompress})
+    # an array CONTAINING FlateDecode must also raise — the substring
+    # fast path must not silently inflate a chained stream
+    with pytest.raises(ValueError):
+        decode_pdf_text(comp.replace(
+            b"/Filter /FlateDecode",
+            b"/Filter [/ASCIIHexDecode /FlateDecode]"))
 
 
 def test_pdf_parser_hardening():

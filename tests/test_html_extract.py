@@ -264,6 +264,16 @@ def test_remove_dot_segments_rfc3986():
     assert resolve_href(base, "http://e.test/a/../b") == \
         "http://e.test/a/../b"
 
+    # §5.2.4 applies to the PATH only: dot segments inside a query or
+    # fragment pass through verbatim and never pop real path segments
+    assert resolve_href(base, "/search?next=/a/../b") == \
+        "http://a.test/search?next=/a/../b"
+    assert resolve_href(base, "../q#s/../t") == \
+        "http://a.test/d1/q#s/../t"
+    assert resolve_href(base, "x?../y") == "http://a.test/d1/d2/x?../y"
+    assert resolve_href(base, "//c.test/p/../q?r=/./s") == \
+        "http://c.test/q?r=/./s"
+
 
 def test_html_links_batch_ranks_and_decoys():
     from doc_ocr_ray.stages.html_extract import html_links_batch
