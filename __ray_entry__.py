@@ -2511,6 +2511,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["o_orderkey", "o_orderdate", "o_orderpriority"]),
             _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]))
 
+    def q_small_qty_revenue(sf_dir):
+        # TPC-H Q17 shape: correlated AVG subquery decorrelated into
+        # one part-keyed exchange (per-part avg + achieving-row filter
+        # in the same group fn), brand dimension broadcast, all-integer
+        # fraction compare (1000*n*qty < frac*sum_qty)
+        import pyarrow.parquet as pq
+        return relational.small_qty_revenue(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"]),
+            pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand"]))
+
+    def q_late_supplier_blame(sf_dir):
+        # TPC-H Q21 shape: EXISTS + NOT-EXISTS pair decorrelated into
+        # one order-keyed exchange (distinct suppliers vs distinct
+        # LATE suppliers are group-local), status filter pushed below
+        # the native hash join, supplier names broadcast
+        import pyarrow.parquet as pq
+        return relational.late_supplier_blame(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_orderdate"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]))
+
     def q_copurchase_pairs(sf_dir):
         # market-basket: distinct parts per order, basket-bounded
         # pair expansion, exact pair counts, partitioned top-k merge
@@ -2896,6 +2922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_source": q_sample_k_per_source,
         "gram_matrix": q_gram_matrix,
         "late_orders_by_priority": q_late_orders_by_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "late_supplier_blame": q_late_supplier_blame,
         "copurchase_pairs": q_copurchase_pairs,
         "week_over_week": q_week_over_week,
         "revenue_by_nation": q_revenue_by_nation,
@@ -6986,6 +7014,54 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
+        """,
+        # Q17 twin: per-part avg via the identical integer inequality
+        # (1000*n*qty < 200*sum_qty — no division on either side),
+        # integer-cents revenue, floor-div weekly average
+        "small_qty_revenue": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'),
+            st AS (SELECT l_partkey,
+                          count(*) AS n, sum(qty) AS sum_qty
+                   FROM li GROUP BY 1),
+            keep AS (
+              SELECT li.cents FROM li JOIN st USING (l_partkey)
+              WHERE 1000 * st.n * li.qty < 200 * st.sum_qty)
+            SELECT 'Brand#23' AS p_brand,
+                   CAST(count(*) AS BIGINT) AS n_small,
+                   CAST(coalesce(sum(cents), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(coalesce(sum(cents), 0) // 52 AS BIGINT)
+                       AS avg_weekly_cents
+            FROM keep
+        """,
+        # Q21 twin: distinct (order, supplier, late) triples, blame =
+        # >=2 suppliers and exactly one distinct late supplier
+        "late_supplier_blame": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey, l_suppkey,
+                     CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          AS BIGINT) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            agg AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late = 1
+                                         THEN l_suppkey END) AS n_late,
+                     min(CASE WHEN late = 1 THEN l_suppkey END) AS who
+              FROM d GROUP BY 1),
+            blame AS (
+              SELECT who AS s_suppkey, count(*) AS numwait
+              FROM agg WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1)
+            SELECT s.s_name, CAST(b.numwait AS BIGINT) AS numwait
+            FROM blame b JOIN supplier s USING (s_suppkey)
         """,
         # market-basket twin: distinct (order, part), self-join with
         # p1 < p2, count, total-order top-20

@@ -1297,3 +1297,155 @@ def pareto_frontier(part_ds, num_parts: int = 64):
                           batch_format="pandas"))
     return (local.groupby("g").map_groups(merge,
                                           batch_format="pandas"))
+
+
+def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
+                      brand: str = "Brand#23", frac_milli: int = 200,
+                      num_parts: int = 128):
+    """TPC-H Q17-shaped correlated-AVERAGE decorrelation: total
+    revenue of lineitems whose quantity is below ``frac_milli``/1000
+    of their part's average quantity, restricted to one brand —
+    ``WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE
+    l_partkey = outer.l_partkey)``.  Like :func:`min_cost_supplier`,
+    the per-part aggregate and the achieving-row filter run in ONE
+    part-keyed exchange (no join-back shuffle); the brand's part-key
+    set is a dimension broadcast (``ray.put`` once).
+
+    Grid exactness: quantities are integral (cast int64), so the
+    fraction compare is pure integers — keep a row iff
+    ``1000 * n * qty < frac_milli * sum_qty`` (both engines state the
+    identical inequality; no division ever happens).  Revenue sums in
+    integer cents; ``avg_weekly_cents`` = ``revenue_cents // 52``
+    (floor division in both engines).  Output one row:
+    ``(p_brand, n_small, revenue_cents, avg_weekly_cents)``.
+    """
+    import ray
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    pdf = part_tbl.to_pandas()
+    keys_ref = ray.put(frozenset(
+        pdf.loc[pdf["p_brand"] == brand, "p_partkey"].astype(int)))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        b = batch[batch["l_partkey"].isin(keys)]
+        out = pd.DataFrame({
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "qty": b["l_quantity"].astype("int64"),
+            "cents": np.floor(b["l_extendedprice"] * 100 + 0.5)
+                       .astype("int64")})
+        out["part"] = coarse_part(out["p_partkey"], num_parts)
+        return typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        n = g.groupby("p_partkey", sort=False)["qty"].transform("size")
+        s = g.groupby("p_partkey", sort=False)["qty"].transform("sum")
+        keep = 1000 * n.to_numpy() * g["qty"].to_numpy() \
+            < frac_milli * s.to_numpy()
+        return pd.DataFrame({
+            "n_small": [int(keep.sum())],
+            "cents": [int(g["cents"].to_numpy()[keep].sum())],
+            "g": np.int64(0)})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        cents = int(group["cents"].sum())
+        return pd.DataFrame({
+            "p_brand": [brand],
+            "n_small": [int(group["n_small"].sum())],
+            "revenue_cents": [cents],
+            "avg_weekly_cents": [cents // 52]})
+
+    return (lineitem_ds
+            .map_batches(project, batch_format="pandas")
+            .groupby("part").map_groups(per_part, batch_format="pandas")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
+                        grace_days: int = 90,
+                        num_partitions: int | None = None,
+                        num_parts: int = 128):
+    """TPC-H Q21-shaped multi-EXISTS decorrelation: suppliers who were
+    the SOLE late shipper of a finished multi-supplier order —
+    ``EXISTS (another supplier in the order) AND NOT EXISTS (another
+    LATE supplier in the order)``.  Both quantified subqueries
+    decorrelate into ONE order-keyed exchange: each order group knows
+    its distinct suppliers and its distinct late suppliers, so the
+    blame condition is a group-local predicate (n_supp >= 2 and
+    exactly one late supplier).  Late = shipped more than
+    ``grace_days`` whole days after the order date (exact integer
+    microseconds, the :func:`late_orders_by_priority` rule); order
+    status filters to 'F' BEFORE the native hash join.  Supplier
+    names resolve from the broadcast dimension.  Output:
+    ``(s_name, numwait)`` for suppliers with numwait > 0.
+    """
+    import ray
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    grace_us = np.int64(grace_days) * 86_400_000_000
+    sup = supplier_tbl.to_pandas()
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_name"])))
+
+    finished = orders_ds.map_batches(
+        lambda b: b[b["o_orderstatus"] == "F"]
+        [["o_orderkey", "o_orderdate"]],
+        batch_format="pandas")
+
+    joined = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"]).join(
+        finished, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    _empty = pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "s_suppkey": pd.Series([], dtype="int64"),
+        "late": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "l_shipdate" not in batch.columns:
+            return typed_if_empty(_empty)
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        odate = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "o_orderkey": batch["l_orderkey"].astype("int64"),
+            "s_suppkey": batch["l_suppkey"].astype("int64"),
+            "late": (ship > odate + grace_us).astype("int64")})
+        # in-batch combiner: distinct (order, supplier, late) triples
+        out = out.drop_duplicates()
+        out["part"] = coarse_part(out["o_orderkey"], num_parts)
+        return typed_if_empty(out)
+
+    def blame(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["o_orderkey", "s_suppkey", "late"])
+        agg = d.groupby("o_orderkey").agg(
+            n_supp=("s_suppkey", "nunique"))
+        late = d[d["late"] == 1].groupby("o_orderkey").agg(
+            n_late=("s_suppkey", "nunique"),
+            who=("s_suppkey", "min"))
+        m = agg.join(late, how="inner")
+        hit = m[(m["n_supp"] >= 2) & (m["n_late"] == 1)]
+        out = pd.DataFrame({"s_suppkey": hit["who"].astype("int64")})
+        out["part"] = coarse_part(out["s_suppkey"], num_parts)
+        return typed_if_empty(out)
+
+    def count_names(group: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        c = (group.groupby("s_suppkey", sort=False)
+             .size().reset_index(name="numwait"))
+        nm = c["s_suppkey"].map(names)
+        c, nm = c[nm.notna()], nm[nm.notna()]
+        return typed_if_empty(pd.DataFrame({
+            "s_name": nm.astype(object),
+            "numwait": c["numwait"].astype("int64")}))
+
+    return (joined.map_batches(flags, batch_format="pandas")
+            .groupby("part").map_groups(blame, batch_format="pandas")
+            .groupby("part").map_groups(count_names,
+                                        batch_format="pandas"))

@@ -3140,6 +3140,67 @@ def test_late_orders_exists_counts_order_once(ray_session):
     assert got["n_late_orders"].tolist() == [1, 1]
 
 
+def test_small_qty_revenue_integer_fraction(ray_session):
+    """Q17 shape: per-part avg on the integer grid, brand filter,
+    strict < on the 1000*n*qty vs frac*sum inequality."""
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.pipelines.relational import small_qty_revenue
+
+    # part 1 (brand X): qtys 1, 9 -> avg 5, 0.2*avg = 1.0; qty 1 is
+    # NOT < 1.0 on the integer grid (1000*2*1 == 200*10) -> excluded.
+    # part 2 (brand X): qtys 1, 99 -> 0.2*avg = 10 -> qty 1 kept.
+    # part 3 (other brand) never enters.
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+        "l_quantity": [1.0, 9.0, 1.0, 99.0, 1.0],
+        "l_extendedprice": [10.00, 20.00, 5.50, 7.00, 99.0]})
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["X", "X", "Y"], pa.string())})
+    got = small_qty_revenue(
+        ray.data.from_pandas(li).repartition(3), part,
+        brand="X", frac_milli=200).to_pandas()
+    assert got.to_dict("records") == [{
+        "p_brand": "X", "n_small": 1, "revenue_cents": 550,
+        "avg_weekly_cents": 550 // 52}]
+
+
+def test_late_supplier_blame_sole_late_semantics(ray_session):
+    """Q21 shape: blame only the SOLE late supplier of a finished
+    multi-supplier order; two late suppliers or single-supplier
+    orders never blame; 'O'-status orders are ignored."""
+    import ray.data
+    import pyarrow as pa
+    from doc_ocr_ray.pipelines.relational import late_supplier_blame
+
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "o_orderstatus": ["F", "F", "F", "F", "O"],
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 5)})
+    LATE, OK = "2024-06-01", "2024-01-15"
+    li = pd.DataFrame({
+        "l_orderkey": np.array(
+            [1, 1, 1, 2, 2, 3, 4, 4, 5, 5], dtype=np.int64),
+        "l_suppkey": np.array(
+            [10, 10, 20, 10, 20, 10, 30, 40, 10, 20], dtype=np.int64),
+        # order 1: supp 10 late twice (one triple), supp 20 on time ->
+        #   blame 10 once; order 2: BOTH late -> nobody; order 3: one
+        #   supplier only -> nobody; order 4: supp 30 late, 40 ok ->
+        #   blame 30; order 5: status O -> ignored entirely
+        "l_shipdate": pd.to_datetime(
+            [LATE, LATE, OK, LATE, LATE, LATE, LATE, OK, LATE, OK])})
+    sup = pa.table({
+        "s_suppkey": pa.array([10, 20, 30, 40], pa.int64()),
+        "s_name": pa.array(["S10", "S20", "S30", "S40"], pa.string())})
+    got = (late_supplier_blame(ray.data.from_pandas(li).repartition(3),
+                               ray.data.from_pandas(orders), sup)
+           .to_pandas().sort_values("s_name").reset_index(drop=True))
+    assert got.to_dict("records") == [
+        {"s_name": "S10", "numwait": 1},
+        {"s_name": "S30", "numwait": 1}]
+
+
 def test_copurchase_pairs_distinct_within_basket(ray_session):
     import ray.data
     from doc_ocr_ray.pipelines.relational import copurchase_pairs
