@@ -1986,6 +1986,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             char_entropy_batch, batch_format="pandas")
 
+    def _inject_mojibake(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic encoding damage by doc arithmetic: a
+        # double-encoded e-acute (U+00C3 U+00A9), a U+FFFD
+        # replacement char, a C1 control (U+0085)
+        d = batch["doc_id"].astype("int64")
+        suff = np.select(
+            [d % 7 == 1, d % 7 == 2, d % 7 == 3],
+            [" caf\u00c3\u00a9 menu", " bad \ufffd byte",
+             " ctrl \u0085 mark"], default="")
+        return pd.DataFrame({"doc_id": d,
+                             "text": batch["text"].fillna("") + suff})
+
+    def q_mojibake_signals(sf_dir):
+        # encoding-damage census over injected artifacts: FFFD / C1
+        # controls / UTF-8-as-latin-1 double encoding
+        from doc_ocr_ray.stages.text_analysis import mojibake_signals_batch
+        return (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(_inject_mojibake, batch_format="pandas")
+                .map_batches(mojibake_signals_batch,
+                             batch_format="pandas"))
+
+    def q_readability_stats(sf_dir):
+        # surface readability proxies on the shared whitespace/token
+        # contract, integer-milli ratios
+        from doc_ocr_ray.stages.text_analysis import readability_batch
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            readability_batch, batch_format="pandas")
+
     def q_curate_quality_funnel(sf_dir):
         from doc_ocr_ray.pipelines.curate import curate_quality_funnel
         return curate_quality_funnel(
@@ -2862,6 +2890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "phrase_blocklist": q_phrase_blocklist,
         "char_entropy": q_char_entropy,
+        "mojibake_signals": q_mojibake_signals,
+        "readability_stats": q_readability_stats,
         "script_profile": q_script_profile,
         "dsir_weights": q_dsir_weights,
         "heavy_hitters": q_heavy_hitters,
@@ -3839,6 +3869,50 @@ def oracle_sql() -> dict[str, str]:
                    '[A-Za-z0-9一-鿿\\t\\n\\f\\r ]', '', 'g'))
                    AS BIGINT) AS n_other
             FROM d
+        """,
+        # injected artifacts rebuilt with chr(); counts via RE2
+        # \\x{hex} classes — identical non-overlapping match semantics
+        "mojibake_signals": """
+            WITH u AS (SELECT doc_id,
+                coalesce(text, '') || CASE doc_id % 7
+                  WHEN 1 THEN ' caf' || chr(195) || chr(169) || ' menu'
+                  WHEN 2 THEN ' bad ' || chr(65533) || ' byte'
+                  WHEN 3 THEN ' ctrl ' || chr(133) || ' mark'
+                  ELSE '' END AS t
+              FROM documents),
+            c AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '\\x{FFFD}'))
+                     AS BIGINT) AS n_fffd,
+                CAST(len(regexp_extract_all(t,
+                     '[\\x{0080}-\\x{009F}]')) AS BIGINT) AS n_c1,
+                CAST(len(regexp_extract_all(t,
+                     '\\x{00C3}[\\x{0080}-\\x{00BF}]'))
+                     AS BIGINT) AS n_double
+              FROM u)
+            SELECT doc_id, n_fffd, n_c1, n_double,
+                   CAST(n_fffd + n_c1 + n_double > 0 AS BIGINT)
+                       AS mojibake
+            FROM c
+        """,
+        # shared whitespace/token contract; ratios on the integer
+        # milli grid with greatest(x, 1) denominators
+        "readability_stats": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[.!?]+')) AS BIGINT) AS n_sentences,
+                   CAST({_NTOK} AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(coalesce(text, ''),
+                        '[\\t\\n\\f\\r ]+', '', 'g')) AS BIGINT)
+                       AS n_chars,
+                   CAST(1000 * {_NTOK} // greatest(
+                        len(regexp_extract_all(coalesce(text, ''),
+                            '[.!?]+')), 1) AS BIGINT)
+                       AS words_per_sent_milli,
+                   CAST(1000 * length(regexp_replace(
+                        coalesce(text, ''), '[\\t\\n\\f\\r ]+', '',
+                        'g')) // greatest({_NTOK}, 1) AS BIGINT)
+                       AS chars_per_word_milli
+            FROM documents
         """,
         # per-character term floored to int64 BEFORE the sum, so
         # aggregation order cannot perturb the float math (bm25's

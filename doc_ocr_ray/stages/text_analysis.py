@@ -2516,3 +2516,54 @@ def skipgram_pairs(ds, window: int = 3, k: int = 30,
                            ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def mojibake_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Encoding-damage census — the cheap pre-filter a crawl corpus
+    runs before any language work, catching the three classic
+    artifacts: U+FFFD replacement characters (decoder already gave
+    up), C1 control codepoints U+0080-U+009F (cp1252 bytes decoded as
+    latin-1/unicode), and the UTF-8-read-as-latin-1 double-encoding
+    signature ``U+00C3 followed by U+0080-U+00BF`` (an e-acute that
+    became two latin-1 characters).  Output: ``(doc_id, n_fffd, n_c1,
+    n_double, mojibake)`` — pure integer counts (non-overlapping
+    left-to-right matches, identical in Python re and RE2, so the SQL
+    twin needs no grid).  One stateless map, no shuffle."""
+    texts = batch["text"].fillna("")
+    n_fffd = texts.str.count("\ufffd").astype("int64")
+    n_c1 = texts.str.count("[\u0080-\u009f]").astype("int64")
+    n_double = texts.str.count(
+        "\u00c3[\u0080-\u00bf]").astype("int64")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_fffd": n_fffd,
+        "n_c1": n_c1,
+        "n_double": n_double,
+        "mojibake": ((n_fffd + n_c1 + n_double) > 0).astype("int64")})
+
+
+def readability_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Surface readability statistics — the Flesch-style signals that
+    are exactly computable cross-engine (syllable counting is not; the
+    standard corpus-filter proxies below are): sentence count
+    (maximal ``[.!?]`` runs), word count (the shared whitespace-token
+    contract), non-whitespace char count, and the two integer-milli
+    ratios ``words_per_sent_milli = 1000*n_words // max(n_sent, 1)``
+    and ``chars_per_word_milli = 1000*n_chars // max(n_words, 1)``.
+    Long sentences / long words flag legalese and OCR run-ons; tiny
+    values flag listicles and tag soup.  One stateless map."""
+    texts = batch["text"].fillna("")
+    n_sent = texts.str.count(r"[.!?]+").astype("int64")
+    toks = _tokens(texts)
+    n_words = toks.str.len().astype("int64")
+    n_chars = (texts.str.replace(_WS, "", regex=True)
+               .str.len().astype("int64"))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_sentences": n_sent,
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "words_per_sent_milli":
+            (1000 * n_words) // np.maximum(n_sent, 1),
+        "chars_per_word_milli":
+            (1000 * n_chars) // np.maximum(n_words, 1)})

@@ -3140,6 +3140,40 @@ def test_late_orders_exists_counts_order_once(ray_session):
     assert got["n_late_orders"].tolist() == [1, 1]
 
 
+def test_mojibake_and_readability_batches():
+    """Encoding-damage census and surface readability stats: exact
+    integer counts and milli ratios on hand-built artifacts."""
+    from doc_ocr_ray.stages.text_analysis import (mojibake_signals_batch,
+                                                  readability_batch)
+    double = "caf" + chr(0xC3) + chr(0xA9) + " menu"   # e-acute doubled
+    b = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["clean text.", double,
+                 "bad " + chr(0xFFFD) + " and " + chr(0x85),
+                 "Two words! Three more words? ", None]})
+    m = mojibake_signals_batch(b).set_index("doc_id")
+    assert m.loc[1].tolist() == [0, 0, 0, 0]
+    assert m.loc[2].tolist() == [0, 0, 1, 1]       # n_double
+    assert m.loc[3].tolist() == [1, 1, 0, 1]       # fffd + C1
+    assert m.loc[5].tolist() == [0, 0, 0, 0]       # None -> clean
+    # a bare U+00C3 NOT followed by a continuation char is no signal
+    solo = mojibake_signals_batch(pd.DataFrame({
+        "doc_id": pd.Series([1], dtype="int64"),
+        "text": [chr(0xC3) + "x"]}))
+    assert solo["n_double"].tolist() == [0]
+
+    r = readability_batch(b).set_index("doc_id")
+    assert r.loc[1].tolist() == [1, 2, 10, 2000, 5000]
+    assert r.loc[4, "n_sentences"] == 2            # '!' and '?' runs
+    assert r.loc[4, "words_per_sent_milli"] == 2500
+    assert r.loc[5].tolist() == [0, 0, 0, 0, 0]    # None -> all zero
+    # '...' is ONE sentence-end run, not three
+    ell = readability_batch(pd.DataFrame({
+        "doc_id": pd.Series([1], dtype="int64"),
+        "text": ["well... maybe."]}))
+    assert ell["n_sentences"].tolist() == [2]
+
+
 def test_small_qty_revenue_integer_fraction(ray_session):
     """Q17 shape: per-part avg on the integer grid, brand filter,
     strict < on the 1000*n*qty vs frac*sum inequality."""
