@@ -803,6 +803,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           threshold=0.6)
         return dedup.verify_pairs_exact(docs, pairs, threshold=0.6)
 
+    def q_dedup_containment(sf_dir):
+        # containment (quote/superset) verification: injected QUOTE
+        # docs (first 10 words, id+3e6) sit at containment ~1000 but
+        # low Jaccard — the pair class resemblance verifiers miss;
+        # arithmetic cross pairs provide sub-threshold negatives
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        df = df[df["doc_id"] < 200].reset_index(drop=True)
+        quotes = df.copy()
+        quotes["doc_id"] = quotes["doc_id"] + 3_000_000
+        quotes["text"] = quotes["text"].map(
+            lambda t: " ".join(t.split(" ")[:10]))
+        docs = ray.data.from_pandas(
+            pd.concat([df, quotes], ignore_index=True))
+
+        def mk_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64").to_numpy()
+            d = d[d < 200]
+            return pd.DataFrame({
+                "doc_a": np.concatenate([d, d]),
+                "doc_b": np.concatenate([d + 3_000_000,
+                                         d + 1 + d % 3])})
+
+        pairs = (docs.select_columns(["doc_id"])
+                 .map_batches(mk_pairs, batch_format="pandas"))
+        return dedup.verify_pairs_containment(docs, pairs, t_milli=500)
+
     def q_dedup_edit_verify(sf_dir):
         # the last rung of the dedup verify ladder: LSH candidates ->
         # byte-level Levenshtein ratio on the milli grid
@@ -2779,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_verify": q_dedup_ngram_verify,
+        "dedup_containment": q_dedup_containment,
         "setsim_join": q_setsim_join,
         "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
@@ -5183,6 +5212,51 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_verify": f"""
             WITH {_INJ_JACCARD}
             SELECT doc_a, doc_b, jaccard FROM jac WHERE j >= 0.6
+        """,
+        # containment twin: quote docs = first 10 words (1-based
+        # inclusive list slice == Python [:10]), same 5-gram shingle
+        # machinery, min-size denominator, integer-milli predicate
+        "dedup_containment": """
+            WITH inj AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 3000000,
+                     array_to_string(str_split(text, ' ')[1:10], ' ')
+              FROM documents WHERE doc_id < 200),
+            norm AS (
+              SELECT doc_id, regexp_replace(lower(regexp_replace(text,
+                  '^\\s+|\\s+$', '', 'g')), '\\s+', ' ', 'g') AS t
+              FROM inj),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+              FROM norm, LATERAL (SELECT unnest(
+                   range(1, greatest(2, length(t) - 3))) AS i)
+              WHERE length(t) >= 5
+              UNION
+              SELECT DISTINCT doc_id, t AS g FROM norm
+              WHERE length(t) < 5 AND t <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n
+                      FROM sh GROUP BY doc_id),
+            pr AS (
+              SELECT doc_id AS doc_a, doc_id + 3000000 AS doc_b
+              FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id, doc_id + 1 + doc_id % 3
+              FROM documents WHERE doc_id < 200),
+            i AS (
+              SELECT p.doc_a, p.doc_b, count(*) AS ninter
+              FROM pr p
+              JOIN sh a ON a.doc_id = p.doc_a
+              JOIN sh b ON b.doc_id = p.doc_b AND b.g = a.g
+              GROUP BY 1, 2)
+            SELECT p.doc_a, p.doc_b,
+                   CAST((1000 * i.ninter) // least(sa.n, sb.n)
+                        AS BIGINT) AS cont_milli
+            FROM pr p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            WHERE 1000 * i.ninter >= 500 * least(sa.n, sb.n)
         """,
         # the prefix-filter join's oracle IS the brute-force scan it
         # provably reproduces: exact WORD-token-set Jaccard over the

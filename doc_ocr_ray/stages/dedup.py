@@ -1035,6 +1035,51 @@ def verify_pairs_exact(ds, pairs_ds, k: int = 5, threshold: float = 0.8):
     return joined.map_batches(score, batch_format="pandas")
 
 
+def verify_pairs_containment(ds, pairs_ds, k: int = 5,
+                             t_milli: int = 500):
+    """CONTAINMENT verification of candidate pairs — the
+    quote/superset detector resemblance misses: a short document fully
+    embedded in a long one has Jaccard ~ \\|A\\|/\\|B\\| (tiny) but
+    containment ``inter / min(|A|, |B|) = 1``.  Same distributed
+    :func:`_pair_verify_scaffold` shape as :func:`verify_pairs_exact`
+    (md5 shingle-hash sets as the payload); keeps pairs with
+    ``cont_milli = (1000*inter) // min(|A|, |B|) >= t_milli`` (pure
+    integers, the predicate ``1000*inter >= t_milli*min`` is stated
+    identically in the SQL twin).  Returns (doc_a, doc_b,
+    cont_milli)."""
+    joined, empty = _pair_verify_scaffold(
+        ds, pairs_ds,
+        lambda hit: [_md5_shingle_set(t, k).tobytes()
+                     for t in hit["text"].fillna("")],
+        pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "cont_milli": pd.Series([], dtype="int64")}))
+    if joined is None:
+        return empty
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for a, b, raw_a, raw_b in zip(batch["doc_a"], batch["doc_b"],
+                                      batch["payload_a"],
+                                      batch["payload_b"]):
+            sa = np.frombuffer(raw_a, dtype=np.int64)
+            sb = np.frombuffer(raw_b, dtype=np.int64)
+            if not len(sa) or not len(sb):
+                continue
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+            lo = min(len(sa), len(sb))
+            if 1000 * inter >= t_milli * lo:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_c.append((1000 * inter) // lo)
+        return typed_if_empty(pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "cont_milli": pd.Series(out_c, dtype="int64")}))
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
 def dedup_keep_best(docs_ds, clusters_ds, num_partitions: int = 64):
     """Canonical-document selection per near-duplicate cluster: the
     highest whitespace-token-count member wins, ties to the smaller

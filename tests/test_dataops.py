@@ -105,6 +105,30 @@ def test_pair_verify_scaffold_matches_bruteforce():
     assert all(out["jaccard"] >= 0.5)
 
 
+def test_containment_catches_quotes_jaccard_misses(ray_session):
+    """verify_pairs_containment: a short quote embedded in a long doc
+    scores containment 1000 while its Jaccard is far below any dedup
+    threshold; unrelated pairs stay out."""
+    import ray
+    from doc_ocr_ray.stages.dedup import (ngram_jaccard,
+                                          verify_pairs_containment)
+
+    long_doc = " ".join(f"unique word number {i} in a long body"
+                        for i in range(40))
+    quote = " ".join(long_doc.split(" ")[:12])
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [long_doc, quote, "totally different content here"]})
+    pairs = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = (verify_pairs_containment(ray.data.from_pandas(docs),
+                                    ray.data.from_pandas(pairs),
+                                    t_milli=900)
+           .to_pandas())
+    assert out.to_dict("records") == [
+        {"doc_a": 1, "doc_b": 2, "cont_milli": 1000}]
+    assert ngram_jaccard(long_doc, quote) < 0.3   # resemblance misses
+
+
 def test_simhash_finds_injected_near_dups():
     from doc_ocr_ray.stages.dedup import simhash_dedup_pairs
     pairs = simhash_dedup_pairs(_docs_with_dups(), max_hamming=3).take_all()
