@@ -254,6 +254,8 @@ _PR_EDGE_RULES = ((7, 1), (13, 2), (31, 3))
 _PR_ITERS = 3
 _PR_SCALE = 10 ** 12
 _PR_DAMPING = 85
+_HITS_ITERS = 2
+_HITS_SCALE = 10 ** 9
 
 
 
@@ -308,6 +310,55 @@ def _pagerank_sql() -> str:
     return f"""
         WITH {body}
         SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {final}"""
+
+
+def _hits_sql() -> str:
+    """Chained-CTE twin of stages/graph.py:hits — same edge testbed
+    as pagerank, integer L1 normalization ``scale * raw // total``
+    after every half-step (sums are HUGEINT in DuckDB, so the
+    products never overflow; the engine bounds them under 2^63 by
+    construction)."""
+    e0 = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
+        f"(SELECT n FROM nn) AS dst FROM documents"
+        for p, c in _PR_EDGE_RULES)
+    sql = f"""
+        nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS ({e0}),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        h0 AS (SELECT doc_id AS node,
+                      {_HITS_SCALE} // (SELECT n FROM nn) AS r
+               FROM documents)"""
+    prev_h = "h0"
+    for k in range(1, _HITS_ITERS + 1):
+        sql += f""",
+        ra{k} AS (SELECT e.dst AS node, sum(h.r) AS raw
+                  FROM e JOIN {prev_h} h ON h.node = e.src
+                  GROUP BY e.dst),
+        ta{k} AS (SELECT coalesce(sum(raw), 0) AS t FROM ra{k}),
+        a{k} AS (SELECT d.doc_id AS node,
+                   CASE WHEN (SELECT t FROM ta{k}) = 0 THEN 0
+                        ELSE {_HITS_SCALE} * coalesce(ra.raw, 0)
+                             // (SELECT t FROM ta{k}) END AS r
+                 FROM documents d
+                 LEFT JOIN ra{k} ra ON ra.node = d.doc_id),
+        rh{k} AS (SELECT e.src AS node, sum(a.r) AS raw
+                  FROM e JOIN a{k} a ON a.node = e.dst
+                  GROUP BY e.src),
+        th{k} AS (SELECT coalesce(sum(raw), 0) AS t FROM rh{k}),
+        h{k} AS (SELECT d.doc_id AS node,
+                   CASE WHEN (SELECT t FROM th{k}) = 0 THEN 0
+                        ELSE {_HITS_SCALE} * coalesce(rh.raw, 0)
+                             // (SELECT t FROM th{k}) END AS r
+                 FROM documents d
+                 LEFT JOIN rh{k} rh ON rh.node = d.doc_id)"""
+        prev_h = f"h{k}"
+    return f"""
+        WITH {sql}
+        SELECT a{_HITS_ITERS}.node,
+               CAST(a{_HITS_ITERS}.r AS BIGINT) AS auth_scaled,
+               CAST(h{_HITS_ITERS}.r AS BIGINT) AS hub_scaled
+        FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (node)"""
 
 
 # robots rules for the crawl_frontier testbed: both polarities, the
@@ -2707,6 +2758,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         iters=_PR_ITERS, damping_pct=_PR_DAMPING,
                         scale=_PR_SCALE)
 
+    def q_hits_scores(sf_dir):
+        # hub/authority separation over the same synthetic link graph
+        # as pagerank — integer-grid L1-normalized HITS, chained-CTE
+        # twin with identical floor-division points
+        from doc_ocr_ray.stages.graph import hits
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        mk_edges = _mk_pr_edges_fn(n)
+
+        def mk_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": batch["doc_id"].astype("int64")})
+
+        return hits(docs.map_batches(mk_edges, batch_format="pandas"),
+                    docs.map_batches(mk_nodes, batch_format="pandas"),
+                    iters=_HITS_ITERS, scale=_HITS_SCALE)
+
     def q_validate_table(sf_dir):
         # data-quality gate: five rule kinds over an injected corpus
         # where every rule fires; one scan + one unique-key exchange
@@ -2789,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits_scores,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
         "index_delta": q_index_delta,
@@ -4254,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         "crawl_frontier": _frontier_sql(),
         # validation twin: same injected corpus, five counts; NULLs
         # are exempt from range/regex/set rules (not_null's job)

@@ -361,3 +361,181 @@ def host_graph(edges_ds, src_col: str = "src_url",
 
     return (edges_ds.map_batches(partial, batch_format="pandas")
             .groupby("part").map_groups(combine, batch_format="pandas"))
+
+
+def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
+         num_parts: int = 64):
+    """Integer-grid HITS (Kleinberg 1999): hub and authority scores
+    over the directed link graph — :func:`pagerank`'s companion
+    signal (PageRank ranks endorsement mass; HITS separates pages
+    that POINT at good content from pages that ARE good content, the
+    classic hub-farm / mixed-directory discriminant).
+
+    Exactness: L1 normalization on the integer grid replaces the
+    usual float L2 — after each half-step the raw sums renormalize as
+    ``scale * raw // total`` (one floor division, order-free integer
+    sums), so a chained-CTE DuckDB twin is bit-exact.  ``scale=1e9``
+    bounds every intermediate product at ``scale * total < 2^63``
+    for totals up to ~9e9 x scale (total = sum over edges of a
+    normalized score <= scale per node).
+
+    Shuffle shape per half-step: ONE ids-only coarse exchange (scores
+    meet edges on the pushing side's key, contributions meet the node
+    table on the receiving side's key — the pagerank scatter/gather
+    pair) plus one O(1) driver scalar (the L1 total via
+    ``Dataset.sum``); per-round materialization of the node-sized
+    score table stops lineage re-execution.  Edge tables (one keyed
+    by src, one by dst) are degree-free and materialized once.
+    Returns (node, auth_scaled, hub_scaled)."""
+    base_cols = ["src", "dst", "r", "kind", "part"]
+
+    def _typed(df: pd.DataFrame):
+        if len(df):
+            return df
+        return pa.schema([(c, pa.int8() if c == "kind" else pa.int64())
+                          for c in base_cols]).empty_table()
+
+    def edge_key(key_col):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            # per-batch combiner only — a multi-edge split across
+            # batches still needs the grouped global dedup below
+            e = batch[["src", "dst"]].drop_duplicates()
+            e = e[e["src"] != e["dst"]]
+            out = pd.DataFrame({
+                "src": e["src"].astype("int64"),
+                "dst": e["dst"].astype("int64"),
+                "r": np.int64(0)})
+            out["kind"] = np.int8(0)
+            out["part"] = coarse_part(out[key_col], num_parts)
+            return typed_if_empty(out)
+        return fn
+
+    def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        # all copies of an edge share its key-side partition: exact
+        # cross-batch DISTINCT (a duplicate edge would double-push
+        # its score and shift every normalized value downstream)
+        return _typed(group.drop_duplicates(["src", "dst"])[base_cols])
+
+    edges_by_src = (edges_ds.map_batches(edge_key("src"),
+                                         batch_format="pandas")
+                    .groupby("part").map_groups(edge_dedup,
+                                                batch_format="pandas")
+                    .materialize())
+    edges_by_dst = (edges_ds.map_batches(edge_key("dst"),
+                                         batch_format="pandas")
+                    .groupby("part").map_groups(edge_dedup,
+                                                batch_format="pandas")
+                    .materialize())
+
+    def node_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "src": batch["node"].astype("int64"),
+            "dst": np.int64(0), "r": np.int64(0)})
+        out["kind"] = np.int8(2)
+        out["part"] = coarse_part(out["src"], num_parts)
+        return _typed(out[base_cols])
+
+    nodes = (nodes_ds.map_batches(node_key,
+                                  batch_format="pandas").materialize())
+    n = nodes.count()
+    empty_out = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "auth_scaled": pd.Series([], dtype="int64"),
+        "hub_scaled": pd.Series([], dtype="int64")})
+    if n == 0:
+        import ray.data as _rd
+        return _rd.from_pandas(empty_out)
+
+    def init_scores(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["r"] = np.int64(scale // n)
+        out["kind"] = np.int8(1)
+        return _typed(out[base_cols])
+
+    def push(src_key, dst_key):
+        """Score rows (kind 1, keyed like the edge table) meet edges:
+        emit (receiving node, score) contributions."""
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            e = group[group["kind"] == 0]
+            sc = group.loc[group["kind"] == 1, ["src", "r"]].rename(
+                columns={"src": src_key, "r": "score"})
+            if not len(e) or not len(sc):
+                return _typed(pd.DataFrame(columns=base_cols))
+            m = e.merge(sc, on=src_key)
+            out = pd.DataFrame({
+                "src": m[dst_key].astype("int64"),
+                "dst": np.int64(0),
+                "r": m["score"].astype("int64")})
+            out["kind"] = np.int8(3)
+            out["part"] = coarse_part(out["src"], num_parts)
+            return _typed(out[base_cols])
+        return fn
+
+    def gather(group: pd.DataFrame) -> pd.DataFrame:
+        nd = group.loc[group["kind"] == 2, ["src", "part"]]
+        if not len(nd):
+            return _typed(pd.DataFrame(columns=base_cols))
+        c = group[group["kind"] == 3]
+        infl = c.groupby("src", sort=False)["r"].sum()
+        out = nd.copy()
+        out["r"] = (infl.reindex(out["src"].to_numpy(), fill_value=0)
+                    .to_numpy().astype("int64"))
+        out["dst"] = np.int64(0)
+        out["kind"] = np.int8(1)
+        return _typed(out[base_cols])
+
+    def half_step(scores, edges, src_key, dst_key, key_col):
+        """One HITS half-step: push scores along edges, gather raw
+        sums per node, L1-normalize by the O(1) driver total."""
+        contribs = (edges.union(scores)
+                    .groupby("part").map_groups(
+                        push(src_key, dst_key), batch_format="pandas"))
+        raw = (nodes.union(contribs)
+               .groupby("part").map_groups(gather,
+                                           batch_format="pandas")
+               .materialize())
+        total = int(raw.sum("r") or 0)
+
+        def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            r = out["r"].to_numpy()
+            out["r"] = ((scale * r) // total if total
+                        else np.zeros(len(r), dtype="int64"))
+            return _typed(out[base_cols])
+
+        # no materialize here: `raw` above is the lineage barrier, so
+        # re-consuming the normalized table only re-runs this one map
+        return raw.map_batches(normalize, batch_format="pandas")
+
+    hubs = nodes.map_batches(init_scores,
+                             batch_format="pandas").materialize()
+    auth = None
+    for _ in range(iters):
+        # authorities from hubs: push along src -> dst
+        auth = half_step(hubs, edges_by_src, "src", "dst", "src")
+        # hubs from authorities: push along dst -> src
+        hubs = half_step(auth, edges_by_dst, "dst", "src", "dst")
+
+    def tag(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["dst"] = np.int64(kind)      # 0 = auth, 1 = hub
+            return _typed(out[base_cols])
+        return fn
+
+    def zip_scores(group: pd.DataFrame) -> pd.DataFrame:
+        a = group.loc[group["dst"] == 0, ["src", "r"]].rename(
+            columns={"r": "auth_scaled"})
+        h = group.loc[group["dst"] == 1, ["src", "r"]].rename(
+            columns={"r": "hub_scaled"})
+        out = a.merge(h, on="src").rename(columns={"src": "node"})
+        if not len(out):
+            return pa.schema([("node", pa.int64()),
+                              ("auth_scaled", pa.int64()),
+                              ("hub_scaled", pa.int64())]).empty_table()
+        return out[["node", "auth_scaled", "hub_scaled"]]
+
+    return (auth.map_batches(tag(0), batch_format="pandas")
+            .union(hubs.map_batches(tag(1), batch_format="pandas"))
+            .groupby("part").map_groups(zip_scores,
+                                        batch_format="pandas"))

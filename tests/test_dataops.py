@@ -1508,6 +1508,51 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert r[6] == base                # isolated node: base mass only
 
 
+def test_hits_matches_integer_reference(ray_session):
+    """Distributed HITS equals a single-process replay of the same
+    L1-normalized integer recurrence; the page everyone points AT is
+    the authority, the page pointing at everything is the hub."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import hits
+    # 0,1,2 -> 9 (authority); 3 -> {9, 0, 1} (hub); node 6 isolated;
+    # dup edge + self-loop must be cleaned
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 3, 3, 3, 3, 6],
+        "dst": [9, 9, 9, 9, 0, 1, 9, 6]})      # dup (3,9), loop (6,6)
+    nodes = pd.DataFrame({"node": [0, 1, 2, 3, 6, 9]})
+    out = (hits(ray.data.from_pandas(edges).repartition(2),
+                ray.data.from_pandas(nodes).repartition(2), iters=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # single-process integer replay of the same recurrence
+    scale = 10 ** 9
+    vs = [0, 1, 2, 3, 6, 9]
+    es = {(0, 9), (1, 9), (2, 9), (3, 9), (3, 0), (3, 1)}
+    h = {v: scale // len(vs) for v in vs}
+    a = {}
+    for _ in range(2):
+        raw = {v: sum(h[u] for (u, w) in es if w == v) for v in vs}
+        t = sum(raw.values())
+        a = {v: (scale * raw[v]) // t if t else 0 for v in vs}
+        raw = {v: sum(a[w] for (u, w) in es if u == v) for v in vs}
+        t = sum(raw.values())
+        h = {v: (scale * raw[v]) // t if t else 0 for v in vs}
+    got_a = dict(zip(out["node"], out["auth_scaled"]))
+    got_h = dict(zip(out["node"], out["hub_scaled"]))
+    assert got_a == a and got_h == h
+    assert a[9] == max(a.values()) and a[9] > 10 * a[2]   # authority
+    assert h[3] == max(h.values()) and h[3] > h[0]        # hub
+    assert a[6] == 0 and h[6] == 0                        # isolated
+
+    # zero-edge graph: all scores 0, no division blow-up
+    out0 = (hits(ray.data.from_pandas(
+                pd.DataFrame({"src": [1], "dst": [1]})),  # only a loop
+                ray.data.from_pandas(pd.DataFrame({"node": [1, 2]})),
+                iters=1).to_pandas())
+    assert sorted(out0["auth_scaled"]) == [0, 0]
+    assert sorted(out0["hub_scaled"]) == [0, 0]
+
+
 def test_zscore_by_group_exact_grid(ray_session):
     """Group stats are exact integers; z matches the closed form on
     the micro grid; zero-variance and singleton groups define z=0."""
