@@ -2644,6 +2644,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"]))
 
+    def q_forecast_revenue(sf_dir):
+        # TPC-H Q6 shape: filter-then-sum, no exchange at all —
+        # one int64 partial per batch on the ten-thousandths grid
+        return relational.forecast_revenue(
+            _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_discount", "l_quantity",
+                   "l_extendedprice"]))
+
+    def q_nation_trade_volume(sf_dir):
+        # TPC-H Q7 shape: bilateral trade per year — pruned supplier
+        # broadcast + the Q5 native-join chain
+        import pyarrow.parquet as pq
+        return relational.nation_trade_volume(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"]),
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet"))
+
+    def q_market_share(sf_dir):
+        # TPC-H Q8 shape: per-year national market share as integer
+        # basis points — part-type pushdown to a broadcast key set,
+        # division-free until the final floor-div
+        import pyarrow.parquet as pq
+        return relational.market_share(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet"),
+            pq.read_table(f"{sf_dir}/region.parquet"),
+            pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"]))
+
+    def q_profit_by_nation(sf_dir):
+        # TPC-H Q9 shape: per-(nation, year) profit with the stated
+        # 0.1 * p_retailprice supply-cost proxy (no partsupp table);
+        # name-LIKE prunes the part broadcast
+        import pyarrow.parquet as pq
+        return relational.profit_by_nation_year(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount"]),
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet"),
+            pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name",
+                                   "p_retailprice"]))
+
+    def q_returned_item_customers(sf_dir):
+        # TPC-H Q10 shape: top-20 customers by returned revenue —
+        # filter pushdown on both join sides, coarse per-cust combine,
+        # k-bounded driver set, shuffle-free customer annotation
+        import pyarrow.parquet as pq
+        return relational.returned_item_customers(
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet"))
+
+    def q_top_supplier(sf_dir):
+        # TPC-H Q15 shape: global-max achievers — the join-back is a
+        # single broadcast scalar on the integer grid
+        import pyarrow.parquet as pq
+        return relational.top_supplier(
+            _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]))
+
+    def q_disjunctive_revenue(sf_dir):
+        # TPC-H Q19 shape: multi-clause OR of (brand, size, qty)
+        # conjunctions over a pruned part broadcast, no shuffle
+        import pyarrow.parquet as pq
+        return relational.disjunctive_revenue(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"]),
+            pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"]))
+
+    def q_idle_rich_customers(sf_dir):
+        # TPC-H Q22 shape: scalar-subquery decorrelation (broadcast
+        # (n, sum) + cross-multiply) + native left_anti NOT EXISTS
+        return relational.idle_rich_customers(
+            _read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey", "c_acctbal"]),
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]))
+
     def q_copurchase_pairs(sf_dir):
         # market-basket: distinct parts per order, basket-bounded
         # pair expansion, exact pair counts, partitioned top-k merge
@@ -3054,6 +3157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": q_copurchase_pairs,
         "week_over_week": q_week_over_week,
         "revenue_by_nation": q_revenue_by_nation,
+        "forecast_revenue": q_forecast_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "profit_by_nation": q_profit_by_nation,
+        "returned_item_customers": q_returned_item_customers,
+        "top_supplier": q_top_supplier,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         "top_orders": q_top_orders,
         "suppliers_by_nation": q_suppliers_by_nation,
         "docs_zh": q_docs_zh,
@@ -7360,6 +7471,137 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate IS NOT NULL
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH vol AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT) AS tenk,
+                     s_nationkey
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part     ON l_partkey = p_partkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST((10000 * sum(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation
+                         WHERE n_name = 'NATION_3')
+                        THEN tenk ELSE 0 END)) // sum(tenk)
+                        AS BIGINT) AS mkt_share_bp
+            FROM vol GROUP BY o_year
+        """,
+        "profit_by_nation": """
+            SELECT n_name, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT)
+                            - CAST(floor(l_quantity * p_retailprice * 1000
+                                         + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS profit
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "returned_item_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS tenk
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY 1
+              ORDER BY tenk DESC, o_custkey LIMIT 20)
+            SELECT c_custkey, c_name, tenk / 10000.0 AS revenue,
+                   c_acctbal, n_name
+            FROM rev JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS tenk
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT l_suppkey AS s_suppkey, s_name,
+                   tenk / 10000.0 AS total_revenue
+            FROM r JOIN supplier ON supplier.s_suppkey = r.l_suppkey
+            WHERE tenk = (SELECT max(tenk) FROM r)
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "idle_rich_customers": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sc
+              FROM customer WHERE c_acctbal > 0),
+            rich AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM customer, s
+              WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > sc)
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS totacctbal
+            FROM rich
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -1449,3 +1449,706 @@ def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
             .groupby("part").map_groups(blame, batch_format="pandas")
             .groupby("part").map_groups(count_names,
                                         batch_format="pandas"))
+
+
+def forecast_revenue(lineitem_ds, year: int = 1996,
+                     disc_lo_c: int = 5, disc_hi_c: int = 7,
+                     qty_max: float = 24.0):
+    """TPC-H Q6-shaped forecast-revenue scalar: SUM(extendedprice *
+    discount) over a one-year shipdate window, a discount band and a
+    quantity ceiling — the pure filter-then-sum shape where EVERYTHING
+    pushes below the (nonexistent) shuffle: one stateless pass emits a
+    single int64 partial per batch and one trivial combine finishes.
+
+    The discount band compares on the integer cents grid
+    (``floor(d*100+0.5) BETWEEN lo AND hi``) stated identically in the
+    SQL twin — comparing raw doubles against 0.05/0.07 literals would
+    be exact too, but the grid keeps the predicate obviously
+    engine-neutral.  Revenue accumulates on the ten-thousandths grid
+    (per-row products are identical doubles in both engines; ints sum
+    order-free).  Output: one row ``(revenue)``.
+
+    Scale shape: no exchange at all; driver sees one row."""
+    from doc_ocr_ray.util import typed_if_empty
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "tenk": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d_c = np.floor(batch["l_discount"] * 100 + 0.5).astype("int64")
+        keep = (batch["l_shipdate"].notna()
+                & (batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)
+                & (d_c >= disc_lo_c) & (d_c <= disc_hi_c)
+                & (batch["l_quantity"] < qty_max))
+        b = batch.loc[keep]
+        if not len(b):
+            return typed_if_empty(empty)
+        tenk = np.floor(b["l_extendedprice"] * b["l_discount"] * 10000
+                        + 0.5).astype("int64").sum()
+        return pd.DataFrame({"k": [0], "tenk": [int(tenk)]})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
+
+    return (lineitem_ds.map_batches(partial, batch_format="pandas")
+            .groupby("k").map_groups(final, batch_format="pandas"))
+
+
+def nation_trade_volume(lineitem_ds, orders_ds, customer_ds,
+                        supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                        nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2",
+                        lo: str = "1996-01-01", hi: str = "1998-01-01",
+                        num_partitions: int | None = None):
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    two named nations per shipment year, in both directions — supplier
+    nation from a PRUNED broadcast (only the two nations' suppliers
+    ride ``ray.put``), customer nation through the Q5 native-join
+    chain (orders⋈customer then lineitem⋈that, both hash-shuffled,
+    neither broadcast).  The lineitem filter drops rows outside the
+    shipdate window AND rows whose supplier is in neither nation
+    BEFORE the corpus join, so only candidate rows ride the exchange.
+
+    Output: ``(supp_nation, cust_nation, l_year, revenue)`` for the
+    two ordered direction pairs; revenue on the ten-thousandths grid,
+    ``l_year`` = calendar year of ``l_shipdate`` (pandas ``dt.year``
+    == DuckDB ``year()``)."""
+    import ray
+
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    nat = nation_tbl.to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    key_of = {v: k for k, v in names.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    sup = supplier_tbl.to_pandas()
+    sup = sup[sup["s_nationkey"].isin((ka, kb))]
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                               sup["s_nationkey"].astype(int))))
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    def cust_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["c_nationkey"].isin((ka, kb)),
+                        ["c_custkey"]].copy()
+        out["c_nat"] = batch.loc[out.index, "c_nationkey"].astype("int64")
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 c_custkey=-2, c_nat=-9)
+
+    def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        s_nat = batch["l_suppkey"].map(ray.get(sup_ref))
+        keep = (s_nat.notna() & batch["l_shipdate"].notna()
+                & (batch["l_shipdate"] >= lo_ts)
+                & (batch["l_shipdate"] < hi_ts))
+        b = batch.loc[keep]
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+            "s_nat": s_nat[keep].astype("int64").to_numpy(),
+            "l_year": b["l_shipdate"].dt.year.astype("int64").to_numpy(),
+            "cents": revenue_cents(b["l_extendedprice"], b["l_discount"]),
+        })
+        return sentinel_if_empty(out, l_orderkey=-4, s_nat=-9,
+                                 l_year=0, cents=0)
+
+    # sentinel topology (see shipping_priority): the oc pair gets one
+    # matched seed so the stream into join 2 is never empty; the li
+    # sentinel matches no real order.
+    cust = _join_seed(
+        customer_ds.map_batches(cust_filter, batch_format="pandas"),
+        c_custkey=-1, c_nat=-9)
+    orders = _join_seed(
+        orders_ds.select_columns(["o_orderkey", "o_custkey"]),
+        o_orderkey=-3, o_custkey=-1)
+    li = _join_seed(
+        lineitem_ds.map_batches(li_filter, batch_format="pandas"),
+        l_orderkey=-4, s_nat=-9, l_year=0, cents=0)
+
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.join(oc, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "s_nat": pd.Series([], dtype="int64"),
+        "c_nat": pd.Series([], dtype="int64"),
+        "l_year": pd.Series([], dtype="int64"),
+        "sum_tenk": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)
+        keep = (((batch["s_nat"] == ka) & (batch["c_nat"] == kb))
+                | ((batch["s_nat"] == kb) & (batch["c_nat"] == ka)))
+        b = batch.loc[keep]
+        if not len(b):
+            return typed_if_empty(empty)
+        g = (b.groupby(["s_nat", "c_nat", "l_year"], sort=False)["cents"]
+             .sum().reset_index(name="sum_tenk"))
+        g["sum_tenk"] = g["sum_tenk"].astype("int64")
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "supp_nation": [names[int(group["s_nat"].iloc[0])]],
+            "cust_nation": [names[int(group["c_nat"].iloc[0])]],
+            "l_year": [int(group["l_year"].iloc[0])],
+            "revenue": [int(group["sum_tenk"].sum()) / 10000.0],
+        })
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby(["s_nat", "c_nat", "l_year"])
+            .map_groups(final, batch_format="pandas"))
+
+
+def market_share(lineitem_ds, orders_ds, customer_ds,
+                 supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                 region_tbl: pa.Table, part_tbl: pa.Table,
+                 nation: str = "NATION_3", region: str = "ASIA",
+                 p_type: str = "PROMO",
+                 lo: str = "1995-01-01", hi: str = "1997-01-01",
+                 num_partitions: int | None = None):
+    """TPC-H Q8-shaped national market share: the target nation's
+    share of revenue per order year, within one region's customer
+    market and one part type.  The part predicate resolves to a
+    broadcast partkey SET (one p_type slice — 1/|types| of part, the
+    classic pushdown that turns a corpus join into a membership
+    filter; at 100 TB that slice is SF x ~33k keys of int64, still a
+    broadcast), supplier nation rides a second broadcast, and the
+    corpus-sized joins (orders⋈region-customers, lineitem⋈that) run
+    through Ray Data's native hash shuffle.
+
+    The share itself is DIVISION-FREE until the last step: per-year
+    numerator/denominator accumulate as ten-thousandths ints and the
+    output is integer basis points ``(10000 * nation_vol) //
+    total_vol`` — DuckDB ``//`` truncates toward zero, which equals
+    floor on these non-negative sums, so the twin is bit-exact.
+    Output: ``(o_year, mkt_share_bp)``."""
+    import ray
+
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    nat = nation_tbl.to_pandas()
+    reg = region_tbl.to_pandas()
+    key_of = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    target = key_of[nation]
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nations = frozenset(
+        int(k) for k in nat.loc[nat["n_regionkey"].isin(set(rkey)),
+                                "n_nationkey"])
+    part = part_tbl.to_pandas()
+    part_ref = ray.put(frozenset(
+        int(k) for k in part.loc[part["p_type"] == p_type, "p_partkey"]))
+    sup = supplier_tbl.to_pandas()
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                               sup["s_nationkey"].astype(int))))
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    def cust_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["c_nationkey"].isin(region_nations),
+                        ["c_custkey"]]
+        return sentinel_if_empty(out.reset_index(drop=True), c_custkey=-2)
+
+    def ord_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["o_orderdate"].notna()
+                & (batch["o_orderdate"] >= lo_ts)
+                & (batch["o_orderdate"] < hi_ts))
+        b = batch.loc[keep]
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
+            "o_custkey": b["o_custkey"].astype("int64").to_numpy(),
+            "o_year": b["o_orderdate"].dt.year.astype("int64").to_numpy()})
+        return sentinel_if_empty(out, o_orderkey=-3, o_custkey=-1, o_year=0)
+
+    def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = ray.get(part_ref)
+        s_nat = batch["l_suppkey"].map(ray.get(sup_ref))
+        keep = batch["l_partkey"].isin(pk) & s_nat.notna()
+        b = batch.loc[keep]
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+            "s_nat": s_nat[keep].astype("int64").to_numpy(),
+            "cents": revenue_cents(b["l_extendedprice"], b["l_discount"])})
+        return sentinel_if_empty(out, l_orderkey=-4, s_nat=-9, cents=0)
+
+    cust = _join_seed(
+        customer_ds.map_batches(cust_filter, batch_format="pandas"),
+        c_custkey=-1)
+    orders = _join_seed(
+        orders_ds.map_batches(ord_filter, batch_format="pandas"),
+        o_orderkey=-3, o_custkey=-1, o_year=0)
+    li = _join_seed(
+        lineitem_ds.map_batches(li_filter, batch_format="pandas"),
+        l_orderkey=-4, s_nat=-9, cents=0)
+
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.join(oc, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "o_year": pd.Series([], dtype="int64"),
+        "nat_tenk": pd.Series([], dtype="int64"),
+        "tot_tenk": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)
+        b = batch.loc[batch["o_year"] > 0]
+        if not len(b):
+            return typed_if_empty(empty)
+        nat_c = np.where(b["s_nat"] == target, b["cents"], 0)
+        g = (b.assign(nat_tenk=nat_c, tot_tenk=b["cents"])
+             .groupby("o_year", sort=False)[["nat_tenk", "tot_tenk"]]
+             .sum().reset_index())
+        for c in ("o_year", "nat_tenk", "tot_tenk"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        nat_s = int(group["nat_tenk"].sum())
+        tot_s = int(group["tot_tenk"].sum())
+        return pd.DataFrame({
+            "o_year": [int(group["o_year"].iloc[0])],
+            "mkt_share_bp": [(10000 * nat_s) // tot_s],
+        })
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("o_year").map_groups(final, batch_format="pandas"))
+
+
+def profit_by_nation_year(lineitem_ds, orders_ds,
+                          supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                          part_tbl: pa.Table,
+                          name_contains: str = "widget",
+                          num_partitions: int | None = None):
+    """TPC-H Q9-shaped product-type profit per (supplier nation,
+    order year).  The schema carries no partsupp table, so supply
+    cost is the stated proxy ``0.1 * p_retailprice`` per unit —
+    profit = revenue (ten-thousandths grid) minus
+    ``floor(l_quantity * p_retailprice * 1000 + 0.5)`` (the same
+    grid: 0.1 x retail x 10000 = retail x 1000), every per-row term
+    an identical double in both engines, all sums integer.
+
+    The part-name predicate prunes the broadcast: only matching
+    parts' ``(partkey -> retail)`` rides ``ray.put`` (the Q9 LIKE
+    keeps ~1/|nouns| of part).  Supplier nation is the second
+    broadcast; the one corpus-sized join (lineitem⋈orders for the
+    order year) is native hash shuffle.  Output:
+    ``(n_name, o_year, profit)``."""
+    import ray
+
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    nat = nation_tbl.to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    part = part_tbl.to_pandas()
+    part = part[part["p_name"].str.contains(name_contains, regex=False)]
+    part_ref = ray.put(dict(zip(part["p_partkey"].astype(int),
+                                part["p_retailprice"].astype(float))))
+    sup = supplier_tbl.to_pandas()
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                               sup["s_nationkey"].astype(int))))
+
+    def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        retail = batch["l_partkey"].map(ray.get(part_ref))
+        s_nat = batch["l_suppkey"].map(ray.get(sup_ref))
+        keep = retail.notna() & s_nat.notna()
+        b = batch.loc[keep]
+        rev = revenue_cents(b["l_extendedprice"], b["l_discount"])
+        cost = np.floor(b["l_quantity"] * retail[keep] * 1000
+                        + 0.5).astype("int64")
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+            "s_nat": s_nat[keep].astype("int64").to_numpy(),
+            "profit_tenk": (rev - cost.to_numpy()),
+        })
+        return sentinel_if_empty(out, l_orderkey=-4, s_nat=-9,
+                                 profit_tenk=0)
+
+    def ord_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch["o_orderdate"].notna()]
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
+            "o_year": b["o_orderdate"].dt.year.astype("int64").to_numpy()})
+        return sentinel_if_empty(out, o_orderkey=-3, o_year=0)
+
+    li = _join_seed(
+        lineitem_ds.map_batches(li_filter, batch_format="pandas"),
+        l_orderkey=-4, s_nat=-9, profit_tenk=0)
+    orders = _join_seed(
+        orders_ds.map_batches(ord_prep, batch_format="pandas"),
+        o_orderkey=-4, o_year=0)
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "s_nat": pd.Series([], dtype="int64"),
+        "o_year": pd.Series([], dtype="int64"),
+        "sum_tenk": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "profit_tenk" not in batch.columns:
+            return typed_if_empty(empty)
+        b = batch.loc[batch["s_nat"] >= 0]
+        if not len(b):
+            return typed_if_empty(empty)
+        g = (b.groupby(["s_nat", "o_year"], sort=False)["profit_tenk"]
+             .sum().reset_index(name="sum_tenk"))
+        for c in ("s_nat", "o_year", "sum_tenk"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [names[int(group["s_nat"].iloc[0])]],
+            "o_year": [int(group["o_year"].iloc[0])],
+            "profit": [int(group["sum_tenk"].sum()) / 10000.0],
+        })
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby(["s_nat", "o_year"])
+            .map_groups(final, batch_format="pandas"))
+
+
+def returned_item_customers(lineitem_ds, orders_ds, customer_ds,
+                            nation_tbl: pa.Table,
+                            lo: str = "1996-01-01", hi: str = "1996-07-01",
+                            k: int = 20,
+                            num_partitions: int | None = None):
+    """TPC-H Q10-shaped returned-item losses: the top-k customers by
+    revenue on RETURNED lineitems within an order-date window.  Both
+    fact filters push below the native hash join (``l_returnflag='R'``
+    prunes lineitem, the date window prunes orders); per-customer
+    revenue combines on a coarse 256-way key; each partition forwards
+    only its local top-k; and the <=k winners — a DRIVER-BOUNDED set
+    by construction — broadcast back as a ``{custkey: cents}`` dict so
+    the customer annotation (name, balance, nation) is one shuffle-free
+    membership pass over the customer table, never a third join.
+
+    Output: ``(c_custkey, c_name, revenue, c_acctbal, n_name)``; ties
+    at the k boundary break by ascending custkey in both engines."""
+    import ray
+
+    from doc_ocr_ray.util import (coarse_part, sentinel_if_empty,
+                                  typed_if_empty)
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    nat = nation_tbl.to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    def li_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch["l_returnflag"] == "R"]
+        out = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+            "cents": revenue_cents(b["l_extendedprice"], b["l_discount"])})
+        return sentinel_if_empty(out, l_orderkey=-4, cents=0)
+
+    def ord_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["o_orderdate"].notna()
+                & (batch["o_orderdate"] >= lo_ts)
+                & (batch["o_orderdate"] < hi_ts))
+        out = batch.loc[keep, ["o_orderkey", "o_custkey"]].astype("int64")
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 o_orderkey=-3, o_custkey=-1)
+
+    li = _join_seed(
+        lineitem_ds.map_batches(li_filter, batch_format="pandas"),
+        l_orderkey=-4, cents=0)
+    orders = _join_seed(
+        orders_ds.map_batches(ord_filter, batch_format="pandas"),
+        o_orderkey=-4, o_custkey=-1)
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "o_custkey": pd.Series([], dtype="int64"),
+        "sum_cents": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)
+        b = batch.loc[batch["o_custkey"] >= 0]
+        if not len(b):
+            return typed_if_empty(empty)
+        g = (b.groupby("o_custkey", sort=False)["cents"].sum()
+             .reset_index(name="sum_cents"))
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        g["part"] = coarse_part(g["o_custkey"], 256)
+        return g
+
+    def combine_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("o_custkey", sort=False)["sum_cents"].sum()
+             .reset_index())
+        g = g.sort_values(["sum_cents", "o_custkey"],
+                          ascending=[False, True]).head(k)
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g[["o_custkey", "sum_cents"]]
+
+    top = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("part").map_groups(combine_topk, batch_format="pandas")
+           .sort(["sum_cents", "o_custkey"], descending=[True, False])
+           .limit(k).take_all())          # bounded at k rows
+    rev = {int(r["o_custkey"]): int(r["sum_cents"]) for r in top}
+    rev_ref = ray.put(rev)
+
+    def annotate(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rev_ref)
+        b = batch.loc[batch["c_custkey"].isin(r.keys())]
+        return typed_if_empty(pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64").to_numpy(),
+            "c_name": b["c_name"].astype(object).to_numpy(),
+            "revenue": np.array([r[int(ck)] / 10000.0
+                                 for ck in b["c_custkey"]], dtype="float64"),
+            "c_acctbal": b["c_acctbal"].astype("float64").to_numpy(),
+            "n_name": b["c_nationkey"].map(names).astype(object).to_numpy(),
+        }))
+
+    return customer_ds.map_batches(annotate, batch_format="pandas")
+
+
+def top_supplier(lineitem_ds, supplier_tbl: pa.Table,
+                 lo: str = "1996-01-01", hi: str = "1996-04-01"):
+    """TPC-H Q15-shaped top supplier: the supplier(s) achieving the
+    GLOBAL maximum revenue over a shipdate window — the
+    aggregate-then-achievers shape where the "join back" is a single
+    broadcast scalar, never a shuffle.  Per-supplier revenue combines
+    exactly on a coarse key; the global max reduces through per-batch
+    partial maxima (one row per batch to the driver); achieving rows
+    filter shuffle-free and take their names from the broadcast
+    supplier dimension.  Revenue on the ten-thousandths grid, so
+    "equals max" is integer equality — no float-tie hazard.  Output:
+    ``(s_suppkey, s_name, total_revenue)``."""
+    import ray
+
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    sup = supplier_tbl.to_pandas()
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_name"])))
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    empty = pd.DataFrame({
+        "l_suppkey": pd.Series([], dtype="int64"),
+        "sum_tenk": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["l_shipdate"].notna()
+                & (batch["l_shipdate"] >= lo_ts)
+                & (batch["l_shipdate"] < hi_ts))
+        b = batch.loc[keep]
+        if not len(b):
+            return typed_if_empty(empty)
+        g = (b.assign(tenk=revenue_cents(b["l_extendedprice"],
+                                         b["l_discount"]))
+             .groupby("l_suppkey", sort=False)["tenk"].sum()
+             .reset_index(name="sum_tenk"))
+        g["l_suppkey"] = g["l_suppkey"].astype("int64")
+        g["sum_tenk"] = g["sum_tenk"].astype("int64")
+        g["part"] = coarse_part(g["l_suppkey"], 256)
+        return g
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("l_suppkey", sort=False)["sum_tenk"].sum()
+             .reset_index())
+        g["sum_tenk"] = g["sum_tenk"].astype("int64")
+        return g[["l_suppkey", "sum_tenk"]]
+
+    totals = (lineitem_ds.map_batches(partial, batch_format="pandas")
+              .groupby("part").map_groups(combine, batch_format="pandas")
+              .materialize())       # consumed twice: max scan + filter
+
+    def batch_max(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mx": [int(batch["sum_tenk"].max())]})
+
+    cand = totals.map_batches(batch_max, batch_format="pandas").take_all()
+    mx = max(int(r["mx"]) for r in cand)
+
+    def achievers(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        b = batch.loc[batch["sum_tenk"] == mx]
+        return typed_if_empty(pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].astype("int64").to_numpy(),
+            "s_name": b["l_suppkey"].map(nm).astype(object).to_numpy(),
+            "total_revenue": (b["sum_tenk"] / 10000.0).to_numpy(),
+        }))
+
+    return totals.map_batches(achievers, batch_format="pandas")
+
+
+def disjunctive_revenue(lineitem_ds, part_tbl: pa.Table,
+                        preds=(("Brand#12", 1, 15, 1.0, 11.0),
+                               ("Brand#23", 1, 25, 10.0, 20.0),
+                               ("Brand#3", 1, 50, 20.0, 30.0))):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: SUM of
+    discounted price where ANY of several (brand, size range,
+    quantity range) conjunctions holds — the multi-clause OR that
+    defeats naive pushdown.  The part side prunes to the predicate
+    brands and broadcasts ``partkey -> (brand, size)`` once via
+    ``ray.put`` (a few brands of part — SF x ~24k keys); each batch
+    evaluates the whole disjunction vectorized and emits one int64
+    partial.  No shuffle anywhere.  Output: one row ``(revenue)``."""
+    import ray
+
+    from doc_ocr_ray.util import typed_if_empty
+
+    brands = frozenset(p[0] for p in preds)
+    part = part_tbl.to_pandas()
+    part = part[part["p_brand"].isin(brands)]
+    part_ref = ray.put({int(k): (b, int(s)) for k, b, s in
+                        zip(part["p_partkey"], part["p_brand"],
+                            part["p_size"])})
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "tenk": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(part_ref)
+        meta = batch["l_partkey"].map(pm)
+        hit = meta.notna()
+        b = batch.loc[hit]
+        if not len(b):
+            return typed_if_empty(empty)
+        brand = meta[hit].str[0]
+        size = meta[hit].str[1].astype("int64")
+        qty = b["l_quantity"]
+        mask = np.zeros(len(b), dtype=bool)
+        for pb, slo, shi, qlo, qhi in preds:
+            mask |= ((brand == pb) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi)).to_numpy()
+        b = b.loc[mask]
+        if not len(b):
+            return typed_if_empty(empty)
+        tenk = revenue_cents(b["l_extendedprice"], b["l_discount"]).sum()
+        return pd.DataFrame({"k": [0], "tenk": [int(tenk)]})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
+
+    return (lineitem_ds.map_batches(partial, batch_format="pandas")
+            .groupby("k").map_groups(final, batch_format="pandas"))
+
+
+def idle_rich_customers(customer_ds, orders_ds,
+                        since: str = "1999-01-01",
+                        num_partitions: int | None = None):
+    """TPC-H Q22-shaped idle-capital report: per nation, the count and
+    total balance of customers whose balance exceeds the global
+    average POSITIVE balance and who placed no order since a cutoff.
+    Two classic decorrelations in one operator: the scalar subquery
+    (global average) reduces to ONE broadcast (n, sum_cents) pair and
+    the filter is the division-free cross-multiply ``cents * n >
+    sum_cents`` (no average is ever computed — the SQL twin states the
+    same inequality, so no rounding grid exists); the NOT EXISTS
+    becomes Ray Data's native ``left_anti`` hash join against the
+    recent-order custkeys (corpus-sized — never broadcast), with an
+    in-batch distinct combiner shrinking the right side first.
+
+    Anti-join sentinel topology: per-batch sentinels on the LEFT
+    survive an anti join by construction (nothing matches them), so
+    the final aggregate drops negative keys; the right side seeds one
+    ``-1`` row that matches the left's ``-1`` seed and annihilates it.
+    Output: ``(c_nationkey, numcust, totacctbal)``.
+
+    Overflow envelope: ``cents * n`` with balance cents ~1e6 stays
+    within int64 up to ~9e12 customers — beyond any real corpus."""
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    since_ts = pd.Timestamp(since)
+
+    # pass 1: global (n, sum_cents) over positive balances
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch["c_acctbal"] > 0.0]
+        if not len(b):
+            return typed_if_empty(pd.DataFrame({
+                "k": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64")}))
+        cents = np.floor(b["c_acctbal"] * 100 + 0.5).astype("int64")
+        return pd.DataFrame({"k": [0], "n": [len(b)],
+                             "s": [int(cents.sum())]})
+
+    def stat_final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(group["n"].sum())],
+                             "s": [int(group["s"].sum())]})
+
+    stats = (customer_ds.map_batches(stat_partial, batch_format="pandas")
+             .groupby("k").map_groups(stat_final, batch_format="pandas")
+             .take_all())
+    n_pos, s_pos = int(stats[0]["n"]), int(stats[0]["s"])
+
+    def rich_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["c_acctbal"] * 100 + 0.5).astype("int64")
+        keep = (cents * n_pos) > s_pos
+        b = batch.loc[keep]
+        out = pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64").to_numpy(),
+            "c_nationkey": b["c_nationkey"].astype("int64").to_numpy(),
+            "cents": cents[keep].to_numpy()})
+        return sentinel_if_empty(out, c_custkey=-2, c_nationkey=-9, cents=0)
+
+    def recent_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["o_orderdate"].notna()
+                & (batch["o_orderdate"] >= since_ts))
+        out = (batch.loc[keep, ["o_custkey"]].astype("int64")
+               .drop_duplicates())          # in-batch distinct combiner
+        return sentinel_if_empty(out.reset_index(drop=True), o_custkey=-1)
+
+    rich = _join_seed(
+        customer_ds.map_batches(rich_filter, batch_format="pandas"),
+        c_custkey=-1, c_nationkey=-9, cents=0)
+    recent = _join_seed(
+        orders_ds.map_batches(recent_orders, batch_format="pandas"),
+        o_custkey=-1)
+
+    idle = rich.join(recent, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    empty = pd.DataFrame({
+        "c_nationkey": pd.Series([], dtype="int64"),
+        "numcust": pd.Series([], dtype="int64"),
+        "sum_cents": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "cents" not in batch.columns:
+            return typed_if_empty(empty)
+        b = batch.loc[batch["c_custkey"] >= 0]
+        if not len(b):
+            return typed_if_empty(empty)
+        g = (b.groupby("c_nationkey", sort=False)
+             .agg(numcust=("cents", "size"), sum_cents=("cents", "sum"))
+             .reset_index())
+        for c in ("c_nationkey", "numcust", "sum_cents"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": [int(group["c_nationkey"].iloc[0])],
+            "numcust": [int(group["numcust"].sum())],
+            "totacctbal": [int(group["sum_cents"].sum()) / 100.0],
+        })
+
+    return (idle.map_batches(partial, batch_format="pandas")
+            .groupby("c_nationkey").map_groups(final, batch_format="pandas"))
