@@ -256,6 +256,42 @@ _PR_SCALE = 10 ** 12
 _PR_DAMPING = 85
 _HITS_ITERS = 2
 _HITS_SCALE = 10 ** 9
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql() -> str:
+    """Chained-CTE twin of stages/graph.py:kcore — one (n_i, ec_i)
+    pair per peel round over the shared synthetic link graph; the
+    engine's early exit is invisible because peel is a fixpoint
+    iteration (kcore docstring)."""
+    e0 = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
+        f"(SELECT n FROM nn) AS dst FROM documents"
+        for p, c in _PR_EDGE_RULES)
+    sql = f"""
+        nn AS (SELECT count(*) AS n FROM documents),
+        e0raw AS ({e0}),
+        ec0 AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM e0raw WHERE src <> dst)"""
+    prev = "ec0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+        n{r} AS (SELECT node FROM (SELECT a AS node FROM {prev}
+                                   UNION ALL SELECT b FROM {prev})
+                 GROUP BY node HAVING count(*) >= {_KCORE_K}),
+        ec{r} AS (SELECT a, b FROM {prev}
+                  WHERE a IN (SELECT node FROM n{r})
+                    AND b IN (SELECT node FROM n{r}))"""
+        prev = f"ec{r}"
+    return f"""
+        WITH {sql}
+        SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM {prev}
+              UNION ALL SELECT b FROM {prev})
+        GROUP BY node
+    """
 
 
 
@@ -2844,6 +2880,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return triangle_count(
             docs.map_batches(mk_edges, batch_format="pandas"))
 
+    def q_kcore(sf_dir):
+        # 4-core of the same synthetic link graph: iterative peel,
+        # three ids-only exchanges per round, per-round materialize,
+        # early exit at the fixpoint (invisible — the contract is
+        # "exactly N rounds" and peel is a fixpoint iteration)
+        from doc_ocr_ray.stages.graph import kcore
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        mk_edges = _mk_pr_edges_fn(n)
+        return kcore(docs.map_batches(mk_edges, batch_format="pandas"),
+                     k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
     def q_pagerank(sf_dir):
         # link-graph authority over the deterministic synthetic
         # hyperlink graph (crawl-quality signal)
@@ -2959,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
+        "kcore": q_kcore,
         "hits_scores": q_hits_scores,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
@@ -4433,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm = r.norm)
         """,
         "pagerank": _pagerank_sql(),
+        "kcore": _kcore_sql(),
         "hits_scores": _hits_sql(),
         "crawl_frontier": _frontier_sql(),
         # validation twin: same injected corpus, five counts; NULLs

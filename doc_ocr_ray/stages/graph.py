@@ -539,3 +539,118 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
             .union(hubs.map_batches(tag(1), batch_format="pandas"))
             .groupby("part").map_groups(zip_scores,
                                         batch_format="pandas"))
+
+
+def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
+    """k-core decomposition by iterative peel — the link-farm /
+    well-connectedness signal next to :func:`pagerank` (a page in a
+    dense core is structurally unlike a spam leaf).  Input (src, dst)
+    directed links; loops drop, direction and multi-edges collapse to
+    canonical DISTINCT undirected edges (keyed group fn — cross-batch
+    duplicates are real, see CLAUDE.md).  Output: ``(node, deg)`` for
+    every node of the edge set remaining after ``rounds`` peel
+    rounds, with its degree in that subgraph.
+
+    The CONTRACT is "exactly ``rounds`` peel rounds", converged or
+    not — that makes the chained-CTE DuckDB twin bit-exact by
+    construction.  The engine still exits early when a round removes
+    nothing: each round's edge set is a subset of the previous, so
+    equal COUNTS imply equal SETS, and peel is a fixpoint iteration
+    (an unchanged edge set never changes again) — the early exit is
+    pure optimization, invisible in the result.
+
+    Scale shape (the pagerank discipline): per round THREE ids-only
+    coarse exchanges — (1) endpoint explode counts per-node degrees
+    and keeps survivors (>= k), (2) edges meet survivors on the
+    ``a``-key, (3) re-keyed edges meet survivors on the ``b``-key —
+    with the edge table materialized per round (without it round r
+    re-executes rounds 1..r-1) and the survivor table materialized
+    because two exchanges consume it.  No graph-sized driver state;
+    the driver sees one edge count per round."""
+    cols = ["a", "b", "part", "kind"]
+
+    def _typed(df: pd.DataFrame):
+        if len(df):
+            return df
+        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+
+    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].astype("int64")
+        d = batch["dst"].astype("int64")
+        e = pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+        e = e[e["a"] != e["b"]].drop_duplicates()   # in-batch combiner
+        e = e.assign(part=coarse_part(e["a"], num_parts),
+                     kind=np.int64(0))
+        return _typed(e[cols])
+
+    def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return _typed(group.drop_duplicates(["a", "b"])[cols])
+
+    edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
+             .groupby("part").map_groups(edge_dedup,
+                                         batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "a" not in batch.columns:
+            return _typed(pd.DataFrame(columns=cols))
+        nodes = pd.concat([batch["a"], batch["b"]], ignore_index=True)
+        out = pd.DataFrame({"a": nodes.astype("int64"),
+                            "b": np.int64(0)})
+        out["part"] = coarse_part(out["a"], num_parts)
+        out["kind"] = np.int64(1)
+        return _typed(out[cols])
+
+    def survive(group: pd.DataFrame) -> pd.DataFrame:
+        deg = group.groupby("a", sort=False).size()
+        keep = deg[deg >= k].index
+        out = pd.DataFrame({"a": keep.to_numpy(dtype="int64"),
+                            "b": np.int64(0)})
+        out["part"] = coarse_part(out["a"], num_parts)
+        out["kind"] = np.int64(1)
+        return _typed(out[cols])
+
+    def filter_on_a(group: pd.DataFrame) -> pd.DataFrame:
+        ok = set(group.loc[group["kind"] == 1, "a"])
+        e = group[group["kind"] == 0]
+        e = e[e["a"].isin(ok)].copy()
+        e["part"] = coarse_part(e["b"], num_parts)
+        return _typed(e[cols])
+
+    def filter_on_b(group: pd.DataFrame) -> pd.DataFrame:
+        # survivors arrive keyed by node == coarse(b) of these edges
+        ok = set(group.loc[group["kind"] == 1, "a"])
+        e = group[group["kind"] == 0]
+        e = e[e["b"].isin(ok)].copy()
+        e["part"] = coarse_part(e["a"], num_parts)
+        return _typed(e[cols])
+
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        surv = (edges.map_batches(explode, batch_format="pandas")
+                .groupby("part").map_groups(survive,
+                                            batch_format="pandas")
+                .materialize())           # consumed by BOTH filters
+        edges = (edges.union(surv)
+                 .groupby("part").map_groups(filter_on_a,
+                                             batch_format="pandas")
+                 .union(surv)
+                 .groupby("part").map_groups(filter_on_b,
+                                             batch_format="pandas")
+                 .materialize())
+        remaining = edges.count()
+        if remaining == n_edges:          # subset + equal count = fixpoint
+            break
+        n_edges = remaining
+
+    def degrees(group: pd.DataFrame) -> pd.DataFrame:
+        deg = (group.groupby("a", sort=False).size()
+               .reset_index(name="deg"))
+        return typed_if_empty(pd.DataFrame({
+            "node": deg["a"].astype("int64"),
+            "deg": deg["deg"].astype("int64")}))
+
+    return (edges.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(degrees, batch_format="pandas"))

@@ -492,3 +492,32 @@ def test_search_rerank_flips_lexical_order_and_drops_unembedded():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         search_rerank(docs, emb, ["hash"], query_vec_id=777)
+
+
+def test_kcore_multiround_peel_and_cross_batch_dedup(ray_session):
+    """Triangle 0-1-2 with a pendant chain 2-12-11-10: a 2-core peel
+    needs THREE rounds (10 falls, then 11, then 12) — pins the
+    iterative fixpoint, not just one filter pass.  Edges arrive as
+    directed duplicates in BOTH orientations split across partitions
+    (the cross-batch DISTINCT trap) plus a self-loop."""
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.graph import kcore
+
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 2, 12, 11,   1, 0,  5],
+        "dst": [1, 2, 0, 12, 11, 10,  0, 1,  5],
+    })  # last three: reversed dup, exact dup, self-loop
+    out = pd.DataFrame(kcore(ray.data.from_pandas(edges).repartition(3),
+                             k=2, rounds=5).take_all())
+    out = out.sort_values("node").reset_index(drop=True)
+    assert list(out["node"]) == [0, 1, 2]
+    assert list(out["deg"]) == [2, 2, 2]
+    # insufficient rounds stop mid-peel: after ONE round only node 10
+    # is gone, so 11 (now degree 1) is still present with its edge
+    one = pd.DataFrame(kcore(ray.data.from_pandas(edges),
+                             k=2, rounds=1).take_all())
+    assert set(one["node"]) == {0, 1, 2, 11, 12}
+    # k above the max degree empties the graph entirely
+    assert kcore(ray.data.from_pandas(edges), k=5,
+                 rounds=3).take_all() == []
