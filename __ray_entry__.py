@@ -2628,6 +2628,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_k_per_group(
             _read(sf_dir, "documents", ["doc_id", "source"]), k=10)
 
+    def q_rp_project(sf_dir):
+        # Achlioptas +-1 random projection 64 -> 16 dims on the
+        # integer grid: one stateless pass, row-local fan-out,
+        # NO shuffle; the sign matrix is a pure multiply-shift
+        # function both engines state identically
+        from doc_ocr_ray.stages.similarity import rp_project
+        return rp_project(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
     def q_gram_matrix(sf_dir):
         # distributed X^T X on the integer grid: d^2-sized partials,
         # corpus never shuffles
@@ -3200,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": q_supplier_variety,
         "sample_k_per_source": q_sample_k_per_source,
         "gram_matrix": q_gram_matrix,
+        "rp_project": q_rp_project,
         "late_orders_by_priority": q_late_orders_by_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "late_supplier_blame": q_late_supplier_blame,
@@ -7346,6 +7356,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gram twin: per-coordinate quantize on the 1e-6 grid, exact
         # integer products, upper triangle (1-based list indexing)
+        # rp twin: the same 1e-6 quantize, sign = multiply-shift
+        # (HUGEINT product mod 2^64 vs 2^63), int64 sums — bit-exact
+        "rp_project": """
+            WITH q AS (
+              SELECT vec_id, t.j AS j,
+                     CAST(floor(CAST(embedding[t.j] AS DOUBLE)
+                                * 1000000 + 0.5)
+                          AS BIGINT) AS qv
+              FROM embeddings, range(1, 65) AS t(j)),
+            s AS (
+              SELECT q.vec_id, d.i AS dim, q.qv,
+                     CASE WHEN ((11400714819323198485::HUGEINT
+                                 * ((q.j - 1) * 16 + d.i + 1))
+                                % 18446744073709551616)
+                               < 9223372036854775808
+                          THEN 1 ELSE -1 END AS sgn
+              FROM q, range(0, 16) AS d(i))
+            SELECT vec_id, dim,
+                   CAST(sum(sgn * qv) AS BIGINT) AS value
+            FROM s GROUP BY 1, 2
+        """,
         "gram_matrix": """
             WITH q AS (
               SELECT vec_id, t.i AS i,

@@ -1264,3 +1264,63 @@ def rank_fusion(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,
         "doc_id": pa.array([d for d, _ in top], pa.int64()),
         "rrf_micro": pa.array([s for _, s in top], pa.int64()),
     })
+
+
+_RP_MULT = 11400714819323198485  # odd golden-ratio constant, 2^64/phi
+
+
+def _rp_signs(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic +-1 sign matrix S[j, i] via multiply-shift:
+    sign = +1 iff (MULT * (j*out_dim + i + 1) mod 2^64) < 2^63.
+    Pure function of the coordinate pair — both engines state the
+    identical arithmetic (SQL: HUGEINT product mod 2^64)."""
+    keys = (np.arange(dim, dtype=np.uint64)[:, None]
+            * np.uint64(out_dim)
+            + np.arange(out_dim, dtype=np.uint64)[None, :]
+            + np.uint64(1))
+    with np.errstate(over="ignore"):           # uint64 wrap IS the hash
+        h = keys * np.uint64(_RP_MULT)
+    return np.where(h < np.uint64(1 << 63), 1, -1).astype(np.int64)
+
+
+def rp_project(ds, out_dim: int = 16, grid: int = 1_000_000,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Random-projection dimensionality reduction (Achlioptas 2003,
+    dense +-1 variant) — the scale path BEFORE ANN indexing: project
+    d-dim embeddings to ``out_dim`` coordinates with a deterministic
+    sign matrix, so downstream LSH/IVF build over 4x-16x fewer floats.
+
+    Exactness: elements quantize once onto the 1/grid integer grid
+    (floor(v*grid + 0.5) after an f32->f64 widen — the house rule),
+    the sign matrix is the pure multiply-shift function above, and
+    every product/sum is int64 — no float accumulation order exists,
+    so the DuckDB twin (cross-join range lateral + HUGEINT sign) is
+    bit-exact.  Envelope: |q| < 2^21 at grid=1e6 for unit-scale
+    embeddings -> |out| < d * 2^21 (2^27 at d=64); int64 is safe for
+    any realistic dim.
+
+    Shape: ONE stateless map_batches, row-local fan-out to long
+    format (id, dim, value) — n*out_dim rows, NO shuffle; the sign
+    matrix is rebuilt per batch from (d, out_dim) closures (cheap:
+    d*out_dim uint64 multiplies), never shipped.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return typed_if_empty(pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "dim": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="int64")}))
+        x = np.stack(batch[vec_col].to_numpy()).astype("float64")
+        q = np.floor(x * grid + 0.5).astype("int64")
+        S = _rp_signs(x.shape[1], out_dim)
+        out = q @ S                              # (n, out_dim) int64
+        n = len(batch)
+        ids = batch[id_col].to_numpy().astype("int64")
+        return pd.DataFrame({
+            id_col: np.repeat(ids, out_dim),
+            "dim": np.tile(np.arange(out_dim, dtype="int64"), n),
+            "value": out.reshape(-1)})
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -521,3 +521,33 @@ def test_kcore_multiround_peel_and_cross_batch_dedup(ray_session):
     # k above the max degree empties the graph entirely
     assert kcore(ray.data.from_pandas(edges), k=5,
                  rounds=3).take_all() == []
+
+
+def test_rp_project_replay_and_repartition_invariance(ray_session):
+    # single-process replay of the multiply-shift sign projection,
+    # and a repartition(3) run must emit the identical row set
+    import numpy as np
+    import ray.data
+    from doc_ocr_ray.stages.similarity import rp_project, _rp_signs
+
+    rng = np.random.RandomState(7)
+    n, d, out_dim = 40, 12, 5
+    X = rng.randn(n, d).astype("float32")
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(n)]
+
+    def run(ds):
+        df = (rp_project(ds, out_dim=out_dim).to_pandas()
+              .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+        return df
+
+    got = run(ray.data.from_items(rows))
+    reparted = run(ray.data.from_items(rows).repartition(3))
+    pd.testing.assert_frame_equal(got, reparted)
+
+    q = np.floor(X.astype("float64") * 1_000_000 + 0.5).astype("int64")
+    expect = q @ _rp_signs(d, out_dim)
+    assert got["value"].to_numpy().reshape(n, out_dim).tolist() \
+        == expect.tolist()
+    # sign matrix is balanced enough to be a real projection
+    S = _rp_signs(64, 16)
+    assert abs(int(S.sum())) < 64 * 16 // 4
