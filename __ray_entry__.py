@@ -2654,6 +2654,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"]))
 
+    def q_shipmode_priority_counts(sf_dir):
+        # TPC-H Q12 shape: date filter pushed BELOW the native hash
+        # join, per-batch conditional-count partials, tiny combine
+        return relational.shipmode_priority_counts(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linestatus", "l_shipdate"]))
+
     def q_late_orders_by_priority(sf_dir):
         # TPC-H Q4 shape: EXISTS with a cross-table predicate —
         # native hash join + in-batch distinct partial + one coarse
@@ -3211,6 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": q_gram_matrix,
         "rp_project": q_rp_project,
         "late_orders_by_priority": q_late_orders_by_priority,
+        "shipmode_priority_counts": q_shipmode_priority_counts,
         "small_qty_revenue": q_small_qty_revenue,
         "late_supplier_blame": q_late_supplier_blame,
         "copurchase_pairs": q_copurchase_pairs,
@@ -7414,6 +7423,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q4-EXISTS twin: same 90-whole-day grace window on the
         # microsecond grid
+        # Q12 twin: the same year window + conditional counts
+        "shipmode_priority_counts": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_linestatus
+        """,
         "late_orders_by_priority": """
             SELECT o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_late_orders

@@ -2152,3 +2152,73 @@ def idle_rich_customers(customer_ds, orders_ds,
 
     return (idle.map_batches(partial, batch_format="pandas")
             .groupby("c_nationkey").map_groups(final, batch_format="pandas"))
+
+
+def shipmode_priority_counts(orders_ds, lineitem_ds,
+                             year: int = 1996,
+                             num_partitions: int | None = None):
+    """TPC-H Q12-shaped conditional counts after a pruned join: per
+    line status (the schema's stand-in for ship mode — no l_shipmode
+    column exists), count lineitems shipped in ``year`` whose order
+    is high priority (1-URGENT / 2-HIGH) vs everything else.
+
+    Scale shape: the date-window filter pushes BELOW the join (only
+    the year's lineitems enter the hash shuffle — the whole point of
+    Q12), both sides are corpus-sized so the join is Ray Data's
+    NATIVE hash join (neither side broadcast), and each joined batch
+    collapses to at most |statuses| partial-count rows before one
+    tiny status-keyed combine.  All counts are int64; no grid exists.
+    Output: ``(l_linestatus, high_line_count, low_line_count)``.
+    """
+    from doc_ocr_ray.util import typed_if_empty
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    lo = np.datetime64(f"{year}-01-01", "us").astype("int64")
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype("int64")
+
+    def in_year(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return batch[["l_orderkey", "l_linestatus"]]
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        return batch.loc[(ship >= lo) & (ship < hi),
+                         ["l_orderkey", "l_linestatus"]]
+
+    joined = (lineitem_ds
+              .select_columns(["l_orderkey", "l_linestatus",
+                               "l_shipdate"])
+              .map_batches(in_year, batch_format="pandas")
+              .join(orders_ds.select_columns(
+                        ["o_orderkey", "o_orderpriority"]),
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",)))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_linestatus": pd.Series([], dtype="object"),
+            "high": pd.Series([], dtype="int64"),
+            "low": pd.Series([], dtype="int64")})
+        if batch.empty or "o_orderpriority" not in batch.columns:
+            return typed_if_empty(empty)
+        hi_mask = batch["o_orderpriority"].isin(
+            ["1-URGENT", "2-HIGH"]).to_numpy()
+        g = (pd.DataFrame({"l_linestatus": batch["l_linestatus"],
+                           "high": hi_mask.astype("int64"),
+                           "low": (~hi_mask).astype("int64")})
+             .groupby("l_linestatus", sort=False)[["high", "low"]]
+             .sum().reset_index())
+        g["high"] = g["high"].astype("int64")
+        g["low"] = g["low"].astype("int64")
+        return typed_if_empty(g)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_linestatus": [group["l_linestatus"].iloc[0]],
+            "high_line_count": [int(group["high"].sum())],
+            "low_line_count": [int(group["low"].sum())]})
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby("l_linestatus").map_groups(
+                final, batch_format="pandas"))

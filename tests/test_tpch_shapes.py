@@ -235,3 +235,33 @@ def test_idle_rich_cross_multiply_strict_and_anti_join(ray_session):
     out2 = idle_rich_customers(_ds(cust), _ds(orders2),
                                since="1999-01-01").take_all()
     assert out2 == []
+
+
+def test_shipmode_priority_year_window_and_split(ray_session):
+    # Q12 shape: year-window boundaries are [Jan 1, next Jan 1) and
+    # the high/low split keys on exactly 1-URGENT / 2-HIGH
+    from doc_ocr_ray.pipelines.relational import shipmode_priority_counts
+
+    orders = pd.DataFrame({
+        "o_orderkey": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+    })
+    li = pd.DataFrame({
+        "l_orderkey": pd.Series([1, 1, 2, 3, 4, 4], dtype="int64"),
+        "l_linestatus": ["O", "F", "O", "O", "F", "O"],
+        "l_shipdate": pd.to_datetime([
+            "1996-01-01",   # inclusive lower bound -> counted (high, O)
+            "1995-12-31",   # before window -> dropped
+            "1996-06-15",   # counted (high, O)
+            "1996-12-31",   # counted (low, O)
+            "1996-07-01",   # counted (low, F)
+            "1997-01-01",   # exclusive upper bound -> dropped
+        ]),
+    })
+    out = (shipmode_priority_counts(_ds(orders), _ds(li),
+                                    year=1996, num_partitions=2)
+           .to_pandas().sort_values("l_linestatus")
+           .reset_index(drop=True))
+    assert out["l_linestatus"].tolist() == ["F", "O"]
+    assert out["high_line_count"].tolist() == [0, 2]
+    assert out["low_line_count"].tolist() == [1, 1]
