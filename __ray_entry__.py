@@ -7455,7 +7455,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": """
             WITH li AS (
               SELECT l_partkey,
-                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                          AS cents
               FROM lineitem
@@ -7579,8 +7579,9 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "forecast_revenue": """
-            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000
-                                       + 0.5) AS BIGINT)) AS BIGINT)
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                                              * 10000 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT)
                    / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -7679,8 +7680,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE tenk = (SELECT max(tenk) FROM r)
         """,
         "disjunctive_revenue": """
-            SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                                       * 10000 + 0.5) AS BIGINT))
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice
+                                              * (1 - l_discount)
+                                              * 10000 + 0.5) AS BIGINT)), 0)
                         AS BIGINT) / 10000.0 AS revenue
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

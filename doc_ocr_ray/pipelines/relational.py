@@ -1311,8 +1311,11 @@ def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
     part-keyed exchange (no join-back shuffle); the brand's part-key
     set is a dimension broadcast (``ray.put`` once).
 
-    Grid exactness: quantities are integral (cast int64), so the
-    fraction compare is pure integers — keep a row iff
+    Grid exactness: quantities land on int64 via the house half-up
+    rule ``floor(q + 0.5)`` stated identically in the SQL twin (a
+    bare ``.astype`` truncates while ``CAST`` rounds — divergent the
+    moment a quantity is non-integral), so the fraction compare is
+    pure integers — keep a row iff
     ``1000 * n * qty < frac_milli * sum_qty`` (both engines state the
     identical inequality; no division ever happens).  Revenue sums in
     integer cents; ``avg_weekly_cents`` = ``revenue_cents // 52``
@@ -1331,7 +1334,7 @@ def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
         b = batch[batch["l_partkey"].isin(keys)]
         out = pd.DataFrame({
             "p_partkey": b["l_partkey"].astype("int64"),
-            "qty": b["l_quantity"].astype("int64"),
+            "qty": np.floor(b["l_quantity"] + 0.5).astype("int64"),
             "cents": np.floor(b["l_extendedprice"] * 100 + 0.5)
                        .astype("int64")})
         out["part"] = coarse_part(out["p_partkey"], num_parts)
@@ -1356,9 +1359,19 @@ def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
             "revenue_cents": [cents],
             "avg_weekly_cents": [cents // 52]})
 
+    # all-zero seed partial: the oracle's scalar aggregate emits one
+    # row (coalesce'd zeros) even for a brand with no lineitems — the
+    # promo_revenue_share rule
+    import ray.data as _rd
+    seed = _rd.from_pandas(pd.DataFrame(
+        {"n_small": np.array([0], dtype="int64"),
+         "cents": np.array([0], dtype="int64"),
+         "g": np.array([0], dtype="int64")}))
+
     return (lineitem_ds
             .map_batches(project, batch_format="pandas")
             .groupby("part").map_groups(per_part, batch_format="pandas")
+            .union(seed)
             .groupby("g").map_groups(final, batch_format="pandas"))
 
 
@@ -1379,9 +1392,16 @@ def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
     status filters to 'F' BEFORE the native hash join.  Supplier
     names resolve from the broadcast dimension.  Output:
     ``(s_name, numwait)`` for suppliers with numwait > 0.
-    """
+
+    Join-input hygiene: both sides carry their timestamps as int64
+    epoch microseconds so the ``sentinel_if_empty`` + ``_join_seed``
+    pair (the hash-shuffle schema-broadcast rule — see
+    ``util.sentinel_if_empty``) stays all-integer; a status filter
+    that empties a block (or an all-'O' corpus) must not feed the
+    join a schema-less zero-row block."""
     import ray
-    from doc_ocr_ray.util import coarse_part, typed_if_empty
+    from doc_ocr_ray.util import (coarse_part, sentinel_if_empty,
+                                  typed_if_empty)
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -1390,15 +1410,35 @@ def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
     names_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
                                  sup["s_name"])))
 
-    finished = orders_ds.map_batches(
-        lambda b: b[b["o_orderstatus"] == "F"]
-        [["o_orderkey", "o_orderdate"]],
-        batch_format="pandas")
+    def ord_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderstatus"] == "F"]
+        out = pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
+            "odate_us": b["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype("int64")})
+        return sentinel_if_empty(out, o_orderkey=-3, odate_us=0)
 
-    joined = lineitem_ds.select_columns(
-        ["l_orderkey", "l_suppkey", "l_shipdate"]).join(
-        finished, join_type="inner", num_partitions=num_partitions,
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+            "l_suppkey": batch["l_suppkey"].astype("int64").to_numpy(),
+            "ship_us": batch["l_shipdate"].to_numpy()
+            .astype("datetime64[us]").astype("int64")})
+        return sentinel_if_empty(out, l_orderkey=-2, l_suppkey=-1,
+                                 ship_us=0)
+
+    finished = _join_seed(
+        orders_ds.map_batches(ord_prep, batch_format="pandas"),
+        o_orderkey=-3, odate_us=0)
+    li = _join_seed(
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pandas"),
+        l_orderkey=-2, l_suppkey=-1, ship_us=0)
+
+    joined = li.join(finished, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
 
     _empty = pd.DataFrame({
         "o_orderkey": pd.Series([], dtype="int64"),
@@ -1407,12 +1447,10 @@ def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
         "part": pd.Series([], dtype="int64")})
 
     def flags(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty or "l_shipdate" not in batch.columns:
+        if batch.empty or "ship_us" not in batch.columns:
             return typed_if_empty(_empty)
-        ship = batch["l_shipdate"].to_numpy().astype(
-            "datetime64[us]").astype("int64")
-        odate = batch["o_orderdate"].to_numpy().astype(
-            "datetime64[us]").astype("int64")
+        ship = batch["ship_us"].to_numpy()
+        odate = batch["odate_us"].to_numpy()
         out = pd.DataFrame({
             "o_orderkey": batch["l_orderkey"].astype("int64"),
             "s_suppkey": batch["l_suppkey"].astype("int64"),
@@ -1492,7 +1530,17 @@ def forecast_revenue(lineitem_ds, year: int = 1996,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
 
+    # seed one all-zero partial so the single output row exists even
+    # when the filter matches nothing (the oracle's scalar aggregate
+    # always returns one row; COALESCE makes it zero there) — the
+    # promo_revenue_share rule
+    import ray.data as _rd
+    seed = _rd.from_pandas(pd.DataFrame(
+        {"k": np.array([0], dtype="int64"),
+         "tenk": np.array([0], dtype="int64")}))
+
     return (lineitem_ds.map_batches(partial, batch_format="pandas")
+            .union(seed)
             .groupby("k").map_groups(final, batch_format="pandas"))
 
 
@@ -1977,14 +2025,20 @@ def top_supplier(lineitem_ds, supplier_tbl: pa.Table,
               .materialize())       # consumed twice: max scan + filter
 
     def batch_max(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"mx": pd.Series([], dtype="int64")})
         return pd.DataFrame({"mx": [int(batch["sum_tenk"].max())]})
 
     cand = totals.map_batches(batch_max, batch_format="pandas").take_all()
-    mx = max(int(r["mx"]) for r in cand)
+    # a window matching no lineitems has no per-supplier totals: the
+    # SQL twin's achievers filter returns 0 rows, so use a max no
+    # real total equals (totals is empty anyway; belt and braces)
+    mx = max((int(r["mx"]) for r in cand), default=None)
 
     def achievers(batch: pd.DataFrame) -> pd.DataFrame:
         nm = ray.get(names_ref)
-        b = batch.loc[batch["sum_tenk"] == mx]
+        b = (batch.loc[batch["sum_tenk"] == mx] if mx is not None
+             else batch.iloc[0:0])
         return typed_if_empty(pd.DataFrame({
             "s_suppkey": b["l_suppkey"].astype("int64").to_numpy(),
             "s_name": b["l_suppkey"].map(nm).astype(object).to_numpy(),
@@ -2043,7 +2097,15 @@ def disjunctive_revenue(lineitem_ds, part_tbl: pa.Table,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
 
+    # all-zero seed partial: one output row even when no predicate
+    # clause matches (oracle COALESCE parity — promo_revenue_share rule)
+    import ray.data as _rd
+    seed = _rd.from_pandas(pd.DataFrame(
+        {"k": np.array([0], dtype="int64"),
+         "tenk": np.array([0], dtype="int64")}))
+
     return (lineitem_ds.map_batches(partial, batch_format="pandas")
+            .union(seed)
             .groupby("k").map_groups(final, batch_format="pandas"))
 
 
@@ -2095,7 +2157,11 @@ def idle_rich_customers(customer_ds, orders_ds,
     stats = (customer_ds.map_batches(stat_partial, batch_format="pandas")
              .groupby("k").map_groups(stat_final, batch_format="pandas")
              .take_all())
-    n_pos, s_pos = int(stats[0]["n"]), int(stats[0]["s"])
+    # no positive balances at all: every stat partial is a typed
+    # empty, the groupby has no groups and stats is [] — then no
+    # customer can exceed the (vacuous) average, same as the twin
+    n_pos = int(stats[0]["n"]) if stats else 0
+    s_pos = int(stats[0]["s"]) if stats else 0
 
     def rich_filter(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(batch["c_acctbal"] * 100 + 0.5).astype("int64")
@@ -2169,8 +2235,14 @@ def shipmode_priority_counts(orders_ds, lineitem_ds,
     collapses to at most |statuses| partial-count rows before one
     tiny status-keyed combine.  All counts are int64; no grid exists.
     Output: ``(l_linestatus, high_line_count, low_line_count)``.
+
+    Join-input hygiene: the year filter can empty a block (or, for a
+    window outside the corpus, EVERY block), so the filtered side
+    follows the ``sentinel_if_empty`` + ``_join_seed`` rule (see
+    ``util.sentinel_if_empty``); the orders side gets the seed too in
+    case the orders read itself arrives with zero blocks.
     """
-    from doc_ocr_ray.util import typed_if_empty
+    from doc_ocr_ray.util import sentinel_if_empty, typed_if_empty
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -2179,18 +2251,24 @@ def shipmode_priority_counts(orders_ds, lineitem_ds,
 
     def in_year(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
-            return batch[["l_orderkey", "l_linestatus"]]
-        ship = batch["l_shipdate"].to_numpy().astype(
-            "datetime64[us]").astype("int64")
-        return batch.loc[(ship >= lo) & (ship < hi),
-                         ["l_orderkey", "l_linestatus"]]
+            out = batch[["l_orderkey", "l_linestatus"]]
+        else:
+            ship = batch["l_shipdate"].to_numpy().astype(
+                "datetime64[us]").astype("int64")
+            out = batch.loc[(ship >= lo) & (ship < hi),
+                            ["l_orderkey", "l_linestatus"]]
+        return sentinel_if_empty(out.reset_index(drop=True),
+                                 l_orderkey=-2, l_linestatus="~S~")
 
-    joined = (lineitem_ds
-              .select_columns(["l_orderkey", "l_linestatus",
-                               "l_shipdate"])
-              .map_batches(in_year, batch_format="pandas")
-              .join(orders_ds.select_columns(
+    joined = (_join_seed(
+                  lineitem_ds
+                  .select_columns(["l_orderkey", "l_linestatus",
+                                   "l_shipdate"])
+                  .map_batches(in_year, batch_format="pandas"),
+                  l_orderkey=-2, l_linestatus="~S~")
+              .join(_join_seed(orders_ds.select_columns(
                         ["o_orderkey", "o_orderpriority"]),
+                        o_orderkey=-3, o_orderpriority="~S~"),
                     join_type="inner",
                     num_partitions=num_partitions,
                     on=("l_orderkey",), right_on=("o_orderkey",)))

@@ -387,6 +387,10 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
     score table stops lineage re-execution.  Edge tables (one keyed
     by src, one by dst) are degree-free and materialized once.
     Returns (node, auth_scaled, hub_scaled)."""
+    if iters < 1:
+        # the final zip consumes the last half-step's auth table;
+        # with zero iterations there is none to zip
+        raise ValueError(f"hits requires iters >= 1, got {iters}")
     base_cols = ["src", "dst", "r", "kind", "part"]
 
     def _typed(df: pd.DataFrame):

@@ -265,3 +265,110 @@ def test_shipmode_priority_year_window_and_split(ray_session):
     assert out["l_linestatus"].tolist() == ["F", "O"]
     assert out["high_line_count"].tolist() == [0, 2]
     assert out["low_line_count"].tolist() == [1, 1]
+
+
+# --- empty-match survival: every shape must mirror its SQL twin when
+# --- the filter/window/brand matches NOTHING (review findings: scalar
+# --- aggregates need the all-zero seed row; achiever/anti-join shapes
+# --- return 0 rows without crashing; filtered join inputs must not
+# --- feed the hash shuffle schema-less zero-row blocks)
+
+def test_forecast_revenue_empty_window_one_zero_row(ray_session):
+    from doc_ocr_ray.pipelines.relational import forecast_revenue
+    li = _lineitem([(1, 1, 1, 1.0, 100.0, 0.06, "1996-06-01", "N")])
+    out = forecast_revenue(_ds(li).repartition(2), year=2050).take_all()
+    assert len(out) == 1 and out[0]["revenue"] == 0.0
+
+
+def test_disjunctive_revenue_no_clause_hits_one_zero_row(ray_session):
+    from doc_ocr_ray.pipelines.relational import disjunctive_revenue
+    part = pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": ["B1"], "p_size": pa.array([5], pa.int32())})
+    li = _lineitem([(1, 1, 1, 99.0, 100.0, 0.0, "1996-01-01", "N")])
+    out = disjunctive_revenue(
+        _ds(li), part, preds=(("B1", 1, 5, 1.0, 10.0),)).take_all()
+    assert len(out) == 1 and out[0]["revenue"] == 0.0
+
+
+def test_small_qty_revenue_empty_brand_and_halfup_qty(ray_session):
+    from doc_ocr_ray.pipelines.relational import small_qty_revenue
+    part = pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": ["Brand#23"]})
+    # brand with NO lineitems: one all-zero row (oracle coalesce)
+    li_none = _lineitem([(1, 1, 9, 1.0, 100.0, 0.0, "1996-01-01", "N")])
+    out = small_qty_revenue(_ds(li_none), part).take_all()
+    assert len(out) == 1
+    assert (out[0]["n_small"], out[0]["revenue_cents"]) == (0, 0)
+    # half-up quantity rounding (CAST parity): qty 1.5 -> 2, 2.5 -> 3,
+    # sum_qty=5, n=2; keep iff 1000*2*qty < 200*5=1000 -> neither kept
+    li_frac = _lineitem([
+        (1, 1, 1, 1.5, 100.0, 0.0, "1996-01-01", "N"),
+        (1, 1, 1, 2.5, 100.0, 0.0, "1996-01-01", "N")])
+    out2 = small_qty_revenue(_ds(li_frac), part).take_all()
+    assert len(out2) == 1 and out2[0]["n_small"] == 0
+
+
+def test_top_supplier_empty_window_zero_rows(ray_session):
+    from doc_ocr_ray.pipelines.relational import top_supplier
+    li = _lineitem([(1, 1, 1, 1.0, 150.0, 0.0, "1996-02-01", "N")])
+    sup = pa.table({"s_suppkey": pa.array([1], pa.int64()),
+                    "s_name": ["S1"]})
+    out = top_supplier(_ds(li).repartition(2), sup,
+                       lo="2050-01-01", hi="2050-04-01").take_all()
+    assert out == []
+
+
+def test_idle_rich_no_positive_balances_zero_rows(ray_session):
+    from doc_ocr_ray.pipelines.relational import idle_rich_customers
+    cust = pd.DataFrame({
+        "c_custkey": np.array([1, 2], dtype="int64"),
+        "c_nationkey": np.array([1, 1], dtype="int32"),
+        "c_acctbal": np.array([-5.0, 0.0])})
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1], dtype="int64"),
+        "o_orderdate": pd.to_datetime(["2000-01-01"])})
+    out = idle_rich_customers(_ds(cust).repartition(2),
+                              _ds(orders)).take_all()
+    assert out == []
+
+
+def test_late_supplier_blame_no_finished_orders(ray_session):
+    from doc_ocr_ray.pipelines.relational import late_supplier_blame
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2], dtype="int64"),
+        "o_orderstatus": ["O", "O"],
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 2)})
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 2], dtype="int64"),
+        "l_suppkey": np.array([10, 20], dtype="int64"),
+        "l_shipdate": pd.to_datetime(["2024-06-01", "2024-06-01"])})
+    sup = pa.table({"s_suppkey": pa.array([10, 20], pa.int64()),
+                    "s_name": ["S10", "S20"]})
+    out = late_supplier_blame(_ds(li).repartition(2), _ds(orders),
+                              sup, num_partitions=2).take_all()
+    assert out == []
+
+
+def test_shipmode_priority_empty_year_zero_rows(ray_session):
+    from doc_ocr_ray.pipelines.relational import shipmode_priority_counts
+    orders = pd.DataFrame({
+        "o_orderkey": pd.Series([1], dtype="int64"),
+        "o_orderpriority": ["1-URGENT"]})
+    li = pd.DataFrame({
+        "l_orderkey": pd.Series([1], dtype="int64"),
+        "l_linestatus": ["O"],
+        "l_shipdate": pd.to_datetime(["1996-06-15"])})
+    out = shipmode_priority_counts(_ds(orders), _ds(li), year=2050,
+                                   num_partitions=2).take_all()
+    assert out == []
+
+
+def test_hits_rejects_zero_iters(ray_session):
+    from doc_ocr_ray.stages.graph import hits
+    edges = pd.DataFrame({"src": np.array([1], dtype="int64"),
+                          "dst": np.array([2], dtype="int64")})
+    nodes = pd.DataFrame({"node": np.array([1, 2], dtype="int64")})
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(_ds(edges), _ds(nodes), iters=0)
