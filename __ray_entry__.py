@@ -555,6 +555,39 @@ def _inject_links_html(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": d, "url": base, "html": html})
 
 
+def _inject_anchor_html(batch: pd.DataFrame) -> pd.DataFrame:
+    """Synthetic anchor-text pages (the anchor_corpus oracle's twin):
+    per site host (doc_id % 20), /top collects 'home' from every page
+    (repeated on d%5==0 pages — distinct-page counting, not
+    occurrences) and a messy-whitespace 'start here' from d%3==0;
+    /hub collects four rotating 'cat{(d//20)%4}' anchors (exercises
+    the k=3 cut and the ascending-anchor tie-break); even pages carry
+    an invalid-nesting '<a>alpha<a>beta' pair (implicit close);
+    d%7==0 pages an anchor with a dropped <script> subtree inside
+    ('pre post'); every page an empty image-link anchor (dropped)."""
+    d = batch["doc_id"].astype("int64")
+    s = d.astype(str)
+    m = (d % 20).astype(str)
+    base = ("http://site" + m + ".test/dir" + (d % 3).astype(str)
+            + "/page" + s)
+    # object-dtype coercion: constant-only parts otherwise yield '<U'
+    # arrays whose elementwise + has no numpy loop
+    w = lambda cond, part: np.where(cond, part, "").astype(object)
+    html = (
+        '<p><a href="/top">home</a></p>'
+        + w(d % 3 == 0, '<p><a href="/top">start\n\t here</a></p>')
+        + w(d % 5 == 0, '<p><a href="/top">home</a></p>')
+        + '<p><a href="/hub">cat' + (d // 20 % 4).astype(str)
+        + '</a></p>'
+        + w(d % 2 == 0, '<div><a href="/x">alpha'
+            '<a href="/y">beta</a></div>')
+        + w(d % 7 == 0,
+            '<p><a href="/z">pre <script>var a;</script>post</a></p>')
+        + '<p><a href="/img' + (d % 3).astype(str) + '"></a></p>'
+        + '<script><a href="decoy">never</a></script>')
+    return pd.DataFrame({"doc_id": d, "url": base, "html": html})
+
+
 def _inject_frontier_html(n: int):
     """Synthetic crawl snapshot for the frontier: every page links a
     same-host /top, even pages an external host, every page the NEXT
@@ -1792,6 +1825,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_links(
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(_inject_links_html, batch_format="pandas"))
+
+    def q_anchor_corpus(sf_dir):
+        # anchor-text corpus (the classic query-doc relevance signal):
+        # real HTML parse -> (page, target, anchor text), then per
+        # target the top-3 anchors by DISTINCT linking pages, ties
+        # ascending on the anchor string; one target-keyed exchange,
+        # rank computed inside the partition that owns the key
+        from doc_ocr_ray.stages.html_extract import anchor_corpus
+        return anchor_corpus(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(_inject_anchor_html, batch_format="pandas"),
+            k=3)
 
     def q_host_graph(sf_dir):
         # page link graph collapsed to the HOST graph (domain
@@ -3130,6 +3175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_pages_gz": q_warc_pages_gz,
         "robots_classify": q_robots_classify,
         "html_links": q_html_links,
+        "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
         "gopher_filter": q_gopher_filter,
@@ -4690,6 +4736,49 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ord) - 1 AS rank,
                    href, target
             FROM links
+        """,
+        # anchor-corpus twin: the _inject_anchor_html emission set
+        # reconstructed by doc_id arithmetic (whitespace already
+        # collapsed, empty/script-subtree anchors resolved), distinct
+        # linking pages per (target, anchor), top-3 per target with
+        # the ascending-anchor tie-break
+        "anchor_corpus": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 20 AS VARCHAR) AS m
+                       FROM documents),
+            an AS (
+              SELECT doc_id, 'http://site' || m || '.test/top'
+                       AS target, 'home' AS anchor FROM d
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/top',
+                     'start here' FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/top',
+                     'home' FROM d WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/hub',
+                     'cat' || CAST((doc_id // 20) % 4 AS VARCHAR)
+              FROM d
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/x',
+                     'alpha' FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/y',
+                     'beta' FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 'http://site' || m || '.test/z',
+                     'pre post' FROM d WHERE doc_id % 7 = 0),
+            cnt AS (SELECT target, anchor,
+                           CAST(count(DISTINCT doc_id) AS BIGINT)
+                             AS n_docs
+                    FROM an GROUP BY 1, 2)
+            SELECT target, anchor, n_docs,
+                   row_number() OVER (PARTITION BY target
+                                      ORDER BY n_docs DESC,
+                                               anchor ASC) - 1
+                     AS "rank"
+            FROM cnt
+            QUALIFY "rank" < 3
         """,
         # host-graph twin over the SAME links CTEs: src host/page by
         # the injection arithmetic, dst host via the shared canonical

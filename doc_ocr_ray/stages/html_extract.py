@@ -441,13 +441,30 @@ _HREF_JUNK = re.compile(r"[\t\n\r]")
 class LinkParser(HTMLParser):
     """Collects <a href> targets in document order (entity-decoded by
     the parser), skipping dropped subtrees and empty/fragment-only
-    hrefs."""
+    hrefs.  ``texts`` is index-aligned with ``hrefs``: the anchor's
+    inner text with house whitespace collapse (``[\\t\\n\\f\\r ]+`` →
+    one space, edges stripped).  Anchor scope follows HTML5 browser
+    behavior for the cases crawled HTML actually contains: a new
+    ``<a>`` implicitly closes any open one (nesting is invalid), text
+    inside a dropped subtree (``<script>`` inside an anchor) never
+    counts, and an anchor left open at document end closes at
+    ``close()``."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.hrefs: List[str] = []
+        self.texts: List[str] = []
         self._drop = 0
         self._head_mark = None
+        self._open_idx = None   # index into texts of the open anchor
+        self._buf: List[str] = []
+
+    def _finish_anchor(self):
+        if self._open_idx is not None:
+            self.texts[self._open_idx] = _WS.sub(
+                " ", "".join(self._buf)).strip()
+            self._open_idx = None
+        self._buf = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "body":
@@ -465,6 +482,7 @@ class LinkParser(HTMLParser):
         if self._drop:
             return
         if tag == "a":
+            self._finish_anchor()
             href = next((v for k, v in attrs if k == "href" and v), "")
             # WHATWG URL hygiene: strip edge whitespace AND remove
             # tab/newline/CR anywhere (attribute values wrapped across
@@ -472,16 +490,29 @@ class LinkParser(HTMLParser):
             href = _HREF_JUNK.sub("", href.strip("\t\n\f\r "))
             if href and not href.startswith("#"):
                 self.hrefs.append(href)
+                self.texts.append("")
+                self._open_idx = len(self.texts) - 1
 
     def handle_endtag(self, tag):
         if tag in LINK_DROP_SUBTREES:
             self._drop = max(0, self._drop - 1)
             if tag == "head":
                 self._head_mark = None
+            return
+        if tag == "a" and not self._drop:
+            self._finish_anchor()
+
+    def handle_data(self, data):
+        if not self._drop and self._open_idx is not None:
+            self._buf.append(data)
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
         self.handle_endtag(tag)
+
+    def close(self):
+        super().close()
+        self._finish_anchor()
 
 
 def remove_dot_segments(path: str) -> str:
@@ -609,3 +640,91 @@ def extract_links(ds, *, html_col: str = "html", url_col: str = "url"):
     return ds.map_batches(html_links_batch, batch_format="pandas",
                           fn_kwargs={"html_col": html_col,
                                      "url_col": url_col})
+
+
+def anchor_links_batch(batch: pd.DataFrame, *, html_col: str = "html",
+                       url_col: str = "url",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """One row per outlink WITH its anchor text: (doc_id, rank,
+    target, anchor).  Same parse/resolve contract as
+    :func:`html_links_batch`; ``anchor`` is the whitespace-collapsed
+    inner text (may be empty — image links)."""
+    ids, ranks, targets, anchors = [], [], [], []
+    for doc_id, base, html in zip(batch[id_col].to_numpy(),
+                                  batch[url_col].to_numpy(),
+                                  batch[html_col].to_numpy()):
+        base = str_or_empty(base)
+        p = LinkParser()
+        p.feed(str_or_empty(html))
+        p.close()
+        for i, (href, text) in enumerate(zip(p.hrefs, p.texts)):
+            if not base and not _SCHEME_RE.match(href):
+                continue
+            ids.append(int(doc_id))
+            ranks.append(i)
+            targets.append(resolve_href(base, href))
+            anchors.append(text)
+    return typed_if_empty(pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "rank": pd.Series(ranks, dtype="int64"),
+        "target": pd.Series(targets, dtype="object"),
+        "anchor": pd.Series(anchors, dtype="object")}))
+
+
+def anchor_corpus(ds, *, k: int = 3, num_parts: int = 256,
+                  html_col: str = "html", url_col: str = "url"):
+    """Anchor-text corpus — the classic web-graph training signal
+    (anchor text describing the TARGET page, used for retrieval /
+    query-doc relevance data): for every link target, the top-``k``
+    anchor strings by number of DISTINCT linking pages (ties broken
+    ascending on the anchor string).
+
+    Shape: stateless parse/explode to (doc_id, target, anchor) with
+    an IN-BATCH ``drop_duplicates`` combiner (a page repeating one
+    anchor ships it once per batch — combiner, not the dedup: the
+    cross-batch distinct happens inside the group fn, the
+    repartition-tested rule), then ONE coarse target-keyed exchange
+    (``hash(target) % num_parts``) where each group dedups
+    (doc_id, target, anchor) exactly, counts distinct pages per
+    (target, anchor), and ranks per target locally — the partition
+    key IS the ranking key, so top-k needs no second shuffle.  Empty
+    anchors are dropped after the parse (they carry no signal).
+    Output: (target, anchor, n_docs, rank), rank 0-based.
+    """
+    from doc_ocr_ray.util import coarse_part, typed_if_empty as _typed
+
+    _empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "target": pd.Series([], dtype="object"),
+        "anchor": pd.Series([], dtype="object"),
+        "part": pd.Series([], dtype="int64")})
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        links = anchor_links_batch(batch, html_col=html_col,
+                                   url_col=url_col)
+        links = links.loc[links["anchor"] != "",
+                          ["doc_id", "target", "anchor"]]
+        links = links.drop_duplicates()      # in-batch combiner only
+        if not len(links):
+            return _typed(_empty)
+        out = links.reset_index(drop=True)
+        out["part"] = coarse_part(out["target"], num_parts)
+        return out
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["doc_id", "target", "anchor"])
+        cnt = (g.groupby(["target", "anchor"], sort=False)
+               .size().rename("n_docs").reset_index())
+        cnt = cnt.sort_values(["target", "n_docs", "anchor"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        cnt["rank"] = cnt.groupby("target", sort=False).cumcount()
+        cnt = cnt.loc[cnt["rank"] < k]
+        return _typed(pd.DataFrame({
+            "target": cnt["target"].astype(object),
+            "anchor": cnt["anchor"].astype(object),
+            "n_docs": cnt["n_docs"].astype("int64"),
+            "rank": cnt["rank"].astype("int64")}))
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(per_part, batch_format="pandas"))

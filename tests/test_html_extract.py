@@ -400,3 +400,53 @@ def test_crawl_frontier_composition(ray_session):
                                   "host_rank"]].itertuples(index=False)]
     assert got == [("b.test", "b.test/x", 110, 2, 1),
                    ("b.test", "b.test/w", 10, 1, 2)]
+
+
+def test_anchor_links_batch_scopes_and_collapse():
+    from doc_ocr_ray.stages.html_extract import anchor_links_batch
+    html = ('<p><a href="/top"> home\n\tpage </a></p>'
+            # invalid nesting: second <a> implicitly closes the first
+            '<div><a href="/x">alpha<a href="/y">beta</a></div>'
+            # dropped subtree inside an anchor never contributes text
+            '<p><a href="/z">pre <script>var a;</script>post</a></p>'
+            # empty (image-style) anchor keeps its href, empty text
+            '<p><a href="/img"></a></p>'
+            # unclosed at EOF still closes
+            '<p><a href="/tail">tail text')
+    out = anchor_links_batch(pd.DataFrame({
+        "doc_id": pd.Series([3], dtype="int64"),
+        "url": ["http://h.test/d/p"], "html": [html]}))
+    got = list(zip(out["target"], out["anchor"]))
+    assert got == [("http://h.test/top", "home page"),
+                   ("http://h.test/x", "alpha"),
+                   ("http://h.test/y", "beta"),
+                   ("http://h.test/z", "pre post"),
+                   ("http://h.test/img", ""),
+                   ("http://h.test/tail", "tail text")]
+    assert list(out["rank"]) == [0, 1, 2, 3, 4, 5]
+
+
+def test_anchor_corpus_distinct_pages_topk_and_ties(ray_session):
+    import ray
+    from doc_ocr_ray.stages.html_extract import anchor_corpus
+    # doc 0 repeats (target=/t, 'home') twice -> ONE distinct page;
+    # /t collects 4 distinct anchors so k=3 cuts the rarest; 'aa' and
+    # 'bb' tie on n_docs -> ascending anchor order breaks the tie.
+    # repartition(2) forces the cross-batch distinct through the
+    # group fn (in-batch drop_duplicates is only a combiner).
+    link = lambda a: f'<p><a href="/t">{a}</a></p>'
+    pages = pd.DataFrame({
+        "doc_id": pd.Series(range(4), dtype="int64"),
+        "url": [f"http://h.test/p{i}" for i in range(4)],
+        "html": [link("home") + link("home") + link("aa"),
+                 link("home") + link("bb"),
+                 link("home") + link("aa") + link("rare"),
+                 link("home") + link("bb")]})
+    ds = ray.data.from_pandas(pages).repartition(2)
+    out = (anchor_corpus(ds, k=3).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    got = [tuple(r) for r in out[["target", "anchor", "n_docs",
+                                  "rank"]].itertuples(index=False)]
+    assert got == [("http://h.test/t", "home", 4, 0),
+                   ("http://h.test/t", "aa", 2, 1),
+                   ("http://h.test/t", "bb", 2, 2)]
