@@ -341,6 +341,36 @@ def _pagerank_ctes() -> tuple[str, str]:
     return sql, prev
 
 
+def _bfs_sql(max_hops: int = 3) -> str:
+    """Chained-CTE twin of stages/graph.py:bfs_hops over the shared
+    synthetic link graph: per hop, candidates = distinct successors
+    of the PREVIOUS hop's newly-visited nodes, anti-joined against
+    everything visited so far (min-distance semantics by
+    construction)."""
+    e0 = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
+        f"(SELECT n FROM nn) AS dst FROM documents"
+        for p, c in _PR_EDGE_RULES)
+    sql = f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS ({e0}),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        v0 AS (SELECT doc_id AS node, 0 AS hop FROM documents
+               WHERE doc_id % 97 = 0)"""
+    prev = "v0"
+    for k in range(1, max_hops + 1):
+        sql += f""",
+        c{k} AS (SELECT DISTINCT e.dst AS node
+                 FROM e JOIN {prev} p
+                   ON p.node = e.src AND p.hop = {k - 1}),
+        v{k} AS (SELECT node, hop FROM {prev}
+                 UNION ALL
+                 SELECT node, {k} FROM c{k}
+                 WHERE node NOT IN (SELECT node FROM {prev}))"""
+        prev = f"v{k}"
+    return sql + f"\n        SELECT node, hop FROM {prev}"
+
+
 def _pagerank_sql() -> str:
     body, final = _pagerank_ctes()
     return f"""
@@ -2987,6 +3017,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     docs.map_batches(mk_nodes, batch_format="pandas"),
                     iters=_HITS_ITERS, scale=_HITS_SCALE)
 
+    def q_bfs_hops(sf_dir):
+        # multi-source BFS from the seed list (crawl depth /
+        # reachability): per hop two ids-only exchanges, frontier =
+        # newly visited nodes only, min-distance semantics
+        from doc_ocr_ray.stages.graph import bfs_hops
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        mk_edges = _mk_pr_edges_fn(n)
+
+        def mk_seeds(batch: pd.DataFrame) -> pd.DataFrame:
+            from doc_ocr_ray.util import typed_if_empty
+            d = batch["doc_id"].astype("int64")
+            return typed_if_empty(pd.DataFrame(
+                {"node": d[d % 97 == 0]}))
+
+        return bfs_hops(docs.map_batches(mk_edges,
+                                         batch_format="pandas"),
+                        docs.map_batches(mk_seeds,
+                                         batch_format="pandas"),
+                        max_hops=3)
+
     def q_validate_table(sf_dir):
         # data-quality gate: five rule kinds over an injected corpus
         # where every rule fires; one scan + one unique-key exchange
@@ -3070,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "pagerank": q_pagerank,
         "kcore": q_kcore,
+        "bfs_hops": q_bfs_hops,
         "hits_scores": q_hits_scores,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
@@ -4548,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "kcore": _kcore_sql(),
+        "bfs_hops": _bfs_sql(),
         "hits_scores": _hits_sql(),
         "crawl_frontier": _frontier_sql(),
         # validation twin: same injected corpus, five counts; NULLs

@@ -658,3 +658,113 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
 
     return (edges.map_batches(explode, batch_format="pandas")
             .groupby("part").map_groups(degrees, batch_format="pandas"))
+
+
+def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
+             num_parts: int = 64):
+    """Multi-source BFS over the directed link graph — crawl depth /
+    reachability from a seed list (the frontier-expansion primitive
+    under focused crawling and influence analysis).  Input ``(src,
+    dst)`` directed links (loops drop, multi-edges collapse to
+    DISTINCT via a keyed group fn — cross-batch duplicates are real)
+    and a ``(node,)`` seed set.  Output ``(node, hop)``: the MINIMUM
+    link distance from any seed, for every node within ``max_hops``
+    (seeds at hop 0).
+
+    Scale shape: edges dedup once and materialize keyed coarse on
+    ``src`` (reused every round); per hop TWO ids-only coarse
+    exchanges — (1) the frontier meets edges on the src key and
+    emits candidate ``dst``, (2) candidates meet the visited set on
+    the node key where a per-group anti-join + dedup assigns hop k;
+    the new frontier is exactly the newly visited nodes.  Visited is
+    node-sized, lives in the object store, and re-rides the second
+    exchange each round (≤ ``max_hops`` times, the standard
+    iterative-BFS join discipline); the driver sees one frontier
+    count per round.  Early exit on an empty frontier is invisible
+    (later rounds add nothing)."""
+    cols = ["node", "val", "part", "kind"]
+
+    def _typed(df: pd.DataFrame):
+        if len(df):
+            return df
+        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+
+    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"node": batch["src"].astype("int64"),
+                          "val": batch["dst"].astype("int64")})
+        e = e[e["node"] != e["val"]].drop_duplicates()  # combiner
+        e = e.assign(part=coarse_part(e["node"], num_parts),
+                     kind=np.int64(0))
+        return _typed(e[cols])
+
+    def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return _typed(group.drop_duplicates(["node", "val"])[cols])
+
+    edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
+             .groupby("part").map_groups(edge_dedup,
+                                         batch_format="pandas")
+             .materialize())
+
+    def seed_key(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({"node": batch["node"].astype("int64")})
+        s = s.drop_duplicates()
+        s = s.assign(val=np.int64(0),
+                     part=coarse_part(s["node"], num_parts),
+                     kind=np.int64(1))
+        return _typed(s[cols])
+
+    # visited rows carry (node, hop) as (node, val); frontier rows
+    # are the kind=1 subset of the latest round's additions
+    visited = (seeds_ds.map_batches(seed_key, batch_format="pandas")
+               .materialize())
+    frontier = visited
+    n_frontier = frontier.count()
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        front = set(group.loc[group["kind"] == 1, "node"])
+        e = group[group["kind"] == 0]
+        cand = e.loc[e["node"].isin(front), ["val"]].drop_duplicates()
+        out = pd.DataFrame({"node": cand["val"].astype("int64"),
+                            "val": np.int64(0)})
+        out["part"] = coarse_part(out["node"], num_parts)
+        out["kind"] = np.int64(1)
+        return _typed(out[cols])
+
+    def assign_hop(hop):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            seen = set(group.loc[group["kind"] == 0, "node"])
+            cand = group[group["kind"] == 1].drop_duplicates(["node"])
+            new = cand[~cand["node"].isin(seen)].copy()
+            new["val"] = np.int64(hop)
+            new["kind"] = np.int64(1)
+            return _typed(new[cols])
+        return fn
+
+    for hop in range(1, max_hops + 1):
+        if n_frontier == 0:
+            break
+        cand = (edges.union(frontier)
+                .groupby("part").map_groups(expand,
+                                            batch_format="pandas"))
+        def as_visited(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["kind"] = np.int64(0)
+            return _typed(out[cols])
+        new = (visited.map_batches(as_visited, batch_format="pandas")
+               .union(cand)
+               .groupby("part").map_groups(assign_hop(hop),
+                                           batch_format="pandas")
+               .materialize())
+        visited = visited.union(new).materialize()
+        frontier = new
+        n_frontier = new.count()
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "node" not in batch.columns:
+            return typed_if_empty(pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "hop": pd.Series([], dtype="int64")}))
+        return pd.DataFrame({"node": batch["node"].astype("int64"),
+                             "hop": batch["val"].astype("int64")})
+
+    return visited.map_batches(finish, batch_format="pandas")

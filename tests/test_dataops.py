@@ -3860,3 +3860,35 @@ def test_mad_outliers_null_event_id_and_empty_result(ray_session):
     assert res.count() == 0
     assert set(res.schema().names) == {"event_id", "event_type",
                                        "cents"}
+
+
+def test_bfs_hops_min_distance_and_cleanup(ray_session):
+    """Multi-source BFS: hop = MINIMUM distance from any seed (a node
+    reachable at 2 via one path and 3 via another reports 2), seeds
+    stay hop 0 even when re-reached, direction respected, loops and
+    duplicate edges collapse, unreachable nodes absent, max_hops
+    truncates; repartition forces cross-batch edge dedup."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import bfs_hops
+    # seeds {0, 10}.  0->1->2->3->4 chain; 10->2 shortcut (2 is hop 1
+    # via 10, not hop 2 via 0); 3->0 back-edge (0 stays hop 0);
+    # 5->6 unreachable island; dup (0,1) and loop (7,7) cleanup
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 2, 3, 10, 3, 5, 7],
+        "dst": [1, 1, 2, 3, 4, 2, 0, 6, 7]})
+    seeds = pd.DataFrame({"node": [0, 10]})
+    out = (bfs_hops(ray.data.from_pandas(edges).repartition(3),
+                    ray.data.from_pandas(seeds), max_hops=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    got = dict(zip(out["node"], out["hop"]))
+    assert got == {0: 0, 10: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    # max_hops truncation: hop-3 node 4 absent at max_hops=2
+    out2 = (bfs_hops(ray.data.from_pandas(edges),
+                     ray.data.from_pandas(seeds), max_hops=2)
+            .to_pandas())
+    assert dict(zip(out2["node"], out2["hop"])) == {
+        0: 0, 10: 0, 1: 1, 2: 1, 3: 2}
+    # empty seed set -> empty output, no crash
+    empty = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    assert bfs_hops(ray.data.from_pandas(edges),
+                    ray.data.from_pandas(empty)).count() == 0
