@@ -2729,6 +2729,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"]))
 
+    def q_important_parts(sf_dir):
+        # TPC-H Q11 shape: per-part revenue vs a GLOBAL-total
+        # fraction gate — one coarse exchange, tree-reduced scalar
+        # broadcast, integer cross-multiply predicate
+        return relational.important_parts(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"]),
+            ppm=500)
+
+    def q_dominant_suppliers(sf_dir):
+        # TPC-H Q20 shape: nested semi-join decorrelated — dominance
+        # gate inside the part-keyed exchange, tiny supplier-keyed
+        # count, dimensions broadcast
+        import pyarrow.parquet as pq
+        return relational.dominant_suppliers(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity"]),
+            pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name",
+                                   "s_nationkey"]),
+            pq.read_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]))
+
     def q_shipmode_priority_counts(sf_dir):
         # TPC-H Q12 shape: date filter pushed BELOW the native hash
         # join, per-batch conditional-count partials, tiny combine
@@ -3295,6 +3318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": q_large_volume_orders,
         "promo_revenue_share": q_promo_revenue_share,
         "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "dominant_suppliers": q_dominant_suppliers,
         "ivm_refresh": q_ivm_refresh,
         "hard_negatives": q_hard_negatives,
         "search_snippets": q_search_snippets,
@@ -7545,6 +7570,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q2-decorrelation twin: min-per-part + join back on the
         # exact cents grid; DISTINCT mirrors the engine's pair dedup
+        # Q11-shape twin: the HUGEINT cross-multiply states the
+        # identical predicate the engine evaluates via divmod
+        "important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice
+                                         * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS value_tenk
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_tenk FROM v
+            WHERE 1000000 * CAST(value_tenk AS HUGEINT)
+                  > 500 * (SELECT CAST(sum(value_tenk) AS HUGEINT)
+                           FROM v)
+        """,
+        # Q20-shape twin: half-up quantity grid, outsized-share
+        # dominance (120 per mille), dimension joins for names
+        "dominant_suppliers": """
+            WITH q AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot
+                  FROM q GROUP BY 1),
+            dom AS (SELECT q.l_suppkey,
+                           CAST(count(*) AS BIGINT) AS n_parts
+                    FROM q JOIN t USING (l_partkey)
+                    WHERE 1000 * q.qty > 120 * t.tot GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, n.n_name, dom.n_parts
+            FROM dom
+            JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        """,
         "min_cost_supplier": """
             WITH li AS (
               SELECT l_partkey,

@@ -2300,3 +2300,135 @@ def shipmode_priority_counts(orders_ds, lineitem_ds,
     return (joined.map_batches(partial, batch_format="pandas")
             .groupby("l_linestatus").map_groups(
                 final, batch_format="pandas"))
+
+
+def important_parts(lineitem_ds, ppm: int = 500, num_parts: int = 128):
+    """TPC-H Q11-shaped global-fraction gate: parts whose total
+    discounted revenue strictly exceeds ``ppm``/1,000,000 of the
+    WHOLE corpus revenue — the decorrelated ``HAVING sum(...) >
+    (SELECT sum(...) * f FROM ...)`` two-pass shape.
+
+    Scale shape: per-batch combiner (in-batch partkey sums on the
+    integer revenue grid) -> ONE coarse part-keyed exchange for exact
+    per-part totals, MATERIALIZED because it feeds both the global
+    reduce and the gate; the global total is Ray's tree ``sum()``
+    over the per-part rows (the driver holds ONE integer, broadcast
+    into the filter closure) — nothing corpus- or parts-sized touches
+    the driver.  The gate is the exact integer cross-multiply
+    ``1_000_000 * part_value > ppm * total``, evaluated overflow-free
+    in int64 via divmod: with ``q, r = divmod(ppm * total, 10**6)``
+    it is ``value > q`` when ``r == 0`` else ``value >= q + 1`` (the
+    SQL twin states the HUGEINT cross-multiply verbatim — same
+    predicate, different overflow discipline).  Output
+    ``(l_partkey, value_tenk)``.
+    """
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_partkey": batch["l_partkey"].astype("int64"),
+            "value_tenk": revenue_cents(batch["l_extendedprice"],
+                                        batch["l_discount"])})
+        out = (out.groupby("l_partkey", sort=False)["value_tenk"]
+               .sum().reset_index())          # in-batch combiner
+        out["value_tenk"] = out["value_tenk"].astype("int64")
+        out["part"] = coarse_part(out["l_partkey"], num_parts)
+        return typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("l_partkey", sort=False)["value_tenk"]
+             .sum().reset_index())
+        g["value_tenk"] = g["value_tenk"].astype("int64")
+        g["part"] = coarse_part(g["l_partkey"], num_parts)
+        return typed_if_empty(g)
+
+    totals = (lineitem_ds.map_batches(project, batch_format="pandas")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pandas")
+              .materialize())                 # feeds reduce AND gate
+    total = totals.sum("value_tenk") or 0     # one driver-side int
+    thr_q, thr_r = divmod(ppm * int(total), 10 ** 6)
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value_tenk"].to_numpy()
+        keep = (v > thr_q) if thr_r == 0 else (v >= thr_q + 1)
+        out = batch.loc[keep, ["l_partkey", "value_tenk"]]
+        return typed_if_empty(pd.DataFrame({
+            "l_partkey": out["l_partkey"].astype("int64"),
+            "value_tenk": out["value_tenk"].astype("int64")}))
+
+    return totals.map_batches(gate, batch_format="pandas")
+
+
+def dominant_suppliers(lineitem_ds, supplier_tbl: pa.Table,
+                       nation_tbl: pa.Table,
+                       share_permille: int = 120,
+                       num_parts: int = 128):
+    """TPC-H Q20-shaped nested semi-join: suppliers holding an
+    OUTSIZED share of at least one part's shipments — their half-up
+    integer quantity strictly exceeds ``share_permille``/1000 of the
+    part's total (``1000 * qty(s, p) > share_permille *
+    total_qty(p)``, the availqty-vs-fractional-demand decorrelation;
+    a strict-majority gate is vacuous on corpora where every part
+    has many evenly-matched suppliers) — with how many parts each
+    dominates, joined to the supplier + nation dimensions for
+    names.
+
+    Scale shape: in-batch (partkey, suppkey) quantity combiner -> ONE
+    part-keyed coarse exchange where exact pair sums, the per-part
+    total (a ``transform('sum')`` inside the owning group) and the
+    dominance gate all happen without a join-back shuffle -> one
+    TINY suppkey-keyed exchange counts dominated parts per supplier
+    (pairs surviving the gate are supplier-sized, not corpus-sized)
+    -> supplier/nation dimensions ride in as a ``ray.put`` broadcast
+    merged inside the final group fn (never shuffled).  Output
+    ``(s_suppkey, s_name, n_name, n_parts)``.
+    """
+    import ray
+    from doc_ocr_ray.util import coarse_part, typed_if_empty
+
+    dims = supplier_tbl.to_pandas().merge(
+        nation_tbl.to_pandas(), left_on="s_nationkey",
+        right_on="n_nationkey")[["s_suppkey", "s_name", "n_name"]]
+    dims_ref = ray.put(dims)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_partkey": batch["l_partkey"].astype("int64"),
+            "l_suppkey": batch["l_suppkey"].astype("int64"),
+            "qty": np.floor(batch["l_quantity"] + 0.5)
+                     .astype("int64")})
+        out = (out.groupby(["l_partkey", "l_suppkey"], sort=False)
+               ["qty"].sum().reset_index())   # in-batch combiner
+        out["qty"] = out["qty"].astype("int64")
+        out["part"] = coarse_part(out["l_partkey"], num_parts)
+        return typed_if_empty(out)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["l_partkey", "l_suppkey"], sort=False)
+             ["qty"].sum().reset_index())
+        tot = g.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        dom = g.loc[1000 * g["qty"] > share_permille * tot.to_numpy(),
+                    ["l_suppkey", "l_partkey"]]
+        out = pd.DataFrame({
+            "l_suppkey": dom["l_suppkey"].astype("int64"),
+            "l_partkey": dom["l_partkey"].astype("int64")})
+        out["part"] = coarse_part(out["l_suppkey"], num_parts)
+        return typed_if_empty(out)
+
+    def per_supplier(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = (group.groupby("l_suppkey", sort=False).size()
+               .reset_index(name="n_parts"))
+        d = ray.get(dims_ref)
+        out = cnt.merge(d, left_on="l_suppkey", right_on="s_suppkey")
+        return typed_if_empty(pd.DataFrame({
+            "s_suppkey": out["s_suppkey"].astype("int64"),
+            "s_name": out["s_name"].astype(object),
+            "n_name": out["n_name"].astype(object),
+            "n_parts": out["n_parts"].astype("int64")}))
+
+    return (lineitem_ds.map_batches(project, batch_format="pandas")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pandas")
+            .groupby("part").map_groups(per_supplier,
+                                        batch_format="pandas"))

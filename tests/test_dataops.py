@@ -3892,3 +3892,63 @@ def test_bfs_hops_min_distance_and_cleanup(ray_session):
     empty = pd.DataFrame({"node": pd.Series([], dtype="int64")})
     assert bfs_hops(ray.data.from_pandas(edges),
                     ray.data.from_pandas(empty)).count() == 0
+
+
+def test_important_parts_global_fraction_gate(ray_session):
+    """Q11 shape: the gate compares each part's revenue against the
+    GLOBAL total via the exact divmod predicate — strict inequality,
+    both divmod branches (r == 0 and r > 0), cross-batch partial
+    combining, empty input."""
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import important_parts
+    # part 1: 60.0 across two rows (split over batches); part 2: 30.0;
+    # part 3: 10.0 -> total 100.0 = 1_000_000 tenk.  ppm=300_000
+    # (30%): threshold = 300_000 * 1_000_000 / 10^6 = 300_000 tenk,
+    # r == 0 branch, STRICT > keeps part 1 only (part 2 == 30% ties
+    # and must drop).
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 2, 3],
+        "l_extendedprice": [30.0, 30.0, 30.0, 10.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0]})
+    ds = ray.data.from_pandas(li).repartition(3)
+    out = important_parts(ds, ppm=300000).to_pandas()
+    assert dict(zip(out["l_partkey"], out["value_tenk"])) == {1: 600000}
+    # r > 0 branch: ppm=299999 -> thr = 299999.0 -> part 2 (300000
+    # tenk) now passes the >= q+1 gate, part 3 still drops
+    out2 = important_parts(ray.data.from_pandas(li), ppm=299999).to_pandas()
+    assert set(out2["l_partkey"]) == {1, 2}
+    # empty input survives
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "l_partkey": pd.Series([], dtype="int64"),
+        "l_extendedprice": pd.Series([], dtype="float64"),
+        "l_discount": pd.Series([], dtype="float64")}))
+    assert important_parts(empty).count() == 0
+
+
+def test_dominant_suppliers_share_gate_and_dims(ray_session):
+    """Q20 shape: pair quantities combine across batches BEFORE the
+    share gate (a split pair must not double-trigger), the gate is
+    strict per-mille share, counts are parts-per-supplier, names ride
+    the dimension broadcast."""
+    import pyarrow as pa
+    import ray.data
+    from doc_ocr_ray.pipelines.relational import dominant_suppliers
+    # part 10: supp 1 ships 3+4=7 of 10 (70% > 50%), supp 2 ships 3
+    # part 20: supp 1 and 2 ship 5 each (50% NOT > 50%)
+    # part 30: supp 2 ships all 8 (100%)
+    li = pd.DataFrame({
+        "l_partkey": [10, 10, 10, 20, 20, 30],
+        "l_suppkey": [1, 1, 2, 1, 2, 2],
+        "l_quantity": [3.0, 4.0, 3.0, 5.0, 5.0, 8.0]})
+    supp = pa.table({"s_suppkey": [1, 2],
+                     "s_name": ["alpha", "beta"],
+                     "s_nationkey": [7, 9]})
+    nat = pa.table({"n_nationkey": [7, 9],
+                    "n_name": ["FR", "DE"]})
+    out = (dominant_suppliers(
+               ray.data.from_pandas(li).repartition(3), supp, nat,
+               share_permille=500)
+           .to_pandas().sort_values("s_suppkey")
+           .reset_index(drop=True))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == [(1, "alpha", "FR", 1), (2, "beta", "DE", 1)]
