@@ -2032,6 +2032,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return assign_split(_read(sf_dir, "documents", ["doc_id"]),
                             key="doc_id", seed=42)
 
+    def q_split_leakage(sf_dir):
+        # benchmark-contamination audit: exact-norm duplicate pairs
+        # that straddle the train/val/test boundary, over an injected
+        # corpus of exact copies (the base documents are dup-free)
+        from doc_ocr_ray.pipelines.curate import split_leakage
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            dup1 = batch[d < 300].copy()
+            dup1["doc_id"] = dup1["doc_id"] + 1000000
+            dup2 = batch[d < 50].copy()
+            dup2["doc_id"] = dup2["doc_id"] + 2000000
+            return pd.concat([batch, dup1, dup2], ignore_index=True)
+
+        return split_leakage(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_stratified_sample(sf_dir):
         # language rebalancing: halve en, keep zh, drop the rest
         from doc_ocr_ray.pipelines.curate import stratified_sample
@@ -3258,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_quality_funnel": q_curate_quality_funnel,
         "session_labels": q_session_labels,
         "assign_split": q_assign_split,
+        "split_leakage": q_split_leakage,
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
         "token_budget_select": q_token_budget_select,
@@ -6339,6 +6358,33 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS session_id
             FROM brk
+        """,
+        # leakage twin: same injected exact copies, same md5 bucket
+        # rule, cross-split pairs ordered doc_a < doc_b
+        "split_leakage": f"""
+            WITH inj AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 300
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM documents
+              WHERE doc_id < 50),
+            n AS (SELECT doc_id, {_NORM} AS norm,
+                         CAST(('0x' || substr(md5('42:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                              % 10000 AS BIGINT) AS bucket
+                  FROM inj),
+            s AS (SELECT doc_id, norm,
+                         CASE WHEN bucket < 9000 THEN 'train'
+                              WHEN bucket < 9500 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM n WHERE norm <> '')
+            SELECT a.doc_id AS doc_a, a.split AS split_a,
+                   b.doc_id AS doc_b, b.split AS split_b
+            FROM s a JOIN s b
+              ON a.norm = b.norm AND a.doc_id < b.doc_id
+             AND a.split <> b.split
         """,
         "assign_split": """
             SELECT doc_id, bucket,

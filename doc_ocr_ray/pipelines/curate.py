@@ -1137,3 +1137,63 @@ def sample_k_per_group(ds, k: int = 10, group_col: str = "source",
     return (ds.map_batches(rank_partial, batch_format="pandas")
             .groupby("part").map_groups(per_group,
                                         batch_format="pandas"))
+
+
+def split_leakage(ds, text_col: str = "text", key: str = "doc_id",
+                  seed: int = 42, ratios: Optional[Dict[str, float]] = None,
+                  num_parts: int = 256):
+    """Train/test contamination audit: pairs of documents whose
+    normalized texts are IDENTICAL but whose deterministic split
+    assignments differ — exact-duplicate leakage across the
+    train/val/test boundary.  The decontamination counterpart of
+    :func:`assign_split`: a dedup pass run BEFORE splitting prevents
+    these; this op audits a corpus where it didn't (the classic
+    benchmark-inflation failure mode).
+
+    Scale shape: split assignment is the embarrassingly-parallel
+    md5-bucket map (assign_split's exact rule, composed); all rows
+    then ride ONE md5-keyed coarse exchange — the exact_dedup
+    discipline: shuffle on the 64-bit text key, group decisions on
+    the normalized STRING, so a hash collision can never pair
+    distinct texts.  Empty-normalized docs drop before the exchange
+    (no content is not leakage — and one giant ''-group would be
+    quadratic).  Within a norm group — duplicate sets are small by
+    nature — cross-split pairs enumerate locally, ordered
+    ``doc_a < doc_b``.  Output (doc_a, split_a, doc_b, split_b)."""
+    from doc_ocr_ray.stages.dedup import _md5_64, _normalize
+
+    assigned = assign_split(ds, key=key, seed=seed, ratios=ratios)
+
+    def key_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = _normalize(batch[text_col])
+        out = pd.DataFrame({
+            "doc_id": batch[key].astype("int64"),
+            "norm": norm.astype(object),
+            "split": batch["split"].astype(object)})
+        out = out[out["norm"] != ""]
+        out["part"] = pd.Series(
+            [_md5_64(t) >> 1 for t in out["norm"]],
+            index=out.index, dtype="int64") % num_parts
+        return typed_if_empty(out)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids_a, sp_a, ids_b, sp_b = [], [], [], []
+        for _, g in group.groupby("norm", sort=False):
+            if g["split"].nunique() < 2:
+                continue
+            recs = sorted(zip(g["doc_id"], g["split"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    if recs[i][1] != recs[j][1]:
+                        ids_a.append(recs[i][0])
+                        sp_a.append(recs[i][1])
+                        ids_b.append(recs[j][0])
+                        sp_b.append(recs[j][1])
+        return typed_if_empty(pd.DataFrame({
+            "doc_a": pd.Series(ids_a, dtype="int64"),
+            "split_a": pd.Series(sp_a, dtype=object),
+            "doc_b": pd.Series(ids_b, dtype="int64"),
+            "split_b": pd.Series(sp_b, dtype=object)}))
+
+    return (assigned.map_batches(key_batch, batch_format="pandas")
+            .groupby("part").map_groups(pairs, batch_format="pandas"))
