@@ -470,6 +470,17 @@ def _join_seed(ds, **sentinel):
     return ds.union(_rd.from_pandas(sentinel_frame(sentinel)))
 
 
+def _scalar_seed(**cols):
+    """One all-zero int64 partial row as a Dataset: unioned onto the
+    partials of a scalar aggregate so the single output row exists
+    even when the filter matches nothing (the SQL oracle's scalar
+    aggregate always returns one row; COALESCE zeros it there) — the
+    promo_revenue_share rule, shared by every scalar-aggregate op."""
+    import ray.data as _rd
+    return _rd.from_pandas(pd.DataFrame(
+        {k: np.array([v], dtype="int64") for k, v in cols.items()}))
+
+
 def shipping_priority(customer_ds, orders_ds, lineitem_ds,
                       segment: str = "BUILDING",
                       cutoff: str = "1999-01-01", k: int = 10,
@@ -762,14 +773,7 @@ def promo_revenue_share(part_ds, lineitem_ds,
             "total_revenue": [total / 10000.0],
             "promo_share_pct": [pct]})
 
-    # seed one all-zero partial so the single output row exists even
-    # when the shipdate window matches nothing (the oracle's scalar
-    # aggregate always returns a row; COALESCE makes it zeros there)
-    import ray.data as _rd
-    seed = _rd.from_pandas(pd.DataFrame({
-        "k": np.array([0], dtype="int64"),
-        "promo_cents": np.array([0], dtype="int64"),
-        "total_cents": np.array([0], dtype="int64")}))
+    seed = _scalar_seed(k=0, promo_cents=0, total_cents=0)
     return (joined.map_batches(partial, batch_format="pandas")
             .union(seed)
             .groupby("k").map_groups(final, batch_format="pandas"))
@@ -1359,14 +1363,7 @@ def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
             "revenue_cents": [cents],
             "avg_weekly_cents": [cents // 52]})
 
-    # all-zero seed partial: the oracle's scalar aggregate emits one
-    # row (coalesce'd zeros) even for a brand with no lineitems — the
-    # promo_revenue_share rule
-    import ray.data as _rd
-    seed = _rd.from_pandas(pd.DataFrame(
-        {"n_small": np.array([0], dtype="int64"),
-         "cents": np.array([0], dtype="int64"),
-         "g": np.array([0], dtype="int64")}))
+    seed = _scalar_seed(n_small=0, cents=0, g=0)
 
     return (lineitem_ds
             .map_batches(project, batch_format="pandas")
@@ -1412,6 +1409,10 @@ def late_supplier_blame(lineitem_ds, orders_ds, supplier_tbl: pa.Table,
 
     def ord_prep(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["o_orderstatus"] == "F"]
+        # NaT guard (the market_share/profit discipline): a NULL
+        # order date casts to INT64_MIN epoch-us and would mark every
+        # shipment late; the SQL twin's NULL comparison marks none
+        b = b[b["o_orderdate"].notna()]
         out = pd.DataFrame({
             "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
             "odate_us": b["o_orderdate"].to_numpy()
@@ -1530,14 +1531,7 @@ def forecast_revenue(lineitem_ds, year: int = 1996,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
 
-    # seed one all-zero partial so the single output row exists even
-    # when the filter matches nothing (the oracle's scalar aggregate
-    # always returns one row; COALESCE makes it zero there) — the
-    # promo_revenue_share rule
-    import ray.data as _rd
-    seed = _rd.from_pandas(pd.DataFrame(
-        {"k": np.array([0], dtype="int64"),
-         "tenk": np.array([0], dtype="int64")}))
+    seed = _scalar_seed(k=0, tenk=0)
 
     return (lineitem_ds.map_batches(partial, batch_format="pandas")
             .union(seed)
@@ -1764,9 +1758,12 @@ def market_share(lineitem_ds, orders_ds, customer_ds,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         nat_s = int(group["nat_tenk"].sum())
         tot_s = int(group["tot_tenk"].sum())
+        # tot == 0 (every matched row on revenue-grid zero): DuckDB
+        # integer // 0 yields NULL, so emit a null, not a crash
+        share = (10000 * nat_s) // tot_s if tot_s else None
         return pd.DataFrame({
             "o_year": [int(group["o_year"].iloc[0])],
-            "mkt_share_bp": [(10000 * nat_s) // tot_s],
+            "mkt_share_bp": pd.array([share], dtype="Int64"),
         })
 
     return (joined.map_batches(partial, batch_format="pandas")
@@ -2097,12 +2094,7 @@ def disjunctive_revenue(lineitem_ds, part_tbl: pa.Table,
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"revenue": [int(group["tenk"].sum()) / 10000.0]})
 
-    # all-zero seed partial: one output row even when no predicate
-    # clause matches (oracle COALESCE parity — promo_revenue_share rule)
-    import ray.data as _rd
-    seed = _rd.from_pandas(pd.DataFrame(
-        {"k": np.array([0], dtype="int64"),
-         "tenk": np.array([0], dtype="int64")}))
+    seed = _scalar_seed(k=0, tenk=0)
 
     return (lineitem_ds.map_batches(partial, batch_format="pandas")
             .union(seed)

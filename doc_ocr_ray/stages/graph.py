@@ -77,11 +77,20 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
         out = pd.DataFrame({
             "src": batch["node"].astype("int64"),
             "dst": np.int64(0), "deg": np.int64(0), "r": np.int64(0)})
+        out = out.drop_duplicates("src")      # in-batch combiner
         out["kind"] = np.int8(2)
         out["part"] = coarse_part(out["src"], num_parts)
         return _typed(out[base_cols])
 
+    def node_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        # exact cross-batch DISTINCT: a duplicate node row would both
+        # inflate n (shifting every node's base mass) and emit two
+        # rank rows — the dup-edge lesson applies to nodes too
+        return _typed(group.drop_duplicates(["src"])[base_cols])
+
     nodes = (nodes_ds.map_batches(node_key, batch_format="pandas")
+             .groupby("part").map_groups(node_dedup,
+                                         batch_format="pandas")
              .materialize())
     n = nodes.count()
     if n == 0:
@@ -425,22 +434,39 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                     .groupby("part").map_groups(edge_dedup,
                                                 batch_format="pandas")
                     .materialize())
-    edges_by_dst = (edges_ds.map_batches(edge_key("dst"),
-                                         batch_format="pandas")
-                    .groupby("part").map_groups(edge_dedup,
-                                                batch_format="pandas")
+
+    def rekey_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        # derive the dst-keyed table from the ALREADY globally-deduped
+        # src-keyed one: a re-key map, no second corpus parse and no
+        # second dedup exchange (the downstream union+groupby performs
+        # the actual dst-side exchange)
+        out = batch.copy()
+        out["part"] = coarse_part(out["dst"], num_parts)
+        return _typed(out[base_cols])
+
+    edges_by_dst = (edges_by_src.map_batches(rekey_dst,
+                                             batch_format="pandas")
                     .materialize())
 
     def node_key(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             "src": batch["node"].astype("int64"),
             "dst": np.int64(0), "r": np.int64(0)})
+        out = out.drop_duplicates("src")      # in-batch combiner
         out["kind"] = np.int8(2)
         out["part"] = coarse_part(out["src"], num_parts)
         return _typed(out[base_cols])
 
-    nodes = (nodes_ds.map_batches(node_key,
-                                  batch_format="pandas").materialize())
+    def node_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        # exact cross-batch DISTINCT: a duplicate node row inflates n
+        # (shifting scale//n for every node) and double-counts its raw
+        # sums in the L1 total — every normalized score would drift
+        return _typed(group.drop_duplicates(["src"])[base_cols])
+
+    nodes = (nodes_ds.map_batches(node_key, batch_format="pandas")
+             .groupby("part").map_groups(node_dedup,
+                                         batch_format="pandas")
+             .materialize())
     n = nodes.count()
     empty_out = pd.DataFrame({
         "node": pd.Series([], dtype="int64"),
@@ -707,15 +733,22 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
 
     def seed_key(batch: pd.DataFrame) -> pd.DataFrame:
         s = pd.DataFrame({"node": batch["node"].astype("int64")})
-        s = s.drop_duplicates()
+        s = s.drop_duplicates()               # in-batch combiner
         s = s.assign(val=np.int64(0),
                      part=coarse_part(s["node"], num_parts),
                      kind=np.int64(1))
         return _typed(s[cols])
 
+    def seed_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        # exact cross-batch DISTINCT: a seed repeated across blocks
+        # would emit duplicate (node, 0) output rows
+        return _typed(group.drop_duplicates(["node"])[cols])
+
     # visited rows carry (node, hop) as (node, val); frontier rows
     # are the kind=1 subset of the latest round's additions
     visited = (seeds_ds.map_batches(seed_key, batch_format="pandas")
+               .groupby("part").map_groups(seed_dedup,
+                                           batch_format="pandas")
                .materialize())
     frontier = visited
     n_frontier = frontier.count()

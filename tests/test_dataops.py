@@ -3983,3 +3983,28 @@ def test_split_leakage_pairs_and_empty_norm_drop(ray_session):
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == {(min(a, b), max(a, b)), (min(a, e), max(a, e))}
     assert set(out["split_a"]) | set(out["split_b"]) == {"train", "test"}
+
+
+def test_graph_ops_dedup_duplicate_nodes_and_seeds(ray_session):
+    """Review fixes: duplicate node rows split across blocks must not
+    shift pagerank/HITS grids (n inflation, double-counted L1 sums),
+    and duplicate seeds must not duplicate bfs output rows."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import bfs_hops, hits, pagerank
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    nodes_uniq = pd.DataFrame({"node": [0, 1, 2, 3]})
+    nodes_dup = pd.DataFrame({"node": [0, 1, 2, 3, 2, 0]})
+    for fn, score_col in ((pagerank, "rank_scaled"),
+                          (hits, "auth_scaled")):
+        clean = (fn(ray.data.from_pandas(edges),
+                    ray.data.from_pandas(nodes_uniq))
+                 .to_pandas().sort_values("node").reset_index(drop=True))
+        dup = (fn(ray.data.from_pandas(edges),
+                  ray.data.from_pandas(nodes_dup).repartition(3))
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert clean.equals(dup), fn.__name__
+    seeds_dup = pd.DataFrame({"node": [0, 0, 0]})
+    out = (bfs_hops(ray.data.from_pandas(edges),
+                    ray.data.from_pandas(seeds_dup).repartition(3))
+           .to_pandas())
+    assert sorted(zip(out["node"], out["hop"])) == [(0, 0), (1, 1), (2, 2)]

@@ -372,3 +372,58 @@ def test_hits_rejects_zero_iters(ray_session):
     nodes = pd.DataFrame({"node": np.array([1, 2], dtype="int64")})
     with pytest.raises(ValueError, match="iters >= 1"):
         hits(_ds(edges), _ds(nodes), iters=0)
+
+
+def test_market_share_zero_total_yields_null_not_crash(ray_session):
+    # review fix: a year whose matched rows all land on revenue-grid
+    # zero must emit a NULL share (DuckDB integer-//-0 parity), not
+    # raise ZeroDivisionError
+    from doc_ocr_ray.pipelines.relational import market_share
+    nat = pa.table({
+        "n_nationkey": pa.array([1, 3], pa.int32()),
+        "n_name": ["NATION_1", "NATION_3"],
+        "n_regionkey": pa.array([2, 1], pa.int32())})
+    reg = pa.table({"r_regionkey": pa.array([1, 2], pa.int32()),
+                    "r_name": ["AMERICA", "ASIA"]})
+    part = pa.table({"p_partkey": pa.array([1], pa.int64()),
+                     "p_type": ["PROMO"]})
+    sup = pa.table({"s_suppkey": pa.array([1], pa.int64()),
+                    "s_nationkey": pa.array([3], pa.int32())})
+    cust = pd.DataFrame({
+        "c_custkey": np.array([1], dtype="int64"),
+        "c_nationkey": np.array([1], dtype="int32")})
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1], dtype="int64"),
+        "o_custkey": np.array([1], dtype="int64"),
+        "o_orderdate": pd.to_datetime(["1995-03-01"])})
+    li = _lineitem([(1, 1, 1, 1.0, 0.0, 0.0, "1995-05-01", "N")])
+    out = market_share(_ds(li), _ds(orders), _ds(cust), sup, nat, reg,
+                       part, nation="NATION_3", region="ASIA",
+                       p_type="PROMO").take_all()
+    assert len(out) == 1
+    assert out[0]["o_year"] == 1995
+    assert out[0]["mkt_share_bp"] is None
+
+
+def test_late_supplier_blame_null_orderdate_excluded(ray_session):
+    # review fix: a NULL o_orderdate must not cast to INT64_MIN and
+    # mark every shipment late — the SQL twin's NULL comparison marks
+    # none, so the order contributes no blame in either engine
+    from doc_ocr_ray.pipelines.relational import late_supplier_blame
+    sup = pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                    "s_name": ["alpha", "beta"]})
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2], dtype="int64"),
+        "o_orderstatus": ["F", "F"],
+        "o_orderdate": pd.to_datetime(["2000-01-01", pd.NaT])})
+    li = _lineitem([
+        # order 1: supp 1 ships 200 days late, supp 2 on time -> blame 1
+        (1, 1, 1, 1.0, 10.0, 0.0, "2000-07-19", "N"),
+        (1, 2, 1, 1.0, 10.0, 0.0, "2000-01-10", "N"),
+        # order 2 (NaT date): any shipment would be "late" vs INT64_MIN
+        (2, 2, 1, 1.0, 10.0, 0.0, "2000-07-19", "N"),
+    ])
+    out = late_supplier_blame(_ds(li), _ds(orders), sup).take_all()
+    got = {r["s_name"]: r["numwait"] for r in out}
+    assert got.get("alpha", 0) == 1
+    assert got.get("beta", 0) == 0 or "beta" not in got
