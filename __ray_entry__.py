@@ -1004,6 +1004,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings")
         return similarity.knn_brute(emb, query_ids=list(range(20)), k=5)
 
+    def q_knn_graph(sf_dir):
+        # all-pairs exact cosine k-NN graph (the SemDeDup / graph-
+        # dedup primitive): corpus broadcast once, each batch its own
+        # complete query block, distributed output, no driver merge
+        emb = _read(sf_dir, "embeddings")
+        return similarity.knn_graph(emb, k=5)
+
     def q_similarity_lsh(sf_dir):
         emb = _read(sf_dir, "embeddings")
         return similarity.knn_lsh(emb, query_ids=list(range(20)), k=5,
@@ -3186,6 +3193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_join": q_setsim_join,
         "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
+        "knn_graph": q_knn_graph,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh_exact": q_similarity_lsh_exact,
@@ -5904,6 +5912,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.cents,
                    COALESCE(b.band, '(none)') AS band
             FROM e LEFT JOIN b ON e.cents >= b.lo AND e.cents < b.hi
+        """,
+        # all-pairs twin of similarity_topk: every vector is a query
+        "knn_graph": """
+            WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+                       FROM embeddings),
+                 s AS (SELECT a.vec_id AS query_id, b.vec_id,
+                              list_cosine_similarity(a.xv, b.xv) AS raw
+                       FROM x a CROSS JOIN x b
+                       WHERE a.vec_id <> b.vec_id),
+                 r AS (SELECT query_id, vec_id, raw,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY raw DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, rank, vec_id, round(raw, 4) AS score
+            FROM r WHERE rank <= 5
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -1324,3 +1324,65 @@ def rp_project(ds, out_dim: int = 16, grid: int = 1_000_000,
             "value": out.reshape(-1)})
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", batch_size: int = 4096):
+    """ALL-pairs exact cosine k-NN graph — the SemDeDup /
+    graph-based-dedup / label-propagation primitive: for EVERY
+    vector, its top-``k`` cosine neighbours (self excluded), ranked
+    by raw score DESC with ties broken vec_id ASC, score rounded to
+    4 decimals AFTER ranking (the knn_brute tie/round rule, so the
+    cross-join SQL twin never drifts).
+
+    Scale shape: the corpus matrix broadcasts ONCE via ``ray.put``
+    (the documented envelope: n x dim float64 must fit a worker heap
+    — ~2M vectors/GiB at dim 64; beyond it the IVF-bucketed family
+    is the scale path).  Each batch is its OWN query block against
+    the broadcast matrix, so every batch's top-k is already COMPLETE
+    and the output stays distributed — no driver merge at all,
+    unlike the small-query-set :func:`knn_brute` whose driver merge
+    is n_q-bounded.  The tie rule costs nothing: the corpus matrix
+    is assembled in ascending vec_id order, so a STABLE argsort of
+    -scores yields score-DESC-then-vec_id-ASC directly.  Output
+    (query_id, rank, vec_id, score)."""
+    import ray
+
+    corpus = ds.select_columns([id_col, vec_col]).take_all()
+    if not corpus:
+        import ray.data as _rd
+        return _rd.from_arrow(_empty_knn_table())
+    corpus.sort(key=lambda r: int(r[id_col]))
+    c_ids = np.array([int(r[id_col]) for r in corpus], dtype="int64")
+    X = _norm_rows(_matrix([r[vec_col] for r in corpus]))
+    ref = ray.put((c_ids, X))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        ids, Xm = ray.get(ref)
+        Q = _norm_rows(_matrix_from_arrow(batch, vec_col))
+        qids = batch[id_col].to_numpy()
+        scores = Q @ Xm.T                        # (n_batch, n_corpus)
+        kk = min(k + 1, scores.shape[1])         # +1 survives self-drop
+        # stable sort on -score: corpus columns are vec_id-ascending,
+        # so ties resolve vec_id ASC by stability
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        out_q, out_r, out_v, out_s = [], [], [], []
+        for qi in range(scores.shape[0]):
+            rank = 0
+            for j in order[qi]:
+                if int(ids[j]) == int(qids[qi]):
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                out_q.append(int(qids[qi])); out_r.append(rank)
+                out_v.append(int(ids[j]))
+                out_s.append(round(float(scores[qi, j]), 4))
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int64"),
+            "rank": pd.Series(out_r, dtype="int64"),
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64")})
+
+    return ds.map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -551,3 +551,32 @@ def test_rp_project_replay_and_repartition_invariance(ray_session):
     # sign matrix is balanced enough to be a real projection
     S = _rp_signs(64, 16)
     assert abs(int(S.sum())) < 64 * 16 // 4
+
+
+def test_knn_graph_ties_self_exclusion_and_small_corpus(ray_session):
+    """All-pairs kNN: ties resolve vec_id-ascending via the stable
+    sort over the id-ordered corpus, self never appears, k > n-1
+    yields n-1 neighbors, output is identical across partitionings
+    (each batch's top-k is complete by construction)."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import knn_graph
+    # vecs: 0 and 3 identical; 1 orthogonal-ish; 2 = negative of 0
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [1.0, 0.0]]})
+    one = (knn_graph(ray.data.from_pandas(emb), k=5)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    two = (knn_graph(ray.data.from_pandas(emb).repartition(3), k=5)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert one.equals(two)
+    assert (one.groupby("query_id").size() == 3).all()   # n-1, not k
+    assert not (one["query_id"] == one["vec_id"]).any()
+    # query 1 sees scores (0, 0, 0) from vecs 0, 2, 3 -> tie order by id
+    q1 = one[one["query_id"] == 1]
+    assert list(q1["vec_id"]) == [0, 2, 3]
+    # query 0's best is its twin 3 (score 1.0), then 1, then 2
+    q0 = one[one["query_id"] == 0]
+    assert list(q0["vec_id"]) == [3, 1, 2]
+    assert list(q0["score"]) == [1.0, 0.0, -1.0]
