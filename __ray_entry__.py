@@ -618,6 +618,45 @@ def _inject_anchor_html(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": d, "url": base, "html": html})
 
 
+def _inject_sitemap_xml(batch: pd.DataFrame) -> pd.DataFrame:
+    """Synthetic sitemap corpus (the sitemap_urls oracle's twin):
+    d%7==2 docs are <sitemapindex> files (two child sitemaps, one
+    with lastmod, plus a <url> decoy the index root must ignore);
+    the rest are <urlset> files with an entity-escaped query URL
+    (d%3==0), a loc-less entry that must be skipped without shifting
+    ranks (d%4==1), a CDATA loc (d%5==0), and a page entry whose
+    lastmod alternates date-only / full-datetime and whose priority
+    walks the 0.0-0.9 grid."""
+    d = batch["doc_id"].astype("int64")
+    s = d.astype(str)
+    m = (d % 20).astype(str)
+    day = (1 + d % 28).astype(str).str.zfill(2)
+    w = lambda cond, part: np.where(cond, part, "").astype(object)
+    urlset = (
+        '<?xml version="1.0"?><urlset '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        '<url><loc>http://site' + m + '.test/page' + s + '</loc>'
+        '<lastmod>2020-01-' + day
+        + np.where(d % 2 == 1, "T08:30:00Z", "").astype(object)
+        + '</lastmod><priority>0.' + (d % 10).astype(str)
+        + '</priority></url>'
+        + w(d % 3 == 0, '<url><loc>http://site' + m
+            + '.test/q?a=1&amp;b=' + (d % 7).astype(str)
+            + '</loc></url>')
+        + w(d % 4 == 1, '<url><lastmod>2020-05-05</lastmod></url>')
+        + w(d % 5 == 0, '<url><loc><![CDATA[http://site' + m
+            + '.test/cd?x=' + s + ']]></loc></url>')
+        + '</urlset>')
+    index = ('<sitemapindex><sitemap><loc>http://site' + m
+             + '.test/s1.xml</loc><lastmod>2021-03-04</lastmod>'
+             '</sitemap><sitemap><loc>http://site' + m
+             + '.test/s2.xml</loc></sitemap>'
+             '<url><loc>http://decoy.test/x</loc></url>'
+             '</sitemapindex>')
+    xml = np.where(d % 7 == 2, index, urlset).astype(object)
+    return pd.DataFrame({"doc_id": d, "xml": xml})
+
+
 def _inject_frontier_html(n: int):
     """Synthetic crawl snapshot for the frontier: every page links a
     same-host /top, even pages an external host, every page the NEXT
@@ -1853,6 +1892,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
+
+    def q_sitemap_urls(sf_dir):
+        # crawl seeding: sitemap-protocol parse (urlset + index,
+        # CDATA, entities, loc-less skips, W3C lastmod -> epoch-us,
+        # priority milli grid) over an injected sitemap corpus
+        from doc_ocr_ray.stages.urls import sitemap_urls
+        return sitemap_urls(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(_inject_sitemap_xml, batch_format="pandas"))
 
     def q_html_links(sf_dir):
         # outlink extraction + RFC-lite resolution: absolute,
@@ -3276,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_pages_gz": q_warc_pages_gz,
         "robots_classify": q_robots_classify,
         "html_links": q_html_links,
+        "sitemap_urls": q_sitemap_urls,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -4834,6 +4883,51 @@ def oracle_sql() -> dict[str, str]:
         # expected outlinks from the generator arithmetic; rank is
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
+        # sitemap twin: the injected emission set restated by doc
+        # arithmetic; epoch math via epoch_us on the same UTC grid
+        "sitemap_urls": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 20 AS VARCHAR) AS m,
+                              CAST(doc_id AS VARCHAR) AS s
+                       FROM documents),
+            rows_ AS (
+              SELECT doc_id, 0 AS rank, 'url' AS kind,
+                     'http://site' || m || '.test/page' || s AS loc,
+                     epoch_us(CAST(DATE '2020-01-01'
+                              + INTERVAL (doc_id % 28) DAY
+                              AS TIMESTAMP))
+                     + CASE WHEN doc_id % 2 = 1
+                            THEN 30600000000 ELSE 0 END AS lastmod_us,
+                     (doc_id % 10) * 100 AS priority_milli
+              FROM d WHERE doc_id % 7 <> 2
+              UNION ALL
+              SELECT doc_id, 1, 'url',
+                     'http://site' || m || '.test/q?a=1&b='
+                       || CAST(doc_id % 7 AS VARCHAR),
+                     -1, -1
+              FROM d WHERE doc_id % 7 <> 2 AND doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id,
+                     1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END,
+                     'url',
+                     'http://site' || m || '.test/cd?x=' || s,
+                     -1, -1
+              FROM d WHERE doc_id % 7 <> 2 AND doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 0, 'sitemap',
+                     'http://site' || m || '.test/s1.xml',
+                     epoch_us(TIMESTAMP '2021-03-04 00:00:00'), -1
+              FROM d WHERE doc_id % 7 = 2
+              UNION ALL
+              SELECT doc_id, 1, 'sitemap',
+                     'http://site' || m || '.test/s2.xml',
+                     -1, -1
+              FROM d WHERE doc_id % 7 = 2)
+            SELECT doc_id, rank, kind, loc,
+                   CAST(lastmod_us AS BIGINT) AS lastmod_us,
+                   CAST(priority_milli AS BIGINT) AS priority_milli
+            FROM rows_
+        """,
         "html_links": f"""
             WITH {_LINKS_CTES}
             SELECT doc_id,

@@ -531,3 +531,74 @@ def test_robots_www_rule_domain_matches(ray_session):
     out = robots_classify(ray.data.from_pandas(urls),
                           [("www.Example.com", "/private", 0)]).to_pandas()
     assert list(out["allowed"]) == [0]
+
+
+def test_sitemap_entries_adversarial():
+    from doc_ocr_ray.stages.urls import sitemap_entries
+    # truncated/unclosed entries, decoys, entity edge cases
+    kind, es = sitemap_entries(
+        '<urlset><url><loc>http://a.test/ok</loc></url>'
+        '<url><loc>http://a.test/unclosed'       # no </loc>, no </url>
+        '<url><loc>http://a.test/after</loc></url>')
+    assert kind == "url"
+    # the unclosed entry swallows up to the NEXT </url> close — its
+    # loc field never closes, so only the intact first entry and the
+    # recovered scan afterwards emit
+    assert [e["loc"] for e in es] == ["http://a.test/ok"]
+    # index root ignores <url> decoys; url root ignores <sitemap>
+    kind, es = sitemap_entries(
+        '<sitemapindex><url><loc>http://x.test/decoy</loc></url>'
+        '<sitemap><loc>http://x.test/s.xml</loc></sitemap>'
+        '</sitemapindex>')
+    assert kind == "sitemap" and [e["loc"] for e in es] == [
+        "http://x.test/s.xml"]
+    # entities: named, numeric, hex, and an invalid one left literal
+    kind, es = sitemap_entries(
+        '<urlset><url><loc>http://a.test/?q=&quot;x&quot;&amp;r=&#x2F;'
+        '&#47;&#xZZ;</loc></url></urlset>')
+    assert es[0]["loc"] == 'http://a.test/?q="x"&r=//&#xZZ;'
+    # lastmod: invalid dates/junk -> None (the stage maps None to
+    # the -1 sentinel); fractional seconds + offsets ok
+    cases = {
+        "2020-13-01": None, "2020-00-10": None, "garbage": None,
+        "2020-01-02junk": None,
+        "2020-01-02": 1577923200000000,
+        "2020-01-02T00:00:00.5Z": 1577923200000000,
+        "2020-01-02T01:00:00+01:00": 1577923200000000}
+    for text, want in cases.items():
+        _, es = sitemap_entries(
+            f'<urlset><url><loc>http://a.test/</loc>'
+            f'<lastmod>{text}</lastmod></url></urlset>')
+        assert es[0]["lastmod_us"] == want, text
+    # priority: clamp both ends, junk -> None
+    for text, want in {"1.7": 1000, "-0.5": 0, "0.55": 550,
+                       "abc": None}.items():
+        _, es = sitemap_entries(
+            f'<urlset><url><loc>http://a.test/</loc>'
+            f'<priority>{text}</priority></url></urlset>')
+        assert es[0]["priority_milli"] == want, text
+    # loc-less entries skip without shifting ranks of later entries
+    _, es = sitemap_entries(
+        '<urlset><url><priority>0.9</priority></url>'
+        '<url><loc>http://a.test/second</loc></url></urlset>')
+    assert len(es) == 1 and es[0]["loc"] == "http://a.test/second"
+    # whitespace stripped INSIDE loc (spec: no embedded whitespace)
+    _, es = sitemap_entries(
+        '<urlset><url><loc>\n  http://a.test/x\n  </loc></url></urlset>')
+    assert es[0]["loc"] == "http://a.test/x"
+    # no recognizable root
+    assert sitemap_entries("<rss><channel/></rss>") == ("", [])
+    assert sitemap_entries("") == ("", [])
+
+
+def test_sitemap_urls_stage_nan_and_empty(ray_session):
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.urls import sitemap_urls
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2], dtype="int64"),
+        "xml": ['<urlset><url><loc>http://a.test/p</loc></url></urlset>',
+                None]})
+    out = sitemap_urls(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    assert list(out["loc"]) == ["http://a.test/p"]
+    assert list(out["lastmod_us"]) == [-1]
