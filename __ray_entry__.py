@@ -1893,6 +1893,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
 
+    def q_robots_sitemaps(sf_dir):
+        # REP Sitemap: directive discovery over injected robots.txt
+        # (case/space tolerance, inline comments, commented-out lines)
+        from doc_ocr_ray.stages.urls import robots_sitemaps
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            m = (d % 20).astype(str)
+            w = lambda c, part: np.where(c, part, "").astype(object)
+            txt = ("User-agent: *\nDisallow: /p"
+                   + (d % 7).astype(str)
+                   + "\nSitemap: http://site" + m + ".test/s"
+                   + (d % 3).astype(str) + ".xml\n"
+                   + w(d % 2 == 0, "sitemap:http://site" + m
+                       + ".test/extra.xml   # note\n")
+                   + w(d % 4 == 1, "Sitemap: http://site" + m
+                       + ".test/frag.xml#f\n")
+                   + w(d % 5 == 0, "# Sitemap: http://site" + m
+                       + ".test/commented.xml\n"))
+            return pd.DataFrame({"doc_id": d, "robots_txt": txt})
+
+        return robots_sitemaps(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_sitemap_urls(sf_dir):
         # crawl seeding: sitemap-protocol parse (urlset + index,
         # CDATA, entities, loc-less skips, W3C lastmod -> epoch-us,
@@ -3325,6 +3350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_classify": q_robots_classify,
         "html_links": q_html_links,
         "sitemap_urls": q_sitemap_urls,
+        "robots_sitemaps": q_robots_sitemaps,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -4883,6 +4909,25 @@ def oracle_sql() -> dict[str, str]:
         # expected outlinks from the generator arithmetic; rank is
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
+        # robots Sitemap-directive twin: emission set by arithmetic
+        "robots_sitemaps": """
+            WITH d AS (SELECT doc_id,
+                              CAST(doc_id % 20 AS VARCHAR) AS m
+                       FROM documents)
+            SELECT doc_id, 0 AS rank,
+                   'http://site' || m || '.test/s'
+                     || CAST(doc_id % 3 AS VARCHAR) || '.xml'
+                     AS sitemap_url
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1,
+                   'http://site' || m || '.test/extra.xml'
+            FROM d WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 1,
+                   'http://site' || m || '.test/frag.xml'
+            FROM d WHERE doc_id % 4 = 1
+        """,
         # sitemap twin: the injected emission set restated by doc
         # arithmetic; epoch math via epoch_us on the same UTC grid
         "sitemap_urls": """

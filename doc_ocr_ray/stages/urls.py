@@ -389,3 +389,42 @@ def sitemap_urls(ds, xml_col: str = "xml", id_col: str = "doc_id"):
             "priority_milli": pd.Series(prios, dtype="int64")}))
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+_RS_LINE = re.compile(r"^[\t ]*sitemap[\t ]*:[\t ]*(\S+)",
+                      re.IGNORECASE | re.MULTILINE)
+
+
+def robots_sitemaps(ds, text_col: str = "robots_txt",
+                    id_col: str = "doc_id"):
+    """Sitemap discovery from robots.txt — the REP 'Sitemap:' field
+    (google REP draft §2.3: case-insensitive key, full URL value,
+    valid OUTSIDE any user-agent group, may repeat).  One row per
+    directive in file order: (doc_id, rank, sitemap_url).  Trailing
+    comments strip at the first '#'; values with raw whitespace end
+    at it (\\S+ capture); blank values never emit.  Feeds
+    :func:`sitemap_entries` for the crawl-seeding loop.
+
+    Scale shape: stateless flat map over a compiled module-level
+    pattern — no shuffle, no state."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ranks, urls = [], [], []
+        for doc_id, txt in zip(batch[id_col].to_numpy(),
+                               batch[text_col].to_numpy()):
+            if not isinstance(txt, str):
+                continue
+            rank = 0
+            for m in _RS_LINE.finditer(txt):
+                url = m.group(1).split("#", 1)[0]
+                if not url:
+                    continue
+                ids.append(int(doc_id))
+                ranks.append(rank)
+                urls.append(url)
+                rank += 1
+        return typed_if_empty(pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "rank": pd.Series(ranks, dtype="int64"),
+            "sitemap_url": pd.Series(urls, dtype="object")}))
+
+    return ds.map_batches(fn, batch_format="pandas")

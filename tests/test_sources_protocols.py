@@ -602,3 +602,26 @@ def test_sitemap_urls_stage_nan_and_empty(ray_session):
     out = sitemap_urls(ray.data.from_pandas(df).repartition(2)).to_pandas()
     assert list(out["loc"]) == ["http://a.test/p"]
     assert list(out["lastmod_us"]) == [-1]
+
+
+def test_robots_sitemaps_directive_parsing(ray_session):
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_sitemaps
+    txt = ("User-agent: *\nDisallow: /private\n"
+           "Sitemap: http://a.test/s1.xml\n"
+           "sitemap:http://a.test/s2.xml   # inline comment\n"
+           "SiteMap\t: http://a.test/s3.xml\n"      # space before colon ok
+           "Sitemap: http://a.test/s4.xml#frag\n"   # strips at '#'
+           "Sitemap:\n"                             # empty value: skip
+           "#Sitemap: http://a.test/commented\n"    # commented out: skip
+           "NotSitemap: http://a.test/decoy\n")
+    df = pd.DataFrame({"doc_id": pd.Series([1, 2], dtype="int64"),
+                       "robots_txt": [txt, None]})
+    out = (robots_sitemaps(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("rank"))
+    assert list(out["doc_id"].unique()) == [1]
+    assert list(out["sitemap_url"]) == [
+        "http://a.test/s1.xml", "http://a.test/s2.xml",
+        "http://a.test/s3.xml", "http://a.test/s4.xml"]
+    assert list(out["rank"]) == [0, 1, 2, 3]
