@@ -1087,6 +1087,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.kmeans_assign(emb, k=8)
 
+    def q_embedding_drift(sf_dir):
+        # two-snapshot corpus-drift monitor: snapshot B drops every
+        # 17th vector and shifts dim 0 by +0.1 for vec_id%3==0;
+        # shared centroids from snapshot A's seed rows, one tagged
+        # partial exchange, drift on the integer grid
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def drifted(tbl):
+            import pyarrow as _pa
+            keep = (tbl["vec_id"].to_numpy() % 17) != 0
+            tbl = tbl.filter(_pa.array(keep))
+            if tbl.num_rows == 0:
+                return tbl
+            v = tbl["vec_id"].to_numpy()
+            X = np.array(tbl["embedding"].to_pylist(),
+                         dtype=np.float64)
+            X[v % 3 == 0, 0] += 0.1
+            col = _pa.array(list(X),
+                            type=_pa.list_(_pa.float64()))
+            return tbl.set_column(
+                tbl.schema.get_field_index("embedding"),
+                "embedding", col)
+
+        snap_b = emb.map_batches(drifted, batch_format="pyarrow")
+        return similarity.embedding_drift(emb, snap_b, k=8)
+
     def q_semdedup(sf_dir):
         # SemDeDup epsilon-ball pruning over the injected near-dup
         # testbed: within-cluster keep-first at cosine >= 0.95
@@ -3273,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_exact": q_similarity_ivf_exact,
         "label_centroids": q_label_centroids,
         "kmeans_assign": q_kmeans_assign,
+        "embedding_drift": q_embedding_drift,
         "kmeans_fit": q_kmeans_fit,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
@@ -5408,6 +5435,86 @@ def oracle_sql() -> dict[str, str]:
         """,
         # E-step twin: same integer grid, parallel-unnest zip for the
         # per-dimension diffs, argmin via row_number(dist, cid)
+        # drift twin: assignment CTE once per snapshot (B's values
+        # perturbed by the same arithmetic), grid-snapped means, L1
+        # drift in grid units, -1 when a side is empty
+        "embedding_drift": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+            xa AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM embeddings),
+            xb AS (
+              SELECT vec_id, dim,
+                     CAST(floor(
+                       (CAST(val AS DOUBLE)
+                        + CASE WHEN dim = 0 AND vec_id % 3 = 0
+                               THEN 0.1 ELSE 0 END)
+                       * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM (SELECT vec_id,
+                           generate_subscripts(embedding, 1) - 1 AS dim,
+                           unnest(embedding) AS val
+                    FROM embeddings WHERE vec_id % 17 <> 0)),
+            cz AS (
+              SELECT cid, generate_subscripts(cv, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(cv) AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS sv
+              FROM c),
+            da AS (
+              SELECT x.vec_id, cz.cid,
+                     CAST(sum((x.sv - cz.sv) * (x.sv - cz.sv))
+                          AS BIGINT) AS dist
+              FROM xa x JOIN cz ON x.dim = cz.dim
+              GROUP BY 1, 2),
+            db AS (
+              SELECT x.vec_id, cz.cid,
+                     CAST(sum((x.sv - cz.sv) * (x.sv - cz.sv))
+                          AS BIGINT) AS dist
+              FROM xb x JOIN cz ON x.dim = cz.dim
+              GROUP BY 1, 2),
+            la AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM da) WHERE rn = 1),
+            lb AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM db) WHERE rn = 1),
+            ma AS (
+              SELECT la.cid, xa.dim,
+                     CAST(floor(10000 * (sum(xa.sv)
+                          / (1000000.0 * count(*)))) AS BIGINT) AS m,
+                     count(*) AS n
+              FROM xa JOIN la USING (vec_id) GROUP BY 1, 2),
+            mb AS (
+              SELECT lb.cid, xb.dim,
+                     CAST(floor(10000 * (sum(xb.sv)
+                          / (1000000.0 * count(*)))) AS BIGINT) AS m,
+                     count(*) AS n
+              FROM xb JOIN lb USING (vec_id) GROUP BY 1, 2),
+            na AS (SELECT cid, max(n) AS n_a FROM ma GROUP BY 1),
+            nb AS (SELECT cid, max(n) AS n_b FROM mb GROUP BY 1),
+            dr AS (
+              SELECT ma.cid,
+                     CAST(sum(abs(ma.m - mb.m)) AS BIGINT) AS drift
+              FROM ma JOIN mb ON ma.cid = mb.cid AND ma.dim = mb.dim
+              GROUP BY 1),
+            cids AS (SELECT cid FROM na UNION SELECT cid FROM nb)
+            SELECT cids.cid AS centroid_id,
+                   CAST(coalesce(na.n_a, 0) AS BIGINT) AS n_a,
+                   CAST(coalesce(nb.n_b, 0) AS BIGINT) AS n_b,
+                   CAST(coalesce(dr.drift, -1) AS BIGINT) AS drift_units
+            FROM cids
+            LEFT JOIN na USING (cid) LEFT JOIN nb USING (cid)
+            LEFT JOIN dr USING (cid)
+        """,
         "kmeans_assign": """
             WITH c AS (
               SELECT vec_id AS cid, embedding AS cv

@@ -1386,3 +1386,96 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
 
     return ds.map_batches(block_topk, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def embedding_drift(ds_a, ds_b, k: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", scale: int = 1_000_000,
+                    grid: int = 10_000):
+    """Corpus-drift monitor between two embedding snapshots — the
+    production guardrail for a continuously-ingested training corpus
+    (did this week's crawl shift the topic mix?): both snapshots are
+    clustered against the SAME deterministic centroids (snapshot A's
+    seed-pick rows, ``vec_id < k``, the kmeans_assign rule), and per
+    cluster the monitor reports membership counts and the L1 centroid
+    displacement on the integer grid.
+
+    Output (centroid_id, n_a, n_b, drift_units): drift_units =
+    sum over dims of |mean_a - mean_b| in 1/``grid`` units (int64),
+    or -1 when the cluster is empty on either side (no centroid to
+    compare).  Means snap per dim exactly like label_centroids:
+    ``floor(grid * (sum_scaled / (scale * n)))`` — one double
+    division + one multiply + one floor, stated identically in the
+    SQL twin, so drift is bit-exact.
+
+    Scale shape: the centroid set broadcasts once (``ray.put``); each
+    snapshot runs ONE stateless pass that assigns labels in-batch
+    (integer-grid argmin, ties to smallest centroid id) and emits
+    per-(label, dim) PARTIAL sums — vectors never ride a shuffle and
+    per-row assignments never leave the batch; the tagged partials
+    (2 x n_blocks x k x dim tiny rows) meet in a single
+    groupby(label) combine that computes both snapshots' means and
+    the drift inside the group fn."""
+    import ray
+
+    cids, Cf = _seed_centroids(ds_a, k, id_col, vec_col)
+    C = np.floor(Cf * scale + 0.5).astype(np.int64)
+    ref = ray.put((cids, C))
+
+    def partials(src):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "dim": pd.Series([], dtype="int64"),
+                "sum_scaled": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "src": pd.Series([], dtype="int64")})
+            cids_, C_ = ray.get(ref)
+            Xf = _matrix_from_arrow(batch, vec_col)
+            if Xf.size == 0:
+                return empty
+            X = np.floor(Xf * scale + 0.5).astype(np.int64)
+            d = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            labels = cids_[d.argmin(axis=1)]
+            dim = X.shape[1]
+            out = []
+            for lab in np.unique(labels):
+                mask = labels == lab
+                out.append(pd.DataFrame({
+                    "label": np.full(dim, lab, dtype=np.int64),
+                    "dim": np.arange(dim, dtype=np.int64),
+                    "sum_scaled": X[mask].sum(axis=0),
+                    "n": np.full(dim, int(mask.sum()), dtype=np.int64),
+                    "src": np.full(dim, src, dtype=np.int64)}))
+            return pd.concat(out, ignore_index=True)
+        return fn
+
+    both = (ds_a.map_batches(partials(0), batch_format="pyarrow")
+            .union(ds_b.map_batches(partials(1), batch_format="pyarrow")))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        label = int(group["label"].iloc[0])
+        sides = {}
+        for src, g in group.groupby("src", sort=True):
+            agg = (g.groupby("dim", sort=True)[["sum_scaled", "n"]]
+                   .sum())
+            n = int(agg["n"].iloc[0]) if len(agg) else 0
+            if n:
+                means = np.floor(
+                    grid * (agg["sum_scaled"].to_numpy(np.float64)
+                            / (float(scale) * agg["n"].to_numpy(
+                                np.float64)))).astype(np.int64)
+            else:
+                means = None
+            sides[int(src)] = (n, means)
+        n_a, m_a = sides.get(0, (0, None))
+        n_b, m_b = sides.get(1, (0, None))
+        drift = (int(np.abs(m_a - m_b).sum())
+                 if m_a is not None and m_b is not None else -1)
+        return pd.DataFrame({
+            "centroid_id": pd.Series([label], dtype="int64"),
+            "n_a": pd.Series([n_a], dtype="int64"),
+            "n_b": pd.Series([n_b], dtype="int64"),
+            "drift_units": pd.Series([drift], dtype="int64")})
+
+    return both.groupby("label").map_groups(combine,
+                                            batch_format="pandas")

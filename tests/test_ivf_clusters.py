@@ -580,3 +580,47 @@ def test_knn_graph_ties_self_exclusion_and_small_corpus(ray_session):
     q0 = one[one["query_id"] == 0]
     assert list(q0["vec_id"]) == [3, 1, 2]
     assert list(q0["score"]) == [1.0, 0.0, -1.0]
+
+
+def test_embedding_drift_counts_means_and_missing_side(ray_session):
+    """Drift = L1 centroid displacement in grid units with shared
+    snapshot-A centroids; clusters empty on one side report -1;
+    membership counts track adds/drops; repartition exercises the
+    tagged partial exchange."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import embedding_drift
+    # centroids (vec_id < 2): c0 at (0,0), c1 at (10,10)
+    a = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4],
+        "embedding": [[0.0, 0.0], [10.0, 10.0],
+                      [0.2, 0.0],        # c0
+                      [10.0, 10.2],      # c1
+                      [0.0, 0.2]]})      # c0
+    # B: drop vec 4 (c0 count 3->2), shift vec 2 to (0.4, 0.0)
+    # (c0 mean moves), vec 3 unchanged, add vec 5 near c1
+    b = pd.DataFrame({
+        "vec_id": [0, 2, 3, 5],
+        "embedding": [[0.0, 0.0], [0.4, 0.0], [10.0, 10.2],
+                      [9.8, 10.0]]})
+    out = (embedding_drift(ray.data.from_pandas(a).repartition(3),
+                           ray.data.from_pandas(b).repartition(2), k=2)
+           .to_pandas().sort_values("centroid_id")
+           .reset_index(drop=True))
+    got = {int(r["centroid_id"]): (int(r["n_a"]), int(r["n_b"]),
+                                   int(r["drift_units"]))
+           for _, r in out.iterrows()}
+    # c0 A: {0,2,4} mean (0.0667.., 0.0667..) -> floor grid (666, 666)
+    # c0 B: {0,2} mean (0.2, 0.0) -> (2000, 0)
+    # drift = |666-2000| + |666-0| = 1334 + 666 = 2000
+    assert got[0] == (3, 2, 2000)
+    # c1 A: {1,3} mean (10.0, 10.1) -> (100000, 101000); B: {3,5}
+    # mean (9.9, 10.1) -> (99000, 101000); drift 1000
+    assert got[1] == (2, 2, 1000)
+    # one-sided cluster: B empty entirely for a centroid
+    b2 = pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 0.0]]})
+    out2 = (embedding_drift(ray.data.from_pandas(a),
+                            ray.data.from_pandas(b2), k=2)
+            .to_pandas().sort_values("centroid_id")
+            .reset_index(drop=True))
+    r1 = out2[out2["centroid_id"] == 1].iloc[0]
+    assert (r1["n_a"], r1["n_b"], r1["drift_units"]) == (2, 0, -1)
