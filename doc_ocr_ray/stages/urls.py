@@ -238,6 +238,7 @@ _SM_CDATA = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.DOTALL)
 _SM_ENT = re.compile(r"&(amp|lt|gt|quot|apos|#x?[0-9a-fA-F]+);")
 _SM_ROOT = re.compile(r"<\s*(urlset|sitemapindex)\b", re.IGNORECASE)
 _SM_WS = re.compile(r"[\t\n\f\r ]+")
+_SM_DECIMAL = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)$")
 _SM_LASTMOD = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})"
     r"(?:T(\d{2}):(\d{2})(?::(\d{2})(?:\.\d+)?)?"
@@ -245,12 +246,10 @@ _SM_LASTMOD = re.compile(
 
 
 def _sm_text(raw: str) -> str:
-    """Field text -> value: unwrap CDATA, strip house whitespace,
-    decode the XML entities the spec requires in URLs."""
-    m = _SM_CDATA.search(raw)
-    if m is not None:
-        raw = m.group(1)
-
+    """Field text -> value: CDATA sections contribute their content
+    LITERALLY (that is what CDATA is for — no entity decoding
+    inside), text outside them entity-decodes, adjacent pieces
+    concatenate, edges strip the house whitespace class."""
     def ent(mm):
         e = mm.group(1)
         if e == "amp":
@@ -269,7 +268,14 @@ def _sm_text(raw: str) -> str:
         except (ValueError, OverflowError):
             return mm.group(0)
 
-    return _SM_ENT.sub(ent, raw.strip("\t\n\f\r "))
+    parts = []
+    pos = 0
+    for m in _SM_CDATA.finditer(raw):
+        parts.append(_SM_ENT.sub(ent, raw[pos:m.start()]))
+        parts.append(m.group(1))               # literal, no decode
+        pos = m.end()
+    parts.append(_SM_ENT.sub(ent, raw[pos:]))
+    return "".join(parts).strip("\t\n\f\r ")
 
 
 def _sm_lastmod_us(value: str):
@@ -281,11 +287,18 @@ def _sm_lastmod_us(value: str):
     if m is None:
         return None
     y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    if not (1 <= mo <= 12 and 1 <= d <= 31):
+    if not 1 <= mo <= 12:
+        return None
+    leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+    mdays = (31, 29 if leap else 28, 31, 30, 31, 30,
+             31, 31, 30, 31, 30, 31)[mo - 1]
+    if not 1 <= d <= mdays:
         return None
     hh = int(m.group(4) or 0)
     mi = int(m.group(5) or 0)
     ss = int(m.group(6) or 0)
+    if hh > 23 or mi > 59 or ss > 59:
+        return None
     tz = m.group(7)
     # days-from-civil (Howard Hinnant's algorithm, public domain)
     yy = y - (mo <= 2)
@@ -314,7 +327,7 @@ def sitemap_entries(xml: str):
     kind = "url" if root.group(1).lower() == "urlset" else "sitemap"
     out = []
     for m in _SM_BLOCK.finditer(xml):
-        if m.group(1).lower() != ("url" if kind == "url" else "sitemap"):
+        if m.group(1).lower() != kind:
             continue
         body = m.group(2)
         locm = _SM_FIELD["loc"].search(body)
@@ -334,10 +347,10 @@ def sitemap_entries(xml: str):
         prio = None
         pm = _SM_FIELD["priority"].search(body)
         if pm is not None:
-            try:
-                p = float(_sm_text(pm.group(1)))
-            except ValueError:
-                p = None
+            # strict decimal only: float() would also accept nan/inf
+            # (which clamp to a VALID 0.0) and underscore literals
+            ptext = _sm_text(pm.group(1))
+            p = (float(ptext) if _SM_DECIMAL.match(ptext) else None)
             if p is not None:
                 p = min(1.0, max(0.0, p))
                 import math
@@ -391,7 +404,9 @@ def sitemap_urls(ds, xml_col: str = "xml", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-_RS_LINE = re.compile(r"^[\t ]*sitemap[\t ]*:[\t ]*(\S+)",
+# \ufeff: a UTF-8 BOM on the first line is common in real robots.txt
+# and the REP draft says to skip it
+_RS_LINE = re.compile(r"^[\t \ufeff]*sitemap[\t ]*:[\t ]*(\S+)",
                       re.IGNORECASE | re.MULTILINE)
 
 

@@ -625,3 +625,34 @@ def test_robots_sitemaps_directive_parsing(ray_session):
         "http://a.test/s1.xml", "http://a.test/s2.xml",
         "http://a.test/s3.xml", "http://a.test/s4.xml"]
     assert list(out["rank"]) == [0, 1, 2, 3]
+
+
+def test_sitemap_review_fixes_cdata_dates_priority_bom():
+    # CDATA content is literal (no entity decode) and mixed
+    # text+CDATA concatenates; calendar-aware lastmod validation;
+    # strict-decimal priority (nan/inf/underscores rejected); BOM
+    # tolerated before a robots Sitemap directive
+    from doc_ocr_ray.stages.urls import (_RS_LINE, _sm_lastmod_us,
+                                         sitemap_entries)
+    _, es = sitemap_entries('<urlset><url><loc><![CDATA['
+                            'http://a.test/?u=x&amp;t=y]]></loc>'
+                            '</url></urlset>')
+    assert es[0]["loc"] == "http://a.test/?u=x&amp;t=y"
+    _, es = sitemap_entries('<urlset><url><loc>http://a.test/'
+                            '<![CDATA[p&amp;]]>?a=&amp;b</loc>'
+                            '</url></urlset>')
+    assert es[0]["loc"] == "http://a.test/p&amp;?a=&b"
+    assert _sm_lastmod_us("2020-02-31") is None
+    assert _sm_lastmod_us("2020-02-29") is not None
+    assert _sm_lastmod_us("2019-02-29") is None
+    assert _sm_lastmod_us("2020-01-02T99:00:00Z") is None
+    assert _sm_lastmod_us("2020-01-02T23:59:59Z") is not None
+    for t, want in [("nan", None), ("1_0", None), ("inf", None),
+                    ("+0.25", 250)]:
+        _, es = sitemap_entries(
+            f'<urlset><url><loc>http://a.test/</loc>'
+            f'<priority>{t}</priority></url></urlset>')
+        assert es[0]["priority_milli"] == want, t
+    assert _RS_LINE.findall(
+        "﻿Sitemap: http://a.test/s.xml\n") == [
+        "http://a.test/s.xml"]
