@@ -361,6 +361,21 @@ def run_benchmarks() -> dict:
     timed("large_volume_orders",
           lambda: qs["large_volume_orders"](SF_DIR).count())
 
+    # new-in-round-3 operators
+    timed("anchor_corpus", lambda: qs["anchor_corpus"](SF_DIR).count())
+    timed("bfs_hops", lambda: qs["bfs_hops"](SF_DIR).count())
+    timed("knn_graph", lambda: qs["knn_graph"](SF_DIR).count())
+    timed("important_parts",
+          lambda: qs["important_parts"](SF_DIR).count())
+    timed("dominant_suppliers",
+          lambda: qs["dominant_suppliers"](SF_DIR).count())
+    timed("split_leakage", lambda: qs["split_leakage"](SF_DIR).count())
+    timed("sitemap_urls", lambda: qs["sitemap_urls"](SF_DIR).count())
+    timed("robots_sitemaps",
+          lambda: qs["robots_sitemaps"](SF_DIR).count())
+    timed("embedding_drift",
+          lambda: qs["embedding_drift"](SF_DIR).count())
+
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "
                   "(plus per-operator seconds)",

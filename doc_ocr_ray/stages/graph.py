@@ -788,7 +788,13 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
                .groupby("part").map_groups(assign_hop(hop),
                                            batch_format="pandas")
                .materialize())
-        visited = visited.union(new).materialize()
+        # the repartition is load-bearing (the dedup_clusters rule):
+        # each union appends the new frontier's ~num_parts blocks, so
+        # without it the visited table's block count — and with it
+        # every later round's task count — grows linearly in hops
+        visited = (visited.union(new)
+                   .repartition(max(8, num_parts // 2))
+                   .materialize())
         frontier = new
         n_frontier = new.count()
 
