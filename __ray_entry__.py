@@ -1050,6 +1050,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings")
         return similarity.knn_graph(emb, k=5)
 
+    def q_bitext_candidates(sf_dir):
+        # cross-language parallel-pair mining: exact-cosine top-3
+        # neighbors in a DIFFERENT language (knn_graph envelope +
+        # id-aligned language broadcast)
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+        return similarity.bitext_candidates(emb, docs, k=3)
+
     def q_similarity_lsh(sf_dir):
         emb = _read(sf_dir, "embeddings")
         return similarity.knn_lsh(emb, query_ids=list(range(20)), k=5,
@@ -3293,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
         "knn_graph": q_knn_graph,
+        "bitext_candidates": q_bitext_candidates,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "similarity_lsh_exact": q_similarity_lsh_exact,
@@ -6158,6 +6167,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.cents,
                    COALESCE(b.band, '(none)') AS band
             FROM e LEFT JOIN b ON e.cents >= b.lo AND e.cents < b.hi
+        """,
+        # cross-language knn twin: language join on both sides
+        "bitext_candidates": """
+            WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
+                       FROM embeddings),
+                 s AS (SELECT a.vec_id AS query_id, da.lang AS lang_a,
+                              b.vec_id, db.lang AS lang_b,
+                              list_cosine_similarity(a.xv, b.xv) AS raw
+                       FROM x a
+                       JOIN documents da ON da.doc_id = a.vec_id
+                       JOIN x b ON b.vec_id <> a.vec_id
+                       JOIN documents db ON db.doc_id = b.vec_id
+                       WHERE db.lang <> da.lang),
+                 r AS (SELECT query_id, lang_a, vec_id, lang_b, raw,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY raw DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, lang_a, rank, vec_id, lang_b,
+                   round(raw, 4) AS score
+            FROM r WHERE rank <= 3
         """,
         # all-pairs twin of similarity_topk: every vector is a query
         "knn_graph": """

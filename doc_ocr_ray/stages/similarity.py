@@ -1479,3 +1479,83 @@ def embedding_drift(ds_a, ds_b, k: int = 8, id_col: str = "vec_id",
 
     return both.groupby("label").map_groups(combine,
                                             batch_format="pandas")
+
+
+def bitext_candidates(emb_ds, docs_ds, k: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      doc_id_col: str = "doc_id", lang_col: str = "lang",
+                      batch_size: int = 4096):
+    """Cross-language parallel-corpus mining (the CCMatrix / LASER
+    margin-mining shape, exact-cosine baseline): for every document,
+    its top-``k`` nearest embedding neighbours whose LANGUAGE differs
+    — the candidate pairs a translation-pair miner feeds to
+    alignment scoring.  Ranking/tie/round rule is knn_graph's (raw
+    score DESC, vec_id ASC via stable argsort over the id-ordered
+    corpus, round 4 after ranking).
+
+    Scale shape: the :func:`knn_graph` envelope — corpus matrix plus
+    an id-aligned language array broadcast once via ``ray.put``
+    (beyond the fits-a-worker envelope the IVF-bucketed family is
+    the scale path); each batch is its own complete query block, the
+    output stays distributed, no driver merge.  Output (query_id,
+    lang_a, rank, vec_id, lang_b, score)."""
+    import ray
+
+    corpus = emb_ds.select_columns([id_col, vec_col]).take_all()
+    langs_rows = docs_ds.select_columns([doc_id_col,
+                                         lang_col]).take_all()
+    if not corpus or not langs_rows:
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "lang_a": pd.Series([], dtype="object"),
+            "rank": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "lang_b": pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64")}))
+    corpus.sort(key=lambda r: int(r[id_col]))
+    c_ids = np.array([int(r[id_col]) for r in corpus], dtype="int64")
+    X = _norm_rows(_matrix([r[vec_col] for r in corpus]))
+    lang_of = {int(r[doc_id_col]): str(r[lang_col])
+               for r in langs_rows}
+    c_langs = np.array([lang_of.get(int(i), "") for i in c_ids],
+                       dtype=object)
+    ref = ray.put((c_ids, X, c_langs))
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        ids, Xm, langs = ray.get(ref)
+        Q = _norm_rows(_matrix_from_arrow(batch, vec_col))
+        qids = batch[id_col].to_numpy()
+        scores = Q @ Xm.T
+        order = np.argsort(-scores, axis=1, kind="stable")
+        out = {"query_id": [], "lang_a": [], "rank": [],
+               "vec_id": [], "lang_b": [], "score": []}
+        for qi in range(scores.shape[0]):
+            qlang = lang_of_q = None
+            # query language rides the broadcast too (id-aligned)
+            pos = np.searchsorted(ids, int(qids[qi]))
+            qlang = (langs[pos] if pos < len(ids)
+                     and ids[pos] == int(qids[qi]) else "")
+            rank = 0
+            for j in order[qi]:
+                if int(ids[j]) == int(qids[qi]) or langs[j] == qlang:
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                out["query_id"].append(int(qids[qi]))
+                out["lang_a"].append(qlang)
+                out["rank"].append(rank)
+                out["vec_id"].append(int(ids[j]))
+                out["lang_b"].append(langs[j])
+                out["score"].append(round(float(scores[qi, j]), 4))
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            "lang_a": pd.Series(out["lang_a"], dtype="object"),
+            "rank": pd.Series(out["rank"], dtype="int64"),
+            "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+            "lang_b": pd.Series(out["lang_b"], dtype="object"),
+            "score": pd.Series(out["score"], dtype="float64")})
+
+    return emb_ds.map_batches(block_topk, batch_format="pyarrow",
+                              batch_size=batch_size)

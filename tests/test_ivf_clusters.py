@@ -624,3 +624,30 @@ def test_embedding_drift_counts_means_and_missing_side(ray_session):
             .reset_index(drop=True))
     r1 = out2[out2["centroid_id"] == 1].iloc[0]
     assert (r1["n_a"], r1["n_b"], r1["drift_units"]) == (2, 0, -1)
+
+
+def test_bitext_candidates_cross_lang_only(ray_session):
+    """Bitext mining: same-language neighbors never appear (even when
+    nearest), ranks re-number over cross-language hits only, tie rule
+    is vec_id-ascending, k truncates."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import bitext_candidates
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [1.0, 0.0],     # 0 en, 1 en twin
+                      [0.9, 0.1], [0.0, 1.0]]})   # 2 de near, 3 fr far
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "lang": ["en", "en", "de", "fr"]})
+    out = (bitext_candidates(ray.data.from_pandas(emb).repartition(2),
+                             ray.data.from_pandas(docs), k=2)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    q0 = out[out["query_id"] == 0]
+    # twin vec 1 (en, score 1.0) is EXCLUDED; best cross-lang is 2
+    assert list(q0["vec_id"]) == [2, 3]
+    assert list(q0["lang_b"]) == ["de", "fr"]
+    assert list(q0["lang_a"]) == ["en", "en"]
+    q2 = out[out["query_id"] == 2]            # de: all 3 others differ
+    assert list(q2["vec_id"])[:1] == [0]      # tie 0 vs 1 -> lower id
+    assert len(q2) == 2                       # k truncates
