@@ -2861,6 +2861,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"]))
 
+    def q_zorder_layout(sf_dir):
+        # Morton-curve layout planner: zone-map table per curve cell
+        # over (l_partkey, l_suppkey) — bounded cell key space, one
+        # exchange of constant-size partials
+        from doc_ocr_ray.stages.catalog import zorder_layout
+        return zorder_layout(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+            "l_partkey", "l_suppkey", cell_bits=6,
+            scale_a=32, scale_b=512)
+
     def q_important_parts(sf_dir):
         # TPC-H Q11 shape: per-part revenue vs a GLOBAL-total
         # fraction gate — one coarse exchange, tree-reduced scalar
@@ -3457,6 +3467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": q_promo_revenue_share,
         "min_cost_supplier": q_min_cost_supplier,
         "important_parts": q_important_parts,
+        "zorder_layout": q_zorder_layout,
         "dominant_suppliers": q_dominant_suppliers,
         "ivm_refresh": q_ivm_refresh,
         "hard_negatives": q_hard_negatives,
@@ -7914,6 +7925,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q2-decorrelation twin: min-per-part + join back on the
         # exact cents grid; DISTINCT mirrors the engine's pair dedup
+        # Morton twin: the identical magic-mask &/|/<< chain
+        "zorder_layout": """
+            WITH src AS (
+              SELECT (l_partkey * 32) & 65535 AS xa,
+                     (l_suppkey * 512) & 65535 AS xb,
+                     l_partkey AS a, l_suppkey AS b
+              FROM lineitem),
+            s1 AS (SELECT (xa | (xa << 8)) & 16711935 AS xa,
+                          (xb | (xb << 8)) & 16711935 AS xb, a, b
+                   FROM src),
+            s2 AS (SELECT (xa | (xa << 4)) & 252645135 AS xa,
+                          (xb | (xb << 4)) & 252645135 AS xb, a, b
+                   FROM s1),
+            s3 AS (SELECT (xa | (xa << 2)) & 858993459 AS xa,
+                          (xb | (xb << 2)) & 858993459 AS xb, a, b
+                   FROM s2),
+            s4 AS (SELECT (xa | (xa << 1)) & 1431655765 AS xa,
+                          (xb | (xb << 1)) & 1431655765 AS xb, a, b
+                   FROM s3),
+            m AS (SELECT (xa | (xb << 1)) >> 26 AS cell, a, b FROM s4)
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(a) AS min_a, max(a) AS max_a,
+                   min(b) AS min_b, max(b) AS max_b
+            FROM m GROUP BY cell
+        """,
         # Q11-shape twin: the HUGEINT cross-multiply states the
         # identical predicate the engine evaluates via divmod
         "important_parts": """

@@ -334,3 +334,71 @@ def ivm_refresh(base_ds, delta_ds, num_parts: int = 64):
     return (base.union(partials)
             .groupby("event_type")
             .map_groups(merge, batch_format="pandas"))
+
+
+def _zorder_spread(x: np.ndarray) -> np.ndarray:
+    """Spread 16 bits to the 32 even bit positions (the classic
+    magic-mask interleave; identical &/|/<< chain in the SQL twin)."""
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def zorder_layout(ds, col_a: str, col_b: str, cell_bits: int = 6,
+                  scale_a: int = 1, scale_b: int = 1,
+                  num_parts: int = 64):
+    """Z-order (Morton) layout planner — the space-filling-curve
+    clustering step a 100 TB table uses so that BOTH ``col_a`` and
+    ``col_b`` range predicates prune files (a sort on one column
+    gives perfect zone maps for it and useless ones for the other;
+    the Morton interleave bounds both).  Rows land in ``2^cell_bits``
+    curve cells (cell = top bits of the 32-bit Morton code of the
+    two columns' low 16 bits); the output is the zone-map table a
+    layout writer would persist per file: ``(cell, n_rows, min_a,
+    max_a, min_b, max_b)``.  Cell extents are what a scan planner
+    compares against predicates — the demonstrable skipping win over
+    a single-column sort.
+
+    Scale shape: one stateless pass computes codes and per-batch
+    combiners (groupby cell: count/min/max — constant-size partials
+    per cell), then ONE exchange over the bounded cell key space
+    combines partials; nothing corpus-sized concentrates anywhere.
+    Negative or >16-bit values mask into the grid, and
+    ``scale_a``/``scale_b`` quantize narrow domains ONTO the grid
+    (a column spanning 0..2000 only fills the low 11 bits — every
+    row would share cell 0; scaling by 32 spreads it across the
+    curve, exactly the rank-quantization a real layout writer
+    performs).  Zone-map extents stay in ORIGINAL column units."""
+    shift = 32 - cell_bits
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[col_a].astype("int64").to_numpy()
+        b = batch[col_b].astype("int64").to_numpy()
+        morton = (_zorder_spread((a * scale_a) & 0xFFFF)
+                  | (_zorder_spread((b * scale_b) & 0xFFFF) << 1))
+        cell = morton >> shift
+        g = (pd.DataFrame({"cell": cell, "a": a, "b": b})
+             .groupby("cell", sort=False)
+             .agg(n_rows=("a", "size"), min_a=("a", "min"),
+                  max_a=("a", "max"), min_b=("b", "min"),
+                  max_b=("b", "max"))
+             .reset_index())
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return typed_if_empty(g)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("cell", sort=False)
+             .agg(n_rows=("n_rows", "sum"), min_a=("min_a", "min"),
+                  max_a=("max_a", "max"), min_b=("min_b", "min"),
+                  max_b=("max_b", "max"))
+             .reset_index())
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return typed_if_empty(g)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("cell").map_groups(combine,
+                                        batch_format="pandas"))

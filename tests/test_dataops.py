@@ -4008,3 +4008,34 @@ def test_graph_ops_dedup_duplicate_nodes_and_seeds(ray_session):
                     ray.data.from_pandas(seeds_dup).repartition(3))
            .to_pandas())
     assert sorted(zip(out["node"], out["hop"])) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_zorder_layout_cells_and_extents(ray_session):
+    """Morton cells: the interleave bounds BOTH dims per cell (the
+    data-skipping property a single-column sort lacks); partials
+    combine across batches; extents are in original units."""
+    import ray.data
+    from doc_ocr_ray.stages.catalog import zorder_layout
+    # 2-bit cells (cell = top 2 bits of the 32-bit code = the two
+    # dims' top quantized bits): four quadrants of the (a, b) plane
+    df = pd.DataFrame({
+        "a": [0, 1, 40000, 40001, 0, 40000],
+        "b": [0, 2, 1, 3, 50000, 50001]})
+    out = (zorder_layout(ray.data.from_pandas(df).repartition(3),
+                         "a", "b", cell_bits=2)
+           .to_pandas().sort_values("cell").reset_index(drop=True))
+    got = {int(r["cell"]): (int(r["n_rows"]), int(r["min_a"]),
+                            int(r["max_a"]), int(r["min_b"]),
+                            int(r["max_b"]))
+           for _, r in out.iterrows()}
+    # cell bit layout: (b_top << 1) | a_top
+    assert got[0] == (2, 0, 1, 0, 2)          # low-a, low-b
+    assert got[1] == (2, 40000, 40001, 1, 3)  # high-a, low-b
+    assert got[2] == (1, 0, 0, 50000, 50000)  # low-a, high-b
+    assert got[3] == (1, 40000, 40000, 50001, 50001)
+    # quantization: a narrow domain scaled onto the grid separates
+    sep = (zorder_layout(ray.data.from_pandas(pd.DataFrame(
+               {"a": [0, 100, 2000], "b": [0, 0, 0]})),
+               "a", "b", cell_bits=2, scale_a=32)
+           .to_pandas())
+    assert len(sep) > 1                       # no longer all cell 0
