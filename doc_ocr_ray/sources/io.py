@@ -59,11 +59,15 @@ def read_documents_jsonl(uri, columns: Optional[List[str]] = None):
     return ds.select_columns(columns) if columns else ds
 
 
-def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
+def write_table(ds, out_dir: str, partition_id: Optional[int] = None,
+                partition_cols=None):
     """Atomic partitioned write: stream into ``<out_dir>/.tmp-<id>``,
     rename to ``<out_dir>/part-<id>`` on success.  The rename is the
     commit point; a crashed write leaves only a tmp dir that a rerun
-    overwrites."""
+    overwrites.  ``partition_cols`` hive-partitions the files INSIDE
+    the part directory (``part-<id>/col=v/...``) — the spill layout
+    the two-phase resumable shuffle jobs key their reduce side on —
+    while the rename keeps the whole shard one atomic commit."""
     name = f"part-{partition_id:05d}" if partition_id is not None else "part-00000"
     tmp = os.path.join(out_dir, f".tmp-{name}")
     final = os.path.join(out_dir, name)
@@ -74,7 +78,9 @@ def write_table(ds, out_dir: str, partition_id: Optional[int] = None):
     if os.path.exists(tmp):
         import shutil
         shutil.rmtree(tmp)
-    if _have_lance():
+    if partition_cols:
+        ds.write_parquet(tmp, partition_cols=list(partition_cols))
+    elif _have_lance():
         ds.write_lance(tmp)
     else:
         ds.write_parquet(tmp)

@@ -203,3 +203,56 @@ def test_run_extract_html_format(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "[shard 0] already committed, skipping" in r2.stdout
     assert "[shard 1] already committed, skipping" in r2.stdout
+
+
+def test_run_dedup_two_phase_resume(tmp_path):
+    """Global dedup job: duplicates straddling input files are caught
+    (the cross-shard case shard-independent jobs cannot handle), the
+    min-doc_id winner survives norm-equality, and deleting one
+    phase-2 bucket's record + partition recomputes ONLY that bucket
+    with byte-identical output."""
+    import glob as _glob
+    import shutil
+
+    import pandas as pd
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    rows1 = [{"doc_id": i, "text": f"unique text {i}"}
+             for i in range(20)]
+    rows2 = ([{"doc_id": 100 + i, "text": f"unique text {i}"}
+              for i in range(5)]           # straddles the two files
+             + [{"doc_id": 300, "text": "  Unique   TEXT 0 "}])
+    pd.DataFrame(rows1).to_parquet(f"{inp}/a.parquet", index=False)
+    pd.DataFrame(rows2).to_parquet(f"{inp}/b.parquet", index=False)
+    out = str(tmp_path / "job")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_dedup.py"),
+           "--input", inp, "--output", out, "--shards", "2",
+           "--buckets", "3", "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    summary = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert summary["n_unique"] == 20 and summary["n_dups"] == 6
+
+    def survivors():
+        fs = [f for f in sorted(_glob.glob(
+            f"{out}/part-*/**/*.parquet", recursive=True))
+            if "phase1" not in f]
+        return pd.concat([pd.read_parquet(f) for f in fs])
+
+    s1 = survivors()
+    assert 0 in set(s1["doc_id"])          # min doc_id wins its group
+    assert not {100, 300} & set(s1["doc_id"])
+    # partial resume: drop ONE phase-2 bucket
+    man = json.load(open(f"{out}/manifest.json"))
+    del man["100001"]
+    json.dump(man, open(f"{out}/manifest.json", "w"))
+    shutil.rmtree(f"{out}/part-00001")
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count("skipping") == 4      # 2 shards + 2 buckets
+    assert sorted(survivors()["doc_id"]) == sorted(s1["doc_id"])
+    # parameter drift refused without --fresh
+    r3 = subprocess.run(cmd[:-4] + ["--buckets", "5", "--num-cpus", "4"],
+                        env=env, capture_output=True, text=True)
+    assert r3.returncode == 2 and "different parameters" in r3.stderr
