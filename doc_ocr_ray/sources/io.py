@@ -60,7 +60,7 @@ def read_documents_jsonl(uri, columns: Optional[List[str]] = None):
 
 
 def write_table(ds, out_dir: str, partition_id: Optional[int] = None,
-                partition_cols=None):
+                partition_cols=None, parquet_only: bool = False):
     """Atomic partitioned write: stream into ``<out_dir>/.tmp-<id>``,
     rename to ``<out_dir>/part-<id>`` on success.  The rename is the
     commit point; a crashed write leaves only a tmp dir that a rerun
@@ -80,7 +80,7 @@ def write_table(ds, out_dir: str, partition_id: Optional[int] = None,
         shutil.rmtree(tmp)
     if partition_cols:
         ds.write_parquet(tmp, partition_cols=list(partition_cols))
-    elif _have_lance():
+    elif _have_lance() and not parquet_only:
         ds.write_lance(tmp)
     else:
         ds.write_parquet(tmp)

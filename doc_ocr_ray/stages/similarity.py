@@ -1531,14 +1531,18 @@ def bitext_candidates(emb_ds, docs_ds, k: int = 3,
         out = {"query_id": [], "lang_a": [], "rank": [],
                "vec_id": [], "lang_b": [], "score": []}
         for qi in range(scores.shape[0]):
-            qlang = lang_of_q = None
-            # query language rides the broadcast too (id-aligned)
+            # query language rides the broadcast too (id-aligned);
+            # no language row -> dropped from both sides (the SQL
+            # twin's inner joins do the same)
             pos = np.searchsorted(ids, int(qids[qi]))
             qlang = (langs[pos] if pos < len(ids)
                      and ids[pos] == int(qids[qi]) else "")
+            if qlang == "":
+                continue
             rank = 0
             for j in order[qi]:
-                if int(ids[j]) == int(qids[qi]) or langs[j] == qlang:
+                if (int(ids[j]) == int(qids[qi])
+                        or langs[j] == qlang or langs[j] == ""):
                     continue
                 rank += 1
                 if rank > k:

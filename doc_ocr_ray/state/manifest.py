@@ -61,14 +61,18 @@ class JobManifest:
     def summary(self) -> Dict[str, Any]:
         done = [r for r in self.records.values() if r.get("state") == "done"]
         known_in = [r["rows_in"] for r in done if r.get("rows_in", -1) >= 0]
+        known_out = [r["rows_out"] for r in done
+                     if r.get("rows_out", -1) >= 0]
         out = {
             "shards_done": len(done),
             "rows_in": sum(known_in),
-            "rows_out": sum(r.get("rows_out", 0) for r in done),
+            "rows_out": sum(known_out),
             "wall_sec": round(sum(r.get("wall_sec", 0.0) for r in done), 3),
         }
         if len(known_in) < len(done):
             # some shards couldn't count their input without an extra
             # pass — say so rather than summing a sentinel
             out["rows_in_complete"] = False
+        if len(known_out) < len(done):
+            out["rows_out_complete"] = False
         return out

@@ -18,7 +18,12 @@ round-trip for crash-resumability on day-long corpus runs):
   (the compare key — doc text itself never rides the spill; the
   envelope is an md5 collision, ~2^-64 at 10^12 docs), pre-combine
   in-batch (min doc_id per key is associative), and commit ONE
-  atomic part dir hive-partitioned by ``bucket = key64 %% buckets``.
+  atomic part dir hive-partitioned by the md5's coarse bucket.  A
+  per-batch ``n_raw`` partial rides the spill so exact input counts
+  come from a cheap single-int64-column readback, never a second
+  corpus read — lineage totals are deterministic regardless of how
+  Ray blocks the input (the in-batch combiner makes spill row
+  counts batching-dependent; ``n_raw`` sums are not).
 - **Phase 2, one task per bucket (resumable per bucket):** read
   every shard's spill files for this bucket only, keep the min
   doc_id per md5, and commit the bucket's survivors as an atomic
@@ -65,6 +70,7 @@ def main() -> int:
     import ray
     init_session(args.num_cpus)
 
+    import numpy as np
     import pandas as pd
 
     from doc_ocr_ray.sources.io import write_table
@@ -101,9 +107,13 @@ def main() -> int:
         # in-batch combiner: min doc_id per key is associative, so
         # the spill never carries two rows for one key from one batch
         out = out.sort_values("doc_id").drop_duplicates("text_md5")
-        out["bucket"] = (out["text_md5"].str[:8]
-                         .map(lambda h: int(h, 16) % n_buckets)
-                         .astype("int64"))
+        from doc_ocr_ray.util import coarse_part
+        out["bucket"] = coarse_part(out["text_md5"], n_buckets)
+        # exact-input-count partial (see module docstring)
+        out = out.reset_index(drop=True)
+        out["n_raw"] = np.int64(0)
+        if len(out):
+            out.loc[0, "n_raw"] = np.int64(len(batch))
         return typed_if_empty(out)
 
     # ---- phase 1: keyed spill, one atomic commit per input shard
@@ -121,11 +131,16 @@ def main() -> int:
         keyed = ds.map_batches(key_batch, batch_format="pandas")
         final = write_table(keyed, phase1, partition_id=shard,
                             partition_cols=["bucket"])
+        import pyarrow.dataset as pads
+        spilled = pads.dataset(final)
+        tbl = spilled.to_table(columns=["n_raw"])   # one int64 column
+        rows_in = int(tbl["n_raw"].to_numpy().sum()) if tbl.num_rows else 0
+        rows_out = spilled.count_rows()
         wall = time.time() - t0
-        manifest.mark_done(shard, rows_in=-1, rows_out=-1,
+        manifest.mark_done(shard, rows_in=rows_in, rows_out=rows_out,
                            output=final, wall_sec=wall)
-        print(f"[p1 shard {shard}] spilled wall={wall:.1f}s",
-              flush=True)
+        print(f"[p1 shard {shard}] in={rows_in} spilled={rows_out} "
+              f"wall={wall:.1f}s", flush=True)
 
     # ---- phase 2: per-bucket reduce, one atomic commit per bucket
     for b in range(n_buckets):
@@ -142,8 +157,9 @@ def main() -> int:
                                output="", wall_sec=0.0,
                                extra={"n_dups": 0})
             continue
+        import pyarrow.dataset as pads
+        rows_in = pads.dataset(files).count_rows()  # metadata only
         spill = ray.data.read_parquet(files)
-        rows_in = spill.count()
 
         def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values("doc_id")
@@ -151,17 +167,16 @@ def main() -> int:
                 g.drop_duplicates("text_md5")[["doc_id", "text_md5"]])
 
         def part_col(batch: pd.DataFrame) -> pd.DataFrame:
+            from doc_ocr_ray.util import coarse_part
             out = batch[["doc_id", "text_md5"]].copy()
-            out["part"] = (out["text_md5"].str[8:12]
-                           .map(lambda h: int(h, 16) % 64)
-                           .astype("int64"))
+            out["part"] = coarse_part(out["text_md5"], 64)
             return typed_if_empty(out)
 
         winners = (spill.map_batches(part_col, batch_format="pandas")
                    .groupby("part")
                    .map_groups(reduce_bucket, batch_format="pandas"))
-        final = write_table(winners, args.output, partition_id=b)
-        import pyarrow.dataset as pads
+        final = write_table(winners, args.output, partition_id=b,
+                            parquet_only=True)
         n_out = pads.dataset(final).count_rows()
         wall = time.time() - t0
         manifest.mark_done(mid, rows_in=rows_in, rows_out=n_out,
@@ -171,11 +186,16 @@ def main() -> int:
               f"wall={wall:.1f}s", flush=True)
 
     summary = manifest.summary()
-    p2 = [r for k, r in manifest.records.items()
-          if k != "_job" and int(k) >= PHASE2_BASE
-          and r.get("state") == "done"]
+    recs = {k: r for k, r in manifest.records.items()
+            if k != "_job" and r.get("state") == "done"}
+    p1 = [r for k, r in recs.items() if int(k) < PHASE2_BASE]
+    p2 = [r for k, r in recs.items() if int(k) >= PHASE2_BASE]
+    summary["p1_shards"] = len(p1)
+    summary["p2_buckets"] = len(p2)
+    summary["rows_in"] = sum(r.get("rows_in", 0) for r in p1)
     summary["n_unique"] = sum(r.get("rows_out", 0) for r in p2)
-    summary["n_dups"] = sum(r.get("n_dups", 0) for r in p2)
+    # exact and batching-independent: true input total minus unique
+    summary["n_dups"] = summary["rows_in"] - summary["n_unique"]
     summary["job_wall_sec"] = round(time.time() - t_start, 3)
     print(json.dumps(summary), flush=True)
     ray.shutdown()
