@@ -1927,6 +1927,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
 
+    def q_host_skew(sf_dir):
+        # crawl-skew diagnostic: one dominant host + a long tail of
+        # small hosts by doc arithmetic; canonicalization exercised
+        # (www/case/query), exact integer Gini from the
+        # count-of-counts histogram
+        from doc_ocr_ray.stages.urls import host_skew
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            h = np.where(d % 2 == 0, 0, d % 37 + 1)
+            url = ("http://www.Site" + pd.Series(h).astype(str)
+                   + ".test/p" + d.astype(str) + "?x=1")
+            return pd.DataFrame({"doc_id": d,
+                                 "url": url.astype(object)})
+
+        return host_skew(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_robots_sitemaps(sf_dir):
         # REP Sitemap: directive discovery over injected robots.txt
         # (case/space tolerance, inline comments, commented-out lines)
@@ -3397,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_links": q_html_links,
         "sitemap_urls": q_sitemap_urls,
         "robots_sitemaps": q_robots_sitemaps,
+        "host_skew": q_host_skew,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -4956,6 +4976,48 @@ def oracle_sql() -> dict[str, str]:
         # expected outlinks from the generator arithmetic; rank is
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
+        # host-skew twin: identical histogram rank-sum Gini formula
+        "host_skew": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 2 = 0 THEN 0
+                                   ELSE doc_id % 37 + 1 END AS h
+                       FROM documents),
+            hc AS (SELECT h, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY h),
+            hist AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM hc GROUP BY n),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_hosts,
+                           CAST(sum(v * c) AS BIGINT) AS n_pages,
+                           CAST(max(v) AS BIGINT) AS vmax
+                    FROM hist),
+            rk AS (SELECT v, c,
+                          CAST(coalesce(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS r
+                   FROM hist),
+            gn AS (SELECT sum(CAST(v AS HUGEINT)
+                       * (2 * (c * r + c * (c + 1) // 2)
+                          - ((SELECT n_hosts FROM tot) + 1) * c))
+                       AS num
+                   FROM rk),
+            t10 AS (SELECT CAST(sum(v * take) AS BIGINT) AS top10
+                    FROM (SELECT v,
+                                 greatest(0, least(c, 10 -
+                                   CAST(coalesce(sum(c) OVER (
+                                     ORDER BY v DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)))
+                                   AS take
+                          FROM hist))
+            SELECT n_hosts, n_pages, vmax AS max_count,
+                   1000000 * vmax // n_pages AS top_share_ppm,
+                   1000000 * (SELECT top10 FROM t10) // n_pages
+                     AS top10_share_ppm,
+                   CAST(1000000 * (SELECT num FROM gn)
+                        // (CAST(n_hosts AS HUGEINT) * n_pages)
+                        AS BIGINT) AS gini_ppm
+            FROM tot
+        """,
         # robots Sitemap-directive twin: emission set by arithmetic
         "robots_sitemaps": """
             WITH d AS (SELECT doc_id,

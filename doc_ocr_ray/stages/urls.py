@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 from doc_ocr_ray.util import coarse_part, typed_if_empty
@@ -443,3 +444,111 @@ def robots_sitemaps(ds, text_col: str = "robots_txt",
             "sitemap_url": pd.Series(urls, dtype="object")}))
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def host_skew(ds, url_col: str = "url", num_parts: int = 64):
+    """Crawl-skew report over a page corpus — the one-row diagnostic
+    that sizes politeness budgets and shuffle salting BEFORE a crawl
+    or host-keyed job runs: page counts per canonical host collapsed
+    to a count-of-counts histogram, from which exact concentration
+    statistics follow.  Output (one row): ``n_hosts``, ``n_pages``,
+    ``max_count``, ``top_share_ppm`` (largest host's page share),
+    ``top10_share_ppm``, ``gini_ppm`` (Gini of the host-size
+    distribution, floor ppm).
+
+    Gini is computed EXACTLY on integers from the histogram: with
+    hosts sorted by size ascending, tied sizes contribute
+    independently of their internal order, so for each distinct size
+    ``v`` held by ``c`` hosts after ``r`` smaller hosts the rank-sum
+    term is ``v * (2*(c*r + c*(c+1)//2) - (n+1)*c)``; gini_ppm =
+    ``floor(10^6 * sum_terms / (n * total))`` — Python ints in the
+    engine, HUGEINT in the SQL twin, identical floor points.
+
+    Scale shape: per-batch canonical-host count partials -> ONE
+    host-keyed coarse exchange (exact per-host counts) -> per-batch
+    size-histogram partials -> ONE size-keyed exchange -> the final
+    single group holds only the (size, n_hosts) histogram, whose
+    cardinality is the number of DISTINCT host sizes — heavy-tailed
+    corpora keep it thousands of rows at web scale, never
+    host-count-sized."""
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = canonicalize_urls(batch[[url_col]].rename(
+            columns={url_col: "url"}), "url")
+        g = (pd.DataFrame({"host": c["domain"]})
+             .groupby("host", sort=False).size()
+             .reset_index(name="n"))
+        g = g[g["host"] != ""]
+        g["n"] = g["n"].astype("int64")
+        g["part"] = coarse_part(g["host"], num_parts)
+        return typed_if_empty(g)
+
+    def count_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("host", sort=False)["n"].sum()
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        return typed_if_empty(g[["host", "n"]])
+
+    counts = (ds.map_batches(count_partial, batch_format="pandas")
+              .groupby("part").map_groups(count_combine,
+                                          batch_format="pandas"))
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "n" not in batch.columns:
+            return typed_if_empty(pd.DataFrame({
+                "v": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64")}))
+        h = (batch.groupby("n", sort=False).size()
+             .reset_index(name="c"))
+        out = pd.DataFrame({"v": h["n"].astype("int64"),
+                            "c": h["c"].astype("int64")})
+        out["part"] = coarse_part(out["v"], num_parts)
+        return typed_if_empty(out)
+
+    def hist_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("v", sort=False)["c"].sum()
+             .reset_index())
+        out = pd.DataFrame({"v": g["v"].astype("int64"),
+                            "c": g["c"].astype("int64")})
+        out["g"] = np.int64(0)
+        return typed_if_empty(out)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        h = group.sort_values("v").reset_index(drop=True)
+        n = int(h["c"].sum())
+        total = int((h["v"] * h["c"]).sum())
+        if n == 0 or total == 0:
+            return pd.DataFrame({
+                "n_hosts": [0], "n_pages": [0], "max_count": [0],
+                "top_share_ppm": [0], "top10_share_ppm": [0],
+                "gini_ppm": [0]})
+        vmax = int(h["v"].iloc[-1])
+        # top-10 pages from the histogram tail
+        left, top10 = 10, 0
+        for v, c in zip(reversed(h["v"].tolist()),
+                        reversed(h["c"].tolist())):
+            take = min(left, int(c))
+            top10 += int(v) * take
+            left -= take
+            if left == 0:
+                break
+        num, r = 0, 0
+        for v, c in zip(h["v"].tolist(), h["c"].tolist()):
+            v, c = int(v), int(c)
+            num += v * (2 * (c * r + c * (c + 1) // 2) - (n + 1) * c)
+            r += c
+        return pd.DataFrame({
+            "n_hosts": pd.Series([n], dtype="int64"),
+            "n_pages": pd.Series([total], dtype="int64"),
+            "max_count": pd.Series([vmax], dtype="int64"),
+            "top_share_ppm": pd.Series(
+                [10 ** 6 * vmax // total], dtype="int64"),
+            "top10_share_ppm": pd.Series(
+                [10 ** 6 * top10 // total], dtype="int64"),
+            "gini_ppm": pd.Series(
+                [10 ** 6 * num // (n * total)], dtype="int64")})
+
+    return (counts.map_batches(hist_partial, batch_format="pandas")
+            .groupby("part").map_groups(hist_combine,
+                                        batch_format="pandas")
+            .groupby("g").map_groups(final, batch_format="pandas"))

@@ -4039,3 +4039,28 @@ def test_zorder_layout_cells_and_extents(ray_session):
                "a", "b", cell_bits=2, scale_a=32)
            .to_pandas())
     assert len(sep) > 1                       # no longer all cell 0
+
+
+def test_host_skew_exact_gini_and_shares(ray_session):
+    """Skew report: exact integer Gini from the count-of-counts
+    histogram (tie order irrelevant), top-1/top-10 shares, canonical
+    host collapse (www/scheme/case/query variants are ONE host)."""
+    import ray.data
+    from doc_ocr_ray.stages.urls import host_skew
+    # hosts: a=4 pages (via 4 canon variants), b=2, c=1, d=1
+    urls = ["http://www.A.test/p1?q=1", "https://a.test/p2",
+            "http://a.test/p3#f", "http://A.TEST/p4",
+            "http://b.test/x", "http://www.b.test/y",
+            "http://c.test/", "http://d.test/z"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"url": pd.Series(urls, dtype="object")})).repartition(3)
+    out = host_skew(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_hosts"], r["n_pages"], r["max_count"]) == (4, 8, 4)
+    assert r["top_share_ppm"] == 500000
+    assert r["top10_share_ppm"] == 1000000     # <10 hosts: everything
+    # exact Gini: sizes [1,1,2,4], n=4, total=8
+    # num = sum v*(2i-n-1) over sorted = 1*(-3)+1*(-1)+2*1+4*3 = 10
+    # gini_ppm = 10^6*10//(4*8) = 312500
+    assert r["gini_ppm"] == 312500
