@@ -371,6 +371,39 @@ def _bfs_sql(max_hops: int = 3) -> str:
     return sql + f"\n        SELECT node, hop FROM {prev}"
 
 
+def _walks_sql(walk_len: int = 3, seed: int = 42) -> str:
+    """Chained-CTE twin of stages/graph.py:random_walks over the
+    shared synthetic link graph: per step, each walk moves to the
+    out-neighbour ranked first by (md5(seed|walk|step|dst), dst) —
+    the identical hash string the engine feeds hashlib, so every
+    hop matches bit for bit."""
+    e0 = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * doc_id * {p} + {c}) % "
+        f"(SELECT n FROM nn) AS dst FROM documents"
+        for p, c in _PR_EDGE_RULES)
+    sql = f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS ({e0}),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        s0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step,
+                      src AS node FROM e)"""
+    parts = ["SELECT walk_id, step, node FROM s0"]
+    prev = "s0"
+    for t in range(1, walk_len + 1):
+        sql += f""",
+        c{t} AS (SELECT s.walk_id, e.dst,
+                        row_number() OVER (PARTITION BY s.walk_id
+                            ORDER BY md5('{seed}|' ||
+                                CAST(s.walk_id AS VARCHAR) || '|{t}|' ||
+                                CAST(e.dst AS VARCHAR)), e.dst) AS rn
+                 FROM {prev} s JOIN e ON e.src = s.node),
+        s{t} AS (SELECT walk_id, CAST({t} AS BIGINT) AS step,
+                        dst AS node FROM c{t} WHERE rn = 1)"""
+        parts.append(f"SELECT walk_id, step, node FROM s{t}")
+        prev = f"s{t}"
+    return sql + "\n        " + " UNION ALL ".join(parts)
+
+
 def _pagerank_sql() -> str:
     body, final = _pagerank_ctes()
     return f"""
@@ -3222,6 +3255,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          batch_format="pandas"),
                         max_hops=3)
 
+    def q_random_walks(sf_dir):
+        # DeepWalk corpus: one deterministic truncated walk per
+        # non-sink node of the synthetic link graph; per-step argmin
+        # md5 next-hop, chained-CTE twin with the identical hash rank
+        from doc_ocr_ray.stages.graph import random_walks
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        mk_edges = _mk_pr_edges_fn(n)
+        return random_walks(
+            docs.map_batches(mk_edges, batch_format="pandas"),
+            walk_len=3, seed=42)
+
     def q_validate_table(sf_dir):
         # data-quality gate: five rule kinds over an injected corpus
         # where every rule fires; one scan + one unique-key exchange
@@ -3306,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "kcore": q_kcore,
         "bfs_hops": q_bfs_hops,
+        "random_walks": q_random_walks,
         "hits_scores": q_hits_scores,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
@@ -4795,6 +4841,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "kcore": _kcore_sql(),
         "bfs_hops": _bfs_sql(),
+        "random_walks": _walks_sql(),
         "hits_scores": _hits_sql(),
         "crawl_frontier": _frontier_sql(),
         # validation twin: same injected corpus, five counts; NULLs

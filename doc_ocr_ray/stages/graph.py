@@ -807,3 +807,137 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
                              "hop": batch["val"].astype("int64")})
 
     return visited.map_batches(finish, batch_format="pandas")
+
+
+def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
+                 num_parts: int = 64):
+    """Deterministic truncated random walks over the directed link
+    graph — the DeepWalk / node2vec corpus-generation primitive
+    (Perozzi et al. 2014): walk sequences feed skip-gram training the
+    same way ``skipgram_pairs`` consumes token streams.
+
+    One walk starts at every node with at least one out-edge
+    (``walk_id`` = start node).  At step ``t`` the walk at node ``u``
+    moves to the out-neighbour ``v`` minimizing
+    ``(md5(f"{seed}|{walk_id}|{t}|{v}"), v)`` — a deterministic
+    pseudo-random choice that is a pure function of (seed, walk_id,
+    step, candidate), so re-runs, resumes, and the DuckDB twin
+    (chained per-step CTEs ranking by the identical md5 string)
+    reproduce every walk bit for bit.  A walk that reaches a sink
+    ends early (inner-join semantics).  Output (walk_id, step, node)
+    for steps 0..``walk_len``.
+
+    Scale shape (the bfs_hops discipline): edges collapse to
+    DISTINCT once via a keyed group fn and materialize partitioned
+    on a coarse src hash; per step ONE ids-only coarse exchange
+    where the frontier (walk_id, current-node) rows meet the
+    adjacency on that same key and each group picks per-walk argmin
+    hashes — md5 evaluations per round are bounded by the frontier's
+    out-degree sum, the exact volume a pagerank scatter round ships.
+    Frontier blocks materialize per round; the accumulated walk
+    table is a union of those already-materialized rounds and
+    repartitions once at the end, so block count stays flat in
+    ``walk_len`` and no graph-sized state ever sits on the driver.
+    """
+    import hashlib
+
+    cols = ["a", "b", "part", "kind"]
+
+    def _typed(df: pd.DataFrame):
+        if len(df):
+            return df
+        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+
+    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"a": batch["src"].astype("int64"),
+                          "b": batch["dst"].astype("int64")})
+        e = e[e["a"] != e["b"]].drop_duplicates()    # in-batch combiner
+        e = e.assign(part=coarse_part(e["a"], num_parts),
+                     kind=np.int64(0))
+        return _typed(e[cols])
+
+    def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        # exact cross-batch DISTINCT: a multi-edge split across blocks
+        # would double the candidate list (harmless for argmin but
+        # quadratic-ish for hash volume on dirty link tables)
+        return _typed(group.drop_duplicates(["a", "b"])[cols])
+
+    edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
+             .groupby("part").map_groups(edge_dedup,
+                                         batch_format="pandas")
+             .materialize())
+
+    # walk starts: the distinct src nodes.  map_groups emitted one
+    # block per part, so with batch_size=None (whole-block batches) an
+    # in-batch drop_duplicates IS the exact per-part distinct — no
+    # second exchange.
+    def starts(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "a" not in batch.columns:
+            return _typed(pd.DataFrame(columns=cols))
+        s = batch[batch["kind"] == 0].drop_duplicates(["a"])
+        out = pd.DataFrame({"a": s["a"].astype("int64"),
+                            "b": s["a"].astype("int64")})
+        out["part"] = coarse_part(out["a"], num_parts)
+        out["kind"] = np.int64(1)
+        return _typed(out[cols])
+
+    frontier = edges.map_batches(starts, batch_format="pandas",
+                                 batch_size=None).materialize()
+    rounds = [(0, frontier)]
+
+    def make_step(t):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            e = group[group["kind"] == 0]
+            f = group[group["kind"] == 1]
+            if e.empty or f.empty:
+                return _typed(pd.DataFrame(columns=cols))
+            adj = {int(s): d["b"].to_numpy()
+                   for s, d in e.groupby("a", sort=False)}
+            out_node, out_walk = [], []
+            for cur, wd in f.groupby("a", sort=False):
+                nbrs = adj.get(int(cur))
+                if nbrs is None:
+                    continue                       # sink: walk ends
+                for w in wd["b"].to_numpy():
+                    pre = f"{seed}|{int(w)}|{t}|"
+                    best = min(
+                        (hashlib.md5((pre + str(int(d))).encode())
+                         .hexdigest(), int(d)) for d in nbrs)
+                    out_node.append(best[1])
+                    out_walk.append(int(w))
+            out = pd.DataFrame({
+                "a": pd.Series(out_node, dtype="int64"),
+                "b": pd.Series(out_walk, dtype="int64")})
+            out["part"] = coarse_part(out["a"], num_parts)
+            out["kind"] = np.int64(1)
+            return _typed(out[cols])
+        return fn
+
+    n_frontier = frontier.count()
+    for t in range(1, walk_len + 1):
+        if n_frontier == 0:
+            break
+        frontier = (edges.union(frontier)
+                    .groupby("part")
+                    .map_groups(make_step(t), batch_format="pandas")
+                    .materialize())
+        rounds.append((t, frontier))
+        n_frontier = frontier.count()
+
+    def finish(t):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty or "a" not in batch.columns:
+                return typed_if_empty(pd.DataFrame({
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "step": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64")}))
+            return pd.DataFrame({
+                "walk_id": batch["b"].astype("int64"),
+                "step": np.full(len(batch), t, dtype="int64"),
+                "node": batch["a"].astype("int64")})
+        return fn
+
+    outs = [fr.map_batches(finish(t), batch_format="pandas")
+            for t, fr in rounds]
+    walks = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
+    return walks.repartition(max(8, num_parts // 2))

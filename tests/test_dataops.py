@@ -4064,3 +4064,48 @@ def test_host_skew_exact_gini_and_shares(ray_session):
     # num = sum v*(2i-n-1) over sorted = 1*(-3)+1*(-1)+2*1+4*3 = 10
     # gini_ppm = 10^6*10//(4*8) = 312500
     assert r["gini_ppm"] == 312500
+
+
+def test_random_walks_deterministic_argmin(ray_session):
+    """DeepWalk corpus: next hop = argmin (md5(seed|walk|step|dst),
+    dst) over out-neighbours, verified against an independent pure-
+    Python replay; sinks end walks early; duplicate edges and loops
+    collapse; repartition forces the cross-batch edge path."""
+    import hashlib
+    import ray.data
+    from doc_ocr_ray.stages.graph import random_walks
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 4, 4, 5],
+        "dst": [1, 2, 1, 2, 3, 0, 5, 5, 5]})  # dup (0,1),(4,5); loop (5,5)
+    out = (random_walks(ray.data.from_pandas(edges).repartition(3),
+                        walk_len=3, seed=7)
+           .to_pandas())
+    walks = {w: g.sort_values("step")["node"].tolist()
+             for w, g in out.groupby("walk_id")}
+
+    adj = {0: [1, 2], 1: [2, 3], 2: [0], 4: [5], 5: []}
+
+    def replay(start):
+        seq, cur = [start], start
+        for t in range(1, 4):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (hashlib.md5(
+                f"7|{start}|{t}|{d}".encode()).hexdigest(), d))
+            seq.append(cur)
+        return seq
+
+    # walks start at every non-sink node (5's only edge is its loop)
+    assert set(walks) == {0, 1, 2, 4}
+    for w in walks:
+        assert walks[w] == replay(w), (w, walks[w], replay(w))
+    # walk 4 hits sink 5 at step 1 and ends early
+    assert walks[4] == [4, 5]
+    # determinism: a different partitioning yields identical rows
+    out2 = (random_walks(ray.data.from_pandas(edges).repartition(2),
+                         walk_len=3, seed=7).to_pandas())
+    a = out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    b = out2.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
