@@ -2223,6 +2223,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "lang"]),
             rates={"en": 0.5, "zh": 1.0}, group_col="lang")
 
+    def q_temperature_mix(sf_dir):
+        # alpha=1/2 temperature rebalancing (the mT5/XLM-R mixture
+        # rule) over an injected skewed source map: one giant source
+        # (half the corpus) + a tail of small ones; exact isqrt
+        # fixed-point targets, md5-rank survivor selection
+        from doc_ocr_ray.pipelines.curate import temperature_mix
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            src = np.where(d % 2 == 0, "s0",
+                           "s" + (d % 7 + 1).astype(str)).astype(object)
+            return pd.DataFrame({"doc_id": d, "source": src})
+
+        return temperature_mix(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"), total=100)
+
     def q_per_source_cap(sf_dir):
         from doc_ocr_ray.pipelines.curate import per_source_cap
         return per_source_cap(
@@ -3474,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,
         "stratified_sample": q_stratified_sample,
         "per_source_cap": q_per_source_cap,
+        "temperature_mix": q_temperature_mix,
         "token_budget_select": q_token_budget_select,
         "sample_exact_n": q_sample_exact_n,
         "shuffle_positions": q_shuffle_positions,
@@ -6989,6 +7007,40 @@ def oracle_sql() -> dict[str, str]:
         # score grid, keep while the window cumsum fits the budget
         "token_budget_select": f"""
             WITH {_budget_tail_sql('documents', 700)}
+        """,
+        "temperature_mix": """
+            WITH d AS (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 0 THEN 's0'
+                              ELSE 's' || CAST(doc_id % 7 + 1 AS VARCHAR)
+                         END AS source
+                       FROM documents),
+                 c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+                 w0 AS (SELECT source,
+                               CAST(n AS HUGEINT) * 1000000000000 AS m,
+                               CAST(floor(sqrt(CAST(n AS DOUBLE)
+                                    * 1000000000000.0)) AS HUGEINT) AS s0
+                        FROM c),
+                 -- exact isqrt(m): double-sqrt seed corrected by +/-2
+                 -- integer comparisons (largest s with s*s <= m)
+                 w AS (SELECT source,
+                              s0 + CASE WHEN (s0+2)*(s0+2) <= m THEN 2
+                                        WHEN (s0+1)*(s0+1) <= m THEN 1
+                                        WHEN s0*s0 <= m THEN 0
+                                        WHEN (s0-1)*(s0-1) <= m THEN -1
+                                        ELSE -2 END AS w
+                       FROM w0),
+                 t AS (SELECT source,
+                              CAST((CAST(100 AS HUGEINT) * w)
+                                   // (SELECT sum(w) FROM w) AS BIGINT) AS t_s
+                       FROM w),
+                 r AS (SELECT d.doc_id, d.source,
+                              row_number() OVER (PARTITION BY d.source ORDER BY
+                                  CAST(('0x' || substr(md5('42:' ||
+                                       CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER
+                                       AS BIGINT), d.doc_id) AS mix_rank
+                       FROM d)
+            SELECT r.doc_id, r.source, r.mix_rank
+            FROM r JOIN t USING (source) WHERE r.mix_rank <= t.t_s
         """,
         "per_source_cap": """
             SELECT doc_id, source, src_rank FROM (

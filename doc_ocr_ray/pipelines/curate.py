@@ -1197,3 +1197,82 @@ def split_leakage(ds, text_col: str = "text", key: str = "doc_id",
 
     return (assigned.map_batches(key_batch, batch_format="pandas")
             .groupby("part").map_groups(pairs, batch_format="pandas"))
+
+
+def temperature_mix(ds, total: int, seed: int = 42,
+                    source_col: str = "source", key: str = "doc_id",
+                    num_partitions: int = 128):
+    """Temperature-based source rebalancing at alpha = 1/2 — the
+    multilingual sampling recipe of mT5 / XLM-R (sample source s with
+    probability proportional to ``n_s^alpha``): upweights the tail
+    languages/domains a raw-frequency mixture would drown, without
+    letting any single giant source dominate.
+
+    Targets are EXACT integer arithmetic so the DuckDB twin matches
+    bit for bit: per-source weight ``w_s = isqrt(n_s * 10^12)`` (a
+    fixed-point ``sqrt(n_s)`` on a 10^6 grid — Python ``math.isqrt``
+    here, a double-sqrt seed corrected by +/-2 integer comparisons in
+    the SQL), and target ``t_s = total * w_s // sum(w)``.  Floor
+    division under-fills by < 1 doc per source (stated contract — no
+    largest-remainder pass).  Which ``t_s`` docs survive per source is
+    the ``per_source_cap`` rule: rank by (md5(seed:key), key), keep
+    rank <= t_s; seed-stable under re-runs and incremental ingestion.
+
+    Scale shape: per-source counts shrink in-batch (combiner) before
+    ONE coarse source-hash exchange whose output is source-cardinality
+    rows; the driver holds only the {source: target} map (sources are
+    bounded — languages / registered domains — the mix_plan envelope)
+    which broadcasts back inside the ranking stage's closure.  The
+    ranking pass is the per_source_cap exchange: one coarse source
+    hash, all sources of a partition ranked vectorized in one frame.
+    Output (doc_id, source, mix_rank) for the kept rows.
+    """
+    import math
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.groupby(source_col, sort=False)[key].count()
+             .reset_index(name="n"))
+        g["part"] = coarse_part(g[source_col], num_partitions)
+        return typed_if_empty(g)
+
+    def count_combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(source_col, sort=False)["n"].sum()
+             .reset_index())
+        return typed_if_empty(g)
+
+    counts = (ds.map_batches(count_partial, batch_format="pandas")
+              .groupby("part")
+              .map_groups(count_combine, batch_format="pandas")
+              .take_all())                     # source-bounded rows
+    if not counts:
+        return ds.map_batches(
+            lambda b: typed_if_empty(pd.DataFrame({
+                key: pd.Series([], dtype=b[key].dtype if key in b else "int64"),
+                source_col: pd.Series([], dtype="object"),
+                "mix_rank": pd.Series([], dtype="int64")})),
+            batch_format="pandas")
+    weights = {r[source_col]: math.isqrt(int(r["n"]) * 10 ** 12)
+               for r in counts}
+    t_sum = sum(weights.values())
+    targets = {s: (int(total) * w) // t_sum for s, w in weights.items()}
+
+    def rank_and_keep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["_bucket"] = _md5_bucket(g[key], seed)
+        g = g.sort_values([source_col, "_bucket", key],
+                          kind="mergesort")
+        g["mix_rank"] = (g.groupby(source_col, sort=False).cumcount()
+                         + 1).astype("int64")
+        cap = g[source_col].map(targets).fillna(0).astype("int64")
+        g = g[g["mix_rank"] <= cap]
+        return typed_if_empty(
+            g[[key, source_col, "mix_rank"]].reset_index(drop=True))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, source_col]].copy()
+        out["part"] = coarse_part(out[source_col], num_partitions)
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(rank_and_keep, batch_format="pandas"))

@@ -4109,3 +4109,44 @@ def test_random_walks_deterministic_argmin(ray_session):
     a = out.sort_values(["walk_id", "step"]).reset_index(drop=True)
     b = out2.sort_values(["walk_id", "step"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_temperature_mix_alpha_half_targets(ray_session):
+    """alpha=1/2 mixture: per-source targets equal the exact isqrt
+    fixed-point replay, the tail is upweighted vs its raw share, the
+    giant source is capped below its raw share, total kept <= total,
+    and selection is partition-invariant."""
+    import math
+    import ray.data
+    from doc_ocr_ray.pipelines.curate import temperature_mix
+
+    # one giant source (800 docs) + 4 small ones (50 each)
+    n_big, n_small = 800, 50
+    rows = [{"doc_id": i, "source": "big"} for i in range(n_big)]
+    rows += [{"doc_id": 10_000 + s * 1000 + i, "source": f"t{s}"}
+             for s in range(4) for i in range(n_small)]
+    df = pd.DataFrame(rows)
+    total = 200
+    out = (temperature_mix(ray.data.from_pandas(df).repartition(5),
+                           total=total)
+           .to_pandas())
+
+    weights = {"big": math.isqrt(n_big * 10 ** 12),
+               **{f"t{s}": math.isqrt(n_small * 10 ** 12)
+                  for s in range(4)}}
+    t_sum = sum(weights.values())
+    targets = {s: total * w // t_sum for s, w in weights.items()}
+    got = out.groupby("source")["doc_id"].count().to_dict()
+    assert got == {s: t for s, t in targets.items() if t}
+    assert out["doc_id"].nunique() == len(out) <= total
+    # rebalancing direction: big holds 80% raw but < 70% of the mix;
+    # each tail source rises above its 5% raw share
+    assert got["big"] / len(out) < 0.70
+    for s in range(4):
+        assert got[f"t{s}"] / len(out) > 0.05
+    # partition invariance
+    out2 = (temperature_mix(ray.data.from_pandas(df).repartition(2),
+                            total=total).to_pandas())
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
