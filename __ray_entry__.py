@@ -1076,6 +1076,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings")
         return similarity.knn_brute(emb, query_ids=list(range(20)), k=5)
 
+    def q_knn_graph_lsh(sf_dir):
+        # scale path for knn_graph: banded hyperplane LSH buckets,
+        # within-bucket exact cosine, cross-band merge (approximate;
+        # recall pinned by the hash-checked gate below)
+        from doc_ocr_ray.stages.similarity import knn_graph_lsh
+        return knn_graph_lsh(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5)
+
+    def q_knn_graph_lsh_recall(sf_dir):
+        # distributed recall gate (graph_recall_floor): every node is
+        # a query, so per-query detail is corpus-sized and folds to
+        # <= num_parts partials off-driver.  Measured mean 535-866
+        # milli across sf tiers; floor 400
+        from doc_ocr_ray.stages.similarity import (
+            knn_graph, knn_graph_lsh, graph_recall_floor)
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return graph_recall_floor(
+            knn_graph_lsh(emb, k=5), knn_graph(emb, k=5), 400)
+
     def q_knn_graph(sf_dir):
         # all-pairs exact cosine k-NN graph (the SemDeDup / graph-
         # dedup primitive): corpus broadcast once, each batch its own
@@ -3393,6 +3412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "similarity_topk": q_similarity_topk,
         "knn_graph": q_knn_graph,
+        "knn_graph_lsh": q_knn_graph_lsh,
+        "knn_graph_lsh_recall": q_knn_graph_lsh_recall,
         "bitext_candidates": q_bitext_candidates,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -6327,6 +6348,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         # all-pairs twin of similarity_topk: every vector is a query
+        "knn_graph_lsh_recall": """
+            SELECT (SELECT count(*) FROM embeddings) AS n_queries,
+                   CAST(400 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
+        """,
         "knn_graph": """
             WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv
                        FROM embeddings),

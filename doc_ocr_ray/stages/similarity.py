@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from doc_ocr_ray.util import coarse_part, typed_if_empty
+
 
 def _matrix(batch_col) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in batch_col])
@@ -1563,3 +1565,183 @@ def bitext_candidates(emb_ds, docs_ds, k: int = 3,
 
     return emb_ds.map_batches(block_topk, batch_format="pyarrow",
                               batch_size=batch_size)
+
+
+def knn_graph_lsh(ds, k: int = 5, num_bands: int = 8,
+                  bits_per_band: int = 0, target_bucket: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  num_parts: int = 64):
+    """APPROXIMATE all-pairs cosine k-NN graph via banded hyperplane
+    LSH — the scale path for :func:`knn_graph`, whose broadcast
+    corpus matrix stops fitting a worker heap past ~10M vectors:
+    instead of every-vs-every, each vector scores only against its
+    LSH bucket mates, so total compare work is
+    ``num_bands * n * target_bucket`` instead of ``n^2``.
+
+    Same banding as :func:`embedding_neardup_pairs`: ``num_bands``
+    independent sign-bit codes whose width scales with corpus size
+    (``log2(n / target_bucket)``), so buckets stay ~``target_bucket``
+    rows at any scale.  A node's candidate set is the union of its
+    bucket mates across bands; recall follows the banded LSH curve
+    (1-(1-p^r)^B) and is pinned by the hash-checked gate of
+    :func:`graph_recall_floor` against the exact twin.
+
+    Exactness of what IS returned: scores are the same normalized
+    float64 dot products :func:`knn_graph` computes (the same pair
+    scored in two different buckets yields the bit-identical float,
+    so cross-band dedup is exact), ranked (-score, vec_id) with
+    rounding to 4 decimals AFTER ranking.
+
+    Shuffle discipline: vectors ride ONE coarse (band, bucket)-keyed
+    exchange (``num_bands`` copies of the corpus — the documented
+    price of banding; ids-and-floats candidate rows, k-bounded per
+    (node, band), ride a second coarse node-keyed exchange for the
+    cross-band merge).  Bucket groups are collapsed inside the part
+    group fn (millions of tiny Ray-level groups would pay ~1ms each).
+    Output (query_id, rank, vec_id, score) — the knn_graph layout.
+    """
+    import ray
+
+    ds = ds.materialize()                  # count + dim peek + code scan
+    n = ds.count()
+    if n == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(_empty_knn_table())
+    if bits_per_band <= 0:
+        bits_per_band = max(
+            2, int(np.ceil(np.log2(max(2.0, n / max(1, target_bucket))))))
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    rng = np.random.RandomState(11)
+    planes = rng.normal(size=(num_bands * bits_per_band, dim))
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    def code_batch(batch: pa.Table) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        X = _matrix_from_arrow(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        if X.size == 0:
+            return typed_if_empty(pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "bkey": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int64"),
+                "vec": pd.Series([], dtype=object)}))
+        bits = (X @ P.T) >= 0.0                     # (n, bands*bits)
+        out = []
+        Xn = _norm_rows(X)
+        for b in range(num_bands):
+            seg = bits[:, b * bits_per_band:(b + 1) * bits_per_band]
+            bucket = (seg.astype(np.int64) * weights).sum(axis=1)
+            out.append(pd.DataFrame({
+                id_col: ids.astype("int64"),
+                "bkey": (np.int64(b) << np.int64(bits_per_band))
+                        | bucket,
+                "vec": list(Xn)}))
+        o = pd.concat(out, ignore_index=True)
+        o["part"] = coarse_part(o["bkey"], num_parts)
+        return o[[id_col, "bkey", "part", "vec"]]
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        outs_q, outs_v, outs_s = [], [], []
+        for _, g in group.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            X = np.stack(g["vec"].to_numpy())
+            S = X @ X.T
+            kk = min(k + 1, S.shape[1])
+            order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            for qi in range(S.shape[0]):
+                rank = 0
+                for j in order[qi]:
+                    if ids[j] == ids[qi]:
+                        continue
+                    rank += 1
+                    if rank > k:
+                        break
+                    outs_q.append(int(ids[qi]))
+                    outs_v.append(int(ids[j]))
+                    outs_s.append(float(S[qi, j]))
+        out = pd.DataFrame({
+            "query_id": pd.Series(outs_q, dtype="int64"),
+            "vec_id": pd.Series(outs_v, dtype="int64"),
+            "raw": pd.Series(outs_s, dtype="float64")})
+        out["part"] = coarse_part(out["query_id"], num_parts)
+        return typed_if_empty(out)
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["query_id", "vec_id"])
+        g = g.sort_values(["query_id", "raw", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = (g.groupby("query_id", sort=False).cumcount()
+                     + 1).astype("int64")
+        g = g[g["rank"] <= k].copy()
+        g["score"] = g["raw"].round(4)
+        return typed_if_empty(
+            g[["query_id", "rank", "vec_id", "score"]]
+            .reset_index(drop=True))
+
+    return (ds.map_batches(code_batch, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .groupby("part")
+            .map_groups(merge_topk, batch_format="pandas"))
+
+
+def graph_recall_floor(approx_ds, exact_ds, floor_milli: int,
+                       num_parts: int = 64) -> pa.Table:
+    """Distributed recall gate for corpus-sized k-NN GRAPHS — the
+    :func:`ann_recall_floor` contract (one literal gate row the SQL
+    oracle states verbatim) without its driver-side pandas: here BOTH
+    inputs have every node as a query, so per-query detail is
+    corpus-sized and must never be gathered.  Tagged rows meet on one
+    coarse query_id exchange; each group emits a single
+    (sum_milli, n_q) partial; the driver folds <= num_parts partials
+    into (n_queries, floor_milli, meets)."""
+
+    cols = ["query_id", "vec_id", "kind", "part"]
+
+    def tag(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty or "query_id" not in batch.columns:
+                return pa.schema(
+                    [(c, pa.int64()) for c in cols]).empty_table()
+            out = pd.DataFrame({
+                "query_id": batch["query_id"].astype("int64"),
+                "vec_id": batch["vec_id"].astype("int64")})
+            out["kind"] = np.int64(kind)
+            out["part"] = coarse_part(out["query_id"], num_parts)
+            return out[cols]
+        return fn
+
+    def partial(group: pd.DataFrame) -> pd.DataFrame:
+        e = group[group["kind"] == 0]
+        a = group[group["kind"] == 1]
+        got = (a.groupby("query_id")["vec_id"].agg(set)
+               if len(a) else {})
+        s_milli = 0
+        n_q = 0
+        for qid, grp in e.groupby("query_id"):
+            want = set(grp["vec_id"])
+            hit = len(want & (got.get(qid, set()) if len(a) else set()))
+            s_milli += (1000 * hit) // len(want)
+            n_q += 1
+        return pd.DataFrame({
+            "sum_milli": pd.Series([s_milli], dtype="int64"),
+            "n_q": pd.Series([n_q], dtype="int64")})
+
+    parts = (exact_ds.map_batches(tag(0), batch_format="pandas")
+             .union(approx_ds.map_batches(tag(1), batch_format="pandas"))
+             .groupby("part")
+             .map_groups(partial, batch_format="pandas")
+             .take_all())                       # <= num_parts tiny rows
+    n_q = sum(int(r["n_q"]) for r in parts)
+    mean = (sum(int(r["sum_milli"]) for r in parts) // n_q) if n_q else 0
+    return pa.table({
+        "n_queries": pa.array([n_q], pa.int64()),
+        "floor_milli": pa.array([int(floor_milli)], pa.int64()),
+        "meets": pa.array([1 if mean >= floor_milli else 0],
+                          pa.int64())})

@@ -4150,3 +4150,50 @@ def test_temperature_mix_alpha_half_targets(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_knn_graph_lsh_scores_and_gate(ray_session):
+    """Approximate k-NN graph: every emitted edge's score equals the
+    exact normalized cosine of that pair (bucket-local scoring is
+    bit-identical to all-pairs), per-query ranks are 1..<=k with no
+    duplicate neighbours, results are partition-invariant, and on a
+    tightly clustered testbed the distributed recall gate passes a
+    high floor."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import (
+        knn_graph, knn_graph_lsh, graph_recall_floor)
+
+    rng = np.random.RandomState(3)
+    # 6 tight clusters of 20 vectors: LSH must find the in-cluster
+    # neighbours (they share signs on almost every hyperplane)
+    centers = rng.normal(size=(6, 16)) * 5
+    vecs, ids = [], []
+    for c in range(6):
+        for i in range(20):
+            vecs.append(centers[c] + rng.normal(size=16) * 0.05)
+            ids.append(c * 100 + i)
+    df = pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
+                       "embedding": [v.astype("float32") for v in vecs]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    ap = knn_graph_lsh(ds, k=3).to_pandas()
+    ex = knn_graph(ds, k=3).to_pandas()
+
+    # structural invariants
+    g = ap.groupby("query_id")
+    assert (g["rank"].apply(lambda r: sorted(r) ==
+                            list(range(1, len(r) + 1)))).all()
+    assert (g["vec_id"].nunique() == g["vec_id"].count()).all()
+    # score exactness: join on (query_id, vec_id) against the exact
+    # graph where the pair appears there too
+    j = ap.merge(ex, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert len(j) > 0 and (j["score_a"] == j["score_e"]).all()
+    # clustered testbed: gate clears a high floor
+    gate = graph_recall_floor(knn_graph_lsh(ds, k=3),
+                              knn_graph(ds, k=3), 900).to_pandas()
+    assert gate.loc[0, "meets"] == 1 and gate.loc[0, "n_queries"] == 120
+    # partition invariance
+    ap2 = knn_graph_lsh(ray.data.from_pandas(df).repartition(7),
+                        k=3).to_pandas()
+    a = ap.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ap2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
