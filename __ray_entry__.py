@@ -1979,6 +1979,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_main_content(
             pages.map_batches(page_key, batch_format="pandas"))
 
+    def q_politeness_schedule(sf_dir):
+        # per-host fetch scheduling: lane = md5 host bucket (one host
+        # never spans lanes), slot spacing = robots Crawl-delay with
+        # default fallback; canonicalization exercised (www/case/query)
+        from doc_ocr_ray.stages.urls import politeness_schedule
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            h = np.where(d % 2 == 0, 0, d % 37 + 1)
+            url = ("http://www.Site" + pd.Series(h).astype(str)
+                   + ".test/p" + d.astype(str) + "?x=1")
+            return pd.DataFrame({"url": url.astype(object)})
+
+        delays = pd.DataFrame({
+            "domain": [f"site{h}.test" for h in range(0, 38, 2)],
+            "delay_ms": [250 * (h % 5 + 1) for h in range(0, 38, 2)]})
+        return politeness_schedule(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"),
+            delays=delays, default_delay_ms=1000, n_lanes=16)
+
     def q_host_skew(sf_dir):
         # crawl-skew diagnostic: one dominant host + a long tail of
         # small hosts by doc arithmetic; canonicalization exercised
@@ -3501,6 +3522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": q_sitemap_urls,
         "robots_sitemaps": q_robots_sitemaps,
         "host_skew": q_host_skew,
+        "politeness_schedule": q_politeness_schedule,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -5063,6 +5085,29 @@ def oracle_sql() -> dict[str, str]:
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
         # host-skew twin: identical histogram rank-sum Gini formula
+        "politeness_schedule": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 2 = 0 THEN 0
+                                   ELSE doc_id % 37 + 1 END AS h
+                       FROM documents),
+                 u AS (SELECT 'site' || CAST(h AS VARCHAR) || '.test' AS domain,
+                              'site' || CAST(h AS VARCHAR) || '.test/p'
+                                 || CAST(doc_id AS VARCHAR) AS canon_url,
+                              h
+                       FROM d),
+                 r AS (SELECT domain, canon_url, h,
+                              row_number() OVER (PARTITION BY domain
+                                  ORDER BY canon_url) AS slot
+                       FROM u)
+            SELECT domain, canon_url,
+                   CAST(CAST(('0x' || substr(md5('lane:' || domain), 1, 8))
+                        ::UINTEGER AS BIGINT) % 16 AS BIGINT) AS lane,
+                   CAST(slot AS BIGINT) AS slot,
+                   CAST((slot - 1) * CASE WHEN h % 2 = 0
+                        THEN 250 * (h % 5 + 1) ELSE 1000 END AS BIGINT)
+                       AS fetch_offset_ms
+            FROM r
+        """,
         "host_skew": """
             WITH d AS (SELECT doc_id,
                               CASE WHEN doc_id % 2 = 0 THEN 0

@@ -552,3 +552,61 @@ def host_skew(ds, url_col: str = "url", num_parts: int = 64):
             .groupby("part").map_groups(hist_combine,
                                         batch_format="pandas")
             .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+def politeness_schedule(ds, delays: "pd.DataFrame | None" = None,
+                        default_delay_ms: int = 1000,
+                        n_lanes: int = 16, url_col: str = "url",
+                        num_parts: int = 64):
+    """Per-host politeness scheduling of a fetch list — the step
+    between frontier construction (:func:`doc_ocr_ray.pipelines.
+    frontier.crawl_frontier`) and the fetchers: every candidate URL
+    gets a worker lane, an in-host slot and a fetch time offset such
+    that (a) one host is only ever fetched from one lane (lane =
+    md5 bucket of the domain, so no two workers hit a host
+    concurrently) and (b) consecutive fetches of a host are spaced by
+    its crawl delay (robots Crawl-delay, or ``default_delay_ms``).
+
+    ``delays``: optional (domain, delay_ms) frame — robots-derived,
+    domain-bounded by nature, broadcast inside the stage closure (the
+    small-side rule; it never rides a shuffle).  In-host order is
+    deterministic: canon_url ascending (the frontier already capped
+    and ranked; a stable order is what politeness needs, not a
+    priority).  Duplicate canonical URLs collapse (keep one fetch).
+
+    ONE coarse domain-hash exchange; each partition ranks all its
+    domains vectorized.  Output (domain, canon_url, lane, slot,
+    fetch_offset_ms); lane/slot are 0- and 1-based respectively.
+    """
+    import hashlib
+
+    delay_map = ({str(r["domain"]): int(r["delay_ms"])
+                  for _, r in delays.iterrows()}
+                 if delays is not None else {})
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        c = canonicalize_urls(batch, url_col)
+        out = c[["canon_url", "domain"]].drop_duplicates(["canon_url"])
+        out["part"] = coarse_part(out["domain"], num_parts)
+        return typed_if_empty(out)
+
+    def schedule(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["canon_url"]).copy()
+        g = g.sort_values(["domain", "canon_url"], kind="mergesort")
+        g["slot"] = (g.groupby("domain", sort=False).cumcount()
+                     + 1).astype("int64")
+        doms = g["domain"].astype(str)
+        lane_of = {d: int(hashlib.md5(f"lane:{d}".encode())
+                          .hexdigest()[:8], 16) % n_lanes
+                   for d in doms.unique()}
+        g["lane"] = doms.map(lane_of).astype("int64")
+        delay = doms.map(
+            lambda d: delay_map.get(d, default_delay_ms)).astype("int64")
+        g["fetch_offset_ms"] = ((g["slot"] - 1) * delay).astype("int64")
+        return typed_if_empty(
+            g[["domain", "canon_url", "lane", "slot",
+               "fetch_offset_ms"]].reset_index(drop=True))
+
+    return (ds.map_batches(key, batch_format="pandas")
+            .groupby("part")
+            .map_groups(schedule, batch_format="pandas"))

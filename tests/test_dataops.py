@@ -4197,3 +4197,46 @@ def test_knn_graph_lsh_scores_and_gate(ray_session):
     a = ap.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = ap2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_politeness_schedule_lane_and_spacing(ray_session):
+    """Politeness invariants: a host maps to exactly one lane, slots
+    within a host are gapless from 1 in canon_url order, offsets are
+    (slot-1)*delay with the robots delay honoured and the default
+    applied otherwise, duplicate canonical URLs collapse to one
+    fetch, and the schedule is partition-invariant."""
+    import ray.data
+    from doc_ocr_ray.stages.urls import politeness_schedule
+
+    urls = (["http://www.A.test/x", "https://a.test/y?q=1",
+             "http://a.test/y",               # dup of previous
+             "http://b.test/1", "http://b.test/2", "http://b.test/3"]
+            + [f"http://c.test/p{i}" for i in range(4)])
+    df = pd.DataFrame({"url": urls})
+    delays = pd.DataFrame({"domain": ["b.test"], "delay_ms": [200]})
+    out = (politeness_schedule(ray.data.from_pandas(df).repartition(3),
+                               delays=delays, default_delay_ms=1000,
+                               n_lanes=4)
+           .to_pandas())
+    # dup collapsed: a.test has x and y only
+    a = out[out["domain"] == "a.test"].sort_values("canon_url")
+    assert list(a["canon_url"]) == ["a.test/x", "a.test/y"]
+    # one lane per host
+    assert (out.groupby("domain")["lane"].nunique() == 1).all()
+    assert out["lane"].between(0, 3).all()
+    # gapless slots in canon_url order
+    for _, g in out.groupby("domain"):
+        g = g.sort_values("canon_url")
+        assert list(g["slot"]) == list(range(1, len(g) + 1))
+    # spacing: b.test at 200ms, others at the 1000ms default
+    b = out[out["domain"] == "b.test"].sort_values("slot")
+    assert list(b["fetch_offset_ms"]) == [0, 200, 400]
+    c = out[out["domain"] == "c.test"].sort_values("slot")
+    assert list(c["fetch_offset_ms"]) == [0, 1000, 2000, 3000]
+    # partition invariance
+    out2 = (politeness_schedule(ray.data.from_pandas(df).repartition(2),
+                                delays=delays, default_delay_ms=1000,
+                                n_lanes=4).to_pandas())
+    x = out.sort_values(["domain", "slot"]).reset_index(drop=True)
+    y = out2.sort_values(["domain", "slot"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(x, y[x.columns])
