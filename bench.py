@@ -375,6 +375,13 @@ def run_benchmarks() -> dict:
           lambda: qs["robots_sitemaps"](SF_DIR).count())
     timed("embedding_drift",
           lambda: qs["embedding_drift"](SF_DIR).count())
+    timed("random_walks", lambda: qs["random_walks"](SF_DIR).count())
+    timed("temperature_mix",
+          lambda: qs["temperature_mix"](SF_DIR).count())
+    timed("knn_graph_lsh",
+          lambda: qs["knn_graph_lsh"](SF_DIR).count())
+    timed("politeness_schedule",
+          lambda: qs["politeness_schedule"](SF_DIR).count())
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "

@@ -288,6 +288,37 @@ def _explode_bands(batch: pd.DataFrame, num_bands: int) -> pd.DataFrame:
     return out
 
 
+def band_bucket_pairs(group: pd.DataFrame,
+                      threshold: float) -> pd.DataFrame:
+    """Candidate-pair enumeration + signature verify over ONE coarse
+    partition's (band, band_hash) buckets — the shared reduce of
+    :func:`minhash_dedup_pairs` and the checkpointed per-bucket phase
+    of ``jobs/run_neardup.py``.  Emits (doc_a, doc_b, est_jaccard)
+    with doc_a < doc_b, est on the floor-10000 grid (NOT round():
+    est = m/64 sits exactly on the 5th-decimal rounding tie whenever
+    m % 4 == 2, where pandas half-even and SQL half-up disagree)."""
+    out_a, out_b, out_j = [], [], []
+    seen = set()
+    for _, bucket in group.groupby(["band", "band_hash"], sort=False):
+        if len(bucket) < 2:
+            continue
+        g = bucket.sort_values("doc_id")
+        docs = g["doc_id"].tolist()
+        sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
+                        for s in g["signature"]])
+        for i in range(len(docs)):
+            eq = (sgs[i + 1:] == sgs[i]).mean(axis=1)
+            for dj, est in zip(docs[i + 1:], eq):
+                if est >= threshold and (docs[i], dj) not in seen:
+                    seen.add((docs[i], dj))
+                    out_a.append(docs[i])
+                    out_b.append(dj)
+                    out_j.append(float(np.floor(10000.0 * float(est))
+                                       / 10000))
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                         "est_jaccard": out_j})
+
+
 def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                         shingle_k: int = 5, threshold: float = 0.8,
                         concurrency=(1, 8)):
@@ -316,28 +347,7 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
     parts = bands.map_batches(add_part, batch_format="pandas")
 
     def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        seen = set()
-        for _, bucket in group.groupby(["band", "band_hash"], sort=False):
-            if len(bucket) < 2:
-                continue
-            g = bucket.sort_values("doc_id")
-            docs = g["doc_id"].tolist()
-            sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
-                            for s in g["signature"]])
-            for i in range(len(docs)):
-                eq = (sgs[i + 1:] == sgs[i]).mean(axis=1)
-                for dj, est in zip(docs[i + 1:], eq):
-                    if est >= threshold and (docs[i], dj) not in seen:
-                        seen.add((docs[i], dj))
-                        out_a.append(docs[i]); out_b.append(dj)
-                        # shared floor grid, NOT round(): est = m/64
-                        # sits exactly on the 5th-decimal rounding tie
-                        # whenever m % 4 == 2, where pandas (half-even)
-                        # and SQL (half-up) disagree
-                        out_j.append(float(np.floor(10000.0 * float(est))
-                                           / 10000))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+        return band_bucket_pairs(group, threshold)
 
     pairs = parts.groupby("part").map_groups(part_pairs, batch_format="pandas")
 

@@ -256,3 +256,67 @@ def test_run_dedup_two_phase_resume(tmp_path):
     r3 = subprocess.run(cmd[:-4] + ["--buckets", "5", "--num-cpus", "4"],
                         env=env, capture_output=True, text=True)
     assert r3.returncode == 2 and "different parameters" in r3.stderr
+
+
+def test_run_neardup_three_phase_resume(tmp_path):
+    """Near-dup job: fuzzy duplicates straddling input files are
+    caught, transitive chains collapse to one keeper (min doc_id),
+    clean docs survive, and deleting one phase-2 bucket's record +
+    partition plus the phase-3 record recomputes only those steps
+    with identical output."""
+    import glob as _glob
+    import shutil
+
+    import pandas as pd
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    inp = str(tmp_path / "docs")
+    os.makedirs(inp)
+    # file a: original (1) + clean docs; file b: near-copies of 1
+    # (one-word edits -> high signature agreement) forming a chain
+    rows1 = ([{"doc_id": 1, "text": base}]
+             + [{"doc_id": 10 + i,
+                 "text": " ".join(f"w{i}x{j}" for j in range(30))}
+                for i in range(6)])     # zero shared shingles
+    rows2 = [{"doc_id": 101, "text": base + " extra"},
+             {"doc_id": 102, "text": base + " extra more"}]
+    pd.DataFrame(rows1).to_parquet(f"{inp}/a.parquet", index=False)
+    pd.DataFrame(rows2).to_parquet(f"{inp}/b.parquet", index=False)
+    out = str(tmp_path / "job")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_neardup.py"),
+           "--input", inp, "--output", out, "--shards", "2",
+           "--buckets", "3", "--threshold", "0.5", "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    summary = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 9
+
+    def drop_rows():
+        fs = [f for f in sorted(_glob.glob(
+            f"{out}/part-*/**/*.parquet", recursive=True))
+            if "phase1" not in f and "phase2" not in f]
+        return pd.concat([pd.read_parquet(f) for f in fs])
+
+    d1 = drop_rows()
+    # 101 and 102 are near-dups of 1 (cross-file!) -> dropped, keep 1
+    assert sorted(d1["doc_id"]) == [101, 102]
+    assert set(d1["keep_id"]) == {1}
+    assert summary["n_dup_docs"] == 2
+    # resume: drop one phase-2 bucket and the phase-3 step
+    man = json.load(open(f"{out}/manifest.json"))
+    del man["100001"], man["200000"]
+    json.dump(man, open(f"{out}/manifest.json", "w"))
+    shutil.rmtree(f"{out}/phase2/part-00001", ignore_errors=True)
+    shutil.rmtree(f"{out}/part-00000")
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count("skipping") == 4      # 2 shards + 2 buckets
+    d2 = drop_rows()
+    pd.testing.assert_frame_equal(
+        d1.sort_values("doc_id").reset_index(drop=True),
+        d2.sort_values("doc_id").reset_index(drop=True))
+    # parameter drift refused without --fresh
+    r3 = subprocess.run(cmd[:8] + ["--buckets", "5"] + cmd[10:],
+                        env=env, capture_output=True, text=True)
+    assert r3.returncode == 2 and "different parameters" in r3.stderr
