@@ -2000,6 +2000,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(inject, batch_format="pandas"),
             delays=delays, default_delay_ms=1000, n_lanes=16)
 
+    def q_domain_reputation(sf_dir):
+        # Wilson lower-bound domain quality (z=2, exact integer
+        # isqrt): hosts from the skew inject, pass = d % 3 != 0 so
+        # rates vary by host size; small hosts shrink toward 0
+        from doc_ocr_ray.stages.urls import domain_reputation
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            h = np.where(d % 2 == 0, 0, d % 37 + 1)
+            url = ("http://www.Site" + pd.Series(h).astype(str)
+                   + ".test/p" + d.astype(str) + "?x=1")
+            return pd.DataFrame({
+                "url": url.astype(object),
+                "passed": (d % 3 != 0).astype("int64")})
+
+        return domain_reputation(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_host_skew(sf_dir):
         # crawl-skew diagnostic: one dominant host + a long tail of
         # small hosts by doc arithmetic; canonicalization exercised
@@ -3523,6 +3542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_sitemaps": q_robots_sitemaps,
         "host_skew": q_host_skew,
         "politeness_schedule": q_politeness_schedule,
+        "domain_reputation": q_domain_reputation,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -5085,6 +5105,38 @@ def oracle_sql() -> dict[str, str]:
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
         # host-skew twin: identical histogram rank-sum Gini formula
+        "domain_reputation": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 2 = 0 THEN 0
+                                   ELSE doc_id % 37 + 1 END AS h,
+                              CASE WHEN doc_id % 3 <> 0
+                                   THEN 1 ELSE 0 END AS passed
+                       FROM documents),
+                 c AS (SELECT h, CAST(count(*) AS HUGEINT) AS n,
+                              CAST(sum(passed) AS HUGEINT) AS k
+                       FROM d GROUP BY h),
+                 i AS (SELECT h, n, k,
+                              (k * (n - k) * 1000000000000) // n
+                                + 1000000000000 AS m
+                       FROM c),
+                 s0 AS (SELECT *, CAST(floor(sqrt(CAST(m AS DOUBLE)))
+                                       AS HUGEINT) AS sq0
+                        FROM i),
+                 -- exact isqrt: double seed corrected by +/-2
+                 s AS (SELECT *,
+                              sq0 + CASE WHEN (sq0+2)*(sq0+2) <= m THEN 2
+                                         WHEN (sq0+1)*(sq0+1) <= m THEN 1
+                                         WHEN sq0*sq0 <= m THEN 0
+                                         WHEN (sq0-1)*(sq0-1) <= m THEN -1
+                                         ELSE -2 END AS sq
+                       FROM s0)
+            SELECT 'site' || CAST(h AS VARCHAR) || '.test' AS domain,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(k AS BIGINT) AS n_pass,
+                   CAST(greatest(0, ((k + 2) * 1000000 - 2 * sq)
+                        // (n + 4)) AS BIGINT) AS wilson_lb_ppm
+            FROM s
+        """,
         "politeness_schedule": """
             WITH d AS (SELECT doc_id,
                               CASE WHEN doc_id % 2 = 0 THEN 0

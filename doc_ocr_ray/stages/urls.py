@@ -610,3 +610,65 @@ def politeness_schedule(ds, delays: "pd.DataFrame | None" = None,
     return (ds.map_batches(key, batch_format="pandas")
             .groupby("part")
             .map_groups(schedule, batch_format="pandas"))
+
+
+def domain_reputation(ds, url_col: str = "url",
+                      pass_col: str = "passed",
+                      num_parts: int = 64):
+    """Per-domain quality reputation with a Wilson LOWER bound — the
+    crawl-curation signal that a 3-doc domain with 3 passes must NOT
+    outrank a 10,000-doc domain with 9,000 passes (a raw pass-rate
+    sort does exactly that): the Wilson score interval's lower bound
+    at z=2 shrinks toward 0 as evidence thins.
+
+    All arithmetic is exact integers so the DuckDB twin matches bit
+    for bit: with n docs and k passes,
+
+        inner = (k*(n-k)*10^12) // n + 10^12
+        s     = isqrt(inner)                  # 10^6-grid sqrt
+        lb_ppm = max(0, ((k+2)*10^6 - 2*s) // (n + 4))
+
+    (the z=2 Wilson LB scaled to parts-per-million; algebraically
+    non-negative, the max(0,..) is a shared guard).  ``isqrt`` is
+    Python's exact ``math.isqrt`` here and a double-sqrt seed
+    corrected by +/-2 integer comparisons in SQL.  Python-int math
+    (not numpy) because k*(n-k)*10^12 overflows int64 at web-scale
+    domain sizes — the per-DOMAIN loop this costs is bounded by the
+    partition's domain count, never its doc count.
+
+    Input rows: (url, passed) with ``passed`` in {0,1} (the caller's
+    quality gate — e.g. a gopher/c4 funnel verdict).  In-batch
+    (domain, n, k) combiner, ONE coarse domain-hash exchange, Wilson
+    math inside the group fn.  Output (domain, n_docs, n_pass,
+    wilson_lb_ppm) sorted nowhere (consumers rank)."""
+    import math
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = canonicalize_urls(batch, url_col)
+        g = (c.groupby("domain", sort=False)[pass_col]
+             .agg(["count", "sum"]).reset_index())
+        out = pd.DataFrame({
+            "domain": g["domain"].astype(object),
+            "n": g["count"].astype("int64"),
+            "k": g["sum"].astype("int64")})
+        out["part"] = coarse_part(out["domain"], num_parts)
+        return typed_if_empty(out)
+
+    def wilson(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("domain", sort=False)[["n", "k"]]
+             .sum().reset_index())
+        lbs = []
+        for n, k in zip(g["n"], g["k"]):
+            n, k = int(n), int(k)
+            inner = (k * (n - k) * 10 ** 12) // n + 10 ** 12
+            s = math.isqrt(inner)
+            lbs.append(max(0, ((k + 2) * 10 ** 6 - 2 * s) // (n + 4)))
+        return typed_if_empty(pd.DataFrame({
+            "domain": g["domain"].astype(object),
+            "n_docs": g["n"].astype("int64"),
+            "n_pass": g["k"].astype("int64"),
+            "wilson_lb_ppm": pd.Series(lbs, dtype="int64")}))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(wilson, batch_format="pandas"))

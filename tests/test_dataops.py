@@ -4240,3 +4240,36 @@ def test_politeness_schedule_lane_and_spacing(ray_session):
     x = out.sort_values(["domain", "slot"]).reset_index(drop=True)
     y = out2.sort_values(["domain", "slot"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(x, y[x.columns])
+
+
+def test_domain_reputation_wilson_ordering(ray_session):
+    """Wilson LB: a 3/3 micro-domain must rank BELOW a 9000/10000
+    large domain (the raw-rate inversion the bound exists to fix);
+    values match the exact integer replay; cross-batch (n, k)
+    partials combine; all-fail domains land at 0."""
+    import math
+    import ray.data
+    from doc_ocr_ray.stages.urls import domain_reputation
+
+    rows = ([{"url": f"http://big.test/p{i}",
+              "passed": 1 if i % 10 else 0} for i in range(1000)]
+            + [{"url": f"http://tiny.test/p{i}", "passed": 1}
+               for i in range(3)]
+            + [{"url": f"http://bad.test/p{i}", "passed": 0}
+               for i in range(5)])
+    out = (domain_reputation(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(4))
+        .to_pandas().set_index("domain"))
+
+    def replay(n, k):
+        m = (k * (n - k) * 10 ** 12) // n + 10 ** 12
+        return max(0, ((k + 2) * 10 ** 6 - 2 * math.isqrt(m)) // (n + 4))
+
+    assert out.loc["big.test", "n_docs"] == 1000
+    assert out.loc["big.test", "n_pass"] == 900
+    assert out.loc["big.test", "wilson_lb_ppm"] == replay(1000, 900)
+    assert out.loc["tiny.test", "wilson_lb_ppm"] == replay(3, 3)
+    # the inversion: tiny 100% < big 90%
+    assert (out.loc["tiny.test", "wilson_lb_ppm"]
+            < out.loc["big.test", "wilson_lb_ppm"])
+    assert out.loc["bad.test", "wilson_lb_ppm"] == 0
