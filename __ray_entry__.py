@@ -2019,6 +2019,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(inject, batch_format="pandas"))
 
+    def q_ks_drift(sf_dir):
+        # two-sample KS distance between the even- and odd-doc_id
+        # halves' n_chars distributions (ingestion drift guardrail);
+        # exact integer D on the 10^6 grid
+        from doc_ocr_ray.stages.catalog import ks_drift
+        docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+        def half(parity):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                from doc_ocr_ray.util import typed_if_empty
+                return typed_if_empty(
+                    batch[batch["doc_id"] % 2 == parity])
+            return fn
+
+        return ks_drift(
+            docs.map_batches(half(0), batch_format="pandas"),
+            docs.map_batches(half(1), batch_format="pandas"),
+            value_col="n_chars")
+
     def q_host_skew(sf_dir):
         # crawl-skew diagnostic: one dominant host + a long tail of
         # small hosts by doc arithmetic; canonicalization exercised
@@ -3543,6 +3562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_skew": q_host_skew,
         "politeness_schedule": q_politeness_schedule,
         "domain_reputation": q_domain_reputation,
+        "ks_drift": q_ks_drift,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -5105,6 +5125,29 @@ def oracle_sql() -> dict[str, str]:
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
         # host-skew twin: identical histogram rank-sum Gini formula
+        "ks_drift": """
+            WITH u AS (SELECT n_chars AS v,
+                              CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1
+                              END AS kind
+                       FROM documents),
+                 h AS (SELECT v,
+                              CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0
+                                   END) AS BIGINT) AS ca,
+                              CAST(sum(kind) AS BIGINT) AS cb
+                       FROM u GROUP BY v),
+                 t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                              CAST(sum(cb) AS BIGINT) AS nb FROM h),
+                 c AS (SELECT v,
+                              sum(ca) OVER (ORDER BY v) AS cuma,
+                              sum(cb) OVER (ORDER BY v) AS cumb
+                       FROM h)
+            SELECT (SELECT na FROM t) AS n_a,
+                   (SELECT nb FROM t) AS n_b,
+                   CAST(max(abs((cuma * 1000000) // (SELECT na FROM t)
+                       - (cumb * 1000000) // (SELECT nb FROM t)))
+                       AS BIGINT) AS ks_ppm
+            FROM c
+        """,
         "domain_reputation": """
             WITH d AS (SELECT doc_id,
                               CASE WHEN doc_id % 2 = 0 THEN 0

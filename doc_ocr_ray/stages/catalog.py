@@ -402,3 +402,71 @@ def zorder_layout(ds, col_a: str, col_b: str, cell_bits: int = 6,
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("cell").map_groups(combine,
                                         batch_format="pandas"))
+
+
+def ks_drift(ds_a, ds_b, value_col: str = "n_chars",
+             num_parts: int = 64):
+    """Two-sample Kolmogorov-Smirnov distance between two corpus
+    snapshots' distributions of an integer-valued column — the
+    ingestion guardrail that catches "this week's crawl shifted the
+    document-length (or score) distribution" even when means and
+    counts look stable (cf. embedding_drift for the semantic
+    counterpart; KS is the classic distribution-free test).
+
+    Exact integers end to end: D_ppm = max over the merged value grid
+    of |(cum_a*10^6)//n_a - (cum_b*10^6)//n_b| — two floor divisions
+    stated identically in the SQL twin, so the statistic is
+    hash-checkable (no p-value: at corpus n the threshold is policy,
+    the monitor reports the distance).
+
+    Scale shape (the host_skew histogram discipline): per-batch
+    (value, count_a, count_b) partials combine in-batch, meet on ONE
+    coarse value-hash exchange, and the final pass sees ONLY the
+    distinct-value histogram — bounded by the value grid's
+    cardinality (lengths, integer scores), NEVER by corpus rows.
+    Continuous floats must be pre-quantized to a grid (the
+    mad_outliers rule).  Output one row (n_a, n_b, ks_ppm)."""
+
+    def partial(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            g = (batch.groupby(value_col, sort=False)[value_col]
+                 .count().rename("c").reset_index())
+            out = pd.DataFrame({
+                "v": g[value_col].astype("int64"),
+                "ca": (g["c"] if kind == 0 else 0),
+                "cb": (g["c"] if kind == 1 else 0)})
+            out["ca"] = out["ca"].astype("int64")
+            out["cb"] = out["cb"].astype("int64")
+            out["part"] = coarse_part(out["v"], num_parts)
+            return typed_if_empty(out)
+        return fn
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("v", sort=False)[["ca", "cb"]]
+             .sum().reset_index())
+        g["g"] = np.int64(0)
+        return typed_if_empty(g)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("v", kind="mergesort")
+        na = int(g["ca"].sum())
+        nb = int(g["cb"].sum())
+        if na == 0 or nb == 0:
+            # one side empty: KS is undefined — report the 10^6
+            # sentinel (maximal drift) rather than crash mid-monitor
+            return pd.DataFrame({
+                "n_a": pd.Series([na], dtype="int64"),
+                "n_b": pd.Series([nb], dtype="int64"),
+                "ks_ppm": pd.Series([10 ** 6], dtype="int64")})
+        cuma = g["ca"].cumsum().to_numpy()
+        cumb = g["cb"].cumsum().to_numpy()
+        d = np.abs(cuma * 10 ** 6 // na - cumb * 10 ** 6 // nb).max()
+        return pd.DataFrame({
+            "n_a": pd.Series([na], dtype="int64"),
+            "n_b": pd.Series([nb], dtype="int64"),
+            "ks_ppm": pd.Series([int(d)], dtype="int64")})
+
+    hist = (ds_a.map_batches(partial(0), batch_format="pandas")
+            .union(ds_b.map_batches(partial(1), batch_format="pandas"))
+            .groupby("part").map_groups(combine, batch_format="pandas"))
+    return hist.groupby("g").map_groups(final, batch_format="pandas")

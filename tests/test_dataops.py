@@ -4273,3 +4273,33 @@ def test_domain_reputation_wilson_ordering(ray_session):
     assert (out.loc["tiny.test", "wilson_lb_ppm"]
             < out.loc["big.test", "wilson_lb_ppm"])
     assert out.loc["bad.test", "wilson_lb_ppm"] == 0
+
+
+def test_ks_drift_exact_and_sentinel(ray_session):
+    """KS distance: identical distributions give 0, disjoint value
+    ranges give 10^6, a hand-computed shift matches the integer
+    replay, cross-batch histogram partials combine (repartition),
+    and an empty side reports the maximal-drift sentinel."""
+    import ray.data
+    from doc_ocr_ray.stages.catalog import ks_drift
+
+    def mk(vals):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"n_chars": pd.Series(vals, dtype="int64")})).repartition(3)
+
+    same = [10] * 5 + [20] * 5
+    out = ks_drift(mk(same), mk(same)).to_pandas()
+    assert out.loc[0, "ks_ppm"] == 0
+
+    out = ks_drift(mk([1, 2, 3]), mk([10, 11, 12])).to_pandas()
+    assert out.loc[0, "ks_ppm"] == 10 ** 6
+
+    # A: half at 10, half at 20; B: all at 20 -> D = 1/2 at v=10
+    out = ks_drift(mk([10, 10, 20, 20]), mk([20, 20, 20, 20])).to_pandas()
+    assert out.loc[0, "ks_ppm"] == 500000
+    assert out.loc[0, "n_a"] == 4 and out.loc[0, "n_b"] == 4
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"n_chars": pd.Series([], dtype="int64")}))
+    out = ks_drift(mk([1]), empty).to_pandas()
+    assert out.loc[0, "ks_ppm"] == 10 ** 6 and out.loc[0, "n_b"] == 0
