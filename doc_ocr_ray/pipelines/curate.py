@@ -1229,6 +1229,10 @@ def temperature_mix(ds, total: int, seed: int = 42,
     """
     import math
 
+    # consumed twice (count pass + rank pass) — pin the input once
+    # instead of re-executing its lineage (the embedding_neardup rule)
+    ds = ds.materialize()
+
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (batch.groupby(source_col, sort=False)[key].count()
              .reset_index(name="n"))
@@ -1271,7 +1275,7 @@ def temperature_mix(ds, total: int, seed: int = 42,
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[key, source_col]].copy()
         out["part"] = coarse_part(out[source_col], num_partitions)
-        return out
+        return typed_if_empty(out)
 
     return (ds.map_batches(add_part, batch_format="pandas")
             .groupby("part")

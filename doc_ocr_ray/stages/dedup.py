@@ -315,8 +315,14 @@ def band_bucket_pairs(group: pd.DataFrame,
                     out_b.append(dj)
                     out_j.append(float(np.floor(10000.0 * float(est))
                                        / 10000))
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                         "est_jaccard": out_j})
+    # explicit dtypes: bare empty lists infer float64 doc ids, and a
+    # pairless bucket's empty parquet marker (run_neardup phase 2)
+    # must not introduce a double schema into the phase-3 read —
+    # doc_ids above 2^53 would corrupt under unification to double
+    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                         "doc_b": pd.Series(out_b, dtype="int64"),
+                         "est_jaccard": pd.Series(out_j,
+                                                  dtype="float64")})
 
 
 def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,

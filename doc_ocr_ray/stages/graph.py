@@ -24,6 +24,18 @@ import pyarrow as pa
 from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 
+def _typed_empty(df: pd.DataFrame, cols, int8_cols=()):
+    """Zero-row frames -> TYPED Arrow blocks with the stage's int64
+    schema (``int8_cols`` override for tag columns) — the shared body
+    of every stage-local ``_typed`` here; a schema-less empty block
+    entering a groupby sort crashes schema unification
+    order-dependently (CLAUDE.md)."""
+    if len(df):
+        return df
+    return pa.schema([(c, pa.int8() if c in int8_cols else pa.int64())
+                      for c in cols]).empty_table()
+
+
 def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
              scale: int = 10 ** 12, num_parts: int = 64):
     """Integer-grid PageRank.
@@ -45,10 +57,7 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
     base_cols = ["src", "dst", "deg", "r", "kind", "part"]
 
     def _typed(df: pd.DataFrame):
-        if len(df):
-            return df
-        return pa.schema([(c, pa.int8() if c == "kind" else pa.int64())
-                          for c in base_cols]).empty_table()
+        return _typed_empty(df, base_cols, int8_cols=("kind",))
 
     # --- degree-annotated edge table, cleaned, materialized ONCE
     def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
@@ -403,10 +412,7 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
     base_cols = ["src", "dst", "r", "kind", "part"]
 
     def _typed(df: pd.DataFrame):
-        if len(df):
-            return df
-        return pa.schema([(c, pa.int8() if c == "kind" else pa.int64())
-                          for c in base_cols]).empty_table()
+        return _typed_empty(df, base_cols, int8_cols=("kind",))
 
     def edge_key(key_col):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -600,9 +606,7 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
     cols = ["a", "b", "part", "kind"]
 
     def _typed(df: pd.DataFrame):
-        if len(df):
-            return df
-        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+        return _typed_empty(df, cols)
 
     def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["src"].astype("int64")
@@ -711,9 +715,7 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
     cols = ["node", "val", "part", "kind"]
 
     def _typed(df: pd.DataFrame):
-        if len(df):
-            return df
-        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+        return _typed_empty(df, cols)
 
     def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
         e = pd.DataFrame({"node": batch["src"].astype("int64"),
@@ -844,9 +846,7 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
     cols = ["a", "b", "part", "kind"]
 
     def _typed(df: pd.DataFrame):
-        if len(df):
-            return df
-        return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+        return _typed_empty(df, cols)
 
     def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
         e = pd.DataFrame({"a": batch["src"].astype("int64"),
@@ -857,32 +857,37 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
         return _typed(e[cols])
 
     def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        # exact cross-batch DISTINCT: a multi-edge split across blocks
-        # would double the candidate list (harmless for argmin but
-        # quadratic-ish for hash volume on dirty link tables)
-        return _typed(group.drop_duplicates(["a", "b"])[cols])
+        # exact cross-batch DISTINCT (the CLAUDE.md combiner-vs-dedup
+        # rule: per-batch drop_duplicates upstream is only a
+        # combiner), PLUS the distinct walk-start rows (kind=1, one
+        # per distinct src) emitted from the SAME exact group — a
+        # post-hoc per-block distinct would silently duplicate a
+        # start whenever Ray splits a part's output into several
+        # blocks, walking that walk_id twice
+        e = group.drop_duplicates(["a", "b"])
+        s = e.drop_duplicates(["a"])
+        st = pd.DataFrame({"a": s["a"].astype("int64"),
+                           "b": s["a"].astype("int64"),
+                           "part": s["part"].astype("int64")})
+        st["kind"] = np.int64(1)
+        return _typed(pd.concat([e[cols], st[cols]],
+                                ignore_index=True))
 
-    edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
-             .groupby("part").map_groups(edge_dedup,
-                                         batch_format="pandas")
-             .materialize())
+    base = (edges_ds.map_batches(edge_key, batch_format="pandas")
+            .groupby("part").map_groups(edge_dedup,
+                                        batch_format="pandas")
+            .materialize())
 
-    # walk starts: the distinct src nodes.  map_groups emitted one
-    # block per part, so with batch_size=None (whole-block batches) an
-    # in-batch drop_duplicates IS the exact per-part distinct — no
-    # second exchange.
-    def starts(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty or "a" not in batch.columns:
-            return _typed(pd.DataFrame(columns=cols))
-        s = batch[batch["kind"] == 0].drop_duplicates(["a"])
-        out = pd.DataFrame({"a": s["a"].astype("int64"),
-                            "b": s["a"].astype("int64")})
-        out["part"] = coarse_part(out["a"], num_parts)
-        out["kind"] = np.int64(1)
-        return _typed(out[cols])
+    def only(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty or "kind" not in batch.columns:
+                return _typed(pd.DataFrame(columns=cols))
+            return _typed(batch[batch["kind"] == kind][cols])
+        return fn
 
-    frontier = edges.map_batches(starts, batch_format="pandas",
-                                 batch_size=None).materialize()
+    edges = base.map_batches(only(0), batch_format="pandas").materialize()
+    frontier = base.map_batches(only(1),
+                                batch_format="pandas").materialize()
     rounds = [(0, frontier)]
 
     def make_step(t):

@@ -976,6 +976,25 @@ def search_rerank(docs_ds, emb_ds, query_tokens, query_vec_id: int = 0,
     })
 
 
+def _lsh_setup(n: int, dim: int, num_bands: int, bits_per_band: int,
+               target_bucket: int, seed: int):
+    """Banded sign-LSH parameters shared by
+    :func:`embedding_neardup_pairs` and :func:`knn_graph_lsh`:
+    band width scales with corpus size (``log2(n / target_bucket)``)
+    so buckets stay ~``target_bucket`` rows at any scale, hyperplanes
+    are seed-deterministic, and bit weights pack each band's sign
+    code into one int64.  Returns (bits_per_band, planes, weights).
+    One home so a fix to the banding math cannot diverge between the
+    two LSH operators."""
+    if bits_per_band <= 0:
+        bits_per_band = max(2, int(np.ceil(
+            np.log2(max(2.0, n / max(1, target_bucket))))))
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_bands * bits_per_band, dim))
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    return bits_per_band, planes, weights
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             num_bands: int = 8, bits_per_band: int = 0,
                             target_bucket: int = 64,
@@ -1005,8 +1024,6 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     # gather) — pin the input once instead of re-executing lineage
     ds = ds.materialize()
     n = ds.count()
-    if bits_per_band <= 0:
-        bits_per_band = max(2, int(np.ceil(np.log2(max(2.0, n / max(1, target_bucket))))))
     first = ds.take(1)
     if not first:
         import ray.data as _rd
@@ -1015,10 +1032,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
             "vec_b": pd.Series([], dtype="int64"),
             "score": pd.Series([], dtype="float64")}))
     dim = len(first[0][vec_col])
-    rng = np.random.RandomState(7)
-    planes = rng.normal(size=(num_bands * bits_per_band, dim))
+    bits_per_band, planes, weights = _lsh_setup(
+        n, dim, num_bands, bits_per_band, target_bucket, seed=7)
     planes_ref = ray.put(planes)
-    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
 
     def code_batch(batch: pa.Table) -> pd.DataFrame:
         P = ray.get(planes_ref)
@@ -1607,26 +1623,25 @@ def knn_graph_lsh(ds, k: int = 5, num_bands: int = 8,
     if n == 0:
         import ray.data as _rd
         return _rd.from_arrow(_empty_knn_table())
-    if bits_per_band <= 0:
-        bits_per_band = max(
-            2, int(np.ceil(np.log2(max(2.0, n / max(1, target_bucket))))))
     first = ds.take(1)
     dim = len(first[0][vec_col])
-    rng = np.random.RandomState(11)
-    planes = rng.normal(size=(num_bands * bits_per_band, dim))
+    bits_per_band, planes, weights = _lsh_setup(
+        n, dim, num_bands, bits_per_band, target_bucket, seed=11)
     planes_ref = ray.put(planes)
-    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
 
     def code_batch(batch: pa.Table) -> pd.DataFrame:
         P = ray.get(planes_ref)
         X = _matrix_from_arrow(batch, vec_col)
         ids = batch[id_col].to_numpy()
         if X.size == 0:
-            return typed_if_empty(pd.DataFrame({
-                id_col: pd.Series([], dtype="int64"),
-                "bkey": pd.Series([], dtype="int64"),
-                "part": pd.Series([], dtype="int64"),
-                "vec": pd.Series([], dtype=object)}))
+            # typed_if_empty would declare the binary vec column
+            # pa.string() (its documented textual assumption) and
+            # conflict with real blocks' float64 arrays — build the
+            # correctly-typed empty Arrow table explicitly
+            return pa.schema([
+                (id_col, pa.int64()), ("bkey", pa.int64()),
+                ("part", pa.int64()),
+                ("vec", pa.list_(pa.float64()))]).empty_table()
         bits = (X @ P.T) >= 0.0                     # (n, bands*bits)
         out = []
         Xn = _norm_rows(X)
