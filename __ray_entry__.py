@@ -2038,6 +2038,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(half(1), batch_format="pandas"),
             value_col="n_chars")
 
+    def q_vocab_coverage(sf_dir):
+        # tokenizer-budget planning: top-N vocabulary coverage curve
+        # from the count-of-counts histogram (final pass sees count
+        # VALUES only, never the vocabulary)
+        from doc_ocr_ray.stages.text_analysis import vocab_coverage
+        return vocab_coverage(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            top_ns=(10, 100, 1000))
+
+    def q_robots_delays(sf_dir):
+        # Crawl-delay parse: 7 injected variants per doc arithmetic —
+        # *-group plain/decimal/comment, non-* group (ignored),
+        # malformed value (ignored), multi-agent header, repeated
+        # groups (first valid wins), empty file
+        from doc_ocr_ray.stages.urls import robots_delays
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            h = (d % 7).to_numpy()
+            v = (d % 9).astype(str)
+            t = [
+                "User-agent: *\nCrawl-delay: " + v + "\nDisallow: /x",
+                "User-Agent: Googlebot\nCrawl-delay: " + v,
+                "User-agent: *\nCrawl-delay: " + v + ".5 # c",
+                pd.Series(["User-agent: *\nCrawl-delay: abc"] * len(d),
+                          index=d.index),
+                "User-agent: googlebot\nUser-agent: *\nCrawl-delay: "
+                + v + ".25",
+                "User-agent: *\nDisallow: /\n\nUser-agent: *\n"
+                "Crawl-delay: " + v,
+                pd.Series([""] * len(d), index=d.index),
+            ]
+            txt = np.select([h == i for i in range(7)],
+                            [s.astype(object) for s in t],
+                            default="").astype(object)
+            return pd.DataFrame({
+                "domain": ("d" + d.astype(str) + ".test").astype(object),
+                "robots_txt": txt})
+
+        return robots_delays(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"))
+
     def q_host_skew(sf_dir):
         # crawl-skew diagnostic: one dominant host + a long tail of
         # small hosts by doc arithmetic; canonicalization exercised
@@ -3563,6 +3606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_schedule": q_politeness_schedule,
         "domain_reputation": q_domain_reputation,
         "ks_drift": q_ks_drift,
+        "vocab_coverage": q_vocab_coverage,
+        "robots_delays": q_robots_delays,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -5125,6 +5170,45 @@ def oracle_sql() -> dict[str, str]:
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
         # host-skew twin: identical histogram rank-sum Gini formula
+        "robots_delays": """
+            SELECT 'd' || CAST(doc_id AS VARCHAR) || '.test' AS domain,
+                   CAST((doc_id % 9) * 1000 +
+                        CASE doc_id % 7 WHEN 2 THEN 500
+                                        WHEN 4 THEN 250
+                                        ELSE 0 END AS BIGINT) AS delay_ms
+            FROM documents
+            WHERE doc_id % 7 IN (0, 2, 4, 5)
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (SELECT unnest(regexp_split_to_array(
+                                 {_NORM}, ' ')) AS tok
+                          FROM documents WHERE {_STRIP} != ''),
+                 tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                        FROM toks GROUP BY tok),
+                 h AS (SELECT c, CAST(count(*) AS BIGINT) AS nt
+                       FROM tc GROUP BY c),
+                 t AS (SELECT CAST(sum(c * nt) AS BIGINT) AS total FROM h),
+                 r AS (SELECT c, nt,
+                              CAST(coalesce(sum(nt) OVER (ORDER BY c DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                                  AS prior_tokens
+                       FROM h),
+                 n AS (SELECT unnest([10, 100, 1000]) AS top_n),
+                 cov AS (SELECT n.top_n,
+                                CAST(sum(CASE
+                                    WHEN r.prior_tokens >= n.top_n THEN 0
+                                    ELSE least(r.nt,
+                                         n.top_n - r.prior_tokens) * r.c
+                                    END) AS BIGINT) AS covered
+                         FROM n CROSS JOIN r GROUP BY n.top_n)
+            SELECT CAST(top_n AS BIGINT) AS top_n,
+                   covered AS covered_occurrences,
+                   (SELECT total FROM t) AS total_occurrences,
+                   CAST((covered * 1000000) // (SELECT total FROM t)
+                        AS BIGINT) AS covered_ppm
+            FROM cov
+        """,
         "ks_drift": """
             WITH u AS (SELECT n_chars AS v,
                               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1

@@ -2567,3 +2567,93 @@ def readability_batch(batch: pd.DataFrame) -> pd.DataFrame:
             (1000 * n_words) // np.maximum(n_sent, 1),
         "chars_per_word_milli":
             (1000 * n_chars) // np.maximum(n_words, 1)})
+
+
+def vocab_coverage(ds, top_ns=(100, 1000, 10000), num_parts: int = 64):
+    """Vocabulary-coverage curve: what fraction of all token
+    occurrences do the top-N most frequent tokens cover?  The
+    tokenizer-budget / OOV-rate planning signal (how large must a
+    word-level vocab be; what does a 32k BPE leave on the table) and
+    a corpus-health check (a coverage spike = boilerplate flooding).
+
+    Coverage is computable from the count-of-counts HISTOGRAM alone
+    (tokens with equal count are interchangeable for mass): take
+    levels in count-DESC order, consume min(remaining_N, n_tokens)
+    tokens per level.  So the final pass sees distinct COUNT VALUES
+    (the host_skew discipline) — never the vocabulary, never the
+    corpus: per-batch exact token counts (np.unique over the shared
+    ``_norm_tokens_flat`` stream) meet on ONE coarse token-hash
+    exchange whose group fn immediately collapses per-token totals to
+    (count, n_tokens) partials; a token lives wholly in one part, so
+    the partials are exact.
+
+    Output one row per requested N: (top_n, covered_occurrences,
+    total_occurrences, covered_ppm) with covered_ppm =
+    covered * 10^6 // total (floor grid, SQL-statable).  Integer
+    sums throughout; N larger than the vocabulary covers everything.
+    """
+    top_ns = [int(n) for n in top_ns]
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, toks = _norm_tokens_flat(list(batch["text"].fillna("")))
+        empty = pd.DataFrame({
+            "token": pd.Series([], dtype="object"),
+            "cnt": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="int64")})
+        if not len(toks):
+            return typed_if_empty(empty)
+        uniq, counts = np.unique(toks, return_counts=True)
+        out = pd.DataFrame({
+            "token": pd.Series(uniq, dtype="object"),
+            "cnt": counts.astype("int64")})
+        out["part"] = coarse_part(out["token"], num_parts)
+        return out
+
+    def hist_partial(group: pd.DataFrame) -> pd.DataFrame:
+        tc = (group.groupby("token", sort=False)["cnt"].sum()
+              .to_numpy())
+        lv, nt = np.unique(tc, return_counts=True)
+        return pd.DataFrame({
+            "c": lv.astype("int64"),
+            "nt": nt.astype("int64"),
+            "g": np.zeros(len(lv), dtype="int64")})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        h = (group.groupby("c", sort=False)["nt"].sum()
+             .reset_index().sort_values("c", ascending=False))
+        levels = list(zip(h["c"].astype(int), h["nt"].astype(int)))
+        total = sum(c * nt for c, nt in levels)
+        rows = []
+        for n in sorted(top_ns):
+            remaining, covered = n, 0
+            for c, nt in levels:
+                if remaining <= 0:
+                    break
+                take = min(remaining, nt)
+                covered += take * c
+                remaining -= take
+            rows.append((n, covered, total,
+                         (covered * 10 ** 6) // total if total else 0))
+        return pd.DataFrame({
+            "top_n": pd.Series([r[0] for r in rows], dtype="int64"),
+            "covered_occurrences": pd.Series([r[1] for r in rows],
+                                             dtype="int64"),
+            "total_occurrences": pd.Series([r[2] for r in rows],
+                                           dtype="int64"),
+            "covered_ppm": pd.Series([r[3] for r in rows],
+                                     dtype="int64")})
+
+    hist = (ds.map_batches(count_partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(hist_partial, batch_format="pandas"))
+    # neutral seed level (c=0, nt=0): on an all-empty corpus no group
+    # fn ever runs, the 'g' column never exists, and the promised
+    # one-row-per-N output would vanish (the ks_drift rule); a
+    # zero-count level adds no mass on real input
+    import ray.data
+    seed = ray.data.from_pandas(pd.DataFrame({
+        "c": pd.Series([0], dtype="int64"),
+        "nt": pd.Series([0], dtype="int64"),
+        "g": pd.Series([0], dtype="int64")}))
+    return (hist.union(seed)
+            .groupby("g").map_groups(final, batch_format="pandas"))

@@ -672,3 +672,72 @@ def domain_reputation(ds, url_col: str = "url",
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("part")
             .map_groups(wilson, batch_format="pandas"))
+
+
+# trailing class includes \r: robots.txt is CRLF on a large share of
+# real servers and split("\n") leaves the \r on every line
+_RD_KV = re.compile(r"^[\t ﻿]*([A-Za-z-]+)[\t ]*:[\t ]*(.*?)[\t\r ]*$")
+_RD_NUM = re.compile(r"^(\d+)(?:\.(\d+))?$")
+
+
+def robots_delays(ds, text_col: str = "robots_txt",
+                  domain_col: str = "domain"):
+    """Crawl-delay extraction from raw robots.txt — the parser that
+    feeds :func:`politeness_schedule`'s per-domain delay table
+    (Crawl-delay is non-standard but honoured by Bing/Yandex-class
+    crawlers; a polite fetcher reads it).
+
+    Group semantics per the Google REP parse model (the
+    robots_classify scope): consecutive ``User-agent`` lines form a
+    group header, any other directive line closes the header and
+    starts the group's rule section, the next ``User-agent`` after
+    rules starts a NEW group; blank lines are ignored; inline
+    comments strip at ``#``.  The emitted delay is the FIRST valid
+    ``Crawl-delay`` in any group whose header includes ``*``
+    (deterministic under repeated/conflicting groups).  Values are
+    strict decimal seconds (``\\d+(.\\d+)?`` after comment strip —
+    anything else is ignored, the sitemap-priority discipline) and
+    convert to ms by exact STRING math (int part * 1000 + first
+    three fraction digits zero-padded; deeper digits floor away) —
+    no float parse, so 0.1 s is exactly 100 ms.
+
+    One row per document that yields a delay: (domain, delay_ms).
+    Stateless flat map over compiled module-level patterns — no
+    shuffle, no state."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        doms, delays = [], []
+        for dom, txt in zip(batch[domain_col].to_numpy(),
+                            batch[text_col].to_numpy()):
+            if not isinstance(txt, str):
+                continue
+            in_header = False         # collecting User-agent lines
+            star_group = False        # current group applies to '*'
+            found = None
+            for raw in txt.split("\n"):
+                line = raw.split("#", 1)[0]
+                m = _RD_KV.match(line)
+                if not m:
+                    continue          # blank / junk lines ignored
+                key = m.group(1).lower()
+                val = m.group(2)
+                if key == "user-agent":
+                    if not in_header:     # rules ended: NEW group
+                        in_header = True
+                        star_group = False
+                    if val.strip("\t ") == "*":
+                        star_group = True
+                    continue
+                in_header = False         # any rule closes the header
+                if key == "crawl-delay" and star_group and found is None:
+                    num = _RD_NUM.match(val)
+                    if num:
+                        frac = (num.group(2) or "")[:3].ljust(3, "0")
+                        found = int(num.group(1)) * 1000 + int(frac)
+            if found is not None:
+                doms.append(dom)
+                delays.append(found)
+        return typed_if_empty(pd.DataFrame({
+            "domain": pd.Series(doms, dtype="object"),
+            "delay_ms": pd.Series(delays, dtype="int64")}))
+
+    return ds.map_batches(fn, batch_format="pandas")

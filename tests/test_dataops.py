@@ -4303,3 +4303,63 @@ def test_ks_drift_exact_and_sentinel(ray_session):
         pd.DataFrame({"n_chars": pd.Series([], dtype="int64")}))
     out = ks_drift(mk([1]), empty).to_pandas()
     assert out.loc[0, "ks_ppm"] == 10 ** 6 and out.loc[0, "n_b"] == 0
+
+
+def test_vocab_coverage_histogram_exact(ray_session):
+    """Coverage curve: hand-computable Zipf-ish corpus matches the
+    exact replay at every N, N beyond the vocabulary covers all
+    occurrences, ties at the N boundary are mass-exact regardless of
+    which tied tokens 'win', and cross-batch counts combine."""
+    import ray.data
+    from doc_ocr_ray.stages.text_analysis import vocab_coverage
+
+    # after lowercasing: a=7, c=3, b=2, d=1, e=1  (total 14)
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["a a a b b c", "a a A c c d",
+                                  "  a\te "]})
+    out = (vocab_coverage(ray.data.from_pandas(docs).repartition(3),
+                          top_ns=(1, 2, 4, 10))
+           .to_pandas().set_index("top_n"))
+    assert (out["total_occurrences"] == 14).all()
+    assert out.loc[1, "covered_occurrences"] == 7          # a
+    assert out.loc[2, "covered_occurrences"] == 10         # a + c
+    # N=4: a,c,b + one of the count-1 tie {d, e} -> 13 either way
+    assert out.loc[4, "covered_occurrences"] == 13
+    assert out.loc[10, "covered_occurrences"] == 14        # everything
+    assert out.loc[2, "covered_ppm"] == (10 * 10 ** 6) // 14
+
+
+def test_robots_delays_group_semantics(ray_session):
+    """Crawl-delay parse: *-group scoping (incl. multi-agent headers
+    and repeated groups), first-valid-wins, strict decimal values,
+    exact string->ms math, CRLF tolerance, comment strip, and the
+    out-of-group directive being ignored."""
+    import ray.data
+    from doc_ocr_ray.stages.urls import robots_delays
+
+    cases = {
+        "plain": ("User-agent: *\nCrawl-delay: 2\nDisallow: /", 2000),
+        "decimal": ("User-agent: *\nCrawl-delay: 0.1", 100),
+        "truncate": ("User-agent: *\nCrawl-delay: 1.2345", 1234),
+        "crlf": ("User-agent: *\r\nCrawl-delay: 3\r\n", 3000),
+        "comment": ("User-agent: *\nCrawl-delay: 4 # be nice", 4000),
+        "caps": ("USER-AGENT: *\nCRAWL-DELAY: 5", 5000),
+        "multiagent": ("User-agent: a\nUser-agent: *\n"
+                       "Crawl-delay: 6", 6000),
+        "secondgroup": ("User-agent: bot\nDisallow: /\n"
+                        "User-agent: *\nCrawl-delay: 7", 7000),
+        "firstwins": ("User-agent: *\nCrawl-delay: 8\n"
+                      "User-agent: *\nCrawl-delay: 9", 8000),
+        "othergroup": ("User-agent: bot\nCrawl-delay: 1", None),
+        "outofgroup": ("Crawl-delay: 1\nUser-agent: *\nDisallow:", None),
+        "malformed": ("User-agent: *\nCrawl-delay: fast", None),
+        "trailingdot": ("User-agent: *\nCrawl-delay: 1.", None),
+        "signed": ("User-agent: *\nCrawl-delay: +1", None),
+        "empty": ("", None),
+    }
+    df = pd.DataFrame({"domain": list(cases),
+                       "robots_txt": [v[0] for v in cases.values()]})
+    out = (robots_delays(ray.data.from_pandas(df).repartition(3))
+           .to_pandas().set_index("domain")["delay_ms"].to_dict())
+    want = {k: v[1] for k, v in cases.items() if v[1] is not None}
+    assert out == want
