@@ -382,6 +382,13 @@ def run_benchmarks() -> dict:
           lambda: qs["knn_graph_lsh"](SF_DIR).count())
     timed("politeness_schedule",
           lambda: qs["politeness_schedule"](SF_DIR).count())
+    timed("domain_reputation",
+          lambda: qs["domain_reputation"](SF_DIR).count())
+    timed("ks_drift", lambda: qs["ks_drift"](SF_DIR).count())
+    timed("vocab_coverage",
+          lambda: qs["vocab_coverage"](SF_DIR).count())
+    timed("robots_delays",
+          lambda: qs["robots_delays"](SF_DIR).count())
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "
