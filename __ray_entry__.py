@@ -2081,6 +2081,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
             .map_batches(inject, batch_format="pandas"))
 
+    def q_url_templates(sf_dir):
+        # crawl-trap detector: digit runs in paths collapse to '#'
+        # templates, top-3 per host with exact page-share ppm; three
+        # path classes (nested item/page, flat cat, path-less)
+        from doc_ocr_ray.stages.urls import url_templates
+
+        def inject(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch["doc_id"].astype("int64")
+            h = np.where(d % 2 == 0, 0, d % 37 + 1)
+            m = (d % 3).to_numpy()
+            path = np.select(
+                [m == 0, m == 1],
+                [("/item" + d.astype(str) + "/page"
+                  + (d % 5).astype(str)).astype(object),
+                 ("/cat" + (d % 7).astype(str)).astype(object)],
+                default="").astype(object)
+            q = np.where(d % 4 == 0, "?x=1", "").astype(object)
+            url = ("http://www.Site" + pd.Series(h).astype(str)
+                   + ".test" + path + q)
+            return pd.DataFrame({"url": url.astype(object)})
+
+        return url_templates(
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(inject, batch_format="pandas"), k=3)
+
     def q_host_skew(sf_dir):
         # crawl-skew diagnostic: one dominant host + a long tail of
         # small hosts by doc arithmetic; canonicalization exercised
@@ -3608,6 +3633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": q_ks_drift,
         "vocab_coverage": q_vocab_coverage,
         "robots_delays": q_robots_delays,
+        "url_templates": q_url_templates,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "warc_html_spans": q_warc_html_spans,
@@ -5170,6 +5196,38 @@ def oracle_sql() -> dict[str, str]:
         # the document-order index over PRESENT links (fragments and
         # script decoys never emit)
         # host-skew twin: identical histogram rank-sum Gini formula
+        "url_templates": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 2 = 0 THEN 0
+                                   ELSE doc_id % 37 + 1 END AS h,
+                              CASE doc_id % 3
+                                WHEN 0 THEN '/item' ||
+                                     CAST(doc_id AS VARCHAR) || '/page'
+                                     || CAST(doc_id % 5 AS VARCHAR)
+                                WHEN 1 THEN '/cat' ||
+                                     CAST(doc_id % 7 AS VARCHAR)
+                                ELSE '/' END AS path
+                       FROM documents),
+                 t AS (SELECT 'site' || CAST(h AS VARCHAR) || '.test'
+                                  AS domain,
+                              regexp_replace(path, '[0-9]+', '#', 'g')
+                                  AS template
+                       FROM d),
+                 c AS (SELECT domain, template,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM t GROUP BY domain, template),
+                 r AS (SELECT domain, template, cnt,
+                              CAST((cnt * 1000000) // sum(cnt) OVER
+                                   (PARTITION BY domain) AS BIGINT)
+                                  AS share_ppm,
+                              row_number() OVER (PARTITION BY domain
+                                  ORDER BY cnt DESC, template)
+                                  AS tpl_rank
+                       FROM c)
+            SELECT domain, template, cnt, share_ppm,
+                   CAST(tpl_rank AS BIGINT) AS tpl_rank
+            FROM r WHERE tpl_rank <= 3
+        """,
         "robots_delays": """
             SELECT 'd' || CAST(doc_id AS VARCHAR) || '.test' AS domain,
                    CAST((doc_id % 9) * 1000 +

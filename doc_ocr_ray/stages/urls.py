@@ -741,3 +741,65 @@ def robots_delays(ds, text_col: str = "robots_txt",
             "delay_ms": pd.Series(delays, dtype="int64")}))
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+_UT_DIGITS = re.compile(r"[0-9]+")
+
+
+def url_templates(ds, url_col: str = "url", k: int = 3,
+                  num_parts: int = 64):
+    """URL-template mining per domain — collapse digit runs in the
+    PATH to ``#`` and count pages per resulting template.  The
+    crawl-trap / faceted-navigation detector: a template like
+    ``/item#/page#`` holding 10^7 of a host's 10^7 pages is a
+    parameter explosion to cap, not content to fetch; templates also
+    seed URL-pattern dedup rules (same-template pages are near-dup
+    candidates before any text is fetched).
+
+    Canonicalization first (lowercase/www/query-strip — query params
+    vanish with the query, so only PATH digits generalize); the
+    template of a path-less URL is ``/``.  Per domain the top-``k``
+    templates by (page count DESC, template ASC) emit with an exact
+    page-share in ppm: ``share_ppm = cnt * 10^6 // domain_pages``
+    (domain totals computed inside the same group — no second
+    exchange).
+
+    Scale shape: per-batch (domain, template) count combiner, ONE
+    coarse domain-hash exchange, all of a partition's domains ranked
+    vectorized in its group fn.  Output (domain, template, cnt,
+    share_ppm, tpl_rank)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = canonicalize_urls(batch, url_col)
+        slash = c["canon_url"].str.find("/")
+        path = pd.Series(
+            [(u[i:] if i >= 0 else "/")
+             for u, i in zip(c["canon_url"], slash)],
+            index=c.index, dtype="object")
+        tpl = path.str.replace(_UT_DIGITS, "#", regex=True)
+        g = (pd.DataFrame({"domain": c["domain"], "template": tpl})
+             .groupby(["domain", "template"], sort=False)
+             .size().reset_index(name="cnt"))
+        g = g[g["domain"] != ""]
+        g["cnt"] = g["cnt"].astype("int64")
+        g["part"] = coarse_part(g["domain"], num_parts)
+        return typed_if_empty(g)
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["domain", "template"], sort=False)["cnt"]
+             .sum().reset_index())
+        tot = g.groupby("domain", sort=False)["cnt"].transform("sum")
+        g["share_ppm"] = (g["cnt"] * 10 ** 6 // tot).astype("int64")
+        g = g.sort_values(["domain", "cnt", "template"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g["tpl_rank"] = (g.groupby("domain", sort=False).cumcount()
+                         + 1).astype("int64")
+        g = g[g["tpl_rank"] <= k]
+        return typed_if_empty(
+            g[["domain", "template", "cnt", "share_ppm", "tpl_rank"]]
+            .reset_index(drop=True))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(rank, batch_format="pandas"))

@@ -4363,3 +4363,33 @@ def test_robots_delays_group_semantics(ray_session):
            .to_pandas().set_index("domain")["delay_ms"].to_dict())
     want = {k: v[1] for k, v in cases.items() if v[1] is not None}
     assert out == want
+
+
+def test_url_templates_trap_detection(ray_session):
+    """Template mining: digit runs collapse wherever they appear in
+    the path, query params vanish before templating, path-less URLs
+    template to '/', top-k ranks tie-break template-ascending, the
+    share grid is exact, and cross-batch counts combine."""
+    import ray.data
+    from doc_ocr_ray.stages.urls import url_templates
+
+    urls = ([f"http://www.Shop.test/item{i}/page{i % 3}?sess={i}"
+             for i in range(8)]                    # /item#/page# x8
+            + [f"http://shop.test/cat{i}" for i in range(4)]
+            + ["http://shop.test/about", "https://shop.test"]
+            + [f"http://tiny.test/x{i}" for i in range(2)])
+    out = (url_templates(
+        ray.data.from_pandas(pd.DataFrame({"url": urls}))
+        .repartition(4), k=2)
+        .to_pandas())
+    shop = out[out["domain"] == "shop.test"].set_index("template")
+    # 14 shop pages: item template 8, cat template 4, about 1, '/' 1
+    assert shop.loc["/item#/page#", "cnt"] == 8
+    assert shop.loc["/item#/page#", "tpl_rank"] == 1
+    assert shop.loc["/item#/page#", "share_ppm"] == 8 * 10 ** 6 // 14
+    assert shop.loc["/cat#", "cnt"] == 4
+    assert shop.loc["/cat#", "tpl_rank"] == 2
+    assert len(shop) == 2                          # k=2 cap
+    tiny = out[out["domain"] == "tiny.test"]
+    assert tiny.iloc[0]["template"] == "/x#"
+    assert tiny.iloc[0]["share_ppm"] == 10 ** 6
