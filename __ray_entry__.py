@@ -5243,8 +5243,12 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents WHERE {_STRIP} != ''),
                  tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
                         FROM toks GROUP BY tok),
+                 -- seed level (0,0): states the engine's one-row-
+                 -- per-N contract on a degenerate all-empty corpus
                  h AS (SELECT c, CAST(count(*) AS BIGINT) AS nt
-                       FROM tc GROUP BY c),
+                       FROM tc GROUP BY c
+                       UNION ALL
+                       SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
                  t AS (SELECT CAST(sum(c * nt) AS BIGINT) AS total FROM h),
                  r AS (SELECT c, nt,
                               CAST(coalesce(sum(nt) OVER (ORDER BY c DESC
@@ -5263,8 +5267,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(top_n AS BIGINT) AS top_n,
                    covered AS covered_occurrences,
                    (SELECT total FROM t) AS total_occurrences,
-                   CAST((covered * 1000000) // (SELECT total FROM t)
-                        AS BIGINT) AS covered_ppm
+                   CAST(CASE WHEN (SELECT total FROM t) = 0 THEN 0
+                        ELSE (covered * 1000000) // (SELECT total FROM t)
+                        END AS BIGINT) AS covered_ppm
             FROM cov
         """,
         "ks_drift": """

@@ -469,17 +469,12 @@ def ks_drift(ds_a, ds_b, value_col: str = "n_chars",
     hist = (ds_a.map_batches(partial(0), batch_format="pandas")
             .union(ds_b.map_batches(partial(1), batch_format="pandas"))
             .groupby("part").map_groups(combine, batch_format="pandas"))
-    # neutral seed row: with BOTH inputs empty no combine group ever
-    # runs, so the final groupby would see a 'g'-less schema and the
-    # promised one-row output (the sentinel) would never emit.  A
-    # zero-count value changes no cumulative sum (at most adds an
-    # evaluation point where D equals its predecessor), so the
-    # statistic is untouched on every non-degenerate input.
-    import ray.data
-    seed = ray.data.from_pandas(pd.DataFrame({
-        "v": pd.Series([-2 ** 62], dtype="int64"),
-        "ca": pd.Series([0], dtype="int64"),
-        "cb": pd.Series([0], dtype="int64"),
-        "g": pd.Series([0], dtype="int64")}))
+    # neutral seed row (util.seed_row): a zero-count value changes no
+    # cumulative sum (at most adds an evaluation point where D equals
+    # its predecessor), so the statistic is untouched on real input
+    # while the both-empty case still emits its sentinel row.
+    from doc_ocr_ray.util import seed_row
+    seed = seed_row({"v": (-2 ** 62, "int64"), "ca": (0, "int64"),
+                     "cb": (0, "int64"), "g": (0, "int64")})
     return (hist.union(seed)
             .groupby("g").map_groups(final, batch_format="pandas"))

@@ -885,7 +885,13 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
             return _typed(batch[batch["kind"] == kind][cols])
         return fn
 
-    edges = base.map_batches(only(0), batch_format="pandas").materialize()
+    # edges stays a LAZY filter over base's pinned blocks: a second
+    # materialize would hold a full duplicate copy of the edge table
+    # in the object store for the whole walk; re-running a stateless
+    # vectorized filter per round is the cheaper side of that trade.
+    # The frontier (node-sized) materializes — it seeds round 1 and
+    # the step-0 output rows.
+    edges = base.map_batches(only(0), batch_format="pandas")
     frontier = base.map_batches(only(1),
                                 batch_format="pandas").materialize()
     rounds = [(0, frontier)]

@@ -2646,14 +2646,11 @@ def vocab_coverage(ds, top_ns=(100, 1000, 10000), num_parts: int = 64):
     hist = (ds.map_batches(count_partial, batch_format="pandas")
             .groupby("part")
             .map_groups(hist_partial, batch_format="pandas"))
-    # neutral seed level (c=0, nt=0): on an all-empty corpus no group
-    # fn ever runs, the 'g' column never exists, and the promised
-    # one-row-per-N output would vanish (the ks_drift rule); a
-    # zero-count level adds no mass on real input
-    import ray.data
-    seed = ray.data.from_pandas(pd.DataFrame({
-        "c": pd.Series([0], dtype="int64"),
-        "nt": pd.Series([0], dtype="int64"),
-        "g": pd.Series([0], dtype="int64")}))
+    # neutral seed level (util.seed_row): a zero-count level adds no
+    # mass on real input, and on an all-empty corpus it keeps the
+    # promised one-row-per-N output alive
+    from doc_ocr_ray.util import seed_row
+    seed = seed_row({"c": (0, "int64"), "nt": (0, "int64"),
+                     "g": (0, "int64")})
     return (hist.union(seed)
             .groupby("g").map_groups(final, batch_format="pandas"))

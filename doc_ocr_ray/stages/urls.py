@@ -730,9 +730,17 @@ def robots_delays(ds, text_col: str = "robots_txt",
                 in_header = False         # any rule closes the header
                 if key == "crawl-delay" and star_group and found is None:
                     num = _RD_NUM.match(val)
+                    # magnitude cap: the regex accepts unbounded digit
+                    # strings, and an adversarial 10^20-second delay
+                    # would overflow the int64 output column
+                    # (OverflowError kills the task) — out-of-contract
+                    # values are IGNORED, same as malformed ones.
+                    # 10^8 s (~3 years) is already absurd politeness.
                     if num:
-                        frac = (num.group(2) or "")[:3].ljust(3, "0")
-                        found = int(num.group(1)) * 1000 + int(frac)
+                        secs = num.group(1).lstrip("0") or "0"
+                        if len(secs) <= 8:
+                            frac = (num.group(2) or "")[:3].ljust(3, "0")
+                            found = int(secs) * 1000 + int(frac)
             if found is not None:
                 doms.append(dom)
                 delays.append(found)

@@ -199,3 +199,18 @@ def hist_value_at_rank(vals, cnts, r: int) -> int:
     cum = np.cumsum(np.asarray(cnts, dtype="int64"))
     return int(np.asarray(vals, dtype="int64")[
         np.searchsorted(cum, r, side="right")])
+
+
+def seed_row(cols):
+    """One-row single-block Dataset used as a NEUTRAL seed unioned
+    into a pre-groupby stream: when every real input is empty no
+    group fn ever runs, the group-key column never exists in the
+    schema, and an op's promised fixed-shape output (a sentinel or
+    one-row-per-parameter table) silently vanishes — the seed
+    guarantees the final group always fires.  ``cols`` maps column
+    name -> (value, dtype).  Callers pick values that are no-ops on
+    real data (zero counts, below-domain sentinels)."""
+    import pandas as pd
+    import ray.data
+    return ray.data.from_pandas(pd.DataFrame(
+        {c: pd.Series([v], dtype=dt) for c, (v, dt) in cols.items()}))

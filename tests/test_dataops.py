@@ -4353,6 +4353,9 @@ def test_robots_delays_group_semantics(ray_session):
         "othergroup": ("User-agent: bot\nCrawl-delay: 1", None),
         "outofgroup": ("Crawl-delay: 1\nUser-agent: *\nDisallow:", None),
         "malformed": ("User-agent: *\nCrawl-delay: fast", None),
+        "huge": ("User-agent: *\nCrawl-delay: "
+                 "99999999999999999999", None),       # int64 overflow
+        "zeropad": ("User-agent: *\nCrawl-delay: 0000000009", 9000),
         "trailingdot": ("User-agent: *\nCrawl-delay: 1.", None),
         "signed": ("User-agent: *\nCrawl-delay: +1", None),
         "empty": ("", None),
