@@ -3430,6 +3430,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mk_edges, batch_format="pandas"),
             walk_len=3, seed=42)
 
+    def q_walk_skipgrams(sf_dir):
+        # composed DeepWalk corpus: random walks -> symmetric
+        # window-2 skip-gram pairs with multiplicity counts
+        from doc_ocr_ray.stages.graph import walk_skipgrams
+        n = _doc_count(sf_dir)
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        mk_edges = _mk_pr_edges_fn(n)
+        return walk_skipgrams(
+            docs.map_batches(mk_edges, batch_format="pandas"),
+            walk_len=3, window=2, seed=42)
+
     def q_validate_table(sf_dir):
         # data-quality gate: five rule kinds over an injected corpus
         # where every rule fires; one scan + one unique-key exchange
@@ -3515,6 +3526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "bfs_hops": q_bfs_hops,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "hits_scores": q_hits_scores,
         "crawl_frontier": q_crawl_frontier,
         "cdc_apply": q_cdc_apply,
@@ -5014,6 +5026,15 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(),
         "bfs_hops": _bfs_sql(),
         "random_walks": _walks_sql(),
+        "walk_skipgrams": f"""
+            WITH w AS ({_walks_sql()}),
+                 p AS (SELECT a.node AS center, b.node AS context
+                       FROM w a JOIN w b ON a.walk_id = b.walk_id
+                            AND a.step <> b.step
+                            AND abs(a.step - b.step) <= 2)
+            SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+            FROM p GROUP BY center, context
+        """,
         "hits_scores": _hits_sql(),
         "crawl_frontier": _frontier_sql(),
         # validation twin: same injected corpus, five counts; NULLs

@@ -952,3 +952,70 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
             for t, fr in rounds]
     walks = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
     return walks.repartition(max(8, num_parts // 2))
+
+
+def walk_skipgrams(edges_ds, walk_len: int = 3, window: int = 2,
+                   seed: int = 42, num_parts: int = 64):
+    """Skip-gram training pairs over the :func:`random_walks` corpus —
+    the composed DeepWalk shape (walk sequences ARE the sentences;
+    this op is to walks what ``skipgram_pairs`` is to token streams):
+    for every walk, each ordered pair of positions within ``window``
+    steps of each other emits (center, context), aggregated to
+    (center, context, cnt).
+
+    Both directions emit (word2vec's symmetric context), so cnt sums
+    multiplicity across walks AND directions; pairs are generated
+    VECTORIZED over a partition's sorted (walk, step) arrays — per
+    offset d, positions i and i+d pair exactly when they share a
+    walk_id and their steps differ by exactly d (steps are
+    consecutive integers per walk, so array shifts enumerate every
+    in-window pair without a per-walk loop).
+
+    Two coarse exchanges on top of the walk construction: walks meet
+    on a walk-hash (pair generation is walk-local), pair counts
+    combine in-batch then meet on a pair-hash.  Output
+    (center, context, cnt)."""
+    walks = random_walks(edges_ds, walk_len=walk_len, seed=seed,
+                         num_parts=num_parts)
+
+    def wkey(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["part"] = coarse_part(out["walk_id"], num_parts)
+        return typed_if_empty(out)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["walk_id", "step"], kind="mergesort")
+        w = g["walk_id"].to_numpy()
+        s = g["step"].to_numpy()
+        n = g["node"].to_numpy()
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if d >= len(g):
+                break
+            m = (w[:-d] == w[d:]) & (s[d:] - s[:-d] == d)
+            cs.append(n[:-d][m]); xs.append(n[d:][m])    # forward
+            cs.append(n[d:][m]); xs.append(n[:-d][m])    # backward
+        if not cs:
+            return typed_if_empty(pd.DataFrame({
+                "center": pd.Series([], dtype="int64"),
+                "context": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "ppart": pd.Series([], dtype="int64")}))
+        p = (pd.DataFrame({"center": np.concatenate(cs),
+                           "context": np.concatenate(xs)})
+             .groupby(["center", "context"], sort=False)
+             .size().reset_index(name="cnt"))          # in-batch combine
+        p["cnt"] = p["cnt"].astype("int64")
+        p["ppart"] = coarse_part(p["center"] * 131071 + p["context"],
+                                 num_parts)
+        return typed_if_empty(p)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["center", "context"], sort=False)["cnt"]
+             .sum().reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return typed_if_empty(g)
+
+    return (walks.map_batches(wkey, batch_format="pandas")
+            .groupby("part").map_groups(pairs, batch_format="pandas")
+            .groupby("ppart").map_groups(combine, batch_format="pandas"))

@@ -4396,3 +4396,31 @@ def test_url_templates_trap_detection(ray_session):
     tiny = out[out["domain"] == "tiny.test"]
     assert tiny.iloc[0]["template"] == "/x#"
     assert tiny.iloc[0]["share_ppm"] == 10 ** 6
+
+
+def test_walk_skipgrams_window_pairs(ray_session):
+    """Skip-gram pairs over walks: a single deterministic path walk
+    yields exactly the window-2 symmetric pairs with multiplicity,
+    and pair counts are partition-invariant."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import walk_skipgrams, random_walks
+
+    # chain 0->1->2->3 (each node one out-edge -> walks are forced)
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    out = (walk_skipgrams(ray.data.from_pandas(edges).repartition(2),
+                          walk_len=3, window=2)
+           .to_pandas())
+    got = {(r.center, r.context): r.cnt for r in out.itertuples()}
+    # walks: [0,1,2,3], [1,2,3], [2,3]
+    walks = [[0, 1, 2, 3], [1, 2, 3], [2, 3]]
+    want = {}
+    for wk in walks:
+        for i in range(len(wk)):
+            for j in range(len(wk)):
+                if i != j and abs(i - j) <= 2:
+                    want[(wk[i], wk[j])] = want.get((wk[i], wk[j]), 0) + 1
+    assert got == want
+    out2 = (walk_skipgrams(ray.data.from_pandas(edges).repartition(3),
+                           walk_len=3, window=2).to_pandas())
+    assert {(r.center, r.context): r.cnt
+            for r in out2.itertuples()} == want
