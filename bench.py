@@ -389,6 +389,10 @@ def run_benchmarks() -> dict:
           lambda: qs["vocab_coverage"](SF_DIR).count())
     timed("robots_delays",
           lambda: qs["robots_delays"](SF_DIR).count())
+    timed("url_templates",
+          lambda: qs["url_templates"](SF_DIR).count())
+    timed("walk_skipgrams",
+          lambda: qs["walk_skipgrams"](SF_DIR).count())
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "

@@ -17,6 +17,8 @@ twin with the identical operation order is bit-exact.  Dangling nodes
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -37,7 +39,8 @@ def _typed_empty(df: pd.DataFrame, cols, int8_cols=()):
 
 
 def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
-             scale: int = 10 ** 12, num_parts: int = 64):
+             scale: int = 10 ** 12, num_parts: int = 64,
+             checkpoint_dir: str | None = None):
     """Integer-grid PageRank.
 
     ``edges_ds``: (src:int64, dst:int64) directed links — multi-edges
@@ -53,6 +56,19 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
     mass).  The rank table is materialized once per round — without
     it, round k would re-execute all k-1 prior rounds (lazy lineage).
     Edges are degree-annotated and materialized once.
+
+    ``checkpoint_dir``: per-ROUND checkpoint resume — the iterative
+    counterpart of the sharded jobs' per-partition manifests: after
+    each round the node-sized rank table commits atomically
+    (tmp+rename, ``sources/io.write_table`` round partitions), and a
+    restarted call with the same dir skips every committed round by
+    reloading the LATEST one instead of recomputing rounds 1..k
+    (day-long 10^12-node runs die mid-iteration; re-running rounds
+    is the expensive part, the edge rebuild is one exchange).  Rank
+    mass is exact integers, so a resumed run is bit-identical to an
+    uninterrupted one — pinned by test.  The caller owns parameter
+    identity (same graph/iters/damping per dir), matching the
+    reference's resume contract in jobs/_driver.
     """
     base_cols = ["src", "dst", "deg", "r", "kind", "part"]
 
@@ -120,6 +136,38 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
     ranks = nodes.map_batches(init_rank,
                               batch_format="pandas").materialize()
 
+    def from_ckpt(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "src": batch["node"].astype("int64"),
+            "dst": np.int64(0), "deg": np.int64(0),
+            "r": batch["r"].astype("int64")})
+        out["kind"] = np.int8(1)
+        out["part"] = coarse_part(out["src"], num_parts)
+        return _typed(out[base_cols])
+
+    def to_ckpt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": batch["src"].astype("int64"),
+            "r": batch["r"].astype("int64")})
+
+    start_round = 0
+    if checkpoint_dir is not None:
+        import glob as _glob
+
+        import ray.data
+        done = sorted(
+            int(os.path.basename(p).split("-")[1])
+            for p in _glob.glob(os.path.join(checkpoint_dir, "part-*")))
+        usable = [k for k in done if k <= iters]
+        if usable:
+            start_round = max(usable)
+            files = sorted(_glob.glob(os.path.join(
+                checkpoint_dir, f"part-{start_round:05d}", "**",
+                "*.parquet"), recursive=True))
+            ranks = (ray.data.read_parquet(files)
+                     .map_batches(from_ckpt, batch_format="pandas")
+                     .materialize())
+
     def scatter(group: pd.DataFrame) -> pd.DataFrame:
         """Rank rows meet out-edges: emit (dst, r // deg) keyed by dst."""
         e = group[group["kind"] == 0]
@@ -154,7 +202,7 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
         out["kind"] = np.int8(1)
         return _typed(out[base_cols])
 
-    for _ in range(iters):
+    for k in range(start_round + 1, iters + 1):
         contribs = (edges.union(ranks)
                     .groupby("part").map_groups(scatter,
                                                 batch_format="pandas"))
@@ -162,6 +210,12 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
                  .groupby("part").map_groups(gather,
                                              batch_format="pandas")
                  .materialize())
+        if checkpoint_dir is not None:
+            from doc_ocr_ray.sources.io import write_table
+            write_table(ranks.map_batches(to_ckpt,
+                                          batch_format="pandas"),
+                        checkpoint_dir, partition_id=k,
+                        parquet_only=True)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

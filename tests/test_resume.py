@@ -1,4 +1,5 @@
 """Checkpoint/resume: manifest, atomic writes, shard skipping."""
+import glob
 import json
 import os
 import subprocess
@@ -320,3 +321,44 @@ def test_run_neardup_three_phase_resume(tmp_path):
     r3 = subprocess.run(cmd[:8] + ["--buckets", "5"] + cmd[10:],
                         env=env, capture_output=True, text=True)
     assert r3.returncode == 2 and "different parameters" in r3.stderr
+
+
+def test_pagerank_round_checkpoint_resume(tmp_path, ray_session):
+    """Iterative checkpoint resume: pagerank with a checkpoint dir
+    commits one atomic rank partition per round; a run that stops at
+    round 1 and a fresh call continuing to round 3 produce ranks
+    BIT-IDENTICAL to an uninterrupted 3-round run, and the resumed
+    call recomputes only the missing rounds (round-1 checkpoint file
+    untouched)."""
+    import pandas as pd
+    import ray.data
+    from doc_ocr_ray.stages.graph import pagerank
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 3, 4, 0, 2],
+                          "dst": [1, 2, 3, 4, 0, 2, 0]})
+    nodes = pd.DataFrame({"node": list(range(5))})
+
+    def run(iters, ckpt=None):
+        return (pagerank(ray.data.from_pandas(edges),
+                         ray.data.from_pandas(nodes), iters=iters,
+                         checkpoint_dir=ckpt)
+                .to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
+    want = run(3)                                   # uninterrupted
+    ck = str(tmp_path / "pr")
+    run(1, ckpt=ck)                                 # "crashes" after r1
+    p1 = glob.glob(f"{ck}/part-00001/**/*.parquet", recursive=True)
+    assert p1
+    mtime = os.path.getmtime(p1[0])
+    got = run(3, ckpt=ck)                           # resumes at r2
+    pd.testing.assert_frame_equal(got, want)
+    assert os.path.getmtime(p1[0]) == mtime         # r1 not recomputed
+    assert os.path.isdir(f"{ck}/part-00003")
+    # a third call finds all rounds committed and recomputes nothing
+    mt3 = os.path.getmtime(glob.glob(
+        f"{ck}/part-00003/**/*.parquet", recursive=True)[0])
+    got2 = run(3, ckpt=ck)
+    pd.testing.assert_frame_equal(got2, want)
+    assert os.path.getmtime(glob.glob(
+        f"{ck}/part-00003/**/*.parquet", recursive=True)[0]) == mt3
