@@ -64,6 +64,7 @@ from jobs._driver import (files_fingerprint, init_session,  # noqa: E402
 
 PHASE2_BASE = 100000
 PHASE3_ID = 200000
+PHASE4_BASE = 300000
 
 
 def main() -> int:
@@ -80,6 +81,9 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--apply", action="store_true",
+                    help="phase 4: write the deduplicated corpus "
+                         "(per-shard anti-join against the drop table)")
     args = ap.parse_args()
 
     import ray
@@ -253,6 +257,49 @@ def main() -> int:
             print(f"[p3 cluster] pairs_in={rows_in} drop_docs={n_drop} "
                   f"wall={wall:.1f}s", flush=True)
 
+    # ---- phase 4 (--apply): write the deduplicated corpus itself —
+    # per input shard (resumable per shard), survivors = shard rows
+    # anti-joined against the drop table through Ray's NATIVE hash
+    # join (the drop side is dup-count-sized but can approach corpus
+    # scale on a highly redundant crawl, so it is hash-partitioned,
+    # never broadcast).  --apply is additive: it is deliberately NOT
+    # part of the resume identity, so a finished 3-phase run can be
+    # re-invoked with --apply and reuse every committed phase.
+    if args.apply:
+        nparts = max(2, args.num_cpus // 2)
+        drop_files = sorted(glob.glob(
+            os.path.join(args.output, "part-00000", "*.parquet")))
+        corpus_dir = os.path.join(args.output, "corpus")
+        for shard in range(args.shards):
+            mid = PHASE4_BASE + shard
+            if manifest.is_done(mid):
+                print(f"[p4 shard {shard}] already committed, skipping",
+                      flush=True)
+                continue
+            t0 = time.time()
+            ds = shard_slice(args.input, shard, args.shards)
+            if ds is None:
+                manifest.mark_done(mid, rows_in=0, rows_out=0,
+                                   output="", wall_sec=0.0)
+                continue
+            if drop_files:
+                drops_ds = (ray.data.read_parquet(
+                    drop_files, columns=["doc_id"]))
+                kept = ds.join(drops_ds, join_type="left_anti",
+                               num_partitions=nparts, on=("doc_id",))
+            else:
+                kept = ds
+            final = write_table(kept, corpus_dir, partition_id=shard,
+                                parquet_only=True)
+            import pyarrow.dataset as pads
+            n_in = ds.count()
+            n_out = pads.dataset(final).count_rows()
+            wall = time.time() - t0
+            manifest.mark_done(mid, rows_in=n_in, rows_out=n_out,
+                               output=final, wall_sec=wall)
+            print(f"[p4 shard {shard}] in={n_in} kept={n_out} "
+                  f"wall={wall:.1f}s", flush=True)
+
     summary = manifest.summary()
     recs = {k: r for k, r in manifest.records.items()
             if k != "_job" and r.get("state") == "done"}
@@ -265,6 +312,9 @@ def main() -> int:
     summary["n_docs"] = sum(r.get("rows_in", 0) for r in p1)
     summary["n_pairs_raw"] = sum(r.get("rows_out", 0) for r in p2)
     summary["n_dup_docs"] = p3.get("n_dup_docs", p3.get("rows_out", 0))
+    p4 = [r for k, r in recs.items() if int(k) >= PHASE4_BASE]
+    if p4:
+        summary["n_kept_docs"] = sum(r.get("rows_out", 0) for r in p4)
     summary["job_wall_sec"] = round(time.time() - t_start, 3)
     print(json.dumps(summary), flush=True)
     ray.shutdown()

@@ -321,6 +321,23 @@ def test_run_neardup_three_phase_resume(tmp_path):
     r3 = subprocess.run(cmd[:8] + ["--buckets", "5"] + cmd[10:],
                         env=env, capture_output=True, text=True)
     assert r3.returncode == 2 and "different parameters" in r3.stderr
+    # phase 4 (--apply) is additive: reuses all committed phases and
+    # writes the deduplicated corpus (survivors = docs minus drops)
+    r4 = subprocess.run(cmd + ["--apply"], env=env,
+                        capture_output=True, text=True)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert r4.stdout.count("skipping") == 6      # 2 shards, 3 bkts, p3
+    s4 = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert s4["n_kept_docs"] == 7                # 9 docs - 2 dropped
+    kept = pd.concat([pd.read_parquet(f) for f in sorted(_glob.glob(
+        f"{out}/corpus/part-*/*.parquet"))])
+    assert sorted(kept["doc_id"]) == [1, 10, 11, 12, 13, 14, 15]
+    # re-invoking --apply skips the committed corpus shards too
+    r5 = subprocess.run(cmd + ["--apply"], env=env,
+                        capture_output=True, text=True)
+    assert r5.returncode == 0
+    assert r5.stdout.count("[p4 shard") == 2
+    assert r5.stdout.count("already committed, skipping") == 8
 
 
 def test_pagerank_round_checkpoint_resume(tmp_path, ray_session):
