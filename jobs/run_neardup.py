@@ -107,8 +107,12 @@ def main() -> int:
     phase1 = os.path.join(args.output, "phase1")
     phase2 = os.path.join(args.output, "phase2")
     if args.fresh:
+        # wipe ALL derived dirs, including the phase-4 corpus:
+        # prepare_manifest clears only top-level part-*, and a stale
+        # corpus shard from a differently-sharded run would be
+        # globbed into downstream reads
         import shutil
-        for d in (phase1, phase2):
+        for d in (phase1, phase2, os.path.join(args.output, "corpus")):
             if os.path.isdir(d):
                 shutil.rmtree(d)
     manifest, err = prepare_manifest(args.output, job_params, args.fresh)
@@ -292,7 +296,9 @@ def main() -> int:
             final = write_table(kept, corpus_dir, partition_id=shard,
                                 parquet_only=True)
             import pyarrow.dataset as pads
-            n_in = ds.count()
+            # the raw shard size was already committed by phase 1 —
+            # a ds.count() here would re-run the full shard scan
+            n_in = manifest.records.get(str(shard), {}).get("rows_in", 0)
             n_out = pads.dataset(final).count_rows()
             wall = time.time() - t0
             manifest.mark_done(mid, rows_in=n_in, rows_out=n_out,
