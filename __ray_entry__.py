@@ -971,6 +971,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_dedup_pairs(_dup_injected_docs(sf_dir),
                                          threshold=0.6)
 
+    def q_dedup_minhash_recall(sf_dir):
+        # hash-checked recall gate for the probabilistic candidate
+        # generator (the similarity_*_recall pattern applied to
+        # dedup): minhash must recover the PLANTED perturbed-copy
+        # pairs of the injected testbed.  Measured 1000 milli at
+        # every sf tier; floor 950 so a banding/permutation
+        # regression fails CORRECTNESS instead of passing rows-only
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        base = sorted(df[df["doc_id"] < 200]["doc_id"])
+        planted = ray.data.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series(base, dtype="int64"),
+            "doc_b": pd.Series([b + 1_000_000 for b in base],
+                               dtype="int64")}))
+        return dedup.pair_recall_floor(
+            dedup.minhash_dedup_pairs(_dup_injected_docs(sf_dir),
+                                      threshold=0.6),
+            planted, 950)
+
     def q_dedup_minhash_incremental(sf_dir):
         # incremental fuzzy dedup testbed: corpus = base docs (<200);
         # new snapshot = their perturbed copies (+1000000, each should
@@ -3542,6 +3562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_line_signals": q_dup_line_signals,
         "dedup_token_multiset": q_dedup_token_multiset,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "snapshot_diff": q_snapshot_diff,
         "dedup_simhash": q_dedup_simhash,
@@ -6445,6 +6466,12 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz sa ON sa.doc_id = doc_a
                    JOIN sz sb ON sb.doc_id = doc_b
             WHERE 1000 * ninter >= 800 * (sa.s + sb.s - ninter)
+        """,
+        "dedup_minhash_recall": """
+            SELECT (SELECT count(*) FROM documents WHERE doc_id < 200)
+                       AS n_truth,
+                   CAST(950 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
         """,
         "dedup_minhash": _minhash_sql(),
         "dedup_minhash_incremental": _minhash_incr_sql(),

@@ -1929,3 +1929,63 @@ def setsim_join_pairs(ds, t_milli: int = 800, text_col: str = "text",
             "jac_milli": pd.Series(out_j, dtype="int64")}))
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+def pair_recall_floor(approx_ds, truth_ds, floor_milli: int,
+                      num_parts: int = 64) -> pa.Table:
+    """Distributed recall gate over PAIR sets — the similarity-family
+    ``ann_recall_floor`` contract applied to dedup candidates: what
+    fraction of the ground-truth pairs (an EXACT join such as
+    :func:`setsim_join_pairs`) does a probabilistic candidate
+    generator (:func:`minhash_dedup_pairs`) recover?  LSH banding CAN
+    miss a qualifying pair; this pins the miss rate in the hash gate
+    so a banding/permutation regression fails CORRECTNESS instead of
+    passing rows-only.
+
+    Both inputs are (doc_a, doc_b, ...) with doc_a < doc_b.  Tagged
+    pair rows meet on one coarse pair-hash exchange; each group emits
+    a single (n_truth, n_hit) partial; the driver folds <= num_parts
+    partials into the literal one-row gate
+    (n_truth, floor_milli, meets) the SQL oracle states verbatim.
+    recall_milli = 1000 * hits // n_truth (0 truth pairs -> vacuous
+    pass with n_truth = 0)."""
+
+    cols = ["doc_a", "doc_b", "kind", "ppart"]
+
+    def tag(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty or "doc_a" not in batch.columns:
+                return pa.schema(
+                    [(c, pa.int64()) for c in cols]).empty_table()
+            out = pd.DataFrame({
+                "doc_a": batch["doc_a"].astype("int64"),
+                "doc_b": batch["doc_b"].astype("int64")})
+            out["kind"] = np.int64(kind)
+            out["ppart"] = ((out["doc_a"] * 31 + out["doc_b"])
+                            % num_parts).astype("int64")
+            return out[cols]
+        return fn
+
+    def partial(group: pd.DataFrame) -> pd.DataFrame:
+        t = group[group["kind"] == 0].drop_duplicates(
+            ["doc_a", "doc_b"])
+        a = group[group["kind"] == 1]
+        hit = t.merge(a[["doc_a", "doc_b"]].drop_duplicates(),
+                      on=["doc_a", "doc_b"])
+        return pd.DataFrame({
+            "n_truth": pd.Series([len(t)], dtype="int64"),
+            "n_hit": pd.Series([len(hit)], dtype="int64")})
+
+    parts = (truth_ds.map_batches(tag(0), batch_format="pandas")
+             .union(approx_ds.map_batches(tag(1), batch_format="pandas"))
+             .groupby("ppart")
+             .map_groups(partial, batch_format="pandas")
+             .take_all())                       # <= num_parts tiny rows
+    n_truth = sum(int(r["n_truth"]) for r in parts)
+    n_hit = sum(int(r["n_hit"]) for r in parts)
+    recall = (1000 * n_hit) // n_truth if n_truth else 1000
+    return pa.table({
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "floor_milli": pa.array([int(floor_milli)], pa.int64()),
+        "meets": pa.array([1 if recall >= floor_milli else 0],
+                          pa.int64())})

@@ -4424,3 +4424,26 @@ def test_walk_skipgrams_window_pairs(ray_session):
                            walk_len=3, window=2).to_pandas())
     assert {(r.center, r.context): r.cnt
             for r in out2.itertuples()} == want
+
+
+def test_pair_recall_floor_gate(ray_session):
+    """Pair-set recall gate: exact hit counting under duplicated and
+    split-across-batch pair rows, meets flips at the floor, and an
+    empty truth set passes vacuously."""
+    import ray.data
+    from doc_ocr_ray.stages.dedup import pair_recall_floor
+
+    def mk(pairs, rep=1):
+        df = pd.DataFrame(pairs * rep, columns=["doc_a", "doc_b"])
+        return ray.data.from_pandas(df.astype("int64")).repartition(3)
+
+    truth = mk([(1, 2), (3, 4), (5, 6), (7, 8)])
+    approx = mk([(1, 2), (3, 4), (5, 6), (9, 10)], rep=2)  # dup rows
+    # recall = 3/4 = 750 milli
+    g = pair_recall_floor(approx, truth, 750).to_pandas()
+    assert (g.loc[0, "n_truth"], g.loc[0, "meets"]) == (4, 1)
+    assert pair_recall_floor(approx, truth, 751).to_pandas() \
+        .loc[0, "meets"] == 0
+    empty = mk([(1, 2)]).filter(lambda r: False)
+    g = pair_recall_floor(approx, empty, 1000).to_pandas()
+    assert (g.loc[0, "n_truth"], g.loc[0, "meets"]) == (0, 1)
