@@ -393,6 +393,8 @@ def run_benchmarks() -> dict:
           lambda: qs["url_templates"](SF_DIR).count())
     timed("walk_skipgrams",
           lambda: qs["walk_skipgrams"](SF_DIR).count())
+    timed("dedup_minhash_recall",
+          lambda: qs["dedup_minhash_recall"](SF_DIR).num_rows)
 
     out = {
         "metric": "extraction seconds on deterministic interleaved corpus "
