@@ -105,6 +105,28 @@ def test_pair_verify_scaffold_matches_bruteforce():
     assert all(out["jaccard"] >= 0.5)
 
 
+def test_candidate_bloom_no_false_negatives(ray_session):
+    """The fixed-size bloom replacing the round-3 driver id set must
+    never drop a real candidate (false negatives would silently lose
+    verified pairs); false positives must stay rare at the 16-bits/id
+    sizing (they only waste payload rows, but a sieve that passes
+    everything is no prune at all)."""
+    import ray
+    from doc_ocr_ray.stages.dedup import _candidate_bloom, _bloom_test
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(10**12, size=4000, replace=False).astype("int64")
+    pairs_df = pd.DataFrame({"doc_a": ids[:2000], "doc_b": ids[2000:]})
+    pairs = ray.data.from_pandas(pairs_df).repartition(4).materialize()
+    bloom = _candidate_bloom(pairs, pairs.count())
+    assert bloom.dtype == np.uint64
+    assert _bloom_test(bloom, ids).all()            # no false negatives
+    absent = rng.choice(10**12, size=20000).astype("int64")
+    absent = absent[~np.isin(absent, ids)]
+    fp = _bloom_test(bloom, absent).mean()
+    assert fp < 0.05, fp                             # ~2% at 16 bits/id
+
+
 def test_containment_catches_quotes_jaccard_misses(ray_session):
     """verify_pairs_containment: a short quote embedded in a long doc
     scores containment 1000 while its Jaccard is far below any dedup
