@@ -1529,6 +1529,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_png_media_table(doc_ids))
         return multimodal.png_image_stats(media)
 
+    def q_multimodal_jpeg(sf_dir):
+        # REAL baseline-JPEG decode (stages/jpeg.py: marker walk,
+        # Huffman entropy pass, vectorized dequant+IDCT, 4:2:0
+        # upsample, restart markers — all varied across the table).
+        # Lossy codec => the oracle states the per-image roundtrip
+        # gate verbatim (dims exact, max pixel err <= 2), the engine
+        # proves it held; decode runs with NO injected codec.
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_jpeg_media_table(doc_ids))
+        return multimodal.jpeg_image_stats(media)
+
     def q_multimodal_wav(sf_dir):
         # REAL audio decode (RIFF/PCM16, pure bytes+numpy): closed-form
         # sawtooth clips -> decode -> peak / RMS
@@ -3611,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q_pdf_extract,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_wav": q_multimodal_wav,
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
@@ -6377,6 +6393,17 @@ def oracle_sql() -> dict[str, str]:
                    floor(10000 * max(CASE WHEN c = 2 THEN s END) / 1024)
                        / 10000 AS mean_b
             FROM g GROUP BY doc_id
+        """,
+        # JPEG is lossy: the oracle states the roundtrip CONTRACT
+        # verbatim (the engine decodes for real and proves max pixel
+        # error <= 2 per image; dims exact) — the similarity_*_recall
+        # hash-checked-gate pattern applied to a codec
+        "multimodal_jpeg": """
+            SELECT 'jpg:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(48 AS BIGINT) AS width,
+                   CAST(40 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS err_le_tol
+            FROM documents WHERE doc_id < 200
         """,
         "multimodal_wav": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),

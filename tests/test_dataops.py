@@ -893,6 +893,160 @@ def test_png_all_five_filters_and_real_decode_stage():
     assert gfeat == [(i * 16) / 255.0 for i in range(16)]
 
 
+def _jpeg_gradient(h=40, w=48, d=0):
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return (2 * x + 2 * y + 17 * c + d % 29).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_all_paths():
+    """Built-in baseline JPEG codec (round-3 S2 closure): smooth
+    gradients roundtrip within tight pixel tolerance across quality,
+    4:2:0 subsampling, restart intervals, grayscale, odd/edge sizes;
+    a gray frame DECLARING (2,2) sampling still decodes via the
+    non-interleaved scan rule."""
+    from doc_ocr_ray.stages.jpeg import encode_jpeg, decode_jpeg
+
+    img = _jpeg_gradient()
+    for q, sub, ri in [(95, False, 0), (85, True, 0), (90, False, 3),
+                       (90, True, 2), (50, False, 0)]:
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                      restart_interval=ri))
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert dec.shape == img.shape and err <= 3, (q, sub, ri, err)
+
+    gray = (np.add.outer(np.arange(24) * 3, np.arange(16) * 2)
+            % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 2
+
+    # gray stream with (2,2) factors patched into SOF: T.81 A.2.2
+    # says a single-component scan is non-interleaved single blocks
+    enc = bytearray(encode_jpeg(gray, quality=90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 2 + 8 + 1] = 0x22
+    dec = decode_jpeg(bytes(enc))
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 2
+
+    for shape in ((1, 1, 3), (8, 8, 3), (9, 8, 3), (17, 19, 3), (1, 1)):
+        im = (np.indices(shape[:2]).sum(0) % 200 + 20).astype(np.uint8)
+        if len(shape) == 3:
+            im = np.stack([im] * 3, axis=2)
+        dec = decode_jpeg(encode_jpeg(im, quality=90, subsample=True))
+        assert dec.shape == im.shape
+        assert np.abs(dec.astype(int) - im.astype(int)).max() <= 4
+
+
+def test_jpeg_adversarial_malformed_inputs():
+    """Session-8 parser rule: malformed/truncated JPEG bytes raise
+    CONTROLLED errors (ValueError / NotImplementedError), never
+    index/struct crashes — every byte-prefix truncation included."""
+    import pytest as _pytest
+    import struct
+    from doc_ocr_ray.stages.jpeg import encode_jpeg, decode_jpeg
+
+    enc = encode_jpeg(_jpeg_gradient(16, 16), quality=90,
+                      restart_interval=1)
+    assert (decode_jpeg(enc) is not None)
+    # every truncation up to the final entropy byte must raise; a
+    # stream cut inside/before EOI alone still carries all MCUs and
+    # decodes (deliberate lenience, like most codecs)
+    for i in range(len(enc) - 2):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(enc[:i])
+    assert decode_jpeg(enc[:-2]) is not None
+
+    with _pytest.raises(ValueError):             # not a JPEG
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError):             # SOS before SOF
+        decode_jpeg(b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
+    # progressive (SOF2) -> NotImplementedError, injected-codec seam
+    sof2 = (b"\xff\xd8\xff\xc2"
+            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+    # zero dimension
+    sof0 = (b"\xff\xd8\xff\xc0"
+            + struct.pack(">HBHHB", 11, 8, 0, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(ValueError):
+        decode_jpeg(sof0)
+    # segment length overruns payload
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\xff\xff\x00")
+    # entropy garbage after valid headers: flip bits in the scan body
+    bad = bytearray(enc)
+    sos = bad.find(b"\xff\xda")
+    for j in range(sos + 14, min(len(bad) - 2, sos + 40)):
+        bad[j] ^= 0xA5
+    try:
+        decode_jpeg(bytes(bad))                  # may decode garbage
+    except (ValueError, NotImplementedError):
+        pass                                     # or fail cleanly
+
+
+def test_jpeg_decode_image_routing_and_dhash_e2e(ray_session):
+    """decode_image now routes JPEG magic to the built-in decoder (no
+    injected codec); progressive still falls through to the seam; the
+    perceptual dHash pair pipeline finds a re-encoded (quality 60)
+    JPEG near-dup end-to-end over real JPEG bytes."""
+    import struct
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+    from doc_ocr_ray.stages.jpeg import encode_jpeg
+    from doc_ocr_ray.stages.multimodal import (decode_image,
+                                               media_dhash_pairs)
+
+    img = _jpeg_gradient()
+    dec = decode_image(encode_jpeg(img, quality=90))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    sof2 = (b"\xff\xd8\xff\xc2"
+            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(NotImplementedError):
+        decode_image(sof2)                       # no codec injected
+    marker = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert (decode_image(sof2, codec=lambda p: marker) == marker).all()
+
+    # e2e: same picture at q95 and q60 = near-dup; distinct picture out
+    rng = np.random.default_rng(5)
+    pic = (rng.integers(0, 64, (32, 32, 3)).cumsum(axis=1) % 256
+           ).astype(np.uint8)
+    other = (rng.integers(0, 64, (32, 32, 3)).cumsum(axis=0) % 256
+             ).astype(np.uint8)
+    payloads = [encode_jpeg(pic, quality=95),
+                encode_jpeg(pic, quality=60, subsample=True),
+                encode_jpeg(other, quality=95)]
+    tbl = pa.table({
+        "media_ref": pa.array([f"jpg:{i}" for i in range(3)]),
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "media_type": pa.array(["image"] * 3),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+    pairs = media_dhash_pairs(ray.data.from_arrow(tbl).repartition(2),
+                              max_hamming=6).take_all()
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert (0, 1) in got and (0, 2) not in got and (1, 2) not in got
+
+
+def test_jpeg_image_stats_gate(ray_session):
+    """The multimodal_jpeg oracle contract: every synthesized image
+    (quality/subsample/restart varied by doc id) decodes with exact
+    dims and max pixel error <= 2."""
+    import ray
+    from doc_ocr_ray.stages.multimodal import (
+        synthesize_jpeg_media_table, jpeg_image_stats)
+    out = (jpeg_image_stats(ray.data.from_arrow(
+        synthesize_jpeg_media_table(list(range(12)))))
+        .to_pandas())
+    assert len(out) == 12
+    assert (out["width"] == 48).all() and (out["height"] == 40).all()
+    assert (out["err_le_tol"] == 1).all()
+
+
 def test_wav_roundtrip_and_stats(ray_session):
     import ray.data
     from doc_ocr_ray.stages.multimodal import (
@@ -2380,10 +2534,12 @@ def test_dhash_perceptual_dedup(ray_session):
 
 
 def test_injected_codec_jpeg_seam(ray_session):
-    """The injected-codec seam (round-2 verdict item 5): a mock JPEG
-    codec plugs into decode_image / media_dhash_pairs /
-    MediaDecodeStage without touching any stage; default stays the
-    loud raise."""
+    """The injected-codec seam (round-2 verdict item 5): a mock codec
+    plugs into decode_image / media_dhash_pairs / MediaDecodeStage
+    without touching any stage; default stays the loud raise.  Since
+    round 4 the built-in baseline decoder runs FIRST on JPEG magic —
+    these payloads (SOI + PPM body) are outside any JPEG envelope, so
+    they exercise the fall-through-to-codec path."""
     import pytest
     import ray.data
     import pyarrow as pa
@@ -2408,9 +2564,10 @@ def test_injected_codec_jpeg_seam(ray_session):
                              for p in base["payload"]], pa.binary()),
         "payload_len": base["payload_len"]})
 
-    # decode_image: default raises, injected codec decodes
+    # decode_image: default raises (ValueError — the built-in decoder
+    # rejects the stream), injected codec decodes
     jp = jpegized["payload"][0].as_py()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_image(jp)
     assert dhash64(decode_image(jp, mock_jpeg_codec)) == \
         dhash64(decode_image(base["payload"][0].as_py()))
