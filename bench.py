@@ -61,10 +61,23 @@ def run_benchmarks() -> dict:
             return x.num_rows
         return len(x)
 
+    # min-of-2 for any op slower than this floor (round-3 verdict item
+    # 3: a host load burst once doubled large_volume_orders between
+    # sessions with the code unchanged; with min+worst recorded per
+    # slow op, such bursts are attributable on sight)
+    rerun_floor = float(os.environ.get("GRAFT_BENCH_RERUN_FLOOR", "5.0"))
+
     def timed(name, fn):
         t0 = time.time()
         result = fn()
-        timings[name] = round(time.time() - t0, 3)
+        elapsed = time.time() - t0
+        if elapsed > rerun_floor:
+            t1 = time.time()
+            fn()
+            second = time.time() - t1
+            timings[name + "_worst"] = round(max(elapsed, second), 3)
+            elapsed = min(elapsed, second)
+        timings[name] = round(elapsed, 3)
         return result
 
     # warm the page cache (untimed) so reads measure compute, not cold disk
