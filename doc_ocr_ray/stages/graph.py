@@ -260,9 +260,14 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
 
     for k in range(start_round + 1, iters + 1):
         if k < iters:
+            # repartition before materialize: contribs feed the
+            # previous round's blocks back in, and the sort's output
+            # block count tracks its input's — unbounded iteration
+            # counts need the bound (the bfs_hops lesson)
             out = (edges.union(nodes).union(contribs)
                    .groupby("part").map_groups(fused,
                                                batch_format="pandas")
+                   .repartition(max(8, num_parts // 2))
                    .materialize())
             contribs = out.map_batches(
                 lambda b: _typed(b[b["kind"] == 3]),
@@ -822,16 +827,18 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
     (seeds at hop 0).
 
     Scale shape: edges dedup once and materialize keyed coarse on
-    ``src`` (reused every round); per hop TWO ids-only coarse
-    exchanges — (1) the frontier meets edges on the src key and
-    emits candidate ``dst``, (2) candidates meet the visited set on
-    the node key where a per-group anti-join + dedup assigns hop k;
-    the new frontier is exactly the newly visited nodes.  Visited is
-    node-sized, lives in the object store, and re-rides the second
-    exchange each round (≤ ``max_hops`` times, the standard
-    iterative-BFS join discipline); the driver sees one frontier
-    count per round.  Early exit on an empty frontier is invisible
-    (later rounds add nothing)."""
+    ``src`` (reused every round); per hop ONE ids-only coarse
+    exchange (round-3 verdict item 7 — previously two): part(node)
+    is both the key candidates arrive on and the key the node's
+    out-edges live on, so the anti-join assigning hop k and the
+    expansion emitting hop k+1 candidates fuse into one group fn.
+    Seeds enter as hop-0 candidates against an empty visited set;
+    the visited table re-emits through each group (so its block
+    count stays ~num_parts without the separate union+repartition
+    maintenance the two-exchange shape needed); the final hop runs
+    assign-only (no edge rows ride that exchange).  The driver sees
+    one candidate count per round.  Early exit on an empty
+    candidate set is invisible (later rounds add nothing)."""
     cols = ["node", "val", "part", "kind"]
 
     def _typed(df: pd.DataFrame):
@@ -866,59 +873,68 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
         # would emit duplicate (node, 0) output rows
         return _typed(group.drop_duplicates(["node"])[cols])
 
-    # visited rows carry (node, hop) as (node, val); frontier rows
-    # are the kind=1 subset of the latest round's additions
-    visited = (seeds_ds.map_batches(seed_key, batch_format="pandas")
-               .groupby("part").map_groups(seed_dedup,
-                                           batch_format="pandas")
-               .materialize())
-    frontier = visited
-    n_frontier = frontier.count()
+    # kinds: 0 = edge (node=src, val=dst), 1 = candidate, 2 = visited
+    # (node, val=hop).  Seeds enter as hop-0 CANDIDATES; visited
+    # starts empty and re-emits through each fused group.
+    cand = (seeds_ds.map_batches(seed_key, batch_format="pandas")
+            .groupby("part").map_groups(seed_dedup,
+                                        batch_format="pandas")
+            .materialize())
+    import ray.data as _rd
+    visited = _rd.from_arrow(pa.schema(
+        [(c, pa.int64()) for c in cols]).empty_table())
+    n_cand = cand.count()
 
-    def expand(group: pd.DataFrame) -> pd.DataFrame:
-        front = set(group.loc[group["kind"] == 1, "node"])
-        e = group[group["kind"] == 0]
-        cand = e.loc[e["node"].isin(front), ["val"]].drop_duplicates()
-        out = pd.DataFrame({"node": cand["val"].astype("int64"),
-                            "val": np.int64(0)})
-        out["part"] = coarse_part(out["node"], num_parts)
-        out["kind"] = np.int64(1)
-        return _typed(out[cols])
-
-    def assign_hop(hop):
+    def fused_hop(hop: int, last: bool):
         def fn(group: pd.DataFrame) -> pd.DataFrame:
-            seen = set(group.loc[group["kind"] == 0, "node"])
-            cand = group[group["kind"] == 1].drop_duplicates(["node"])
-            new = cand[~cand["node"].isin(seen)].copy()
+            old = group[group["kind"] == 2]
+            seen = set(old["node"])
+            c = group[group["kind"] == 1].drop_duplicates(["node"])
+            new = c[~c["node"].isin(seen)].copy()
             new["val"] = np.int64(hop)
-            new["kind"] = np.int64(1)
-            return _typed(new[cols])
+            new["kind"] = np.int64(2)
+            parts = [old[cols], new[cols]]
+            if not last and len(new):
+                e = group[group["kind"] == 0]
+                front = set(new["node"])
+                nxt = (e.loc[e["node"].isin(front), ["val"]]
+                       .drop_duplicates())
+                cand_rows = pd.DataFrame({
+                    "node": nxt["val"].astype("int64"),
+                    "val": np.int64(0)})
+                cand_rows["part"] = coarse_part(cand_rows["node"],
+                                                num_parts)
+                cand_rows["kind"] = np.int64(1)
+                parts.append(cand_rows[cols])
+            nonempty = [p for p in parts if len(p)]
+            out = (pd.concat(nonempty, ignore_index=True)
+                   if nonempty else pd.DataFrame(columns=cols))
+            return _typed(out)
         return fn
 
-    for hop in range(1, max_hops + 1):
-        if n_frontier == 0:
+    for hop in range(0, max_hops + 1):
+        if n_cand == 0:
             break
-        cand = (edges.union(frontier)
-                .groupby("part").map_groups(expand,
-                                            batch_format="pandas"))
-        def as_visited(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.copy()
-            out["kind"] = np.int64(0)
-            return _typed(out[cols])
-        new = (visited.map_batches(as_visited, batch_format="pandas")
-               .union(cand)
-               .groupby("part").map_groups(assign_hop(hop),
-                                           batch_format="pandas")
+        last = hop == max_hops
+        inputs = visited.union(cand)
+        if not last:
+            inputs = inputs.union(edges)   # final hop is assign-only
+        # repartition is load-bearing (the dedup_clusters rule): the
+        # sort's output block count tracks its INPUT block count, and
+        # visited+cand each feed the previous round's blocks back in —
+        # without this the block count doubles per hop (64 -> 1416 in
+        # 4 hops at sf0.1) and task overhead swamps the round
+        out = (inputs.groupby("part")
+               .map_groups(fused_hop(hop, last), batch_format="pandas")
+               .repartition(max(8, num_parts // 2))
                .materialize())
-        # the repartition is load-bearing (the dedup_clusters rule):
-        # each union appends the new frontier's ~num_parts blocks, so
-        # without it the visited table's block count — and with it
-        # every later round's task count — grows linearly in hops
-        visited = (visited.union(new)
-                   .repartition(max(8, num_parts // 2))
-                   .materialize())
-        frontier = new
-        n_frontier = new.count()
+        visited = out.map_batches(
+            lambda b: _typed(b[b["kind"] == 2]), batch_format="pandas")
+        if last:
+            break
+        cand = out.map_batches(
+            lambda b: _typed(b[b["kind"] == 1]), batch_format="pandas")
+        n_cand = cand.count()
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty or "node" not in batch.columns:
