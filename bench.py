@@ -248,6 +248,7 @@ def run_benchmarks() -> dict:
     timed("events_hopping",
           lambda: qs["events_hopping"](SF_DIR).count())
     timed("pagerank", lambda: qs["pagerank"](SF_DIR).count())
+    timed("hits_scores", lambda: qs["hits_scores"](SF_DIR).count())
     timed("zscore_by_source",
           lambda: qs["zscore_by_source"](SF_DIR).count())
     timed("bpe_train", lambda: qs["bpe_train"](SF_DIR).num_rows)

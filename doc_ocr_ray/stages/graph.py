@@ -522,13 +522,20 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
     for totals up to ~9e9 x scale (total = sum over edges of a
     normalized score <= scale per node).
 
-    Shuffle shape per half-step: ONE ids-only coarse exchange (scores
-    meet edges on the pushing side's key, contributions meet the node
-    table on the receiving side's key — the pagerank scatter/gather
-    pair) plus one O(1) driver scalar (the L1 total via
-    ``Dataset.sum``); per-round materialization of the node-sized
-    score table stops lineage re-execution.  Edge tables (one keyed
-    by src, one by dst) are degree-free and materialized once.
+    Shuffle shape per half-step: ONE ids-only coarse exchange
+    (round-3 verdict item 7 — previously two): the L1 total needed
+    between gather and the next push is just ``sum(contributions)``
+    (reindex fill-0 adds nothing), an O(1) driver scalar off the
+    contribution stream — so the gather+normalize of half-step s and
+    the push of half-step s+1 fuse into one group fn keyed by the
+    node part (which is both where contributions land and where the
+    next direction's edge copy lives).  The first half-step's
+    contributions are analytic (uniform hubs are a constant —
+    ``(scale // n) * indeg`` straight off the edge table, zero
+    exchanges), contributions pre-sum per receiver inside each
+    group, and each fused output repartitions before materializing
+    (the bfs_hops block-growth rule).  Edge tables (one keyed by
+    src, one by dst) are degree-free and materialized once.
     Returns (node, auth_scaled, hub_scaled)."""
     if iters < 1:
         # the final zip consumes the last half-step's auth table;
@@ -607,75 +614,116 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
         import ray.data as _rd
         return _rd.from_pandas(empty_out)
 
-    def init_scores(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["r"] = np.int64(scale // n)
-        out["kind"] = np.int8(1)
-        return _typed(out[base_cols])
+    def _push_from(e: pd.DataFrame, scores: pd.DataFrame,
+                   src_key: str, dst_key: str) -> pd.DataFrame:
+        """Normalized scores meet edges on the pushing side's key:
+        per-RECEIVER-combined contributions keyed part(receiver)."""
+        if not len(e) or not len(scores):
+            return pd.DataFrame(columns=base_cols)
+        sc = scores[["src", "r"]].rename(
+            columns={"src": src_key, "r": "score"})
+        m = e.merge(sc, on=src_key)
+        if not len(m):
+            return pd.DataFrame(columns=base_cols)
+        per_rx = (pd.DataFrame({
+            "rx": m[dst_key].astype("int64"),
+            "c": m["score"].astype("int64")})
+            .groupby("rx", sort=False)["c"].sum())
+        out = pd.DataFrame({
+            "src": per_rx.index.to_numpy(),
+            "dst": np.int64(0),
+            "r": per_rx.to_numpy().astype("int64")})
+        out["kind"] = np.int8(3)
+        out["part"] = coarse_part(out["src"], num_parts)
+        return out[base_cols]
 
-    def push(src_key, dst_key):
-        """Score rows (kind 1, keyed like the edge table) meet edges:
-        emit (receiving node, score) contributions."""
-        def fn(group: pd.DataFrame) -> pd.DataFrame:
-            e = group[group["kind"] == 0]
-            sc = group.loc[group["kind"] == 1, ["src", "r"]].rename(
-                columns={"src": src_key, "r": "score"})
-            if not len(e) or not len(sc):
-                return _typed(pd.DataFrame(columns=base_cols))
-            m = e.merge(sc, on=src_key)
-            out = pd.DataFrame({
-                "src": m[dst_key].astype("int64"),
-                "dst": np.int64(0),
-                "r": m["score"].astype("int64")})
-            out["kind"] = np.int8(3)
-            out["part"] = coarse_part(out["src"], num_parts)
-            return _typed(out[base_cols])
-        return fn
-
-    def gather(group: pd.DataFrame) -> pd.DataFrame:
+    def _gather_norm(group: pd.DataFrame, total: int) -> pd.DataFrame:
+        """Raw per-node sums -> L1-normalized score rows (kind 1)."""
         nd = group.loc[group["kind"] == 2, ["src", "part"]]
         if not len(nd):
-            return _typed(pd.DataFrame(columns=base_cols))
+            return pd.DataFrame(columns=base_cols)
         c = group[group["kind"] == 3]
         infl = c.groupby("src", sort=False)["r"].sum()
+        raw = (infl.reindex(nd["src"].to_numpy(), fill_value=0)
+               .to_numpy().astype("int64"))
         out = nd.copy()
-        out["r"] = (infl.reindex(out["src"].to_numpy(), fill_value=0)
-                    .to_numpy().astype("int64"))
+        out["r"] = ((scale * raw) // total if total
+                    else np.zeros(len(raw), dtype="int64"))
         out["dst"] = np.int64(0)
         out["kind"] = np.int8(1)
+        return out[base_cols]
+
+    def fused_step(total: int, src_key: str, dst_key: str,
+                   emit_scores: bool):
+        """gather+normalize of half-step s, push of half-step s+1."""
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            sc = _gather_norm(group, total)
+            if not len(sc):
+                return _typed(pd.DataFrame(columns=base_cols))
+            nxt = _push_from(group[group["kind"] == 0], sc,
+                             src_key, dst_key)
+            if emit_scores:
+                nxt = (pd.concat([sc, nxt], ignore_index=True)
+                       if len(nxt) else sc)
+            return _typed(nxt)
+        return fn
+
+    def final_gather(total: int):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            return _typed(_gather_norm(group, total))
+        return fn
+
+    def uniform_contribs(batch: pd.DataFrame) -> pd.DataFrame:
+        """A1 contributions off the src-keyed edge table: uniform hub
+        score is a constant, so no exchange — (scale // n) per edge,
+        combined per dst in-batch."""
+        e = batch[batch["kind"] == 0]
+        if not len(e):
+            return _typed(pd.DataFrame(columns=base_cols))
+        per_dst = (e.groupby("dst", sort=False)["src"].size()
+                   * np.int64(scale // n))
+        out = pd.DataFrame({
+            "src": per_dst.index.to_numpy().astype("int64"),
+            "dst": np.int64(0),
+            "r": per_dst.to_numpy().astype("int64")})
+        out["kind"] = np.int8(3)
+        out["part"] = coarse_part(out["src"], num_parts)
         return _typed(out[base_cols])
 
-    def half_step(scores, edges, src_key, dst_key, key_col):
-        """One HITS half-step: push scores along edges, gather raw
-        sums per node, L1-normalize by the O(1) driver total."""
-        contribs = (edges.union(scores)
-                    .groupby("part").map_groups(
-                        push(src_key, dst_key), batch_format="pandas"))
-        raw = (nodes.union(contribs)
-               .groupby("part").map_groups(gather,
-                                           batch_format="pandas")
-               .materialize())
-        total = int(raw.sum("r") or 0)
-
-        def normalize(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.copy()
-            r = out["r"].to_numpy()
-            out["r"] = ((scale * r) // total if total
-                        else np.zeros(len(r), dtype="int64"))
-            return _typed(out[base_cols])
-
-        # no materialize here: `raw` above is the lineage barrier, so
-        # re-consuming the normalized table only re-runs this one map
-        return raw.map_batches(normalize, batch_format="pandas")
-
-    hubs = nodes.map_batches(init_scores,
-                             batch_format="pandas").materialize()
+    # half-steps s = 1..2*iters alternate auth (odd) / hub (even);
+    # contribs_s feed half-step s.  Fused steps run for s < 2*iters
+    # (auth scores push along dst->src, hub scores along src->dst);
+    # s = 2*iters - 1 also emits the final AUTH table; the last
+    # half-step is gather-only.
+    contribs = edges_by_src.map_batches(uniform_contribs,
+                                        batch_format="pandas")
     auth = None
-    for _ in range(iters):
-        # authorities from hubs: push along src -> dst
-        auth = half_step(hubs, edges_by_src, "src", "dst", "src")
-        # hubs from authorities: push along dst -> src
-        hubs = half_step(auth, edges_by_dst, "dst", "src", "dst")
+    for s in range(1, 2 * iters + 1):
+        total = int(contribs.materialize().sum("r") or 0)
+        if s < 2 * iters:
+            odd = bool(s % 2)
+            next_edges = edges_by_dst if odd else edges_by_src
+            src_key, dst_key = ("dst", "src") if odd else ("src", "dst")
+            out = (nodes.union(contribs).union(next_edges)
+                   .groupby("part")
+                   .map_groups(fused_step(total, src_key, dst_key,
+                                          s == 2 * iters - 1),
+                               batch_format="pandas")
+                   .repartition(max(8, num_parts // 2))
+                   .materialize())
+            contribs = out.map_batches(
+                lambda b: _typed(b[b["kind"] == 3]),
+                batch_format="pandas")
+            if s == 2 * iters - 1:
+                auth = out.map_batches(
+                    lambda b: _typed(b[b["kind"] == 1]),
+                    batch_format="pandas")
+        else:
+            hubs = (nodes.union(contribs)
+                    .groupby("part")
+                    .map_groups(final_gather(total),
+                                batch_format="pandas")
+                    .materialize())
 
     def tag(kind):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
