@@ -699,19 +699,36 @@ def dedup_clusters(pairs_ds, max_iters: int = 30, num_parts: int = 64):
         batch_format="pandas")
 
 
-def drop_near_duplicates(ds, pairs_ds, strategy: str = "broadcast"):
+def drop_near_duplicates(ds, pairs_ds, strategy: str = "auto",
+                         broadcast_limit: int = 50_000_000):
     """Keep-min pruning: drop every doc that near-duplicates a
     smaller-id doc.
 
-    - ``broadcast`` (default): the victim id-set rides the object
-      store once and the anti-join is a shuffle-free ``map_batches``
-      filter.  Right when victims fit worker memory (10^8 int64 ids
-      ~= 800 MB — usually fine).
+    - ``auto`` (default; round-3 verdict item 4): count the victim
+      side first — a cheap metadata pass over the materialized pair
+      list — then pick and LOG the choice, so the default is safe at
+      any scale instead of putting the memory envelope on the caller.
+      ``broadcast_limit`` is the victim-count cutover (int64 ids in a
+      shared-memory numpy array: 50M ids = 400 MB plasma, zero-copy
+      per node, not per task).
+    - ``broadcast``: the victim id-set rides the object store once
+      and the anti-join is a shuffle-free ``map_batches`` filter.
     - ``shuffle``: tagged-union + coarse-key groupby anti-join — one
       corpus shuffle, no memory assumption.  Right when the duplicate
       fraction is so large the victim set itself is at corpus scale.
     """
+    import logging
+
     import ray
+
+    if strategy == "auto":
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()       # victims <= pairs: free bound
+        strategy = ("broadcast" if n_pairs <= broadcast_limit
+                    else "shuffle")
+        logging.getLogger(__name__).info(
+            "drop_near_duplicates auto: %d candidate pairs -> %s "
+            "(cutover %d)", n_pairs, strategy, broadcast_limit)
 
     if strategy == "shuffle":
         def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -741,7 +758,12 @@ def drop_near_duplicates(ds, pairs_ds, strategy: str = "broadcast"):
         return docs.union(vic).groupby("part").map_groups(
             anti, batch_format="pandas")
 
-    victims = set(r["doc_b"] for r in pairs_ds.select_columns(["doc_b"]).take_all())
+    # distributed distinct first, then a NUMPY id array (8 B/id,
+    # zero-copy from plasma per node) — not a Python set (~90 B/id,
+    # pickled per worker)
+    victims = np.asarray(
+        pairs_ds.select_columns(["doc_b"]).unique("doc_b"),
+        dtype=np.int64)
     ref = ray.put(victims)
 
     def drop(batch: pd.DataFrame) -> pd.DataFrame:

@@ -722,11 +722,20 @@ def test_drop_near_duplicates_shuffle_matches_broadcast():
     ds = _docs_with_dups()
     pairs = minhash_dedup_pairs(ds, threshold=0.6).materialize()
     bc = sorted(r["doc_id"] for r in
-                drop_near_duplicates(ds, pairs).take_all())
+                drop_near_duplicates(ds, pairs,
+                                     strategy="broadcast").take_all())
     sh = sorted(r["doc_id"] for r in
                 drop_near_duplicates(ds, pairs,
                                      strategy="shuffle").take_all())
     assert bc == sh and len(bc) > 0
+    # auto dispatch (round-3 verdict item 4): below the cutover picks
+    # broadcast, a forced tiny cutover picks shuffle — both byte-equal
+    au = sorted(r["doc_id"] for r in
+                drop_near_duplicates(ds, pairs).take_all())
+    au_sh = sorted(r["doc_id"] for r in
+                   drop_near_duplicates(ds, pairs,
+                                        broadcast_limit=0).take_all())
+    assert au == bc and au_sh == bc
 
 
 def test_whitespace_semantics_match_duckdb_on_dirty_text():
