@@ -1493,6 +1493,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_neardup_wav_table(doc_ids))
         return multimodal.media_afp_pairs(media, max_hamming=3)
 
+    def q_media_video_fp(sf_dir):
+        # perceptual video near-dup over REAL y4m decodes (header
+        # parse + computed-length plane jumping): temporal luma-
+        # energy-contour fingerprint, the audio design in the frame
+        # domain; the SQL twin recomputes the 64 frame-energy
+        # comparisons from the closed-form luma (the variant-1
+        # cyclic pan is sum-invariant so the oracle needn't model it)
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_video_table(doc_ids))
+        return multimodal.media_vfp_pairs(media, max_hamming=3)
+
     def q_pdf_extract(sf_dir):
         # REAL PDF parse (object graph + /Kids walk + content-stream
         # tokenizer, FlateDecode via stdlib zlib on odd docs): the SQL
@@ -3622,6 +3637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_neardup_phash": q_media_neardup_phash,
         "media_neardup_keep": q_media_neardup_keep,
         "audio_neardup_fp": q_audio_neardup_fp,
+        "media_video_fp": q_media_video_fp,
         "media_dedup_incremental": q_media_dedup_incremental,
         "pdf_extract": q_pdf_extract,
         "multimodal_ppm": q_multimodal_ppm,
@@ -6278,6 +6294,43 @@ def oracle_sql() -> dict[str, str]:
                               THEN 5000 ELSE 0 END
                      ) % 65536) AS e
               FROM d, range(65) f(f), range(16) k(k)
+              GROUP BY 1, 2),
+            bits AS (
+              SELECT a.doc_id, a.f AS pos,
+                     CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+              FROM en a JOIN en b ON b.doc_id = a.doc_id
+                                 AND b.f = a.f + 1
+              WHERE a.f < 64),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     SUM(CASE WHEN x.bit <> y.bit
+                              THEN 1 ELSE 0 END) AS hamming
+              FROM bits x JOIN bits y ON x.pos = y.pos
+                                     AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 3
+        """,
+        # video twin of audio_neardup_fp: per-frame luma SUM over the
+        # closed-form pixels (variant-1's cyclic pan is sum-invariant,
+        # so the formula needn't model it; variant-2's +100 bump and
+        # the 40-frame zero-pad tail are stated verbatim)
+        "media_video_fp": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            en AS (
+              SELECT doc_id, f.f AS f,
+                     SUM(CASE WHEN f.f <
+                              (CASE WHEN (doc_id // 3) % 7 = 0
+                                    THEN 40 ELSE 65 END)
+                         THEN (f.f * f.f * (3 + (doc_id // 3) % 13)
+                               + f.f * (7 + (doc_id // 3) % 5)
+                               + 11 * (doc_id // 3)
+                               + 2 * y.y + 3 * x.x
+                               + CASE WHEN doc_id % 3 = 2 AND f.f = 0
+                                           AND y.y = 0 AND x.x = 0
+                                      THEN 100 ELSE 0 END) % 256
+                         ELSE 0 END) AS e
+              FROM d, range(65) f(f), range(8) y(y), range(8) x(x)
               GROUP BY 1, 2),
             bits AS (
               SELECT a.doc_id, a.f AS pos,

@@ -737,6 +737,177 @@ def synthesize_neardup_wav_table(doc_ids,
     })
 
 
+# ------------------------------------------------------ real video path
+# YUV4MPEG2 (y4m) is the PPM of video: a plain-text header, then
+# length-implied raw frames — parseable with stdlib + numpy, no codec.
+# This closes the round-3 stretch item (media scaffolding existed, no
+# video operator): real container decode -> keyframe/energy contour ->
+# the shared 64-bit banding pipeline.  Compressed containers (MP4 et
+# al.) stay behind the injected-codec seam, exactly like JPEG exotics.
+
+_Y4M_SIG = b"YUV4MPEG2 "
+# total Cb+Cr bytes per frame = factor * (w*h) / 4
+_Y4M_CHROMA_FACTOR = {"mono": 0, "420": 2, "420jpeg": 2,
+                      "420mpeg2": 2, "420paldv": 2, "422": 4, "444": 8}
+
+
+def encode_y4m(frames: np.ndarray, chroma: str = "mono") -> bytes:
+    """(n, h, w) uint8 luma -> y4m bytes.  ``chroma != 'mono'`` emits
+    flat 128 (neutral) chroma planes of the right size — enough to
+    exercise the decoder's plane jumping."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    cname = {"mono": "mono", "420": "420jpeg", "444": "444"}[chroma]
+    head = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cname}\n"
+            .encode("ascii"))
+    extra = (w * h * _Y4M_CHROMA_FACTOR[cname]) // 4
+    pad = b"\x80" * extra
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes() + pad
+                           for i in range(n))
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """y4m -> (n, h, w) uint8 LUMA frames.  REAL parse: header tags,
+    per-frame optional parameters, and chroma planes JUMPED by their
+    computed length (the length-delimited-scan rule — never
+    pattern-matched).  Unknown chroma modes raise; truncated frames
+    raise ValueError."""
+    if not payload.startswith(_Y4M_SIG):
+        raise ValueError("not a y4m payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m header unterminated")
+    w = h = None
+    chroma = "420"                    # spec default when C is absent
+    for tag in payload[len(_Y4M_SIG):nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            chroma = val.decode("ascii", "replace")
+    if not w or not h or w < 0 or h < 0:
+        raise ValueError("y4m without valid W/H")
+    if w * h > 1 << 28:
+        raise ValueError("y4m frame size implausible")   # input cap
+    factor = _Y4M_CHROMA_FACTOR.get(chroma)
+    if factor is None:
+        raise NotImplementedError(
+            "y4m chroma mode %r needs an injected codec" % chroma)
+    luma_len = w * h
+    frame_len = luma_len + (luma_len * factor) // 4
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("y4m FRAME marker expected at %d" % pos)
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("y4m frame header unterminated")
+        pos = fnl + 1                  # frame params skipped
+        if pos + frame_len > n:
+            raise ValueError("y4m frame truncated")
+        frames.append(np.frombuffer(payload, np.uint8, luma_len, pos)
+                      .reshape(h, w))
+        pos += frame_len               # JUMP luma + chroma planes
+    if not frames:
+        raise ValueError("y4m with zero frames")
+    return np.stack(frames)
+
+
+def decode_video(payload: bytes, codec=None) -> np.ndarray:
+    """Container sniff for video, mirroring :func:`decode_image`:
+    y4m parses for real; anything else (MP4/WebM/... — codec
+    libraries absent here) goes to the injected ``codec`` callable
+    (``bytes -> (n, h, w) uint8 luma ndarray``) or raises."""
+    if payload.startswith(_Y4M_SIG):
+        try:
+            return decode_y4m(payload)
+        except NotImplementedError:
+            if codec is None:
+                raise
+    if codec is not None:
+        frames = np.asarray(codec(payload))
+        if frames.ndim != 3 or frames.dtype != np.uint8:
+            raise ValueError("injected video codec must return a "
+                             "(n, h, w) uint8 ndarray")
+        return frames
+    raise NotImplementedError(
+        "unrecognized video container (MP4 et al. need a codec "
+        "library not present here; pass codec=... to inject one)")
+
+
+_VFP_FRAMES = 65
+
+
+def video_fingerprint64(frames: np.ndarray) -> int:
+    """64-bit temporal luma-energy-contour fingerprint — the video
+    twin of :func:`audio_fingerprint64`: per-frame luma SUM over the
+    first 65 frames (shorter clips zero-pad: black tail), one bit per
+    consecutive-frame energy comparison."""
+    e = (frames.reshape(len(frames), -1).astype(np.int64).sum(axis=1)
+         [:_VFP_FRAMES])
+    if len(e) < _VFP_FRAMES:
+        e = np.pad(e, (0, _VFP_FRAMES - len(e)))
+    return _pack_bits64(e[1:] > e[:-1])
+
+
+def synthesize_video_table(doc_ids, width: int = 8,
+                           height: int = 8) -> pa.Table:
+    """Deterministic near-duplicate video testbed (closed-form luma
+    so the SQL oracle recomputes the fingerprint exactly).  Groups of
+    three share a base clip (g = doc_id // 3): variant 0 is the base;
+    variant 1 cyclically shifts every frame one pixel in x — real
+    pixel motion whose per-frame SUM (and so the fingerprint) is
+    IDENTICAL, the re-encode/pan robustness case the contour absorbs;
+    variant 2 additionally bumps frame 0 pixel (0,0) by +100 before
+    the mod, which the oracle models verbatim.  GROUPS with
+    g % 7 == 0 carry 40 frames instead of 65, exercising the
+    zero-pad tail (keyed on the group so variants stay comparable).  luma(f, y, x) = (f^2 (3 + g%13) + f (7 + g%5)
+    + 11 g + 2 y + 3 x + [v=2][f=y=x=0] 100) % 256."""
+    refs, docs, payloads = [], [], []
+    y = np.arange(height)[None, :, None]
+    x = np.arange(width)[None, None, :]
+    for d in doc_ids:
+        d = int(d)
+        g, v = d // 3, d % 3
+        nf = 40 if g % 7 == 0 else _VFP_FRAMES
+        f = np.arange(nf)[:, None, None]
+        luma = (f * f * (3 + g % 13) + f * (7 + g % 5) + 11 * g
+                + 2 * y + 3 * x)
+        if v == 2:
+            luma = luma.copy()
+            luma[0, 0, 0] += 100
+        luma = (luma % 256).astype(np.uint8)
+        if v == 1:
+            luma = np.roll(luma, 1, axis=2)   # sum-invariant pan
+        refs.append(f"vid:{d}")
+        docs.append(d)
+        payloads.append(encode_y4m(luma))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "media_type": pa.array(["video"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+def media_vfp_pairs(media_ds, max_hamming: int = 3,
+                    batch_size: int = 16, codec=None):
+    """Perceptual near-duplicate video pairs (doc_a, doc_b, hamming):
+    real y4m decode -> energy-contour fingerprint -> the shared
+    64-bit banding pipeline; 40 bytes/clip ride the shuffle, never
+    frames.  ``codec`` injects a decoder for compressed containers."""
+    return _media_hash64_pairs(
+        media_ds, lambda p: video_fingerprint64(decode_video(p, codec)),
+        "vfp", max_hamming, batch_size)
+
+
 # --------------------------------------------- perceptual image dedup
 # A crawl re-hosts the same picture at many sizes / re-encodes — exact
 # byte dedup (media_dedup below) misses every one of those.  dHash

@@ -1056,6 +1056,70 @@ def test_jpeg_image_stats_gate(ray_session):
     assert (out["err_le_tol"] == 1).all()
 
 
+def test_y4m_roundtrip_fingerprint_and_vfp_pairs(ray_session):
+    """Real video path (round-3 stretch item): y4m roundtrips across
+    chroma modes (planes JUMPED by computed length), the temporal
+    energy-contour fingerprint absorbs a sum-invariant pan (v1) and a
+    sub-contour bump (v2), and the pair pipeline reports exactly the
+    within-group near-dups over real decoded frames."""
+    import ray
+    from doc_ocr_ray.stages.multimodal import (
+        encode_y4m, decode_y4m, decode_video, video_fingerprint64,
+        synthesize_video_table, media_vfp_pairs)
+
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, size=(7, 6, 9)).astype(np.uint8)
+    for ch in ("mono", "420", "444"):
+        assert (decode_y4m(encode_y4m(frames, chroma=ch))
+                == frames).all()
+
+    tbl = synthesize_video_table(range(12))
+    fps = [video_fingerprint64(decode_y4m(p))
+           for p in tbl["payload"].to_pylist()]
+    for g in range(4):
+        assert fps[3 * g] == fps[3 * g + 1] == fps[3 * g + 2]
+
+    pairs = media_vfp_pairs(
+        ray.data.from_arrow(tbl).repartition(3)).take_all()
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    want = {(3 * g + i, 3 * g + j)
+            for g in range(4) for i in range(3) for j in range(i + 1, 3)}
+    assert got == want
+    assert all(p["hamming"] == 0 for p in pairs)
+
+
+def test_y4m_adversarial_malformed_inputs():
+    """Session-8 parser rule for the y4m decoder: truncations and
+    malformed headers raise controlled errors; a prefix ending on an
+    exact frame boundary is a VALID shorter clip (y4m has no trailer);
+    unknown chroma goes to the injected-codec seam."""
+    import pytest as _pytest
+    from doc_ocr_ray.stages.multimodal import (encode_y4m, decode_y4m,
+                                               decode_video)
+    frames = (np.arange(3 * 4 * 5).reshape(3, 4, 5) % 256
+              ).astype(np.uint8)
+    enc = encode_y4m(frames, chroma="420")
+    head_end = enc.index(b"\n") + 1
+    frame_len = 6 + 4 * 5 + (4 * 5) // 2       # FRAME\n + luma + c
+    for i in range(len(enc)):
+        if i >= head_end and (i - head_end) % frame_len == 0 and i > head_end:
+            assert len(decode_y4m(enc[:i])) == (i - head_end) // frame_len
+        else:
+            with _pytest.raises((ValueError, NotImplementedError)):
+                decode_y4m(enc[:i])
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W0 H4 Cmono\nFRAME\n")
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nGARBAGE")
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C410\nFRAME\n" + b"\x00" * 4)
+    marker = np.zeros((2, 2, 2), np.uint8)
+    assert (decode_video(b"YUV4MPEG2 W2 H2 C410\nFRAME\n" + b"\x00" * 4,
+                         codec=lambda p: marker) == marker).all()
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypmp42")
+
+
 def test_wav_roundtrip_and_stats(ray_session):
     import ray.data
     from doc_ocr_ray.stages.multimodal import (
