@@ -1112,9 +1112,12 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
     for t in range(1, walk_len + 1):
         if n_frontier == 0:
             break
+        # repartition before materialize (the bfs_hops block-growth
+        # rule): the frontier feeds its own blocks back each step
         frontier = (edges.union(frontier)
                     .groupby("part")
                     .map_groups(make_step(t), batch_format="pandas")
+                    .repartition(max(8, num_parts // 2))
                     .materialize())
         rounds.append((t, frontier))
         n_frontier = frontier.count()
