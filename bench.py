@@ -67,11 +67,11 @@ def run_benchmarks() -> dict:
     # slow op, such bursts are attributable on sight)
     rerun_floor = float(os.environ.get("GRAFT_BENCH_RERUN_FLOOR", "5.0"))
 
-    def timed(name, fn):
+    def timed(name, fn, force_rerun=False):
         t0 = time.time()
         result = fn()
         elapsed = time.time() - t0
-        if elapsed > rerun_floor:
+        if force_rerun or elapsed > rerun_floor:
             t1 = time.time()
             fn()
             second = time.time() - t1
@@ -116,14 +116,13 @@ def run_benchmarks() -> dict:
     # the min measures the pipeline, the spread is host noise (the
     # capacity probe runs adjacent to, not during, the timed window,
     # so it can miss a burst)
+    # min-of-2 + worst come from timed()'s rerun path, FORCED for the
+    # headline (it sits under the 5 s floor at bench scale; the old
+    # explicit second run stacked on the auto-rerun, running the
+    # headline 4x and overwriting the true worst — round-4 review)
     def bench_extract():
         return extract_questions(ray.data.read_parquet(corpus)).count()
-    n_questions = timed("extract", bench_extract)
-    timed("extract_run2", bench_extract)
-    timings["extract_worst"] = max(timings["extract"],
-                                   timings["extract_run2"])
-    timings["extract"] = min(timings["extract"],
-                             timings.pop("extract_run2"))
+    n_questions = timed("extract", bench_extract, force_rerun=True)
 
     if os.environ.get("GRAFT_BENCH_ONLY") == "extract":
         # scaling subprocesses only consume the headline timing —

@@ -231,8 +231,14 @@ def sessionize_streaming(ds, gap_minutes: int = 30, num_buckets: int = 8,
             out = pd.DataFrame(rows, columns=["user_id", "session_id",
                                               "n_events", "start_ts",
                                               "end_ts"])
+            # the ts casts matter for EMPTY buckets: object-dtype
+            # start/end columns produce mixed block schemas in
+            # from_pandas_refs and spam Ray's size estimator (the
+            # typed-empty rule; round-4 review finding)
             return out.astype({"user_id": "int64", "session_id": "int64",
-                               "n_events": "int64"})
+                               "n_events": "int64",
+                               "start_ts": "datetime64[ns]",
+                               "end_ts": "datetime64[ns]"})
 
     actors = [SessionActor.remote(b, num_buckets)
               for b in range(num_buckets)]

@@ -936,33 +936,28 @@ def _bloom_test(bloom: np.ndarray, ids: np.ndarray) -> np.ndarray:
 
 
 def _candidate_bloom(pairs, n_pairs: int) -> np.ndarray:
-    """Bloom filter over every doc id appearing in ``pairs`` —
-    assembled from per-batch uint64 bitmask partials so the driver
-    only ever ORs fixed-size arrays (it never sees the ids).  Sized at
-    ~16 bits/id (k=2 → ~2% false positives) up to a 32 MiB cap; past
-    the cap the fp rate rises gracefully, costing only extra payload
-    rows that the exchange-A inner merge drops."""
+    """Bloom filter over every doc id appearing in ``pairs``: the
+    driver streams the raw id batches (16 B/pair ingress — a first
+    cut shipped one m/8-byte bitmask PARTIAL per batch, ~512 B/pair
+    at the cap and quadratic-ish below it; round-4 review finding)
+    and sets bits into ONE capped numpy array, so driver heap stays
+    O(m) regardless of candidate count.  Sized at ~16 bits/id (k=2 →
+    ~2% false positives) up to a 32 MiB cap; past the cap the fp
+    rate rises gracefully, costing only extra payload rows that the
+    exchange-A inner merge drops."""
     m_bits = 1 << 20
     while m_bits < 16 * 2 * n_pairs and m_bits < _BLOOM_CAP_BITS:
         m_bits <<= 1
-    n_words = m_bits // 64
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = np.zeros(n_words, dtype=np.uint64)
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    for batch in pairs.iter_batches(batch_size=65536,
+                                    batch_format="pandas"):
         ids = np.concatenate([
             batch["doc_a"].to_numpy(dtype=np.int64),
             batch["doc_b"].to_numpy(dtype=np.int64)])
         for h in _bloom_indices(ids, m_bits):
-            np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
+            np.bitwise_or.at(bloom,
+                             (h >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (h & np.uint64(63)))
-        return pd.DataFrame({"bloom": [words.tobytes()]})
-
-    bloom = np.zeros(n_words, dtype=np.uint64)
-    part_ds = pairs.map_batches(partial, batch_format="pandas",
-                                batch_size=65536)
-    for b in part_ds.iter_batches(batch_size=1, batch_format="pandas"):
-        for raw in b["bloom"]:
-            bloom |= np.frombuffer(raw, dtype=np.uint64)
     return bloom
 
 

@@ -81,29 +81,27 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
     def _typed(df: pd.DataFrame):
         return _typed_empty(df, base_cols, int8_cols=("kind",))
 
-    # --- degree-annotated edge table, cleaned, materialized ONCE
+    # --- ONE build exchange: edges keyed part(src) meet nodes keyed
+    # part(node) — cross-batch dedup for both, degree annotation, AND
+    # the dangling-source filter (an edge whose src is not in the
+    # node table never pushes in ANY round — ranks only ever exist
+    # for nodes — so dropping it here preserves semantics exactly
+    # while making the analytic round-1 contributions correct;
+    # round-4 review finding: uniform_contribs previously granted r0
+    # to every edge src).  Edges to non-node dst STAY: they shape the
+    # source's out-degree, and their contributions drop at gather,
+    # both exactly as before.
     def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
         e = batch[["src", "dst"]].drop_duplicates()
         e = e[e["src"] != e["dst"]]
         out = pd.DataFrame({
             "src": e["src"].astype("int64"),
-            "dst": e["dst"].astype("int64")})
+            "dst": e["dst"].astype("int64"),
+            "deg": np.int64(0), "r": np.int64(0)})
+        out["kind"] = np.int8(0)
         out["part"] = coarse_part(out["src"], num_parts)
-        return typed_if_empty(out)
+        return _typed(out[base_cols])
 
-    def degree_group(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["src", "dst"])
-        g = g.assign(deg=g.groupby("src", sort=False)["src"]
-                     .transform("size").astype("int64"),
-                     r=np.int64(0), kind=np.int8(0))
-        return _typed(g[base_cols])
-
-    edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
-             .groupby("part").map_groups(degree_group,
-                                         batch_format="pandas")
-             .materialize())
-
-    # --- node table (node rides in src), materialized ONCE
     def node_key(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             "src": batch["node"].astype("int64"),
@@ -113,16 +111,39 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
         out["part"] = coarse_part(out["src"], num_parts)
         return _typed(out[base_cols])
 
-    def node_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        # exact cross-batch DISTINCT: a duplicate node row would both
-        # inflate n (shifting every node's base mass) and emit two
-        # rank rows — the dup-edge lesson applies to nodes too
-        return _typed(group.drop_duplicates(["src"])[base_cols])
+    def build_group(group: pd.DataFrame) -> pd.DataFrame:
+        # exact cross-batch DISTINCT for nodes (a duplicate node row
+        # would inflate n and emit two rank rows) AND edges (a
+        # duplicate edge would double-push), then the src-in-nodes
+        # filter and per-src out-degree
+        nd = group[group["kind"] == 2].drop_duplicates(["src"])
+        e = group[group["kind"] == 0].drop_duplicates(["src", "dst"])
+        e = e[e["src"].isin(set(nd["src"]))]
+        if len(e):
+            e = e.assign(deg=e.groupby("src", sort=False)["src"]
+                         .transform("size").astype("int64"))
+        out = pd.concat([p for p in (e[base_cols], nd[base_cols])
+                         if len(p)], ignore_index=True) \
+            if len(e) or len(nd) else pd.DataFrame(columns=base_cols)
+        return _typed(out)
 
-    nodes = (nodes_ds.map_batches(node_key, batch_format="pandas")
-             .groupby("part").map_groups(node_dedup,
-                                         batch_format="pandas")
-             .materialize())
+    static = (edges_ds.map_batches(edge_key, batch_format="pandas")
+              .union(nodes_ds.map_batches(node_key,
+                                          batch_format="pandas"))
+              .groupby("part").map_groups(build_group,
+                                          batch_format="pandas")
+              .materialize())
+
+    def only(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return _typed(batch[batch["kind"] == kind][base_cols])
+        return fn
+
+    # lazy filters over static's pinned blocks (the random_walks
+    # trade: re-running a stateless filter per round beats holding a
+    # second full copy in the object store)
+    edges = static.map_batches(only(0), batch_format="pandas")
+    nodes = static.map_batches(only(2), batch_format="pandas")
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -561,31 +582,6 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
             return typed_if_empty(out)
         return fn
 
-    def edge_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        # all copies of an edge share its key-side partition: exact
-        # cross-batch DISTINCT (a duplicate edge would double-push
-        # its score and shift every normalized value downstream)
-        return _typed(group.drop_duplicates(["src", "dst"])[base_cols])
-
-    edges_by_src = (edges_ds.map_batches(edge_key("src"),
-                                         batch_format="pandas")
-                    .groupby("part").map_groups(edge_dedup,
-                                                batch_format="pandas")
-                    .materialize())
-
-    def rekey_dst(batch: pd.DataFrame) -> pd.DataFrame:
-        # derive the dst-keyed table from the ALREADY globally-deduped
-        # src-keyed one: a re-key map, no second corpus parse and no
-        # second dedup exchange (the downstream union+groupby performs
-        # the actual dst-side exchange)
-        out = batch.copy()
-        out["part"] = coarse_part(out["dst"], num_parts)
-        return _typed(out[base_cols])
-
-    edges_by_dst = (edges_by_src.map_batches(rekey_dst,
-                                             batch_format="pandas")
-                    .materialize())
-
     def node_key(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             "src": batch["node"].astype("int64"),
@@ -595,16 +591,60 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
         out["part"] = coarse_part(out["src"], num_parts)
         return _typed(out[base_cols])
 
-    def node_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        # exact cross-batch DISTINCT: a duplicate node row inflates n
-        # (shifting scale//n for every node) and double-counts its raw
-        # sums in the L1 total — every normalized score would drift
-        return _typed(group.drop_duplicates(["src"])[base_cols])
+    # --- build: TWO node-keyed exchanges that dedup edges exactly
+    # (cross-batch duplicates would double-push) AND drop every edge
+    # with a DANGLING endpoint (round-4 review finding: an edge whose
+    # src [dst] is not a node has no score to push in A-steps
+    # [H-steps], and its contribution to a non-node would previously
+    # drop at gather — filtering both endpoints up front reproduces
+    # the old semantics exactly AND keeps non-node receivers out of
+    # the stream-summed L1 totals).  Exchange 1 keys part(src):
+    # dedup + src-in-nodes; exchange 2 keys part(dst): dst-in-nodes,
+    # leaving the dst-keyed edge table; edges_by_src is a re-key map
+    # off it.  Node rows ride both exchanges (exact dedup in the
+    # first — a duplicate node row inflates n and double-counts raw
+    # sums in the L1 total).
+    def filter_end(end_col: str, dedup_nodes: bool):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            nd = group[group["kind"] == 2]
+            if dedup_nodes:
+                nd = nd.drop_duplicates(["src"])
+            e = group[group["kind"] == 0].drop_duplicates(["src",
+                                                           "dst"])
+            e = e[e[end_col].isin(set(nd["src"]))].copy()
+            e["part"] = coarse_part(e["dst"], num_parts)
+            out = pd.concat([p for p in (e[base_cols], nd[base_cols])
+                             if len(p)], ignore_index=True) \
+                if len(e) or len(nd) else pd.DataFrame(columns=base_cols)
+            return _typed(out)
+        return fn
 
-    nodes = (nodes_ds.map_batches(node_key, batch_format="pandas")
-             .groupby("part").map_groups(node_dedup,
-                                         batch_format="pandas")
-             .materialize())
+    static = (edges_ds.map_batches(edge_key("src"),
+                                   batch_format="pandas")
+              .union(nodes_ds.map_batches(node_key,
+                                          batch_format="pandas"))
+              .groupby("part").map_groups(filter_end("src", True),
+                                          batch_format="pandas")
+              .groupby("part").map_groups(filter_end("dst", False),
+                                          batch_format="pandas")
+              .materialize())
+
+    def only(kind):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return _typed(batch[batch["kind"] == kind][base_cols])
+        return fn
+
+    edges_by_dst = static.map_batches(only(0), batch_format="pandas")
+    nodes = static.map_batches(only(2), batch_format="pandas")
+
+    def rekey_src(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["part"] = coarse_part(out["src"], num_parts)
+        return _typed(out[base_cols])
+
+    edges_by_src = (edges_by_dst.map_batches(rekey_src,
+                                             batch_format="pandas")
+                    .materialize())
     n = nodes.count()
     empty_out = pd.DataFrame({
         "node": pd.Series([], dtype="int64"),
@@ -699,7 +739,11 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                                         batch_format="pandas")
     auth = None
     for s in range(1, 2 * iters + 1):
-        total = int(contribs.materialize().sum("r") or 0)
+        # keep the materialized handle: the union below re-consumes
+        # contribs, and without this it would re-run the lazy filter
+        # lineage once per half-step (round-4 review finding)
+        contribs = contribs.materialize()
+        total = int(contribs.sum("r") or 0)
         if s < 2 * iters:
             odd = bool(s % 2)
             next_edges = edges_by_dst if odd else edges_by_src

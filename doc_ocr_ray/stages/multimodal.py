@@ -757,7 +757,9 @@ def encode_y4m(frames: np.ndarray, chroma: str = "mono") -> bytes:
     exercise the decoder's plane jumping."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w = frames.shape
-    cname = {"mono": "mono", "420": "420jpeg", "444": "444"}[chroma]
+    cname = "420jpeg" if chroma == "420" else chroma
+    if cname not in _Y4M_CHROMA_FACTOR:
+        raise ValueError("encode_y4m: unknown chroma %r" % chroma)
     head = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cname}\n"
             .encode("ascii"))
     extra = (w * h * _Y4M_CHROMA_FACTOR[cname]) // 4
@@ -827,7 +829,11 @@ def decode_video(payload: bytes, codec=None) -> np.ndarray:
     if payload.startswith(_Y4M_SIG):
         try:
             return decode_y4m(payload)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
+            # unknown chroma (NotImplementedError) or a stream past
+            # the built-in envelope (ValueError): fall through to the
+            # injected codec when supplied — the same seam contract
+            # as decode_image's JPEG route
             if codec is None:
                 raise
     if codec is not None:

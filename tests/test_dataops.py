@@ -1757,6 +1757,38 @@ def test_pagerank_matches_integer_reference(ray_session):
     assert r[6] == base                # isolated node: base mass only
 
 
+def test_pagerank_hits_ignore_dangling_edge_sources(ray_session):
+    """Round-4 review regression: an edge whose src is NOT in the
+    node table must contribute nothing in ANY round — including the
+    analytic round 1 (the fused engines once granted uniform mass to
+    every edge source).  Same contract for HITS, where a dangling
+    endpoint must also stay out of the L1 totals."""
+    import ray.data
+    from doc_ocr_ray.stages.graph import hits, pagerank
+    edges = pd.DataFrame({"src": [99, 1], "dst": [1, 2]})
+    nodes = pd.DataFrame({"node": [1, 2]})
+    out = (pagerank(ray.data.from_pandas(edges),
+                    ray.data.from_pandas(nodes), iters=1)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    scale, d, n = 10 ** 12, 85, 2
+    base = (scale * (100 - d) // 100) // n
+    assert list(out["node"]) == [1, 2]
+    assert out["rank_scaled"][0] == base            # 99's mass ignored
+    assert out["rank_scaled"][1] == base + (d * (scale // n)) // 100
+
+    # HITS: edge 99->1 (src dangling) and 1->2 both present; only
+    # 1->2 may move mass, and totals must renormalize over it alone
+    h = (hits(ray.data.from_pandas(edges),
+              ray.data.from_pandas(nodes), iters=1)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    s = 10 ** 9
+    # A1: only node 2 receives (from hub(1)); L1 total = that sum
+    # -> auth = [0, s]; H1: hub(1) = auth(2) pushed back -> [s, 0]
+    assert list(h["node"]) == [1, 2]
+    assert list(h["auth_scaled"]) == [0, s]
+    assert list(h["hub_scaled"]) == [s, 0]
+
+
 def test_hits_matches_integer_reference(ray_session):
     """Distributed HITS equals a single-process replay of the same
     L1-normalized integer recurrence; the page everyone points AT is
