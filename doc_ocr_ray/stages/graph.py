@@ -127,11 +127,15 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
             if len(e) or len(nd) else pd.DataFrame(columns=base_cols)
         return _typed(out)
 
+    # the repartition bounds the block count the splits inherit: the
+    # build sort tracks its (raw, often 100+-block) input, and every
+    # later round's sort cost tracks THESE block counts
     static = (edges_ds.map_batches(edge_key, batch_format="pandas")
               .union(nodes_ds.map_batches(node_key,
                                           batch_format="pandas"))
               .groupby("part").map_groups(build_group,
                                           batch_format="pandas")
+              .repartition(max(8, num_parts // 2))
               .materialize())
 
     def only(kind):
@@ -139,11 +143,14 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
             return _typed(batch[batch["kind"] == kind][base_cols])
         return fn
 
-    # lazy filters over static's pinned blocks (the random_walks
-    # trade: re-running a stateless filter per round beats holding a
-    # second full copy in the object store)
-    edges = static.map_batches(only(0), batch_format="pandas")
-    nodes = static.map_batches(only(2), batch_format="pandas")
+    # split MATERIALIZED: the per-round unions consume both tables
+    # every round, and a lazy filter would re-scan the whole static
+    # table (edge rows included) each time — measured 2x wall at
+    # sf0.1 before this materialize
+    edges = static.map_batches(only(0),
+                               batch_format="pandas").materialize()
+    nodes = static.map_batches(only(2),
+                               batch_format="pandas").materialize()
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -627,6 +634,7 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                                           batch_format="pandas")
               .groupby("part").map_groups(filter_end("dst", False),
                                           batch_format="pandas")
+              .repartition(max(8, num_parts // 2))
               .materialize())
 
     def only(kind):
@@ -634,8 +642,12 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
             return _typed(batch[batch["kind"] == kind][base_cols])
         return fn
 
-    edges_by_dst = static.map_batches(only(0), batch_format="pandas")
-    nodes = static.map_batches(only(2), batch_format="pandas")
+    # split MATERIALIZED — every half-step's union consumes nodes and
+    # one edge copy; lazy filters would re-scan static per half-step
+    edges_by_dst = static.map_batches(only(0),
+                                      batch_format="pandas").materialize()
+    nodes = static.map_batches(only(2),
+                               batch_format="pandas").materialize()
 
     def rekey_src(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
