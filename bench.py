@@ -228,6 +228,10 @@ def run_benchmarks() -> dict:
           lambda: qs["sample_exact_n"](SF_DIR).count())
     timed("multimodal_png",
           lambda: qs["multimodal_png"](SF_DIR).count())
+    timed("multimodal_jpeg",
+          lambda: qs["multimodal_jpeg"](SF_DIR).count())
+    timed("media_video_fp",
+          lambda: qs["media_video_fp"](SF_DIR).count())
     timed("funnel_counts",
           lambda: qs["funnel_counts"](SF_DIR).count())
     timed("token_budget_select",
@@ -377,6 +381,9 @@ def run_benchmarks() -> dict:
     # new-in-round-3 operators
     timed("anchor_corpus", lambda: qs["anchor_corpus"](SF_DIR).count())
     timed("bfs_hops", lambda: qs["bfs_hops"](SF_DIR).count())
+    timed("kcore", lambda: qs["kcore"](SF_DIR).count())
+    timed("median_value_hist",
+          lambda: qs["median_value_hist"](SF_DIR).count())
     timed("knn_graph", lambda: qs["knn_graph"](SF_DIR).count())
     timed("important_parts",
           lambda: qs["important_parts"](SF_DIR).count())

@@ -892,9 +892,14 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
     for _ in range(rounds):
         if n_edges == 0:
             break
+        # both repartitions are load-bearing (the bfs_hops rule): the
+        # edge table feeds its own blocks back through two chained
+        # sorts per round, so without the bound block count — and
+        # with it every later round's sort cost — grows per round
         surv = (edges.map_batches(explode, batch_format="pandas")
                 .groupby("part").map_groups(survive,
                                             batch_format="pandas")
+                .repartition(max(8, num_parts // 2))
                 .materialize())           # consumed by BOTH filters
         edges = (edges.union(surv)
                  .groupby("part").map_groups(filter_on_a,
@@ -902,6 +907,7 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
                  .union(surv)
                  .groupby("part").map_groups(filter_on_b,
                                              batch_format="pandas")
+                 .repartition(max(8, num_parts // 2))
                  .materialize())
         remaining = edges.count()
         if remaining == n_edges:          # subset + equal count = fixpoint
