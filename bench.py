@@ -229,9 +229,9 @@ def run_benchmarks() -> dict:
     timed("multimodal_png",
           lambda: qs["multimodal_png"](SF_DIR).count())
     timed("multimodal_jpeg",
-          lambda: qs["multimodal_jpeg"](SF_DIR).count())
+          lambda: nrows(qs["multimodal_jpeg"](SF_DIR)))
     timed("media_video_fp",
-          lambda: qs["media_video_fp"](SF_DIR).count())
+          lambda: nrows(qs["media_video_fp"](SF_DIR)))
     timed("funnel_counts",
           lambda: qs["funnel_counts"](SF_DIR).count())
     timed("token_budget_select",
@@ -251,7 +251,7 @@ def run_benchmarks() -> dict:
     timed("events_hopping",
           lambda: qs["events_hopping"](SF_DIR).count())
     timed("pagerank", lambda: qs["pagerank"](SF_DIR).count())
-    timed("hits_scores", lambda: qs["hits_scores"](SF_DIR).count())
+    timed("hits_scores", lambda: nrows(qs["hits_scores"](SF_DIR)))
     timed("zscore_by_source",
           lambda: qs["zscore_by_source"](SF_DIR).count())
     timed("bpe_train", lambda: qs["bpe_train"](SF_DIR).num_rows)
@@ -381,9 +381,9 @@ def run_benchmarks() -> dict:
     # new-in-round-3 operators
     timed("anchor_corpus", lambda: qs["anchor_corpus"](SF_DIR).count())
     timed("bfs_hops", lambda: qs["bfs_hops"](SF_DIR).count())
-    timed("kcore", lambda: qs["kcore"](SF_DIR).count())
+    timed("kcore", lambda: nrows(qs["kcore"](SF_DIR)))
     timed("median_value_hist",
-          lambda: qs["median_value_hist"](SF_DIR).count())
+          lambda: nrows(qs["median_value_hist"](SF_DIR)))
     timed("knn_graph", lambda: qs["knn_graph"](SF_DIR).count())
     timed("important_parts",
           lambda: qs["important_parts"](SF_DIR).count())
