@@ -359,8 +359,17 @@ def median_value_by_type_hist(ds):
     the two middle order statistics straight off the cumulative
     counts.  Interpolation is the same double formula as SQL
     quantile_cont on values that sit exactly on the cents grid, so
-    the floor(1e4*x)/1e4 result is bit-identical."""
+    the floor(1e4*x)/1e4 result is bit-identical.
+
+    Shuffle shape: the (type, cents) key space is near-corpus-
+    cardinality, so a NATIVE groupby.sum pays an all-to-all sort of
+    every per-batch partial (the mad_outliers lesson — ~12 s of this
+    op's 12.1 s sf0.1 wall); partials re-key on a coarse hash and
+    merge inside the group fn instead, and only the combined
+    |types| x |distinct cents| histogram reaches the driver."""
     import pyarrow as pa
+
+    from doc_ocr_ray.util import coarse_part
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.dropna(subset=["event_type", "value"])
@@ -370,11 +379,20 @@ def median_value_by_type_hist(ds):
                .groupby(["event_type", "cents"], sort=False).size()
                .reset_index(name="cnt"))
         out["cnt"] = out["cnt"].astype("int64")
+        out["part"] = coarse_part(
+            out["event_type"].astype(str) + ":"
+            + out["cents"].astype(str), 64)
         return typed_if_empty(out)
 
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["event_type", "cents"], sort=False)["cnt"]
+             .sum().reset_index())
+        g["cnt"] = g["cnt"].astype("int64")
+        return typed_if_empty(g[["event_type", "cents", "cnt"]])
+
     hist = (ds.map_batches(partial, batch_format="pandas")
-            .groupby(["event_type", "cents"]).sum("cnt").to_pandas()
-            .rename(columns={"sum(cnt)": "cnt"})
+            .groupby("part").map_groups(combine, batch_format="pandas")
+            .to_pandas()
             .sort_values(["event_type", "cents"]))
     rows = []
     for t, grp in hist.groupby("event_type", sort=True):
