@@ -26,6 +26,15 @@ import pyarrow as pa
 from doc_ocr_ray.util import coarse_part, typed_if_empty
 
 
+def _bound_blocks(num_parts: int) -> int:
+    """Single audited home of the iterative-op block bound: every
+    per-round (and build) materialize repartitions to this count,
+    because a sort's output block count tracks its input's and
+    feeding a round's output back in grows blocks per round
+    (64 to 1416 in 4 hops once, at sf0.1 - the bfs_hops lesson)."""
+    return max(8, num_parts // 2)
+
+
 def _typed_empty(df: pd.DataFrame, cols, int8_cols=()):
     """Zero-row frames -> TYPED Arrow blocks with the stage's int64
     schema (``int8_cols`` override for tag columns) — the shared body
@@ -135,7 +144,7 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
                                           batch_format="pandas"))
               .groupby("part").map_groups(build_group,
                                           batch_format="pandas")
-              .repartition(max(8, num_parts // 2))
+              .repartition(_bound_blocks(num_parts))
               .materialize())
 
     def only(kind):
@@ -151,6 +160,7 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
                                batch_format="pandas").materialize()
     nodes = static.map_batches(only(2),
                                batch_format="pandas").materialize()
+    del static     # free the duplicate copy (splits hold the same rows)
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -295,7 +305,7 @@ def pagerank(edges_ds, nodes_ds, iters: int = 3, damping_pct: int = 85,
             out = (edges.union(nodes).union(contribs)
                    .groupby("part").map_groups(fused,
                                                batch_format="pandas")
-                   .repartition(max(8, num_parts // 2))
+                   .repartition(_bound_blocks(num_parts))
                    .materialize())
             contribs = out.map_batches(
                 lambda b: _typed(b[b["kind"] == 3]),
@@ -634,7 +644,7 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                                           batch_format="pandas")
               .groupby("part").map_groups(filter_end("dst", False),
                                           batch_format="pandas")
-              .repartition(max(8, num_parts // 2))
+              .repartition(_bound_blocks(num_parts))
               .materialize())
 
     def only(kind):
@@ -648,6 +658,7 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                                       batch_format="pandas").materialize()
     nodes = static.map_batches(only(2),
                                batch_format="pandas").materialize()
+    del static     # free the duplicate copy (splits hold the same rows)
 
     def rekey_src(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -765,7 +776,7 @@ def hits(edges_ds, nodes_ds, iters: int = 2, scale: int = 10 ** 9,
                    .map_groups(fused_step(total, src_key, dst_key,
                                           s == 2 * iters - 1),
                                batch_format="pandas")
-                   .repartition(max(8, num_parts // 2))
+                   .repartition(_bound_blocks(num_parts))
                    .materialize())
             contribs = out.map_batches(
                 lambda b: _typed(b[b["kind"] == 3]),
@@ -852,6 +863,7 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
     edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
              .groupby("part").map_groups(edge_dedup,
                                          batch_format="pandas")
+             .repartition(_bound_blocks(num_parts))
              .materialize())
     n_edges = edges.count()
 
@@ -899,7 +911,7 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
         surv = (edges.map_batches(explode, batch_format="pandas")
                 .groupby("part").map_groups(survive,
                                             batch_format="pandas")
-                .repartition(max(8, num_parts // 2))
+                .repartition(_bound_blocks(num_parts))
                 .materialize())           # consumed by BOTH filters
         edges = (edges.union(surv)
                  .groupby("part").map_groups(filter_on_a,
@@ -907,7 +919,7 @@ def kcore(edges_ds, k: int = 4, rounds: int = 4, num_parts: int = 64):
                  .union(surv)
                  .groupby("part").map_groups(filter_on_b,
                                              batch_format="pandas")
-                 .repartition(max(8, num_parts // 2))
+                 .repartition(_bound_blocks(num_parts))
                  .materialize())
         remaining = edges.count()
         if remaining == n_edges:          # subset + equal count = fixpoint
@@ -968,6 +980,7 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
     edges = (edges_ds.map_batches(edge_key, batch_format="pandas")
              .groupby("part").map_groups(edge_dedup,
                                          batch_format="pandas")
+             .repartition(_bound_blocks(num_parts))
              .materialize())
 
     def seed_key(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1036,7 +1049,7 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
         # 4 hops at sf0.1) and task overhead swamps the round
         out = (inputs.groupby("part")
                .map_groups(fused_hop(hop, last), batch_format="pandas")
-               .repartition(max(8, num_parts // 2))
+               .repartition(_bound_blocks(num_parts))
                .materialize())
         visited = out.map_batches(
             lambda b: _typed(b[b["kind"] == 2]), batch_format="pandas")
@@ -1122,6 +1135,7 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
     base = (edges_ds.map_batches(edge_key, batch_format="pandas")
             .groupby("part").map_groups(edge_dedup,
                                         batch_format="pandas")
+            .repartition(_bound_blocks(num_parts))
             .materialize())
 
     def only(kind):
@@ -1179,7 +1193,7 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
         frontier = (edges.union(frontier)
                     .groupby("part")
                     .map_groups(make_step(t), batch_format="pandas")
-                    .repartition(max(8, num_parts // 2))
+                    .repartition(_bound_blocks(num_parts))
                     .materialize())
         rounds.append((t, frontier))
         n_frontier = frontier.count()
@@ -1200,7 +1214,7 @@ def random_walks(edges_ds, walk_len: int = 3, seed: int = 42,
     outs = [fr.map_batches(finish(t), batch_format="pandas")
             for t, fr in rounds]
     walks = outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
-    return walks.repartition(max(8, num_parts // 2))
+    return walks.repartition(_bound_blocks(num_parts))
 
 
 def walk_skipgrams(edges_ds, walk_len: int = 3, window: int = 2,

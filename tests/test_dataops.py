@@ -4090,6 +4090,29 @@ def test_behavior_strings_order_and_count(ray_session):
         ["b>a", 2], ["c", 1]]
 
 
+def test_median_value_hist_coarse_rekey_matches_sort_path(ray_session):
+    """median_value_by_type_hist (round-4 re-key: coarse-hash combine
+    instead of a native (type, cents) groupby sort) must equal the
+    whole-group-sort twin on a multi-block testbed — the
+    .repartition(2) rule for any re-keyed merge op: a (type, cents)
+    partial split across blocks must sum, not dedup."""
+    import ray.data
+    from doc_ocr_ray.stages.sketch import (median_value_by_type,
+                                           median_value_by_type_hist)
+    rng = np.random.default_rng(11)
+    ev = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], size=400),
+        "value": np.round(rng.uniform(0, 50, size=400), 2)})
+    # force duplicate (type, cents) pairs ACROSS blocks
+    ev = pd.concat([ev, ev.iloc[:200]], ignore_index=True)
+    ds = ray.data.from_pandas(ev).repartition(2)
+    hist = (median_value_by_type_hist(ds).to_pandas()
+            .sort_values("event_type").reset_index(drop=True))
+    sort_twin = (median_value_by_type(ds).to_pandas()
+                 .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(hist, sort_twin)
+
+
 def test_mad_outliers_exact_median_and_flag(ray_session):
     import ray.data
     from doc_ocr_ray.pipelines.events import mad_outliers
