@@ -1815,6 +1815,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          num_partitions=max(2, cpus // 2),
                          on=("c_custkey",), right_on=("user_id",))
 
+    def q_customers_without_events_auto(sf_dir):
+        # size-probed dispatcher over the three strategies above
+        # (broadcast / bloom / native left_anti): counts the filter
+        # side, logs the pick; identical rows, same oracle
+        from doc_ocr_ray.pipelines.events import anti_join_auto
+        return anti_join_auto(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey",
+            _read(sf_dir, "events", ["user_id"]), "user_id")
+
     def q_asof_clicks_views(sf_dir):
         # backward as-of join: each click matched to the user's most
         # recent prior (or simultaneous) view
@@ -3673,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": q_customers_without_events,
         "customers_without_events_bloom": q_customers_without_events_bloom,
         "customers_without_events_native": q_customers_without_events_native,
+        "customers_without_events_auto": q_customers_without_events_auto,
         "asof_clicks_views": q_asof_clicks_views,
         "range_join_lookback": q_range_join_lookback,
         "pii_redact": q_pii_redact,
@@ -7044,6 +7054,11 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e.user_id = c.c_custkey)
         """,
         "customers_without_events_native": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_without_events_auto": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)

@@ -611,6 +611,48 @@ from doc_ocr_ray.util import epoch_days as _epoch_days  # noqa: E402
 from doc_ocr_ray.util import typed_if_empty as _typed_if_empty  # noqa: E402
 
 
+def anti_join_auto(ds, key: str, other_ds, other_key: str,
+                   broadcast_limit: int = 5_000_000,
+                   bloom_limit: int = 500_000_000):
+    """NOT EXISTS with a SIZE-PROBED strategy pick (the
+    drop_near_duplicates ``auto`` pattern applied to the anti-join
+    ladder): count the filter side — a metadata pass for parquet
+    reads — then route to
+
+    - :func:`anti_join_broadcast` when its row count fits the
+      driver-distinct + broadcast envelope (``broadcast_limit``),
+    - :func:`anti_join_bloom` while a ~16-bits/key bitmap stays
+      effective (``bloom_limit``; past the 2^30-bit cap the fp rate
+      degrades gracefully but verify broadcasts grow),
+    - Ray Data's native ``left_anti`` hash join beyond that (both
+      sides partitioned, nothing broadcast).
+
+    The choice is LOGGED; all three produce identical rows (pinned
+    by the shared oracle and an equality test)."""
+    import logging
+
+    import ray
+
+    n_other = other_ds.count()
+    if n_other <= broadcast_limit:
+        strategy = "broadcast"
+    elif n_other <= bloom_limit:
+        strategy = "bloom"
+    else:
+        strategy = "native_left_anti"
+    logging.getLogger(__name__).info(
+        "anti_join_auto: filter side %d rows -> %s (cutovers %d / %d)",
+        n_other, strategy, broadcast_limit, bloom_limit)
+    if strategy == "broadcast":
+        return anti_join_broadcast(ds, key, other_ds, other_key)
+    if strategy == "bloom":
+        return anti_join_bloom(ds, key, other_ds, other_key)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.join(other_ds, join_type="left_anti",
+                   num_partitions=max(2, cpus // 2),
+                   on=(key,), right_on=(other_key,))
+
+
 def anti_join_bloom(ds, key: str, other_ds, other_key: str,
                     m_bits=None, k_hashes: int = 4):
     """NOT EXISTS when the other side's key set is too large to

@@ -4090,6 +4090,29 @@ def test_behavior_strings_order_and_count(ray_session):
         ["b>a", 2], ["c", 1]]
 
 
+def test_anti_join_auto_dispatch_all_strategies_equal(ray_session):
+    """anti_join_auto (round-4: the size-probed ladder) must return
+    the same rows whichever strategy the cutovers force."""
+    import ray.data
+    from doc_ocr_ray.pipelines.events import anti_join_auto
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "name": [f"c{i}" for i in range(50)]})
+    right = pd.DataFrame({"rk": np.arange(0, 100, 3, dtype=np.int64)})
+    want = sorted(set(left["k"]) - set(right["rk"]))
+
+    def run(**kw):
+        out = anti_join_auto(ray.data.from_pandas(left).repartition(2),
+                             "k",
+                             ray.data.from_pandas(right).repartition(2),
+                             "rk", **kw).take_all()
+        return sorted(r["k"] for r in out)
+
+    assert run() == want                                  # broadcast
+    assert run(broadcast_limit=0) == want                 # bloom
+    assert run(broadcast_limit=0, bloom_limit=0) == want  # native
+
+
 def test_median_value_hist_coarse_rekey_matches_sort_path(ray_session):
     """median_value_by_type_hist (round-4 re-key: coarse-hash combine
     instead of a native (type, cents) groupby sort) must equal the
