@@ -12,10 +12,15 @@ Decoder (`decode_jpeg`) accepts any BASELINE stream (ITU T.81
 sequential DCT, 8-bit): SOF0/SOF1, 1-4 components, arbitrary
 sampling factors with integer upsample ratios (4:4:4, 4:2:2, 4:2:0,
 4:1:1), 8/16-bit DQT entries, multi-table DQT/DHT segments, restart
-intervals (DRI + RSTn), APPn/COM skip, 0xFF00 byte unstuffing.
-Progressive (SOF2) / arithmetic / hierarchical / 12-bit raise the
-documented NotImplementedError — `decode_image` then falls through
-to the injected-codec seam, which stays the path for exotic variants.
+intervals (DRI + RSTn), APPn/COM skip, 0xFF00 byte unstuffing — AND
+any PROGRESSIVE stream (SOF2, T.81 G.2): spectral selection,
+successive approximation (DC first/refine, AC first with EOB runs,
+AC refinement correction bits), interleaved or single-component DC
+scans.  A truncated progressive stream ending at a scan boundary
+decodes to a partial-precision image — the format's defining
+property.  Arithmetic / hierarchical / 12-bit raise the documented
+NotImplementedError — `decode_image` then falls through to the
+injected-codec seam, which stays the path for those variants.
 
 Encoder (`encode_jpeg`) exists for deterministic synthesis in tests
 and oracle queries: IJG-scaled Annex-K quant tables, 4:4:4 or 4:2:0,
@@ -203,13 +208,12 @@ def _block_symbols(zz: np.ndarray, dc_pred: int):
     return int(zz[0]), emissions
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JPEG bytes.
-    4:4:4 by default; ``subsample=True`` emits 4:2:0.
-    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs
-    (exists mainly so tests can drive the decoder's restart path)."""
+def _quantized_components(img: np.ndarray, quality: int,
+                          subsample: bool):
+    """Shared front half of both encoders: colorspace + pad + DCT +
+    quantize.  Returns (comp_blocks [(zz, hs, vs)], qts, h, w,
+    mcu_rows, mcu_cols) with zz zigzag-ordered int64 per padded-grid
+    block."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
@@ -239,7 +243,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     mcu_cols = -(-w // (8 * h_max))
     mcu_rows = -(-h // (8 * v_max))
 
-    # per-component zigzagged quantized blocks, MCU scan order
     comp_blocks = []
     for ci, (plane, (hs, vs)) in enumerate(zip(planes, sampling)):
         qt = qts[min(ci, len(qts) - 1)].astype(np.float64)
@@ -257,6 +260,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                          / qt).astype(np.int64)       # natural order
         zz = quant[:, :, _ZIGZAG]                     # -> zigzag order
         comp_blocks.append((zz, hs, vs))
+    return comp_blocks, qts, h, w, mcu_rows, mcu_cols
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline JPEG bytes.
+    4:4:4 by default; ``subsample=True`` emits 4:2:0.
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs
+    (exists mainly so tests can drive the decoder's restart path)."""
+    comp_blocks, qts, h, w, mcu_rows, mcu_cols = _quantized_components(
+        img, quality, subsample)
 
     # pass 1: walk MCUs, collect symbols per (component-class);
     # restart boundaries reset the DC predictors in BOTH passes (the
@@ -339,6 +354,215 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> PROGRESSIVE (SOF2) JPEG.
+
+    Same quantized coefficients as :func:`encode_jpeg` — progressive
+    is a lossless re-serialization, so ``decode_jpeg`` of both
+    streams must produce BIT-IDENTICAL pixels (the validation gate
+    the tests pin).  Scan script exercises every T.81 G.2 path: an
+    interleaved DC first scan at Al=1 plus a DC refinement, and per
+    component AC first scans (bands 1-5 and 6-63 at Al=2, EOB runs)
+    followed by two rounds of AC refinement scans (correction-bit
+    protocol) down to Al=0.  One fixed-length Huffman table per scan
+    (id 0 of its class, re-declared before each SOS — legal and
+    keeps the table builder shared with the baseline encoder)."""
+    comp_blocks, qts, h, w, mcu_rows, mcu_cols = _quantized_components(
+        img, quality, subsample)
+    ncomp = len(comp_blocks)
+    h_max = max(hs for _, hs, _ in comp_blocks)
+    v_max = max(vs for _, _, vs in comp_blocks)
+
+    out = bytearray(b"\xff\xd8")
+    for ti, qt in enumerate(qts):
+        out += (b"\xff\xdb" + struct.pack(">HB", 67, ti)
+                + qt[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (_, hs, vs) in enumerate(comp_blocks):
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs,
+                           0 if ci == 0 else min(1, len(qts) - 1))
+    out += b"\xff\xc2" + sof
+
+    def true_grid(hs, vs):
+        return (-(-(-(-h * vs // v_max)) // 8),
+                -(-(-(-w * hs // h_max)) // 8))
+
+    # interleaved DC unit order over the padded grid (matches the
+    # decoder's _prog_dc_scan)
+    dc_units = []
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            for si, (_zz, hs, vs) in enumerate(comp_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc_units.append((si, mr * vs + by,
+                                         mc * hs + bx))
+
+    def dc_first(al):
+        def gen(emit_sym, emit_bits):
+            dc_pred = [0] * ncomp
+            for si, r, c in dc_units:
+                v = int(comp_blocks[si][0][r, c, 0]) >> al
+                s, bits = _magnitude(v - dc_pred[si])
+                dc_pred[si] = v
+                emit_sym(s)
+                if s:
+                    emit_bits(bits, s)
+        return gen
+
+    def dc_refine(al):
+        def gen(emit_sym, emit_bits):
+            for si, r, c in dc_units:
+                emit_bits((int(comp_blocks[si][0][r, c, 0]) >> al) & 1,
+                          1)
+        return gen
+
+    def ac_first(ci, ss, se, al):
+        zz, hs, vs = comp_blocks[ci]
+        rows, cols = true_grid(hs, vs)
+
+        def gen(emit_sym, emit_bits):
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    emit_sym(nb << 4)
+                    if nb:
+                        emit_bits(eobrun - (1 << nb), nb)
+                    eobrun = 0
+            for r in range(rows):
+                for c in range(cols):
+                    band = zz[r, c, ss:se + 1]
+                    vals = [(1 if int(x) >= 0 else -1)
+                            * (abs(int(x)) >> al) for x in band]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            emit_sym(0xF0)
+                            run -= 16
+                        s, bits = _magnitude(v)
+                        emit_sym((run << 4) | s)
+                        emit_bits(bits, s)
+                        run = 0
+                    if nz[-1] < len(vals) - 1:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush()
+            flush()
+        return gen
+
+    def ac_refine(ci, ss, se, al):
+        zz, hs, vs = comp_blocks[ci]
+        rows, cols = true_grid(hs, vs)
+
+        def gen(emit_sym, emit_bits):
+            eobrun = 0
+            buffered = []               # correction bits across EOBs
+
+            def flush():
+                nonlocal eobrun, buffered
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    emit_sym(nb << 4)
+                    if nb:
+                        emit_bits(eobrun - (1 << nb), nb)
+                    for b in buffered:
+                        emit_bits(b, 1)
+                    buffered = []
+                    eobrun = 0
+            for r in range(rows):
+                for c in range(cols):
+                    band = zz[r, c, ss:se + 1]
+                    absv = [abs(int(x)) >> al for x in band]
+                    eob = max((i for i, a in enumerate(absv) if a == 1),
+                              default=-1)
+                    run = 0
+                    br = []             # this block's pending bits
+                    for k, a in enumerate(absv):
+                        if a == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob:
+                            flush()
+                            emit_sym(0xF0)
+                            for b in br:
+                                emit_bits(b, 1)
+                            br = []
+                            run -= 16
+                        if a > 1:       # already significant
+                            br.append(a & 1)
+                            continue
+                        flush()         # newly significant: a == 1
+                        emit_sym((run << 4) | 1)
+                        emit_bits(1 if int(band[k]) >= 0 else 0, 1)
+                        for b in br:
+                            emit_bits(b, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eobrun += 1
+                        buffered += br
+                        if eobrun == 0x7FFF or len(buffered) > 900:
+                            flush()
+            flush()
+        return gen
+
+    # scan script: DC first+refine, then per-comp AC firsts and two
+    # refinement rounds with MATCHING bands down to Al=0
+    scans = [(dc_first(1), list(range(ncomp)), 0, 0, 0, 1, 0),
+             (dc_refine(0), list(range(ncomp)), 0, 0, 1, 0, None)]
+    for ci in range(ncomp):
+        scans.append((ac_first(ci, 1, 5, 2), [ci], 1, 5, 0, 2, 1))
+        scans.append((ac_first(ci, 6, 63, 2), [ci], 6, 63, 0, 2, 1))
+    for ah in (2, 1):
+        for ci in range(ncomp):
+            scans.append((ac_refine(ci, 1, 5, ah - 1), [ci],
+                          1, 5, ah, ah - 1, 1))
+            scans.append((ac_refine(ci, 6, 63, ah - 1), [ci],
+                          6, 63, ah, ah - 1, 1))
+
+    for gen, scan_cis, ss, se, ah, al, huff_cls in scans:
+        symbols = []
+        gen(symbols.append, lambda bits, n: None)
+        writer = _BitWriter()
+        if huff_cls is not None:
+            tbits, tvalues, enc = _fixed_length_table(symbols or [0])
+            pay = (bytes([(huff_cls << 4) | 0]) + bytes(tbits)
+                   + bytes(tvalues))
+            out += (b"\xff\xc4" + struct.pack(">H", 2 + len(pay))
+                    + pay)
+
+            def emit_sym(sym, _enc=enc, _w=writer):
+                code, length = _enc[sym]
+                _w.write(code, length)
+        else:
+            def emit_sym(sym):
+                raise AssertionError("refinement scan emitted symbol")
+        gen(emit_sym, writer.write)
+        ns = len(scan_cis)
+        sos = struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in scan_cis:
+            sos += struct.pack(">BB", ci + 1, 0)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos + writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _subsample2(plane: np.ndarray) -> np.ndarray:
     """2x2 box-average chroma subsample (odd edges replicate)."""
     h, w = plane.shape
@@ -384,6 +608,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple, dict] = {}
     restart_interval = 0
     frame = None                    # (h, w, comps)
+    progressive = False
+    prog_coefs = None               # per-comp zigzag grids, all scans
     n = len(payload)
 
     while pos + 4 <= n:
@@ -453,11 +679,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not comps[-1]["h"] or not comps[-1]["v"]:
                     raise ValueError("JPEG zero sampling factor")
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:                        # SOF2 progressive
+            if len(data) < 6:
+                raise ValueError("JPEG SOF truncated")
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", data[:6])
+            if len(data) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF component list truncated")
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes")
+            if not fh or not fw or not ncomp:
+                raise ValueError("JPEG frame with zero dimension")
+            comps = []
+            for ci in range(ncomp):
+                cid, sf, tq = struct.unpack(
+                    ">BBB", data[6 + 3 * ci:9 + 3 * ci])
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F,
+                              "tq": tq})
+                if not comps[-1]["h"] or not comps[-1]["v"]:
+                    raise ValueError("JPEG zero sampling factor")
+            frame = (fh, fw, comps)
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/"
-                "hierarchical) needs an injected codec")
+                "non-baseline JPEG (arithmetic/hierarchical/"
+                "lossless) needs an injected codec")
         elif marker == 0xDA:                        # SOS -> entropy
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -472,12 +718,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("JPEG scan selects unknown "
                                      "component")
                 scan_comps.append((match[0], tt >> 4, tt & 0x0F))
+            end = _entropy_end(payload, pos)
+            if progressive:
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ahal = data[3 + 2 * ns]
+                if prog_coefs is None:
+                    prog_coefs = _alloc_prog_coefs(frame)
+                _decode_progressive_scan(
+                    payload[pos:end], frame, scan_comps, prog_coefs,
+                    htables, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F)
+                pos = end
+                continue
             if ns != len(frame[2]):
                 raise NotImplementedError(
                     "multi-scan baseline JPEG unsupported")
-            end = _entropy_end(payload, pos)
             return _decode_scan(payload[pos:end], frame, scan_comps,
                                 qtables, htables, restart_interval)
+    if progressive and prog_coefs is not None:
+        fh, fw, comps = frame
+        h_max = max(c["h"] for c in comps)
+        v_max = max(c["v"] for c in comps)
+        return _reconstruct(fh, fw, comps, prog_coefs, qtables,
+                            h_max, v_max)
     raise ValueError("JPEG ended without a scan")
 
 
@@ -492,6 +755,209 @@ def _entropy_end(payload: bytes, pos: int) -> int:
             return i
         i += 1
     return n
+
+
+def _alloc_prog_coefs(frame):
+    """Padded-grid zigzag coefficient array per component (interleaved
+    DC scans cover the MCU-padded grid; AC scans only the true
+    grid)."""
+    fh, fw, comps = frame
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    mcu_cols = -(-fw // (8 * h_max))
+    mcu_rows = -(-fh // (8 * v_max))
+    return [np.zeros((mcu_rows * c["v"], mcu_cols * c["h"], 64),
+                     dtype=np.int64) for c in comps]
+
+
+def _true_grid(frame, comp):
+    """(rows, cols) of the component's OWN block grid — the raster a
+    non-interleaved scan covers (T.81 A.2.2: sampling factors only
+    shape interleaved scans)."""
+    fh, fw, comps = frame
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    return (-(-(-(-fh * comp["v"] // v_max)) // 8),
+            -(-(-(-fw * comp["h"] // h_max)) // 8))
+
+
+def _split_segments(ecs: bytes):
+    """Split an entropy segment on restart markers and unstuff."""
+    segments = []
+    start = 0
+    i = 0
+    while i + 1 < len(ecs):
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[start:])
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+def _decode_progressive_scan(ecs, frame, scan_comps, coefs, htables,
+                             restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    or single-component), AC first (spectral band + point transform,
+    EOB runs) and AC refine (correction bits), mutating the
+    persistent per-component zigzag coefficient grids."""
+    fh, fw, comps = frame
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("JPEG bad progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan must be "
+                         "single-component")
+    segments = _split_segments(ecs)
+    comp_idx = {id(c): i for i, c in enumerate(comps)}
+
+    if ss == 0:
+        _prog_dc_scan(segments, frame, scan_comps, coefs, comp_idx,
+                      htables, restart_interval, ah, al)
+    else:
+        _prog_ac_scan(segments, frame, scan_comps[0], coefs, comp_idx,
+                      htables, restart_interval, ss, se, ah, al)
+
+
+def _prog_dc_scan(segments, frame, scan_comps, coefs, comp_idx,
+                  htables, restart_interval, ah, al):
+    fh, fw, comps = frame
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        h_max = max(c["h"] for c in comps)
+        v_max = max(c["v"] for c in comps)
+        mcu_cols = -(-fw // (8 * h_max))
+        mcu_rows = -(-fh // (8 * v_max))
+        units = []                      # (ci_in_scan, row, col) order
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                for si, (comp, td, ta) in enumerate(scan_comps):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            units.append((si, mr * comp["v"] + by,
+                                          mc * comp["h"] + bx))
+        per_rst = ((restart_interval or mcu_rows * mcu_cols)
+                   * sum(c["h"] * c["v"] for c, _, _ in scan_comps))
+    else:
+        comp = scan_comps[0][0]
+        rows, cols = _true_grid(frame, comp)
+        units = [(0, r, c) for r in range(rows) for c in range(cols)]
+        per_rst = restart_interval or len(units)
+
+    pos = 0
+    for seg in segments:
+        if pos >= len(units):
+            break
+        reader = _BitReader(seg)
+        dc_pred = [0] * len(scan_comps)
+        seg_units = units[pos:pos + per_rst]
+        for si, r, c in seg_units:
+            comp, td, _ta = scan_comps[si]
+            blk = coefs[comp_idx[id(comp)]][r, c]
+            if ah == 0:                 # DC first: shifted-diff decode
+                tbl = htables.get((0, td))
+                if tbl is None:
+                    raise ValueError("JPEG scan references missing "
+                                     "Huffman table")
+                s = reader.read_huffman(tbl)
+                if s > 11:
+                    raise ValueError("bad DC category")
+                dc_pred[si] += _extend(reader.read(s), s)
+                blk[0] = dc_pred[si] << al
+            else:                       # DC refine: one raw bit
+                if reader.read(1):
+                    blk[0] |= 1 << al
+        pos += len(seg_units)
+    if pos < len(units):
+        raise ValueError("JPEG progressive DC scan ended early")
+
+
+def _prog_ac_scan(segments, frame, scan_comp, coefs, comp_idx,
+                  htables, restart_interval, ss, se, ah, al):
+    comp, _td, ta = scan_comp
+    tbl = htables.get((1, ta))
+    if tbl is None:
+        raise ValueError("JPEG scan references missing Huffman table")
+    rows, cols = _true_grid(frame, comp)
+    grid = coefs[comp_idx[id(comp)]]
+    blocks = [(r, c) for r in range(rows) for c in range(cols)]
+    per_rst = restart_interval or len(blocks)
+    p1, m1 = 1 << al, -(1 << al)
+    pos = 0
+    for seg in segments:
+        if pos >= len(blocks):
+            break
+        reader = _BitReader(seg)
+        eobrun = 0
+        for r, c in blocks[pos:pos + per_rst]:
+            blk = grid[r, c]
+            if ah == 0:                 # ---- AC first (G.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.read_huffman(tbl)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:
+                            k += 16     # ZRL
+                            continue
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += reader.read(rr)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    blk[k] = _extend(reader.read(s), s) << al
+                    k += 1
+            else:                       # ---- AC refine (G.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.read_huffman(tbl)
+                        rr, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += reader.read(rr)
+                                break   # correction sweep below
+                            val = 0     # ZRL: skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError("bad AC refine "
+                                                 "symbol")
+                            val = p1 if reader.read(1) else m1
+                        while k <= se:
+                            if blk[k]:
+                                if reader.read(1) \
+                                        and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if k > se:
+                            break
+                        if val:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:      # correction sweep
+                        if blk[k]:
+                            if reader.read(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+        pos += min(per_rst, len(blocks) - pos)
+    if pos < len(blocks):
+        raise ValueError("JPEG progressive AC scan ended early")
 
 
 def _decode_scan(ecs: bytes, frame, scan_comps, qtables, htables,
@@ -575,9 +1041,16 @@ def _decode_scan(ecs: bytes, frame, scan_comps, qtables, htables,
         raise ValueError("JPEG entropy stream ended early "
                          "(%d/%d MCUs)" % (mcu, n_mcus))
 
-    # vectorized: dequant -> dezigzag -> IDCT -> plane -> upsample
+    return _reconstruct(fh, fw, [c for c, _, _ in scan_comps],
+                        coefs, qtables, h_max, v_max)
+
+
+def _reconstruct(fh, fw, comps, coefs, qtables, h_max, v_max):
+    """Shared back half of baseline and progressive decode:
+    vectorized dequant -> dezigzag -> IDCT -> plane -> upsample ->
+    colorspace over the per-component zigzag coefficient grids."""
     planes = []
-    for ci, (comp, _, _) in enumerate(scan_comps):
+    for ci, comp in enumerate(comps):
         qt = qtables.get(comp["tq"])
         if qt is None:
             raise ValueError("JPEG component references missing "

@@ -6,12 +6,13 @@ columns with sidecar metadata, exactly as the span table carries
 processing in the invariant path — SURVEY.md section 1.3).
 
 Decode kernels: formats that genuinely need codec libraries (MP4,
-WebP, progressive JPEG — absent in this environment) are STUBBED with
+WebP, arithmetic-coded JPEG — absent in this environment) are STUBBED
+with
 a documented ``NotImplementedError``, with ``use_fake_decoder=True``
 running a deterministic fake that exercises the full Ray-side
 plumbing.  FOUR formats get REAL no-codec decode chains (pure
 stdlib + numpy): binary PPM images (``ppm_image_stats``), PNG
-(chunk walk + inflate + unfilter, ``png_image_stats``), baseline
+(chunk walk + inflate + unfilter, ``png_image_stats``), baseline+progressive
 JPEG (Huffman + vectorized IDCT, stages/jpeg.py,
 ``jpeg_image_stats``) and RIFF/PCM16 WAV audio (``wav_audio_stats``)
 — all over closed-form synthetic payloads; the lossless formats'
@@ -462,14 +463,21 @@ def synthesize_jpeg_media_table(doc_ids, width: int = 48,
     unlike the PPM/PNG tables the oracle contract is a per-image
     ROUNDTRIP-TOLERANCE gate (:func:`jpeg_image_stats`), not exact
     channel means."""
-    from doc_ocr_ray.stages.jpeg import encode_jpeg
+    from doc_ocr_ray.stages.jpeg import (encode_jpeg,
+                                         encode_jpeg_progressive)
     refs, docs, payloads = [], [], []
     for d in doc_ids:
         d = int(d)
         img = _jpeg_expected_image(d, width, height)
-        payloads.append(encode_jpeg(
-            img, quality=85 + 5 * (d % 3), subsample=bool(d % 2),
-            restart_interval=d % 4))
+        if d % 5 == 0:
+            # every 5th doc is a PROGRESSIVE (SOF2) stream — same
+            # quantized coefficients, so the same tolerance holds
+            payloads.append(encode_jpeg_progressive(
+                img, quality=85 + 5 * (d % 3), subsample=bool(d % 2)))
+        else:
+            payloads.append(encode_jpeg(
+                img, quality=85 + 5 * (d % 3), subsample=bool(d % 2),
+                restart_interval=d % 4))
         refs.append(f"jpg:{d}")
         docs.append(d)
     return pa.table({
@@ -927,7 +935,7 @@ def decode_image(payload: bytes, codec=None) -> np.ndarray:
     """Container sniff: route PPM / PNG / baseline-JPEG payloads to
     their real no-codec decoders (JPEG: stages/jpeg.py — Huffman +
     vectorized IDCT; closes the round-3 S2 gap).
-    Any other container (WebP / progressive JPEG / ... — codec
+    Any other container (WebP / arithmetic-coded JPEG / ... — codec
     libraries absent in this environment) goes to the
     caller-INJECTED ``codec`` callable
     (``bytes -> (h, w[, c]) uint8 ndarray``) when one is supplied —
@@ -944,11 +952,12 @@ def decode_image(payload: bytes, codec=None) -> np.ndarray:
         try:
             return decode_jpeg(payload)
         except (NotImplementedError, ValueError):
-            # progressive / arithmetic / 12-bit (NotImplementedError)
+            # arithmetic / hierarchical / 12-bit (NotImplementedError)
             # or a stream past the built-in envelope (ValueError):
             # the injected codec — PIL/turbojpeg in a real deployment,
-            # a strict superset of the baseline decoder — stays the
-            # fallback; with no codec the error propagates loudly
+            # a strict superset of the built-in baseline+progressive
+            # decoder — stays the fallback; with no codec the error
+            # propagates loudly
             if codec is None:
                 raise
     if codec is not None:

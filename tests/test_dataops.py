@@ -948,6 +948,53 @@ def test_jpeg_roundtrip_all_paths():
         assert np.abs(dec.astype(int) - im.astype(int)).max() <= 4
 
 
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) decode: a progressive stream carries the
+    SAME quantized coefficients as the baseline stream of the same
+    image, so decode_jpeg of both must be BIT-IDENTICAL — this pins
+    every G.2 path (interleaved DC first/refine, AC first with EOB
+    runs, two rounds of AC refinement correction bits) against the
+    independently-tested baseline decoder."""
+    from doc_ocr_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                         encode_jpeg_progressive)
+    rng = np.random.default_rng(3)
+    cases = [
+        (_jpeg_gradient(), 85, False),
+        (rng.integers(0, 256, (33, 31, 3), dtype=np.uint8), 90, False),
+        (rng.integers(0, 256, (17, 19, 3), dtype=np.uint8), 75, True),
+        ((np.add.outer(np.arange(24) * 3, np.arange(16) * 2)
+          % 256).astype(np.uint8), 90, False),
+        (rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), 50, True),
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q,
+                                                   subsample=sub))
+        assert (base == prog).all(), (img.shape, q, sub)
+
+    # decode_image routes progressive too (no injected codec)
+    from doc_ocr_ray.stages.multimodal import decode_image
+    img = _jpeg_gradient()
+    dec = decode_image(encode_jpeg_progressive(img, quality=90))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    # truncation sweep: every prefix either raises a controlled error
+    # or (at a clean scan boundary) decodes a PARTIAL-precision image
+    # whose shape is right — progressive's defining property
+    import pytest as _pytest
+    enc = encode_jpeg_progressive(
+        rng.integers(0, 256, (9, 12, 3), dtype=np.uint8))
+    partial = 0
+    for i in range(len(enc)):
+        try:
+            out = decode_jpeg(enc[:i])
+            assert out.shape == (9, 12, 3)
+            partial += 1
+        except (ValueError, NotImplementedError):
+            pass
+    assert partial > 0          # early termination is a feature
+
+
 def test_jpeg_adversarial_malformed_inputs():
     """Session-8 parser rule: malformed/truncated JPEG bytes raise
     CONTROLLED errors (ValueError / NotImplementedError), never
@@ -971,10 +1018,15 @@ def test_jpeg_adversarial_malformed_inputs():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     with _pytest.raises(ValueError):             # SOS before SOF
         decode_jpeg(b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
-    # progressive (SOF2) -> NotImplementedError, injected-codec seam
-    sof2 = (b"\xff\xd8\xff\xc2"
+    # arithmetic coding (SOF9) -> NotImplementedError (codec seam);
+    # bare SOF2 with no scan -> ValueError (progressive IS supported)
+    sof9 = (b"\xff\xd8\xff\xc9"
             + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
     with _pytest.raises(NotImplementedError):
+        decode_jpeg(sof9)
+    sof2 = (b"\xff\xd8\xff\xc2"
+            + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
+    with _pytest.raises(ValueError):
         decode_jpeg(sof2)
     # zero dimension
     sof0 = (b"\xff\xd8\xff\xc0"
@@ -1012,12 +1064,13 @@ def test_jpeg_decode_image_routing_and_dhash_e2e(ray_session):
     dec = decode_image(encode_jpeg(img, quality=90))
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
-    sof2 = (b"\xff\xd8\xff\xc2"
+    # arithmetic-coded (SOF9) still routes to the injected-codec seam
+    sof9 = (b"\xff\xd8\xff\xc9"
             + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00")
     with _pytest.raises(NotImplementedError):
-        decode_image(sof2)                       # no codec injected
+        decode_image(sof9)                       # no codec injected
     marker = np.zeros((4, 4, 3), dtype=np.uint8)
-    assert (decode_image(sof2, codec=lambda p: marker) == marker).all()
+    assert (decode_image(sof9, codec=lambda p: marker) == marker).all()
 
     # e2e: same picture at q95 and q60 = near-dup; distinct picture out
     rng = np.random.default_rng(5)
