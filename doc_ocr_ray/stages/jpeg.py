@@ -660,7 +660,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(data) < 2:
                 raise ValueError("JPEG DRI truncated")
             (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker in (0xC0, 0xC1):                # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if len(data) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, fh, fw, ncomp = struct.unpack(">BHHB", data[:6])
@@ -679,26 +679,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not comps[-1]["h"] or not comps[-1]["v"]:
                     raise ValueError("JPEG zero sampling factor")
             frame = (fh, fw, comps)
-        elif marker == 0xC2:                        # SOF2 progressive
-            if len(data) < 6:
-                raise ValueError("JPEG SOF truncated")
-            prec, fh, fw, ncomp = struct.unpack(">BHHB", data[:6])
-            if len(data) < 6 + 3 * ncomp:
-                raise ValueError("JPEG SOF component list truncated")
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodes")
-            if not fh or not fw or not ncomp:
-                raise ValueError("JPEG frame with zero dimension")
-            comps = []
-            for ci in range(ncomp):
-                cid, sf, tq = struct.unpack(
-                    ">BBB", data[6 + 3 * ci:9 + 3 * ci])
-                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F,
-                              "tq": tq})
-                if not comps[-1]["h"] or not comps[-1]["v"]:
-                    raise ValueError("JPEG zero sampling factor")
-            frame = (fh, fw, comps)
-            progressive = True
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -976,20 +957,7 @@ def _decode_scan(ecs: bytes, frame, scan_comps, qtables, htables,
     mcu_cols = -(-fw // (8 * h_max))
     mcu_rows = -(-fh // (8 * v_max))
     n_mcus = mcu_rows * mcu_cols
-
-    # split on restart markers, unstuff each segment
-    segments = []
-    start = 0
-    i = 0
-    while i + 1 < len(ecs):
-        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-            segments.append(ecs[start:i])
-            start = i + 2
-            i += 2
-        else:
-            i += 1
-    segments.append(ecs[start:])
-    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+    segments = _split_segments(ecs)
 
     coefs = [np.zeros((mcu_rows * c["v"], mcu_cols * c["h"], 64),
                       dtype=np.int64) for c, _, _ in scan_comps]

@@ -6,15 +6,14 @@ columns with sidecar metadata, exactly as the span table carries
 processing in the invariant path — SURVEY.md section 1.3).
 
 Decode kernels: formats that genuinely need codec libraries (MP4,
-WebP, arithmetic-coded JPEG — absent in this environment) are STUBBED
-with
-a documented ``NotImplementedError``, with ``use_fake_decoder=True``
-running a deterministic fake that exercises the full Ray-side
-plumbing.  FOUR formats get REAL no-codec decode chains (pure
-stdlib + numpy): binary PPM images (``ppm_image_stats``), PNG
-(chunk walk + inflate + unfilter, ``png_image_stats``), baseline+progressive
-JPEG (Huffman + vectorized IDCT, stages/jpeg.py,
-``jpeg_image_stats``) and RIFF/PCM16 WAV audio (``wav_audio_stats``)
+WebP, arithmetic-coded JPEG — absent in this environment) are
+STUBBED with a documented ``NotImplementedError``, with
+``use_fake_decoder=True`` running a deterministic fake that
+exercises the full Ray-side plumbing.  FOUR formats get REAL
+no-codec decode chains (pure stdlib + numpy): binary PPM images
+(``ppm_image_stats``), PNG (chunk walk + inflate + unfilter,
+``png_image_stats``), baseline AND progressive JPEG (Huffman +
+vectorized IDCT, stages/jpeg.py, ``jpeg_image_stats``) and RIFF/PCM16 WAV audio (``wav_audio_stats``)
 — all over closed-form synthetic payloads; the lossless formats'
 stats are evaluated analytically by the DuckDB oracles, JPEG's gate
 is a per-image roundtrip tolerance the oracle states verbatim.
@@ -133,32 +132,47 @@ class MediaDecodeStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling stub: emits every-nth "frame" reference
-    rows from a video payload — plumbing for one-row-in-N-rows-out
-    media transforms (flat map over fat binary rows)."""
+    """Video frame sampling: emits every-nth frame reference rows
+    from a video payload — the one-row-in-N-rows-out media transform
+    (flat map over fat binary rows).  With ``use_fake_decoder=False``
+    y4m payloads decode FOR REAL (frame count from the container
+    walk; an injected ``codec`` covers compressed containers), and
+    each emitted row carries the frame's luma mean so the sample is a
+    real feature, not just plumbing."""
 
-    def __init__(self, every_n: int = 10, use_fake_decoder: bool = True):
+    def __init__(self, every_n: int = 10, use_fake_decoder: bool = True,
+                 codec=None):
         self.every_n = every_n
         self.use_fake_decoder = use_fake_decoder
+        self.codec = codec              # once per ACTOR, never per batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs, docs, frames, lens = [], [], [], []
+        refs, docs, frames, lens, lumas = [], [], [], [], []
         for ref, doc, payload in zip(batch["media_ref"].to_pylist(),
                                      batch["doc_id"].to_pylist(),
                                      batch["payload"].to_pylist()):
-            if not self.use_fake_decoder:
-                raise NotImplementedError("real frame decoding unavailable")
-            n_frames = max(1, len(payload or b"") // 256)
-            for f in range(0, n_frames, self.every_n):
+            payload = payload or b""
+            if self.use_fake_decoder:
+                n_frames = max(1, len(payload) // 256)
+                sampled = ((f, -1) for f in
+                           range(0, n_frames, self.every_n))
+            else:
+                decoded = decode_video(payload, self.codec)
+                sampled = ((f, int(decoded[f].mean()))
+                           for f in range(0, len(decoded),
+                                          self.every_n))
+            for f, luma in sampled:
                 refs.append(f"{ref}#frame{f}")
-                docs.append(doc)
-                frames.append(f)
-                lens.append(len(payload or b""))
+                docs.append(str(doc))   # media tables carry int OR
+                frames.append(f)        # string doc ids; frame refs
+                lens.append(len(payload))   # normalize to string
+                lumas.append(luma)
         return pa.table({
             "frame_ref": pa.array(refs, pa.string()),
             "doc_id": pa.array(docs, pa.string()),
             "frame_index": pa.array(frames, pa.int64()),
             "payload_len": pa.array(lens, pa.int64()),
+            "luma_mean": pa.array(lumas, pa.int64()),
         })
 
 

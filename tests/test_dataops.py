@@ -254,6 +254,18 @@ def test_multimodal_decode_plumbing():
     frames = FrameSampleStage(every_n=2)(tbl)
     assert frames.num_rows > 2                  # one row in, N frames out
 
+    # REAL frame sampling over y4m payloads (round-4: the stage's
+    # fake-only path got the real decode): every-nth frame ref with
+    # the true per-frame luma mean
+    from doc_ocr_ray.stages.multimodal import (encode_y4m,
+                                               synthesize_video_table)
+    vt = synthesize_video_table([3])
+    real = FrameSampleStage(every_n=10, use_fake_decoder=False)(vt)
+    assert real.num_rows == 7                   # 65 frames, every 10th
+    assert real["frame_ref"].to_pylist()[0] == "vid:3#frame0"
+    lm = real["luma_mean"].to_pylist()
+    assert all(0 <= v <= 255 for v in lm) and len(set(lm)) > 1
+
 
 def test_metrics_evaluate_self_is_perfect():
     import ray.data
@@ -981,7 +993,6 @@ def test_jpeg_progressive_bit_identical_to_baseline():
     # truncation sweep: every prefix either raises a controlled error
     # or (at a clean scan boundary) decodes a PARTIAL-precision image
     # whose shape is right — progressive's defining property
-    import pytest as _pytest
     enc = encode_jpeg_progressive(
         rng.integers(0, 256, (9, 12, 3), dtype=np.uint8))
     partial = 0
@@ -1049,7 +1060,7 @@ def test_jpeg_adversarial_malformed_inputs():
 
 def test_jpeg_decode_image_routing_and_dhash_e2e(ray_session):
     """decode_image now routes JPEG magic to the built-in decoder (no
-    injected codec); progressive still falls through to the seam; the
+    injected codec); arithmetic-coded streams fall to the seam; the
     perceptual dHash pair pipeline finds a re-encoded (quality 60)
     JPEG near-dup end-to-end over real JPEG bytes."""
     import struct
