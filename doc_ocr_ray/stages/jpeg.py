@@ -670,6 +670,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit JPEG decodes")
             if not fh or not fw or not ncomp:
                 raise ValueError("JPEG frame with zero dimension")
+            if fh * fw > 1 << 28:
+                # Same input cap as decode_y4m (multimodal.py): a tiny
+                # crafted stream can declare 65535x65535 and drive
+                # multi-GB coefficient allocations before the entropy
+                # data is even read.  Fail fast on implausible frames.
+                raise ValueError("JPEG frame size implausible")
             comps = []
             for ci in range(ncomp):
                 cid, sf, tq = struct.unpack(
