@@ -50,6 +50,38 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _stream_id_matrix(ds, id_col: str, vec_col: str):
+    """Stream a corpus Dataset into id-ascending ``(ids, matrix)``
+    numpy arrays WITHOUT materializing Python row objects.
+
+    The broadcast-anchor family (knn_graph, bitext_candidates) needs
+    the whole corpus matrix driver-side once before ``ray.put`` — the
+    documented exact-baseline envelope.  A ``take_all()`` row-dict
+    assembly costs ~10x the matrix bytes in Python object overhead and
+    is single-threaded dict churn; this helper instead walks
+    ``iter_batches(batch_format="pyarrow")`` and converts each block
+    column-wise (flat list-buffer -> (n, dim) float64), so peak driver
+    memory is ~2x the final matrix (chunks + concatenate) and no
+    corpus-sized Python list ever exists.  Rows are returned sorted by
+    id (stable argsort) — the order the stable-argsort tie rule in the
+    consumers depends on."""
+    id_chunks: list = []
+    vec_chunks: list = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        if b.num_rows == 0:
+            continue
+        id_chunks.append(b[id_col].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        vec_chunks.append(_matrix_from_arrow(b, vec_col))
+    if not id_chunks:
+        return np.array([], dtype=np.int64), np.empty((0, 0))
+    ids = np.concatenate(id_chunks)
+    X = np.concatenate(vec_chunks, axis=0)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], X[order]
+
+
 def _grab_rows_by_id(ds, ids, id_col: str):
     """Distributed row gather by id set, Arrow-side (``pc.is_in`` on
     zero-copy batches) so no-hit batches keep their exact schema —
@@ -1363,16 +1395,19 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
     is n_q-bounded.  The tie rule costs nothing: the corpus matrix
     is assembled in ascending vec_id order, so a STABLE argsort of
     -scores yields score-DESC-then-vec_id-ASC directly.  Output
-    (query_id, rank, vec_id, score)."""
+    (query_id, rank, vec_id, score).
+
+    The matrix is assembled by STREAMING numpy batches
+    (:func:`_stream_id_matrix`) — no corpus-sized Python row list
+    ever exists on the driver."""
     import ray
 
-    corpus = ds.select_columns([id_col, vec_col]).take_all()
-    if not corpus:
+    c_ids, Xr = _stream_id_matrix(ds, id_col, vec_col)
+    if not len(c_ids):
         import ray.data as _rd
         return _rd.from_arrow(_empty_knn_table())
-    corpus.sort(key=lambda r: int(r[id_col]))
-    c_ids = np.array([int(r[id_col]) for r in corpus], dtype="int64")
-    X = _norm_rows(_matrix([r[vec_col] for r in corpus]))
+    X = _norm_rows(Xr)
+    del Xr
     ref = ray.put((c_ids, X))
 
     def block_topk(batch: pa.Table) -> pd.DataFrame:
@@ -1519,10 +1554,20 @@ def bitext_candidates(emb_ds, docs_ds, k: int = 3,
     lang_a, rank, vec_id, lang_b, score)."""
     import ray
 
-    corpus = emb_ds.select_columns([id_col, vec_col]).take_all()
-    langs_rows = docs_ds.select_columns([doc_id_col,
-                                         lang_col]).take_all()
-    if not corpus or not langs_rows:
+    # both broadcast sides stream into numpy arrays — no corpus-sized
+    # Python row list or dict ever exists on the driver
+    c_ids, Xr = _stream_id_matrix(emb_ds, id_col, vec_col)
+    d_ids_chunks: list = []
+    d_lang_chunks: list = []
+    for b in docs_ds.select_columns([doc_id_col, lang_col]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        if b.num_rows == 0:
+            continue
+        d_ids_chunks.append(b[doc_id_col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+        d_lang_chunks.append(np.asarray(b[lang_col].to_pylist(),
+                                        dtype=object))
+    if not len(c_ids) or not d_ids_chunks:
         import ray.data as _rd
         return _rd.from_pandas(pd.DataFrame({
             "query_id": pd.Series([], dtype="int64"),
@@ -1531,13 +1576,19 @@ def bitext_candidates(emb_ds, docs_ds, k: int = 3,
             "vec_id": pd.Series([], dtype="int64"),
             "lang_b": pd.Series([], dtype="object"),
             "score": pd.Series([], dtype="float64")}))
-    corpus.sort(key=lambda r: int(r[id_col]))
-    c_ids = np.array([int(r[id_col]) for r in corpus], dtype="int64")
-    X = _norm_rows(_matrix([r[vec_col] for r in corpus]))
-    lang_of = {int(r[doc_id_col]): str(r[lang_col])
-               for r in langs_rows}
-    c_langs = np.array([lang_of.get(int(i), "") for i in c_ids],
-                       dtype=object)
+    X = _norm_rows(Xr)
+    del Xr
+    d_ids = np.concatenate(d_ids_chunks)
+    d_langs = np.concatenate(d_lang_chunks)
+    d_order = np.argsort(d_ids, kind="stable")
+    d_ids, d_langs = d_ids[d_order], d_langs[d_order]
+    # align language to the id-ascending corpus: vectorized
+    # searchsorted gather; missing doc -> "" (dropped, matching the
+    # SQL twin's inner joins)
+    pos = np.searchsorted(d_ids, c_ids)
+    pos_c = np.clip(pos, 0, len(d_ids) - 1)
+    hit = d_ids[pos_c] == c_ids
+    c_langs = np.where(hit, d_langs[pos_c], "").astype(object)
     ref = ray.put((c_ids, X, c_langs))
 
     def block_topk(batch: pa.Table) -> pd.DataFrame:

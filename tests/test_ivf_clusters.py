@@ -1,4 +1,5 @@
 """Tests: IVF similarity and connected-components dedup clustering."""
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -651,3 +652,47 @@ def test_bitext_candidates_cross_lang_only(ray_session):
     q2 = out[out["query_id"] == 2]            # de: all 3 others differ
     assert list(q2["vec_id"])[:1] == [0]      # tie 0 vs 1 -> lower id
     assert len(q2) == 2                       # k truncates
+
+
+def test_stream_id_matrix_matches_row_assembly(ray_session):
+    """The streamed corpus assembly (iter_batches -> numpy, no Python
+    row list) must produce the identical id-ascending (ids, matrix)
+    pair the old take_all row-dict path produced, across partitionings
+    and shuffled input order; empty input yields typed empties."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import _stream_id_matrix
+    rng = np.random.default_rng(7)
+    n, d = 137, 5
+    perm = rng.permutation(n)
+    emb = pd.DataFrame({
+        "vec_id": perm,
+        "embedding": [list(map(float, rng.standard_normal(d)))
+                      for _ in range(n)]})
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(emb).repartition(parts)
+        ids, X = _stream_id_matrix(ds, "vec_id", "embedding")
+        assert ids.tolist() == sorted(perm.tolist())
+        want = np.asarray(
+            [emb.set_index("vec_id").loc[i, "embedding"] for i in ids],
+            dtype=np.float64)
+        assert np.array_equal(X, want)
+    ids0, X0 = _stream_id_matrix(
+        ray.data.from_pandas(emb.iloc[:0]), "vec_id", "embedding")
+    assert ids0.size == 0 and X0.shape[0] == 0
+
+
+def test_bitext_missing_lang_rows_dropped(ray_session):
+    """A vector with no language row is dropped from both sides (the
+    SQL twin's inner joins): never a query, never a neighbor."""
+    import ray.data
+    from doc_ocr_ray.stages.similarity import bitext_candidates
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [1.0, 0.1], [0.0, 1.0]]})
+    docs = pd.DataFrame({"doc_id": [0, 2], "lang": ["en", "de"]})
+    out = (bitext_candidates(ray.data.from_pandas(emb).repartition(2),
+                             ray.data.from_pandas(docs), k=3)
+           .to_pandas())
+    assert 1 not in set(out["query_id"])
+    assert 1 not in set(out["vec_id"])
+    assert set(out["query_id"]) == {0, 2}
