@@ -343,84 +343,83 @@ def triangle_count(edges_ds, num_parts: int = 64):
 
     Scale shape — the standard degree-ordered orientation (each edge
     is charged to its lower-(degree, id) endpoint, so per-node
-    out-degree is O(sqrt(m)) and hub wedges never blow up):
+    out-degree is O(sqrt(m)) and hub wedges never blow up), FUSED to
+    four ids-only exchanges (was six + two materializes):
 
-    1. canonical edges + per-node degrees (one node-keyed exchange of
-       (node, 1) partials);
-    2. each edge learns both endpoint degrees through TWO tagged-union
-       node-keyed exchanges (the dedup_keep_best join shape — no
-       broadcast, the degree table can be graph-sized);
-    3. oriented adjacency groups by its source; each group emits its
-       out-neighbor PAIRS (the wedges) — bounded by outdeg^2 <= m per
-       node thanks to the orientation;
-    4. wedges meet canonical edges on a coarse (min, max) pair key;
-       matches are triangles, counted with per-partition partials.
+    1. node-keyed: each canonical edge ships to BOTH endpoints (after
+       a per-batch dedup combiner); a node's group drops cross-batch
+       duplicates and knows its exact degree = distinct incident
+       edges, so dedup, degree counting AND half-annotation happen in
+       ONE exchange — no separate dedupe pass, no degree table, no
+       tagged-union lookup joins;
+    2. pair-keyed: the two endpoint-degree half-records per edge meet,
+       orient low->high by (deg, id) -> (x, y), materialized once
+       (consumed by 3 and 4);
+    3. x-keyed: each oriented source's out-neighbor PAIRS (the
+       wedges) — bounded by outdeg^2 <= m per node;
+    4. pair-keyed: wedges meet the oriented edges (reconstructed
+       canonical pairs); matches are triangles, counted with
+       per-partition partials.
 
-    Every exchange carries ids only.  Each triangle u<v<w (by the
-    orientation order) is emitted exactly once — by its smallest
-    vertex's wedge — so the count is exact, no de-dup pass needed."""
-    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+    Each triangle u<v<w (by the orientation order) is emitted exactly
+    once — by its smallest vertex's wedge — so the count is exact, no
+    de-dup pass needed."""
+    def to_both_endpoints(batch: pd.DataFrame) -> pd.DataFrame:
         e = batch[batch["src"] != batch["dst"]]
-        u = np.minimum(e["src"].astype("int64"), e["dst"].astype("int64"))
-        v = np.maximum(e["src"].astype("int64"), e["dst"].astype("int64"))
-        out = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        u = np.minimum(e["src"].astype("int64"),
+                       e["dst"].astype("int64"))
+        v = np.maximum(e["src"].astype("int64"),
+                       e["dst"].astype("int64"))
+        pairs = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        out = pd.concat([
+            pairs.assign(key=pairs["u"]),
+            pairs.assign(key=pairs["v"])], ignore_index=True)
+        out["key"] = out["key"].astype("int64")
+        out["part"] = coarse_part(out["key"], num_parts)
+        return typed_if_empty(out)
+
+    def degree_halves(group: pd.DataFrame) -> pd.DataFrame:
+        # per node in the part: distinct incident edges (cross-batch
+        # dedup happens HERE — every copy of (u,v) keyed by n lands in
+        # n's group), degree = their count, emit one half-record per
+        # edge carrying this endpoint's degree
+        g = group.drop_duplicates(["key", "u", "v"])
+        deg = g.groupby("key", sort=False)["u"].transform("size")
+        out = pd.DataFrame({
+            "u": g["u"].to_numpy(), "v": g["v"].to_numpy(),
+            "at_u": (g["key"] == g["u"]).to_numpy(),
+            "deg": deg.to_numpy().astype("int64")})
         out["part"] = coarse_part(out["u"] * 1_000_003 + out["v"],
                                   num_parts)
         return typed_if_empty(out)
 
-    def dedupe_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return typed_if_empty(
-            group[["u", "v"]].drop_duplicates())
+    halves = (edges_ds.map_batches(to_both_endpoints,
+                                   batch_format="pandas")
+              .groupby("part").map_groups(degree_halves,
+                                          batch_format="pandas"))
 
-    edges = (edges_ds.map_batches(canon, batch_format="pandas")
-             .groupby("part").map_groups(dedupe_pairs,
-                                         batch_format="pandas")
-             .materialize())      # consumed 3x: degrees, orient, close
-
-    # --- per-node degree (value-count combiner, one node exchange)
-    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c = (pd.concat([batch["u"], batch["v"]])
-             .value_counts().rename_axis("node")
-             .reset_index(name="cnt"))
-        c["cnt"] = c["cnt"].astype("int64")
-        c["part"] = coarse_part(c["node"], num_parts)
-        return typed_if_empty(c)
-
-    def deg_combine(group: pd.DataFrame) -> pd.DataFrame:
-        g = (group.groupby("node", sort=False)["cnt"].sum()
-             .reset_index(name="deg"))
-        g["deg"] = g["deg"].astype("int64")
-        return typed_if_empty(g)
-
-    degrees = (edges.map_batches(deg_partial, batch_format="pandas")
-               .groupby("part").map_groups(deg_combine,
-                                           batch_format="pandas")
-               .materialize())    # consumed 2x (one per endpoint)
-
-    # --- annotate an endpoint with its degree (the shared
-    # tagged-union lookup join; see util.tagged_union_annotate)
-    from doc_ocr_ray.util import tagged_union_annotate
-
-    def annotate(edge_tbl, endpoint, out_col):
-        return tagged_union_annotate(edge_tbl, degrees, endpoint,
-                                     "node", "deg", out_col,
-                                     num_partitions=num_parts)
-
-    with_du = annotate(edges, "u", "deg_u")
-    with_both = annotate(with_du, "v", "deg_v")
-
-    # --- orient low->high by (deg, id); group by source; emit wedges
-    def orient(batch: pd.DataFrame) -> pd.DataFrame:
-        lo_first = (batch["deg_u"] < batch["deg_v"]) | \
-                   ((batch["deg_u"] == batch["deg_v"])
-                    & (batch["u"] < batch["v"]))
+    def orient(group: pd.DataFrame) -> pd.DataFrame:
+        # pivot the two half-records per (u, v) into (deg_u, deg_v)
+        # and orient; vectorized two-row pivot via sort + reshape
+        g = group.sort_values(["u", "v", "at_u"],
+                              ascending=[True, True, False])
+        n2 = len(g)
+        if n2 % 2:          # defensive: malformed input never pairs up
+            raise ValueError("triangle_count: unpaired half-record")
+        du = g["deg"].to_numpy()[0::2]          # at_u=True first
+        dv = g["deg"].to_numpy()[1::2]
+        u = g["u"].to_numpy()[0::2]
+        v = g["v"].to_numpy()[0::2]
+        lo_first = (du < dv) | ((du == dv) & (u < v))
         out = pd.DataFrame({
-            "x": np.where(lo_first, batch["u"], batch["v"]),
-            "y": np.where(lo_first, batch["v"], batch["u"])})
-        out["x"] = out["x"].astype("int64")
-        out["y"] = out["y"].astype("int64")
+            "x": np.where(lo_first, u, v).astype("int64"),
+            "y": np.where(lo_first, v, u).astype("int64")})
         out["part"] = coarse_part(out["x"], num_parts)
         return typed_if_empty(out)
+
+    oriented = (halves.groupby("part")
+                .map_groups(orient, batch_format="pandas")
+                .materialize())     # consumed 2x: wedges, close
 
     def wedges(group: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -434,12 +433,10 @@ def triangle_count(edges_ds, num_parts: int = 64):
             return typed_if_empty(pd.DataFrame({
                 "wu": pd.Series([], dtype="int64"),
                 "wv": pd.Series([], dtype="int64")}))
-        w = pd.concat(outs, ignore_index=True)
-        return w
+        return pd.concat(outs, ignore_index=True)
 
-    wedge_ds = (with_both.map_batches(orient, batch_format="pandas")
-                .groupby("part").map_groups(wedges,
-                                            batch_format="pandas"))
+    wedge_ds = oriented.groupby("part").map_groups(
+        wedges, batch_format="pandas")
 
     # --- close wedges against canonical edges on the pair key
     def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
@@ -452,7 +449,11 @@ def triangle_count(edges_ds, num_parts: int = 64):
         return typed_if_empty(out)
 
     def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["u", "v"]].copy()
+        # oriented (x, y) IS the distinct canonical edge — restore
+        # the (min, max) pair form for the close key
+        out = pd.DataFrame({
+            "u": np.minimum(batch["x"], batch["y"]).astype("int64"),
+            "v": np.maximum(batch["x"], batch["y"]).astype("int64")})
         out["side"] = np.int8(1)
         out["part"] = coarse_part(out["u"] * 1_000_003 + out["v"],
                                   num_parts)
@@ -467,7 +468,8 @@ def triangle_count(edges_ds, num_parts: int = 64):
         return pd.DataFrame({"n": [np.int64(len(merged))]})
 
     parts = (wedge_ds.map_batches(tag_wedge, batch_format="pandas")
-             .union(edges.map_batches(tag_edge, batch_format="pandas"))
+             .union(oriented.map_batches(tag_edge,
+                                         batch_format="pandas"))
              .groupby("part").map_groups(close, batch_format="pandas")
              .to_pandas())
     total = int(parts["n"].sum()) if len(parts) else 0
