@@ -305,72 +305,65 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray) -> bytes:
+# Adam7 interlace grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) or (h, w) uint8 -> PNG bytes (filter-0 rows, one
-    IDAT) — the synthesis side of the roundtrip test."""
+    IDAT) — the synthesis side of the roundtrip test.  With
+    ``interlace=True`` the pixel stream is the seven Adam7 passes
+    (each pass its own filtered scanline run, empty passes absent)."""
     import struct
     import zlib
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w = img.shape
         color = 0
+        img3 = img[:, :, None]
     else:
         h, w, ch = img.shape
         if ch != 3:
             raise NotImplementedError("encode_png: gray or RGB only")
         color = 2
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        img3 = img
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img3[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img3[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> (h, w, 3) or (h, w) uint8.  REAL decode: chunk walk with
-    CRC verification, multi-IDAT concatenation, zlib inflate, and all
-    FIVE scanline filters (None/Sub/Up/Average/Paeth) so any baseline
-    encoder's output decodes — not just :func:`encode_png`'s
-    filter-0 stream."""
-    import struct
-    import zlib
-    if not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
-    pos = 8
-    idat = []
-    w = h = color = None
-    while pos + 12 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
-        tag = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError("PNG chunk %r CRC mismatch" % tag)
-        if tag == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data)
-            if depth != 8 or color not in (0, 2) or interlace:
-                raise NotImplementedError(
-                    "only 8-bit gray/RGB non-interlaced PNG decodes "
-                    "without a codec library")
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("PNG without IHDR")
-    raw = zlib.decompress(b"".join(idat))
-    nch = 3 if color == 2 else 1
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int,
+                  offset: int) -> tuple:
+    """Unfilter ``h`` scanlines of ``w * nch`` bytes starting at
+    ``raw[offset]`` (all FIVE filters: None/Sub/Up/Average/Paeth);
+    returns ``((h, w * nch) uint8 array, next offset)``.  Shared by
+    the sequential decode and each Adam7 pass — a pass is its own
+    filtered sub-image with the prior-row state reset."""
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError("PNG pixel stream length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ft = raw[base]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                             offset=y * (stride + 1) + 1).astype(np.int64)
+                             offset=base + 1).astype(np.int64)
         if ft == 0:
             cur = line
         elif ft == 2:                         # Up: vectorized
@@ -398,7 +391,69 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("unknown PNG filter %d" % ft)
         out[y] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, nch)
+    return out, offset + need
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) or (h, w) uint8.  REAL decode: chunk walk with
+    CRC verification, multi-IDAT concatenation, zlib inflate, all FIVE
+    scanline filters (None/Sub/Up/Average/Paeth), and BOTH interlace
+    modes (sequential and Adam7 seven-pass) so any baseline encoder's
+    output decodes — not just :func:`encode_png`'s filter-0 stream."""
+    import struct
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = color = interlace = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk %r CRC mismatch" % tag)
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in (0, 2):
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB PNG decodes without a codec "
+                    "library")
+            if interlace not in (0, 1):
+                raise ValueError("bad PNG interlace method %d" % interlace)
+            if w * h > 1 << 28:               # input cap (decode_y4m rule)
+                raise ValueError("PNG frame size implausible")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    nch = 3 if color == 2 else 1
+    if not interlace:
+        out, end = _png_unfilter(raw, h, w, nch, 0)
+        if end != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        img = out.reshape(h, w, nch)
+        return img[:, :, 0] if nch == 1 else img
+    # Adam7: seven independently-filtered sub-images, scattered onto
+    # the full grid; passes with zero extent are wholly absent (no
+    # filter bytes) per the spec
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    offset = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+        ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub, offset = _png_unfilter(raw, ph, pw, nch, offset)
+        img[y0::ys, x0::xs] = sub.reshape(ph, pw, nch)
+    if offset != len(raw):
+        raise ValueError("PNG pixel stream length mismatch")
     return img[:, :, 0] if nch == 1 else img
 
 
@@ -407,7 +462,9 @@ def synthesize_png_media_table(doc_ids, width: int = 32,
     """Deterministic gradient PNGs with the same closed-form pixels as
     :func:`synthesize_ppm_media_table` (pixel[y, x, c] =
     (x + 2y + 37c + doc_id) % 256), so the decoded channel means are
-    SQL-oracle-checkable."""
+    SQL-oracle-checkable.  Every third image is Adam7-INTERLACED —
+    same pixels, different wire format — so the oracle exercises the
+    seven-pass decode path alongside the sequential one."""
     refs, docs, payloads = [], [], []
     x = np.arange(width)[None, :, None]
     y = np.arange(height)[:, None, None]
@@ -416,7 +473,7 @@ def synthesize_png_media_table(doc_ids, width: int = 32,
         img = ((x + 2 * y + 37 * c + int(d)) % 256).astype(np.uint8)
         refs.append(f"png:{d}")
         docs.append(str(d))
-        payloads.append(encode_png(img))
+        payloads.append(encode_png(img, interlace=(int(d) % 3 == 0)))
     return pa.table({
         "media_ref": pa.array(refs, pa.string()),
         "doc_id": pa.array(docs, pa.string()),

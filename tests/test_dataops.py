@@ -914,6 +914,83 @@ def test_png_all_five_filters_and_real_decode_stage():
     assert gfeat == [(i * 16) / 255.0 for i in range(16)]
 
 
+def test_png_adam7_interlaced_decode():
+    """Adam7 interlaced PNG decodes to the SAME pixels as the
+    sequential render of the same image, across sizes where passes go
+    empty (dims < 8), gray and RGB; truncating the pixel stream at any
+    pass boundary raises; a bad interlace method raises; the oracle
+    synthesizer's every-third-interlaced images roundtrip."""
+    import struct
+    import zlib
+    import pytest as _pytest
+    from doc_ocr_ray.stages.multimodal import (
+        encode_png, decode_png, _png_chunk, _PNG_SIG,
+        synthesize_png_media_table)
+    rng = np.random.RandomState(11)
+    for (h, w) in [(1, 1), (3, 3), (5, 7), (8, 8), (17, 33), (32, 32)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img, interlace=True)) == img).all(), \
+            (h, w)
+        gray = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert (decode_png(encode_png(gray, interlace=True)) == gray).all()
+
+    # adversarial: drop trailing bytes from the inflated pixel stream
+    # (re-deflate a truncated stream behind valid CRCs) — must raise,
+    # never return a silently-wrong image
+    img = rng.randint(0, 256, size=(9, 9, 3)).astype(np.uint8)
+    full = encode_png(img, interlace=True)
+    # rebuild with truncated raw at several cut points
+    raw_parts = []
+    for x0, y0, xs, ys in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)]:
+        sub = img[y0::ys, x0::xs]
+        if sub.shape[0] and sub.shape[1]:
+            raw_parts.extend(b"\x00" + sub[y].tobytes()
+                             for y in range(sub.shape[0]))
+    raw = b"".join(raw_parts)
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+    for cut in (1, len(raw) // 2, len(raw) - 1):
+        bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw[:cut]))
+               + _png_chunk(b"IEND", b""))
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+    # extra trailing bytes must raise too (offset != len(raw))
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(raw + b"\x00"))
+           + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(bad)
+    # unknown interlace method
+    ihdr_bad = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 2)
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_bad)
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(bad)
+    # implausible frame size fails fast (input cap)
+    ihdr_huge = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_huge)
+           + _png_chunk(b"IDAT", b"") + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(bad)
+
+    # synthesizer: doc 0 and 3 interlaced, 1/2 sequential; all decode
+    # to the same closed-form gradient
+    tbl = synthesize_png_media_table([0, 1, 2, 3], width=16, height=16)
+    x = np.arange(16)[None, :, None]
+    y = np.arange(16)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for d, payload in zip([0, 1, 2, 3], tbl["payload"].to_pylist()):
+        want = ((x + 2 * y + 37 * c + d) % 256).astype(np.uint8)
+        got = decode_png(payload)
+        assert (got == want).all()
+        # wire format really differs: interlaced streams are Adam7
+        ihdr_off = payload.index(b"IHDR") + 4
+        assert payload[ihdr_off + 12] == (1 if d % 3 == 0 else 0)
+
+
 def _jpeg_gradient(h=40, w=48, d=0):
     x = np.arange(w)[None, :, None]
     y = np.arange(h)[:, None, None]
