@@ -57,12 +57,17 @@ def _pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages: List[List[str]], compress: bool = False) -> bytes:
+def encode_pdf(pages: List[List[str]], compress: bool = False,
+               chain: bool = False) -> bytes:
     """Minimal single-font PDF with one content stream per page.
     ``pages`` is a list of pages, each a list of text lines.  With
     ``compress`` the content streams are /FlateDecode (stdlib zlib) —
     the dominant real-world encoding, so the reader's inflate path is
-    exercised by the same writer round trip."""
+    exercised by the same writer round trip.  With ``chain`` the
+    streams are hex-wrapped deflate with the two-member filter ARRAY
+    ``[/ASCIIHexDecode /FlateDecode]`` (decode applies members in
+    listed order: un-hex, then inflate), line-broken every 64 hex
+    digits so the reader's whitespace skipping is exercised too."""
     objs: Dict[int, bytes] = {}
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -85,8 +90,18 @@ def encode_pdf(pages: List[List[str]], compress: bool = False) -> bytes:
             else:
                 ops += _pdf_string(line) + b" Tj\n"
         ops += b"ET"
-        data = zlib.compress(bytes(ops)) if compress else bytes(ops)
-        filt = b" /Filter /FlateDecode" if compress else b""
+        if chain:
+            import binascii
+            hx = binascii.hexlify(zlib.compress(bytes(ops)))
+            data = b"\n".join(hx[i:i + 64]
+                              for i in range(0, len(hx), 64)) + b">"
+            filt = b" /Filter [/ASCIIHexDecode /FlateDecode]"
+        elif compress:
+            data = zlib.compress(bytes(ops))
+            filt = b" /Filter /FlateDecode"
+        else:
+            data = bytes(ops)
+            filt = b""
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {stream_num} 0 R "
@@ -193,37 +208,71 @@ def _parse_objects(payload: bytes):
 
 
 _FILTER_NAME_RE = re.compile(rb"/Filter\s*/(\w+)")
-_FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[")
+_FILTER_ARRAY_RE = re.compile(rb"/Filter\s*\[([^\]]*)\]")
+_FILTER_ARRAY_OPEN_RE = re.compile(rb"/Filter\s*\[")
+_NAME_TOKEN_RE = re.compile(rb"/(\w+)")
+
+_PDF_WS = b"\x00\t\n\x0c\r "
+_HEX_DIGITS = b"0123456789abcdefABCDEF"
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """Native /ASCIIHexDecode (PDF 32000-1 7.4.2): PDF whitespace is
+    skipped, ``>`` is EOD (bytes after it ignored), an odd trailing
+    digit is padded with 0, any other character raises."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    hx = bytes(c for c in data if c not in _PDF_WS)
+    bad = [c for c in hx if c not in _HEX_DIGITS]
+    if bad:
+        raise ValueError("ASCIIHexDecode: non-hex byte 0x%02x" % bad[0])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _apply_filter(name: bytes, data: bytes, filters) -> bytes:
+    if name == b"FlateDecode":
+        return zlib.decompress(data)
+    if name == b"ASCIIHexDecode":
+        return _ascii_hex_decode(data)
+    if filters and name in filters:
+        return filters[name](data)
+    raise ValueError(
+        "unsupported stream /Filter %r (FlateDecode/ASCIIHexDecode "
+        "are native; pass filters={name: fn} to inject another "
+        "codec)" % name)
 
 
 def _stream_bytes(obj: tuple, filters=None) -> bytes:
-    """Decode one stream object's bytes.  /FlateDecode is native
-    (stdlib zlib); any OTHER single named filter (DCTDecode, LZWDecode,
-    ...) dispatches to the caller-INJECTED ``filters`` mapping
-    ``{b"DCTDecode": bytes -> bytes, ...}`` — the codec-injection seam
-    (stages/multimodal.py decode_image pattern), so scanned-PDF
-    corpora plug a real JPEG codec without touching the parser.
-    Filter ARRAYS (chained filters) stay out of scope and raise."""
+    """Decode one stream object's bytes.  /FlateDecode and
+    /ASCIIHexDecode are native (stdlib zlib / hex); filter ARRAYS
+    apply their members in listed order (``[/ASCIIHexDecode
+    /FlateDecode]`` un-hexes then inflates — PDF 32000-1 7.4); any
+    other named filter (DCTDecode, LZWDecode, ...) dispatches to the
+    caller-INJECTED ``filters`` mapping ``{b"DCTDecode": bytes ->
+    bytes, ...}`` — the codec-injection seam (stages/multimodal.py
+    decode_image pattern), so scanned-PDF corpora plug a real JPEG
+    codec without touching the parser; unknown members raise."""
     head, data = obj
     if data is None:
         raise ValueError("content object has no stream")
     if b"/Filter" in head:
         # array check FIRST: '/Filter [/ASCIIHexDecode /FlateDecode]'
-        # must raise, not match the FlateDecode substring and silently
-        # inflate a still-hex-encoded stream
-        if _FILTER_ARRAY_RE.search(head):
-            raise ValueError("chained /Filter arrays are out of scope")
-        if b"/FlateDecode" in head:
-            data = zlib.decompress(data)
+        # must never match the FlateDecode substring alone and
+        # silently inflate a still-hex-encoded stream
+        m_arr = _FILTER_ARRAY_RE.search(head)
+        if m_arr is not None:
+            for nm in _NAME_TOKEN_RE.finditer(m_arr.group(1)):
+                data = _apply_filter(nm.group(1), data, filters)
+        elif _FILTER_ARRAY_OPEN_RE.search(head):
+            raise ValueError("unterminated /Filter array")
         else:
             m = _FILTER_NAME_RE.search(head)
-            if m is not None and filters and m.group(1) in filters:
-                data = filters[m.group(1)](data)
-            else:
-                raise ValueError(
-                    "unsupported stream /Filter (FlateDecode is "
-                    "native; pass filters={name: fn} to inject "
-                    "another codec)")
+            if m is None:
+                raise ValueError("/Filter without a filter name")
+            data = _apply_filter(m.group(1), data, filters)
     return data
 
 
@@ -417,7 +466,10 @@ def synthesize_pdf_table(doc_ids):
     line j = 'Doc {d} page {p} line {j} content.'; docs with d%3==0
     append an escape-torture line (parens + backslash); odd-index
     lines are written as split TJ arrays (kern-joined), the rest as
-    plain Tj; odd docs compress their streams with FlateDecode."""
+    plain Tj; odd docs compress their streams with FlateDecode; docs
+    with d%5==0 use the chained filter array [/ASCIIHexDecode
+    /FlateDecode] so the multi-member decode path is oracle-checked
+    (same expected lines, different wire format)."""
     import pyarrow as pa
 
     refs, ids, payloads = [], [], []
@@ -432,7 +484,8 @@ def synthesize_pdf_table(doc_ids):
             pages.append(lines)
         refs.append(f"pdf:{d}")
         ids.append(d)
-        payloads.append(encode_pdf(pages, compress=bool(d % 2)))
+        payloads.append(encode_pdf(pages, compress=bool(d % 2),
+                                   chain=(d % 5 == 0)))
     return pa.table({
         "media_ref": pa.array(refs, pa.string()),
         "doc_id": pa.array(ids, pa.int64()),

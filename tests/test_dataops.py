@@ -2971,16 +2971,64 @@ def test_pdf_hex_strings_and_filter_seam():
         [["codec line"]]
     with pytest.raises(ValueError):
         decode_pdf_text(hacked)
-    with pytest.raises(ValueError):    # filter ARRAYS stay out of scope
+    # an array with an unknown member raises even when another member
+    # is injected — never silently skip a chain link
+    with pytest.raises(ValueError):
         decode_pdf_text(comp.replace(b"/Filter /FlateDecode",
                                      b"/Filter [/A /B]"),
                         filters={b"A": zlib.decompress})
-    # an array CONTAINING FlateDecode must also raise — the substring
-    # fast path must not silently inflate a chained stream
+
+
+def test_pdf_filter_chains():
+    """Chained /Filter arrays (PDF 32000-1 7.4): members apply in
+    listed order; ASCIIHexDecode is native (whitespace skip, > EOD,
+    odd-digit pad); malformed chains raise loudly."""
+    import binascii
+    import zlib
+    from doc_ocr_ray.stages.pdf_extract import (
+        decode_pdf_text, encode_pdf, _ascii_hex_decode)
+
+    pages = [["chained line one", "and (two) \\ three"],
+             ["page two endstream prose"]]
+    # writer's chain mode: hex-wrapped deflate behind
+    # [/ASCIIHexDecode /FlateDecode], line-broken hex
+    assert decode_pdf_text(encode_pdf(pages, chain=True)) == pages
+
+    # single-element array == single filter
+    comp = encode_pdf([["solo"]], compress=True)
+    assert decode_pdf_text(comp.replace(
+        b"/Filter /FlateDecode", b"/Filter [/FlateDecode]")) == [["solo"]]
+
+    # injected codec works as an array member too
+    hacked = comp.replace(b"/Filter /FlateDecode",
+                          b"/Filter [/LZWDecode]")
+    assert decode_pdf_text(
+        hacked, filters={b"LZWDecode": zlib.decompress}) == [["solo"]]
+
+    # WRONG member order must fail loudly: hex-decoding raw deflate
+    # bytes hits a non-hex byte (never a silently-wrong parse)
+    chained = encode_pdf([["x"]], chain=True)
+    with pytest.raises((ValueError, zlib.error)):
+        decode_pdf_text(chained.replace(
+            b"/Filter [/ASCIIHexDecode /FlateDecode]",
+            b"/Filter [/FlateDecode /ASCIIHexDecode]"))
+
+    # unterminated array raises
     with pytest.raises(ValueError):
-        decode_pdf_text(comp.replace(
-            b"/Filter /FlateDecode",
-            b"/Filter [/ASCIIHexDecode /FlateDecode]"))
+        decode_pdf_text(comp.replace(b"/Filter /FlateDecode",
+                                     b"/Filter [/FlateDecode"))
+
+    # native ASCIIHexDecode unit behavior
+    assert _ascii_hex_decode(b"41 42\n43") == b"ABC"
+    assert _ascii_hex_decode(b"414> junk after EOD ignored") == b"A@"
+    assert _ascii_hex_decode(b"") == b""
+    with pytest.raises(ValueError):
+        _ascii_hex_decode(b"41zz")
+    # truncated hex payload inflates to a zlib error, not garbage text
+    hx = binascii.hexlify(zlib.compress(b"BT (hi) Tj ET"))
+    body = hx[:len(hx) // 2] + b">"
+    with pytest.raises((ValueError, zlib.error)):
+        zlib.decompress(_ascii_hex_decode(body))
 
 
 def test_pdf_parser_hardening():
