@@ -17,14 +17,27 @@ def input_files(path: str) -> List[str]:
     """Resolve an input path to its shardable file list.  A Lance
     dataset directory is ONE input, not a file list — its internal
     entries (data/, _versions/, ...) must not be sharded as if they
-    were parquet files."""
+    were parquet files.  A directory of committed ``part-*``
+    partitions (another job's write_table output) descends ONE level
+    and shards by the files inside, so composed jobs file-shard their
+    upstream phase's output instead of falling back to the
+    re-read-per-shard hash path."""
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "_versions")):
             return [path]
-        return sorted(
-            os.path.join(path, f) for f in os.listdir(path)
-            if os.path.isfile(os.path.join(path, f))
-            and not f.startswith(".") and f != "manifest.json")
+        out = []
+        for f in os.listdir(path):
+            full = os.path.join(path, f)
+            if f.startswith(".") or f == "manifest.json":
+                continue
+            if os.path.isfile(full):
+                out.append(full)
+            elif f.startswith("part-") and os.path.isdir(full):
+                out.extend(os.path.join(full, g)
+                           for g in os.listdir(full)
+                           if os.path.isfile(os.path.join(full, g))
+                           and not g.startswith("."))
+        return sorted(out)
     return [path]
 
 

@@ -340,6 +340,72 @@ def test_run_neardup_three_phase_resume(tmp_path):
     assert r5.stdout.count("already committed, skipping") == 8
 
 
+def test_run_corpus_composed_chain_and_resume(tmp_path):
+    """The composed end-to-end corpus driver (extract -> adapt ->
+    neardup --apply -> trainset) runs as ONE command, writes composed
+    cross-phase lineage whose sums tie out across phase boundaries,
+    and a kill mid-chain (one adapter shard + one neardup phase-1
+    shard record dropped) recomputes ONLY the open work with
+    identical lineage."""
+    import shutil
+
+    out = str(tmp_path / "corpus")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "run_corpus.py"),
+           "--input", "synth:120", "--output", out, "--shards", "2",
+           "--buckets", "2", "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    lineage1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    # cross-phase lineage ties out: every extract question row became
+    # exactly one adapter doc; neardup read exactly those docs; the
+    # trainset kept a subset of the neardup survivors
+    assert lineage1["extract"]["docs_in"] == 120
+    assert lineage1["adapt"]["rows_in"] == \
+        lineage1["extract"]["question_rows_out"]
+    assert lineage1["adapt"]["docs_out"] == lineage1["adapt"]["rows_in"]
+    assert lineage1["neardup"]["docs_in"] == \
+        lineage1["adapt"]["docs_out"]
+    assert lineage1["neardup"]["docs_kept"] == \
+        lineage1["neardup"]["docs_in"] \
+        - lineage1["neardup"]["dup_docs_dropped"]
+    assert 0 < lineage1["trainset"]["docs_kept"] \
+        <= lineage1["neardup"]["docs_kept"]
+    assert sum(lineage1["trainset"]["splits"].values()) == \
+        lineage1["trainset"]["docs_kept"]
+    assert os.path.exists(os.path.join(out, "lineage.json"))
+
+    # kill-and-resume: reopen one adapter shard and one neardup
+    # phase-1 shard (record + committed partition), rerun
+    top = json.load(open(f"{out}/manifest.json"))
+    del top["1001"]
+    json.dump(top, open(f"{out}/manifest.json", "w"))
+    os.remove(f"{out}/docs/docs-00001.parquet")
+    nd = json.load(open(f"{out}/neardup/manifest.json"))
+    del nd["1"], nd["200000"]
+    json.dump(nd, open(f"{out}/neardup/manifest.json", "w"))
+    shutil.rmtree(f"{out}/neardup/phase1/part-00001")
+    shutil.rmtree(f"{out}/neardup/part-00000")
+    # the neardup child must re-run (its phase-1 shard is open), so
+    # reopen the composer's neardup/trainset markers too — exactly
+    # what a mid-phase kill leaves behind
+    top = json.load(open(f"{out}/manifest.json"))
+    del top["1"], top["2"]
+    json.dump(top, open(f"{out}/manifest.json", "w"))
+    shutil.rmtree(f"{out}/trainset")
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    # extract child never re-spawned; committed shards all skipped
+    assert "[corpus] extract already complete, skipping" in r2.stdout
+    assert "[adapt shard 0] already committed, skipping" in r2.stdout
+    assert "[adapt shard 1] rows=" in r2.stdout
+    assert "[p1 shard 0] already committed, skipping" in r2.stdout
+    assert "[p1 shard 1] docs=" in r2.stdout
+    lineage2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    for k in ("extract", "adapt", "neardup", "trainset"):
+        assert lineage2[k] == lineage1[k], k
+
+
 def test_pagerank_round_checkpoint_resume(tmp_path, ray_session):
     """Iterative checkpoint resume: pagerank with a checkpoint dir
     commits one atomic rank partition per round; a run that stops at
