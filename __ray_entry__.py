@@ -1627,6 +1627,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal.synthesize_jpeg_media_table(doc_ids))
         return multimodal.jpeg_image_stats(media)
 
+    def q_multimodal_gif(sf_dir):
+        # REAL multi-frame GIF decode (stages/gif.py: LZW with
+        # variable code widths, sub-block reassembly, 4-pass
+        # interlace, GCE transparency, local color tables, disposal
+        # compositing — all varied across the table).  Closed-form
+        # palettes + index grids => the SQL twin restates both
+        # composited frames' channel means exactly.
+        import ray.data
+        df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        doc_ids = [int(d) for d in df[df["doc_id"] < 200]["doc_id"]]
+        media = ray.data.from_arrow(
+            multimodal.synthesize_gif_media_table(doc_ids))
+        return multimodal.gif_image_stats(media)
+
     def q_multimodal_wav(sf_dir):
         # REAL audio decode (RIFF/PCM16, pure bytes+numpy): closed-form
         # sawtooth clips -> decode -> peak / RMS
@@ -3722,6 +3737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_gif": q_multimodal_gif,
         "multimodal_wav": q_multimodal_wav,
         "v3_parse": q_v3_parse,
         "render_markdown": q_render_markdown,
@@ -6568,6 +6584,64 @@ def oracle_sql() -> dict[str, str]:
                    floor(10000 * max(CASE WHEN c = 2 THEN s END) / 1024)
                        / 10000 AS mean_b
             FROM g GROUP BY doc_id
+        """,
+        # two-frame GIF: frame 0 = global-table gradient (interlaced
+        # wire format for d%3==0 — sum-invariant), frame 1 = frame 0
+        # with a 16x16 patch composited at (8,8) whose px+py==9 pixels
+        # are transparent (keep frame 0) and whose table is LOCAL for
+        # odd d; palettes are the _gif_palettes closed forms
+        "multimodal_gif": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            px AS (SELECT d.doc_id, x.x AS x, y.y AS y,
+                          (x.x + 2*y.y + d.doc_id) % 256 AS i0
+                   FROM d,
+                        (SELECT unnest(range(0, 32)) AS x) x,
+                        (SELECT unnest(range(0, 32)) AS y) y),
+            f0 AS (SELECT doc_id, x, y,
+                          (7*i0) % 256 AS r,
+                          (5*i0 + 11) % 256 AS g,
+                          (3*i0 + 23) % 256 AS b
+                   FROM px),
+            f1 AS (SELECT doc_id, x, y,
+                          CASE WHEN patch THEN
+                            CASE WHEN doc_id % 2 = 1
+                                 THEN (9*i1 + 1) % 256
+                                 ELSE (7*i1) % 256 END
+                          ELSE r END AS r,
+                          CASE WHEN patch THEN
+                            CASE WHEN doc_id % 2 = 1
+                                 THEN (11*i1 + 3) % 256
+                                 ELSE (5*i1 + 11) % 256 END
+                          ELSE g END AS g,
+                          CASE WHEN patch THEN
+                            CASE WHEN doc_id % 2 = 1
+                                 THEN (13*i1 + 5) % 256
+                                 ELSE (3*i1 + 23) % 256 END
+                          ELSE b END AS b
+                   FROM (SELECT *,
+                                ((x - 8) + (y - 8) + doc_id) % 256 AS i1,
+                                x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23
+                                  AND (x - 8) + (y - 8) <> 9 AS patch
+                         FROM f0)),
+            sums AS (
+              SELECT doc_id, 0 AS frame,
+                     CAST(sum(r) AS BIGINT) AS sr,
+                     CAST(sum(g) AS BIGINT) AS sg,
+                     CAST(sum(b) AS BIGINT) AS sb
+              FROM f0 GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 1,
+                     CAST(sum(r) AS BIGINT), CAST(sum(g) AS BIGINT),
+                     CAST(sum(b) AS BIGINT)
+              FROM f1 GROUP BY doc_id)
+            SELECT 'gif:' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(frame AS BIGINT) AS frame,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   floor(10000 * sr / 1024) / 10000 AS mean_r,
+                   floor(10000 * sg / 1024) / 10000 AS mean_g,
+                   floor(10000 * sb / 1024) / 10000 AS mean_b
+            FROM sums
         """,
         # same closed-form pixels as multimodal_ppm, PNG container —
         # the decode chain differs (inflate + unfilter), the means

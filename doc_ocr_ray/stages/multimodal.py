@@ -85,6 +85,8 @@ class MediaDecodeStage:
         if media_type == "image" and (payload.startswith(b"P6")
                                       or payload.startswith(_PNG_SIG)
                                       or payload.startswith(b"\xff\xd8")
+                                      or payload[:6] in (b"GIF87a",
+                                                         b"GIF89a")
                                       or self.codec is not None):
             # pure-bytes image path (PPM header parse, PNG chunk
             # walk + zlib inflate + unfilter, or baseline-JPEG
@@ -504,6 +506,111 @@ def png_image_stats(media_ds, batch_size: int = 32):
                     float(np.floor(10000 * sums[ci] / (w * h)) / 10000))
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r": pa.array(means[0], pa.float64()),
+            "mean_g": pa.array(means[1], pa.float64()),
+            "mean_b": pa.array(means[2], pa.float64()),
+        })
+    return media_ds.map_batches(stats, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
+# ------------------------------------------------------- real GIF path
+
+_GIF_GCT = None
+_GIF_LCT = None
+
+
+def _gif_palettes():
+    """Closed-form 256-entry palettes shared by the synthesizer and
+    the SQL oracle: GCT[i] = ((7i)%256, (5i+11)%256, (3i+23)%256),
+    LCT[i] = ((9i+1)%256, (11i+3)%256, (13i+5)%256)."""
+    global _GIF_GCT, _GIF_LCT
+    if _GIF_GCT is None:
+        i = np.arange(256, dtype=np.int64)
+        _GIF_GCT = np.stack([(7 * i) % 256, (5 * i + 11) % 256,
+                             (3 * i + 23) % 256], axis=1).astype(np.uint8)
+        _GIF_LCT = np.stack([(9 * i + 1) % 256, (11 * i + 3) % 256,
+                             (13 * i + 5) % 256], axis=1).astype(np.uint8)
+    return _GIF_GCT, _GIF_LCT
+
+
+def synthesize_gif_media_table(doc_ids, width: int = 32,
+                               height: int = 32) -> pa.Table:
+    """Deterministic TWO-frame GIFs whose composited canvases have a
+    closed form the SQL oracle restates exactly:
+
+    - frame 0: full-screen, index[y, x] = (x + 2y + d) % 256 over the
+      global table; Adam-style 4-pass INTERLACED for d % 3 == 0
+    - frame 1: a 16x16 patch at (8, 8), index[py, px] =
+      (px + py + d) % 256, transparent index (d + 9) % 256 (so the 10
+      px+py==9 pixels keep frame 0's pixels), LOCAL color table for
+      odd d, global for even d
+
+    Every decoder path (LZW, sub-blocks, interlace, GCE transparency,
+    LCT, compositing) lands inside the hash-checked oracle."""
+    from doc_ocr_ray.stages.gif import encode_gif
+    if width < 24 or height < 24:
+        raise ValueError("gif testbed needs >= 24x24 (16x16 patch "
+                         "at (8, 8))")
+    gct, lct = _gif_palettes()
+    refs, docs, payloads = [], [], []
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    px = np.arange(16)[None, :]
+    py = np.arange(16)[:, None]
+    for d in doc_ids:
+        d = int(d)
+        idx0 = ((x + 2 * y + d) % 256).astype(np.uint8)
+        idx1 = ((px + py + d) % 256).astype(np.uint8)
+        frames = [
+            {"indices": idx0, "disposal": 1,
+             "interlace": d % 3 == 0},
+            {"indices": idx1, "left": 8, "top": 8,
+             "transparent": (d + 9) % 256,
+             "palette": lct if d % 2 else None},
+        ]
+        refs.append(f"gif:{d}")
+        docs.append(str(d))
+        payloads.append(encode_gif(frames, gct,
+                                   screen=(height, width)))
+    return pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "doc_id": pa.array(docs, pa.string()),
+        "media_type": pa.array(["image"] * len(refs), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+def gif_image_stats(media_ds, batch_size: int = 32):
+    """REAL decode chain over multi-frame GIF payloads: LZW +
+    compositing -> per-FRAME channel means + dimensions (one output
+    row per composited frame), same floor grid as
+    :func:`ppm_image_stats`."""
+    from doc_ocr_ray.stages.gif import decode_gif
+
+    def stats(batch: pa.Table) -> pa.Table:
+        refs, frs, ws, hs = [], [], [], []
+        means = ([], [], [])
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            frames = decode_gif(payload or b"")
+            nf, h, w = frames.shape[:3]
+            sums = frames.sum(axis=(1, 2), dtype=np.int64)  # (nf, 3)
+            for fi in range(nf):
+                refs.append(ref)
+                frs.append(fi)
+                ws.append(w)
+                hs.append(h)
+                for ci in range(3):
+                    means[ci].append(float(
+                        np.floor(10000 * sums[fi, ci] / (w * h))
+                        / 10000))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "frame": pa.array(frs, pa.int64()),
             "width": pa.array(ws, pa.int64()),
             "height": pa.array(hs, pa.int64()),
             "mean_r": pa.array(means[0], pa.float64()),
@@ -1018,6 +1125,9 @@ def decode_image(payload: bytes, codec=None) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from doc_ocr_ray.stages.gif import decode_gif
+        return decode_gif(payload)[0]       # first composited frame
     if payload[:2] == b"\xff\xd8":
         from doc_ocr_ray.stages.jpeg import decode_jpeg
         try:

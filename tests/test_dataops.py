@@ -991,6 +991,160 @@ def test_png_adam7_interlaced_decode():
         assert payload[ihdr_off + 12] == (1 if d % 3 == 0 else 0)
 
 
+def test_gif_codec_roundtrip_and_compositing():
+    """Built-in GIF codec: real LZW round-trips across width-boundary
+    and dictionary-reset sizes, interlace inverts, multi-frame
+    compositing honors transparency and disposal 2/3, local tables
+    override the global one."""
+    from doc_ocr_ray.stages.gif import (_lzw_decode, _lzw_encode,
+                                        decode_gif, encode_gif)
+    rng = np.random.RandomState(5)
+    for size in (1, 2, 255, 256, 4097, 60000):
+        for alphabet in (2, 7, 256):
+            data = rng.randint(0, alphabet, size=size) \
+                .astype(np.uint8).tobytes()
+            mcs = max(2, (alphabet - 1).bit_length())
+            assert _lzw_decode(mcs, _lzw_encode(mcs, data),
+                               len(data)) == data, (size, alphabet)
+    rep = b"abcabcabc" * 3000                 # deep dict + KwKwK
+    assert _lzw_decode(8, _lzw_encode(8, rep), len(rep)) == rep
+
+    pal = np.stack([(7 * np.arange(256)) % 256,
+                    (5 * np.arange(256) + 11) % 256,
+                    (3 * np.arange(256) + 23) % 256],
+                   axis=1).astype(np.uint8)
+    idx = rng.randint(0, 256, size=(17, 23)).astype(np.uint8)
+    for interlace in (False, True):
+        fr = decode_gif(encode_gif(
+            [{"indices": idx, "interlace": interlace}], pal))
+        assert fr.shape == (1, 17, 23, 3)
+        assert (fr[0] == pal[idx]).all()
+
+    # compositing: patch + transparency + local table
+    idx0 = ((np.arange(32)[None, :] + 2 * np.arange(32)[:, None])
+            % 256).astype(np.uint8)
+    idx1 = ((np.arange(16)[None, :] + np.arange(16)[:, None])
+            % 256).astype(np.uint8)
+    lct = np.stack([(9 * np.arange(256) + 1) % 256,
+                    (11 * np.arange(256) + 3) % 256,
+                    (13 * np.arange(256) + 5) % 256],
+                   axis=1).astype(np.uint8)
+    fr = decode_gif(encode_gif(
+        [{"indices": idx0, "disposal": 1},
+         {"indices": idx1, "left": 8, "top": 8, "transparent": 9,
+          "palette": lct}], pal))
+    assert (fr[0] == pal[idx0]).all()
+    want = pal[idx0].copy()
+    patch = lct[idx1].copy()
+    patch[idx1 == 9] = want[8:24, 8:24][idx1 == 9]
+    want[8:24, 8:24] = patch
+    assert (fr[1] == want).all()
+
+    # disposal 2 (restore bg) and 3 (restore previous)
+    g2 = encode_gif([{"indices": idx1, "disposal": 2},
+                     {"indices": np.full((2, 2), 3, np.uint8),
+                      "left": 30, "top": 30}],
+                    pal, screen=(32, 32), bg_index=5)
+    assert (decode_gif(g2)[1][0:16, 0:16] == pal[5]).all()
+    g3 = encode_gif([{"indices": idx0},
+                     {"indices": idx1, "disposal": 3},
+                     {"indices": np.full((2, 2), 3, np.uint8),
+                      "left": 30, "top": 30}], pal)
+    fr3 = decode_gif(g3)
+    assert (fr3[2][0:16, 0:16] == pal[idx0][0:16, 0:16]).all()
+
+
+def test_gif_adversarial_inputs():
+    """Parser-review rule: malformed GIF payloads raise, never return
+    silently-wrong pixels — EVERY per-byte truncation raises, as do
+    bad signatures, out-of-screen rects, out-of-table indices,
+    unknown blocks, and implausible frame sizes."""
+    import struct
+    import pytest as _pytest
+    from doc_ocr_ray.stages.gif import decode_gif, encode_gif
+    from doc_ocr_ray.stages.multimodal import (
+        MediaDecodeStage, synthesize_gif_media_table, FEATURE_DIM)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx0 = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+    full = encode_gif([{"indices": idx0, "disposal": 1},
+                       {"indices": idx0[:4, :4], "left": 2, "top": 2,
+                        "transparent": 1}], pal)
+    assert (decode_gif(full)[0][0] == pal[idx0[0]]).all()
+
+    def descriptors(payload):
+        # structural walk (0x2C bytes also occur inside palettes and
+        # LZW data, so find() would lie): returns image-descriptor
+        # offsets
+        packed = payload[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        out = []
+        while payload[pos] != 0x3B:
+            if payload[pos] == 0x21:            # extension
+                pos += 2
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            assert payload[pos] == 0x2C
+            out.append(pos)
+            ip = payload[pos + 9]
+            pos += 10
+            if ip & 0x80:
+                pos += 3 * (2 << (ip & 7))
+            pos += 1                            # LZW min code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        return out
+
+    for k in range(len(full)):
+        with _pytest.raises(ValueError):
+            decode_gif(full[:k])
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + full[6:])
+    # image rect outside the logical screen
+    bad = bytearray(full)
+    off = descriptors(full)[0]
+    struct.pack_into("<HH", bad, off + 1, 7, 7)     # left/top 7,7 + 8x8
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+    # pixel index outside a small color table: the encoder refuses to
+    # write it, and a hand-built stream (4-entry GCT, 3-bit LZW
+    # emitting literal 5s) makes the DECODER refuse too
+    small_pal = pal[:4]
+    with _pytest.raises(ValueError):
+        encode_gif([{"indices": np.full((2, 2), 5, np.uint8)}],
+                   small_pal)
+    from doc_ocr_ray.stages.gif import _lzw_encode, _sub_blocks
+    crafted = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+               + small_pal.tobytes()
+               + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+               + bytes([3]) + _sub_blocks(_lzw_encode(3, bytes([5] * 4)))
+               + b"\x3B")
+    with _pytest.raises(ValueError):
+        decode_gif(crafted)
+    # unknown block tag where an image/extension/trailer must sit
+    pos = descriptors(full)[0]
+    with _pytest.raises(ValueError):
+        decode_gif(full[:pos] + b"\x7E" + full[pos + 1:])
+    # implausible logical screen fails fast (input cap)
+    huge = bytearray(full)
+    struct.pack_into("<HH", huge, 6, 65535, 65535)
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(huge))
+
+    # the synthesizer's wire-format variation really happens, and the
+    # real decode stage accepts GIF payloads through the sniffer
+    tbl = synthesize_gif_media_table([0, 1, 2, 3], width=32, height=32)
+    for d, payload in zip([0, 1, 2, 3], tbl["payload"].to_pylist()):
+        desc, desc2 = descriptors(payload)
+        assert bool(payload[desc + 9] & 0x40) == (d % 3 == 0)  # interlace
+        assert bool(payload[desc2 + 9] & 0x80) == (d % 2 == 1)  # LCT
+    stage = MediaDecodeStage(use_fake_decoder=False)
+    feat = stage(tbl)["feature"].to_pylist()[0]
+    assert len(feat) == FEATURE_DIM and all(0 <= v <= 1 for v in feat)
+
+
 def _jpeg_gradient(h=40, w=48, d=0):
     x = np.arange(w)[None, :, None]
     y = np.arange(h)[:, None, None]
