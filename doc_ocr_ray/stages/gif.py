@@ -307,7 +307,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
             idx = _deinterlace(idx)
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF pixel index outside color table")
-        if len(frames) >= _MAX_FRAMES:
+        if len(frames) >= _MAX_FRAMES or \
+                (len(frames) + 1) * w * h > _MAX_PIXELS:
+            # cumulative-output cap: each frame appends a full canvas
+            # copy, so a tiny stream of many one-pixel frames over a
+            # large screen would otherwise amplify to TBs (the same
+            # decompression-bomb class the per-frame cap catches)
             raise ValueError("GIF frame count implausible")
         # ---- composite
         before = canvas[top:top + fh, left:left + fw].copy()
@@ -343,8 +348,10 @@ def encode_gif(frames, palette: np.ndarray, screen=None,
     size (defaults to frame 0's)."""
     palette = np.ascontiguousarray(palette, dtype=np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or \
+            palette.shape[0] < 4 or \
             palette.shape[0] & (palette.shape[0] - 1):
-        raise ValueError("palette must be (2^k, 3) uint8")
+        raise ValueError("palette must be (2^k, 3) uint8 with >= 4 "
+                         "entries")
     if screen is None:
         f0 = frames[0]["indices"]
         screen = (f0.shape[0] + frames[0].get("top", 0),

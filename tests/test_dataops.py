@@ -1132,6 +1132,28 @@ def test_gif_adversarial_inputs():
     struct.pack_into("<HH", huge, 6, 65535, 65535)
     with _pytest.raises(ValueError):
         decode_gif(bytes(huge))
+    # CUMULATIVE output cap: a tiny stream of many one-pixel frames
+    # over a large screen must fail fast, not amplify to n*w*h canvas
+    # copies (review finding: per-frame cap alone misses this).
+    # Patched cap so the test trips it without materializing 768 MB.
+    import doc_ocr_ray.stages.gif as gifmod
+    bomb = encode_gif(
+        [{"indices": np.zeros((1, 1), np.uint8)}] * 17,
+        pal[:4], screen=(128, 128))
+    assert len(bomb) < 1024          # the whole attack stream is tiny
+    old_cap = gifmod._MAX_PIXELS
+    gifmod._MAX_PIXELS = 1 << 16
+    try:
+        with _pytest.raises(ValueError):
+            decode_gif(bomb)
+    finally:
+        gifmod._MAX_PIXELS = old_cap
+    assert decode_gif(bomb).shape == (17, 128, 128, 3)  # legal at real cap
+    # undersized palettes are refused (N=1 would emit a corrupt file)
+    with _pytest.raises(ValueError):
+        encode_gif([{"indices": np.zeros((2, 2), np.uint8)}], pal[:1])
+    with _pytest.raises(ValueError):
+        encode_gif([{"indices": np.zeros((2, 2), np.uint8)}], pal[:2])
 
     # the synthesizer's wire-format variation really happens, and the
     # real decode stage accepts GIF payloads through the sniffer

@@ -334,6 +334,16 @@ def test_triangle_count_k4_and_noise(ray_session):
         "dst": [1, 0, 2, 0, 3, 0, 2, 1, 3, 1, 3, 2, 3, 4, 5, 9]})
     out = triangle_count(ray.data.from_pandas(e)).to_pandas()
     assert out["n_triangles"].tolist() == [4]
+    # CLAUDE.md dedup rule: duplicate edges SPLIT ACROSS BLOCKS must
+    # still dedup (per-batch drop_duplicates is only a combiner — the
+    # cross-batch dedup lives in the node-keyed group fn); tile the
+    # duplicate-heavy edge list and repartition so copies of the same
+    # edge land in different batches
+    many = pd.concat([e] * 3, ignore_index=True)
+    for parts in (2, 7):
+        outp = triangle_count(
+            ray.data.from_pandas(many).repartition(parts)).to_pandas()
+        assert outp["n_triangles"].tolist() == [4], parts
 
     # triangle-free: a path
     p = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
