@@ -1295,10 +1295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["hash", "join", "window"], query_vec_id=0,
             n_candidates=20, k=5)
 
-    def q_similarity_ivfpq(sf_dir):
+    def q_similarity_ivfpq_approx(sf_dir):
         # full IVF-PQ: coarse cells pruned by nprobe, survivors
-        # ADC-scored — the billion-vector scale path (approximate;
-        # recall-tested in pytest, exact twin below carries the hash)
+        # ADC-scored — the billion-vector scale path (approximate raw
+        # output, rows-only; the canonical `similarity_ivfpq` name
+        # carries its hash-checked recall gate, and the _exact twin
+        # below carries the brute-ADC hash)
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         return similarity.pq_search_ivf(
             emb, query_ids=list(range(20)), k=5, m=4, n_codes=8,
@@ -3709,7 +3711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans_fit,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
-        "similarity_ivfpq": q_similarity_ivfpq,
+        "similarity_ivfpq": q_similarity_ivfpq_recall,
         "similarity_ivfpq_exact": q_similarity_ivfpq_exact,
         "similarity_lsh_recall": q_similarity_lsh_recall,
         "similarity_ivf_recall": q_similarity_ivf_recall,
@@ -3918,6 +3920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_lsh_approx": q_knn_graph_lsh_approx,
         "similarity_lsh_approx": q_similarity_lsh_approx,
         "similarity_ivf_approx": q_similarity_ivf_approx,
+        "similarity_ivfpq_approx": q_similarity_ivfpq_approx,
     }
 
 
@@ -6104,6 +6107,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS meets
         """,
         "similarity_ivfpq_recall": """
+            SELECT CAST(20 AS BIGINT) AS n_queries,
+                   CAST(350 AS BIGINT) AS floor_milli,
+                   CAST(1 AS BIGINT) AS meets
+        """,
+        "similarity_ivfpq": """
             SELECT CAST(20 AS BIGINT) AS n_queries,
                    CAST(350 AS BIGINT) AS floor_milli,
                    CAST(1 AS BIGINT) AS meets

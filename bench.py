@@ -216,8 +216,10 @@ def run_benchmarks() -> dict:
     timed("crawl_frontier",
           lambda: qs["crawl_frontier"](SF_DIR).count())
     timed("cdc_apply", lambda: qs["cdc_apply"](SF_DIR).count())
+    # round 5 repointed the canonical name at its recall gate; the
+    # *_approx query is the raw computation earlier rounds timed here
     timed("similarity_ivfpq",
-          lambda: qs["similarity_ivfpq"](SF_DIR).num_rows)
+          lambda: nrows(qs["similarity_ivfpq_approx"](SF_DIR)))
     timed("hll_users_by_type",
           lambda: qs["hll_users_by_type"](SF_DIR).count())
     timed("pdf_extract", lambda: qs["pdf_extract"](SF_DIR).count())
