@@ -1657,7 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- V3 pure-VL one-shot parse over the media table (rows-only:
     # the stand-in parse is md5-derived; pinned in tests/test_v3.py)
-    def q_v3_parse(sf_dir):
+    def q_v3_parse_full(sf_dir):
         import ray.data
         from doc_ocr_ray.pipelines.v3 import parse_exam_pages
         df = pd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1674,6 +1674,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return batch.drop_columns(["bbox"]).append_column(
                 "bbox_w", pa.array(widths, pa.int32()))
         return out.map_batches(flat, batch_format="pyarrow")
+
+    def q_v3_parse(sf_dir):
+        # canonical digest-gate form (sf-independent: the testbed is
+        # the dense doc_id < 200 prefix present at every tier)
+        return _digest_gate(q_v3_parse_full(sf_dir), "v3_parse")
 
     # ---- rendering / metadata over the span corpus.  Reads the PARKED
     # flat-span parquet (same bytes the SQL oracle reads), re-stitches
@@ -3921,6 +3926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh_approx": q_similarity_lsh_approx,
         "similarity_ivf_approx": q_similarity_ivf_approx,
         "similarity_ivfpq_approx": q_similarity_ivfpq_approx,
+        "v3_parse_full": q_v3_parse_full,
     }
 
 
@@ -4767,6 +4773,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'curate_corpus' AS check,
                    CAST(1542 AS BIGINT) AS n_rows,
                    '9bc032d96dee89690ffe91e569f20144' AS digest
+        """,
+        "v3_parse": """
+            SELECT 'v3_parse' AS check,
+                   CAST(491 AS BIGINT) AS n_rows,
+                   'f245ff217887b2ee875859c5f8766eba' AS digest
         """,
         # ---- canonical approximate-ANN names = their recall gates
         "knn_graph_lsh": """

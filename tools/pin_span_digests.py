@@ -18,7 +18,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SPAN_QUERIES = ["extract_questions", "extract_fixture_replay",
-                "extract_flat_restitch", "split_spans", "curate_corpus"]
+                "extract_flat_restitch", "split_spans", "curate_corpus",
+                "v3_parse"]
 
 
 def main():
