@@ -16,17 +16,23 @@ The reference repo has no crawler; this is the standard frontier
 shape of web-corpus construction (cf. Heritrix / Common Crawl
 frontier scheduling) expressed Ray-Data-first.
 
-Shuffle discipline: four exchanges, each carrying slim rows only —
+Shuffle discipline: THREE exchanges, each carrying slim rows only —
 (1) NATIVE left_anti hash join drops already-crawled candidates
 (both sides partitioned on canon_url; the crawled set is
 corpus-sized, so it is never broadcast), (2) NATIVE inner hash join
 annotates each surviving link with its source page's rank (ranks are
-corpus-sized too), (3) one coarse canon_url-keyed combine sums
-integer rank mass per candidate, (4) one coarse domain-keyed top-k
-applies the per-host politeness cap.  The only broadcast is the
-robots rule table, which is domain-bounded by nature.  Scores are
-int64 sums of the pagerank integer grid, so aggregation order cannot
-perturb them and a DuckDB twin is bit-exact.
+corpus-sized too), (3) ONE coarse domain-keyed exchange both sums
+integer rank mass per candidate AND applies the per-host top-k cap:
+domain is a deterministic function of canon_url, so keying the
+partial combine by domain co-locates every candidate's partials
+with its host peers and the cap runs inside the same group fn
+(round-5 fusion — this was two exchanges).  A hot domain
+concentrates its candidates in one group; that skew is bounded by
+the host's own candidate fan-out, which the cap truncates anyway.
+The only broadcast is the robots rule table, which is
+domain-bounded by nature.  Scores are int64 sums of the pagerank
+integer grid, so aggregation order cannot perturb them and a DuckDB
+twin is bit-exact.
 """
 from __future__ import annotations
 
@@ -111,23 +117,19 @@ def crawl_frontier(pages_ds, ranks_ds, rules, k_per_host: int = 3,
             "domain": g["domain"].astype("object"),
             "frontier_score": g["sum"].astype("int64"),
             "n_links": g["count"].astype("int64")})
-        out["part"] = coarse_part(out["canon_url"], num_parts)
+        # DOMAIN-keyed (not canon_url-keyed): domain is a function of
+        # canon_url, so every candidate's partials still co-locate —
+        # and so do its host peers, letting the per-host cap run in
+        # the same group fn (one exchange instead of two)
+        out["part"] = coarse_part(out["domain"], num_parts)
         return out
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
+    def combine_cap(group: pd.DataFrame) -> pd.DataFrame:
         g = (group.groupby(["canon_url", "domain"], sort=False)
                   [["frontier_score", "n_links"]].sum().reset_index())
-        g["hpart"] = coarse_part(g["domain"], num_parts)
-        return typed_if_empty(g)
-
-    cand = (scored.map_batches(partial, batch_format="pandas")
-                  .groupby("part")
-                  .map_groups(combine, batch_format="pandas"))
-
-    def host_cap(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["domain", "frontier_score", "canon_url"],
-                              ascending=[True, False, True],
-                              kind="mergesort")
+        g = g.sort_values(["domain", "frontier_score", "canon_url"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
         g["host_rank"] = (g.groupby("domain", sort=False).cumcount()
                           + 1).astype("int64")
         g = g[g["host_rank"] <= k_per_host]
@@ -135,5 +137,6 @@ def crawl_frontier(pages_ds, ranks_ds, rules, k_per_host: int = 3,
                                  "n_links", "host_rank"]]
                               .reset_index(drop=True))
 
-    return (cand.groupby("hpart")
-                .map_groups(host_cap, batch_format="pandas"))
+    return (scored.map_batches(partial, batch_format="pandas")
+                  .groupby("part")
+                  .map_groups(combine_cap, batch_format="pandas"))
