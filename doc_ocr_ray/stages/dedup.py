@@ -288,21 +288,50 @@ def _explode_bands(batch: pd.DataFrame, num_bands: int) -> pd.DataFrame:
     return out
 
 
-def band_bucket_pairs(group: pd.DataFrame,
-                      threshold: float) -> pd.DataFrame:
+def band_bucket_pairs(group: pd.DataFrame, threshold: float,
+                      clique_star: bool = False) -> pd.DataFrame:
     """Candidate-pair enumeration + signature verify over ONE coarse
     partition's (band, band_hash) buckets — the shared reduce of
     :func:`minhash_dedup_pairs` and the checkpointed per-bucket phase
     of ``jobs/run_neardup.py``.  Emits (doc_a, doc_b, est_jaccard)
     with doc_a < doc_b, est on the floor-10000 grid (NOT round():
     est = m/64 sits exactly on the 5th-decimal rounding tie whenever
-    m % 4 == 2, where pandas half-even and SQL half-up disagree)."""
+    m % 4 == 2, where pandas half-even and SQL half-up disagree).
+
+    ``clique_star=True`` is the JOBS-path scale guard against the
+    degenerate bucket a real crawl always contains (millions of
+    byte-identical boilerplate/empty pages land in ONE bucket, and
+    full enumeration is O(b^2) pairs): docs whose FULL signatures are
+    identical form a clique, which contributes the same connected
+    components through a STAR to its min doc (est 1.0 >= any
+    threshold) as through all b(b-1)/2 edges; pairwise verify then
+    runs over distinct-signature representatives only.  Connectivity
+    (hence the CC drop set) is provably identical — a non-rep member
+    has the same signature as its rep, so any rep-rep edge that
+    verifies stands in for every member-member edge.  Only the jobs
+    path (pairs feed CC) uses it; the oracled full-enumeration
+    default stays the library contract."""
     out_a, out_b, out_j = [], [], []
     seen = set()
     for _, bucket in group.groupby(["band", "band_hash"], sort=False):
         if len(bucket) < 2:
             continue
         g = bucket.sort_values("doc_id")
+        if clique_star:
+            reps_rows = []
+            for _s, sub in g.groupby("signature", sort=False):
+                docs_sub = sub["doc_id"].tolist()   # ascending (g sorted)
+                m = docs_sub[0]
+                for d in docs_sub[1:]:
+                    if (m, d) not in seen:
+                        seen.add((m, d))
+                        out_a.append(m)
+                        out_b.append(d)
+                        out_j.append(1.0)
+                reps_rows.append(sub.index[0])
+            g = g.loc[reps_rows].sort_values("doc_id")
+            if len(g) < 2:
+                continue
         docs = g["doc_id"].tolist()
         sgs = np.stack([np.frombuffer(s, dtype=np.uint32)
                         for s in g["signature"]])

@@ -193,8 +193,12 @@ def main() -> int:
             return typed_if_empty(out)
 
         def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            # clique_star: identical-signature clusters (the crawl's
+            # boilerplate/empty-page masses) emit O(b) star edges
+            # instead of O(b^2) pairs — CC drop set provably equal
             return typed_if_empty(
-                band_bucket_pairs(group, args.threshold))
+                band_bucket_pairs(group, args.threshold,
+                                  clique_star=True))
 
         pairs = (spill.map_batches(add_part, batch_format="pandas")
                  .groupby("part")

@@ -55,6 +55,57 @@ def test_minhash_finds_injected_near_dups():
     assert exact_hits == 10                     # exact copies always caught
 
 
+def test_band_bucket_pairs_clique_star_equiv():
+    """clique_star (the jobs-path scale guard): an identical-signature
+    cluster emits a star to its min doc instead of all b(b-1)/2 pairs,
+    and the connected components derived from the pairs are IDENTICAL
+    to full enumeration — while pair count collapses from quadratic
+    to linear in the cluster size."""
+    import numpy as np
+    from doc_ocr_ray.stages.dedup import band_bucket_pairs
+
+    def union_groups(pairs_df):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+            parent[find(int(a))] = find(int(b))
+        groups = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    rng = np.random.RandomState(2)
+    sig_a = rng.randint(0, 2**32, 64, dtype=np.uint64).astype(np.uint32)
+    sig_b = sig_a.copy()
+    sig_b[:8] = (sig_b[:8] + 1).astype(np.uint32)   # 56/64 agree: near
+    sig_c = rng.randint(0, 2**32, 64, dtype=np.uint64).astype(np.uint32)
+    rows = []
+    # 40-member identical cluster + 3 near members + 2 unrelated
+    for d in range(40):
+        rows.append({"doc_id": d, "band": 0, "band_hash": 7,
+                     "signature": sig_a.tobytes()})
+    for d in (100, 101, 102):
+        rows.append({"doc_id": d, "band": 0, "band_hash": 7,
+                     "signature": sig_b.tobytes()})
+    for d, s in ((200, sig_c), (201, sig_c[::-1].copy())):
+        rows.append({"doc_id": d, "band": 0, "band_hash": 7,
+                     "signature": s.tobytes()})
+    group = pd.DataFrame(rows)
+    full = band_bucket_pairs(group, threshold=0.8)
+    star = band_bucket_pairs(group, threshold=0.8, clique_star=True)
+    assert union_groups(full) == union_groups(star)
+    # the identical 40-clique alone is 780 pairs in full mode
+    assert len(full) > 700 and len(star) < 60
+    # star edges anchor at the clique min with est 1.0
+    star_a = star[star["est_jaccard"] == 1.0]
+    assert set(star_a[star_a["doc_a"] == 0]["doc_b"]) == set(range(1, 40))
+
+
 def test_minhash_verify_exact_jaccard():
     from doc_ocr_ray.stages.dedup import (minhash_dedup_pairs,
                                           verify_pairs_exact, ngram_jaccard)
