@@ -316,7 +316,11 @@ def band_bucket_pairs(group: pd.DataFrame, threshold: float,
     for _, bucket in group.groupby(["band", "band_hash"], sort=False):
         if len(bucket) < 2:
             continue
-        g = bucket.sort_values("doc_id")
+        # reset_index: rep selection below is positional; a caller
+        # passing a concat frame with duplicate index labels would
+        # otherwise select wrong rows via label lookup (review
+        # finding: self-pairs / cross-signature mispairing)
+        g = bucket.sort_values("doc_id").reset_index(drop=True)
         if clique_star:
             reps_rows = []
             for _s, sub in g.groupby("signature", sort=False):
@@ -328,8 +332,8 @@ def band_bucket_pairs(group: pd.DataFrame, threshold: float,
                         out_a.append(m)
                         out_b.append(d)
                         out_j.append(1.0)
-                reps_rows.append(sub.index[0])
-            g = g.loc[reps_rows].sort_values("doc_id")
+                reps_rows.append(int(sub.index[0]))
+            g = g.iloc[sorted(reps_rows)]
             if len(g) < 2:
                 continue
         docs = g["doc_id"].tolist()

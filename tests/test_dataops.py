@@ -105,6 +105,14 @@ def test_band_bucket_pairs_clique_star_equiv():
     star_a = star[star["est_jaccard"] == 1.0]
     assert set(star_a[star_a["doc_a"] == 0]["doc_b"]) == set(range(1, 40))
 
+    # review regression: a concat input with DUPLICATE index labels
+    # must not mis-select reps (self-pairs / cross-signature merges)
+    dup_idx = pd.concat([group.iloc[:20], group.iloc[20:]])  # labels reused
+    dup_idx.index = list(range(20)) + list(range(len(group) - 20))
+    star2 = band_bucket_pairs(dup_idx, threshold=0.8, clique_star=True)
+    assert not (star2["doc_a"] == star2["doc_b"]).any()
+    assert union_groups(star2) == union_groups(full)
+
 
 def test_minhash_verify_exact_jaccard():
     from doc_ocr_ray.stages.dedup import (minhash_dedup_pairs,

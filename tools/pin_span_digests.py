@@ -1,11 +1,12 @@
 """Regenerate the pinned span-pipeline digest expectations.
 
-Runs the five canonical span digest-gate queries (which reduce the full
+Runs the six canonical digest-gate queries (which reduce the full
 pipeline outputs via __ray_entry__._digest_gate) at each testdata tier
 and prints the (check, n_rows, digest) rows to paste into the
 ``oracle_sql()`` literals.  Only ``extract_questions`` depends on the
 tier (via the documents row count feeding synth.generate_dataset); the
-other four are pinned by their fixed synth/fixture inputs.
+other five are pinned by their fixed synth/fixture/dense-prefix
+inputs.
 
 Run after any intentional change to the span-pipeline semantics (and
 only after tests/test_fixture_equality.py is green — the fixtures are
