@@ -1050,6 +1050,51 @@ def test_png_adam7_interlaced_decode():
         assert payload[ihdr_off + 12] == (1 if d % 3 == 0 else 0)
 
 
+def test_codec_property_roundtrips():
+    """Hypothesis property tests over the from-scratch codecs: ANY
+    byte string LZW-round-trips at any alphabet width; ANY image
+    round-trips through sequential and Adam7 PNG and through the GIF
+    container — shrinking finds boundary cases (width-schedule bumps,
+    one-pixel passes) that fixed seeds can miss."""
+    from hypothesis import given, settings, strategies as st
+    from doc_ocr_ray.stages.gif import (_lzw_decode, _lzw_encode,
+                                        decode_gif, encode_gif)
+    from doc_ocr_ray.stages.multimodal import encode_png, decode_png
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(2, 8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.binary(max_size=2000).map(
+                lambda b: bytes(x % (1 << mcs) for x in b)))))
+    def lzw_roundtrip(args):
+        mcs, data = args
+        assert _lzw_decode(mcs, _lzw_encode(mcs, data), len(data)) \
+            == data
+    lzw_roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+    def png_roundtrip(h, w, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+        assert (decode_png(encode_png(img, interlace=True)) == img).all()
+    png_roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1),
+           st.booleans())
+    def gif_roundtrip(h, w, seed, interlace):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+        idx = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        fr = decode_gif(encode_gif(
+            [{"indices": idx, "interlace": interlace}], pal))
+        assert (fr[0] == pal[idx]).all()
+    gif_roundtrip()
+
+
 def test_gif_codec_roundtrip_and_compositing():
     """Built-in GIF codec: real LZW round-trips across width-boundary
     and dictionary-reset sizes, interlace inverts, multi-frame
