@@ -3106,6 +3106,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(inject, batch_format="pandas"))
 
+    def q_orc_source(sf_dir):
+        # ORC arrival-format fidelity (the Hive/Trino export format):
+        # events materialized to 8 ORC shards once (atomic, cached
+        # per sf), read back file-parallel via sources.io.read_orc
+        # with column pruning, aggregated on the cents grid — the
+        # oracle aggregates the parquet ground truth, so any
+        # roundtrip/decode loss hash-fails
+        import os
+        import pyarrow.parquet as pq
+        from doc_ocr_ray.sources.io import read_orc, write_orc_shards
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/graft_orc_events_{tag}"
+        if not os.path.isdir(out) or not os.listdir(out):
+            write_orc_shards(
+                pq.read_table(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "event_type",
+                                       "value"]), out, num_shards=8)
+        return relational.events_by_type(
+            read_orc(out, columns=["event_type", "value"]))
+
     def q_csv_source(sf_dir):
         # CSV arrival-format fidelity: events written to CSV once
         # (atomic, cached per sf), read back via ray.data.read_csv,
@@ -3881,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_anomalies": q_count_anomalies,
         "extract_entities": q_extract_entities,
         "csv_source": q_csv_source,
+        "orc_source": q_orc_source,
         "pareto_parts": q_pareto_parts,
         "session_stats": q_session_stats,
         "behavior_strings": q_behavior_strings,
@@ -8643,6 +8664,14 @@ def oracle_sql() -> dict[str, str]:
         # CSV-roundtrip twin: the parquet ground truth aggregated the
         # events_by_type way — roundtrip loss through CSV hash-fails
         "csv_source": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        # identical ground-truth aggregate: the engine side arrives
+        # through the ORC decode chain instead of CSV
+        "orc_source": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) / 100.0 AS sum_value

@@ -59,6 +59,60 @@ def read_documents_jsonl(uri, columns: Optional[List[str]] = None):
     return ds.select_columns(columns) if columns else ds
 
 
+def read_orc(uri, columns: Optional[List[str]] = None):
+    """Distributed ORC read — the remaining big-data arrival format
+    (Hive/Trino exports) with no native Ray Data reader in this Ray
+    version: file-parallel via ``read_binary_files`` (one decode task
+    per file, the same granularity Ray's own file-based datasources
+    use), parsed per task with ``pyarrow.orc``.  ``columns`` prunes
+    at the stripe reader, so only requested columns leave the ORC
+    decoder.  Scale shape: parallelism = file count (the writer-side
+    contract for every file-sharded format here); stripe-level splits
+    would need a footer pre-pass and are not worth it below
+    multi-GB-per-file layouts."""
+    import ray.data
+
+    def parse(batch):
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.orc as _orc
+        tables = [
+            _orc.ORCFile(_io.BytesIO(payload)).read(columns=columns)
+            for payload in batch["bytes"].to_pylist()]
+        return pa.concat_tables(tables)
+
+    # batch_size=1: one ORC file per decode call keeps peak memory at
+    # one file's decoded size and parallelism at the file count
+    return ray.data.read_binary_files(uri).map_batches(
+        parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_orc_shards(table, out_dir: str, num_shards: int = 8) -> str:
+    """Testbed/export writer: slice an in-memory Arrow table into
+    ``num_shards`` ORC files (atomic tmp+rename).  Driver-side by
+    design — it exists to materialize bounded testbeds and final
+    exports, not to stream a corpus (write Parquet for that)."""
+    import pyarrow.orc as _orc
+    tmp = out_dir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    n = table.num_rows
+    per = (n + num_shards - 1) // num_shards
+    for s in range(num_shards):
+        sl = table.slice(s * per, per)
+        if sl.num_rows == 0:
+            continue
+        _orc.write_table(sl, os.path.join(tmp, f"part-{s:05d}.orc"))
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
 def write_table(ds, out_dir: str, partition_id: Optional[int] = None,
                 partition_cols=None, parquet_only: bool = False):
     """Atomic partitioned write: stream into ``<out_dir>/.tmp-<id>``,

@@ -103,6 +103,39 @@ def test_poison_doc_contained():
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.usefixtures("ray_session")
+def test_orc_source_roundtrip_and_pruning(tmp_path):
+    """ORC arrival format: write_orc_shards slices into N files,
+    read_orc reads them file-parallel with column pruning; values and
+    dtypes survive the roundtrip; short tables leave trailing shards
+    empty (absent) without breaking the read."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    from doc_ocr_ray.sources.io import read_orc, write_orc_shards
+    tbl = pa.table({
+        "a": pa.array(np.arange(100, dtype=np.int64)),
+        "b": pa.array([f"s{i}" for i in range(100)]),
+        "c": pa.array(np.arange(100) * 0.5)})
+    out = str(tmp_path / "orc")
+    write_orc_shards(tbl, out, num_shards=8)
+    files = sorted(os.listdir(out))
+    assert len(files) == 8 and all(f.endswith(".orc") for f in files)
+    back = read_orc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back["a"].tolist() == list(range(100))
+    assert back["b"].tolist() == [f"s{i}" for i in range(100)]
+    assert back["c"].tolist() == [i * 0.5 for i in range(100)]
+    pruned = read_orc(out, columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"] and len(pruned) == 100
+    # 3 rows over 8 shards: trailing shards absent, read still whole
+    small = str(tmp_path / "orc_small")
+    write_orc_shards(tbl.slice(0, 3), small, num_shards=8)
+    assert read_orc(small).count() == 3
+    # unknown column fails loudly, not silently empty
+    with _pytest.raises(Exception):
+        read_orc(out, columns=["nope"]).materialize()
+
+
 def test_read_documents_accepts_file_list(tmp_path):
     import ray.data
     from doc_ocr_ray import synth
