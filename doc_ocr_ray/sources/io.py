@@ -46,16 +46,27 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
     return ray.data.read_parquet(uri, columns=columns)
 
 
-def read_documents_jsonl(uri, columns: Optional[List[str]] = None):
+def read_documents_jsonl(uri, columns: Optional[List[str]] = None,
+                         compression: Optional[str] = "auto"):
     """JSONL documents table -> ray.data.Dataset — the arrival format
     of most web-corpus drops (Dolma / Common Crawl derivatives ship
-    newline-delimited JSON, not parquet).  Distributed line-parallel
-    parse via ``ray.data.read_json``; pass ``columns`` to prune after
-    parse (JSON is row-major, so unlike parquet the prune cannot skip
-    IO — re-encode hot corpora to parquet/lance for the scale path,
-    which is exactly what a first curation pass does)."""
+    newline-delimited JSON, not parquet; usually GZIPPED).
+    Distributed line-parallel parse via ``ray.data.read_json``;
+    ``compression`` "auto" sniffs ``.gz`` from the path suffix
+    (a whole-file codec stream decodes per file — the standard
+    jsonl.gz granularity), or pass "gzip"/None explicitly.  Pass
+    ``columns`` to prune after parse (JSON is row-major, so unlike
+    parquet the prune cannot skip IO — re-encode hot corpora to
+    parquet/lance for the scale path, which is exactly what a first
+    curation pass does)."""
     import ray.data
-    ds = ray.data.read_json(uri)
+    if compression == "auto":
+        paths = uri if isinstance(uri, (list, tuple)) else [uri]
+        compression = "gzip" if any(
+            str(p).endswith(".gz") for p in paths) else None
+    kwargs = ({"arrow_open_stream_args": {"compression": compression}}
+              if compression else {})
+    ds = ray.data.read_json(uri, **kwargs)
     return ds.select_columns(columns) if columns else ds
 
 
