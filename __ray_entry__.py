@@ -3113,10 +3113,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with column pruning, aggregated on the cents grid — the
         # oracle aggregates the parquet ground truth, so any
         # roundtrip/decode loss hash-fails
+        import hashlib
         import os
         import pyarrow.parquet as pq
         from doc_ocr_ray.sources.io import read_orc, write_orc_shards
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        # cache key covers path + size + mtime: a regenerated events
+        # parquet (or a same-named dir elsewhere) must not serve
+        # stale ORC shards (review finding on the csv_source pattern)
+        src = f"{sf_dir}/events.parquet"
+        st = os.stat(src)
+        tag = hashlib.md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+            .encode()).hexdigest()[:12]
         out = f"/tmp/graft_orc_events_{tag}"
         if not os.path.isdir(out) or not os.listdir(out):
             write_orc_shards(

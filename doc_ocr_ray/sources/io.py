@@ -47,23 +47,20 @@ def read_documents(uri: str, columns: Optional[List[str]] = None):
 
 
 def read_documents_jsonl(uri, columns: Optional[List[str]] = None,
-                         compression: Optional[str] = "auto"):
+                         compression: Optional[str] = None):
     """JSONL documents table -> ray.data.Dataset — the arrival format
     of most web-corpus drops (Dolma / Common Crawl derivatives ship
     newline-delimited JSON, not parquet; usually GZIPPED).
-    Distributed line-parallel parse via ``ray.data.read_json``;
-    ``compression`` "auto" sniffs ``.gz`` from the path suffix
-    (a whole-file codec stream decodes per file — the standard
-    jsonl.gz granularity), or pass "gzip"/None explicitly.  Pass
-    ``columns`` to prune after parse (JSON is row-major, so unlike
-    parquet the prune cannot skip IO — re-encode hot corpora to
-    parquet/lance for the scale path, which is exactly what a first
-    curation pass does)."""
+    Distributed line-parallel parse via ``ray.data.read_json``, which
+    detects gzip PER FILE from the path (``pa.Codec.detect``), so
+    plain and ``.jsonl.gz`` members mix freely in one list.  Pass
+    ``compression`` only to FORCE one codec for suffix-less paths
+    (it applies to every file — don't combine with a mixed list).
+    Pass ``columns`` to prune after parse (JSON is row-major, so
+    unlike parquet the prune cannot skip IO — re-encode hot corpora
+    to parquet/lance for the scale path, which is exactly what a
+    first curation pass does)."""
     import ray.data
-    if compression == "auto":
-        paths = uri if isinstance(uri, (list, tuple)) else [uri]
-        compression = "gzip" if any(
-            str(p).endswith(".gz") for p in paths) else None
     kwargs = ({"arrow_open_stream_args": {"compression": compression}}
               if compression else {})
     ds = ray.data.read_json(uri, **kwargs)
@@ -111,11 +108,14 @@ def write_orc_shards(table, out_dir: str, num_shards: int = 8) -> str:
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     n = table.num_rows
-    per = (n + num_shards - 1) // num_shards
+    per = max(1, (n + num_shards - 1) // num_shards)
     for s in range(num_shards):
         sl = table.slice(s * per, per)
-        if sl.num_rows == 0:
+        if sl.num_rows == 0 and s > 0:
             continue
+        # shard 0 always writes, even zero-row: an empty table commits
+        # a schema-bearing empty .orc so read_orc round-trips (the
+        # empty-partition convention every sink here follows)
         _orc.write_table(sl, os.path.join(tmp, f"part-{s:05d}.orc"))
     if os.path.isdir(out_dir):
         import shutil

@@ -103,7 +103,6 @@ def test_poison_doc_contained():
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.usefixtures("ray_session")
 def test_orc_source_roundtrip_and_pruning(tmp_path):
     """ORC arrival format: write_orc_shards slices into N files,
     read_orc reads them file-parallel with column pruning; values and
@@ -131,11 +130,19 @@ def test_orc_source_roundtrip_and_pruning(tmp_path):
     small = str(tmp_path / "orc_small")
     write_orc_shards(tbl.slice(0, 3), small, num_shards=8)
     assert read_orc(small).count() == 3
+    # zero-row table commits a schema-bearing empty shard (the
+    # empty-partition convention) and round-trips as an empty read
+    empty = str(tmp_path / "orc_empty")
+    write_orc_shards(tbl.slice(0, 0), empty, num_shards=8)
+    eds = read_orc(empty)
+    assert eds.count() == 0
+    assert set(eds.schema().names) == {"a", "b", "c"}
     # unknown column fails loudly, not silently empty
     with _pytest.raises(Exception):
         read_orc(out, columns=["nope"]).materialize()
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_read_documents_accepts_file_list(tmp_path):
     import ray.data
     from doc_ocr_ray import synth

@@ -332,16 +332,18 @@ def test_read_documents_jsonl(ray_session, tmp_path):
             .to_pandas().sort_values("doc_id"))
     assert toks["n_tokens"].tolist() == [2, 2, 0]
 
-    # GZIPPED jsonl (the Dolma/Common-Crawl drop format): auto-sniffed
-    # from the .gz suffix, same rows back; explicit override works too
+    # GZIPPED jsonl (the Dolma/Common-Crawl drop format): detected
+    # PER FILE from the path, so plain and .gz members mix in one
+    # list; the explicit override still forces a codec
     import gzip
     gz = p / "part0.jsonl.gz"
     with open(p / "part0.jsonl", "rb") as src, \
             gzip.open(gz, "wb") as dst:
         dst.write(src.read())
-    got_gz = (read_documents_jsonl([str(gz)])
-              .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    assert got_gz["text"].tolist() == ["one two", "três quatro"]
+    got_mixed = (read_documents_jsonl([str(gz), str(p / "part1.jsonl")])
+                 .to_pandas().sort_values("doc_id")
+                 .reset_index(drop=True))
+    assert got_mixed["text"].tolist() == ["one two", "três quatro", ""]
     got_explicit = (read_documents_jsonl([str(gz)], compression="gzip")
                     .to_pandas())
     assert len(got_explicit) == 2
